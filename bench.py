@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after a
+shared session warm-up, which matches how a user would experience latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q18_large_volume_customer",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from rtdl_spark.queries import all_queries
+    from rtdl_spark.session import get_spark
+
+    spark = get_spark("rtdl_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry] + [
+        n for n in sorted(registry) if n.startswith("x_") and n not in HEADLINE
+    ]
+
+    # Warm up the JVM + parquet footers once so per-query times measure the
+    # query, not session startup.
+    registry["q6_forecast_revenue"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

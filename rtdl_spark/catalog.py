@@ -1,0 +1,89 @@
+"""Table loading + catalog registration over the parquet lake.
+
+Mirrors rtdl's catalog role (Dremio source/dataset registration,
+reference ingester/ingester.go:778-992) with the Spark session catalog:
+datasets become temp views / catalog tables, and all reads stay columnar
+parquet scans with pushdown intact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtdl_spark.session import ensure_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it as a
+    long (nanosAsLong) and we convert to a microsecond TIMESTAMP_NTZ here,
+    truncating — the same truncation DuckDB applies when casting
+    TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
+    """
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_lake_table(
+    spark: SparkSession,
+    database: str,
+    table_name: str,
+    location: str,
+    fmt: str = "parquet",
+) -> None:
+    """Spark-native equivalent of rtdl's Dremio dataset promotion
+    (reference ingester/ingester.go:944-988): make a written dataset
+    queryable by name via the session catalog. Idempotent.
+    """
+    db = quoted(database)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {db}.{quoted(table_name)} "
+        f"USING {fmt} LOCATION '{location}'"
+    )
+
+
+def quoted(identifier: str) -> str:
+    return "`" + identifier.replace("`", "``") + "`"

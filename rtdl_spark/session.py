@@ -1,0 +1,79 @@
+"""SparkSession factory tuned for the lake workload.
+
+Defaults are chosen for correctness parity with the DuckDB oracle (UTC
+session timezone, ANSI off) and for scale (AQE on, skew-join handling,
+partition coalescing). On a real cluster the same settings hold; only
+``shuffle.partitions`` / ``maxPartitionBytes`` need re-sizing to the
+executor fleet (see ``tune_for_scale``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-level defaults applied both when we build the session ourselves and
+# when the driver hands us one (see ensure_runtime_confs).
+RUNTIME_CONFS: dict[str, str] = {
+    # The fixture `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot
+    # read natively; read as long and convert (rtdl_spark.catalog).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB timestamps are UTC-naive; pin Spark to UTC for oracle parity.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime re-plan, partition coalescing, skew joins.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas/Pandas-UDF exchange (vectorized, not per-row).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "rtdl_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_runtime_confs(spark)
+    return spark
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-built session.
+
+    The verification driver constructs its own SparkSession; every public
+    query entrypoint routes through here so behavior does not depend on who
+    built the session.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — builder path already set it.
+            pass
+    return spark
+
+
+def tune_for_scale(spark: SparkSession, input_bytes: int) -> SparkSession:
+    """Size shuffle parallelism for a given input volume.
+
+    Rule of thumb: target ~128 MiB per shuffle partition, bounded below by
+    the cluster's default parallelism. With AQE enabled this only sets the
+    *initial* partition count; AQE coalesces/splits at runtime.
+    """
+    target = max(default_parallelism(), input_bytes // (128 << 20))
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(target)))
+    return spark
