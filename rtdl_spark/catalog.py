@@ -43,11 +43,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer DIV, not `/`: ns epoch values exceed double's 53-bit
+        # mantissa, and float division would round where DuckDB truncates.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
         )
     return df
 

@@ -1,1 +1,249 @@
-"""Filled in incrementally; see rtdl_spark.queries registry."""
+"""Aggregation coverage (SURVEY.md §2B): hash aggregates, distinct
+aggregates, rollup/cube/grouping sets, having, statistical moments,
+percentiles, approximate sketches, pivot.
+
+All of these are single-shuffle hash aggregates in Spark (partial map-side
+combine + final merge); rollup/cube expand the grouping sets before the
+shuffle, which AQE then coalesces.
+
+Float parity: money sums go through DECIMAL (exact); genuinely floating
+moments (stddev/corr) are rounded to 4-6 decimals on both sides — see
+queries/_util.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtdl_spark.catalog import register_views, table
+from rtdl_spark.queries import query
+from rtdl_spark.queries._util import DEC, dec, dsum
+
+
+@query(
+    "agg_stats_by_returnflag",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(SUM({DEC('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+    )
+
+
+@query(
+    "agg_count_distinct_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@query(
+    "agg_rollup_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({DEC('l_extendedprice')}) AS DOUBLE) AS total_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(dec("l_extendedprice")).alias("total_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({DEC('l_quantity')}) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL over the registered lake views —
+    the same Catalyst Expand node rollup/cube compile to."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_having_filter",
+    oracle=f"""
+    SELECT l_partkey,
+           CAST(SUM({DEC('l_quantity')}) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM({DEC('l_quantity')}) > 150 AND COUNT(*) >= 3
+    """,
+)
+def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter((F.col("_q") > 150) & (F.col("n") >= 3))
+        .select(
+            "l_partkey", F.col("_q").cast("double").alias("total_qty"), "n"
+        )
+    )
+
+
+@query(
+    "agg_statistical_moments",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_price,
+           ROUND(VAR_SAMP(o_totalprice), 2) AS var_price,
+           ROUND(CORR(o_totalprice, o_custkey), 6) AS corr_price_cust,
+           ROUND(COVAR_SAMP(o_totalprice, o_custkey), 2) AS covar_price_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance/correlation/covariance, rounded on both sides
+    (different engines use different numerically-stable accumulations)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias(
+            "covar_price_cust"
+        ),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use linear
+    interpolation on the sorted values)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+@query("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch count — no oracle (DuckDB's HLL implementation
+    yields different estimates); the scale story: approx_count_distinct is
+    a single-pass, fixed-memory aggregate vs countDistinct's expand+shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "agg_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (never let pivot scan for distinct
+    values at scale — that is an extra job over the full input)."""
+    o = table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("P", F.lit(0)).alias("status_p"),
+    )
+
+
+@query(
+    "agg_distinct_sum",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(SUM(DISTINCT {DEC('l_quantity')}) AS DOUBLE) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_distinct_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.sum_distinct(dec("l_quantity")).cast("double").alias("sum_distinct_qty")
+    )

@@ -1,1 +1,325 @@
-"""Filled in incrementally; see rtdl_spark.queries registry."""
+"""Window-function coverage (SURVEY.md §2B): ranking, analytic, frames,
+and the event-time windows (tumbling / sliding / session) that back the
+streaming surface — expressed here in batch so they are oracle-checkable;
+the same expressions run under Structured Streaming (rtdl_spark.streaming).
+
+Determinism: every window ORDER BY carries a unique tiebreaker so results
+are reproducible across engines and partitionings — required for oracle
+hashing and good practice anyway.
+
+Scale: a window over partitionBy(k) is one hash shuffle on k plus a
+per-partition sort. None of these use a global (unpartitioned) order except
+on pre-aggregated small data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rtdl_spark.catalog import register_views, table
+from rtdl_spark.queries import query
+from rtdl_spark.queries._util import DEC, dec
+
+
+@query(
+    "win_topk_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t WHERE rn <= 3
+    """,
+)
+def win_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: the canonical row_number + filter plan (no global
+    sort; one shuffle on the partition key)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment", "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"), "rn",
+        )
+    )
+
+
+@query(
+    "win_rank_parts_by_price",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+           ROUND(CUME_DIST()    OVER w, 6) AS cdist
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+    """,
+)
+def win_rank_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank/cume_dist with value ties — rank values
+    are functions of the data, so ties are deterministic."""
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "win_lag_lead_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+             lag(o_orderdate)  OVER w, o_orderdate) AS days_since_prev,
+           date_diff('day',
+             o_orderdate, lead(o_orderdate) OVER w) AS days_until_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.datediff(
+            F.lead("o_orderdate").over(w), F.col("o_orderdate")
+        ).alias("days_until_next"),
+    )
+
+
+@query(
+    "win_running_revenue",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM({DEC('o_totalprice')}) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def win_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "win_moving_avg_3",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM({DEC('o_totalprice')}) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w) AS moving_avg_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(dec("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "win_range_frame_price_band",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+             AS n_in_band
+    FROM orders
+    """,
+)
+def win_range_frame_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a numeric offset (value-based, not row-based)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus,
+               COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+                 AS n_in_band
+        FROM orders
+        """
+    )
+
+
+@query(
+    "win_ntile_customer_quartiles",
+    oracle="""
+    SELECT quartile, COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    ) t GROUP BY quartile
+    """,
+)
+def win_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE — an unpartitioned window (single-task sort) is fine for
+    dimension-sized inputs; at fact scale use approx quantiles instead."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    ).distinct()
+
+
+@query(
+    "win_tumbling_5min",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+             AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM({DEC('value')}) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def win_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window — identical expression works under
+    readStream + watermark (rtdl_spark.streaming)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@query(
+    "win_sliding_10min_5min",
+    oracle="""
+    SELECT window_start, COUNT(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               - (off * INTERVAL '5 minutes') AS window_start
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS off) offs
+    ) t
+    GROUP BY window_start
+    """,
+)
+def win_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min width, 5 min slide): every event belongs to
+    exactly 2 overlapping windows."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@query(
+    "win_session_30min",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def win_session_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) via the native session_window
+    operator — the batch twin of streaming sessionization."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )
