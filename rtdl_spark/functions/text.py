@@ -1,0 +1,167 @@
+"""Text-analysis expression library (north-star extension, SURVEY.md §2C):
+tokenization, shingling, deterministic token hashing, MinHash signatures,
+quality scoring, fingerprinting, language-ID heuristics.
+
+Everything here is a Catalyst higher-order-function composition — array
+lambdas run inside codegen on the JVM, so these scale like any built-in
+(no Python in the row path, no shuffle until an explicit groupBy/join).
+
+The polynomial char hash is chosen to be *reproducible in ANSI SQL*
+(exact integer arithmetic), so MinHash/LSH results can be verified by an
+independent engine — and so signatures are stable across Spark versions,
+unlike F.hash/xxhash64 (whose seeds/impls are engine-private).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+# Fixed MinHash permutation parameters (a*h + b) mod P — 12 hash functions
+# arranged as 4 bands × 3 rows for LSH banding.
+MINHASH_A = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+MINHASH_B = (1, 7, 13, 19, 29, 37, 43, 53, 61, 71, 79, 89)
+LSH_BANDS = 4
+LSH_ROWS = 3
+
+STOPWORDS = ("the", "a")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (single-space delimiter, matching the fixtures)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the standard near-dup unit.
+    Documents shorter than n tokens yield an empty array (guarded:
+    F.sequence(0, negative) would count *down*, not produce empty)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_hash(tok: Column) -> Column:
+    """Deterministic 31-bit polynomial rolling hash of a string:
+    fold(chars, h -> (h*31 + ascii(c)) mod P). Exactly reproducible in
+    DuckDB/ANSI SQL with list_reduce — see queries/dedup.py oracles."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda h, c: (h * F.lit(31) + F.ascii(c)) % F.lit(HASH_P),
+    )
+
+
+def minhash_signature(shingle_col: Column) -> Column:
+    """k=12 MinHash signature over a shingle array: for each permutation i,
+    min over shingles of (a_i*H(s) + b_i) mod P. Pure integer arithmetic →
+    bit-identical across engines."""
+    hashes = F.transform(shingle_col, token_hash)
+    a = F.array(*[F.lit(x) for x in MINHASH_A])
+    b = F.array(*[F.lit(x) for x in MINHASH_B])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(MINHASH_A) - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (
+                    F.element_at(a, i + 1) * h + F.element_at(b, i + 1)
+                )
+                % F.lit(HASH_P),
+            )
+        ),
+    )
+
+
+def lsh_band_keys(sig: Column) -> Column:
+    """Band the signature into LSH bucket keys: band index + its rows,
+    serialized as a string key. Docs sharing any key are candidates."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda band: F.concat_ws(
+            ":",
+            band,
+            *[
+                F.element_at(sig, band * LSH_ROWS + r + 1)
+                for r in range(LSH_ROWS)
+            ],
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact set Jaccard of two (distinct-element) arrays, as double."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    stops = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("double")
+    return stops / F.size(toks).cast("double")
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
+        "double"
+    )
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length. With single-space joining this is exactly
+    (len(text) - (n_tokens-1)) / n_tokens — pure arithmetic, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c)
+    return (F.length(c) - (n - F.lit(1))).cast("double") / n.cast("double")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the sorted distinct token set
+    — robust to word order and repetition (the 'fingerprint dedup' family)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
+    )
+
+
+def simhash16(text: Column | str) -> Column:
+    """16-bit SimHash over token hashes: bit b is set iff the sum over
+    tokens of (2*bit_b(H(t)) - 1) is non-negative. Integer-exact, so
+    SQL-reproducible; 16 bits keeps the expression tree small while still
+    demonstrating the Hamming-bucket dedup family."""
+    hashes = F.transform(F.array_distinct(tokens(text)), token_hash)
+    # shiftleft/shiftright need literal bit counts in PySpark, so extract
+    # bit b arithmetically: (h / 2^b) % 2, with 2^b from a literal array.
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(16)])
+    bit = lambda h, b: (  # noqa: E731
+        (h / F.element_at(pow2, b + 1)).cast("long") % F.lit(2)
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda s, h: s + bit(h, b) * F.lit(2) - F.lit(1),
+            )
+            >= 0,
+            F.element_at(pow2, b + 1),
+        ).otherwise(F.lit(0).cast("long")),
+    )

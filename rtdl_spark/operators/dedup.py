@@ -1,0 +1,95 @@
+"""Deduplication operator family (north-star extension, SURVEY.md §2C):
+exact, normalized/fingerprint, MinHash+LSH near-dup, SimHash.
+
+Scale design (the point of this module):
+
+- Exact/fingerprint dedup is a single hash aggregate on the dedup key —
+  one shuffle, map-side partial combine, no data skew beyond the natural
+  key distribution.
+- MinHash+LSH replaces the O(n²) pairwise comparison with:
+    shingle → 12 integer minhashes → 4 LSH band keys → explode(4 rows/doc)
+    → self-join on band key → exact Jaccard on the candidates only.
+  The join is an equi join on the band bucket, so it shuffles each side
+  once by bucket; candidate volume is proportional to true near-dup
+  density, not n². At 100 TB you additionally salt any hot bucket (a
+  degenerate band key shared by millions of docs) or cap bucket width.
+- All hashing is exact integer arithmetic (functions.text), so results are
+  deterministic across engines/runs — verified against a DuckDB oracle
+  implementing the same algorithm in SQL (queries/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rtdl_spark.functions.text import (
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    shingles,
+)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id1 < id2) whose exact shingle-set Jaccard
+    meets ``threshold``, found via MinHash banding.
+
+    Returns columns: id1, id2, jaccard_sim (rounded to 6 for determinism
+    of downstream comparisons)."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    banded = sh.select(
+        "_id",
+        "_sh",
+        F.explode(lsh_band_keys(minhash_signature(F.col("_sh")))).alias("_bucket"),
+    )
+    left = banded.select(
+        F.col("_id").alias("id1"), F.col("_sh").alias("sh1"), "_bucket"
+    )
+    right = banded.select(
+        F.col("_id").alias("id2"), F.col("_sh").alias("sh2"), "_bucket"
+    )
+    candidates = (
+        left.join(right, "_bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sh1", "sh2")
+        .distinct()
+    )
+    return (
+        candidates.withColumn(
+            "jaccard_sim", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6)
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id1", "id2", "jaccard_sim")
+    )
+
+
+def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
+    """Exact dedup keeping the lowest-id row per key would require an id;
+    the engine-level primitive is dropDuplicates (arbitrary survivor,
+    single shuffle)."""
+    return df.dropDuplicates(subset)
+
+
+def dedup_groups(
+    df: DataFrame, key_col, id_col: str
+) -> DataFrame:
+    """Deterministic dedup summary: per duplicate-group canonical id
+    (min id), group size. ``key_col`` may be any expression (e.g. a
+    fingerprint)."""
+    return (
+        df.groupBy(key_col.alias("dedup_key"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )

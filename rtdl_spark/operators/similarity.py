@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (north-star extension,
+SURVEY.md §2C): brute-force cosine top-k as the exactness baseline, and an
+IVF-style cell-probed variant as the scale path.
+
+Scale design:
+- Brute force is a broadcast nested loop: the (small) query set is
+  broadcast against the full corpus — no corpus shuffle at all; cost is
+  |Q|·|C| dot products, all inside JVM codegen (zip_with/aggregate over
+  doubles). Right answer for |Q| small; at 100 TB the corpus scan is
+  embarrassingly parallel.
+- IVF: corpus vectors are assigned once to their nearest coarse centroid
+  (broadcast centroids, argmin over K dot products); a query probes only
+  its nprobe nearest cells, so the candidate set shrinks by ~K/nprobe.
+  Assignment is a narrow map; the probe join is an equi join on cell id.
+  (Centroids here are seeded from fixed corpus rows — deterministic; a
+  production build would k-means them, same plan shape.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rtdl_spark.functions.vectors import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns: query_id, neighbor_id, cosine_sim (rounded to 6 so ordering is
+    engine-reproducible), rank. Self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its highest-cosine centroid (broadcast
+    argmax). Output: id, vec, cell."""
+    cent = F.broadcast(
+        centroids.select(
+            F.col("cell_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).join(cent)
+    w = Window.partitionBy("_id").orderBy(
+        F.desc(F.round(cosine(F.col("_vec"), F.col("cent_vec")), 6)),
+        F.asc("cell_id"),
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_vec").alias(vec_col),
+            "cell_id",
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into n_cells (centroids
+    seeded deterministically from the first corpus rows), probe the nprobe
+    best cells per query, exact-rank inside the probed subset."""
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .alias("cell_id"),
+            F.col(vec_col),
+        )
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cent = F.broadcast(
+        centroids.select("cell_id", F.col(vec_col).alias("cent_vec"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine(F.col("qvec"), F.col("cent_vec")), 6)),
+        F.asc("cell_id"),
+    )
+    probed = (
+        q.join(cent)
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qvec", "cell_id")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probed), "cell_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("qvec"), F.col(vec_col)), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "cosine_sim",
+            "rank",
+            "cell_id",
+        )
+    )

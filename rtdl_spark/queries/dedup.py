@@ -1,1 +1,241 @@
-"""Filled in incrementally; see rtdl_spark.queries registry."""
+"""Deduplication queries (north-star extension, SURVEY.md §2C) over the
+``documents`` fixture: exact, fingerprint, brute-force Jaccard, full
+MinHash+LSH, SimHash.
+
+The MinHash/LSH oracle is the *same algorithm* re-implemented in DuckDB
+SQL (identical integer hashing), so the driver's hash-compare verifies the
+whole pipeline — shingling, signatures, banding, candidate join, exact
+verification — not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtdl_spark.catalog import table
+from rtdl_spark.functions.text import (
+    HASH_P,
+    MINHASH_A,
+    MINHASH_B,
+    fingerprint,
+    jaccard,
+    shingles,
+    simhash16,
+    tokens,
+)
+from rtdl_spark.operators.dedup import dedup_groups, minhash_lsh_pairs
+from rtdl_spark.queries import query
+
+_A_SQL = "[" + ",".join(str(x) for x in MINHASH_A) + "]"
+_B_SQL = "[" + ",".join(str(x) for x in MINHASH_B) + "]"
+
+# DuckDB twin of functions.text.token_hash / minhash_signature / lsh bands.
+_LSH_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [] END AS sh
+  FROM toks
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s ->
+           list_reduce(list_transform(string_split(s, ''),
+                                      c -> ascii(c)::BIGINT),
+                       (h, c) -> (h * 31 + c) % {HASH_P})) AS hs
+  FROM sh
+), sigs AS (
+  SELECT doc_id, sh,
+         list_transform(range(0, {len(MINHASH_A)}),
+           i -> list_min(list_transform(hs,
+                 h -> ({_A_SQL}[i+1] * h + {_B_SQL}[i+1]) % {HASH_P}))) AS sig
+  FROM hashed
+), buckets AS (
+  SELECT doc_id, sh,
+         UNNEST(list_transform(range(0, 4),
+           b -> concat(b, ':', sig[3*b+1], ':', sig[3*b+2], ':', sig[3*b+3])))
+           AS bucket
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                  a.sh AS sh1, b.sh AS sh2
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+"""
+
+
+@query(
+    "dedup_exact_by_source",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct_texts,
+           COUNT(DISTINCT lower(trim(text))) AS n_normalized_texts
+    FROM documents
+    GROUP BY source
+    """,
+)
+def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + normalized dedup cardinalities — the groupBy-hash dedup
+    family as an aggregate (one shuffle, partial combine)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct(F.lower(F.trim("text"))).alias("n_normalized_texts"),
+    )
+
+
+@query(
+    "dedup_fingerprint_groups",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                               ' ')) AS dedup_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set md5 fingerprint dedup: docs identical up to word order and
+    repetition collapse to one group (canonical = min doc_id)."""
+    d = table(spark, sf_dir, "documents")
+    return dedup_groups(d, fingerprint("text"), "doc_id")
+
+
+@query(
+    "dedup_jaccard_bruteforce",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(text,' ')) - 1),
+                 i -> string_split(text,' ')[i] || ' ' ||
+                      string_split(text,' ')[i+1] || ' ' ||
+                      string_split(text,' ')[i+2]))
+             ELSE [] END AS sh
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_sim
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_jaccard_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference brute-force O(n²) shingle-Jaccard on a bounded sample —
+    the correctness yardstick the LSH path is measured against."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select(F.col("doc_id"), shingles("text").alias("sh"))
+    )
+    a = d.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    b = d.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("jaccard_sim", jaccard(F.col("sh1"), F.col("sh2")))
+        .filter(F.col("jaccard_sim") >= 0.5)
+        .select("id1", "id2", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_LSH_CTE
+    + """
+    SELECT id1, id2,
+           ROUND(len(list_intersect(sh1, sh2)) * 1.0
+                 / len(list_distinct(list_concat(sh1, sh2))), 6) AS jaccard_sim
+    FROM cand
+    WHERE ROUND(len(list_intersect(sh1, sh2)) * 1.0
+                / len(list_distinct(list_concat(sh1, sh2))), 6) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline (operators.dedup.minhash_lsh_pairs):
+    12 exact-integer minhashes, 4×3 banding, candidate equi-join, exact
+    Jaccard ≥ 0.5 verification. The oracle runs the identical algorithm in
+    DuckDB SQL."""
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.5
+    )
+
+
+@query(
+    "dedup_simhash_profile",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+               t -> list_reduce(list_transform(string_split(t, ''),
+                                               c -> ascii(c)::BIGINT),
+                                (a, c) -> (a * 31 + c) % {HASH_P})) AS hs
+      FROM documents
+    ), sims AS (
+      SELECT doc_id,
+             list_reduce(list_transform(range(0, 16), b ->
+               CASE WHEN list_reduce(list_transform(hs,
+                           h -> ((h >> b) & 1) * 2 - 1), (x, y) -> x + y) >= 0
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END),
+               (x, y) -> x + y) AS simhash
+      FROM h
+    )
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM sims GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+)
+def dedup_simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash buckets with >1 member — the Hamming-sketch dedup
+    family; exact integer arithmetic keeps it engine-reproducible."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", simhash16("text").alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "dedup_ngram_token_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           ROUND(len(list_intersect(a.tk, b.tk)) * 1.0
+                 / len(list_distinct(list_concat(a.tk, b.tk))), 6) AS token_jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.tk, b.tk)) * 1.0
+          / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.95
+    """,
+)
+def dedup_ngram_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-gram (token-set) Jaccard — cheaper but weaker than shingles;
+    included to contrast the n-gram granularity options."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", F.array_distinct(tokens("text")).alias("tk"))
+    )
+    a = d.select(F.col("doc_id").alias("id1"), F.col("tk").alias("tk1"))
+    b = d.select(F.col("doc_id").alias("id2"), F.col("tk").alias("tk2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("token_jaccard", jaccard(F.col("tk1"), F.col("tk2")))
+        .filter(F.col("token_jaccard") >= 0.95)
+        .select("id1", "id2", F.round("token_jaccard", 6).alias("token_jaccard"))
+    )

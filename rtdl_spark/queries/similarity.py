@@ -1,1 +1,136 @@
-"""Filled in incrementally; see rtdl_spark.queries registry."""
+"""Similarity-search queries (north-star extension, SURVEY.md §2C) over the
+``embeddings`` fixture (array<float>, 64-dim).
+
+Cosine parity strategy: both engines widen float→double (exact) and
+accumulate products left-to-right from 0.0; residual 1-ulp divergence is
+absorbed by ROUND(...,6), which is also what the rank ordering uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtdl_spark.catalog import table
+from rtdl_spark.functions.vectors import cosine, l2_norm
+from rtdl_spark.operators.similarity import cosine_topk, ivf_topk
+from rtdl_spark.queries import query
+
+# DuckDB left-fold dot product matching functions.vectors.dot exactly.
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cos('q.qvec', 'c.embedding')}, 6) AS cosine_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 5 query vectors (broadcast
+    nested-loop; corpus never shuffles)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", 5
+    )
+
+
+@query(
+    "sim_threshold_pairs_by_label",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id < 1000)
+    SELECT a.label, COUNT(*) AS n_pairs,
+           ROUND(MAX({_cos('a.embedding', 'b.embedding')}), 6) AS max_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos('a.embedding', 'b.embedding')} >= 0.3
+    GROUP BY a.label
+    """,
+)
+def sim_threshold_pairs_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join blocked by label (the blocking key is the
+    scale lever: compare within buckets, never all-pairs)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("v1"),
+    )
+    b = e.select(
+        F.col("label").alias("label2"), F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("v2"),
+    )
+    return (
+        a.join(b, (a.label == b.label2) & (F.col("id1") < F.col("id2")))
+        .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("sim") >= 0.3)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("sim"), 6).alias("max_sim"),
+        )
+    )
+
+
+@query(
+    "sim_embedding_norms",
+    oracle=f"""
+    SELECT label, COUNT(*) AS n,
+           ROUND(MIN(sqrt({_DOT.format(a='embedding', b='embedding')})), 6)
+             AS min_norm,
+           ROUND(MAX(sqrt({_DOT.format(a='embedding', b='embedding')})), 6)
+             AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", l2_norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (cell-probed) — no oracle: the algorithm's output is
+    deterministic but expressing the two-level argmin in portable SQL adds
+    no verification value beyond the exact brute-force query above; the
+    driver records a rows-only check, and tests assert recall vs brute
+    force (tests/test_similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        n_cells=8,
+        nprobe=2,
+        k=5,
+    )

@@ -1,1 +1,204 @@
-"""Filled in incrementally; see rtdl_spark.queries registry."""
+"""Text-analysis queries (north-star extension, SURVEY.md §2C) over the
+``documents`` fixture: token counting, quality scoring, language-ID
+heuristics, fingerprint profiles, n-gram frequency.
+
+All pure Catalyst HOF compositions (functions.text) — no Python UDFs.
+Ratios are exact rational arithmetic surfaced as double (identical operand
+order on both engines), with ROUND only where aggregation order matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtdl_spark.catalog import table
+from rtdl_spark.functions.text import (
+    avg_token_len,
+    distinct_token_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from rtdl_spark.queries import query
+
+
+@query(
+    "text_token_stats_by_lang",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           MIN(len(string_split(text, ' '))) AS min_tokens,
+           MAX(len(string_split(text, ' '))) AS max_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n = token_count("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.min(n).alias("min_tokens"),
+        F.max(n).alias("max_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) AS n_stop,
+             length(text) AS n_len
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_len - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: lexical diversity, stopword density,
+    mean token length — the standard cheap quality filters for a training
+    corpus, computed without leaving codegen."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        distinct_token_ratio("text").alias("distinct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        avg_token_len("text").alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_filter_summary",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens BETWEEN 20 AND 400
+                          AND distinct_ratio >= 0.15
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM t GROUP BY source
+    """,
+)
+def text_quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter stage a data pipeline would actually run: keep docs in a
+    token-length band with enough lexical diversity; report keep-rates."""
+    d = table(spark, sf_dir, "documents")
+    n = token_count("text")
+    keep = (
+        n.between(20, 400) & (distinct_token_ratio("text") >= 0.15)
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+    )
+
+
+@query(
+    "text_lang_id_heuristic",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       x -> x IN ('the', 'a'))) * 1.0
+                       / len(string_split(text, ' ')) >= 0.08
+                  THEN 'en_like' ELSE 'other' END AS predicted
+      FROM documents
+    )
+    SELECT lang, predicted, COUNT(*) AS n
+    FROM t GROUP BY lang, predicted
+    """,
+)
+def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language-ID heuristic (confusion-matrix shape).
+    The fixture's text is synthetic so accuracy is meaningless; the plan —
+    per-doc scoring then a two-key aggregate — is the real deliverable."""
+    d = table(spark, sf_dir, "documents")
+    predicted = F.when(
+        stopword_ratio("text") >= 0.08, "en_like"
+    ).otherwise("other")
+    return d.groupBy("lang", predicted.alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT UNNEST(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM t WHERE len(w) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency: per-doc gram generation (HOF) →
+    explode → hash aggregate → top-k. The explode feeds partial aggregation
+    before the shuffle, so gram cardinality, not token volume, crosses the
+    wire."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           length(text) AS n_text_chars,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling (multimodal pattern): payload bytes +
+    typed metadata travel as (binary, meta) columns; here the binary is
+    derived from text so the oracle can check byte-level behavior."""
+    d = table(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.length("text").alias("n_text_chars"),
+        F.md5(blob).alias("content_md5"),
+    )
