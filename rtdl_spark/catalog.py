@@ -9,6 +9,7 @@ parquet scans with pushdown intact.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,15 +76,25 @@ def register_lake_table(
 ) -> None:
     """Spark-native equivalent of rtdl's Dremio dataset promotion
     (reference ingester/ingester.go:944-988): make a written dataset
-    queryable by name via the session catalog. Idempotent.
+    queryable by name via the session catalog. Idempotent. Identifiers are
+    sanitized (the session catalog only allows [A-Za-z0-9_], stricter than
+    Dremio's source names — e.g. stream type 'test-msg' → 'test_msg').
     """
-    db = quoted(database)
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    db = sanitize_identifier(database)
+    tbl = sanitize_identifier(table_name)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {db}.{quoted(table_name)} "
+        f"CREATE TABLE IF NOT EXISTS `{db}`.`{tbl}` "
         f"USING {fmt} LOCATION '{location}'"
     )
+    # Hive-style partition dirs under the location are invisible to the
+    # catalog until recovered; every (re-)registration after an append picks
+    # up new partitions. No-op for unpartitioned layouts.
+    try:
+        spark.sql(f"MSCK REPAIR TABLE `{db}`.`{tbl}`")
+    except Exception:
+        pass
 
 
-def quoted(identifier: str) -> str:
-    return "`" + identifier.replace("`", "``") + "`"
+def sanitize_identifier(identifier: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_]", "_", identifier)

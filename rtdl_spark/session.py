@@ -27,6 +27,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas/Pandas-UDF exchange (vectorized, not per-row).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Partition bucket columns (rtdl_bucket) are strings by contract;
+    # without this, daily buckets read back as DATE while weekly/quarterly
+    # stay strings — an inconsistent schema across grains.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 

@@ -1,0 +1,11 @@
+"""Structured Streaming surface (SURVEY.md §2B streaming + M4): streaming
+ingest (the reference's Kafka→StateFun path), event-time windowed
+aggregation with watermarks, streaming dedup, and custom stateful
+processing."""
+
+from rtdl_spark.streaming.jobs import (  # noqa: F401
+    stream_dedup_within_watermark,
+    stream_ingest_json,
+    stream_session_counts,
+    stream_tumbling_counts,
+)

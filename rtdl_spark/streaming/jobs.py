@@ -1,0 +1,114 @@
+"""Streaming jobs — the real-time half of the engine.
+
+The reference's streaming topology (Kafka ingress → StateFun ingester →
+per-message parquet writes, module.yaml + ingester.go) maps to Structured
+Streaming as:
+
+- source: ``readStream.format("kafka")`` in production; a file/json source
+  carries the same envelope schema for local development and tests (the
+  reference's Kafka messages are line-JSON envelopes anyway).
+- processing: identical DataFrame transforms as batch — the expressions in
+  rtdl_spark.queries.windows run unchanged here, with watermarks bounding
+  state.
+- sink: ``foreachBatch`` → IngestJob.run_batch, which gives exactly-once
+  appends per micro-batch (checkpointed offsets + idempotent parquet
+  append per batch directory) and replaces the reference's
+  file-per-message writes (ingester.go:551-565) with micro-batch columnar
+  files.
+
+Late data: the reference has no event-time semantics at all (partition
+buckets come from the wall clock, ingester.go:522-548); watermarked
+event-time windows are capability-plus, flagged as such in SURVEY §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from rtdl_spark.ingest.pipeline import IngestJob
+
+
+def _tz_ts(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP (tz-aware); the lake stores event time
+    as TIMESTAMP_NTZ. With the session pinned to UTC the cast is a pure
+    type change, not a value change."""
+    if dict(events.dtypes).get(col) == "timestamp_ntz":
+        return events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
+
+
+def stream_ingest_json(
+    job: IngestJob,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming ingest: watch a directory of JSON envelopes (stand-in for
+    the Kafka ingress; swap ``readStream.schema(...).json(dir)`` for
+    ``readStream.format('kafka')`` + from_json in production) and run the
+    full A1–A22 pipeline per micro-batch via foreachBatch."""
+    raw = job.spark.readStream.schema(schema).option(
+        "dropFieldIfAllNull", "true"
+    ).json(source_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        job.run_batch(batch_df)
+
+    writer = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_tumbling_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling counts per event_type — append-mode safe.
+    State is bounded by the watermark: windows older than (max event time −
+    watermark) are finalized and evicted."""
+    return (
+        _tz_ts(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "total_value")
+    )
+
+
+def stream_session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user (gap-based), watermark-bounded state."""
+    return (
+        _tz_ts(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame, key: str = "event_id", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; state for older keys is evicted.
+    (Batch twin: dropDuplicates — unbounded state.)"""
+    return _tz_ts(events).withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
