@@ -39,8 +39,12 @@ def main() -> None:
         n for n in sorted(registry) if n.startswith("x_") and n not in HEADLINE
     ]
 
-    # Warm up the JVM + parquet footers once so per-query times measure the
-    # query, not session startup.
+    # Warm up the JVM + parquet footers + OS page cache once so per-query
+    # times measure the query, not session startup / first-touch IO.
+    from rtdl_spark.catalog import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
     registry["q6_forecast_revenue"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}

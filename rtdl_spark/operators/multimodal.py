@@ -1,0 +1,110 @@
+"""Multimodal column handling (north-star extension, SURVEY.md §2C).
+
+Pattern: media travels through the lake as an opaque ``binary`` column plus
+a typed metadata struct (modality, mime, width/height/duration, …).
+Decode / feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` stages — Python touches each batch once, columnar in and
+columnar out, so the plumbing scales exactly like any other narrow
+transform (no shuffle, pipeline-parallel per input split).
+
+The actual media codecs (PIL/ffmpeg/torchaudio) are NOT in this
+environment; ``decode`` is therefore stubbed: passing
+``fake_decode=True`` produces deterministic pseudo-features derived from
+the bytes (so the full pipeline is testable end-to-end), while the default
+raises NotImplementedError at the exact point a codec would plug in.
+The Spark-side contract — schemas, batch iteration, partitioning — is
+real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the multimodal column contract from a text fixture:
+    (id, payload: binary, meta: struct). In production the binary comes from
+    the source (image/audio bytes); deriving it from text keeps the
+    contract testable in this environment."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text").alias("modality"),
+            F.lit("text/plain; charset=utf-8").alias("mime"),
+            F.length(F.col(text_col)).alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real encoder: a 16-bin byte histogram,
+    L1-normalized. Stable across engines/runs — good enough to exercise
+    schemas, batching, and downstream similarity ops."""
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    total = max(sum(counts), 1)
+    return [c / total for c in counts]
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake_decode: bool = False,
+    batch_size_hint: int = 1024,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Real media decoding is environment-gated:
+    NotImplementedError marks exactly where a codec (PIL.Image.open /
+    librosa.load / cv2.VideoCapture + frame sampling) would be invoked on
+    ``payload`` bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "media codecs not available in this environment; "
+                    "plug PIL/ffmpeg here or pass fake_decode=True"
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "modality": pdf["meta"].map(
+                        lambda m: m["modality"] if m is not None else None
+                    ),
+                    "n_bytes": pdf[payload_col].map(len),
+                    "features": pdf[payload_col].map(_fake_features),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)

@@ -56,5 +56,6 @@ def _import_all() -> None:
         similarity,
         text,
         tpch,
+        udfs,
         windows,
     )

@@ -1,0 +1,114 @@
+"""Python-extension surface (SURVEY.md §2B UDF/UDAF/UDTF row): the three
+sanctioned ways Python logic enters the engine, each Arrow-batched — never
+row-at-a-time:
+
+- scalar **pandas_udf** (vectorized columnar function),
+- grouped **applyInPandas** (UDAF-shaped per-group computation),
+- **mapInPandas** (UDTF-shaped batch iterator — the multimodal path).
+
+The reference's only extension point is a whole StateFun function in the
+chain (SURVEY A22); these are the in-engine equivalents.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from rtdl_spark.catalog import table
+from rtdl_spark.operators.multimodal import attach_binary_payload, extract_features
+from rtdl_spark.queries import query
+
+
+def _cos_vs_ones_udf():
+    """Cosine of each vector against the all-ones direction — a stand-in
+    for 'similarity to a fixed probe vector', vectorized over Arrow batches
+    with numpy (no per-row Python). Built lazily: pandas_udf registration
+    needs an active SparkSession."""
+
+    @pandas_udf("double")
+    def _cos_vs_ones(emb: pd.Series) -> pd.Series:
+        def one(v):
+            a = np.asarray(v, dtype=np.float64)
+            denom = math.sqrt(float((a * a).sum())) * math.sqrt(len(a))
+            return float(a.sum()) / denom if denom else None
+
+        return emb.map(one)
+
+    return _cos_vs_ones
+
+
+@query(
+    "udf_pandas_cosine_probe",
+    oracle="""
+    SELECT vec_id,
+           ROUND(
+             list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(embedding,
+                                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                 (a, b) -> a + b))
+                * sqrt(len(embedding))), 6) AS cos_ones
+    FROM embeddings
+    """,
+)
+def udf_pandas_cosine_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar Pandas UDF (Arrow in, numpy math, Arrow out).
+    Rounded to 6: numpy's pairwise summation and SQL's left fold differ in
+    the last ulp."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.round(_cos_vs_ones_udf()("embedding"), 6).alias("cos_ones")
+    )
+
+
+@query(
+    "udaf_grouped_mad",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderstatus, median(o_totalprice) AS m
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           ROUND(median(abs(o.o_totalprice - med.m)), 4) AS mad_price,
+           COUNT(*) AS n
+    FROM orders o JOIN med USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def udaf_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF via applyInPandas: median absolute deviation per group — a
+    statistic with no Catalyst built-in. Each group becomes one pandas
+    frame on one executor; the groupBy is the only shuffle. (Group count is
+    tiny here; at scale you guard against giant groups or pre-aggregate.)"""
+    o = table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["o_totalprice"]
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
+                "mad_price": [round(float((x - x.median()).abs().median()), 4)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return o.groupBy("o_orderstatus").applyInPandas(
+        mad, "o_orderstatus string, mad_price double, n long"
+    )
+
+
+@query("multimodal_feature_extract")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped mapInPandas: binary payload → fixed-dim feature vector
+    (deterministic fake encoder; real codec point documented in
+    operators.multimodal). No oracle — byte-level decode is outside SQL;
+    tests pin exact feature values instead (tests/test_multimodal.py)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mm = attach_binary_payload(docs)
+    return extract_features(mm, fake_decode=True)
