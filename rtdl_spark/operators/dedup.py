@@ -93,3 +93,50 @@ def dedup_groups(
             F.count(F.lit(1)).alias("group_size"),
         )
     )
+
+
+def ml_minhash_lsh_pairs(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    max_distance: float = 0.5,
+    seed: int = 42,
+):
+    """pyspark.ml MinHashLSH variant (SURVEY §2C): Tokenizer → HashingTF
+    (sparse shingle vectors) → MinHashLSH.approxSimilarityJoin.
+
+    Same asymptotics as minhash_lsh_pairs (banded candidate join), with
+    ml's OR-amplification across ``num_hash_tables``. Deterministic given
+    ``seed`` but NOT reproducible outside Spark (ml's internal hashing) —
+    hence the hand-rolled integer version above is the oracle-checked one,
+    and this one is validated by recall against it (tests/test_dedup_ml.py).
+
+    Returns (id1, id2, jaccard_distance) with id1 < id2.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_tokens")
+    tf = HashingTF(
+        inputCol="_tokens", outputCol="_features", numFeatures=num_features,
+        binary=True,
+    )
+    featurized = tf.transform(tok.transform(docs.select(id_col, text_col)))
+    # empty vectors crash MinHashLSH; a corpus row always has tokens here
+    model = MinHashLSH(
+        inputCol="_features", outputCol="_hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    ).fit(featurized)
+    joined = model.approxSimilarityJoin(
+        featurized, featurized, max_distance, distCol="jaccard_distance"
+    )
+    a_id, b_id = F.col(f"datasetA.{id_col}"), F.col(f"datasetB.{id_col}")
+    return (
+        joined.filter(a_id < b_id)
+        .select(
+            a_id.alias("id1"),
+            b_id.alias("id2"),
+            F.round("jaccard_distance", 6).alias("jaccard_distance"),
+        )
+    )

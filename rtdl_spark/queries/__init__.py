@@ -52,6 +52,7 @@ def _import_all() -> None:
         aggregates,
         dedup,
         joins,
+        json_schema,
         scalars,
         similarity,
         text,

@@ -1,0 +1,135 @@
+"""Lake-maintenance operator tests: skew-salted aggregation/join, merge
+upsert, SCD2, CDC dedup-latest, partition compaction, ml MinHashLSH."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rtdl_spark.catalog import table
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from rtdl_spark.operators.skew import salted_aggregate
+
+    li = table(spark, sf_dir, "lineitem")
+    plain = {
+        (r["l_returnflag"],): (r["n"], r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("l_quantity").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["n"], r["mx"])
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {"n": ("sum", F.count(F.lit(1))), "mx": ("max", F.max("l_quantity"))},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_left_matches_plain(spark, sf_dir):
+    from rtdl_spark.operators.skew import salted_broadcast_left
+
+    orders = table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, "custkey").count()
+    salted = salted_broadcast_left(orders, cust, "custkey", n_salts=4).count()
+    assert salted == plain > 0
+
+
+def test_merge_upsert(spark):
+    from rtdl_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, v string, ver int"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 2), (4, "D", 2)], "k long, v string, ver int"
+    )
+    out = {r["k"]: (r["v"], r["ver"]) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1), 4: ("D", 2)}
+
+
+def test_dedup_latest(spark):
+    from rtdl_spark.operators.merge import dedup_latest
+
+    df = spark.createDataFrame(
+        [(1, 1, "old"), (1, 3, "new"), (1, 2, "mid"), (2, 1, "only")],
+        "k long, ver long, v string",
+    )
+    out = {r["k"]: r["v"] for r in dedup_latest(df, ["k"], "ver").collect()}
+    assert out == {1: "new", 2: "only"}
+
+
+def test_scd2_apply(spark):
+    from rtdl_spark.operators.merge import scd2_apply
+
+    current = spark.createDataFrame(
+        [(1, "addr1", "2020-01-01 00:00:00", None, True)],
+        "k long, addr string, effective_from string, effective_to string, is_current boolean",
+    ).withColumn("effective_from", F.col("effective_from").cast("timestamp")) \
+     .withColumn("effective_to", F.col("effective_to").cast("timestamp"))
+    updates = spark.createDataFrame(
+        [(1, "addr2", "2024-01-01 00:00:00")],
+        "k long, addr string, effective_from string",
+    ).withColumn("effective_from", F.col("effective_from").cast("timestamp"))
+
+    out = scd2_apply(current, updates, ["k"]).orderBy("effective_from").collect()
+    assert len(out) == 2
+    closed, new = out
+    assert closed["addr"] == "addr1" and not closed["is_current"]
+    assert str(closed["effective_to"]).startswith("2024-01-01")
+    assert new["addr"] == "addr2" and new["is_current"] and new["effective_to"] is None
+
+
+def test_compaction(spark, tmp_path):
+    from rtdl_spark.ingest.compact import compact_lake, partition_file_stats
+    from rtdl_spark.ingest.pipeline import BUCKET_COL, TABLE_COL
+
+    root = str(tmp_path / "lake")
+    base = spark.range(1000).withColumn(TABLE_COL, F.lit("t")).withColumn(
+        BUCKET_COL, F.lit("2024-01-01")
+    )
+    # simulate many tiny micro-batch appends
+    for _ in range(5):
+        base.repartition(4).write.partitionBy(TABLE_COL, BUCKET_COL).mode(
+            "append"
+        ).parquet(root)
+    before = partition_file_stats(spark, root)[0]
+    assert before["n_files"] >= 20
+
+    done = compact_lake(spark, root, min_files=8)
+    assert done[("t", "2024-01-01")] == 1
+    after = partition_file_stats(spark, root)[0]
+    assert after["n_files"] == 1
+    assert spark.read.parquet(root).count() == 5000
+
+
+def test_ml_minhash_recall_vs_exact(spark, sf_dir):
+    """ml MinHashLSH must recover the planted near-dup pairs the exact
+    integer LSH finds (distance 0.5 ↔ jaccard 0.5 on token sets)."""
+    from rtdl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    exact = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    from rtdl_spark.operators.dedup import ml_minhash_lsh_pairs
+
+    ml = {
+        (r["id1"], r["id2"])
+        for r in ml_minhash_lsh_pairs(docs, max_distance=0.7).collect()
+    }
+    assert exact, "no planted near-dups found by exact LSH"
+    # token-set distance ≤ 0.7 is looser than shingle jaccard ≥ 0.5: the ml
+    # candidate set must cover the exact pairs
+    missing = exact - ml
+    assert len(missing) <= len(exact) * 0.2
