@@ -57,6 +57,7 @@ def _import_all() -> None:
         similarity,
         text,
         tpch,
+        tpch2,
         udfs,
         windows,
     )
