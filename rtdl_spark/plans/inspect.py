@@ -1,0 +1,123 @@
+"""Physical-plan introspection — the engine's scale feedback loop.
+
+The reference has no optimizer of its own (it delegates SQL to Dremio,
+reference README.md:22-23), so "is the plan good?" is a first-class concern
+*here*: every operator we expose should broadcast its dimension sides, push
+its predicates into the parquet scan, prune columns, and shuffle only where
+the semantics require it. This module turns `df.explain("formatted")` into
+data so tests can assert those properties instead of eyeballing them.
+
+Usage:
+    rep = plan_report(df)
+    assert rep.broadcast_joins >= 3
+    assert rep.exchanges <= 1
+    assert any("l_shipdate" in f for f in rep.pushed_filters)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan as a string (what .explain prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def _node_count(plan: str, *names: str) -> int:
+    """Count physical nodes by their detail header ``(n) NodeName`` — each
+    node appears exactly once there (the tree rendering would double-count)."""
+    pat = "|".join(re.escape(n) for n in names)
+    return len(re.findall(rf"(?m)^\(\d+\) (?:{pat})\b", plan))
+
+
+def exchange_count(plan: str) -> int:
+    """Number of shuffle exchanges (``Exchange`` nodes). Broadcast exchanges
+    are a separate node (``BroadcastExchange``) and AQE-reused exchanges
+    (``ReusedExchange``) cost nothing extra — neither is counted."""
+    return _node_count(plan, "Exchange")
+
+
+def broadcast_join_count(plan: str) -> int:
+    return _node_count(plan, "BroadcastHashJoin", "BroadcastNestedLoopJoin")
+
+
+def sortmerge_join_count(plan: str) -> int:
+    return _node_count(plan, "SortMergeJoin")
+
+
+def codegen_span_count(df_or_plan) -> int:
+    """Number of WholeStageCodegen spans (from the *simple* plan — the
+    formatted rendering hides codegen markers). Wider spans = more operator
+    fusion; zero spans on a non-trivial plan means codegen fell back."""
+    plan = simple_plan(df_or_plan) if isinstance(df_or_plan, DataFrame) else df_or_plan
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+def pushed_filters(plan: str) -> list[str]:
+    """Every non-empty PushedFilters list across all scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.append(body)
+    return out
+
+
+def scan_read_schemas(plan: str) -> list[str]:
+    """ReadSchema of every file scan — the columns actually read off disk.
+    A scan whose ReadSchema lists columns the query never uses indicates
+    broken column pruning."""
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", plan)]
+
+
+def python_row_udf_present(plan: str) -> bool:
+    """True if a row-at-a-time Python UDF is in the plan (BatchEvalPython).
+    Arrow-vectorized pandas UDFs show as ArrowEvalPython and are fine."""
+    return "BatchEvalPython" in plan
+
+
+@dataclass
+class PlanReport:
+    exchanges: int
+    broadcast_joins: int
+    sortmerge_joins: int
+    codegen_spans: int
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    has_row_python_udf: bool = False
+    plan: str = ""
+
+    def scans_read_only(self, *allowed_cols: str) -> bool:
+        """True if every scanned column is in ``allowed_cols``."""
+        allowed = set(allowed_cols)
+        for schema in self.read_schemas:
+            for col in re.findall(r"[<,]([A-Za-z_][A-Za-z0-9_]*):", schema):
+                if col not in allowed:
+                    return False
+        return True
+
+
+def plan_report(df: DataFrame) -> PlanReport:
+    plan = formatted_plan(df)
+    return PlanReport(
+        exchanges=exchange_count(plan),
+        broadcast_joins=broadcast_join_count(plan),
+        sortmerge_joins=sortmerge_join_count(plan),
+        codegen_spans=codegen_span_count(df),
+        pushed_filters=pushed_filters(plan),
+        read_schemas=scan_read_schemas(plan),
+        has_row_python_udf=python_row_udf_present(plan),
+        plan=plan,
+    )

@@ -34,7 +34,7 @@ datasets it registers (reference ``README.md:22-23``, dataset promotion
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rtdl_spark.catalog import table
@@ -121,15 +121,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu_offers = ps.join(
         F.broadcast(supp_eu), F.col("ps_suppkey") == F.col("s_suppkey")
     ).join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
-    min_cost = eu_offers.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
+    # Correlated MIN as a window over ps_partkey: one pass over the offers
+    # frame instead of a second aggregation + self-join (which the static
+    # planner would compute twice; AQE reuse is runtime-only).
+    w = Window.partitionBy("ps_partkey")
     return (
-        eu_offers.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
-        )
+        eu_offers.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
             "s_name",
@@ -355,9 +353,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(revenue_expr()).alias("total_revenue_dec"))
     )
-    max_rev = rev.agg(F.max("total_revenue_dec").alias("max_revenue"))
+    # Scalar MAX as an unpartitioned window over the *aggregated* frame —
+    # one row per supplier, so the single-partition window is tiny even at
+    # 100 TB of lineitem; avoids re-computing the revenue agg for the MAX.
+    w = Window.partitionBy()
     return (
-        rev.join(F.broadcast(max_rev))
+        rev.withColumn("max_revenue", F.max("total_revenue_dec").over(w))
         .filter(F.col("total_revenue_dec") == F.col("max_revenue"))
         .join(
             F.broadcast(table(spark, sf_dir, "supplier")),

@@ -1,0 +1,130 @@
+"""Physical-plan quality gates — the 100 TB scale contract, enforced.
+
+Correctness tests prove the operators compute the right answer at sf0.001;
+these prove the *plans* are the ones we'd want on a 1000-executor cluster:
+dimension joins broadcast (no fact-table shuffle for them), predicates reach
+the parquet scan, scans read only the projected columns, and no hot path
+drops into row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rtdl_spark.plans import plan_report
+from rtdl_spark.plans.inspect import formatted_plan
+
+
+def _report(spark, sf_dir, name):
+    from rtdl_spark.queries import all_queries
+
+    return plan_report(all_queries()[name](spark, sf_dir))
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    """Q5's supplier/nation/region (and threshold) joins must broadcast —
+    only lineitem⋈orders⋈customer may shuffle."""
+    rep = _report(spark, sf_dir, "q5_local_supplier_volume")
+    assert rep.broadcast_joins >= 2, rep.plan
+    # big-side shuffles: at most the fact joins + final agg + sort
+    assert rep.exchanges <= 3, rep.plan
+
+
+def test_q6_pushes_every_predicate(spark, sf_dir):
+    rep = _report(spark, sf_dir, "q6_forecast_revenue")
+    pushed = " ".join(rep.pushed_filters)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {rep.pushed_filters}"
+    # scan+filter+single agg: exactly one exchange (partial→final agg)
+    assert rep.exchanges == 1, rep.plan
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    """Q1 touches 7 of lineitem's 11 columns; the scan must not read more."""
+    rep = _report(spark, sf_dir, "q1_pricing_summary")
+    assert rep.scans_read_only(
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ), rep.read_schemas
+
+
+def test_q3_filter_pushdown_before_join(spark, sf_dir):
+    rep = _report(spark, sf_dir, "q3_shipping_priority")
+    pushed = " ".join(rep.pushed_filters)
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed, rep.pushed_filters
+    assert "c_mktsegment" in pushed, rep.pushed_filters
+
+
+def test_tpch_no_row_python_udfs(spark, sf_dir):
+    """The whole TPC-H surface must stay JVM-side: no BatchEvalPython."""
+    from rtdl_spark.queries import all_queries
+
+    qs = all_queries()
+    for name, fn in qs.items():
+        if not name.startswith("q"):
+            continue
+        rep = plan_report(fn(spark, sf_dir))
+        assert not rep.has_row_python_udf, f"{name} uses a row Python UDF"
+
+
+def test_derived_partsupp_single_shuffle(spark, sf_dir):
+    """The partsupp stand-in must be one map-side-combinable hash agg."""
+    from rtdl_spark.queries.tpch2 import derived_partsupp
+
+    rep = plan_report(derived_partsupp(spark, sf_dir))
+    assert rep.exchanges == 1, rep.plan
+    assert "partial_" in rep.plan, "no map-side partial aggregation"
+
+
+def test_broadcast_threshold_effective(spark, sf_dir):
+    """An un-hinted nation join must still broadcast (AQE/threshold), not
+    sort-merge: dimension tables are tiny relative to any cluster."""
+    from rtdl_spark.catalog import table
+
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    rep = plan_report(joined)
+    assert rep.broadcast_joins >= 1, rep.plan
+
+
+def test_scalar_pii_mask_stays_jvm_side(spark, sf_dir):
+    """PII masking (reference PiiDetector.java:15-18) is regexp_replace —
+    must not appear as any Python eval node."""
+    from rtdl_spark.queries import all_queries
+
+    rep = plan_report(all_queries()["scalar_pii_mask"](spark, sf_dir))
+    assert not rep.has_row_python_udf, rep.plan
+    assert "ArrowEvalPython" not in rep.plan, rep.plan
+
+
+def test_events_nested_field_pushdown(spark, sf_dir):
+    """Filters on events land in PushedFilters (ts is converted post-scan,
+    so event_type is the prunable predicate)."""
+    from rtdl_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    plan = formatted_plan(ev.select("event_id", "event_type"))
+    assert "event_type" in " ".join(plan.split("PushedFilters:")[1:2]), plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q2_min_cost_supplier", 4),
+        ("q15_top_supplier", 3),
+        ("q17_small_quantity_revenue", 4),
+        ("q21_waiting_suppliers", 5),
+    ],
+)
+def test_subquery_queries_bounded_shuffles(spark, sf_dir, name, max_exchanges):
+    """Correlated-subquery rewrites must not multiply shuffles: the re-join
+    on the aggregation key reuses the same partitioning."""
+    rep = _report(spark, sf_dir, name)
+    assert rep.exchanges <= max_exchanges, f"{name}: {rep.exchanges} exchanges"

@@ -1,0 +1,77 @@
+"""Scan-layer tests: every source format the engine claims (SURVEY §2B
+scans row) reads correctly and keeps scan-level optimizations intact."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from rtdl_spark.plans import plan_report
+from rtdl_spark.sources import (
+    delta_available,
+    kafka_stream_reader,
+    read_csv,
+    read_delta,
+    read_json_envelopes,
+    read_parquet,
+)
+
+
+def test_read_parquet_pushdown_intact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    q = df.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    rep = plan_report(q)
+    assert any("o_orderpriority" in f for f in rep.pushed_filters), rep.plan
+    assert q.count() > 0
+
+
+def test_read_parquet_merge_schema(spark, tmp_path):
+    """Drifted file schemas (the reference's normal case, ingester.go:453-520)
+    reconcile to the union of fields."""
+    p = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], "id int, a string").write.parquet(p + "/f1")
+    spark.createDataFrame([(2, 3.5)], "id int, b double").write.parquet(p + "/f2")
+    df = read_parquet(spark, [p + "/f1", p + "/f2"], merge_schema=True)
+    assert set(df.columns) == {"id", "a", "b"}
+    assert df.count() == 2
+
+
+def test_read_json_envelopes_drops_all_null_fields(spark, tmp_path):
+    """A8 parity: fields null in every record are dropped, not materialized."""
+    path = tmp_path / "ev.json"
+    rows = [
+        {"stream_id": "s1", "payload": {"name": "u1", "ghost": None}},
+        {"stream_id": "s1", "payload": {"name": "u2", "ghost": None}},
+    ]
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_json_envelopes(spark, str(path))
+    payload_fields = [f.name for f in df.schema["payload"].dataType.fields]
+    assert "ghost" not in payload_fields
+    assert df.count() == 2
+
+
+def test_read_csv_with_and_without_schema(spark, tmp_path):
+    path = tmp_path / "t.csv"
+    path.write_text("id,name,score\n1,ann,2.5\n2,bob,3.5\n")
+    inferred = read_csv(spark, str(path))
+    assert dict(inferred.dtypes) == {"id": "int", "name": "string", "score": "double"}
+    pinned = read_csv(spark, str(path), schema="id long, name string, score double")
+    assert pinned.count() == 2 and dict(pinned.dtypes)["id"] == "bigint"
+
+
+def test_read_delta_gated(spark, tmp_path):
+    if delta_available(spark):
+        pytest.skip("delta present; gate not exercised")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        read_delta(spark, str(tmp_path / "nope"))
+
+
+def test_kafka_reader_builds_without_broker(spark):
+    """The reader must compose (options set) without contacting a broker;
+    .load() is what requires the kafka package + connectivity."""
+    reader = kafka_stream_reader(spark, "broker:9092", "ingester-ingress")
+    assert reader is not None
