@@ -17,12 +17,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = (
+    # TPC-H core: scan-agg, join+topk, 6-way join, pure filter-agg,
+    # multi-join profit rollup, aggregate-subquery semi join
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q9_product_type_profit",
     "q18_large_volume_customer",
+    # LLM-pipeline extensions: MinHash+LSH near-dup, embedding ANN,
+    # text quality scoring, window analytics
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality_scores",
+    "win_running_revenue",
 )
 
 

@@ -60,39 +60,66 @@ def token_hash(tok: Column) -> Column:
     )
 
 
+def let(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` once per row and
+    reference it any number of times inside ``body`` via the bound lambda
+    variable.
+
+    Why this exists: Catalyst evaluates a higher-order-function's lambda
+    body per element, re-evaluating any *free* sub-expression it contains
+    each time — there is no loop-invariant hoisting. A MinHash signature
+    that references the (expensive) shingle-hash array from inside a
+    12-element transform therefore re-hashes every shingle 12×; banding on
+    top multiplies it again (~48× observed — a 50× slowdown at sf0.1).
+    Wrapping the value in a 1-element array and ``transform``-ing over it
+    turns the value into a bound lambda *variable*, which is evaluated
+    exactly once. Works at any scale — it's a plain deterministic
+    expression, no caching or materialization involved.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def minhash_signature(shingle_col: Column) -> Column:
     """k=12 MinHash signature over a shingle array: for each permutation i,
     min over shingles of (a_i*H(s) + b_i) mod P. Pure integer arithmetic →
-    bit-identical across engines."""
-    hashes = F.transform(shingle_col, token_hash)
+    bit-identical across engines. The shingle-hash array is let-bound so
+    the 12 permutations share one hashing pass (see ``let``)."""
     a = F.array(*[F.lit(x) for x in MINHASH_A])
     b = F.array(*[F.lit(x) for x in MINHASH_B])
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(len(MINHASH_A) - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                hashes,
-                lambda h: (
-                    F.element_at(a, i + 1) * h + F.element_at(b, i + 1)
+    return let(
+        F.transform(shingle_col, token_hash),
+        lambda hashes: F.transform(
+            F.sequence(F.lit(0), F.lit(len(MINHASH_A) - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h: (
+                        F.element_at(a, i + 1) * h + F.element_at(b, i + 1)
+                    )
+                    % F.lit(HASH_P),
                 )
-                % F.lit(HASH_P),
-            )
+            ),
         ),
     )
 
 
 def lsh_band_keys(sig: Column) -> Column:
     """Band the signature into LSH bucket keys: band index + its rows,
-    serialized as a string key. Docs sharing any key are candidates."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-        lambda band: F.concat_ws(
-            ":",
-            band,
-            *[
-                F.element_at(sig, band * LSH_ROWS + r + 1)
-                for r in range(LSH_ROWS)
-            ],
+    serialized as a string key. Docs sharing any key are candidates.
+    The signature is let-bound so the band keys share one signature
+    evaluation (see ``let``)."""
+    return let(
+        sig,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+            lambda band: F.concat_ws(
+                ":",
+                band,
+                *[
+                    F.element_at(s, band * LSH_ROWS + r + 1)
+                    for r in range(LSH_ROWS)
+                ],
+            ),
         ),
     )
 
@@ -143,25 +170,28 @@ def simhash16(text: Column | str) -> Column:
     """16-bit SimHash over token hashes: bit b is set iff the sum over
     tokens of (2*bit_b(H(t)) - 1) is non-negative. Integer-exact, so
     SQL-reproducible; 16 bits keeps the expression tree small while still
-    demonstrating the Hamming-bucket dedup family."""
-    hashes = F.transform(F.array_distinct(tokens(text)), token_hash)
+    demonstrating the Hamming-bucket dedup family. The token-hash array is
+    let-bound so the 16 bit-sums share one hashing pass (see ``let``)."""
     # shiftleft/shiftright need literal bit counts in PySpark, so extract
     # bit b arithmetically: (h / 2^b) % 2, with 2^b from a literal array.
     pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(16)])
     bit = lambda h, b: (  # noqa: E731
         (h / F.element_at(pow2, b + 1)).cast("long") % F.lit(2)
     )
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(15)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda s, h: s + bit(h, b) * F.lit(2) - F.lit(1),
-            )
-            >= 0,
-            F.element_at(pow2, b + 1),
-        ).otherwise(F.lit(0).cast("long")),
+    return let(
+        F.transform(F.array_distinct(tokens(text)), token_hash),
+        lambda hashes: F.aggregate(
+            F.sequence(F.lit(0), F.lit(15)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(
+                F.aggregate(
+                    hashes,
+                    F.lit(0).cast("long"),
+                    lambda s, h: s + bit(h, b) * F.lit(2) - F.lit(1),
+                )
+                >= 0,
+                F.element_at(pow2, b + 1),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
     )

@@ -43,31 +43,38 @@ def minhash_lsh_pairs(
 
     Returns columns: id1, id2, jaccard_sim (rounded to 6 for determinism
     of downstream comparisons)."""
-    sh = docs.select(
+    # The shingle/MinHash stage is CPU-bound expression work; a corpus read
+    # from a few dense parquet files would otherwise run it on as few tasks
+    # as there are input splits. Spread it across the cluster first —
+    # at 100 TB the scan gives natural parallelism and AQE will coalesce,
+    # but a small-file corpus (like the fixture) needs the explicit spread.
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    sh = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
     )
+    # Banded frame stays narrow (id, bucket) — the shingle arrays would
+    # otherwise be duplicated per band and dragged through the self-join
+    # shuffle. Candidates dedup on the id pair alone (cheap longs), then
+    # the shingle sets are re-attached for exact verification.
     banded = sh.select(
         "_id",
-        "_sh",
         F.explode(lsh_band_keys(minhash_signature(F.col("_sh")))).alias("_bucket"),
     )
-    left = banded.select(
-        F.col("_id").alias("id1"), F.col("_sh").alias("sh1"), "_bucket"
-    )
-    right = banded.select(
-        F.col("_id").alias("id2"), F.col("_sh").alias("sh2"), "_bucket"
-    )
+    left = banded.select(F.col("_id").alias("id1"), "_bucket")
+    right = banded.select(F.col("_id").alias("id2"), "_bucket")
     candidates = (
         left.join(right, "_bucket")
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "sh1", "sh2")
+        .select("id1", "id2")
         .distinct()
     )
+    sh1 = sh.select(F.col("_id").alias("id1"), F.col("_sh").alias("sh1"))
+    sh2 = sh.select(F.col("_id").alias("id2"), F.col("_sh").alias("sh2"))
     return (
-        candidates.withColumn(
-            "jaccard_sim", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6)
-        )
+        candidates.join(sh1, "id1")
+        .join(sh2, "id2")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id1", "id2", "jaccard_sim")
     )

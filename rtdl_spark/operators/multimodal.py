@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -108,3 +109,124 @@ def extract_features(
             yield out
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("modality", StringType()),
+                    StructField("width", LongType()),
+                    StructField("height", LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """mapInPandas image/video resize stage — 1 row in, 1 row out, typed
+    size metadata updated.
+
+    Narrow transform: no shuffle, parallel per input split, so it scales
+    linearly with executors regardless of corpus size. Real decoding is
+    environment-gated exactly like ``extract_features``; the fake path
+    deterministically re-samples the byte stream to width*height bytes
+    (truncate or cycle-pad), standing in for PIL's ``Image.resize``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "media codecs not available in this environment; plug "
+                    "PIL.Image.open(...).resize((w,h)) here or pass "
+                    "fake_decode=True"
+                )
+
+            def fake_resize(payload: bytes) -> bytes:
+                if not payload:
+                    return bytes(target)
+                reps = -(-target // len(payload))  # ceil-div cycle pad
+                return (payload * reps)[:target]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pdf[payload_col].map(fake_resize),
+                    "meta": [
+                        {"modality": "image", "width": width, "height": height}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """mapInPandas frame sampling — 1 video row fans out to ``n_frames``
+    frame rows (the one multimodal stage that *grows* the data; keep it
+    after filters so the fan-out happens on the surviving subset only).
+
+    The fake path slices the byte stream into n equal chunks, standing in
+    for cv2.VideoCapture + evenly-spaced frame grabs. Output stays
+    keyed by (doc_id, frame_idx) so downstream feature extraction and
+    dedup operate per frame.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "media codecs not available in this environment; plug "
+                    "cv2.VideoCapture frame sampling here or pass "
+                    "fake_decode=True"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = payload or b""
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_frames": [n_frames] * len(ids),
+                }
+            )
+
+    return df.mapInPandas(run, FRAMES_SCHEMA)

@@ -239,3 +239,83 @@ def dedup_ngram_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token_jaccard") >= 0.95)
         .select("id1", "id2", F.round("token_jaccard", 6).alias("token_jaccard"))
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH base AS (SELECT vec_id, label, embedding FROM embeddings
+                  WHERE vec_id < 200),
+    noisy AS (
+      SELECT vec_id + 100000 AS vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+               AS embedding
+      FROM base
+    ),
+    corpus AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM base
+      UNION ALL SELECT * FROM noisy
+    )
+    SELECT a.vec_id AS kept_id, b.vec_id AS dropped_id, a.label,
+           ROUND(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                   i -> a.embedding[i] * b.embedding[i]), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                      i -> a.embedding[i] * a.embedding[i]), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+                      i -> b.embedding[i] * b.embedding[i]), (x, y) -> x + y))),
+                 6) AS cosine_sim
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+            i -> a.embedding[i] * b.embedding[i]), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+               i -> a.embedding[i] * a.embedding[i]), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+               i -> b.embedding[i] * b.embedding[i]), (x, y) -> x + y)))
+          >= 0.999
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (SURVEY §2C).
+
+    The fixture has no natural near-dups (max within-label cosine ≈ 0.47),
+    so the query plants them deterministically: each vec_id < 200 gets a
+    1.5×-scaled replica (cosine-invariant → similarity exactly 1.0), and
+    the detector must recover exactly those pairs at threshold 0.999.
+
+    Scale shape: candidate pairs are *blocked by label* (in production: by
+    an LSH bucket or IVF cell) so the self-join is per-block, never
+    all-pairs over the corpus; the kept/dropped convention (keep the lower
+    id) is the usual canonical-representative rule.
+    """
+    from rtdl_spark.functions.vectors import cosine, to_double
+
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "label", to_double("embedding").alias("embedding"))
+    )
+    noisy = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = base.unionByName(noisy)
+    a = corpus.select(
+        F.col("vec_id").alias("kept_id"), "label", F.col("embedding").alias("v1")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("dropped_id"),
+        F.col("label").alias("label2"),
+        F.col("embedding").alias("v2"),
+    )
+    return (
+        a.join(b, (a.label == b.label2) & (F.col("kept_id") < F.col("dropped_id")))
+        .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("sim") >= 0.999)
+        .select(
+            "kept_id", "dropped_id", "label", F.round("sim", 6).alias("cosine_sim")
+        )
+    )

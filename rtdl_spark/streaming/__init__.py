@@ -7,5 +7,6 @@ from rtdl_spark.streaming.jobs import (  # noqa: F401
     stream_dedup_within_watermark,
     stream_ingest_json,
     stream_session_counts,
+    stream_stateful_user_totals,
     stream_tumbling_counts,
 )

@@ -112,3 +112,45 @@ def stream_dedup_within_watermark(
     the watermark horizon are dropped; state for older keys is evicted.
     (Batch twin: dropDuplicates — unbounded state.)"""
     return _tz_ts(events).withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
+USER_TOTALS_STATE = "n BIGINT, total DOUBLE"
+USER_TOTALS_OUTPUT = "user_id BIGINT, n BIGINT, total DOUBLE"
+
+
+def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, value-total) via
+    ``applyInPandasWithState`` — the escape hatch for semantics the built-in
+    windowed aggs can't express (the reference's StateFun functions are the
+    architectural ancestor: arbitrary per-key state driven by a message
+    stream, ingester/module.yaml).
+
+    Each micro-batch emits the *updated* running totals for the users seen
+    in that batch (update semantics). State is one tiny tuple per user —
+    partitioned by the group key, so it scales horizontally with executors;
+    use a timeout (GroupStateTimeout) in production to bound state for
+    inactive keys.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+    import pandas as pd  # local so the closure ships cleanly
+
+    return (
+        _tz_ts(events)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_TOTALS_OUTPUT,
+            stateStructType=USER_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

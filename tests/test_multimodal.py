@@ -48,3 +48,67 @@ def test_decode_gate_raises_without_codec(spark, sf_dir):
     out = extract_features(attach_binary_payload(docs), fake_decode=False)
     with pytest.raises(Exception, match="NotImplementedError|media codecs"):
         out.collect()
+
+
+def test_resize_media_contract(spark, sf_dir):
+    from rtdl_spark.operators.multimodal import resize_media
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    out = resize_media(attach_binary_payload(docs), 8, 4, fake_decode=True)
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(bytes(r["payload"])) == 8 * 4
+        assert (r["meta"]["width"], r["meta"]["height"]) == (8, 4)
+
+
+def test_resize_media_codec_gate(spark, sf_dir):
+    from rtdl_spark.operators.multimodal import resize_media
+
+    docs = table(spark, sf_dir, "documents").limit(1)
+    out = resize_media(attach_binary_payload(docs), 8, 4)
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        out.collect()
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    from rtdl_spark.operators.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 6)
+    out = sample_frames(attach_binary_payload(docs), n_frames=4, fake_decode=True)
+    rows = out.collect()
+    assert len(rows) == 6 * 4
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    src = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in attach_binary_payload(docs).collect()
+    }
+    for doc_id, frames in by_doc.items():
+        assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2, 3]
+        # frames are contiguous non-overlapping slices of the source bytes
+        step = max(len(src[doc_id]) // 4, 1)
+        for f in frames:
+            i = f["frame_idx"]
+            assert bytes(f["frame"]) == src[doc_id][i * step : (i + 1) * step]
+
+
+def test_frames_then_features_composes(spark, sf_dir):
+    """Frame sampling composes with feature extraction (per-frame vectors),
+    the full video → frames → embeddings pipeline shape."""
+    from rtdl_spark.operators.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
+    frames = sample_frames(
+        attach_binary_payload(docs), n_frames=2, fake_decode=True
+    ).select(
+        (F.col("doc_id") * 10 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame").alias("payload"),
+        F.lit(None)
+        .cast("struct<modality:string,mime:string,n_chars:int>")
+        .alias("meta"),
+    )
+    feats = extract_features(frames, fake_decode=True)
+    assert feats.count() == 6
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats.collect())

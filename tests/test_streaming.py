@@ -129,3 +129,34 @@ def test_stream_ingest_foreachbatch(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "lake" / "streamFolder"))
     assert out.count() == 5
     assert out.select("rtdl_table").distinct().collect()[0][0] == "clicks"
+
+
+def test_stream_stateful_user_totals_matches_batch(spark, sf_dir, events_stream):
+    """The applyInPandasWithState running totals, after one availableNow
+    pass, must equal the batch groupBy on the same data (one update row per
+    user per batch; the last update per user is the final state)."""
+    from rtdl_spark.streaming import stream_stateful_user_totals
+
+    run_to_memory(
+        stream_stateful_user_totals(events_stream), "user_totals", "update"
+    )
+    got = {
+        r["user_id"]: r
+        for r in spark.sql(
+            """SELECT user_id, n, total FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY n DESC) AS rk
+                 FROM user_totals) WHERE rk = 1"""
+        ).collect()
+    }
+    expected = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    )
+    assert len(got) == len(expected)
+    for r in expected:
+        g = got[r["user_id"]]
+        assert g["n"] == r["n"]
+        assert abs(g["total"] - r["total"]) < 1e-6
