@@ -112,3 +112,45 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     mm = attach_binary_payload(docs)
     return extract_features(mm, fake_decode=True)
+
+
+@query(
+    "udtf_tokenize_positions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+           w[CAST(u.i AS INT)] AS token
+    FROM t, UNNEST(range(1, len(w) + 1)) AS u(i)
+    """,
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark's table-function extension point): one document
+    row fans out to one row per token with its position — the genuinely
+    tabular shape (variable-cardinality output) that scalar UDFs can't
+    express.
+
+    Surface demo on 50 docs: in production this row-fanout belongs in
+    ``F.posexplode(F.split(...))`` (pure JVM, same result) or mapInPandas
+    (Arrow-batched) — a plain Python UDTF is row-at-a-time and is the
+    slowest of the three. The engine exposes all of them; COVERAGE.md maps
+    which to use when.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id bigint, pos bigint, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield doc_id, i, tok
+
+    spark.udtf.register("rtdl_tokenize", Tokenize)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token "
+        "FROM _udtf_docs d, LATERAL rtdl_tokenize(d.doc_id, d.text) t"
+    )
