@@ -53,6 +53,7 @@ def _import_all() -> None:
         dedup,
         joins,
         json_schema,
+        lake,
         scalars,
         similarity,
         text,

@@ -1,0 +1,134 @@
+"""Lake-level query entries: the pure-SQL API surface and the end-to-end
+ingest replay (the reference's core dataflow, benchmarked as an operator).
+
+``sql_revenue_by_region`` exercises the ``spark.sql`` text interface over
+catalog-registered views — the exact surface rtdl's users got from Dremio
+(reference README.md:22-23), here served natively by the session catalog.
+
+``x_ingest_json_replay`` replays the full A1–A22 pipeline (envelope →
+route → resolve → time-bucket → partitioned columnar write) over JSON
+envelopes derived from the events fixture. The ``x_`` prefix adds it to
+bench.py's headline set, so ingest throughput is measured per round — the
+reference's own write path was one parquet file + a catalog REST round-trip
+per message (ingester.go:551-565,1029); this is the micro-batch replacement.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtdl_spark.catalog import register_views, table
+from rtdl_spark.queries import query
+from rtdl_spark.queries._util import REVENUE_SQL
+
+_BENCH_STREAM = "99999999-aaaa-bbbb-cccc-000000000001"
+
+
+@query(
+    "sql_revenue_by_region",
+    oracle=f"""
+    SELECT r_name AS region,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY r_name
+    ORDER BY revenue DESC
+    """,
+)
+def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text API: identical semantics to the DataFrame queries, via
+    ``spark.sql`` over registered views. Catalyst plans both identically
+    (same broadcast/pushdown properties — it's one optimizer)."""
+    register_views(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region")
+    )
+    return spark.sql(
+        f"""
+        SELECT r_name AS region,
+               CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY r_name
+        ORDER BY revenue DESC
+        """
+    )
+
+
+@query("x_ingest_json_replay")
+def x_ingest_json_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingest replay: events → JSON envelopes → IngestJob
+    (envelope, routing, type resolution, daily buckets, snappy partitioned
+    write) → read-back summary. No oracle: the deliverable is the pipeline
+    side effect; tests/test_ingest.py verifies each stage's semantics, and
+    this entry times the whole path at bench scale.
+
+    Returns a tiny materialized summary (rows per resolved table) so the
+    scratch lake can be deleted before returning.
+    """
+    from rtdl_spark.config import StreamConfig, StreamRegistry
+    from rtdl_spark.ingest import IngestJob
+    from rtdl_spark.ingest.pipeline import TABLE_COL
+
+    events = table(spark, sf_dir, "events")
+    envelopes = events.select(
+        F.to_json(
+            F.struct(
+                F.lit(_BENCH_STREAM).alias("stream_id"),
+                F.col("event_type").alias("type"),
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("value"),
+                F.col("props"),
+            )
+        ).alias("value")
+    )
+    workdir = tempfile.mkdtemp(prefix="rtdl_ingest_replay_")
+    try:
+        src = os.path.join(workdir, "src")
+        envelopes.write.mode("overwrite").text(src)
+        registry = StreamRegistry(os.path.join(workdir, "configs"))
+        registry.create(
+            StreamConfig(
+                stream_id=_BENCH_STREAM,
+                message_type="events",
+                file_store_type_id=1,
+                folder_name="replay",
+                partition_time_id=2,  # daily buckets
+                compression_type_id=1,  # snappy
+                functions="ingester",
+            )
+        )
+        job = IngestJob(
+            spark,
+            registry,
+            os.path.join(workdir, "lake"),
+            fixed_time="2024-02-15 10:30:00",
+            register_catalog=False,
+        )
+        job.ingest_json_dir(src)
+        lake = spark.read.parquet(os.path.join(workdir, "lake", "replay"))
+        rows = (
+            lake.groupBy(F.col(TABLE_COL).alias("resolved_table"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        )
+        return spark.createDataFrame(rows)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
