@@ -1,0 +1,134 @@
+"""Scale soak: run the headline operator shapes on N× the sf0.1 fixtures
+(same files listed N times — N× rows through every exchange/expression)
+and print per-query wall seconds as one JSON line.
+
+Purpose: empirical backing for SCALE.md's claims — near-linear scaling of
+the scan-agg, join, dedup, and ingest paths, no cliff from partition-count
+or memory pressure. Usage:
+
+    python tools/soak.py [N]          # default N=10 (≈6M lineitem rows)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from rtdl_spark.catalog import table
+    from rtdl_spark.operators.dedup import minhash_lsh_pairs
+    from rtdl_spark.queries._util import dec, dsum, revenue_expr
+    from rtdl_spark.session import get_spark, tune_for_scale
+
+    spark = get_spark("rtdl_spark_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def xn(name: str, copies: int | None = None):
+        """The fixture table with its file listed ``copies`` times."""
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        base = table(spark, sf_dir, name)  # conf side effects (nanos etc.)
+        del base
+        return spark.read.parquet(*([path] * (copies or n)))
+
+    lineitem = xn("lineitem")
+    input_bytes = n * os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    tune_for_scale(spark, input_bytes)
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # q1 shape: full-scan hash aggregate
+    run(
+        "scan_agg_q1",
+        lambda: lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(revenue_expr()).alias("rev"), F.count(F.lit(1)).alias("n"))
+        .count(),
+    )
+
+    # q5 shape: fact⋈fact shuffle join + broadcast dims + agg.
+    # Only the biggest fact is replicated: duplicating both join sides
+    # would multiply the join *output* by n² (every lineitem copy matches
+    # every orders copy), which measures blow-up, not scaling.
+    orders = xn("orders", 1)
+    cust = xn("customer", 1)
+    nation = table(spark, sf_dir, "nation")
+
+    def join_agg():
+        (
+            lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(dsum(revenue_expr()).alias("revenue"))
+            .count()
+        )
+
+    run("join_agg_q5_shape", join_agg)
+
+    # window shape: running revenue per customer
+    from pyspark.sql import Window
+
+    def window_running():
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # aggregate over the window column so column pruning cannot drop it
+        lineitem.withColumn(
+            "run_total", F.sum(dec("l_extendedprice")).over(w)
+        ).agg(F.max("run_total")).collect()
+
+    run("window_running", window_running)
+
+    # dedup shape: MinHash+LSH over n× documents. Replication makes every
+    # doc an n-way duplicate cluster, so LSH candidates per bucket grow with
+    # n² — deliberately kept: "corpus where everything has n near-copies"
+    # is the adversarial dedup workload, and the operator must absorb it.
+    docs = xn("documents").withColumn(
+        "doc_id",
+        F.col("doc_id") + F.spark_partition_id().cast("long") * F.lit(10_000_000),
+    )
+    run(
+        "dedup_minhash_lsh",
+        lambda: minhash_lsh_pairs(docs, "doc_id", "text").count(),
+    )
+
+    # distinct (shuffle-heavy) shape
+    run(
+        "distinct_pairs",
+        lambda: lineitem.select("l_partkey", "l_suppkey").distinct().count(),
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "soak_wall_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "n_copies": n,
+                "lineitem_rows": lineitem.count(),
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
