@@ -125,10 +125,13 @@ def lsh_band_keys(sig: Column) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact set Jaccard of two (distinct-element) arrays, as double."""
+    """Exact set Jaccard of two (distinct-element) arrays, as double.
+    NULL (not an error) when both sets are empty — empty documents are a
+    fact of any real corpus, and under ANSI mode (Spark 4 default) a plain
+    0/0 would fail the whole job."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
-    return inter / union
+    return F.when(union > 0, inter / union)
 
 
 def token_count(text: Column | str) -> Column:

@@ -36,4 +36,8 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL (not an error) for zero-norm vectors —
+    under ANSI mode (Spark 4 default) a plain x/0 fails the whole job, and
+    padding/null embeddings do occur in real corpora."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)

@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis): invariants that must hold for *any*
+input, not just the fixtures — the cheap way to catch edge cases a 100 TB
+corpus will certainly contain (empty strings, unicode, huge values,
+pathological timestamps).
+
+Strategy note: one SparkSession round-trip per hypothesis example would be
+minutes per property; instead each property generates a BATCH of examples,
+runs them through the Spark expression once, and checks every row against
+a pure-Python model. Same coverage, two orders of magnitude faster.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rtdl_spark.functions.buckets import PARTITION_TIMES, partition_bucket
+from rtdl_spark.functions.pii import PHONE_RE, SSN_RE, mask_pii_col
+from rtdl_spark.functions.text import HASH_P, jaccard, shingles, token_hash
+
+TS = st.datetimes(
+    min_value=dt.datetime(1970, 1, 2), max_value=dt.datetime(2100, 12, 30)
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TS, min_size=1, max_size=40))
+def test_partition_bucket_shapes(spark, tss):
+    """Every grain yields a non-null bucket matching its lexical shape for
+    any timestamp, and daily buckets sort identically to the timestamps
+    (the property pruning relies on)."""
+    df = spark.createDataFrame([(t,) for t in tss], "ts timestamp").select(
+        "ts", *[partition_bucket(F.col("ts"), g).alias(g) for g in PARTITION_TIMES]
+    )
+    shapes = {
+        "hourly": r"^\d{4}-\d{2}-\d{2}-\d{2}$",
+        "daily": r"^\d{4}-\d{2}-\d{2}$",
+        "weekly": r"^\d{4}-\d{1,2}$",
+        "monthly": r"^\d{4}-\d{2}$",
+        "quarterly": r"^\d{4}-[1-4]$",
+    }
+    rows = df.collect()
+    for r in rows:
+        for g, pat in shapes.items():
+            assert r[g] is not None and re.match(pat, r[g]), (g, r[g], r["ts"])
+    day_pairs = sorted((r["ts"], r["daily"]) for r in rows)
+    assert [d for _, d in day_pairs] == sorted(d for _, d in day_pairs)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pii_mask_total_and_idempotent(spark, texts):
+    """Masking removes every SSN/phone pattern for arbitrary text, and
+    masking twice equals masking once (idempotence — chain-safe, A22)."""
+    df = spark.createDataFrame([(t,) for t in texts], "s string").select(
+        "s",
+        mask_pii_col(F.col("s")).alias("m1"),
+        mask_pii_col(mask_pii_col(F.col("s"))).alias("m2"),
+    )
+    ssn = re.compile(SSN_RE)
+    phone = re.compile(PHONE_RE)
+    for r in df.collect():
+        assert not ssn.search(r["m1"]), r
+        assert not phone.search(r["m1"]), r
+        assert r["m1"] == r["m2"], r
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcdefg ", min_size=0, max_size=8).map(
+                lambda s: s.replace(" ", "x")
+            ),
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_jaccard_bounds_and_identity(spark, token_lists):
+    """0 ≤ J ≤ 1; J(a, a) = 1 for non-empty distinct sets; J is symmetric.
+    Checked via the Spark expression against python sets."""
+    rows = [
+        (i, sorted(set(ts))) for i, ts in enumerate(token_lists)
+    ]
+    df = spark.createDataFrame(rows, "id long, tk array<string>")
+    a = df.select(F.col("id").alias("ida"), F.col("tk").alias("ta"))
+    b = df.select(F.col("id").alias("idb"), F.col("tk").alias("tb"))
+    out = a.join(b).withColumn("j", jaccard(F.col("ta"), F.col("tb"))).collect()
+    for r in out:
+        sa, sb = set(r["ta"]), set(r["tb"])
+        if not sa and not sb:
+            assert r["j"] is None  # 0/0 — filtered by callers
+            continue
+        expected = len(sa & sb) / len(sa | sb)
+        assert abs(r["j"] - expected) < 1e-12, r
+        if r["ida"] == r["idb"] and sa:
+            assert r["j"] == 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_token_hash_matches_python_model(spark, toks):
+    """The SQL-reproducible polynomial hash equals the pure-Python model
+    (the same fold the DuckDB oracles run) for arbitrary ASCII tokens."""
+
+    def model(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % HASH_P
+        return h
+
+    df = spark.createDataFrame([(t,) for t in toks], "t string").select(
+        "t", token_hash(F.col("t")).alias("h")
+    )
+    for r in df.collect():
+        assert r["h"] == model(r["t"]), (r["t"], r["h"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcde", min_size=1, max_size=4),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_shingles_match_python_model(spark, docs):
+    """3-shingling (distinct, ordered-window) equals the python model for
+    any token sequence, including the <3-token empty-array guard."""
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        "text", shingles(F.col("text"), 3).alias("sh")
+    )
+    for r in df.collect():
+        toks = r["text"].split(" ")
+        if len(toks) >= 3:
+            expected = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                )
+            )
+        else:
+            expected = []
+        assert r["sh"] == expected, (r["text"], r["sh"], expected)
