@@ -415,21 +415,29 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: aggregate-subquery semi join (HAVING > threshold)."""
+    """TPC-H Q18: aggregate-subquery semi join (HAVING > threshold).
+
+    Plan note: the per-order quantity aggregate IS the quantity the output
+    needs, so the filtered aggregate joins in directly — one lineitem
+    scan + one hash agg, instead of the naive semi-join + second full
+    lineitem scan + re-aggregation (which doubles the biggest scan in the
+    query; at 100 TB that's the difference that matters). The >120 filter
+    also makes the aggregate side tiny, so its joins broadcast.
+    """
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 120)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .select(
+            F.col("l_orderkey").alias("big_orderkey"),
+            F.col("q").cast("double").alias("total_qty"),
+        )
     )
     orders = table(spark, sf_dir, "orders")
     return (
-        orders.join(big, orders.o_orderkey == big.big_orderkey, "left_semi")
+        orders.join(big, orders.o_orderkey == big.big_orderkey)
         .join(table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(dec("l_quantity")).alias("total_qty"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
                 "total_qty")

@@ -438,11 +438,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL"))
         .select("p_partkey")
     )
-    avg_qty = li.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
-        (
-            F.lit(0.5)
-            * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
-        ).alias("half_avg")
+    # The correlated average only matters for the filtered parts — semi-join
+    # before aggregating so the avg-side agg touches ~1/n_brands of lineitem
+    # instead of all of it (result-identical: the outer join restricts to
+    # those parts anyway).
+    avg_qty = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("aq_partkey"))
+        .agg(
+            (
+                F.lit(0.5)
+                * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            ).alias("half_avg")
+        )
     )
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -489,33 +497,37 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     via COALESCE... the oracle's `>` on a NULL scalar subquery is false, so
     we inner-require the threshold row — see the filter below).
     """
-    ps = derived_partsupp(spark, sf_dir)
     promo = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_type") == "PROMO")
         .select("p_partkey")
     )
-    shipped97 = (
+    # Single-pass conditional aggregate: all-time quantity and the 1997
+    # half-quantity come from ONE groupBy over lineitem instead of the
+    # derived-partsupp agg PLUS a second filtered scan+agg — at 100 TB that
+    # halves the dominant scan. Pairs with no 1997 shipments get a NULL
+    # threshold, and NULL comparisons are false — exactly the oracle's
+    # correlated-subquery semantics.
+    in_97 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    pair_stats = (
         table(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
-        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy(
-            F.col("l_partkey").alias("sh_partkey"),
-            F.col("l_suppkey").alias("sh_suppkey"),
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
         )
-        .agg((F.lit(0.5) * F.sum(dec("l_quantity")).cast("double")).alias("half_shipped"))
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("ps_qty"),
+            (
+                F.lit(0.5)
+                * F.sum(F.when(in_97, dec("l_quantity"))).cast("double")
+            ).alias("half_shipped"),
+        )
     )
-    qualified = (
-        ps.join(F.broadcast(promo), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
-        .join(
-            shipped97,
-            (F.col("ps_partkey") == F.col("sh_partkey"))
-            & (F.col("ps_suppkey") == F.col("sh_suppkey")),
-        )
-        .filter(F.col("ps_qty") > F.col("half_shipped"))
-        .select("ps_suppkey")
+    qualified = pair_stats.filter(F.col("ps_qty") > F.col("half_shipped")).select(
+        "ps_suppkey"
     )
     return (
         table(spark, sf_dir, "supplier")
