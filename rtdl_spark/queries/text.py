@@ -202,3 +202,43 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_text_chars"),
         F.md5(blob).alias("content_md5"),
     )
+
+
+@query(
+    "text_bpe_token_counts",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           ROUND(SUM(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) * 1.0
+              / SUM(len(string_split(text, ' '))), 6) AS bpe_per_ws
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs,
+    single digits, single punctuation — the GPT-2 pre-tokenizer family,
+    simplified to a dialect both engines' regex libraries treat
+    identically) next to plain whitespace counts. bpe_per_ws is the
+    tokens-per-word expansion factor used to budget LLM training data.
+
+    Pure JVM-side regexp + aggregation — no Python in the row path; one
+    map-side-combinable agg, so it scales like a plain scan."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0)
+    )
+    ws = F.size(F.split("text", " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(bpe).alias("bpe_tokens"),
+            F.sum(ws).alias("ws_tokens"),
+            F.round(
+                F.sum(bpe).cast("double") / F.sum(ws).cast("double"), 6
+            ).alias("bpe_per_ws"),
+        )
+    )

@@ -145,3 +145,19 @@ def test_ingest_round_trip_same_answer(spark, sf_dir, tmp_path):
     assert got == expected
     # event-time daily buckets landed as partitions (prunable)
     assert lake.select("rtdl_bucket").distinct().count() >= 10
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """The HLL estimate must land within ~5x the configured 2% relative
+    standard deviation of the exact count (loose bound: rsd is one sigma)."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
+    assert rel_err < 0.10, (row["approx"], row["exact"], rel_err)
