@@ -250,3 +250,21 @@ class IngestJob:
 
     def ingest_json_dir(self, path: str) -> dict[str, str]:
         return self.run_batch(self.read_json(path))
+
+    def read_table(self, cfg: StreamConfig, table_name: str) -> DataFrame:
+        """Read back one resolved table of a stream with schema-drift
+        reconciliation: batches may have appended different payload schemas
+        (the reference's normal case — every message may carry a new shape,
+        ingester.go:453-520), so the scan merges file footers into the
+        union schema; fields absent in older batches read as NULL.
+
+        At 100 TB scale prefer a pinned/evolved schema in the registry over
+        per-read footer merging (mergeSchema samples every file footer);
+        this reader is the correctness-first default."""
+        dest = self.dest_root(cfg)
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", dest)
+            .parquet(dest)
+        )
+        return df.filter(F.col(TABLE_COL) == table_name)

@@ -231,3 +231,29 @@ def test_event_time_partitioning(spark, registry, tmp_path):
     )
     out = spark.read.parquet(job.ingest_json_dir(path)[STREAM_ID])
     assert out.collect()[0]["rtdl_bucket"] == "2023-07-04"
+
+
+def test_schema_drift_across_batches(spark, registry, tmp_path):
+    """Two batches with different payload shapes append to the same table;
+    read-back reconciles to the union schema with NULLs for fields a batch
+    did not carry — batch-granular parity with the reference's
+    per-message schema tolerance (ingester.go:453-520)."""
+    job = make_job(spark, registry, tmp_path)
+    p1 = write_events(
+        tmp_path,
+        [{"stream_id": STREAM_ID, "name": "u1", "age": 20}],
+        name="drift1",
+    )
+    p2 = write_events(
+        tmp_path,
+        [{"stream_id": STREAM_ID, "name": "u2", "city": "berlin"}],
+        name="drift2",
+    )
+    job.ingest_json_dir(p1)
+    job.ingest_json_dir(p2)
+    cfg = registry.get(STREAM_ID)
+    out = job.read_table(cfg, "test-msg")
+    rows = {r["name"]: r for r in out.collect()}
+    assert set(rows) == {"u1", "u2"}
+    assert rows["u1"]["age"] == 20 and rows["u1"]["city"] is None
+    assert rows["u2"]["city"] == "berlin" and rows["u2"]["age"] is None
