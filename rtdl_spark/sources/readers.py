@@ -146,3 +146,41 @@ def kafka_stream_reader(
         .option("startingOffsets", starting_offsets)
         .option("failOnDataLoss", "false")
     )
+
+
+ENVELOPE_SCHEMA = (
+    "stream_id string, writeKey string, projectId string, "
+    "type string, message_type string"
+)
+
+
+def parse_kafka_envelopes(kafka_df: "DataFrame", payload_schema=None) -> "DataFrame":
+    """Decode Kafka records into the reference's message envelope
+    (ingest-service.go:167-206): ``value`` bytes are JSON; identity fields
+    map to stream_id / stream_alt_id (writeKey > projectId precedence) and
+    ``type`` to message_type; the whole JSON string is kept as ``payload``
+    for batch-level schema inference downstream (A8).
+
+    Works identically on a streaming or batch Kafka frame — or any frame
+    with a binary/string ``value`` column, which is how tests drive it
+    without a broker. With ``payload_schema`` the payload is parsed to a
+    typed struct in the same pass (the production fast path: no second
+    inference scan)."""
+    from pyspark.sql import functions as F
+
+    env = F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA)
+    out = kafka_df.select(
+        env.getField("stream_id").alias("stream_id"),
+        F.coalesce(
+            env.getField("writeKey"), env.getField("projectId")
+        ).alias("stream_alt_id"),
+        F.coalesce(env.getField("type"), env.getField("message_type")).alias(
+            "message_type"
+        ),
+        F.col("value").cast("string").alias("payload_json"),
+    )
+    if payload_schema is not None:
+        out = out.withColumn(
+            "payload", F.from_json(F.col("payload_json"), payload_schema)
+        )
+    return out

@@ -75,3 +75,33 @@ def test_kafka_reader_builds_without_broker(spark):
     .load() is what requires the kafka package + connectivity."""
     reader = kafka_stream_reader(spark, "broker:9092", "ingester-ingress")
     assert reader is not None
+
+
+def test_parse_kafka_envelopes_without_broker(spark):
+    """Envelope decoding from raw Kafka-shaped (value: binary) rows:
+    writeKey precedence over projectId, type→message_type, full JSON kept
+    as payload for downstream inference."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.sources.readers import parse_kafka_envelopes
+
+    msgs = [
+        {"stream_id": "s1", "type": "click", "v": 1},
+        {"writeKey": "wk1", "projectId": "pj1", "v": 2},
+        {"projectId": "pj2", "message_type": "page", "v": 3},
+    ]
+    df = spark.createDataFrame(
+        [(None, _json.dumps(m).encode("utf-8")) for m in msgs],
+        "key binary, value binary",
+    )
+    out = {r["v"]: r for r in (
+        parse_kafka_envelopes(df, payload_schema="v long")
+        .withColumn("v", F.col("payload.v"))
+        .collect()
+    )}
+    assert out[1]["stream_id"] == "s1" and out[1]["message_type"] == "click"
+    assert out[2]["stream_alt_id"] == "wk1"  # writeKey wins over projectId
+    assert out[3]["stream_alt_id"] == "pj2" and out[3]["message_type"] == "page"
+    assert all(_json.loads(r["payload_json"])["v"] == v for v, r in out.items())

@@ -114,6 +114,36 @@ def main() -> None:
         lambda: lineitem.select("l_partkey", "l_suppkey").distinct().count(),
     )
 
+    # pathological skew: 90% of rows share one key. Hash aggregation
+    # handles this fine (map-side partials absorb the hot key); the salted
+    # two-phase variant is the construction for non-algebraic aggs / skewed
+    # JOIN keys — both timed so the overhead/benefit is on the record.
+    from rtdl_spark.operators.skew import salted_aggregate
+
+    skewed = lineitem.withColumn(
+        "k",
+        F.when(F.col("l_orderkey") % 100 < 90, F.lit(0)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    run(
+        "skewed_groupby_plain",
+        lambda: skewed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("l_extendedprice").alias("mx"))
+        .count(),
+    )
+    run(
+        "skewed_groupby_salted",
+        lambda: salted_aggregate(
+            skewed,
+            ["k"],
+            {
+                "n": ("sum", F.count(F.lit(1))),
+                "mx": ("max", F.max("l_extendedprice")),
+            },
+        ).count(),
+    )
+
     print(
         json.dumps(
             {
