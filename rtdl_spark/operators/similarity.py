@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from rtdl_spark.functions.vectors import cosine
+from rtdl_spark.functions.vectors import cosine, dot, l2_norm
 
 
 def cosine_topk(
@@ -35,16 +35,33 @@ def cosine_topk(
 
     Returns: query_id, neighbor_id, cosine_sim (rounded to 6 so ordering is
     engine-reproducible), rank. Self-matches excluded."""
+    # Norms are per-vector, not per-pair: compute them once as columns so
+    # each of the |queries|×|corpus| pairs evaluates ONE array aggregation
+    # (the dot product) instead of three — same values bit-for-bit, ~3×
+    # less expression work on the quadratic stage.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    # Spread the corpus before the quadratic scoring stage: a corpus packed
+    # into few dense files would otherwise score on as few tasks as there
+    # are input splits (at real scale the scan parallelism suffices; the
+    # repartition guards the small-file case and AQE coalesces any excess).
+    n_parts = max(corpus.sparkSession.sparkContext.defaultParallelism, 8)
+    c = corpus.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
     )
+    denom = F.col("_qnorm") * F.col("_cnorm")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+            "cosine_sim",
+            F.round(
+                F.when(denom > 0, dot(F.col("qvec"), F.col("cvec")) / denom), 6
+            ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )

@@ -133,3 +133,31 @@ def test_ml_minhash_recall_vs_exact(spark, sf_dir):
     # candidate set must cover the exact pairs
     missing = exact - ml
     assert len(missing) <= len(exact) * 0.2
+
+
+def test_retention_expiry(spark, tmp_path):
+    """Retention drops whole partitions below the cutoff bucket
+    (directory-level, no row rewrite), dry-run first."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.ingest.pipeline import BUCKET_COL, TABLE_COL
+    from rtdl_spark.ingest.retention import expire_partitions, find_expired
+
+    root = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (10, 15, 20) for i in range(5)],
+        f"v long, {BUCKET_COL} string",
+    ).withColumn(TABLE_COL, F.lit("events"))
+    df.write.partitionBy(TABLE_COL, BUCKET_COL).parquet(root)
+
+    dry = expire_partitions(root, "2024-01-16", dry_run=True)
+    assert sorted(p.bucket for p in dry) == ["2024-01-10", "2024-01-15"]
+    assert all(p.n_files > 0 and p.bytes > 0 for p in dry)
+    # dry run deleted nothing
+    assert len(find_expired(root, "2024-01-16")) == 2
+
+    expired = expire_partitions(root, "2024-01-16", dry_run=False)
+    assert len(expired) == 2
+    left = spark.read.parquet(root)
+    assert left.select(BUCKET_COL).distinct().collect()[0][0] == "2024-01-20"
+    assert left.count() == 5
