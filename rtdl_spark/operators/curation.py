@@ -1,0 +1,83 @@
+"""Corpus curation — the composed LLM-training-data pipeline
+(quality filter → exact dedup → fingerprint near-dedup), as one operator.
+
+This is the flow a user of this engine runs over a raw 100 TB text crawl:
+score cheap quality signals, drop junk, then remove duplicates in two
+passes of increasing softness — exact normalized text, then
+order/repetition-insensitive fingerprints (MinHash/SimHash slot in as
+stage 3 for true near-dups; they're separate operators so their cost is
+opt-in). Every stage is a flag column, not a filter, so the pipeline's
+funnel (how many docs each stage kept) is one aggregation away — the
+number a data curator actually reports.
+
+Scale shape: quality signals are narrow expression work; each dedup stage
+is one hash-partitioned window on its key (normalized text / fingerprint),
+keeping the lowest doc_id as canonical — the standard deterministic
+keeper rule. Nothing here is quadratic; near-dup candidate generation
+stays in the LSH operator where blocking bounds it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rtdl_spark.functions.text import (
+    distinct_token_ratio,
+    fingerprint,
+    stopword_ratio,
+    token_count,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.5,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Annotate each document with its curation verdict.
+
+    Output = input + columns:
+      n_tokens, stop_ratio, distinct_ratio  — quality signals
+      pass_quality                          — quality gate verdict
+      is_exact_canonical                    — first (lowest id) among docs
+                                              with identical normalized text,
+                                              quality survivors only
+      is_fp_canonical                       — first among docs sharing a
+                                              token-set fingerprint, exact
+                                              survivors only
+      kept                                  — final verdict
+    """
+    t = F.col(text_col)
+    scored = docs.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        stopword_ratio(t).alias("stop_ratio"),
+        distinct_token_ratio(t).alias("distinct_ratio"),
+    ).withColumn(
+        "pass_quality",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stop_ratio") <= max_stopword_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio),
+    )
+
+    norm = F.lower(F.trim(t))
+    w_exact = Window.partitionBy(
+        F.when(F.col("pass_quality"), norm)
+    ).orderBy(id_col)
+    scored = scored.withColumn(
+        "is_exact_canonical",
+        F.col("pass_quality") & (F.row_number().over(w_exact) == 1),
+    )
+
+    w_fp = Window.partitionBy(
+        F.when(F.col("is_exact_canonical"), fingerprint(t))
+    ).orderBy(id_col)
+    scored = scored.withColumn(
+        "is_fp_canonical",
+        F.col("is_exact_canonical") & (F.row_number().over(w_fp) == 1),
+    )
+    return scored.withColumn("kept", F.col("is_fp_canonical"))

@@ -146,11 +146,19 @@ def ivf_topk(
         .select("query_id", "qvec", "cell_id")
     )
 
+    # Same norm-precompute as cosine_topk: per-vector norms once, one dot
+    # per (query, candidate) pair in the probed subset.
+    assigned_n = assigned.withColumn("_cnorm", l2_norm(F.col(vec_col)))
+    probed_n = probed.withColumn("_qnorm", l2_norm(F.col("qvec")))
+    denom = F.col("_qnorm") * F.col("_cnorm")
     scored = (
-        assigned.join(F.broadcast(probed), "cell_id")
+        assigned_n.join(F.broadcast(probed_n), "cell_id")
         .filter(F.col("query_id") != F.col(id_col))
         .withColumn(
-            "cosine_sim", F.round(cosine(F.col("qvec"), F.col(vec_col)), 6)
+            "cosine_sim",
+            F.round(
+                F.when(denom > 0, dot(F.col("qvec"), F.col(vec_col)) / denom), 6
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

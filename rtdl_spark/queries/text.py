@@ -242,3 +242,66 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bpe_per_ws"),
         )
     )
+
+
+@query(
+    "text_curation_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) * 1.0
+               / len(string_split(text, ' ')) AS stop_ratio,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+    ), q AS (
+      SELECT *, (n_tokens >= 5 AND stop_ratio <= 0.5
+                 AND distinct_ratio >= 0.3) AS pass_quality
+      FROM scored
+    ), e AS (
+      SELECT *, pass_quality AND ROW_NUMBER() OVER (
+          PARTITION BY CASE WHEN pass_quality THEN lower(trim(text)) END
+          ORDER BY doc_id) = 1 AS is_exact
+      FROM q
+    ), f AS (
+      SELECT *, is_exact AND ROW_NUMBER() OVER (
+          PARTITION BY CASE WHEN is_exact THEN
+            md5(array_to_string(list_sort(list_distinct(
+                string_split(text, ' '))), ' ')) END
+          ORDER BY doc_id) = 1 AS kept
+      FROM e
+    )
+    SELECT lang, COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM f
+    GROUP BY lang
+    """,
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation funnel (operators/curation.py):
+    quality gate → exact dedup → fingerprint dedup, reported as per-lang
+    stage counts + kept token budget — the report a data curator ships.
+    The whole pipeline is two windows and a narrow projection; the oracle
+    re-implements every stage in SQL, so the funnel itself is verified,
+    not just the final count."""
+    from rtdl_spark.operators.curation import curate_corpus
+
+    d = curate_corpus(table(spark, sf_dir, "documents"))
+    flag = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        flag("pass_quality").alias("n_quality"),
+        flag("is_exact_canonical").alias("n_exact"),
+        flag("is_fp_canonical").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
