@@ -1,0 +1,96 @@
+"""Iterative clustering over embedding columns — the iterative-algorithm
+pattern (SURVEY §2C; the IVF similarity scale path needs centroids from
+somewhere).
+
+K-means, Lloyd's algorithm, expressed Spark-first:
+- assignment is a broadcast argmin (centroids are k×dim — KBs — so the
+  corpus never shuffles for it);
+- the update step is per-dimension SUM aggregates — map-side combinable,
+  k rows out, never a collect_list of member vectors (which would gather
+  a whole cell's vectors on one reducer: the memory cliff at 100 TB);
+- the driver loop carries only the centroid VALUES (k small rows per
+  iteration) — the canonical Spark iteration shape: flat lineage re-planned
+  from the scan each pass, no ever-growing DAG, no mandatory caching.
+
+At 100 TB each iteration is one scan + one tiny shuffle (k groups).
+Convergence extras (tolerance stop, k-means++ seeding, mini-batching) are
+deliberately out of scope — the deliverable is the distributed iteration
+shape with deterministic seeding, verified by inertia-decrease tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rtdl_spark.functions.vectors import to_double
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vecs: DataFrame, cent_df) -> DataFrame:
+    """Nearest-centroid assignment: broadcast argmin, ties to lowest cell."""
+    w = Window.partitionBy("_id").orderBy(F.asc("_d"), F.asc("cell_id"))
+    return (
+        vecs.join(cent_df)
+        .withColumn("_d", _sq_dist(F.col("_v"), F.col("_c")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "_v", "cell_id", "_d")
+    )
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means; returns (cell_id, n_members, inertia) after
+    ``n_iter`` iterations. Deterministic: seeded from the k lowest-id
+    vectors; assignment ties break to the lowest cell_id."""
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
+    )
+    seed_rows = vecs.orderBy("_id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("kmeans: empty corpus")
+    dim = len(seed_rows[0]["_v"])
+    centroids = [(i + 1, list(r["_v"])) for i, r in enumerate(seed_rows)]
+
+    def cent_frame():
+        return F.broadcast(
+            spark.createDataFrame(centroids, "cell_id int, _c array<double>")
+        )
+
+    for _ in range(n_iter):
+        assigned = _assign(vecs, cent_frame())
+        # update: per-dimension sums (map-side combinable) / member count
+        new_cent = (
+            assigned.groupBy("cell_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        centroids = [
+            (r["cell_id"], [r[f"_s{i}"] / r["n"] for i in range(dim)])
+            for r in new_cent
+        ]
+
+    return _assign(vecs, cent_frame()).groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("_d"), 6).alias("inertia"),
+    )

@@ -134,3 +134,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         k=5,
     )
+
+
+@query("ml_kmeans_embeddings")
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means over the embedding corpus (operators/clustering).
+    No oracle: an iterative driver-loop algorithm is the canonical
+    non-SQL-expressible op (the driver records the weaker rows-only check);
+    tests/test_operators.py asserts inertia decreases monotonically across
+    iterations and membership covers the corpus."""
+    from rtdl_spark.operators.clustering import kmeans
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return kmeans(emb, k=8, n_iter=3)

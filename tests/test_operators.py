@@ -161,3 +161,23 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     ).collect()[0]
     rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
     assert rel_err < 0.10, (row["approx"], row["exact"], rel_err)
+
+
+def test_kmeans_inertia_decreases_and_covers(spark, sf_dir):
+    """Lloyd's iterations must not increase inertia, and every vector ends
+    in exactly one cell."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.catalog import table
+    from rtdl_spark.operators.clustering import kmeans
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    n_vec = emb.count()
+
+    def inertia(n_iter):
+        rows = kmeans(emb, k=4, n_iter=n_iter).collect()
+        assert sum(r["n_members"] for r in rows) == n_vec
+        return sum(r["inertia"] for r in rows)
+
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1 + 1e-6, (i1, i3)
