@@ -228,25 +228,37 @@ class IngestJob:
     # -- end-to-end --------------------------------------------------------
     def run_batch(self, raw: DataFrame) -> dict[str, str]:
         """Full pipeline for one batch; returns {stream_id: dest_root}.
-        Mirrors Ingest() (ingester.go:1545-1654) minus Kafka hops."""
-        env = self.envelope(raw)
-        data, ctrl = self.split_control(env)
-        if ctrl.limit(1).count() > 0:
-            self.registry.reload()
-        written: dict[str, str] = {}
-        for cfg, rows in self.route(data):
-            resolved = self.resolve_columns(rows, cfg)
-            # Flatten the payload before the chain so transforms (e.g. PII
-            # masking) see the real data columns, and the lake schema is the
-            # payload schema (A8) plus the two partition columns.
-            flat = resolved.select(
-                F.col("payload.*"), F.col(TABLE_COL), F.col(BUCKET_COL)
-            )
-            chained = self.apply_chain(cfg, flat)
-            if chained.limit(1).count() == 0:
-                continue
-            written[cfg.stream_id] = self.write_stream_batch(cfg, chained)
-        return written
+        Mirrors Ingest() (ingester.go:1545-1654) minus Kafka hops.
+
+        The envelope frame is persisted for the batch's lifetime: the
+        control-message check, each stream's emptiness probe, and each
+        stream's write would otherwise each re-run the whole source read —
+        3+ passes over raw JSON per batch. A micro-batch is bounded by
+        construction, so caching it is the standard foreachBatch
+        multi-sink pattern (and is why this method, not the caller,
+        owns persist/unpersist)."""
+        env = self.envelope(raw).persist()
+        try:
+            data, ctrl = self.split_control(env)
+            if ctrl.limit(1).count() > 0:
+                self.registry.reload()
+            written: dict[str, str] = {}
+            for cfg, rows in self.route(data):
+                resolved = self.resolve_columns(rows, cfg)
+                # Flatten the payload before the chain so transforms (e.g.
+                # PII masking) see the real data columns, and the lake
+                # schema is the payload schema (A8) plus the two partition
+                # columns.
+                flat = resolved.select(
+                    F.col("payload.*"), F.col(TABLE_COL), F.col(BUCKET_COL)
+                )
+                chained = self.apply_chain(cfg, flat)
+                if chained.limit(1).count() == 0:
+                    continue
+                written[cfg.stream_id] = self.write_stream_batch(cfg, chained)
+            return written
+        finally:
+            env.unpersist()
 
     def ingest_json_dir(self, path: str) -> dict[str, str]:
         return self.run_batch(self.read_json(path))
