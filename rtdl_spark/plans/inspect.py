@@ -121,3 +121,31 @@ def plan_report(df: DataFrame) -> PlanReport:
         has_row_python_udf=python_row_udf_present(plan),
         plan=plan,
     )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The FINAL physical plan after execution — with AQE this differs from
+    the static plan (`formatted_plan`): runtime re-planning inserts
+    AQEShuffleRead (partition coalescing), ReusedExchange (identical
+    subtree reuse), and skew-split reads. Materializes THIS df's plan via
+    collect() — df.count() would build (and finalize) a different query —
+    so use on bounded/test data only."""
+    df.collect()
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def executed_report(df: DataFrame) -> "PlanReport":
+    """PlanReport over the executed (AQE-final) plan."""
+    plan = executed_plan(df)
+    return PlanReport(
+        exchanges=exchange_count(plan),
+        broadcast_joins=broadcast_join_count(plan),
+        sortmerge_joins=sortmerge_join_count(plan),
+        codegen_spans=codegen_span_count(plan),
+        pushed_filters=pushed_filters(plan),
+        read_schemas=scan_read_schemas(plan),
+        has_row_python_udf=python_row_udf_present(plan),
+        plan=plan,
+    )

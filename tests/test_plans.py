@@ -165,3 +165,34 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE {t1}")
         spark.sql(f"DROP TABLE {t2}")
+
+
+def test_aqe_finalizes_and_coalesces(spark, sf_dir):
+    """After execution the adaptive plan is FINAL and the post-shuffle read
+    is AQE-managed (coalesced partition groups) — runtime re-planning is
+    actually on, not just configured."""
+    from rtdl_spark.plans.inspect import executed_plan
+
+    from rtdl_spark.queries import all_queries
+
+    plan = executed_plan(all_queries()["q1_pricing_summary"](spark, sf_dir))
+    assert "isFinalPlan=true" in plan, plan
+    assert "AQEShuffleRead" in plan, plan
+
+
+def test_aqe_reuses_duplicate_exchange(spark, sf_dir):
+    """A query that references the same aggregation twice (the naive
+    scalar-subquery shape q15 avoids statically) gets its duplicate
+    exchange deduplicated by AQE at runtime — the safety net for plans we
+    don't hand-optimize."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.catalog import table
+    from rtdl_spark.plans.inspect import executed_plan
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(F.sum("l_extendedprice").alias("r"))
+    mx = rev.agg(F.max("r").alias("m"))
+    dup = rev.join(F.broadcast(mx)).filter(F.col("r") == F.col("m"))
+    plan = executed_plan(dup)
+    assert "ReusedExchange" in plan or "ReusedSubquery" in plan, plan
