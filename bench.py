@@ -55,11 +55,17 @@ def main() -> None:
         table(spark, sf_dir, t).count()
     registry["q6_forecast_revenue"](spark, sf_dir).count()
 
+    # Median of 3 runs per query: single-run numbers on a shared machine
+    # mix in page-cache and contention noise, which would read as phantom
+    # regressions in round-over-round comparisons.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 4)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
