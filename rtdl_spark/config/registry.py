@@ -43,6 +43,13 @@ class StreamConfig:
     namenode_host: str = ""
     namenode_port: int = 0
     functions: str = "ingester"
+    # External-catalog integration fields (stream_json parity,
+    # config-service.go:21-48; consumed by rtdl_spark.catalog_external)
+    glue_role: str = ""
+    glue_schedule_cron: str = ""
+    aws_access_key_id: str = ""
+    aws_secret_access_key: str = ""
+    azure_storage_access_key: str = ""
     created_at: str = ""
     updated_at: str = ""
     extra: dict = field(default_factory=dict)

@@ -161,3 +161,53 @@ def test_retention_expiry(spark, tmp_path):
     left = spark.read.parquet(root)
     assert left.select(BUCKET_COL).distinct().collect()[0][0] == "2024-01-20"
     assert left.count() == 5
+
+
+def test_glue_crawler_request_parity():
+    """A20 parity (ingester.go:704-775): crawler name, S3 target path,
+    daily-cron default, and the hard role requirement."""
+    import pytest as _pytest
+
+    from rtdl_spark.catalog_external import glue_crawler_request
+    from rtdl_spark.config import StreamConfig
+
+    cfg = StreamConfig(
+        stream_id="abc-123",
+        bucket_name="mybucket",
+        folder_name="myfolder",
+        glue_role="arn:aws:iam::1:role/glue",
+    )
+    req = glue_crawler_request(cfg, "orders")
+    assert req["Name"] == "abc-123_orders"
+    assert req["Targets"]["S3Targets"][0]["Path"] == "s3://mybucket/myfolder/orders"
+    assert req["Schedule"] == "cron(0 0 * * ? *)"
+
+    with _pytest.raises(ValueError, match="Role ARN"):
+        glue_crawler_request(StreamConfig(stream_id="x"), "t")
+
+
+def test_snowflake_registration_sql_parity():
+    """A21 parity (ingester.go:609-701): s_-prefixed cleansed schema,
+    stage=cleansed table, parquet external table; credentials redacted
+    unless opted in."""
+    from rtdl_spark.catalog_external import snowflake_registration_sql
+    from rtdl_spark.config import StreamConfig
+
+    cfg = StreamConfig(
+        stream_id="aa-bb-cc",
+        aws_access_key_id="AKIA123",
+        aws_secret_access_key="SECRET",
+    )
+    stmts = snowflake_registration_sql(
+        cfg, "my-table", "S3", "s3://b/f/my-table"
+    )
+    assert stmts[0] == "create schema if not exists s_aa_bb_cc;"
+    assert "create stage if not exists my_table" in stmts[1]
+    assert "URL = 's3://b/f/my-table'" in stmts[1]
+    assert "<REDACTED>" in stmts[1] and "'SECRET'" not in stmts[1]
+    assert "file_format = (type = PARQUET)" in stmts[2]
+
+    with_creds = snowflake_registration_sql(
+        cfg, "my-table", "S3", "s3://b/f/my-table", include_credentials=True
+    )
+    assert "AKIA123" in with_creds[1]
