@@ -114,6 +114,14 @@ def main() -> None:
         lambda: lineitem.select("l_partkey", "l_suppkey").distinct().count(),
     )
 
+    # composed curation funnel (quality → exact dedup → fingerprint dedup)
+    from rtdl_spark.operators.curation import curate_corpus
+
+    run(
+        "curation_funnel",
+        lambda: curate_corpus(docs).groupBy("kept").count().count(),
+    )
+
     # pathological skew: 90% of rows share one key. Hash aggregation
     # handles this fine (map-side partials absorb the hot key); the salted
     # two-phase variant is the construction for non-algebraic aggs / skewed
