@@ -43,6 +43,12 @@ class StreamConfig:
     namenode_host: str = ""
     namenode_port: int = 0
     functions: str = "ingester"
+    # Engine extension (no reference analogue — the reference re-infers a
+    # schema per message, ingester.go:453-520): optional pinned DDL schema
+    # for this stream's raw events. When every active stream pins one,
+    # ingest skips JSON schema inference entirely — at scale, inference is
+    # a full extra pass over the batch.
+    pinned_schema: str = ""
     # External-catalog integration fields (stream_json parity,
     # config-service.go:21-48; consumed by rtdl_spark.catalog_external)
     glue_role: str = ""
@@ -153,6 +159,31 @@ class StreamRegistry:
         cfg = self.get(stream_id)
         cfg.active = active
         return self.update(cfg)
+
+    # -- pinned schemas -----------------------------------------------------
+    def pinned_union_schema(self):
+        """Union StructType of every active stream's ``pinned_schema``, or
+        None if any active stream leaves it empty (→ caller falls back to
+        inference). Same-named fields must agree on type across streams —
+        the source read is one scan shared by all routes, so there is one
+        physical schema."""
+        from pyspark.sql.types import StructType
+
+        active = self.get_all_active()
+        if not active or any(not c.pinned_schema for c in active):
+            return None
+        fields: dict[str, object] = {}
+        for cfg in active:
+            for f in StructType.fromDDL(cfg.pinned_schema).fields:
+                prev = fields.get(f.name)
+                if prev is not None and prev.dataType != f.dataType:
+                    raise ValueError(
+                        f"pinned_schema conflict on field {f.name!r}: "
+                        f"{prev.dataType} vs {f.dataType} "
+                        f"(stream {cfg.stream_id})"
+                    )
+                fields.setdefault(f.name, f)
+        return StructType(list(fields.values()))
 
     # -- routing (A5: ingester.go:1565-1590) -------------------------------
     def match(self, stream_id: str | None, stream_alt_id: str | None) -> StreamConfig | None:

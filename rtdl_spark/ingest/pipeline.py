@@ -66,11 +66,19 @@ class IngestJob:
         fixed_time: str | None = None,
         legacy_double_numbers: bool = False,
         register_catalog: bool = True,
+        inference_sampling_ratio: float | None = None,
     ):
         """``time_source``: 'processing' (reference parity — bucket by wall
         clock at write, ingester.go:522-548) or 'event' (bucket by
         ``event_time_col`` from the payload). ``fixed_time`` pins the clock
-        for deterministic tests/replays."""
+        for deterministic tests/replays.
+
+        ``inference_sampling_ratio``: fraction of the batch JSON schema
+        inference reads (Spark ``samplingRatio``). Inference is a full
+        extra pass over the raw text; at production scale either pin
+        schemas in the registry (which skips inference entirely — see
+        ``read_json``) or sample. Default None = full-batch inference,
+        the reference-parity correctness default (A8 infers per message)."""
         if time_source not in ("processing", "event"):
             raise ValueError("time_source must be 'processing' or 'event'")
         self.spark = ensure_runtime_confs(spark)
@@ -81,12 +89,27 @@ class IngestJob:
         self.fixed_time = fixed_time
         self.legacy_double_numbers = legacy_double_numbers
         self.register_catalog = register_catalog
+        self.inference_sampling_ratio = inference_sampling_ratio
 
     # -- A1: envelope ------------------------------------------------------
     def read_json(self, path: str) -> DataFrame:
         """Batch stand-in for the Kafka/HTTP source: a directory of JSON
-        events. dropFieldIfAllNull reproduces A8's dropped-field semantics."""
-        df = self.spark.read.option("dropFieldIfAllNull", "true").json(path)
+        events. dropFieldIfAllNull reproduces A8's dropped-field semantics.
+
+        Schema strategy, fastest first: (1) if every active stream pins a
+        schema in the registry, read with the pinned union — zero
+        inference passes; (2) else if ``inference_sampling_ratio`` is set,
+        infer from that sample of the batch; (3) else full-batch
+        inference (reference-parity default)."""
+        reader = self.spark.read.option("dropFieldIfAllNull", "true")
+        pinned = self.registry.pinned_union_schema()
+        if pinned is not None:
+            reader = reader.schema(pinned)
+        elif self.inference_sampling_ratio is not None:
+            reader = reader.option(
+                "samplingRatio", str(self.inference_sampling_ratio)
+            )
+        df = reader.json(path)
         if self.legacy_double_numbers:
             for name, dtype in df.dtypes:
                 if dtype in ("bigint", "int"):
@@ -270,13 +293,26 @@ class IngestJob:
         ingester.go:453-520), so the scan merges file footers into the
         union schema; fields absent in older batches read as NULL.
 
-        At 100 TB scale prefer a pinned/evolved schema in the registry over
-        per-read footer merging (mergeSchema samples every file footer);
-        this reader is the correctness-first default."""
+        When the stream pins a schema (``cfg.pinned_schema``), the scan
+        uses it directly — no footer merging at all, which is the 100 TB
+        path: mergeSchema reads every file footer on the driver before the
+        job starts, so a million-file table pays a million footer reads
+        per query. The pinned read is footer-free and fields absent in
+        older files still read as NULL (parquet reader semantics)."""
         dest = self.dest_root(cfg)
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", dest)
-            .parquet(dest)
-        )
+        reader = self.spark.read.option("basePath", dest)
+        if cfg.pinned_schema:
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            lake_schema = StructType(
+                StructType.fromDDL(cfg.pinned_schema).fields
+                + [
+                    StructField(TABLE_COL, StringType()),
+                    StructField(BUCKET_COL, StringType()),
+                ]
+            )
+            reader = reader.schema(lake_schema)
+        else:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(dest)
         return df.filter(F.col(TABLE_COL) == table_name)

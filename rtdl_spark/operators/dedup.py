@@ -37,9 +37,22 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Near-duplicate pairs (id1 < id2) whose exact shingle-set Jaccard
     meets ``threshold``, found via MinHash banding.
+
+    ``impl`` picks the signature/banding kernel — both produce
+    bit-identical band keys (parity-tested), so results never differ:
+
+    - ``"pandas"`` (default): Arrow-batched numpy kernel
+      (functions.minhash_np). The per-char hash fold is vectorized
+      (Catalyst runs HOF lambdas interpreted); ~1.2× faster warm at
+      sf0.1 (median 1.5s vs 1.9s over 4 warm runs), with the gap growing
+      with document length since the expression path costs ~µs/char.
+    - ``"expr"``: pure Catalyst expressions (functions.text) — zero
+      Python in the row path, for clusters where Python workers are the
+      scarce resource.
 
     Returns columns: id1, id2, jaccard_sim (rounded to 6 for determinism
     of downstream comparisons)."""
@@ -49,7 +62,8 @@ def minhash_lsh_pairs(
     # at 100 TB the scan gives natural parallelism and AQE will coalesce,
     # but a small-file corpus (like the fixture) needs the explicit spread.
     n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
-    sh = docs.repartition(n_parts, F.col(id_col)).select(
+    base = docs.repartition(n_parts, F.col(id_col))
+    sh = base.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
     )
@@ -57,9 +71,17 @@ def minhash_lsh_pairs(
     # otherwise be duplicated per band and dragged through the self-join
     # shuffle. Candidates dedup on the id pair alone (cheap longs), then
     # the shingle sets are re-attached for exact verification.
-    banded = sh.select(
-        "_id",
-        F.explode(lsh_band_keys(minhash_signature(F.col("_sh")))).alias("_bucket"),
+    if impl == "pandas":
+        from rtdl_spark.functions.minhash_np import minhash_band_keys_np
+
+        bucket_arr = minhash_band_keys_np(F.col(text_col), shingle_n)
+    elif impl == "expr":
+        bucket_arr = lsh_band_keys(minhash_signature(shingles(F.col(text_col), shingle_n)))
+    else:
+        raise ValueError(f"unknown minhash impl {impl!r}")
+    banded = base.select(
+        F.col(id_col).alias("_id"),
+        F.explode(bucket_arr).alias("_bucket"),
     )
     left = banded.select(F.col("_id").alias("id1"), "_bucket")
     right = banded.select(F.col("_id").alias("id2"), "_bucket")

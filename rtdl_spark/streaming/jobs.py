@@ -114,6 +114,46 @@ def stream_dedup_within_watermark(
     return _tz_ts(events).withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+    max_delay: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same ``key`` arriving in ``[left.ts, left.ts +
+    max_delay]`` — the click-to-conversion attribution shape.
+
+    Both sides carry watermarks and the join condition carries an explicit
+    time bound, so Spark can size the join state: a buffered left row is
+    droppable once the right watermark passes ``left.ts + max_delay``
+    (state is bounded by watermark + interval, not by stream length —
+    the property that makes this viable on an unbounded 100 TB/day
+    stream). Outer variants additionally emit the unmatched side after
+    its horizon expires.
+
+    Columns come out prefixed (``l_``/``r_``) because both sides share a
+    schema in the common self-join case.
+    """
+    l = _tz_ts(left, ts_col).withWatermark(ts_col, left_watermark)
+    r = _tz_ts(right, ts_col).withWatermark(ts_col, right_watermark)
+    l = l.select([F.col(c).alias(f"l_{c}") for c in l.columns])
+    r = r.select([F.col(c).alias(f"r_{c}") for c in r.columns])
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{ts_col}") >= F.col(f"l_{ts_col}"))
+        & (
+            F.col(f"r_{ts_col}")
+            <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, how)
+
+
 USER_TOTALS_STATE = "n BIGINT, total DOUBLE"
 USER_TOTALS_OUTPUT = "user_id BIGINT, n BIGINT, total DOUBLE"
 

@@ -257,3 +257,75 @@ def test_schema_drift_across_batches(spark, registry, tmp_path):
     assert set(rows) == {"u1", "u2"}
     assert rows["u1"]["age"] == 20 and rows["u1"]["city"] is None
     assert rows["u2"]["city"] == "berlin" and rows["u2"]["age"] is None
+
+
+def test_pinned_schema_skips_inference(spark, tmp_path):
+    """When every active stream pins a schema, read_json reads with the
+    pinned union (zero inference passes) and the pipeline output matches
+    the inferred-path output exactly. Fields present in data but absent
+    from the pinned schema are simply not read — pinning is authoritative."""
+    reg = StreamRegistry(str(tmp_path / "configs"))
+    reg.create(
+        StreamConfig(
+            stream_id=STREAM_ID,
+            message_type="test-msg",
+            folder_name="pinnedFolder",
+            partition_time_id=2,
+            pinned_schema="stream_id string, name string, age bigint",
+        )
+    )
+    path = write_events(
+        tmp_path,
+        [
+            {"stream_id": STREAM_ID, "name": "u1", "age": 20, "ignored": "x"},
+            {"stream_id": STREAM_ID, "name": "u2", "age": 30},
+        ],
+    )
+    job = make_job(spark, reg, tmp_path)
+    raw = job.read_json(path)
+    assert [f.name for f in raw.schema.fields] == ["stream_id", "name", "age"]
+
+    out = spark.read.parquet(job.ingest_json_dir(path)[STREAM_ID])
+    rows = {r["name"]: r for r in out.collect()}
+    assert rows["u1"]["age"] == 20 and "ignored" not in out.columns
+
+    # read-back uses the pinned schema too (footer-free scan)
+    back = job.read_table(reg.get(STREAM_ID), "test-msg")
+    assert {r["name"] for r in back.collect()} == {"u1", "u2"}
+
+
+def test_pinned_schema_union_and_conflicts(tmp_path):
+    reg = StreamRegistry(str(tmp_path / "configs"))
+    reg.create(
+        StreamConfig(
+            stream_id="s1",
+            folder_name="f1",
+            pinned_schema="stream_id string, a bigint",
+        )
+    )
+    # one stream without a pin → no union, caller infers
+    reg.create(StreamConfig(stream_id="s2", folder_name="f2"))
+    assert reg.pinned_union_schema() is None
+
+    reg.get("s2").pinned_schema = "stream_id string, b double"
+    reg.update(reg.get("s2"))
+    union = reg.pinned_union_schema()
+    assert [f.name for f in union.fields] == ["stream_id", "a", "b"]
+
+    reg.get("s2").pinned_schema = "stream_id string, a string"
+    reg.update(reg.get("s2"))
+    with pytest.raises(ValueError, match="pinned_schema conflict"):
+        reg.pinned_union_schema()
+
+
+def test_sampled_inference_reads_all_rows(spark, registry, tmp_path):
+    """samplingRatio bounds the inference pass, not the data read: all rows
+    land; fields that the sample happened to miss would be dropped (the
+    documented trade-off vs pinning)."""
+    path = write_events(
+        tmp_path,
+        [{"stream_id": STREAM_ID, "name": f"u{i}", "v": i} for i in range(50)],
+    )
+    job = make_job(spark, registry, tmp_path, inference_sampling_ratio=0.5)
+    out = spark.read.parquet(job.ingest_json_dir(path)[STREAM_ID])
+    assert out.count() == 50

@@ -181,3 +181,59 @@ def test_kmeans_inertia_decreases_and_covers(spark, sf_dir):
 
     i1, i3 = inertia(1), inertia(3)
     assert i3 <= i1 + 1e-6, (i1, i3)
+
+
+def test_minhash_np_parity_with_expression_path(spark, sf_dir):
+    """The numpy pandas_udf MinHash (functions/minhash_np.py) must produce
+    bit-identical signatures and LSH band keys to the Catalyst expression
+    path (functions/text.py) — including the degenerate shapes: empty
+    text, fewer tokens than the shingle width, consecutive spaces (empty
+    tokens), and non-ASCII codepoints (F.ascii semantics)."""
+    from rtdl_spark.functions.minhash_np import (
+        minhash_band_keys_np,
+        minhash_signature_np,
+    )
+    from rtdl_spark.functions.text import (
+        lsh_band_keys,
+        minhash_signature,
+        shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (10_000_001, ""),
+            (10_000_002, "one two"),
+            (10_000_003, "a  b c"),
+            (10_000_004, "héllo wörld déjà vu ok"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+
+    def as_json(col):  # null-safe, element-order-sensitive comparison
+        return F.to_json(F.struct(col.alias("x")))
+
+    cmp = both.select(
+        as_json(minhash_signature(shingles(F.col("text"), 3))).alias("sig_e"),
+        as_json(minhash_signature_np(F.col("text"), 3)).alias("sig_p"),
+        as_json(lsh_band_keys(minhash_signature(shingles(F.col("text"), 3)))).alias("band_e"),
+        as_json(minhash_band_keys_np(F.col("text"), 3)).alias("band_p"),
+    )
+    assert cmp.filter(F.col("sig_e") != F.col("sig_p")).count() == 0
+    assert cmp.filter(F.col("band_e") != F.col("band_p")).count() == 0
+
+
+def test_minhash_impls_same_pairs(spark, sf_dir):
+    from rtdl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    expr_pairs = {
+        (r.id1, r.id2, r.jaccard_sim)
+        for r in minhash_lsh_pairs(docs, impl="expr").collect()
+    }
+    pandas_pairs = {
+        (r.id1, r.id2, r.jaccard_sim)
+        for r in minhash_lsh_pairs(docs, impl="pandas").collect()
+    }
+    assert expr_pairs == pandas_pairs and len(expr_pairs) > 0

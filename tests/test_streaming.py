@@ -162,6 +162,53 @@ def test_stream_stateful_user_totals_matches_batch(spark, sf_dir, events_stream)
         assert abs(g["total"] - r["total"]) < 1e-6
 
 
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (click→purchase attribution within 10
+    minutes) must produce exactly the pairs the same interval join yields
+    in batch. Build the two sides as separate file streams so each carries
+    its own watermark."""
+    from rtdl_spark.streaming import stream_interval_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    sides = {}
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        src = str(tmp_path / side)
+        ev.filter(F.col("event_type") == etype).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        sides[side] = spark.readStream.schema(schema).parquet(src)
+
+    joined = stream_interval_join(
+        sides["clicks"], sides["purchases"], max_delay="10 minutes"
+    )
+    run_to_memory(joined, "ij_out", "append")
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT l_event_id, r_event_id FROM ij_out").collect()
+    }
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("ts").alias("cts"),
+        F.col("user_id").alias("cu"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"),
+        F.col("user_id").alias("pu"),
+    )
+    expected = {
+        (r["cid"], r["pid"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 10 minutes")),
+        ).collect()
+    }
+    assert expected, "fixture produced no attributable pairs"
+    assert got == expected
+
+
 def test_stream_restart_from_checkpoint_no_duplicates(spark, tmp_path):
     """Exactly-once across restarts: rerunning with the same checkpoint
     re-ingests nothing; new files ingest once. This is the guarantee that
