@@ -175,3 +175,77 @@ def ivf_topk(
             "cell_id",
         )
     )
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 6,
+    seed: int = 42,
+    k: int = 5,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN (functions/rp_lsh.py): candidates are the
+    corpus vectors sharing at least one sign-pattern bucket with the
+    query; exact cosine re-ranks the candidates; top-k per query.
+
+    Plan shape mirrors minhash_lsh_pairs: explode bucket keys → equi join
+    on the key (hash join, no quadratic stage, no corpus broadcast) →
+    dedup candidate id pairs (cheap longs — vectors are NOT dragged
+    through the candidate shuffle) → re-attach vectors → one dot product
+    per surviving pair. Unlike IVF there is no train/assign stage, so it
+    works on a corpus seen for the first time; unlike brute force the
+    scored-pair count scales with bucket collisions, not |Q|·|C|."""
+    from rtdl_spark.functions.rp_lsh import rp_lsh_bucket_keys
+
+    n_parts = max(corpus.sparkSession.sparkContext.defaultParallelism, 8)
+    base = corpus.repartition(n_parts, F.col(id_col))
+    c_b = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            rp_lsh_bucket_keys(F.col(vec_col), n_tables, n_bits, seed)
+        ).alias("_bucket"),
+    )
+    q_b = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            rp_lsh_bucket_keys(F.col(vec_col), n_tables, n_bits, seed)
+        ).alias("_bucket"),
+    )
+    cand = (
+        c_b.join(F.broadcast(q_b), "_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    c_vec = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    denom = F.col("_qnorm") * F.col("_cnorm")
+    scored = (
+        cand.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                F.when(denom > 0, dot(F.col("qvec"), F.col("cvec")) / denom), 6
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -280,3 +280,44 @@ def join_range_part_size_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_cond=F.col("key1") < F.col("key2"),
     )
     return joined.groupBy(p1.p_brand).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "join_interval_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def join_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (batch twin of streaming.stream_interval_join): each
+    click paired with the same user's purchases inside [ts, ts+10min].
+    The user_id equality keeps this a hash/sort-merge equi join with the
+    time bound as a join filter — never a cartesian — so it scales with
+    the key cardinality, and the identical condition runs unbounded under
+    two watermarked streams (tests/test_streaming.py)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 minutes")),
+        )
+        .select("click_id", "purchase_id", "user_id")
+    )

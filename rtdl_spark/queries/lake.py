@@ -71,17 +71,7 @@ def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_ingest_json_replay")
-def x_ingest_json_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end ingest replay: events → JSON envelopes → IngestJob
-    (envelope, routing, type resolution, daily buckets, snappy partitioned
-    write) → read-back summary. No oracle: the deliverable is the pipeline
-    side effect; tests/test_ingest.py verifies each stage's semantics, and
-    this entry times the whole path at bench scale.
-
-    Returns a tiny materialized summary (rows per resolved table) so the
-    scratch lake can be deleted before returning.
-    """
+def _replay(spark: SparkSession, sf_dir: str, pinned_schema: str) -> DataFrame:
     from rtdl_spark.config import StreamConfig, StreamRegistry
     from rtdl_spark.ingest import IngestJob
     from rtdl_spark.ingest.pipeline import TABLE_COL
@@ -113,6 +103,7 @@ def x_ingest_json_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 partition_time_id=2,  # daily buckets
                 compression_type_id=1,  # snappy
                 functions="ingester",
+                pinned_schema=pinned_schema,
             )
         )
         job = IngestJob(
@@ -132,3 +123,34 @@ def x_ingest_json_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query("x_ingest_json_replay")
+def x_ingest_json_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingest replay: events → JSON envelopes → IngestJob
+    (envelope, routing, type resolution, daily buckets, snappy partitioned
+    write) → read-back summary. No oracle: the deliverable is the pipeline
+    side effect; tests/test_ingest.py verifies each stage's semantics, and
+    this entry times the whole path at bench scale.
+
+    Returns a tiny materialized summary (rows per resolved table) so the
+    scratch lake can be deleted before returning.
+    """
+    return _replay(spark, sf_dir, pinned_schema="")
+
+
+@query("x_ingest_pinned_replay")
+def x_ingest_pinned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same replay with the stream's schema pinned in the registry:
+    ingest reads with the pinned schema instead of inferring, deleting one
+    full pass over the raw JSON. Benched next to x_ingest_json_replay so
+    the inference cost — the price of reference-parity dynamic schemas
+    (A8) — is a measured number per round, not folklore."""
+    return _replay(
+        spark,
+        sf_dir,
+        pinned_schema=(
+            "stream_id string, type string, event_id bigint, "
+            "user_id bigint, value double, props string"
+        ),
+    )

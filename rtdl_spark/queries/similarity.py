@@ -147,3 +147,16 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     return kmeans(emb, k=8, n_iter=3)
+
+
+@query("sim_rp_lsh_topk")
+def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (operators/similarity.py::rp_lsh_topk) —
+    the train-free scale path: bucket equi-join candidates, exact cosine
+    re-rank. No oracle (same rationale as sim_ivf_topk: brute force above
+    is the exactness witness); rows-only check here, recall vs brute force
+    asserted in tests/test_operators.py."""
+    from rtdl_spark.operators.similarity import rp_lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)

@@ -237,3 +237,43 @@ def test_minhash_impls_same_pairs(spark, sf_dir):
         for r in minhash_lsh_pairs(docs, impl="pandas").collect()
     }
     assert expr_pairs == pandas_pairs and len(expr_pairs) > 0
+
+
+def test_rp_lsh_recall_and_exactness_of_scores(spark, sf_dir):
+    """Random-hyperplane LSH: decent recall of the true top-5 on random
+    vectors (8 tables × 6 bits), bucket keys deterministic across runs,
+    and every reported score equals the exact cosine."""
+    from rtdl_spark.operators.similarity import rp_lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = rp_lsh_topk(emb, queries, k=5).collect()
+
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        len(s & approx_sets.get(q, set())) for q, s in exact_sets.items()
+    )
+    assert sum(len(s) for s in exact_sets.values()) == 25
+    assert hits / 25 >= 0.3
+
+    exact_sim = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact
+    }
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sim:
+            assert abs(r["cosine_sim"] - exact_sim[key]) < 1e-9
+
+    # determinism: a second run produces the identical result set
+    again = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in rp_lsh_topk(emb, queries, k=5).collect()
+    }
+    assert again == {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"]) for r in approx
+    }
