@@ -170,3 +170,75 @@ def test_shingles_match_python_model(spark, docs):
         else:
             expected = []
         assert r["sh"] == expected, (r["text"], r["sh"], expected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), min_codepoint=1),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_minhash_kernels_agree_on_arbitrary_text(spark, texts):
+    """The numpy MinHash kernel and the Catalyst expression path must agree
+    byte-for-byte on arbitrary unicode text — not just the fixtures. Any
+    divergence silently changes LSH buckets, i.e. which duplicates are
+    found, so this is a correctness property, not a style check."""
+    from rtdl_spark.functions.minhash_np import minhash_band_keys_np
+    from rtdl_spark.functions.text import (
+        lsh_band_keys,
+        minhash_signature,
+        shingles,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        "text",
+        lsh_band_keys(minhash_signature(shingles(F.col("text"), 3))).alias("e"),
+        minhash_band_keys_np(F.col("text"), 3).alias("p"),
+    )
+    for r in df.collect():
+        assert r["e"] == r["p"], (r["text"], r["e"], r["p"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rp_lsh_keys_match_numpy_model(spark, vecs):
+    """RP-LSH bucket keys for arbitrary vectors equal the straight numpy
+    model (same seeded planes): n_tables keys per vector, table-prefixed,
+    stable across executors — the property candidate generation relies on."""
+    import numpy as np
+
+    from rtdl_spark.functions.rp_lsh import planes_for, rp_lsh_bucket_keys
+
+    n_tables, n_bits, seed = 4, 5, 7
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<float>"
+    ).select(
+        "id", "v", rp_lsh_bucket_keys(F.col("v"), n_tables, n_bits, seed).alias("k")
+    )
+    p = planes_for(8, n_tables, n_bits, seed)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))[::-1]
+    for r in df.collect():
+        # float32 storage: model on the rounded values Spark returns
+        m = np.asarray(r["v"], dtype=np.float64)
+        bits = (m @ p.T) > 0
+        codes = bits.reshape(n_tables, n_bits) @ weights
+        expected = [f"{t}:{int(codes[t])}" for t in range(n_tables)]
+        assert r["k"] == expected, (r["id"], r["k"], expected)

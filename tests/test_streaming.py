@@ -255,3 +255,77 @@ def test_stream_restart_from_checkpoint_no_duplicates(spark, tmp_path):
         f.write(json.dumps({"stream_id": "s1", "i": 99, "type": "clicks"}) + "\n")
     run_once()  # restart, one new file → exactly its rows appended
     assert spark.read.parquet(lake).count() == 5
+
+
+def test_stream_interval_join_left_outer_emits_expired_unmatched(spark, tmp_path):
+    """Left-outer stream-stream interval join: a click with no purchase in
+    its window is emitted with NULL right columns once the watermark passes
+    its match horizon; rows still inside the horizon at end-of-stream stay
+    buffered (not emitted) — the state-eviction contract from SCALE.md.
+
+    Files are fed one per micro-batch (maxFilesPerTrigger=1) with a late
+    second wave on BOTH sides so the global watermark actually advances."""
+    import os
+    import shutil
+
+    from rtdl_spark.streaming import stream_interval_join
+
+    def feed(side, waves):
+        """waves: list of row-lists; each wave becomes one file with an
+        increasing mtime so the file source processes them in order."""
+        watch = tmp_path / side
+        watch.mkdir()
+        for i, rows in enumerate(waves):
+            stage = str(tmp_path / f"_stage_{side}_{i}")
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long"
+            ).coalesce(1).write.parquet(stage)
+            part = next(
+                p for p in os.listdir(stage) if p.endswith(".parquet")
+            )
+            dst = watch / f"w{i}.parquet"
+            shutil.copy(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        schema = "event_id long, ts timestamp, user_id long"
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(watch))
+        )
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    clicks = feed(
+        "clicks",
+        [
+            [(1, t(0), 1), (2, t(0), 2)],  # c1 will match; c2 won't
+            [(3, t(120), 99)],             # late wave: advances watermark
+        ],
+    )
+    purchases = feed(
+        "purchases",
+        [
+            [(101, t(5), 1)],              # matches c1 (within 10 min)
+            [(102, t(120), 98)],           # late wave: advances watermark
+        ],
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        max_delay="10 minutes",
+        left_watermark="30 minutes",
+        right_watermark="30 minutes",
+        how="left_outer",
+    )
+    run_to_memory(joined, "loj_out", "append")
+    rows = spark.sql(
+        "SELECT l_event_id, r_event_id FROM loj_out"
+    ).collect()
+    matched = {(r["l_event_id"], r["r_event_id"]) for r in rows
+               if r["r_event_id"] is not None}
+    nulls = {r["l_event_id"] for r in rows if r["r_event_id"] is None}
+    assert matched == {(1, 101)}
+    # c2's horizon (10:10 + 30min watermark) is passed by the 12:00 wave →
+    # emitted unmatched; c3 is still inside its horizon → held in state
+    assert nulls == {2}
