@@ -196,3 +196,26 @@ def test_aqe_reuses_duplicate_exchange(spark, sf_dir):
     dup = rev.join(F.broadcast(mx)).filter(F.col("r") == F.col("m"))
     plan = executed_plan(dup)
     assert "ReusedExchange" in plan or "ReusedSubquery" in plan, plan
+
+
+def test_interval_join_is_equi_hash_never_cartesian(spark, sf_dir):
+    """The interval join must plan as an equi join on user_id with the
+    time bound as a join filter — a cartesian/BNLJ here would be O(|C|·|P|)
+    and unrunnable at scale."""
+    rep = _report(spark, sf_dir, "join_interval_attribution")
+    assert "CartesianProduct" not in rep.plan, rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan, rep.plan
+    assert ("BroadcastHashJoin" in rep.plan or "SortMergeJoin" in rep.plan
+            or "ShuffledHashJoin" in rep.plan), rep.plan
+
+
+def test_rp_lsh_candidates_via_equi_join(spark, sf_dir):
+    """RP-LSH candidate generation must be a bucket equi join (hash join on
+    the key) — the whole point of the operator is avoiding the quadratic
+    broadcast-NLJ that brute force uses."""
+    rep = _report(spark, sf_dir, "sim_rp_lsh_topk")
+    assert "CartesianProduct" not in rep.plan, rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan, rep.plan
+    # kernel runs Arrow-batched (pandas_udf), never row-at-a-time Python
+    assert "ArrowEvalPython" in rep.plan, rep.plan
+    assert not rep.has_row_python_udf, rep.plan
