@@ -108,6 +108,52 @@ def main() -> None:
         lambda: minhash_lsh_pairs(docs, "doc_id", "text").count(),
     )
 
+    # ANN shape: RP-LSH over n× embeddings (ids remapped per copy like the
+    # dedup shape, so every vector gains n-1 exact twins — worst case for
+    # bucket collisions, every twin lands in every table's same bucket)
+    from rtdl_spark.operators.similarity import rp_lsh_topk
+
+    emb = xn("embeddings").withColumn(
+        "vec_id",
+        F.col("vec_id") + F.spark_partition_id().cast("long") * F.lit(10_000_000),
+    )
+    run(
+        "rp_lsh_topk",
+        lambda: rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5).count(),
+    )
+
+    # stream-shape interval join (batch form): clicks from the n× events,
+    # purchases from 1× — replicating both sides would grow the join
+    # output n², measuring blow-up rather than scaling (same rationale as
+    # the q5 shape above)
+    def fix_ts(df):  # raw read gives ns-as-long (see catalog.table)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+
+    events_n = fix_ts(xn("events"))
+    events_1 = fix_ts(xn("events", 1))
+
+    def interval_join():
+        c = events_n.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("cid"), F.col("ts").alias("cts"),
+            F.col("user_id").alias("cu"),
+        )
+        p = events_1.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), F.col("ts").alias("pts"),
+            F.col("user_id").alias("pu"),
+        )
+        (
+            c.join(
+                p,
+                (F.col("cu") == F.col("pu"))
+                & (F.col("pts") >= F.col("cts"))
+                & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 10 minutes")),
+            ).count()
+        )
+
+    run("interval_join", interval_join)
+
     # distinct (shuffle-heavy) shape
     run(
         "distinct_pairs",
