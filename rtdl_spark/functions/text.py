@@ -198,3 +198,52 @@ def simhash16(text: Column | str) -> Column:
             ).otherwise(F.lit(0).cast("long")),
         ),
     )
+
+
+def kgrams(text: Column | str, n: int = 4) -> Column:
+    """Ordered word n-grams with duplicates KEPT (contrast ``shingles``,
+    which dedups): winnowing needs every window position, since the same
+    gram recurring later must still compete in its windows."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 4, w: int = 5
+) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS scheme):
+    hash every word k-gram with the rolling polynomial hash, slide a
+    w-hash window, keep each window's minimum, return the sorted distinct
+    minima as the document's fingerprint set.
+
+    Guarantees: any shared run of at least k+w-1 tokens between two
+    documents contributes at least one *identical* fingerprint to both —
+    the property that catches partial overlap (shared paragraphs) that
+    whole-document fingerprints miss. Documents with fewer than k tokens
+    fingerprint to []; with fewer than w hashes, the single window is the
+    whole hash list (global minimum), per the algorithm's boundary case.
+
+    Cost: O(tokens) map-side expression work, no shuffle; the k-gram hash
+    array is let-bound so window minima share one hashing pass (the
+    functions/text.py::let HOF-recompute lesson)."""
+    return let(
+        F.transform(kgrams(text, k), token_hash),
+        lambda hs: F.when(
+            F.size(hs) > 0,
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size(hs) - w + 1, F.lit(1)),
+                        ),
+                        lambda i: F.array_min(F.slice(hs, i, w)),
+                    )
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )

@@ -319,3 +319,95 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_id", "dropped_id", "label", F.round("sim", 6).alias("cosine_sim")
         )
     )
+
+
+# DuckDB twin of functions.text.winnow_fingerprints (k=4 word-grams,
+# w=5 windows, same polynomial hash as _LSH_CTE).
+_WINNOW_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS wds FROM documents
+), kg AS (
+  SELECT doc_id, CASE WHEN len(wds) >= 4 THEN
+      list_transform(range(1, len(wds) - 2),
+        i -> array_to_string(wds[i:i+3], ' '))
+    ELSE [] END AS gs
+  FROM toks
+), hh AS (
+  SELECT doc_id, list_transform(gs, s ->
+      list_reduce(list_transform(string_split(s, ''),
+                                 c -> ascii(c)::BIGINT),
+                  (h, c) -> (h * 31 + c) % {HASH_P})) AS hs
+  FROM kg
+), fp AS (
+  SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+    ELSE list_sort(list_distinct(list_transform(
+           range(1, greatest(len(hs) - 4, 1) + 1),
+           i -> list_min(hs[i:i+4])))) END AS fps
+  FROM hh
+)
+"""
+
+
+@query(
+    "text_winnow_profile",
+    oracle=_WINNOW_CTE
+    + """
+    SELECT doc_id, len(fps) AS n_fps,
+           md5(array_to_string(fps, ',')) AS fp_sig
+    FROM fp
+    """,
+)
+def text_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint profile per document
+    (functions/text.py::winnow_fingerprints — the MOSS k-gram/window-min
+    scheme): fingerprint count + an md5 signature of the sorted set, so
+    the oracle pins every fingerprint value without hauling the arrays
+    through the comparison."""
+    from rtdl_spark.functions.text import winnow_fingerprints
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(winnow_fingerprints(F.col("text"), 4, 5)).alias("n_fps"),
+        F.md5(
+            F.concat_ws(",", winnow_fingerprints(F.col("text"), 4, 5))
+        ).alias("fp_sig"),
+    )
+
+
+@query(
+    "dedup_winnow_overlap_pairs",
+    oracle=_WINNOW_CTE
+    + """
+    , ex AS (SELECT doc_id, UNNEST(fps) AS fp FROM fp)
+    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared_fps
+    FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    """,
+)
+def dedup_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection via shared winnowing fingerprints: any
+    k+w-1-token run shared by two documents yields an identical
+    fingerprint in both, so documents sharing >= 5 fingerprints share
+    substantial text even when globally dissimilar (the case whole-doc
+    fingerprints and full-set Jaccard both miss). Candidates come from a
+    fingerprint equi-join on (doc_id, fp) longs — same narrow-shuffle
+    discipline as the MinHash candidate join."""
+    from rtdl_spark.functions.text import winnow_fingerprints
+
+    d = table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    fps = d.repartition(n_parts, F.col("doc_id")).select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), 4, 5)).alias("fp"),
+    )
+    a = fps.select(F.col("doc_id").alias("id1"), "fp")
+    b = fps.select(F.col("doc_id").alias("id2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 5)
+    )

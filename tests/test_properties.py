@@ -242,3 +242,38 @@ def test_rp_lsh_keys_match_numpy_model(spark, vecs):
         codes = bits.reshape(n_tables, n_bits) @ weights
         expected = [f"{t}:{int(codes[t])}" for t in range(n_tables)]
         assert r["k"] == expected, (r["id"], r["k"], expected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.data(),
+)
+def test_winnowing_shared_run_guarantee(spark, data):
+    """The winnowing guarantee: two documents sharing a run of at least
+    k+w-1 tokens (k=4, w=5 → 8) must share at least one fingerprint —
+    regardless of the surrounding text. This is the property the
+    partial-overlap dedup query relies on."""
+    from rtdl_spark.functions.text import winnow_fingerprints
+
+    tok = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+    pairs = []
+    for _ in range(10):
+        shared = data.draw(st.lists(tok, min_size=8, max_size=12))
+        pre1 = data.draw(st.lists(tok, min_size=0, max_size=10))
+        post1 = data.draw(st.lists(tok, min_size=0, max_size=10))
+        pre2 = data.draw(st.lists(tok, min_size=0, max_size=10))
+        post2 = data.draw(st.lists(tok, min_size=0, max_size=10))
+        pairs.append(
+            (
+                " ".join(pre1 + shared + post1),
+                " ".join(pre2 + shared + post2),
+            )
+        )
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, a string, b string").select(
+        "id",
+        winnow_fingerprints(F.col("a"), 4, 5).alias("fa"),
+        winnow_fingerprints(F.col("b"), 4, 5).alias("fb"),
+    )
+    for r in df.collect():
+        assert set(r["fa"]) & set(r["fb"]), (r["id"], r["fa"], r["fb"])
