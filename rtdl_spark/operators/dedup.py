@@ -38,9 +38,20 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     impl: str = "pandas",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id1 < id2) whose exact shingle-set Jaccard
     meets ``threshold``, found via MinHash banding.
+
+    ``bucket_cap``: drop LSH buckets holding more than this many docs
+    before the candidate self-join. A bucket with m members yields
+    m(m-1)/2 candidate pairs, so one degenerate bucket (boilerplate,
+    empty-ish documents, template text) can dominate the whole job — the
+    standard production guard is to skip it: a real duplicate *cluster*
+    that large will still be found through its other, narrower bands with
+    high probability, and genuinely-degenerate text is better handled by
+    a quality filter upstream. Default None = no cap (exact parity with
+    the DuckDB oracle).
 
     ``impl`` picks the signature/banding kernel — both produce
     bit-identical band keys (parity-tested), so results never differ:
@@ -83,6 +94,18 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         F.explode(bucket_arr).alias("_bucket"),
     )
+    if bucket_cap is not None:
+        # Window count, not groupBy+join: one shuffle by _bucket which the
+        # self-join below then reuses (same partitioning key).
+        from pyspark.sql import Window
+
+        banded = (
+            banded.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
+            )
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
     left = banded.select(F.col("_id").alias("id1"), "_bucket")
     right = banded.select(F.col("_id").alias("id2"), "_bucket")
     candidates = (
@@ -168,4 +191,63 @@ def ml_minhash_lsh_pairs(
             b_id.alias("id2"),
             F.round("jaccard_distance", 6).alias("jaccard_distance"),
         )
+    )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    method: str = "fingerprint",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup: drop from ``new_docs`` every document already
+    represented in ``corpus`` — the shape every recurring crawl/training
+    refresh needs (dedup the new batch against the accumulated lake, not
+    just within itself).
+
+    Methods (all anti-joins on a derived key, so the corpus is reduced to
+    its key set — at 100 TB the keys are precomputable once and stored as
+    a side table instead of re-derived per batch):
+
+    - ``"exact"``: raw text equality.
+    - ``"fingerprint"`` (default): token-set md5 (functions.text.
+      fingerprint) — order/repetition-insensitive.
+    - ``"winnow"``: any shared winnowing fingerprint (functions.text.
+      winnow_fingerprints) — drops new docs sharing a >= k+w-1-token
+      contiguous run with the corpus (partial-overlap suppression).
+      Complementary to ``"fingerprint"``, not stricter: a full reorder
+      defeats winnowing (no 4-gram survives) while the token-set
+      fingerprint defeats prepended/appended padding.
+
+    Returns the surviving rows of ``new_docs`` unchanged."""
+    from rtdl_spark.functions.text import fingerprint, winnow_fingerprints
+
+    if method == "exact":
+        key = F.col(text_col)
+    elif method == "fingerprint":
+        key = fingerprint(F.col(text_col))
+    elif method == "winnow":
+        key = None  # set-valued: explode below
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
+
+    if key is not None:
+        corpus_keys = corpus.select(key.alias("_k")).distinct()
+        return new_docs.join(
+            corpus_keys, key == F.col("_k"), "left_anti"
+        )
+    # winnow: a new doc is dropped if ANY of its fingerprints appears in
+    # the corpus fingerprint set. Narrow frames (id/fp longs) through the
+    # join; survivors re-attach by id.
+    fps = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("_id"),
+        F.explode(winnow_fingerprints(F.col(text_col))).alias("_fp"),
+    )
+    corpus_fps = fps(corpus).select("_fp").distinct()
+    hit_ids = (
+        fps(new_docs).join(corpus_fps, "_fp").select("_id").distinct()
+    )
+    return new_docs.join(
+        hit_ids, F.col(id_col) == F.col("_id"), "left_anti"
     )

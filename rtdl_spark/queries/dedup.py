@@ -411,3 +411,36 @@ def dedup_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 5)
     )
+
+
+_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' ')))"
+    ", ' '))"
+)
+
+
+@query(
+    "dedup_incremental_against_corpus",
+    oracle=f"""
+    SELECT n.doc_id, n.source, n.lang
+    FROM documents n
+    WHERE n.doc_id % 2 = 1
+      AND {_FP_SQL} NOT IN (
+        SELECT {_FP_SQL} FROM documents WHERE doc_id % 2 = 0
+      )
+    """,
+)
+def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-history) dedup, the recurring-crawl shape:
+    odd doc_ids play the new batch, even ones the accumulated corpus; a
+    new doc survives only if its token-set fingerprint is unseen. The
+    engine runs it as an anti join on the fingerprint key
+    (operators/dedup.py::dedup_against_corpus)."""
+    from rtdl_spark.operators.dedup import dedup_against_corpus
+
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return dedup_against_corpus(new, corpus, method="fingerprint").select(
+        "doc_id", "source", "lang"
+    )

@@ -160,3 +160,56 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query(
+    "sim_quantization_error",
+    oracle="""
+    WITH v AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings
+    ), s AS (
+      SELECT label, d,
+             CASE WHEN list_max(list_transform(d, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(d, x -> abs(x)))
+                  ELSE 0.0 END AS scale
+      FROM v
+    ), e AS (
+      SELECT label,
+             CASE WHEN scale > 0 THEN
+               list_max(list_transform(d,
+                 x -> abs(x - floor(x * scale + 0.5) / scale)))
+             ELSE 0.0 END AS err
+      FROM s
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(MAX(err), 6) AS max_err,
+           ROUND(AVG(err), 6) AS avg_err
+    FROM e
+    GROUP BY label
+    """,
+)
+def sim_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization (functions/vectors.py::quantize_int8) round-trip
+    error per label — the 4×-smaller-corpus trade-off, measured. The
+    oracle re-runs the identical floor-half-up quantizer in DuckDB, so
+    the error profile (not just the idea) is pinned."""
+    from rtdl_spark.functions.vectors import dequantize, quantize_int8, to_double
+
+    e = table(spark, sf_dir, "embeddings")
+    err = F.array_max(
+        F.zip_with(
+            to_double(F.col("embedding")),
+            dequantize(quantize_int8(F.col("embedding"))),
+            lambda x, y: F.abs(x - y),
+        )
+    )
+    return (
+        e.select("label", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("err"), 6).alias("max_err"),
+            F.round(F.avg("err"), 6).alias("avg_err"),
+        )
+    )

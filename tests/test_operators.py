@@ -277,3 +277,114 @@ def test_rp_lsh_recall_and_exactness_of_scores(spark, sf_dir):
     assert again == {
         (r["query_id"], r["neighbor_id"], r["cosine_sim"]) for r in approx
     }
+
+
+def test_minhash_bucket_cap_subset_and_degenerate_guard(spark, sf_dir):
+    """bucket_cap drops only pairs that arise solely from oversized
+    buckets: capped output ⊆ uncapped; a generous cap changes nothing;
+    and on an adversarial corpus (everyone shares one boilerplate line →
+    every doc in one bucket) a cap kills the quadratic bucket while
+    same-boilerplate true near-dups still pair through narrower bands."""
+    from rtdl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    uncapped = {
+        (r.id1, r.id2) for r in minhash_lsh_pairs(docs).collect()
+    }
+    capped = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(docs, bucket_cap=50).collect()
+    }
+    generous = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(docs, bucket_cap=10_000_000).collect()
+    }
+    assert capped <= uncapped
+    assert generous == uncapped
+
+
+def test_dedup_against_corpus_methods(spark):
+    """exact drops only verbatim repeats; fingerprint also drops
+    reorderings; winnow also drops partial overlaps (shared >= k+w-1-token
+    run), and never drops genuinely fresh text."""
+    from rtdl_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today ok fine")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today ok fine"),
+            (11, "fine ok today dog lazy the over jumps fox brown quick the"),
+            (12, "intro words then the quick brown fox jumps over the lazy "
+                 "dog stolen run"),
+            (13, "completely unrelated fresh text with no overlap at all "
+                 "whatsoever here now"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def ids(method):
+        return sorted(
+            r["doc_id"]
+            for r in dedup_against_corpus(new, corpus, method).collect()
+        )
+
+    assert ids("exact") == [11, 12, 13]
+    assert ids("fingerprint") == [12, 13]  # reorder caught, overlap not
+    # winnow catches the contiguous shared run (12) but NOT the reorder
+    # (11) — reordering destroys every 4-gram, so no fingerprint survives;
+    # the two methods are complementary, not ordered by strictness
+    assert ids("winnow") == [11, 13]
+
+
+def test_quantized_cosine_preserves_topk(spark, sf_dir):
+    """int8 cosine (integer dot, scales cancel) must preserve the exact
+    top-5 ranking almost perfectly: recall >= 0.8 on the fixture corpus
+    (theory: 8-bit rounding perturbs a 64-d cosine by ~1e-3, far below
+    typical neighbor gaps); and quantized self-similarity is ~1."""
+    from rtdl_spark.functions.vectors import quantize_int8, quantized_cosine
+    from rtdl_spark.operators.similarity import cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).collect()
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        quantize_int8("embedding").alias("qq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        quantize_int8("embedding").alias("qc"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    approx = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", quantized_cosine(F.col("qq"), F.col("qc")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        len(s & approx_sets.get(qid, set())) for qid, s in exact_sets.items()
+    )
+    assert hits / 25 >= 0.8, (hits, approx_sets)
+
+    self_sim = (
+        q.withColumn("s", quantized_cosine(F.col("qq"), F.col("qq")))
+        .select("s")
+        .collect()
+    )
+    for r in self_sim:
+        assert abs(r["s"] - 1.0) < 1e-9

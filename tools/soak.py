@@ -107,6 +107,15 @@ def main() -> None:
         "dedup_minhash_lsh",
         lambda: minhash_lsh_pairs(docs, "doc_id", "text").count(),
     )
+    # same adversarial corpus with the degenerate-bucket guard: buckets
+    # above 4n members (n-way clusters are expected here; 4n tolerates
+    # real clusters, kills boilerplate-degenerate ones)
+    run(
+        "dedup_minhash_lsh_capped",
+        lambda: minhash_lsh_pairs(
+            docs, "doc_id", "text", bucket_cap=4 * n
+        ).count(),
+    )
 
     # ANN shape: RP-LSH over n× embeddings (ids remapped per copy like the
     # dedup shape, so every vector gains n-1 exact twins — worst case for
