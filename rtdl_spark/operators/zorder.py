@@ -1,0 +1,87 @@
+"""Z-order (Morton-curve) data layout — multi-column clustering for scan
+pruning, the open equivalent of Delta's OPTIMIZE ZORDER BY.
+
+Why it matters at 100 TB: partitioning prunes on ONE hierarchy
+(table/bucket); queries that filter on other columns (customer, part,
+price band) still scan every file in the partition. Writing files ordered
+by a Z-value interleaved from several columns makes each file cover a
+small hyper-rectangle of the value space, so parquet min/max footer stats
+skip most files for predicates on ANY of the interleaved columns — a
+single-column sort gives perfect skipping on that column and none on the
+others; Z-order trades a little of the first column's locality for
+skipping on all of them.
+
+Mechanics: each column is normalized to a ``bits``-wide integer by uniform
+min/max scaling (driver computes the 2-value bounds in one tiny agg), the
+integers' bits are interleaved JVM-side (shift/mask expressions — no UDF),
+and the frame is range-partitioned + sorted by the Z-value before writing.
+Uniform scaling is deliberate: quantile scaling handles skew better but
+needs an approxQuantile pass; callers with pathological skew should
+pre-transform (log, rank) the column instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, Column]:
+    """Return (df, zcol): the Morton interleave of ``cols`` normalized to
+    ``bits``-bit integers via uniform min/max scaling. One driver-side agg
+    collects the bounds (2 doubles per column); everything else is
+    shift/mask expression work inside codegen. NULLs map to bucket 0 (they
+    cluster together — the useful behavior for skipping)."""
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+        scaled.append(
+            F.coalesce(
+                F.least(
+                    F.floor(frac * F.lit(top + 1)).cast("long"), F.lit(top)
+                ),
+                F.lit(0).cast("long"),
+            )
+        )
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return df, z
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 32,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the Z-curve
+    of ``cols``: range-partition by Z-value (contiguous curve segments per
+    file → tight per-file min/max on every interleaved column), sort
+    within partitions (tight page-level stats too)."""
+    base, z = zvalue(df, cols, bits)
+    (
+        base.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -211,3 +211,58 @@ def test_snowflake_registration_sql_parity():
         cfg, "my-table", "S3", "s3://b/f/my-table", include_credentials=True
     )
     assert "AKIA123" in with_creds[1]
+
+
+def test_zorder_layout_clusters_both_columns(spark, sf_dir, tmp_path):
+    """Z-order write must give data-skipping-friendly files on BOTH
+    interleaved columns: mean per-file value range well under the global
+    range for each, whereas a single-column sort clusters only its own
+    column (the second stays ~global in most files)."""
+    import os
+
+    from rtdl_spark.catalog import table
+    from rtdl_spark.operators.zorder import zorder_write
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+
+    zdir = str(tmp_path / "zorder")
+    zorder_write(orders, ["o_custkey", "o_totalprice"], zdir, n_files=16)
+
+    sdir = str(tmp_path / "sorted")
+    (
+        orders.repartitionByRange(16, F.col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(sdir)
+    )
+
+    glb = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+    ).collect()[0]
+
+    def mean_spread(d, col, global_range):
+        files = [
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        ]
+        assert len(files) >= 8, files
+        spreads = []
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg((F.max(col) - F.min(col)).alias("s"))
+                .collect()[0]["s"]
+            )
+            spreads.append(float(r) / float(global_range))
+        return sum(spreads) / len(spreads)
+
+    z_ck = mean_spread(zdir, "o_custkey", glb["ck"])
+    z_tp = mean_spread(zdir, "o_totalprice", glb["tp"])
+    s_tp = mean_spread(sdir, "o_totalprice", glb["tp"])
+
+    # both dimensions cluster under z-order...
+    assert z_ck < 0.5, z_ck
+    assert z_tp < 0.5, z_tp
+    # ...and the single-column sort leaves the other column unclustered
+    assert s_tp > 2 * z_tp, (s_tp, z_tp)
