@@ -49,6 +49,7 @@ from rtdl_spark.session import ensure_runtime_confs
 
 TABLE_COL = "rtdl_table"
 BUCKET_COL = "rtdl_bucket"
+CORRUPT_COL = "_corrupt_record"
 
 
 def _col_or_null(df: DataFrame, name: str):
@@ -67,6 +68,7 @@ class IngestJob:
         legacy_double_numbers: bool = False,
         register_catalog: bool = True,
         inference_sampling_ratio: float | None = None,
+        corrupt_policy: str = "drop",
     ):
         """``time_source``: 'processing' (reference parity — bucket by wall
         clock at write, ingester.go:522-548) or 'event' (bucket by
@@ -78,9 +80,20 @@ class IngestJob:
         extra pass over the raw text; at production scale either pin
         schemas in the registry (which skips inference entirely — see
         ``read_json``) or sample. Default None = full-batch inference,
-        the reference-parity correctness default (A8 infers per message)."""
+        the reference-parity correctness default (A8 infers per message).
+
+        ``corrupt_policy`` — what happens to unparseable JSON lines:
+        'drop' (default, reference parity: an unmarshal error skips the
+        message, ingest-service.go:172-177), 'quarantine' (write the raw
+        line to <lake_root>/_quarantine/ so bad producers are debuggable
+        — at scale silent drops hide upstream breakage), or 'fail'
+        (FAILFAST — strict pipelines)."""
         if time_source not in ("processing", "event"):
             raise ValueError("time_source must be 'processing' or 'event'")
+        if corrupt_policy not in ("drop", "quarantine", "fail"):
+            raise ValueError(
+                "corrupt_policy must be 'drop', 'quarantine' or 'fail'"
+            )
         self.spark = ensure_runtime_confs(spark)
         self.registry = registry
         self.lake_root = lake_root
@@ -90,6 +103,7 @@ class IngestJob:
         self.legacy_double_numbers = legacy_double_numbers
         self.register_catalog = register_catalog
         self.inference_sampling_ratio = inference_sampling_ratio
+        self.corrupt_policy = corrupt_policy
 
     # -- A1: envelope ------------------------------------------------------
     def read_json(self, path: str) -> DataFrame:
@@ -102,8 +116,20 @@ class IngestJob:
         infer from that sample of the batch; (3) else full-batch
         inference (reference-parity default)."""
         reader = self.spark.read.option("dropFieldIfAllNull", "true")
+        if self.corrupt_policy == "fail":
+            reader = reader.option("mode", "FAILFAST")
+        elif self.corrupt_policy == "drop":
+            reader = reader.option("mode", "DROPMALFORMED")
+        else:  # quarantine: keep the raw line in a side column
+            reader = reader.option("mode", "PERMISSIVE").option(
+                "columnNameOfCorruptRecord", CORRUPT_COL
+            )
         pinned = self.registry.pinned_union_schema()
         if pinned is not None:
+            if self.corrupt_policy == "quarantine":
+                from pyspark.sql.types import StringType, StructField
+
+                pinned = pinned.add(StructField(CORRUPT_COL, StringType()))
             reader = reader.schema(pinned)
         elif self.inference_sampling_ratio is not None:
             reader = reader.option(
@@ -260,6 +286,7 @@ class IngestJob:
         construction, so caching it is the standard foreachBatch
         multi-sink pattern (and is why this method, not the caller,
         owns persist/unpersist)."""
+        raw, cached_raw = self._quarantine_corrupt(raw)
         env = self.envelope(raw).persist()
         try:
             data, ctrl = self.split_control(env)
@@ -282,6 +309,26 @@ class IngestJob:
             return written
         finally:
             env.unpersist()
+            if cached_raw is not None:
+                cached_raw.unpersist()
+
+    def _quarantine_corrupt(self, raw: DataFrame) -> DataFrame:
+        """Under corrupt_policy='quarantine': append the raw text of
+        unparseable lines to <lake_root>/_quarantine/ and remove them
+        (and the side column) from the batch. The frame is persisted for
+        the split — Spark refuses to filter on the corrupt-record column
+        of an unmaterialized JSON scan (the scan would have to re-parse
+        to know what failed). Returns (clean_frame, cached_frame_or_None)
+        so run_batch can unpersist the cache when the batch ends."""
+        if CORRUPT_COL not in raw.columns:
+            return raw, None
+        raw = raw.persist()
+        bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+        if bad.limit(1).count() > 0:
+            bad.write.mode("append").text(
+                os.path.join(self.lake_root, "_quarantine")
+            )
+        return raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL), raw
 
     def ingest_json_dir(self, path: str) -> dict[str, str]:
         return self.run_batch(self.read_json(path))

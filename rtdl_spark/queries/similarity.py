@@ -213,3 +213,39 @@ def sim_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("err"), 6).alias("avg_err"),
         )
     )
+
+
+@query("sim_quantized_topk")
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over int8-quantized embeddings
+    (functions/vectors.py): the 4×-smaller-corpus path, scored entirely in
+    integer space (scales cancel in cosine). No oracle — the quantized
+    ranking is engine-internal by design; the round-trip error is
+    oracle-checked (sim_quantization_error) and top-k recall vs exact is
+    pinned in tests/test_operators.py."""
+    from pyspark.sql import Window
+
+    from rtdl_spark.functions.vectors import quantize_int8, quantized_cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        quantize_int8("embedding").alias("qq"),
+    )
+    c = emb.repartition(n_parts, F.col("vec_id")).select(
+        F.col("vec_id").alias("neighbor_id"),
+        quantize_int8("embedding").alias("qc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "qcos", F.round(quantized_cosine(F.col("qq"), F.col("qc")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "qcos", "rank")
+    )

@@ -184,3 +184,38 @@ def parse_kafka_envelopes(kafka_df: "DataFrame", payload_schema=None) -> "DataFr
             "payload", F.from_json(F.col("payload_json"), payload_schema)
         )
     return out
+
+
+def to_kafka_records(df: "DataFrame", key_col: str = "stream_id") -> "DataFrame":
+    """Encode envelope rows to Kafka sink shape (key, value): key is the
+    routing identity (so one stream's messages hit one partition in
+    order), value is the full row as JSON — the inverse of
+    ``parse_kafka_envelopes``, testable without a broker. The reference
+    instead pinned EVERY message to partition 0 with no key
+    (ingest-service.go:119, WriteKafkaMessage) — keyed partitioning is the
+    scalable replacement."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
+def kafka_stream_writer(
+    df: "DataFrame",
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+):
+    """The writeStream builder for Kafka egress (A3 / the function-chain
+    forward hop, ingester.go:1620-1643): expects a (key, value) frame from
+    ``to_kafka_records``; returns the un-started writer so callers pick
+    the trigger. Requires the spark-sql-kafka package at runtime (not in
+    this container — same gate as kafka_stream_reader)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )

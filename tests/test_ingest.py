@@ -329,3 +329,66 @@ def test_sampled_inference_reads_all_rows(spark, registry, tmp_path):
     job = make_job(spark, registry, tmp_path, inference_sampling_ratio=0.5)
     out = spark.read.parquet(job.ingest_json_dir(path)[STREAM_ID])
     assert out.count() == 50
+
+
+def test_corrupt_policy_drop_quarantine_fail(spark, registry, tmp_path):
+    """Unparseable JSON lines: 'drop' (default) skips them silently
+    (reference parity — unmarshal error drops the message,
+    ingest-service.go:172-177); 'quarantine' lands the raw line under
+    <lake>/_quarantine/ and ingests the rest; 'fail' raises."""
+    import os
+
+    d = tmp_path / "bad_events"
+    d.mkdir()
+    with open(d / "batch.json", "w") as f:
+        f.write(json.dumps({"stream_id": STREAM_ID, "v": 1}) + "\n")
+        f.write("{this is not json at all\n")
+        f.write(json.dumps({"stream_id": STREAM_ID, "v": 2}) + "\n")
+    path = str(d)
+
+    out = make_job(spark, registry, tmp_path).ingest_json_dir(path)
+    assert spark.read.parquet(out[STREAM_ID]).count() == 2
+
+    qtmp = tmp_path / "qlake"
+    job_q = make_job(spark, registry, tmp_path, corrupt_policy="quarantine")
+    job_q.lake_root = str(qtmp)
+    out_q = job_q.ingest_json_dir(path)
+    assert spark.read.parquet(out_q[STREAM_ID]).count() == 2
+    qlines = spark.read.text(os.path.join(str(qtmp), "_quarantine")).collect()
+    assert [r["value"] for r in qlines] == ["{this is not json at all"]
+    # clean rows carry no corrupt column into the lake
+    assert "_corrupt_record" not in spark.read.parquet(out_q[STREAM_ID]).columns
+
+    job_f = make_job(spark, registry, tmp_path, corrupt_policy="fail")
+    with pytest.raises(Exception):
+        job_f.ingest_json_dir(path)
+
+
+def test_corrupt_quarantine_with_pinned_schema(spark, tmp_path):
+    """Pinned-schema reads must still quarantine: the corrupt column is
+    appended to the pinned schema internally and stripped before the lake
+    write."""
+    import os
+
+    reg = StreamRegistry(str(tmp_path / "configs"))
+    reg.create(
+        StreamConfig(
+            stream_id=STREAM_ID,
+            message_type="test-msg",
+            folder_name="pq",
+            pinned_schema="stream_id string, v bigint",
+        )
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    with open(d / "b.json", "w") as f:
+        f.write(json.dumps({"stream_id": STREAM_ID, "v": 1}) + "\n")
+        f.write("not json {{{\n")
+    job = make_job(spark, reg, tmp_path, corrupt_policy="quarantine")
+    out = job.ingest_json_dir(str(d))
+    lake = spark.read.parquet(out[STREAM_ID])
+    assert lake.count() == 1 and "_corrupt_record" not in lake.columns
+    q = spark.read.text(
+        os.path.join(str(tmp_path / "lake"), "_quarantine")
+    ).collect()
+    assert [r["value"] for r in q] == ["not json {{{"]

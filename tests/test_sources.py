@@ -105,3 +105,23 @@ def test_parse_kafka_envelopes_without_broker(spark):
     assert out[2]["stream_alt_id"] == "wk1"  # writeKey wins over projectId
     assert out[3]["stream_alt_id"] == "pj2" and out[3]["message_type"] == "page"
     assert all(_json.loads(r["payload_json"])["v"] == v for v, r in out.items())
+
+
+def test_kafka_records_roundtrip_without_broker(spark):
+    """to_kafka_records → parse_kafka_envelopes is the identity on the
+    envelope identity fields — the broker-free proof both halves of the
+    Kafka hop agree on the wire format."""
+    from rtdl_spark.sources.readers import parse_kafka_envelopes, to_kafka_records
+
+    env = spark.createDataFrame(
+        [
+            ("s1", None, "click", 7),
+            (None, "wk-9", "view", 8),
+        ],
+        "stream_id string, writeKey string, type string, v long",
+    )
+    wire = to_kafka_records(env)
+    assert wire.columns == ["key", "value"]
+    back = parse_kafka_envelopes(wire).collect()
+    got = {(r["stream_id"], r["stream_alt_id"], r["message_type"]) for r in back}
+    assert got == {("s1", None, "click"), (None, "wk-9", "view")}
