@@ -149,3 +149,29 @@ def executed_report(df: DataFrame) -> "PlanReport":
         has_row_python_udf=python_row_udf_present(plan),
         plan=plan,
     )
+
+
+def scan_output_rows(df: DataFrame) -> int | None:
+    """Execute ``df`` (collect — see executed_plan's caveat) and return the
+    file-scan node's ``numOutputRows`` runtime metric: the rows that
+    actually left the parquet reader after row-group statistics skipping
+    and pushed filters. THE observable for data-layout work (Z-order,
+    sorting): plan text shows the same PushedFilters either way; only this
+    metric shows whether the statistics actually skipped anything."""
+    df.collect()
+
+    def walk(node):
+        if node.nodeName() == "AdaptiveSparkPlan":
+            node = node.executedPlan()
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    for n in walk(df._jdf.queryExecution().executedPlan()):
+        if "Scan" in n.nodeName():
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    return kv._2().value()
+    return None

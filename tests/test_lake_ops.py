@@ -266,3 +266,30 @@ def test_zorder_layout_clusters_both_columns(spark, sf_dir, tmp_path):
     assert z_tp < 0.5, z_tp
     # ...and the single-column sort leaves the other column unclustered
     assert s_tp > 2 * z_tp, (s_tp, z_tp)
+
+
+def test_zorder_scan_actually_skips_row_groups(spark, sf_dir, tmp_path):
+    """Executed-scan metrics, not layout proxies: a range predicate on the
+    SECOND interleaved column must read well under half the rows from the
+    z-ordered layout (row-group stats skipping), while the layout sorted
+    on the other column reads essentially everything."""
+    from rtdl_spark.catalog import table
+    from rtdl_spark.operators.zorder import zorder_write
+    from rtdl_spark.plans.inspect import scan_output_rows
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    total = orders.count()
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_write(orders, ["o_custkey", "o_totalprice"], zdir, n_files=16)
+    (
+        orders.repartitionByRange(16, F.col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(sdir)
+    )
+
+    pred = (F.col("o_totalprice") > 100000) & (F.col("o_totalprice") < 110000)
+    z_rows = scan_output_rows(spark.read.parquet(zdir).filter(pred))
+    s_rows = scan_output_rows(spark.read.parquet(sdir).filter(pred))
+    assert z_rows is not None and s_rows is not None
+    assert z_rows < 0.5 * total, (z_rows, total)
+    assert s_rows > 0.9 * total, (s_rows, total)
