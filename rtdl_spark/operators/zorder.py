@@ -27,33 +27,64 @@ from pyspark.sql import functions as F
 
 
 def zvalue(
-    df: DataFrame, cols: list[str], bits: int = 8
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    scaling: str = "uniform",
 ) -> tuple[DataFrame, Column]:
     """Return (df, zcol): the Morton interleave of ``cols`` normalized to
-    ``bits``-bit integers via uniform min/max scaling. One driver-side agg
-    collects the bounds (2 doubles per column); everything else is
-    shift/mask expression work inside codegen. NULLs map to bucket 0 (they
-    cluster together — the useful behavior for skipping)."""
-    bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
-    ).collect()[0]
+    ``bits``-bit integers. NULLs map to bucket 0 (they cluster together —
+    the useful behavior for skipping).
+
+    ``scaling``:
+    - ``"uniform"``: min/max scaling — one tiny driver agg (2 doubles per
+      column), right for roughly-even distributions.
+    - ``"quantile"``: approxQuantile boundaries, bucket = number of
+      boundaries ≤ value (an array-filter count, still pure codegen).
+      Right for skewed columns, where uniform scaling collapses most rows
+      into a few buckets and the curve degenerates to a sort on the other
+      columns. Costs one approxQuantile pass per column and 2^bits
+      comparisons per row, so pair it with modest ``bits``."""
+    if scaling not in ("uniform", "quantile"):
+        raise ValueError("scaling must be 'uniform' or 'quantile'")
     top = (1 << bits) - 1
-    scaled = []
-    for c in cols:
-        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
-        if mn is None or mx is None or mx <= mn:
-            scaled.append(F.lit(0).cast("long"))
-            continue
-        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
-        scaled.append(
-            F.coalesce(
-                F.least(
-                    F.floor(frac * F.lit(top + 1)).cast("long"), F.lit(top)
-                ),
-                F.lit(0).cast("long"),
+    scaled: list[Column] = []
+    if scaling == "quantile":
+        probs = [i / (top + 1) for i in range(1, top + 1)]
+        for c in cols:
+            qs = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+                c, probs, 0.001
             )
-        )
+            arr = F.array(*[F.lit(float(b)) for b in qs])
+            scaled.append(
+                F.coalesce(
+                    F.size(
+                        F.filter(
+                            arr, lambda b: F.col(c).cast("double") >= b
+                        )
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                )
+            )
+    else:
+        bounds = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        for c in cols:
+            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            if mn is None or mx is None or mx <= mn:
+                scaled.append(F.lit(0).cast("long"))
+                continue
+            frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+            scaled.append(
+                F.coalesce(
+                    F.least(
+                        F.floor(frac * F.lit(top + 1)).cast("long"), F.lit(top)
+                    ),
+                    F.lit(0).cast("long"),
+                )
+            )
     n = len(cols)
     z = F.lit(0).cast("long")
     for b in range(bits):
@@ -71,12 +102,13 @@ def zorder_write(
     n_files: int = 32,
     bits: int = 8,
     mode: str = "overwrite",
+    scaling: str = "uniform",
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the Z-curve
     of ``cols``: range-partition by Z-value (contiguous curve segments per
     file → tight per-file min/max on every interleaved column), sort
     within partitions (tight page-level stats too)."""
-    base, z = zvalue(df, cols, bits)
+    base, z = zvalue(df, cols, bits, scaling)
     (
         base.withColumn("_z", z)
         .repartitionByRange(n_files, F.col("_z"))

@@ -293,3 +293,26 @@ def test_zorder_scan_actually_skips_row_groups(spark, sf_dir, tmp_path):
     assert z_rows is not None and s_rows is not None
     assert z_rows < 0.5 * total, (z_rows, total)
     assert s_rows > 0.9 * total, (s_rows, total)
+
+
+def test_zorder_quantile_scaling_handles_skew(spark):
+    """On a heavily skewed column, uniform scaling collapses most rows
+    into a handful of Z buckets (the curve degenerates); quantile scaling
+    keeps the buckets populated evenly."""
+    from rtdl_spark.operators.zorder import zvalue
+
+    # 95% of values in [0,1], 5% up to 1e6
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 20 < 19, (F.col("id") % 97) / 97.0)
+        .otherwise((F.col("id") % 97) * 10_000.0)
+        .alias("skewed"),
+        (F.col("id") % 251).cast("double").alias("even"),
+    )
+
+    def distinct_buckets(scaling):
+        base, z = zvalue(df, ["skewed", "even"], bits=6, scaling=scaling)
+        return base.select(z.alias("z")).distinct().count()
+
+    uni, qnt = distinct_buckets("uniform"), distinct_buckets("quantile")
+    assert qnt > 2 * uni, (uni, qnt)
