@@ -81,3 +81,29 @@ def curate_corpus(
         F.col("is_exact_canonical") & (F.row_number().over(w_fp) == 1),
     )
     return scored.withColumn("kept", F.col("is_fp_canonical"))
+
+
+def stratified_take(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group sample: exactly min(k, group size) rows per
+    group, chosen by ranking on md5(id) — a fixed pseudo-random order
+    that every engine computes identically, so the 'sample' is stable
+    across runs, clusters, and the DuckDB oracle (rand()-based sampling
+    is none of those). The training-data mixture primitive: cap each
+    source/language bucket at k docs.
+
+    One window shuffle on the group key; at skew (one giant group) the
+    rank is computed per-partition after the hash partitioning, same as
+    any top-k-per-group."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -305,3 +305,32 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens"
         ),
     )
+
+
+@query(
+    "text_stratified_sample",
+    oracle="""
+    SELECT lang, source, doc_id
+    FROM (
+      SELECT lang, source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling
+    (operators/curation.py::stratified_take): cap every (lang, source)
+    bucket at 20 docs, selection order = md5(doc_id) — a pseudo-random
+    but engine-independent order, so the oracle draws the *same* sample.
+    The training-mixture primitive (balance languages/sources without a
+    nondeterministic rand())."""
+    from rtdl_spark.operators.curation import stratified_take
+
+    d = table(spark, sf_dir, "documents")
+    return stratified_take(d, ["lang", "source"], 20).select(
+        "lang", "source", "doc_id"
+    )
