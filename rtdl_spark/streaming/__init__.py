@@ -8,6 +8,7 @@ from rtdl_spark.streaming.jobs import (  # noqa: F401
     stream_ingest_json,
     stream_interval_join,
     stream_session_counts,
+    stream_sliding_counts,
     stream_stateful_user_totals,
     stream_tumbling_counts,
 )

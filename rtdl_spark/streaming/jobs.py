@@ -87,6 +87,24 @@ def stream_tumbling_counts(
     )
 
 
+def stream_sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding windows (each event lands in window/slide
+    overlapping windows). State grows with window/slide × key cardinality
+    — the factor to budget when sizing executors for overlapping windows."""
+    return (
+        _tz_ts(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
 def stream_session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -329,3 +329,31 @@ def test_stream_interval_join_left_outer_emits_expired_unmatched(spark, tmp_path
     # c2's horizon (10:10 + 30min watermark) is passed by the 12:00 wave →
     # emitted unmatched; c3 is still inside its horizon → held in state
     assert nulls == {2}
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, events_stream):
+    """Sliding windows under a stream + watermark: every finalized window
+    must carry the batch count for that window (each event belongs to
+    exactly window/slide = 2 windows)."""
+    from rtdl_spark.streaming import stream_sliding_counts
+
+    run_to_memory(
+        stream_sliding_counts(events_stream), "sliding_out", "append"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    )
+    expected = {(r["ws"], r["event_type"]): r["n"] for r in batch}
+    assert got, "no sliding windows finalized"
+    for key, n in got.items():
+        assert expected[key] == n
