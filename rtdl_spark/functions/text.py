@@ -247,3 +247,42 @@ def winnow_fingerprints(
             ),
         ).otherwise(F.array().cast("array<long>")),
     )
+
+
+def ngram_repetition(text: Column | str, n: int = 2) -> Column:
+    """Fraction of duplicated word n-grams, 1 - distinct/total (0 for
+    texts shorter than n tokens) — the repetition signal from the
+    Gopher-style quality rules: templated/looping text scores high while
+    natural prose stays low. Pure codegen over the kept-duplicates
+    ``kgrams``."""
+    return let(
+        kgrams(text, n),
+        lambda g: F.when(
+            F.size(g) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double")
+            / F.size(g).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def top_ngram_share(text: Column | str, n: int = 2) -> Column:
+    """Share of all n-gram occurrences taken by the single most frequent
+    n-gram (0 below n tokens) — catches the one-phrase-repeated failure
+    mode that the aggregate repetition ratio can miss. O(d·t) expression
+    work per row (d distinct × t total n-grams), let-bound so the gram
+    array is built once; fine for documents, not for books — chunk
+    first."""
+    return let(
+        kgrams(text, n),
+        lambda g: F.when(
+            F.size(g) > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct(g),
+                    lambda x: F.size(F.filter(g, lambda y: y == x)),
+                )
+            ).cast("double")
+            / F.size(g).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -334,3 +334,50 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_take(d, ["lang", "source"], 20).select(
         "lang", "source", "doc_id"
     )
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), k AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 2 THEN
+          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        ELSE [] END AS g2,
+        CASE WHEN len(w) >= 3 THEN
+          list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        ELSE [] END AS g3
+      FROM g
+    )
+    SELECT doc_id,
+      ROUND(CASE WHEN len(g2) > 0
+        THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0.0 END, 6)
+        AS rep2,
+      ROUND(CASE WHEN len(g3) > 0
+        THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) ELSE 0.0 END, 6)
+        AS rep3,
+      ROUND(CASE WHEN len(g2) > 0
+        THEN list_max(list_transform(list_distinct(g2),
+               x -> len(list_filter(g2, y -> y = x)))) * 1.0 / len(g2)
+        ELSE 0.0 END, 6) AS top2_share
+    FROM k
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    2-gram and 3-gram fractions plus the single most frequent bigram's
+    share of all bigrams (functions/text.py::ngram_repetition /
+    top_ngram_share) — the filters that catch templated and looping text
+    which lexical-diversity ratios alone miss."""
+    from rtdl_spark.functions.text import ngram_repetition, top_ngram_share
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(ngram_repetition("text", 2), 6).alias("rep2"),
+        F.round(ngram_repetition("text", 3), 6).alias("rep3"),
+        F.round(top_ngram_share("text", 2), 6).alias("top2_share"),
+    )
