@@ -107,3 +107,77 @@ def stratified_take(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window preparation step of a training pipeline. Chunk i
+    covers tokens [1 + i·(chunk−overlap), … + chunk); the final chunk may
+    be shorter; empty documents yield no chunks.
+
+    Pure expression work (sequence → slice → posexplode): a narrow map
+    whose output multiplies rows by ~len/(chunk−overlap) — do it AFTER
+    quality/dedup filters so the blow-up applies only to survivors (same
+    placement rule as multimodal frame sampling)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(step),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens))
+    )
+    return (
+        df.filter(F.size(toks) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    budget: int,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture sampling: draw ~``budget`` rows following the
+    per-key ``weights`` (a training-mix recipe like {'web': .6, 'code':
+    .4}). Per key the cap is floor(budget·weight); rows are chosen in
+    md5(id) order (engine-independent — see stratified_take); keys
+    outside the recipe contribute nothing. Under-populated keys yield
+    what they have — by design the recipe is a cap, not an upsampler
+    (repeat-sampling a scarce source is a curriculum decision, not a
+    sampling primitive).
+
+    Caps are banker's-rounded, not truncated: int() would turn the float
+    epsilon in 60·(1/3) into an off-by-one cap."""
+    total = sum(weights.values())
+    caps = {k: round(budget * w / total) for k, w in weights.items()}
+    cap_expr = None
+    for k, cap in caps.items():
+        branch = F.when(F.col(key_col) == k, F.lit(cap))
+        cap_expr = branch if cap_expr is None else cap_expr.when(
+            F.col(key_col) == k, F.lit(cap)
+        )
+    cap_expr = cap_expr.otherwise(F.lit(0))
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap_expr)
+        .drop("_rk")
+    )

@@ -381,3 +381,74 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ngram_repetition("text", 3), 6).alias("rep3"),
         F.round(top_ngram_share("text", 2), 6).alias("top2_share"),
     )
+
+
+@query(
+    "text_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), s AS (
+      SELECT doc_id, w,
+             UNNEST(range(1, greatest(len(w) - 8, 1) + 1, 56)) AS st,
+             generate_subscripts(
+               range(1, greatest(len(w) - 8, 1) + 1, 56), 1) - 1 AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           len(w[st:st+63]) AS n_chunk_tokens,
+           md5(array_to_string(w[st:st+63], ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/curation.py::chunk_documents):
+    64-token windows, 8-token overlap; output pins every chunk's token
+    count and text md5 so the oracle verifies the exact split points."""
+    from rtdl_spark.operators.curation import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, 64, 8)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split("chunk_text", " ")).alias("n_chunk_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "text_mixture_sample",
+    oracle="""
+    SELECT source, COUNT(*) AS n_drawn, MIN(doc_id) AS min_id
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= CASE source
+                  WHEN 'src0' THEN 30
+                  WHEN 'src1' THEN 20
+                  WHEN 'src2' THEN 10
+                  ELSE 0 END
+    GROUP BY source
+    """,
+)
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling (operators/curation.py::mixture_sample):
+    budget 60 split 50/33/17 across three sources (caps 30/20/10,
+    truncated by availability — src sizes vary with sf), deterministic
+    md5(id) order so the oracle draws the identical rows."""
+    from rtdl_spark.operators.curation import mixture_sample
+
+    d = table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, "source", 60, {"src0": 0.5, "src1": 1 / 3, "src2": 1 / 6}
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_drawn"), F.min("doc_id").alias("min_id")
+    )
