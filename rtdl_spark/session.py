@@ -74,10 +74,18 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
 def tune_for_scale(spark: SparkSession, input_bytes: int) -> SparkSession:
     """Size shuffle parallelism for a given input volume.
 
-    Rule of thumb: target ~128 MiB per shuffle partition, bounded below by
-    the cluster's default parallelism. With AQE enabled this only sets the
-    *initial* partition count; AQE coalesces/splits at runtime.
+    Rule of thumb: target ~128 MiB IN MEMORY per shuffle partition,
+    bounded below by the cluster's default parallelism. ``input_bytes``
+    is on-disk (compressed columnar) size, which under-states the
+    shuffled row size ~8× for numeric-heavy tables (snappy + dictionary/
+    RLE encoding vs row-wise unsafe rows — measured on the 100× soak:
+    60M lineitem rows are 1.1 GB on disk, ~9 GB as rows; the factor took
+    a 100× window sort from 17.6s at 32 partitions to 13.9s at the ~64
+    this sizing now picks, while 128 regressed to 17.9s). With AQE
+    enabled this only sets the *initial* count; AQE coalesces at
+    runtime, so erring high is cheap while erring low spills.
     """
-    target = max(default_parallelism(), input_bytes // (128 << 20))
+    in_memory = input_bytes * 8
+    target = max(default_parallelism(), in_memory // (128 << 20))
     spark.conf.set("spark.sql.shuffle.partitions", str(int(target)))
     return spark
