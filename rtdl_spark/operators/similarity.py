@@ -186,10 +186,17 @@ def rp_lsh_topk(
     n_bits: int = 6,
     seed: int = 42,
     k: int = 5,
+    quantized: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN (functions/rp_lsh.py): candidates are the
     corpus vectors sharing at least one sign-pattern bucket with the
     query; exact cosine re-ranks the candidates; top-k per query.
+
+    ``quantized=True`` re-ranks with int8 integer-space cosine instead
+    (functions/vectors.py::quantized_cosine) — the full int8 ANN
+    pipeline: bucket keys from one matmul, candidate vectors carried as
+    array<tinyint> (4× less join payload), ranking scores never leave
+    integer arithmetic until the final division.
 
     Plan shape mirrors minhash_lsh_pairs: explode bucket keys → equi join
     on the key (hash join, no quadratic stage, no corpus broadcast) →
@@ -220,26 +227,37 @@ def rp_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q_vec = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        l2_norm(F.col(vec_col)).alias("_qnorm"),
-    )
-    c_vec = base.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        l2_norm(F.col(vec_col)).alias("_cnorm"),
-    )
-    denom = F.col("_qnorm") * F.col("_cnorm")
+    if quantized:
+        from rtdl_spark.functions.vectors import quantize_int8, quantized_cosine
+
+        q_vec = queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize_int8(vec_col).alias("qq"),
+        )
+        c_vec = base.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize_int8(vec_col).alias("qc"),
+        )
+        sim = F.round(quantized_cosine(F.col("qq"), F.col("qc")), 6)
+    else:
+        q_vec = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            l2_norm(F.col(vec_col)).alias("_qnorm"),
+        )
+        c_vec = base.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            l2_norm(F.col(vec_col)).alias("_cnorm"),
+        )
+        denom = F.col("_qnorm") * F.col("_cnorm")
+        sim = F.round(
+            F.when(denom > 0, dot(F.col("qvec"), F.col("cvec")) / denom), 6
+        )
     scored = (
         cand.join(c_vec, "neighbor_id")
         .join(F.broadcast(q_vec), "query_id")
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                F.when(denom > 0, dot(F.col("qvec"), F.col("cvec")) / denom), 6
-            ),
-        )
+        .withColumn("cosine_sim", sim)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -388,3 +388,24 @@ def test_quantized_cosine_preserves_topk(spark, sf_dir):
     )
     for r in self_sim:
         assert abs(r["s"] - 1.0) < 1e-9
+
+
+def test_rp_lsh_quantized_pipeline_agrees_with_float(spark, sf_dir):
+    """The full int8 ANN pipeline (RP-LSH buckets + integer-space
+    rescoring) must recover most of the float pipeline's picks — both see
+    the SAME candidates (bucket keys are computed on the float vectors),
+    so the only divergence is int8 rounding in the re-rank."""
+    from rtdl_spark.operators.similarity import rp_lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    fl = rp_lsh_topk(emb, queries, k=5).collect()
+    q8 = rp_lsh_topk(emb, queries, k=5, quantized=True).collect()
+    fl_sets, q8_sets = {}, {}
+    for r in fl:
+        fl_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in q8:
+        q8_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n = sum(len(s) for s in fl_sets.values())
+    hits = sum(len(s & q8_sets.get(q, set())) for q, s in fl_sets.items())
+    assert n > 0 and hits / n >= 0.8, (hits, n)
