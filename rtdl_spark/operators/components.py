@@ -1,0 +1,127 @@
+"""Connected components over candidate-pair edges — the transitive-closure
+step that turns near-duplicate PAIRS (MinHash/winnow/cosine joins emit
+edges) into duplicate CLUSTERS with one canonical representative each.
+Pairs alone under-delete: if A~B and B~C but A!~C, keeping "one of each
+pair" retains two of the three docs; the component {A,B,C} keeps exactly
+one.
+
+Algorithm: alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — the shuffle-bounded
+formulation built for exactly this setting:
+
+- **large-star**: every node connects its strictly-larger neighbors to the
+  minimum of its neighborhood (including itself);
+- **small-star**: every node connects its smaller-or-equal neighbors (and
+  itself) to that minimum.
+
+Both are a window-min over edges partitioned by node — one shuffle each —
+and the pair provably converges in O(log² n) rounds to star graphs whose
+centers are the component minima. Compared to naive label propagation
+(O(diameter) rounds — a 100-hop chain of shingled docs takes 100 shuffles)
+or repeated self-joins (intermediate blow-up), every intermediate edge set
+here stays O(E) and the round count is logarithmic.
+
+Scale notes (100 TB):
+- The driver loop carries NO data — only a (count, checksum) signature per
+  round for convergence detection. Edges stay distributed throughout.
+- `localCheckpoint` after each round truncates lineage; otherwise round k
+  re-plans k rounds of windows and the DAG grows quadratically.
+- Window-min (not groupBy+join) keeps each phase to a single exchange on
+  the node key, which the next phase's partitioning then reuses.
+- Skew: a mega-component's hub node concentrates its edges on one
+  partition only at the star *end state*, when the component's edge list
+  has already collapsed to size(component) rows — the dangerous
+  quadratic state never exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, min(N(u) ∪ {u})) for every neighbor v > u, over symmetrized
+    edges. Emitted edges always point strictly downward (v > m)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge large→small, then connect every node of each
+    neighborhood (neighbors AND the center) to the neighborhood minimum."""
+    oriented = edges.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    with_min = oriented.withColumn(
+        "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    )
+    nbrs = with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    centers = with_min.select("u", F.col("m").alias("v"))
+    return nbrs.union(centers).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve undirected edges ``(src, dst)`` into components.
+
+    Returns ``(node, component)`` — one row per node that appears in any
+    edge, with ``component`` = the minimum node id of its component (the
+    canonical-representative convention used across the dedup family).
+    Nodes with no edges don't appear; callers keep them unconditionally
+    (they have no duplicates).
+
+    Convergence is detected by a per-round (count, xxhash64-sum) signature
+    of the edge set — two tiny aggregates instead of an exceptAll join;
+    a hash collision masking a real change is ~2⁻⁶⁴ and self-heals next
+    round since a non-converged state keeps moving toward the fixpoint.
+    ``max_iter`` (default 25 ≈ log²(10⁹) rounds with slack) guards driver
+    hangs on adversarial inputs; hitting it raises rather than returning
+    a partially-merged (silently wrong) clustering.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # DECIMAL sum: a long sum of 64-bit hashes overflows (and ANSI
+            # mode — the Spark 4 default — makes that a hard error).
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # At the fixpoint edges form stars centered on component minima, so
+    # each node's component is the min over its (symmetrized) neighborhood
+    # and itself — correct for both leaves and centers.
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .select(F.col("u").alias("node"), "component")
+    )

@@ -413,6 +413,57 @@ def dedup_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_assignment",
+    # Recursive min-label reachability is the SQL-expressible twin of the
+    # large-star/small-star iteration: over a symmetric edge set, the set
+    # of nodes reaching v IS v's component, so MIN over it is the same
+    # canonical id the Spark operator converges to.
+    oracle=_LSH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , pairs AS (
+      SELECT id1, id2 FROM cand
+      WHERE ROUND(len(list_intersect(sh1, sh2)) * 1.0
+                  / len(list_distinct(list_concat(sh1, sh2))), 6) >= 0.5
+    ), sym AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ), walk(node, comp) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+    ), assign AS (
+      SELECT node, MIN(comp) AS canonical_id FROM walk GROUP BY node
+    )
+    SELECT node AS doc_id, canonical_id,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+    FROM assign
+    """,
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: MinHash+LSH edges resolved by
+    distributed connected components (operators/components.py, large-star/
+    small-star) into (doc_id, canonical_id, cluster_size). This is the
+    delete list a production dedup actually executes — pairwise keep-one
+    under-deletes on any chain A~B~C (see module docstring there)."""
+    from pyspark.sql import Window
+
+    from rtdl_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.5
+    )
+    cc = connected_components(pairs, "id1", "id2")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
+    )
+
+
 _FP_SQL = (
     "md5(array_to_string(list_sort(list_distinct(string_split(text, ' ')))"
     ", ' '))"

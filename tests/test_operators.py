@@ -409,3 +409,21 @@ def test_rp_lsh_quantized_pipeline_agrees_with_float(spark, sf_dir):
     n = sum(len(s) for s in fl_sets.values())
     hits = sum(len(s & q8_sets.get(q, set())) for q, s in fl_sets.items())
     assert n > 0 and hits / n >= 0.8, (hits, n)
+
+
+def test_connected_components_chains_islands_direction_invariance(spark):
+    """Path graphs (worst case for label propagation), separate islands,
+    and mixed edge orientation all resolve to min-id components."""
+    from rtdl_spark.operators.components import connected_components
+
+    edges = [(2, 1), (3, 2), (4, 3), (5, 4), (11, 10), (20, 21), (22, 21),
+             (7, 100), (100, 50), (5, 5)]  # self-loop must be ignored
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    out = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 7: 7, 50: 7, 100: 7}
+    # direction invariance: flipping every edge changes nothing
+    flipped = df.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    out2 = {r["node"]: r["component"]
+            for r in connected_components(flipped, "id1", "id2").collect()}
+    assert out2 == out

@@ -277,3 +277,46 @@ def test_winnowing_shared_run_guarantee(spark, data):
     )
     for r in df.collect():
         assert set(r["fa"]) & set(r["fb"]), (r["id"], r["fa"], r["fb"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed large-star/small-star agrees with a sequential
+    union-find on arbitrary small graphs (self-loops, parallel edges,
+    chains, stars — whatever hypothesis throws)."""
+    from rtdl_spark.operators.components import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in edges:
+        if a != b:
+            touched.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in touched}
+    # min-id convention: re-root every tree at its component minimum
+    comp_min: dict[int, int] = {}
+    for n, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[r] for n, r in expected.items()}
+
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == expected
