@@ -13,8 +13,11 @@ skipping on all of them.
 
 Mechanics: each column is normalized to a ``bits``-wide integer by uniform
 min/max scaling (driver computes the 2-value bounds in one tiny agg), the
-integers' bits are interleaved JVM-side (shift/mask expressions — no UDF),
-and the frame is range-partitioned + sorted by the Z-value before writing.
+integers are combined into a curve key — Morton bit-interleave JVM-side
+(shift/mask expressions — no UDF) or a Hilbert index (numpy kernel,
+functions/hilbert_np.py; unit-step locality → tighter per-file bounding
+boxes) — and the frame is range-partitioned + sorted by the key before
+writing.
 Uniform scaling is deliberate: quantile scaling handles skew better but
 needs an approxQuantile pass; callers with pathological skew should
 pre-transform (log, rank) the column instead.
@@ -26,15 +29,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def zvalue(
+def _scaled_cols(
     df: DataFrame,
     cols: list[str],
-    bits: int = 8,
-    scaling: str = "uniform",
-) -> tuple[DataFrame, Column]:
-    """Return (df, zcol): the Morton interleave of ``cols`` normalized to
-    ``bits``-bit integers. NULLs map to bucket 0 (they cluster together —
-    the useful behavior for skipping).
+    bits: int,
+    scaling: str,
+) -> list[Column]:
+    """Normalize each column to a ``bits``-bit long (shared by both
+    curves). NULLs map to bucket 0 (they cluster together — the useful
+    behavior for skipping).
 
     ``scaling``:
     - ``"uniform"``: min/max scaling — one tiny driver agg (2 doubles per
@@ -85,6 +88,34 @@ def zvalue(
                     F.lit(0).cast("long"),
                 )
             )
+    return scaled
+
+
+def zvalue(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    scaling: str = "uniform",
+    curve: str = "morton",
+) -> tuple[DataFrame, Column]:
+    """Return (df, zcol): the space-filling-curve key of ``cols``
+    normalized to ``bits``-bit integers (see _scaled_cols for scaling).
+
+    ``curve``:
+    - ``"morton"`` (default): bit interleave, pure shift/mask Catalyst
+      expressions — zero Python anywhere.
+    - ``"hilbert"``: Skilling transform via an Arrow/numpy kernel
+      (functions/hilbert_np.py). Unit-step locality → tighter per-file
+      bounding boxes than Morton's power-of-two jumps, i.e. better footer
+      skipping for the same layout cost; the kernel runs only at
+      layout-write time, never in the query path."""
+    scaled = _scaled_cols(df, cols, bits, scaling)
+    if curve == "hilbert":
+        from rtdl_spark.functions.hilbert_np import hilbert_key
+
+        return df, hilbert_key(scaled, bits)
+    if curve != "morton":
+        raise ValueError("curve must be 'morton' or 'hilbert'")
     n = len(cols)
     z = F.lit(0).cast("long")
     for b in range(bits):
@@ -103,12 +134,14 @@ def zorder_write(
     bits: int = 8,
     mode: str = "overwrite",
     scaling: str = "uniform",
+    curve: str = "morton",
 ) -> None:
-    """Write ``df`` as ``n_files`` parquet files clustered on the Z-curve
-    of ``cols``: range-partition by Z-value (contiguous curve segments per
-    file → tight per-file min/max on every interleaved column), sort
-    within partitions (tight page-level stats too)."""
-    base, z = zvalue(df, cols, bits, scaling)
+    """Write ``df`` as ``n_files`` parquet files clustered on the chosen
+    space-filling curve of ``cols``: range-partition by curve key
+    (contiguous curve segments per file → tight per-file min/max on every
+    interleaved column), sort within partitions (tight page-level stats
+    too)."""
+    base, z = zvalue(df, cols, bits, scaling, curve)
     (
         base.withColumn("_z", z)
         .repartitionByRange(n_files, F.col("_z"))

@@ -316,3 +316,80 @@ def test_zorder_quantile_scaling_handles_skew(spark):
 
     uni, qnt = distinct_buckets("uniform"), distinct_buckets("quantile")
     assert qnt > 2 * uni, (uni, qnt)
+
+
+def test_hilbert_kernel_is_a_true_hilbert_curve():
+    """Defining properties, checked exhaustively on full grids: the key is
+    a bijection onto [0, side^dims) and walking keys in order moves one
+    orthogonal unit step per cell (Morton fails this at every power-of-two
+    boundary — exactly the jumps that loosen file bounding boxes)."""
+    import itertools
+
+    import numpy as np
+
+    from rtdl_spark.functions.hilbert_np import hilbert_index
+
+    for dims, bits in [(2, 1), (2, 4), (3, 3)]:
+        side = 1 << bits
+        grid = np.array(list(itertools.product(range(side), repeat=dims)))
+        keys = hilbert_index(grid, bits)
+        assert sorted(keys) == list(range(side**dims)), (dims, bits)
+        order = grid[np.argsort(keys)]
+        steps = np.abs(np.diff(order, axis=0)).sum(axis=1)
+        assert (steps == 1).all(), (dims, bits, int(steps.max()))
+
+
+def test_hilbert_layout_skips_and_bounds_no_worse_than_morton(
+    spark, sf_dir, tmp_path
+):
+    """The Hilbert layout must (a) pass the same executed-scan skipping
+    bar as Morton on the second interleaved column and (b) produce
+    per-file bounding boxes (mean normalized area) no looser than
+    Morton's — the locality claim, measured on real files."""
+    import os
+
+    from rtdl_spark.catalog import table
+    from rtdl_spark.operators.zorder import zorder_write
+    from rtdl_spark.plans.inspect import scan_output_rows
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    total = orders.count()
+    hdir, mdir = str(tmp_path / "h"), str(tmp_path / "m")
+    zorder_write(
+        orders, ["o_custkey", "o_totalprice"], hdir, n_files=16,
+        curve="hilbert",
+    )
+    zorder_write(orders, ["o_custkey", "o_totalprice"], mdir, n_files=16)
+
+    pred = (F.col("o_totalprice") > 100000) & (F.col("o_totalprice") < 110000)
+    h_rows = scan_output_rows(spark.read.parquet(hdir).filter(pred))
+    assert h_rows is not None and h_rows < 0.5 * total, (h_rows, total)
+
+    glb = orders.agg(
+        F.min("o_custkey").alias("ck0"), F.max("o_custkey").alias("ck1"),
+        F.min("o_totalprice").alias("tp0"), F.max("o_totalprice").alias("tp1"),
+    ).collect()[0]
+
+    def mean_bbox_area(d):
+        files = [
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        ]
+        assert len(files) >= 8, files
+        areas = []
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                    (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+                )
+                .collect()[0]
+            )
+            areas.append(
+                float(r["ck"]) / float(glb["ck1"] - glb["ck0"])
+                * float(r["tp"]) / float(glb["tp1"] - glb["tp0"])
+            )
+        return sum(areas) / len(areas)
+
+    h_area, m_area = mean_bbox_area(hdir), mean_bbox_area(mdir)
+    assert h_area <= 1.1 * m_area, (h_area, m_area)
