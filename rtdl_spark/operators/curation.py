@@ -146,6 +146,42 @@ def chunk_documents(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing any
+    word ``n``-gram with the evaluation set — the overlap rule used to
+    keep test sets out of training corpora (GPT-3 appendix C / Gopher
+    style, with n set by corpus tokenization; docs shorter than n tokens
+    can't collide and always survive).
+
+    Scale shape mirrors dedup_against_corpus's winnow path: both sides
+    reduce to narrow (id, ngram-hash) longs via the deterministic
+    polynomial hash (functions.text.token_hash — DuckDB-reproducible, so
+    the whole rule is oracle-checkable); the benchmark's distinct hash set
+    — small by definition (eval sets are thousands of docs, not billions)
+    — broadcast-joins against the training side, and survivors come back
+    through one anti join on id. The training corpus is never shuffled by
+    ngram, only scanned.
+
+    Returns the surviving ``train`` rows unchanged."""
+    from rtdl_spark.functions.text import shingles, token_hash
+
+    grams = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), n), token_hash)
+        ).alias("_g"),
+    )
+    bench_grams = F.broadcast(grams(benchmark).select("_g").distinct())
+    hit_ids = grams(train).join(bench_grams, "_g").select("_id").distinct()
+    return train.join(hit_ids, F.col(id_col) == F.col("_id"), "left_anti")
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from rtdl_spark.catalog import table
 from rtdl_spark.functions.text import (
+    HASH_P,
     avg_token_len,
     distinct_token_ratio,
     stopword_ratio,
@@ -451,4 +452,167 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_drawn"), F.min("doc_id").alias("min_id")
+    )
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN
+               list_transform(range(1, len(w) - 3),
+                 i -> list_reduce(list_transform(string_split(
+                        array_to_string(w[i:i+4], ' '), ''),
+                      c -> ascii(c)::BIGINT),
+                      (h, c) -> (h * 31 + c) % {HASH_P}))
+             ELSE [] END AS hs
+      FROM toks
+    ), e AS (
+      SELECT doc_id, UNNEST(hs) AS h FROM g
+    ), bench AS (
+      SELECT DISTINCT h FROM e WHERE doc_id % 10 = 0
+    ), hits AS (
+      SELECT DISTINCT t.doc_id FROM e t JOIN bench b ON t.h = b.h
+      WHERE t.doc_id % 10 <> 0
+    )
+    SELECT d.doc_id, d.source, d.lang FROM documents d
+    WHERE d.doc_id % 10 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py::decontaminate):
+    docs with doc_id % 10 == 0 play the held-out eval set; every training
+    doc sharing any 5-token n-gram with it is dropped — the GPT-3-style
+    overlap rule. The oracle re-runs the identical n-gram polynomial
+    hashing in DuckDB, so the hash join itself is verified."""
+    from rtdl_spark.operators.curation import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(train, bench, n=5).select("doc_id", "source", "lang")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ), total AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+    ), scored AS (
+      SELECT t.doc_id, -log2(f.c / total.n) AS nll
+      FROM tok t JOIN freq f USING (tok) CROSS JOIN total
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the cheap stand-in for the
+    KenLM-perplexity quality filter of training pipelines: fit token
+    frequencies over the corpus in one aggregate, score each doc as the
+    mean negative log2 probability of its tokens (high = out-of
+    -distribution / junk).
+
+    Scale shape: the 'model' is the vocabulary frequency table — tiny next
+    to the corpus — so scoring is a broadcast join back onto the exploded
+    tokens; two shuffles total (vocab agg, per-doc agg), corpus scanned
+    twice, never shuffled by token for scoring."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    model = F.broadcast(
+        freq.join(total)
+        .select("tok", (-F.log2(F.col("c") / F.col("n"))).alias("nll"))
+    )
+    return (
+        tok.join(model, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )
+
+
+_BM25_TERMS = ("vector", "hash", "merge")
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             AVG(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, COUNT(*) AS n_terms_hit, ROUND(SUM(s), 5) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed term set — the
+    text-search capability over the lake: per-doc term frequencies join a
+    broadcast document-frequency table (vocab-sized) and corpus scalars
+    (one row); the corpus itself is never shuffled by term. Returns every
+    matching doc's score (no top-k cut, so float ties can't make the two
+    engines pick different result SETS — ordering is the caller's cheap
+    final step)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    dl = d.select("doc_id", F.size(tokens("text")).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens("text"))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = F.broadcast(tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * F.col("tf") * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.round(F.sum("s"), 5).alias("bm25"),
     )

@@ -427,3 +427,27 @@ def test_connected_components_chains_islands_direction_invariance(spark):
     out2 = {r["node"]: r["component"]
             for r in connected_components(flipped, "id1", "id2").collect()}
     assert out2 == out
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Docs sharing a planted 5-gram with the benchmark are dropped; docs
+    shorter than n tokens or with only sub-n overlap survive."""
+    from rtdl_spark.operators.curation import decontaminate
+
+    leak = "alpha beta gamma delta epsilon"
+    bench = spark.createDataFrame(
+        [(100, f"intro {leak} outro")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix {leak} suffix words here"),   # contaminated
+            (2, "alpha beta gamma delta"),             # 4-gram only: safe
+            (3, "totally unrelated text about sparks safe"),
+            (4, "tiny"),                               # < n tokens: safe
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(train, bench, n=5).collect()
+    )
+    assert kept == [2, 3, 4], kept
