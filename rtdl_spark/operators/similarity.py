@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from rtdl_spark.functions.vectors import cosine, dot, l2_norm
+from rtdl_spark.functions.vectors import cosine, dot, l2_norm, to_double
 
 
 def cosine_topk(
@@ -266,4 +266,68 @@ def rp_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:
+    2303.09540): cluster embeddings, find high-cosine pairs WITHIN each
+    cluster only, resolve pairs into duplicate groups, keep the lowest-id
+    representative of each. Returns the surviving corpus rows unchanged.
+
+    Composition of existing scale shapes, each already bounded:
+    1. unit-normalize (cosine-invariant; zero-norm vectors can't be
+       near-dups and always survive);
+    2. cell assignment = broadcast argmax vs deterministic seeded
+       centroids (ivf_assign) — corpus scanned, never shuffled all-pairs;
+    3. candidate pairs = per-cell self-join (the SemDeDup trick: quadratic
+       only within a cell, linear across cells; near-dups straddling a
+       cell boundary are missed — the paper's documented recall tradeoff,
+       bought for the n² reduction);
+    4. pairs → groups via connected_components (operators/components.py):
+       pairwise keep-one under-deletes chains A~B~C — see that module.
+    """
+    from rtdl_spark.operators.components import connected_components
+
+    vecs = corpus.select(
+        F.col(id_col).alias("_sid"), to_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    unit = vecs.filter(F.col("_n") > 0).select(
+        "_sid",
+        F.transform("_v", lambda x: x / F.col("_n")).alias("_u"),
+    )
+    centroids = (
+        unit.orderBy("_sid")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("_sid")).alias("cell_id"),
+            F.col("_u"),
+        )
+    )
+    assigned = ivf_assign(unit, centroids, "_sid", "_u")
+    a = assigned.select(
+        F.col("_sid").alias("id1"), F.col("_u").alias("v1"), "cell_id"
+    )
+    b = assigned.select(
+        F.col("_sid").alias("id2"), F.col("_u").alias("v2"), "cell_id"
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(cosine(F.col("v1"), F.col("v2")) >= threshold)
+        .select("id1", "id2")
+    )
+    drop = connected_components(pairs, "id1", "id2").filter(
+        F.col("node") != F.col("component")
+    )
+    return corpus.join(
+        drop.select(F.col("node").alias("_drop")),
+        F.col(id_col) == F.col("_drop"),
+        "left_anti",
     )

@@ -249,3 +249,40 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "qcos", "rank")
     )
+
+
+@query(
+    "sim_semantic_dedup",
+    # Ground-truth oracle: the planted corpus (originals + 1.5×-scaled
+    # replicas) has a known answer — scaling is cosine-invariant, so each
+    # replica coincides with its original after normalization (same cell,
+    # cosine exactly 1) and must be dropped; the fixture's real vectors
+    # have no pair at ≥ 0.999 (max within-label ≈ 0.47), so survivors are
+    # exactly the originals. Precision AND recall of the whole composed
+    # pipeline are hash-verified, not just row counts.
+    oracle="""
+    SELECT vec_id, label FROM embeddings WHERE vec_id < 200
+    """,
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition (operators/similarity.py::semantic_dedup):
+    normalize → IVF cells → within-cell cosine pairs → connected
+    components → keep lowest-id representative. Same planted-replica
+    scenario as dedup_embedding_cosine, but resolved end-to-end by the
+    clustered pipeline instead of label blocking."""
+    from rtdl_spark.operators.similarity import semantic_dedup
+
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "label", "embedding")
+    )
+    noisy = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = base.unionByName(noisy)
+    return semantic_dedup(corpus, n_cells=8, threshold=0.999).select(
+        "vec_id", "label"
+    )

@@ -451,3 +451,31 @@ def test_decontaminate_planted_overlap(spark):
         r["doc_id"] for r in decontaminate(train, bench, n=5).collect()
     )
     assert kept == [2, 3, 4], kept
+
+
+def test_semantic_dedup_chain_keeps_one_not_pairwise_two(spark):
+    """Three unit vectors at 0°/20°/40° with threshold 0.9: adjacent pairs
+    are near-dups (cos20° ≈ .94) but the ends are not (cos40° ≈ .77).
+    Transitive resolution must keep ONLY the lowest id — a pairwise
+    keep-one rule would wrongly keep both ends. Unrelated and zero
+    vectors survive."""
+    import math
+
+    from rtdl_spark.operators.similarity import semantic_dedup
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [
+        (1, rot(0)), (2, rot(20)), (3, rot(40)),
+        (4, [-1.0, 0.0]),          # unrelated
+        (5, [0.0, 0.0]),           # zero-norm: must survive
+        (6, [-2.0, 0.0]),          # scaled copy of 4: near-dup of it
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, n_cells=1, threshold=0.9).collect()
+    )
+    assert kept == [1, 4, 5], kept
