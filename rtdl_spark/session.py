@@ -1,8 +1,11 @@
 """SparkSession factory tuned for the lake workload.
 
 Defaults are chosen for correctness parity with the DuckDB oracle (UTC
-session timezone, ANSI off) and for scale (AQE on, skew-join handling,
-partition coalescing). On a real cluster the same settings hold; only
+session timezone; ANSI mode stays at the Spark 4 default of ON — every
+division/overflow in the engine is written to be ANSI-safe) and for scale
+(AQE on, skew-join handling, partition coalescing; dynamic partition
+pruning and runtime bloom-filter join injection stay at their ON defaults
+— tests/test_plans.py proves both engage). On a real cluster the same settings hold; only
 ``shuffle.partitions`` / ``maxPartitionBytes`` need re-sizing to the
 executor fleet (see ``tune_for_scale``).
 """
