@@ -47,11 +47,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    # No distinct here: duplicate (v, m) edges across neighborhoods don't
+    # change any later min, and small-star distincts its own output — one
+    # less full shuffle per round.
     return (
         sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -75,6 +77,7 @@ def connected_components(
     src: str = "id1",
     dst: str = "id2",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve undirected edges ``(src, dst)`` into components.
 
@@ -91,15 +94,57 @@ def connected_components(
     ``max_iter`` (default 25 ≈ log²(10⁹) rounds with slack) guards driver
     hangs on adversarial inputs; hitting it raises rather than returning
     a partially-merged (silently wrong) clustering.
+
+    Lineage truncation per round (each phase references its input twice,
+    so without truncation the plan doubles per round):
+
+    - ``checkpoint_dir=None``: ``localCheckpoint`` + eager unpersist of
+      the previous round. Fast, but checkpoint blocks are UNEVICTABLE
+      storage — right for edge sets that fit comfortably in executor
+      memory (the usual dedup-pair case).
+    - ``checkpoint_dir=<path>``: parquet round-trip per round — zero heap
+      storage, any Hadoop FS scheme, previous round's files deleted as
+      soon as the next lands. The at-scale mode: a 30M-edge worst case
+      that OOMs the 8 GB local default under pinned checkpoint blocks
+      runs to completion this way (and reliable-storage checkpoints are
+      what a 1000-executor job wants anyway — an executor loss doesn't
+      restart the iteration).
     """
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+    def _hadoop_rm(path: str) -> None:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+
     prev_sig = None
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+    prev_ckpt: DataFrame | None = None
+    prev_path: str | None = None
+    for i in range(max_iter):
+        edges = _small_star(_large_star(edges))
+        if checkpoint_dir is None:
+            edges = edges.localCheckpoint()
+            if prev_ckpt is not None:
+                # Release the previous round NOW: eager localCheckpoint has
+                # already materialized the new one, and waiting for the
+                # async ContextCleaner lets ~max_iter edge sets pile up in
+                # unevictable storage memory (measured: the 30M-edge soak
+                # starved window sorts into UNABLE_TO_ACQUIRE_MEMORY).
+                prev_ckpt.unpersist()
+            prev_ckpt = edges
+        else:
+            path = f"{checkpoint_dir}/cc_round_{i}"
+            edges.write.mode("overwrite").parquet(path)
+            edges = spark.read.parquet(path)
+            if prev_path is not None:
+                _hadoop_rm(prev_path)
+            prev_path = path
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),
             # DECIMAL sum: a long sum of 64-bit hashes overflows (and ANSI

@@ -245,9 +245,10 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_curation_pipeline",
-    oracle="""
+# DuckDB twin of operators/curation.py::curate_corpus (quality gate →
+# exact dedup → fingerprint dedup), ending at relation `f` with per-doc
+# stage flags — shared by the funnel report and the composed prep pipeline.
+_CURATE_F_CTE = """
     WITH scored AS (
       SELECT doc_id, lang, text,
              len(string_split(text, ' ')) AS n_tokens,
@@ -274,6 +275,13 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY doc_id) = 1 AS kept
       FROM e
     )
+"""
+
+
+@query(
+    "text_curation_pipeline",
+    oracle=_CURATE_F_CTE
+    + """
     SELECT lang, COUNT(*) AS n_raw,
            CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT)
              AS n_quality,
@@ -616,3 +624,80 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms_hit"),
         F.round(F.sum("s"), 5).alias("bm25"),
     )
+
+
+@query(
+    "text_corpus_prep_pipeline",
+    oracle=_CURATE_F_CTE
+    + f"""
+    , kept AS (
+      SELECT doc_id, lang, n_tokens FROM f WHERE kept
+    ), toks2 AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN
+               list_transform(range(1, len(w) - 3),
+                 i -> list_reduce(list_transform(string_split(
+                        array_to_string(w[i:i+4], ' '), ''),
+                      c -> ascii(c)::BIGINT),
+                      (h, c) -> (h * 31 + c) % {HASH_P}))
+             ELSE [] END AS hs
+      FROM toks2
+    ), ev AS (
+      SELECT DISTINCT UNNEST(hs) AS h FROM g WHERE doc_id % 10 = 0
+    ), hits AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, UNNEST(hs) AS h FROM g) t JOIN ev USING (h)
+    ), clean AS (
+      SELECT k.* FROM kept k
+      WHERE k.doc_id % 10 <> 0
+        AND k.doc_id NOT IN (SELECT doc_id FROM hits)
+    ), kept_stats AS (
+      SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang
+    ), clean_stats AS (
+      SELECT lang, COUNT(*) AS n_clean,
+             CAST(SUM((greatest(n_tokens - 8, 1) - 1) // 56 + 1) AS BIGINT)
+               AS n_chunks
+      FROM clean GROUP BY lang
+    )
+    SELECT k.lang, k.n_kept, c.n_clean, c.n_chunks
+    FROM kept_stats k JOIN clean_stats c USING (lang)
+    """,
+)
+def text_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus preparation pipeline, composed from the
+    individually-verified stages: curation funnel (quality → exact →
+    fingerprint dedup) → benchmark decontamination (5-gram overlap vs the
+    doc_id%10==0 eval split) → context-window chunking (64 tokens,
+    overlap 8) — reported per language as docs kept, docs surviving
+    decontamination, and training chunks produced. The oracle re-runs
+    every stage in SQL (chunk counts arithmetically from the operator's
+    window formula), so the composition — stage order, survivor flow,
+    chunk fan-out — is hash-verified, not just each piece."""
+    from rtdl_spark.operators.curation import (
+        chunk_documents,
+        curate_corpus,
+        decontaminate,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    cur = curate_corpus(d).filter(F.col("kept"))
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = cur.filter(F.col("doc_id") % 10 != 0)
+    clean = decontaminate(train, bench, n=5)
+    chunk_counts = (
+        chunk_documents(clean, 64, 8)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+    kept_stats = cur.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    clean_stats = (
+        clean.join(chunk_counts, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_clean"),
+            F.sum("n_chunks").alias("n_chunks"),
+        )
+    )
+    return kept_stats.join(clean_stats, "lang")

@@ -479,3 +479,23 @@ def test_semantic_dedup_chain_keeps_one_not_pairwise_two(spark):
         for r in semantic_dedup(df, n_cells=1, threshold=0.9).collect()
     )
     assert kept == [1, 4, 5], kept
+
+
+def test_connected_components_disk_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir mode (parquet round-trip lineage truncation — the
+    at-scale path) returns the identical clustering and cleans up all but
+    the final round's files."""
+    import os
+
+    from rtdl_spark.operators.components import connected_components
+
+    edges = [(2, 1), (3, 2), (4, 3), (20, 21), (22, 21)]
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    ckpt = str(tmp_path / "cc")
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20, 22: 20}
+    rounds = [d for d in os.listdir(ckpt) if d.startswith("cc_round_")]
+    assert len(rounds) == 1, rounds

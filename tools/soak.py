@@ -177,6 +177,27 @@ def main() -> None:
         lambda: curate_corpus(docs).groupBy("kept").count().count(),
     )
 
+    # connected components: n×1M-edge graph of 1000-node paths — the
+    # iterative pairs→clusters primitive at its worst case (path graphs
+    # maximize rounds for naive propagation; large-star/small-star must
+    # still converge in O(log² 1000) rounds with two window shuffles +
+    # a localCheckpoint per round, edge set never exceeding O(E))
+    from rtdl_spark.operators.components import connected_components
+
+    edges = (
+        spark.range(0, n * 1_000_000)
+        .filter(F.col("id") % 1000 != 999)
+        .select(F.col("id").alias("id1"), (F.col("id") + 1).alias("id2"))
+    )
+    import tempfile
+
+    run(
+        "connected_components_paths",
+        lambda: connected_components(
+            edges, checkpoint_dir=tempfile.mkdtemp(prefix="cc_soak_")
+        ).count(),
+    )
+
     # pathological skew: 90% of rows share one key. Hash aggregation
     # handles this fine (map-side partials absorb the hot key); the salted
     # two-phase variant is the construction for non-algebraic aggs / skewed
