@@ -170,3 +170,47 @@ def connected_components(
         .agg(F.least(F.min("v"), F.first("u")).alias("component"))
         .select(F.col("u").alias("node"), "component")
     )
+
+
+def incremental_components(
+    assignment: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Merge newly-discovered edges into an existing clustering — the
+    recurring-crawl shape for cluster dedup: the historical corpus keeps
+    its (node, component) assignment; only the new batch mines pairs
+    (against itself + the corpus), and the merge never re-mines or
+    re-walks historical edges.
+
+    Correctness: a prior assignment IS its component graph's spanning
+    star (connectivity-preserving), so CC over star-edges ∪ new-edges
+    equals CC over old-edges ∪ new-edges — verified against the full
+    recomputation's oracle. Cost: star edges are one row per non-root
+    node (≤ the original edge count), already one hop from their minimum,
+    so rounds are driven by the new edges' structure, not corpus size.
+
+    ``assignment``: (node, component) from a previous run. Returns the
+    updated (node, component) over all nodes seen in either input.
+    """
+    stars = assignment.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    merged = stars.unionByName(new_pairs.select(F.col(src), F.col(dst)))
+    out = connected_components(
+        merged, src, dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    # Prior nodes touching no edge at all (component roots whose members
+    # all stayed put, incl. the degenerate node==component rows) fall out
+    # of the CC result; restore their assignment unchanged.
+    untouched = assignment.join(
+        merged.select(F.col(src).alias("node"))
+        .union(merged.select(F.col(dst).alias("node")))
+        .distinct(),
+        "node",
+        "left_anti",
+    )
+    return out.unionByName(untouched)

@@ -413,14 +413,13 @@ def dedup_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_cluster_assignment",
-    # Recursive min-label reachability is the SQL-expressible twin of the
-    # large-star/small-star iteration: over a symmetric edge set, the set
-    # of nodes reaching v IS v's component, so MIN over it is the same
-    # canonical id the Spark operator converges to.
-    oracle=_LSH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + """
+# Recursive min-label reachability is the SQL-expressible twin of the
+# large-star/small-star iteration: over a symmetric edge set, the set
+# of nodes reaching v IS v's component, so MIN over it is the same
+# canonical id the Spark operator converges to. Shared by the full
+# clustering query and the incremental-merge query (whose defining
+# property is equality with this full recomputation).
+_CC_ORACLE = _LSH_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
     , pairs AS (
       SELECT id1, id2 FROM cand
       WHERE ROUND(len(list_intersect(sh1, sh2)) * 1.0
@@ -439,8 +438,10 @@ def dedup_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, canonical_id,
            COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
     FROM assign
-    """,
-)
+    """
+
+
+@query("dedup_cluster_assignment", oracle=_CC_ORACLE)
 def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS: MinHash+LSH edges resolved by
     distributed connected components (operators/components.py, large-star/
@@ -456,6 +457,36 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(pairs, "id1", "id2")
     return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
+    )
+
+
+@query("dedup_incremental_clusters", oracle=_CC_ORACLE)
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance (operators/components.py::
+    incremental_components): the even-doc subgraph's clustering plays the
+    historical assignment; pairs touching odd docs play the new batch's
+    edges. Merging stars + new edges must reproduce the FULL
+    recomputation bit-for-bit — the defining equivalence, checked by
+    sharing the full recompute's oracle."""
+    from pyspark.sql import Window
+
+    from rtdl_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    pairs = minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.5
+    ).localCheckpoint()  # reused thrice below; avoid re-mining
+    even = (F.col("id1") % 2 == 0) & (F.col("id2") % 2 == 0)
+    assignment = connected_components(pairs.filter(even), "id1", "id2")
+    out = incremental_components(assignment, pairs.filter(~even))
+    return out.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("canonical_id"),
     ).withColumn(

@@ -499,3 +499,26 @@ def test_connected_components_disk_checkpoint_mode(spark, tmp_path):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20, 22: 20}
     rounds = [d for d in os.listdir(ckpt) if d.startswith("cc_round_")]
     assert len(rounds) == 1, rounds
+
+
+def test_incremental_components_matches_full_recompute(spark):
+    """Merging a prior clustering's star edges with new edges equals CC
+    over all edges; components untouched by new edges keep their
+    assignment (including singleton roots)."""
+    from rtdl_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    new_edges = [(3, 50), (11, 60), (70, 71)]
+    old = spark.createDataFrame(old_edges, "id1 long, id2 long")
+    new = spark.createDataFrame(new_edges, "id1 long, id2 long")
+    assignment = connected_components(old)
+    inc = {r["node"]: r["component"]
+           for r in incremental_components(assignment, new).collect()}
+    full = {r["node"]: r["component"]
+            for r in connected_components(old.union(new)).collect()}
+    assert inc == full, (inc, full)
+    assert inc[20] == 20 and inc[21] == 20  # untouched component preserved
+    assert inc[70] == 70 and inc[71] == 70  # brand-new component
