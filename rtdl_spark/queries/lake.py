@@ -89,7 +89,13 @@ def _replay(spark: SparkSession, sf_dir: str, pinned_schema: str) -> DataFrame:
             )
         ).alias("value")
     )
-    workdir = tempfile.mkdtemp(prefix="rtdl_ingest_replay_")
+    # Scratch on tmpfs when available: the replay benches the ENGINE's
+    # ingest path (parse → infer → route → bucket → columnar encode), and
+    # disk/page-cache state made the numbers swing ~2× run-to-run —
+    # phantom regressions in round-over-round comparisons. Real-deployment
+    # IO cost belongs to a sink benchmark, not this one.
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_ingest_replay_", dir=shm)
     try:
         src = os.path.join(workdir, "src")
         envelopes.write.mode("overwrite").text(src)
