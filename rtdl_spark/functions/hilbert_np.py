@@ -75,6 +75,14 @@ def hilbert_key(scaled: list[Column], bits: int) -> Column:
     """Column of Hilbert indices from already-scaled long columns (each in
     [0, 2**bits); scaling lives in operators.zorder, shared with Morton)."""
     n = len(scaled)
+    if n * bits > 63:
+        # Validate at plan time on the driver — inside the UDF this would
+        # surface as an opaque per-task PythonException after a full job
+        # launch (and retries) instead of an immediate, readable error.
+        raise ValueError(
+            f"hilbert key needs {n * bits} bits for {n} columns × {bits} "
+            "bits each; max 63 (reduce bits or columns)"
+        )
 
     @F.pandas_udf("long")
     def _key(*series: pd.Series) -> pd.Series:

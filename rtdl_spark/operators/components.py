@@ -104,11 +104,14 @@ def connected_components(
       memory (the usual dedup-pair case).
     - ``checkpoint_dir=<path>``: parquet round-trip per round — zero heap
       storage, any Hadoop FS scheme, previous round's files deleted as
-      soon as the next lands. The at-scale mode: a 30M-edge worst case
-      that OOMs the 8 GB local default under pinned checkpoint blocks
-      runs to completion this way (and reliable-storage checkpoints are
-      what a 1000-executor job wants anyway — an executor loss doesn't
-      restart the iteration).
+      soon as the next lands (each run writes under its own unique
+      subdirectory, so concurrent runs may share the dir). The at-scale
+      mode: a 30M-edge worst case that OOMs the 8 GB local default under
+      pinned checkpoint blocks runs to completion this way (and
+      reliable-storage checkpoints are what a 1000-executor job wants
+      anyway — an executor loss doesn't restart the iteration). The FINAL
+      round's files back the returned DataFrame lazily: consume (or
+      persist) the result before deleting ``checkpoint_dir``.
     """
     spark = pairs.sparkSession
     edges = (
@@ -123,23 +126,43 @@ def connected_components(
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)
 
+    def _release_local_checkpoint(df: DataFrame) -> None:
+        # Dataset.unpersist() is a NO-OP for localCheckpoint blocks (it
+        # only clears CacheManager entries; the checkpoint RDD never
+        # registers one) — verified against Spark 4.1.2. Reach through to
+        # the LogicalRDD's materialized RDD and unpersist THAT; safe here
+        # because the next round's checkpoint is already materialized, so
+        # the truncated lineage is never recomputed. Best-effort: on any
+        # internals change, fall back to the async ContextCleaner.
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+        except Exception:
+            pass
+
+    # Unique per-run subdir: fixed round paths under a SHARED dir would let
+    # two concurrent jobs overwrite/delete each other's rounds mid-flight.
+    run_dir = None
+    if checkpoint_dir is not None:
+        import uuid
+
+        run_dir = f"{checkpoint_dir}/cc_{uuid.uuid4().hex}"
+
     prev_sig = None
     prev_ckpt: DataFrame | None = None
     prev_path: str | None = None
     for i in range(max_iter):
         edges = _small_star(_large_star(edges))
-        if checkpoint_dir is None:
+        if run_dir is None:
             edges = edges.localCheckpoint()
             if prev_ckpt is not None:
-                # Release the previous round NOW: eager localCheckpoint has
-                # already materialized the new one, and waiting for the
-                # async ContextCleaner lets ~max_iter edge sets pile up in
+                # Release the previous round NOW: waiting for the async
+                # ContextCleaner lets ~max_iter edge sets pile up in
                 # unevictable storage memory (measured: the 30M-edge soak
                 # starved window sorts into UNABLE_TO_ACQUIRE_MEMORY).
-                prev_ckpt.unpersist()
+                _release_local_checkpoint(prev_ckpt)
             prev_ckpt = edges
         else:
-            path = f"{checkpoint_dir}/cc_round_{i}"
+            path = f"{run_dir}/round_{i}"
             edges.write.mode("overwrite").parquet(path)
             edges = spark.read.parquet(path)
             if prev_path is not None:
@@ -199,7 +222,15 @@ def incremental_components(
     stars = assignment.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(src), F.col("component").alias(dst)
     )
-    merged = stars.unionByName(new_pairs.select(F.col(src), F.col(dst)))
+    # Strip self-loops BEFORE the union: a node whose only new edge is a
+    # self-pair would otherwise count as "touched" (excluded from the
+    # restore anti-join) yet be dropped by connected_components' own
+    # self-loop filter — losing its historical assignment entirely.
+    merged = stars.unionByName(
+        new_pairs.select(F.col(src), F.col(dst)).filter(
+            F.col(src) != F.col(dst)
+        )
+    )
     out = connected_components(
         merged, src, dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
     )

@@ -275,6 +275,7 @@ def semantic_dedup(
     threshold: float = 0.999,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cc_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:
     2303.09540): cluster embeddings, find high-cosine pairs WITHIN each
@@ -323,9 +324,12 @@ def semantic_dedup(
         .filter(cosine(F.col("v1"), F.col("v2")) >= threshold)
         .select("id1", "id2")
     )
-    drop = connected_components(pairs, "id1", "id2").filter(
-        F.col("node") != F.col("component")
-    )
+    # cc_checkpoint_dir: pass a storage path at corpus scale — the
+    # component iteration's disk-checkpoint mode (see components.py);
+    # default in-memory mode suits cell-blocked pair sets that fit.
+    drop = connected_components(
+        pairs, "id1", "id2", checkpoint_dir=cc_checkpoint_dir
+    ).filter(F.col("node") != F.col("component"))
     return corpus.join(
         drop.select(F.col("node").alias("_drop")),
         F.col(id_col) == F.col("_drop"),

@@ -497,8 +497,14 @@ def test_connected_components_disk_checkpoint_mode(spark, tmp_path):
         for r in connected_components(df, checkpoint_dir=ckpt).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20, 22: 20}
-    rounds = [d for d in os.listdir(ckpt) if d.startswith("cc_round_")]
-    assert len(rounds) == 1, rounds
+    run_dirs = [d for d in os.listdir(ckpt) if d.startswith("cc_")]
+    assert len(run_dirs) == 1, run_dirs  # unique per-run subdir
+    rounds = [
+        d
+        for d in os.listdir(os.path.join(ckpt, run_dirs[0]))
+        if d.startswith("round_")
+    ]
+    assert len(rounds) == 1, rounds  # only the final round survives
 
 
 def test_incremental_components_matches_full_recompute(spark):
@@ -522,3 +528,43 @@ def test_incremental_components_matches_full_recompute(spark):
     assert inc == full, (inc, full)
     assert inc[20] == 20 and inc[21] == 20  # untouched component preserved
     assert inc[70] == 70 and inc[71] == 70  # brand-new component
+
+
+def test_incremental_components_self_loop_new_pair_preserves_assignment(spark):
+    """A node whose only 'new edge' is a self-pair must keep its prior
+    assignment (regression: it was dropped from both output branches)."""
+    from rtdl_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    assignment = connected_components(
+        spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    )
+    # node 5 exists only as a prior singleton... simulate by appending it
+    assignment = assignment.union(
+        spark.createDataFrame([(5, 5)], "node long, component long")
+    )
+    new = spark.createDataFrame([(5, 5)], "id1 long, id2 long")
+    out = {r["node"]: r["component"]
+           for r in incremental_components(assignment, new).collect()}
+    assert out == {1: 1, 2: 1, 5: 5}, out
+
+
+def test_connected_components_releases_checkpoint_blocks(spark):
+    """The in-memory mode must not accumulate one pinned checkpoint per
+    round: after the run at most the final round's blocks remain."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.operators.components import connected_components
+
+    edges = (
+        spark.range(0, 20_000)
+        .filter(F.col("id") % 100 != 99)
+        .select(F.col("id").alias("id1"), (F.col("id") + 1).alias("id2"))
+    )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    connected_components(edges).count()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    # ~7 rounds for 100-node paths; without the release every round leaks
+    assert after - before <= 1, (before, after)

@@ -189,14 +189,20 @@ def main() -> None:
         .filter(F.col("id") % 1000 != 999)
         .select(F.col("id").alias("id1"), (F.col("id") + 1).alias("id2"))
     )
+    import shutil
     import tempfile
 
-    run(
-        "connected_components_paths",
-        lambda: connected_components(
-            edges, checkpoint_dir=tempfile.mkdtemp(prefix="cc_soak_")
-        ).count(),
-    )
+    cc_dir = tempfile.mkdtemp(prefix="cc_soak_")
+
+    def cc_paths():
+        try:
+            connected_components(edges, checkpoint_dir=cc_dir).count()
+        finally:
+            # the final round's parquet outlives the run by design
+            # (it backs the lazy result) — clean it once consumed
+            shutil.rmtree(cc_dir, ignore_errors=True)
+
+    run("connected_components_paths", cc_paths)
 
     # pathological skew: 90% of rows share one key. Hash aggregation
     # handles this fine (map-side partials absorb the hot key); the salted
