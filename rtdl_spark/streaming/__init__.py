@@ -4,6 +4,7 @@ aggregation with watermarks, streaming dedup, and custom stateful
 processing."""
 
 from rtdl_spark.streaming.jobs import (  # noqa: F401
+    stream_dedup_clusters,
     stream_dedup_within_watermark,
     stream_ingest_json,
     stream_interval_join,

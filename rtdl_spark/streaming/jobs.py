@@ -212,3 +212,127 @@ def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup_clusters(
+    spark,
+    source_dir: str,
+    schema: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    trigger_once: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous corpus dedup: per micro-batch, mine MinHash-LSH
+    near-dup pairs touching the new documents (batch-vs-batch AND
+    batch-vs-accumulated-corpus), then fold them into a persisted
+    cluster assignment via incremental_components — the streaming shape
+    of the crawl→dedup loop, with cost per batch proportional to the
+    batch and its candidates, never the corpus.
+
+    Persisted state under ``state_dir`` (parquet, any Hadoop FS):
+    - ``docs/``   — (id, text) of every document seen (candidate-pair
+      verification re-reads ONLY candidate texts);
+    - ``bands/``  — exploded (id, LSH bucket) keys, appended per batch:
+      the index the next batch's candidates join against;
+    - ``assign_e{N}/`` — the clustering after batch N (absent id =
+      singleton); previous epochs deleted after the new one lands.
+
+    The invariant (tested): after all batches, the assignment equals the
+    batch recomputation connected_components(minhash_lsh_pairs(corpus)) —
+    every pair is found exactly when its later member's batch runs.
+    """
+    import shutil
+
+    from rtdl_spark.functions.minhash_np import minhash_band_keys_np
+    from rtdl_spark.functions.text import jaccard, shingles
+    from rtdl_spark.operators.components import incremental_components
+
+    docs_dir = f"{state_dir}/docs"
+    bands_dir = f"{state_dir}/bands"
+
+    def _latest_assignment():
+        import os
+
+        epochs = sorted(
+            (d for d in os.listdir(state_dir) if d.startswith("assign_e"))
+            if os.path.isdir(state_dir)
+            else []
+        )
+        if not epochs:
+            return None, None
+        return spark.read.parquet(f"{state_dir}/{epochs[-1]}"), epochs[-1]
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        batch = batch_df.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        ).localCheckpoint()  # tiny; read many times below
+        bands = batch.select(
+            "_id",
+            F.explode(minhash_band_keys_np(F.col("_text"))).alias("_bucket"),
+        )
+        have_state = os.path.isdir(bands_dir)
+        index = (
+            bands.unionByName(spark.read.parquet(bands_dir))
+            if have_state
+            else bands
+        )
+        # candidates touching the batch, normalized to id1 < id2
+        cand = (
+            bands.join(
+                index.select(F.col("_id").alias("_oid"), "_bucket"), "_bucket"
+            )
+            .filter(F.col("_id") != F.col("_oid"))
+            .select(
+                F.least("_id", "_oid").alias("id1"),
+                F.greatest("_id", "_oid").alias("id2"),
+            )
+            .distinct()
+        )
+        texts = (
+            batch.unionByName(spark.read.parquet(docs_dir))
+            if os.path.isdir(docs_dir)
+            else batch
+        )
+        sh = texts.select("_id", shingles(F.col("_text")).alias("_sh"))
+        pairs = (
+            cand.join(
+                sh.select(F.col("_id").alias("id1"), F.col("_sh").alias("s1")),
+                "id1",
+            )
+            .join(
+                sh.select(F.col("_id").alias("id2"), F.col("_sh").alias("s2")),
+                "id2",
+            )
+            .filter(jaccard(F.col("s1"), F.col("s2")) >= threshold)
+            .select("id1", "id2")
+        )
+        prev, prev_epoch = _latest_assignment()
+        if prev is None:
+            prev = spark.createDataFrame([], "node long, component long")
+        assign = incremental_components(prev, pairs)
+        assign.write.mode("overwrite").parquet(
+            f"{state_dir}/assign_e{epoch_id:09d}"
+        )
+        if prev_epoch is not None:
+            shutil.rmtree(f"{state_dir}/{prev_epoch}", ignore_errors=True)
+        # append AFTER pair mining: the batch must not join against itself
+        # through the index (its self-pairs come from the bands self-join)
+        batch.write.mode("append").parquet(docs_dir)
+        bands.write.mode("append").parquet(bands_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(source_dir)
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -357,3 +357,62 @@ def test_stream_sliding_matches_batch(spark, sf_dir, events_stream):
     assert got, "no sliding windows finalized"
     for key, n in got.items():
         assert expected[key] == n
+
+
+def test_stream_dedup_clusters_matches_batch_recompute(spark, sf_dir, tmp_path):
+    """Two document waves through the streaming dedup must leave exactly
+    the clustering a batch recomputation over the full corpus produces:
+    within-wave, cross-wave, and transitive duplicate chains all land —
+    every pair is mined when its later member's wave arrives."""
+    import json as _json
+    import os
+
+    from rtdl_spark.catalog import table
+    from rtdl_spark.operators.components import connected_components
+    from rtdl_spark.operators.dedup import minhash_lsh_pairs
+    from rtdl_spark.streaming import stream_dedup_clusters
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    rows = [r.asDict() for r in docs.collect()]
+    src = tmp_path / "doc_src"
+    src.mkdir()
+    # wave 1: even ids; wave 2: odd ids (separate files → separate batches
+    # under maxFilesPerTrigger=1)
+    for name, keep in (("w1.json", 0), ("w2.json", 1)):
+        with open(src / name, "w") as f:
+            for r in rows:
+                if r["doc_id"] % 2 == keep:
+                    f.write(_json.dumps(r) + "\n")
+
+    state = str(tmp_path / "state")
+    q = stream_dedup_clusters(
+        spark,
+        str(src),
+        "doc_id long, text string",
+        state,
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+        max_files_per_trigger=1,  # force one batch per wave
+    )
+    q.awaitTermination(300)
+
+    epochs = [d for d in os.listdir(state) if d.startswith("assign_e")]
+    assert len(epochs) == 1, epochs  # old epochs cleaned up
+    assert epochs[0] == "assign_e000000001", epochs  # two batches ran
+    got = {
+        (r["node"], r["component"])
+        for r in spark.read.parquet(os.path.join(state, epochs[0])).collect()
+    }
+    expected = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.5)
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0, (
+        len(got), len(expected), got ^ expected,
+    )
