@@ -1,0 +1,90 @@
+"""Product quantization (PQ) — the memory-compression ANN tier (Jégou et
+al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+scheme behind FAISS IVF-PQ).
+
+Idea: split each d-dim vector into ``m`` subvectors, quantize each
+subvector to one of ``ks`` per-subspace centroids, and store only the m
+codes — d·4 bytes shrink to m bytes (64-dim float → 8 bytes here, 32×).
+Search uses asymmetric distance computation (ADC): the query builds one
+m×ks lookup table of exact subspace distances, and every corpus vector's
+approximate distance is m table lookups summed — no float vector is ever
+read at scan time.
+
+Division of labor (same split as the RP-LSH / MinHash kernels):
+- codebook fit + corpus encoding: numpy behind a pandas UDF — a narrow,
+  shuffle-free map done once per corpus (re-encoded only when the
+  codebook retrains);
+- query-time scoring: pure Catalyst expressions over (codes, LUT) —
+  zip_with + element_at + sum, whole-stage-codegen friendly, so the scan
+  stays JVM-side where the per-row work lives.
+
+Codebooks here are seeded deterministically from the first ``ks`` corpus
+rows' subvectors (the ivf_topk convention — reproducible across engines
+and runs); a production build would k-means them per subspace, same
+shapes and plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pq_codebooks(sample: np.ndarray, m: int, ks: int) -> np.ndarray:
+    """(ks, d) sample rows → codebooks (m, ks, d/m): subspace j's
+    centroids are the sample's j-th subvectors."""
+    n, d = sample.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < ks:
+        raise ValueError(f"need >= ks={ks} sample rows, got {n}")
+    sub = d // m
+    return np.stack(
+        [sample[:ks, j * sub : (j + 1) * sub] for j in range(m)]
+    ).astype(np.float64)
+
+
+def pq_encode(vec: Column, codebooks: np.ndarray) -> Column:
+    """array<float> column → array<int> of m codes (argmin squared-L2 per
+    subspace, ties to the lowest code — numpy argmin's rule, deterministic)."""
+    m, ks, sub = codebooks.shape
+    books = codebooks.copy()
+
+    @F.pandas_udf("array<int>")
+    def _enc(s: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            xj = X[:, j * sub : (j + 1) * sub]  # (n, sub)
+            # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            cross = xj @ books[j].T  # (n, ks)
+            c2 = (books[j] ** 2).sum(axis=1)  # (ks,)
+            codes[:, j] = np.argmin(c2[None, :] - 2.0 * cross, axis=1)
+        return pd.Series(list(codes))
+
+    return _enc(vec)
+
+
+def pq_lut(query: np.ndarray, codebooks: np.ndarray) -> list[list[float]]:
+    """Exact per-subspace squared-L2 distance table for one query:
+    LUT[j][c] = ||q_j - codebook[j][c]||² — the ADC table."""
+    m, ks, sub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    return [
+        [float(((q[j * sub : (j + 1) * sub] - books) ** 2).sum())
+         for books in codebooks[j]]
+        for j in range(m)
+    ]
+
+
+def adc_score(codes: Column, lut: Column) -> Column:
+    """Approximate squared-L2 distance: sum of m LUT lookups — pure
+    Catalyst (zip_with + element_at + aggregate), no Python at scan time.
+    ``codes``: array<int> (m), ``lut``: array<array<double>> (m × ks)."""
+    return F.aggregate(
+        F.zip_with(codes, lut, lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

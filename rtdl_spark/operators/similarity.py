@@ -335,3 +335,73 @@ def semantic_dedup(
         F.col(id_col) == F.col("_drop"),
         "left_anti",
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN (functions/pq_np.py): encode the corpus
+    once to m-byte codes (32× smaller than 64-dim float vectors), then
+    answer each query by summing m lookup-table entries per corpus row —
+    asymmetric distance computation, the FAISS-PQ search shape.
+
+    Scale shape: encoding is a narrow one-time map (numpy pandas UDF);
+    at query time the scan touches ONLY the code column (the float
+    vectors never leave storage), the per-query LUT rides in via a
+    broadcast join, and scoring is whole-stage-codegen expressions. The
+    combination — tiny scan payload + JVM-side scoring — is what lets a
+    100 TB corpus answer from RAM-resident codes.
+
+    Returns query_id, neighbor_id, approx_dist (squared L2, rounded to 6),
+    rank — ascending distance, ties to the lower neighbor id. Queries are
+    collected to the driver (query sets are small by definition; the
+    corpus is never collected).
+    """
+    import numpy as np
+
+    from rtdl_spark.functions.pq_np import (
+        adc_score,
+        pq_codebooks,
+        pq_encode,
+        pq_lut,
+    )
+
+    sample = np.asarray(
+        [
+            list(r[vec_col])
+            for r in corpus.orderBy(id_col).limit(ks).collect()
+        ],
+        dtype=np.float64,
+    )
+    books = pq_codebooks(sample, m, ks)
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode(F.col(vec_col), books).alias("_codes"),
+    )
+    q_rows = queries.select(id_col, vec_col).collect()
+    lut_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(r[id_col], pq_lut(list(r[vec_col]), books)) for r in q_rows],
+            "query_id long, _lut array<array<double>>",
+        )
+    )
+    scored = (
+        encoded.join(lut_df, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_dist",
+            F.round(adc_score(F.col("_codes"), F.col("_lut")), 6),
+        )
+        .select("query_id", "neighbor_id", "approx_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -286,3 +286,16 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(corpus, n_cells=8, threshold=0.999).select(
         "vec_id", "label"
     )
+
+
+@query("sim_pq_topk")
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (operators/similarity.py::pq_topk):
+    64-dim floats → 8 one-byte codes, queries answered from lookup-table
+    sums over the code column only. No oracle (engine-specific
+    approximation, same rationale as IVF/RP-LSH); recall vs brute force
+    and an exact ADC-parity bound are tested in tests/test_operators.py."""
+    from rtdl_spark.operators.similarity import pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)

@@ -568,3 +568,55 @@ def test_connected_components_releases_checkpoint_blocks(spark):
     after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     # ~7 rounds for 100-node paths; without the release every round leaks
     assert after - before <= 1, (before, after)
+
+
+def test_pq_topk_recall_and_adc_exactness(spark, sf_dir):
+    """PQ ANN must (a) recover a reasonable share of the true L2 top-5
+    and (b) compute ADC scores that EQUAL the numpy-side table sums —
+    the Spark expression path (zip_with/element_at) is bit-checked
+    against the kernel that built the tables."""
+    import numpy as np
+
+    from rtdl_spark.functions.pq_np import pq_codebooks, pq_lut
+    from rtdl_spark.operators.similarity import pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = pq_topk(emb, queries, k=5).collect()
+
+    # exact L2 top-5 per query (driver-side numpy; fixture is small)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    hits = total = 0
+    for qid in range(5):
+        q = vecs[qid]
+        dists = sorted(
+            (float(((v - q) ** 2).sum()), nid)
+            for nid, v in vecs.items() if nid != qid
+        )
+        exact_top = {nid for _, nid in dists[:5]}
+        got = {r["neighbor_id"] for r in approx if r["query_id"] == qid}
+        assert len(got) == 5
+        hits += len(exact_top & got)
+        total += 5
+    assert hits / total >= 0.2, hits / total  # coarse 16-centroid codebooks
+
+    # ADC parity: recompute one query's scores in numpy and compare
+    sample = np.asarray(
+        [vecs[i] for i in sorted(vecs)[:16]], dtype=np.float64
+    )
+    books = pq_codebooks(sample, 8, 16)
+    lut = np.asarray(pq_lut(vecs[0], books))
+    sub = 64 // 8
+    for r in approx:
+        if r["query_id"] != 0:
+            continue
+        v = vecs[r["neighbor_id"]]
+        codes = [
+            int(np.argmin(
+                ((books[j] - v[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+            ))
+            for j in range(8)
+        ]
+        expect = round(float(sum(lut[j][codes[j]] for j in range(8))), 6)
+        assert abs(r["approx_dist"] - expect) < 1e-6, (r, expect)
