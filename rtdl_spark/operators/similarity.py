@@ -405,3 +405,90 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS composition — coarse cells bound WHICH rows
+    a query scores (candidate set ÷ ~n_cells/nprobe), product-quantized
+    codes bound WHAT each scored row costs (m byte-codes + m table
+    lookups, no float vector read). At 100 TB the corpus is stored
+    cell-partitioned as codes; a query reads nprobe partitions of
+    byte-codes — both pruning dimensions compose.
+
+    Same deterministic seeding conventions as ivf_topk/pq_topk; returns
+    query_id, neighbor_id, approx_dist, rank, cell_id.
+    """
+    import numpy as np
+
+    from rtdl_spark.functions.pq_np import (
+        adc_score,
+        pq_codebooks,
+        pq_encode,
+        pq_lut,
+    )
+
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cell_id"),
+            F.col(vec_col),
+        )
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    sample = np.asarray(
+        [list(r[vec_col]) for r in corpus.orderBy(id_col).limit(ks).collect()],
+        dtype=np.float64,
+    )
+    books = pq_codebooks(sample, m, ks)
+    encoded = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell_id",
+        pq_encode(F.col(vec_col), books).alias("_codes"),
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    cent_rows = centroids.collect()
+    probes = []
+    for r in q_rows:
+        q = np.asarray(r[vec_col], dtype=np.float64)
+        by_dist = sorted(
+            (
+                float(((np.asarray(c[vec_col], dtype=np.float64) - q) ** 2).sum()),
+                c["cell_id"],
+            )
+            for c in cent_rows
+        )
+        for _, cell in by_dist[:nprobe]:
+            probes.append((r[id_col], cell, pq_lut(list(r[vec_col]), books)))
+    probe_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            probes, "query_id long, cell_id int, _lut array<array<double>>"
+        )
+    )
+    scored = (
+        encoded.join(probe_df, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_dist",
+            F.round(adc_score(F.col("_codes"), F.col("_lut")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank", "cell_id")
+    )

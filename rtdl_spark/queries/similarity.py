@@ -299,3 +299,15 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("sim_ivf_pq_topk")
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py::ivf_pq_topk): coarse cells
+    prune WHICH rows are scored, PQ codes prune WHAT each row costs —
+    the composed FAISS shape. Rows-only (approximate, engine-specific);
+    recall bound tested in tests/test_operators.py."""
+    from rtdl_spark.operators.similarity import ivf_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=4, k=5)

@@ -620,3 +620,41 @@ def test_pq_topk_recall_and_adc_exactness(spark, sf_dir):
         ]
         expect = round(float(sum(lut[j][codes[j]] for j in range(8))), 6)
         assert abs(r["approx_dist"] - expect) < 1e-6, (r, expect)
+
+
+def test_ivf_pq_subset_of_pq_within_probed_cells(spark, sf_dir):
+    """IVF-PQ must rank by the SAME ADC scores as plain PQ, restricted to
+    the probed cells: for each query, its IVF-PQ results must carry
+    identical approx_dist to plain PQ's for the same (query, neighbor),
+    and recall vs exact L2 must clear a coarse floor."""
+    import numpy as np
+
+    from rtdl_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["approx_dist"]
+        for r in pq_topk(emb, queries, k=500).collect()
+    }
+    probed = ivf_pq_topk(emb, queries, nprobe=4, k=5).collect()
+    assert len(probed) == 25
+    for r in probed:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in full and abs(full[key] - r["approx_dist"]) < 1e-9, r
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    hits = 0
+    for qid in range(5):
+        q = vecs[qid]
+        exact_top = {
+            nid
+            for _, nid in sorted(
+                (float(((v - q) ** 2).sum()), nid)
+                for nid, v in vecs.items() if nid != qid
+            )[:5]
+        }
+        got = {r["neighbor_id"] for r in probed if r["query_id"] == qid}
+        hits += len(exact_top & got)
+    assert hits / 25 >= 0.15, hits / 25  # cells + coarse codes both cut recall
