@@ -52,17 +52,30 @@ def pq_encode(vec: Column, codebooks: np.ndarray) -> Column:
     m, ks, sub = codebooks.shape
     books = codebooks.copy()
 
+    dim = m * sub
+
     @F.pandas_udf("array<int>")
     def _enc(s: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
-        codes = np.empty((len(X), m), dtype=np.int32)
-        for j in range(m):
-            xj = X[:, j * sub : (j + 1) * sub]  # (n, sub)
-            # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
-            cross = xj @ books[j].T  # (n, ks)
-            c2 = (books[j] ** 2).sum(axis=1)  # (ks,)
-            codes[:, j] = np.argmin(c2[None, :] - 2.0 * cross, axis=1)
-        return pd.Series(list(codes))
+        # NULL/ragged rows encode to None (null propagation, matching the
+        # repo's Catalyst vector paths) instead of crashing the batch.
+        valid = np.fromiter(
+            (v is not None and len(v) == dim for v in s), bool, len(s)
+        )
+        out: list = [None] * len(s)
+        if valid.any():
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v, ok in zip(s, valid) if ok]
+            )
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                xj = X[:, j * sub : (j + 1) * sub]  # (n, sub)
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+                cross = xj @ books[j].T  # (n, ks)
+                c2 = (books[j] ** 2).sum(axis=1)  # (ks,)
+                codes[:, j] = np.argmin(c2[None, :] - 2.0 * cross, axis=1)
+            it = iter(codes)
+            out = [next(it) if ok else None for ok in valid]
+        return pd.Series(out)
 
     return _enc(vec)
 

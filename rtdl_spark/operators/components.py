@@ -40,6 +40,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly free a localCheckpoint'd DataFrame's storage blocks.
+
+    Dataset.unpersist() is a NO-OP for localCheckpoint blocks (it only
+    clears CacheManager entries; the checkpoint RDD never registers one) —
+    verified against Spark 4.1.2. Reach through to the LogicalRDD's
+    materialized RDD and unpersist THAT. Only call once nothing will read
+    ``df`` again (the truncated lineage cannot be recomputed). Best-effort:
+    on any internals change, falls back to the async ContextCleaner.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:
+        pass
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """(v, min(N(u) ∪ {u})) for every neighbor v > u, over symmetrized
     edges. Emitted edges always point strictly downward (v > m)."""
@@ -120,25 +136,6 @@ def connected_components(
         .distinct()
     )
 
-    def _hadoop_rm(path: str) -> None:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
-
-    def _release_local_checkpoint(df: DataFrame) -> None:
-        # Dataset.unpersist() is a NO-OP for localCheckpoint blocks (it
-        # only clears CacheManager entries; the checkpoint RDD never
-        # registers one) — verified against Spark 4.1.2. Reach through to
-        # the LogicalRDD's materialized RDD and unpersist THAT; safe here
-        # because the next round's checkpoint is already materialized, so
-        # the truncated lineage is never recomputed. Best-effort: on any
-        # internals change, fall back to the async ContextCleaner.
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(True)
-        except Exception:
-            pass
-
     # Unique per-run subdir: fixed round paths under a SHARED dir would let
     # two concurrent jobs overwrite/delete each other's rounds mid-flight.
     run_dir = None
@@ -159,14 +156,16 @@ def connected_components(
                 # ContextCleaner lets ~max_iter edge sets pile up in
                 # unevictable storage memory (measured: the 30M-edge soak
                 # starved window sorts into UNABLE_TO_ACQUIRE_MEMORY).
-                _release_local_checkpoint(prev_ckpt)
+                release_local_checkpoint(prev_ckpt)
             prev_ckpt = edges
         else:
+            from rtdl_spark.sources import fsutil
+
             path = f"{run_dir}/round_{i}"
             edges.write.mode("overwrite").parquet(path)
             edges = spark.read.parquet(path)
             if prev_path is not None:
-                _hadoop_rm(prev_path)
+                fsutil.delete(spark, prev_path)
             prev_path = path
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),

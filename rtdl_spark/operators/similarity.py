@@ -105,6 +105,24 @@ def ivf_assign(
     )
 
 
+def seed_centroids(
+    corpus: DataFrame, n: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids: the first ``n`` corpus rows by id,
+    numbered 1..n — reproducible across engines/runs; shared seeding
+    convention of the IVF/PQ/SemDeDup family (a production build would
+    k-means them; same shapes and plan)."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cell_id"),
+            F.col(vec_col),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,16 +135,7 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize the corpus into n_cells (centroids
     seeded deterministically from the first corpus rows), probe the nprobe
     best cells per query, exact-rank inside the probed subset."""
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(id_col))
-            .alias("cell_id"),
-            F.col(vec_col),
-        )
-    )
+    centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     q = queries.select(
@@ -303,14 +312,7 @@ def semantic_dedup(
         "_sid",
         F.transform("_v", lambda x: x / F.col("_n")).alias("_u"),
     )
-    centroids = (
-        unit.orderBy("_sid")
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy("_sid")).alias("cell_id"),
-            F.col("_u"),
-        )
-    )
+    centroids = seed_centroids(unit, n_cells, "_sid", "_u")
     assigned = ivf_assign(unit, centroids, "_sid", "_u")
     a = assigned.select(
         F.col("_sid").alias("id1"), F.col("_u").alias("v1"), "cell_id"
@@ -392,7 +394,10 @@ def pq_topk(
         )
     )
     scored = (
-        encoded.join(lut_df, F.col("query_id") != F.col("neighbor_id"))
+        # null codes (null/ragged embeddings) can't be scored — drop them
+        # here rather than letting asc-ordering rank nulls first
+        encoded.filter(F.col("_codes").isNotNull())
+        .join(lut_df, F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "approx_dist",
             F.round(adc_score(F.col("_codes"), F.col("_lut")), 6),
@@ -437,14 +442,7 @@ def ivf_pq_topk(
         pq_lut,
     )
 
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cell_id"),
-            F.col(vec_col),
-        )
-    )
+    centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     sample = np.asarray(
         [list(r[vec_col]) for r in corpus.orderBy(id_col).limit(ks).collect()],
@@ -459,25 +457,36 @@ def ivf_pq_topk(
 
     q_rows = queries.select(id_col, vec_col).collect()
     cent_rows = centroids.collect()
+
+    def _cos(a, b):
+        na, nb = float(np.sqrt(a @ a)), float(np.sqrt(b @ b))
+        return float(a @ b) / (na * nb) if na > 0 and nb > 0 else 0.0
+
     probes = []
     for r in q_rows:
         q = np.asarray(r[vec_col], dtype=np.float64)
-        by_dist = sorted(
+        # Probe with the SAME metric and tie rule the corpus was assigned
+        # with (ivf_assign: cosine rounded to 6, ties to the lowest cell) —
+        # probing by L2 against cosine-assigned cells systematically looks
+        # in the wrong cells for unnormalized vectors.
+        by_sim = sorted(
             (
-                float(((np.asarray(c[vec_col], dtype=np.float64) - q) ** 2).sum()),
+                -round(_cos(np.asarray(c[vec_col], dtype=np.float64), q), 6),
                 c["cell_id"],
             )
             for c in cent_rows
         )
-        for _, cell in by_dist[:nprobe]:
-            probes.append((r[id_col], cell, pq_lut(list(r[vec_col]), books)))
+        lut = pq_lut(list(r[vec_col]), books)  # once per query, not per cell
+        for _, cell in by_sim[:nprobe]:
+            probes.append((r[id_col], cell, lut))
     probe_df = F.broadcast(
         corpus.sparkSession.createDataFrame(
             probes, "query_id long, cell_id int, _lut array<array<double>>"
         )
     )
     scored = (
-        encoded.join(probe_df, "cell_id")
+        encoded.filter(F.col("_codes").isNotNull())
+        .join(probe_df, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "approx_dist",

@@ -1,0 +1,38 @@
+"""Hadoop-FileSystem helpers for driver-side state management.
+
+Iterative/streaming operators keep small control state (checkpoint rounds,
+epoch directories) on the lake filesystem. Python's os/shutil only see the
+local disk — on s3a://, hdfs://, abfss:// they silently report "nothing
+there", which turns into silently-wrong incremental state rather than an
+error. These helpers go through the JVM Hadoop FileSystem bound to the
+path's scheme, so the same code is correct on any supported store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete; no error if absent."""
+    fs, p = _fs_path(spark, path)
+    fs.delete(p, True)
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names of a directory; [] if it doesn't exist."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]

@@ -233,42 +233,46 @@ def stream_dedup_clusters(
     of the crawl→dedup loop, with cost per batch proportional to the
     batch and its candidates, never the corpus.
 
-    Persisted state under ``state_dir`` (parquet, any Hadoop FS):
-    - ``docs/``   — (id, text) of every document seen (candidate-pair
-      verification re-reads ONLY candidate texts);
-    - ``bands/``  — exploded (id, LSH bucket) keys, appended per batch:
-      the index the next batch's candidates join against;
+    Persisted state under ``state_dir`` (parquet; all control-plane file
+    operations go through the Hadoop FileSystem API — sources/fsutil — so
+    the same code is correct on local disk, HDFS, or object stores):
+    - ``docs/e{N}/``  — (id, text) of batch N (candidate verification
+      re-reads ONLY candidate texts); read recursively as one corpus;
+    - ``bands/e{N}/`` — batch N's exploded (id, LSH bucket) keys: the
+      index later batches' candidates join against;
     - ``assign_e{N}/`` — the clustering after batch N (absent id =
-      singleton); previous epochs deleted after the new one lands.
+      singleton).
+
+    Replay safety (foreachBatch may re-run the last epoch after a crash):
+    every write is per-epoch and overwrite-idempotent; the previous
+    assignment is resolved as the latest epoch STRICTLY BELOW the current
+    one (never read-and-overwrite the same path); cleanup keeps that
+    previous epoch around, deleting only older ones, so a replayed batch
+    still finds its input state.
 
     The invariant (tested): after all batches, the assignment equals the
     batch recomputation connected_components(minhash_lsh_pairs(corpus)) —
     every pair is found exactly when its later member's batch runs.
     """
-    import shutil
-
     from rtdl_spark.functions.minhash_np import minhash_band_keys_np
     from rtdl_spark.functions.text import jaccard, shingles
-    from rtdl_spark.operators.components import incremental_components
+    from rtdl_spark.operators.components import (
+        incremental_components,
+        release_local_checkpoint,
+    )
+    from rtdl_spark.sources import fsutil
 
     docs_dir = f"{state_dir}/docs"
     bands_dir = f"{state_dir}/bands"
 
-    def _latest_assignment():
-        import os
-
-        epochs = sorted(
-            (d for d in os.listdir(state_dir) if d.startswith("assign_e"))
-            if os.path.isdir(state_dir)
-            else []
+    def _epochs_below(n: int) -> list[str]:
+        return sorted(
+            d
+            for d in fsutil.list_names(spark, state_dir)
+            if d.startswith("assign_e") and int(d[len("assign_e"):]) < n
         )
-        if not epochs:
-            return None, None
-        return spark.read.parquet(f"{state_dir}/{epochs[-1]}"), epochs[-1]
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        import os
-
         batch = batch_df.select(
             F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
         ).localCheckpoint()  # tiny; read many times below
@@ -276,12 +280,18 @@ def stream_dedup_clusters(
             "_id",
             F.explode(minhash_band_keys_np(F.col("_text"))).alias("_bucket"),
         )
-        have_state = os.path.isdir(bands_dir)
-        index = (
-            bands.unionByName(spark.read.parquet(bands_dir))
-            if have_state
-            else bands
-        )
+        prior_band_epochs = [
+            e
+            for e in fsutil.list_names(spark, bands_dir)
+            if int(e[1:]) < epoch_id  # replay: ignore own partial output
+        ]
+        index = bands
+        if prior_band_epochs:
+            index = index.unionByName(
+                spark.read.parquet(
+                    *[f"{bands_dir}/{e}" for e in prior_band_epochs]
+                )
+            )
         # candidates touching the batch, normalized to id1 < id2
         cand = (
             bands.join(
@@ -294,11 +304,18 @@ def stream_dedup_clusters(
             )
             .distinct()
         )
-        texts = (
-            batch.unionByName(spark.read.parquet(docs_dir))
-            if os.path.isdir(docs_dir)
-            else batch
-        )
+        prior_doc_epochs = [
+            e
+            for e in fsutil.list_names(spark, docs_dir)
+            if int(e[1:]) < epoch_id
+        ]
+        texts = batch
+        if prior_doc_epochs:
+            texts = texts.unionByName(
+                spark.read.parquet(
+                    *[f"{docs_dir}/{e}" for e in prior_doc_epochs]
+                )
+            )
         sh = texts.select("_id", shingles(F.col("_text")).alias("_sh"))
         pairs = (
             cand.join(
@@ -309,22 +326,28 @@ def stream_dedup_clusters(
                 sh.select(F.col("_id").alias("id2"), F.col("_sh").alias("s2")),
                 "id2",
             )
-            .filter(jaccard(F.col("s1"), F.col("s2")) >= threshold)
+            # round exactly like minhash_lsh_pairs: the batch-recompute
+            # equality must hold at the threshold boundary too
+            .filter(F.round(jaccard(F.col("s1"), F.col("s2")), 6) >= threshold)
             .select("id1", "id2")
         )
-        prev, prev_epoch = _latest_assignment()
-        if prev is None:
+        prev_epochs = _epochs_below(epoch_id)
+        if prev_epochs:
+            prev = spark.read.parquet(f"{state_dir}/{prev_epochs[-1]}")
+        else:
             prev = spark.createDataFrame([], "node long, component long")
         assign = incremental_components(prev, pairs)
         assign.write.mode("overwrite").parquet(
             f"{state_dir}/assign_e{epoch_id:09d}"
         )
-        if prev_epoch is not None:
-            shutil.rmtree(f"{state_dir}/{prev_epoch}", ignore_errors=True)
-        # append AFTER pair mining: the batch must not join against itself
-        # through the index (its self-pairs come from the bands self-join)
-        batch.write.mode("append").parquet(docs_dir)
-        bands.write.mode("append").parquet(bands_dir)
+        batch.write.mode("overwrite").parquet(f"{docs_dir}/e{epoch_id:09d}")
+        bands.write.mode("overwrite").parquet(f"{bands_dir}/e{epoch_id:09d}")
+        # keep the direct predecessor (a replayed current epoch reads it);
+        # everything older is unreachable by any replay — delete
+        for old in prev_epochs[:-1]:
+            fsutil.delete(spark, f"{state_dir}/{old}")
+        # long-running mode: don't let per-batch checkpoint blocks pile up
+        release_local_checkpoint(batch)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

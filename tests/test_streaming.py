@@ -400,12 +400,12 @@ def test_stream_dedup_clusters_matches_batch_recompute(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(300)
 
-    epochs = [d for d in os.listdir(state) if d.startswith("assign_e")]
-    assert len(epochs) == 1, epochs  # old epochs cleaned up
-    assert epochs[0] == "assign_e000000001", epochs  # two batches ran
+    epochs = sorted(d for d in os.listdir(state) if d.startswith("assign_e"))
+    # replay safety keeps the direct predecessor; older epochs are deleted
+    assert epochs == ["assign_e000000000", "assign_e000000001"], epochs
     got = {
         (r["node"], r["component"])
-        for r in spark.read.parquet(os.path.join(state, epochs[0])).collect()
+        for r in spark.read.parquet(os.path.join(state, epochs[-1])).collect()
     }
     expected = {
         (r["node"], r["component"])
