@@ -658,3 +658,22 @@ def test_ivf_pq_subset_of_pq_within_probed_cells(spark, sf_dir):
         got = {r["neighbor_id"] for r in probed if r["query_id"] == qid}
         hits += len(exact_top & got)
     assert hits / 25 >= 0.15, hits / 25  # cells + coarse codes both cut recall
+
+
+def test_pq_encode_null_propagation(spark):
+    """NULL or wrong-length embeddings encode to NULL (and are excluded
+    from rankings) instead of crashing the Arrow batch."""
+    import numpy as np
+
+    from rtdl_spark.functions.pq_np import pq_codebooks, pq_encode
+
+    books = pq_codebooks(np.arange(64, dtype=np.float64).reshape(16, 4), 2, 16)
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id", pq_encode(F.col("embedding"), books).alias("c")
+    ).collect()}
+    assert rows[1] is not None and len(rows[1]) == 2
+    assert rows[2] is None and rows[3] is None
