@@ -105,14 +105,86 @@ def ivf_assign(
     )
 
 
+def _greedy_seed_rows(
+    corpus: DataFrame,
+    n: int,
+    id_col: str,
+    vec_col: str,
+    sample_cap: int,
+) -> list:
+    """Deterministic farthest-first traversal (Gonzalez k-center — the
+    argmax-D² variant of k-means++ seeding, randomness replaced by the
+    deterministic maximum) over a bounded corpus sample.
+
+    Scale shape: the sample is the ``sample_cap`` rows with the lowest
+    md5(id) — orderBy+limit compiles to TakeOrdered (per-partition top-k,
+    one tiny merge on the driver; no global sort materializes), so a
+    100 TB corpus contributes one scan and ships only sample_cap rows.
+    The O(sample_cap · n · dim) greedy runs driver-side in numpy on that
+    bounded sample — the standard seeding practice (k-means++ on a
+    sample), not a driver-side loop over corpus data.
+
+    Returns [(seed_id, [float, ...]), ...] of length min(n, usable rows);
+    ragged vectors (dim != the lowest-id row's dim) are skipped.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
+        )
+        .filter(F.col("_v").isNotNull())
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("seed_centroids: empty corpus")
+    ids = [r["_id"] for r in rows]
+    anchor = min(range(len(rows)), key=lambda i: ids[i])
+    dim = len(rows[anchor]["_v"])
+    keep = [i for i in range(len(rows)) if len(rows[i]["_v"]) == dim]
+    ids = [ids[i] for i in keep]
+    X = np.asarray([list(rows[i]["_v"]) for i in keep], dtype=np.float64)
+
+    start = min(range(len(ids)), key=lambda i: ids[i])
+    chosen = [start]
+    d = ((X - X[start]) ** 2).sum(axis=1)
+    while len(chosen) < min(n, len(ids)):
+        m = d.max()
+        nxt = min(np.flatnonzero(d == m), key=lambda i: ids[i])
+        chosen.append(int(nxt))
+        d = np.minimum(d, ((X - X[nxt]) ** 2).sum(axis=1))
+    return [(ids[i], [float(x) for x in X[i]]) for i in chosen]
+
+
 def seed_centroids(
     corpus: DataFrame, n: int, id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "first",
+    sample_cap: int = 4096,
 ) -> DataFrame:
-    """Deterministic coarse centroids: the first ``n`` corpus rows by id,
-    numbered 1..n — reproducible across engines/runs; shared seeding
-    convention of the IVF/PQ/SemDeDup family (a production build would
-    k-means them; same shapes and plan)."""
+    """Deterministic coarse centroids, numbered 1..n — the shared seeding
+    convention of the IVF/PQ/SemDeDup family.
+
+    method="first" (default): the first ``n`` corpus rows by id —
+    reproducible across engines/runs, zero extra passes; the convention
+    every oracle-checked query pins.
+
+    method="kmeanspp": deterministic farthest-first traversal over a
+    bounded sample (_greedy_seed_rows) — spreads centroids across the
+    data's extent instead of wherever the first ids happen to sit, so
+    cells are balanced and probes recall more (classic k-means++/k-center
+    seeding, made deterministic by argmax-D² with id tie-breaks).
+    """
+    if method == "kmeanspp":
+        seeds = _greedy_seed_rows(corpus, n, id_col, vec_col, sample_cap)
+        return corpus.sparkSession.createDataFrame(
+            [(i + 1, v) for i, (_, v) in enumerate(seeds)],
+            f"cell_id int, {vec_col} array<double>",
+        )
+    if method != "first":
+        raise ValueError(f"seed_centroids: unknown method {method!r}")
     return (
         corpus.orderBy(id_col)
         .limit(n)
@@ -131,11 +203,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    seed_method: str = "first",
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into n_cells (centroids
-    seeded deterministically from the first corpus rows), probe the nprobe
-    best cells per query, exact-rank inside the probed subset."""
-    centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
+    seeded deterministically — first rows by default, or farthest-first
+    via seed_method="kmeanspp"), probe the nprobe best cells per query,
+    exact-rank inside the probed subset."""
+    centroids = seed_centroids(
+        corpus, n_cells, id_col, vec_col, method=seed_method
+    )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     q = queries.select(
@@ -285,6 +361,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cc_checkpoint_dir: str | None = None,
+    seed_method: str = "first",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:
     2303.09540): cluster embeddings, find high-cosine pairs WITHIN each
@@ -312,7 +389,7 @@ def semantic_dedup(
         "_sid",
         F.transform("_v", lambda x: x / F.col("_n")).alias("_u"),
     )
-    centroids = seed_centroids(unit, n_cells, "_sid", "_u")
+    centroids = seed_centroids(unit, n_cells, "_sid", "_u", method=seed_method)
     assigned = ivf_assign(unit, centroids, "_sid", "_u")
     a = assigned.select(
         F.col("_sid").alias("id1"), F.col("_u").alias("v1"), "cell_id"
@@ -422,6 +499,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    seed_method: str = "first",
 ) -> DataFrame:
     """IVF-PQ: the full FAISS composition — coarse cells bound WHICH rows
     a query scores (candidate set ÷ ~n_cells/nprobe), product-quantized
@@ -442,7 +520,9 @@ def ivf_pq_topk(
         pq_lut,
     )
 
-    centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
+    centroids = seed_centroids(
+        corpus, n_cells, id_col, vec_col, method=seed_method
+    )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     sample = np.asarray(
         [list(r[vec_col]) for r in corpus.orderBy(id_col).limit(ks).collect()],
