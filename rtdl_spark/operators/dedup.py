@@ -132,6 +132,95 @@ def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
     return df.dropDuplicates(subset)
 
 
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 16,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """C4-style exact span deduplication (Raffel et al. 2020, §2.2 "we
+    discarded all but one of any three-sentence span occurring more than
+    once"): split every document into spans, keep only the FIRST corpus
+    occurrence of each distinct span (lowest ``(doc_id, span position)``),
+    and reassemble documents from their surviving spans in order.
+
+    Spans are either ``delimiter``-separated units (e.g. ``"\\n"`` for
+    paragraph dedup on real corpora) or, when ``delimiter`` is None,
+    non-overlapping ``span_words``-token windows — the fixture documents
+    are flat word streams with no sentence structure.
+
+    Scale shape (what makes this survive 100 TB):
+    - the corpus-wide "first occurrence" is a groupBy on the span hash
+      with ``min(struct(doc_id, span_idx))`` — map-side combinable, one
+      shuffle keyed by span hash; NOT a window sort over all occurrences;
+    - the hash (md5) is what shuffles, never the span text twice: the
+      keeper table carries 16-byte keys + two longs;
+    - reassembly is a per-document ``sort_array(collect_list(...))`` —
+      bounded by a single document's span count, no global sort;
+    - a degenerate hot span (boilerplate shared by millions of docs)
+      produces ONE group with a min-combine — skew-safe by construction,
+      unlike a join-back-per-occurrence design.
+
+    Returns one row per input document: ``id_col``, ``clean_text`` (empty
+    string when every span was a duplicate), ``n_spans``, ``n_kept``.
+    """
+    if delimiter is not None:
+        span_arr = F.split(F.col(text_col), delimiter)
+    else:
+        toks = F.split(F.col(text_col), " ")
+        n_spans_expr = F.ceil(F.size(toks) / F.lit(span_words)).cast("int")
+        span_arr = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_spans_expr, F.lit(1)) - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * span_words + 1, span_words), " "
+            ),
+        )
+    spans = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.posexplode(span_arr).alias("span_idx", "_span"),
+        )
+        # null text → transform() emits a null span (greatest() skips the
+        # null span count); a null doc has zero spans, not one unjoinable one
+        .filter(F.col("_span").isNotNull())
+        .withColumn("_h", F.md5(F.col("_span")))
+    )
+    first = spans.groupBy("_h").agg(
+        F.min(F.struct(F.col("_doc"), F.col("span_idx"))).alias("_keep")
+    )
+    kept = spans.join(first, "_h").filter(
+        (F.col("_doc") == F.col("_keep._doc"))
+        & (F.col("span_idx") == F.col("_keep.span_idx"))
+    )
+    rebuilt = kept.groupBy("_doc").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("span_idx"), F.col("_span")))
+                ),
+                lambda s: s["_span"],
+            ),
+            " " if delimiter is None else delimiter,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = spans.groupBy("_doc").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        docs.select(F.col(id_col))
+        .join(totals, F.col(id_col) == totals["_doc"], "left")
+        .drop("_doc")
+        .join(rebuilt, F.col(id_col) == rebuilt["_doc"], "left")
+        .drop("_doc")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 def dedup_groups(
     df: DataFrame, key_col, id_col: str
 ) -> DataFrame:

@@ -526,3 +526,52 @@ def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFr
     return dedup_against_corpus(new, corpus, method="fingerprint").select(
         "doc_id", "source", "lang"
     )
+
+
+@query(
+    "dedup_span_exact",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), spans AS (
+      SELECT doc_id, CAST(i AS INT) AS span_idx,
+             array_to_string(toks[CAST(i*16+1 AS INT) : CAST(i*16+16 AS INT)],
+                             ' ') AS span
+      FROM t, LATERAL (
+        SELECT UNNEST(range(GREATEST(CAST(ceil(len(toks)/16.0) AS BIGINT),
+                                     1))) AS i
+      )
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY span
+                                   ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    ), kept AS (
+      SELECT doc_id, span_idx, span FROM ranked WHERE rn = 1
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(t2.n_spans, 0) AS n_spans,
+           COALESCE(r.n_kept, 0) AS n_kept
+    FROM documents d
+    LEFT JOIN totals t2 USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style exact span dedup (operators/dedup.py::span_dedup): every
+    16-word span that occurs more than once corpus-wide survives only at
+    its first occurrence (lowest doc_id, then span position); documents
+    are rebuilt from their surviving spans. The oracle re-runs the whole
+    algorithm — span windows, global first-occurrence rule, reassembly —
+    in DuckDB SQL."""
+    from rtdl_spark.operators.dedup import span_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return span_dedup(d, span_words=16)

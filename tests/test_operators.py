@@ -103,6 +103,46 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
             assert abs(r["cosine_sim"] - exact_sim[key]) < 1e-9
 
 
+def test_span_dedup_c4_semantics(spark):
+    """span_dedup: a repeated span survives only at its first corpus
+    occurrence (lowest doc_id, then position) — across documents AND
+    within one; delimiter mode dedups paragraph units; null text yields
+    an empty clean_text with zero spans."""
+    from rtdl_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # spans (2 words): "a b", "c d"
+            (2, "c d e f"),   # "c d" duplicates doc 1 → dropped
+            (3, "x y x y"),   # within-doc dup → second "x y" dropped
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in span_dedup(docs, span_words=2).collect()
+    }
+    assert got[1]["clean_text"] == "a b c d"
+    assert got[2]["clean_text"] == "e f"
+    assert (got[2]["n_spans"], got[2]["n_kept"]) == (2, 1)
+    assert got[3]["clean_text"] == "x y"
+    assert got[4] == {
+        "doc_id": 4, "clean_text": "", "n_spans": 0, "n_kept": 0
+    }
+
+    paras = spark.createDataFrame(
+        [(1, "intro\nshared para\noutro"), (2, "shared para\nunique")],
+        "doc_id long, text string",
+    )
+    got_p = {
+        r["doc_id"]: r["clean_text"]
+        for r in span_dedup(paras, delimiter="\n").collect()
+    }
+    assert got_p[1] == "intro\nshared para\noutro"
+    assert got_p[2] == "unique"
+
+
 def test_kmeanspp_seeding_deterministic_and_spread(spark, sf_dir):
     """seed_centroids(method="kmeanspp"): deterministic farthest-first —
     two runs identical, exactly n centroids, and the chosen set is more
