@@ -176,6 +176,35 @@ USER_TOTALS_STATE = "n BIGINT, total DOUBLE"
 USER_TOTALS_OUTPUT = "user_id BIGINT, n BIGINT, total DOUBLE"
 
 
+def stream_enrich_static(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup shape every
+    event pipeline needs (events × customer/account/device attributes).
+
+    Stateless by construction: Spark joins each micro-batch against the
+    static side with no streaming state at all (nothing to watermark,
+    nothing to evict), which is why this is the right tool for
+    enrichment and the stream-stream interval join is reserved for
+    event-to-event matching. With ``broadcast=True`` (keep it: dimensions
+    are small next to a 100 TB/day stream) every micro-batch is a
+    map-side hash join — the event stream never shuffles.
+
+    The static side is re-planned per micro-batch, so a dimension stored
+    as a lake table picks up slowly-changing updates between batches
+    without restarting the query.
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return events.join(
+        d, F.col(stream_key) == F.col(dim_key), how
+    )
+
+
 def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running (count, value-total) via
     ``applyInPandasWithState`` — the escape hatch for semantics the built-in
