@@ -146,6 +146,73 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing: assign documents to fixed-token-budget
+    sequences by deterministic next-fit — walk each shard's documents in
+    id order, start a new sequence whenever the current one can't take
+    the next document. The step after chunking/curation that decides
+    what actually lands in each training example; fill accounting is the
+    input to padding-waste dashboards.
+
+    Packing is inherently sequential, so the corpus is sharded first
+    (``id % n_shards`` — deterministic, not hash-seeded) and packed
+    per-shard: shards run in parallel, each shard's recurrence runs once
+    inside an Arrow-batched applyInPandas. At 100 TB, n_shards scales
+    with the cluster and sequences are named (shard, seq_idx) — no
+    global sequential bottleneck, no driver loop. A document longer than
+    the budget gets a sequence of its own (next-fit never splits).
+
+    Returns one row per document: id, n_tokens, shard, seq_idx (0-based
+    within shard), seq_fill (the sequence's total tokens after packing —
+    identical on every member row).
+    """
+    import pandas as pd
+
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.size(toks), F.lit(0)).alias("n_tokens"),
+    ).withColumn("shard", (F.col("_id") % n_shards).cast("int"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        seq_idx, fill = [], []
+        cur, cur_fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if cur_fill > 0 and cur_fill + n > budget:
+                cur += 1
+                cur_fill = 0
+            cur_fill += n
+            seq_idx.append(cur)
+            fill.append(cur_fill)
+        pdf["seq_idx"] = seq_idx
+        # a sequence's fill is its FINAL total; backfill per sequence
+        pdf["seq_fill"] = (
+            pd.Series(fill).groupby(pd.Series(seq_idx)).transform("max")
+        )
+        return pdf
+
+    out_schema = "_id long, n_tokens int, shard int, seq_idx int, seq_fill int"
+    return (
+        base.groupBy("shard")
+        .applyInPandas(pack, out_schema)
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "shard",
+            "seq_idx",
+            "seq_fill",
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

@@ -701,3 +701,45 @@ def text_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kept_stats.join(clean_stats, "lang")
+
+
+@query(
+    "text_sequence_packing",
+    oracle="""
+    WITH RECURSIVE numbered AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(doc_id % 8 AS INT) AS shard,
+             row_number() OVER (PARTITION BY doc_id % 8
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ), r AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             0 AS seq_idx, n_tokens AS fill
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.shard, n.rn, n.doc_id, n.n_tokens,
+             CASE WHEN r.fill + n.n_tokens > 256
+                  THEN r.seq_idx + 1 ELSE r.seq_idx END,
+             CASE WHEN r.fill + n.n_tokens > 256
+                  THEN n.n_tokens ELSE r.fill + n.n_tokens END
+      FROM r JOIN numbered n ON n.shard = r.shard AND n.rn = r.rn + 1
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(seq_idx AS INT) AS seq_idx,
+           CAST(MAX(fill) OVER (PARTITION BY shard, seq_idx) AS INT)
+             AS seq_fill
+    FROM r
+    """,
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/curation.py::pack_sequences):
+    deterministic next-fit of documents into 256-token sequences within 8
+    id-mod shards. The oracle replays the same recurrence as a DuckDB
+    recursive CTE — per-shard walk in id order, new sequence when the
+    budget would overflow — so the hash-compare verifies the packing
+    itself, not just row counts."""
+    from rtdl_spark.operators.curation import pack_sequences
+
+    d = table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=256, n_shards=8)

@@ -103,6 +103,32 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
             assert abs(r["cosine_sim"] - exact_sim[key]) < 1e-9
 
 
+def test_pack_sequences_next_fit_invariants(spark, sf_dir):
+    """pack_sequences: every sequence respects the budget unless it is a
+    single oversized document; next-fit tightness — the first doc of
+    sequence i+1 would NOT have fit in sequence i; seq_fill equals the
+    sum of its members' tokens."""
+    from rtdl_spark.operators.curation import pack_sequences
+
+    budget = 256
+    d = table(spark, sf_dir, "documents")
+    rows = pack_sequences(d, budget=budget, n_shards=8).collect()
+    assert len(rows) == d.count()
+
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq_idx"]), []).append(r)
+    for (shard, seq), members in sorted(by_seq.items()):
+        total = sum(m["n_tokens"] for m in members)
+        assert all(m["seq_fill"] == total for m in members)
+        if len(members) > 1:
+            assert total <= budget, (shard, seq, total)
+        nxt = by_seq.get((shard, seq + 1))
+        if nxt:
+            first_next = min(nxt, key=lambda m: m["doc_id"])
+            assert total + first_next["n_tokens"] > budget, (shard, seq)
+
+
 def test_span_dedup_c4_semantics(spark):
     """span_dedup: a repeated span survives only at its first corpus
     occurrence (lowest doc_id, then position) — across documents AND
