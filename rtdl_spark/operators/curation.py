@@ -249,6 +249,64 @@ def decontaminate(
     return train.join(hit_ids, F.col(id_col) == F.col("_id"), "left_anti")
 
 
+def contamination_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Graded contamination measurement: for every training document, the
+    FRACTION of its distinct word ``n``-grams that appear anywhere in the
+    benchmark set (WIMBD/data-audit style), rather than decontaminate()'s
+    binary any-overlap verdict — the number you threshold, report, and
+    trend per corpus snapshot.
+
+    Same scale shape as decontaminate: both sides reduce to (id,
+    ngram-hash) longs, the benchmark's distinct hash set broadcasts, the
+    training corpus is scanned once and never shuffled by n-gram; the
+    per-doc counts are one map-combinable groupBy on the id.
+
+    Returns: id, n_grams (distinct n-grams in the doc), n_shared,
+    overlap_frac (0.0 for docs shorter than n tokens — nothing to
+    collide). Every train row appears exactly once.
+    """
+    from rtdl_spark.functions.text import shingles, token_hash
+
+    grams = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("_id"),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n), token_hash)
+            )
+        ).alias("_g"),
+    )
+    bench_grams = (
+        F.broadcast(grams(benchmark).select("_g").distinct())
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        grams(train)
+        .join(bench_grams, "_g", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.col("_g")).alias("n_grams"),
+            F.count(F.col("_hit")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_shared",
+        F.round(
+            F.when(
+                F.col("n_grams") > 0, F.col("n_shared") / F.col("n_grams")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("overlap_frac"),
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,

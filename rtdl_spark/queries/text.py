@@ -743,3 +743,53 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return pack_sequences(d, budget=256, n_shards=8)
+
+
+@query(
+    "text_contamination_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN
+               list_distinct(list_transform(range(1, len(w) - 3),
+                 i -> list_reduce(list_transform(string_split(
+                        array_to_string(w[i:i+4], ' '), ''),
+                      c -> ascii(c)::BIGINT),
+                      (h, c) -> (h * 31 + c) % {HASH_P})))
+             ELSE [] END AS hs
+      FROM toks
+    ), e AS (
+      SELECT doc_id, UNNEST(hs) AS h FROM g
+    ), bench AS (
+      SELECT DISTINCT h FROM e WHERE doc_id % 10 = 0
+    ), counts AS (
+      SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(b.h) AS n_shared
+      FROM (SELECT * FROM e WHERE doc_id % 10 <> 0) t
+      LEFT JOIN bench b ON t.h = b.h
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n_grams, 0) AS n_grams,
+           COALESCE(c.n_shared, 0) AS n_shared,
+           ROUND(CASE WHEN COALESCE(c.n_grams, 0) > 0
+                      THEN c.n_shared * 1.0 / c.n_grams
+                      ELSE 0.0 END, 6) AS overlap_frac
+    FROM documents d LEFT JOIN counts c USING (doc_id)
+    WHERE d.doc_id % 10 <> 0
+    """,
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark-contamination audit (operators/curation.py::
+    contamination_overlap): per training doc, the fraction of its distinct
+    5-grams found anywhere in the doc_id%10==0 eval split — the WIMBD-style
+    measurement behind threshold choices, vs text_decontaminate's binary
+    drop rule. Oracle replays the identical polynomial n-gram hashing and
+    counting in DuckDB."""
+    from rtdl_spark.operators.curation import contamination_overlap
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return contamination_overlap(train, bench, n=5)

@@ -103,6 +103,32 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
             assert abs(r["cosine_sim"] - exact_sim[key]) < 1e-9
 
 
+def test_contamination_overlap_consistent_with_decontaminate(spark, sf_dir):
+    """The graded measurement and the binary rule must agree: documents
+    decontaminate() keeps are exactly those contamination_overlap() scores
+    at zero shared n-grams — and the fixture must exercise both sides
+    (some contaminated, some clean)."""
+    from rtdl_spark.operators.curation import (
+        contamination_overlap,
+        decontaminate,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    survivors = {r["doc_id"] for r in decontaminate(train, bench).collect()}
+    scores = contamination_overlap(train, bench).collect()
+    assert len(scores) == train.count()
+    clean = {r["doc_id"] for r in scores if r["n_shared"] == 0}
+    assert clean == survivors
+    assert 0 < len(clean) < len(scores)
+    for r in scores:
+        assert 0.0 <= r["overlap_frac"] <= 1.0
+        assert (r["n_shared"] == 0) == (r["overlap_frac"] == 0.0) or r[
+            "n_grams"
+        ] == 0
+
+
 def test_pack_sequences_next_fit_invariants(spark, sf_dir):
     """pack_sequences: every sequence respects the budget unless it is a
     single oversized document; next-fit tightness — the first doc of
