@@ -189,28 +189,40 @@ def span_dedup(
     first = spans.groupBy("_h").agg(
         F.min(F.struct(F.col("_doc"), F.col("span_idx"))).alias("_keep")
     )
-    kept = spans.join(first, "_h").filter(
-        (F.col("_doc") == F.col("_keep._doc"))
-        & (F.col("span_idx") == F.col("_keep.span_idx"))
+    # One pass computes totals, kept count, and the reassembled text:
+    # collect_list skips nulls, so wrapping the struct in when(is_keep)
+    # collects only surviving spans — no separate totals aggregation, no
+    # second spans scan, one fewer shuffle + join than the naive
+    # kept/totals split.
+    is_keep = (F.col("_doc") == F.col("_keep._doc")) & (
+        F.col("span_idx") == F.col("_keep.span_idx")
     )
-    rebuilt = kept.groupBy("_doc").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("span_idx"), F.col("_span")))
+    per_doc = (
+        spans.join(first, "_h")
+        .withColumn("_is_keep", is_keep)
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("_is_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_is_keep"),
+                                F.struct(F.col("span_idx"), F.col("_span")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_span"],
                 ),
-                lambda s: s["_span"],
-            ),
-            " " if delimiter is None else delimiter,
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+                " " if delimiter is None else delimiter,
+            ).alias("clean_text"),
+        )
     )
-    totals = spans.groupBy("_doc").agg(F.count(F.lit(1)).alias("n_spans"))
     return (
         docs.select(F.col(id_col))
-        .join(totals, F.col(id_col) == totals["_doc"], "left")
-        .drop("_doc")
-        .join(rebuilt, F.col(id_col) == rebuilt["_doc"], "left")
+        .join(per_doc, F.col(id_col) == per_doc["_doc"], "left")
         .drop("_doc")
         .select(
             id_col,
