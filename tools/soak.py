@@ -135,7 +135,9 @@ def main() -> None:
     # purchases from 1× — replicating both sides would grow the join
     # output n², measuring blow-up rather than scaling (same rationale as
     # the q5 shape above)
-    def fix_ts(df):  # raw read gives ns-as-long (see catalog.table)
+    def fix_ts(df):  # raw read may give ns-as-long (see catalog.table)
+        if dict(df.dtypes).get("ts") != "bigint":
+            return df
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
         )
@@ -175,6 +177,28 @@ def main() -> None:
     run(
         "curation_funnel",
         lambda: curate_corpus(docs).groupBy("kept").count().count(),
+    )
+
+    # C4 span dedup on the replicated corpus: every 16-word span occurs in
+    # all n copies, so the keeper groupBy sees n occurrences per hash and
+    # all but one copy's spans are dropped — the adversarial all-duplicate
+    # corpus, worst case for the min-combine and the reassembly aggregate
+    from rtdl_spark.operators.dedup import span_dedup
+
+    run(
+        "span_dedup",
+        lambda: span_dedup(docs).agg(F.sum("n_kept")).collect(),
+    )
+
+    # training-sequence packing: the sequential recurrence sharded 64 ways;
+    # must scale linearly in rows (one Arrow batch stream per shard)
+    from rtdl_spark.operators.curation import pack_sequences
+
+    run(
+        "sequence_packing",
+        lambda: pack_sequences(docs, n_shards=64)
+        .agg(F.max("seq_idx"), F.count(F.lit(1)))
+        .collect(),
     )
 
     # connected components: n×1M-edge graph of 1000-node paths — the
