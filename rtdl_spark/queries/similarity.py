@@ -311,3 +311,22 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=4, k=5)
+
+
+@query("graph_pagerank_docs")
+def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the document near-dup graph
+    (operators/graph.py::pagerank on symmetrized MinHash-LSH pairs) — the
+    web-corpus quality signal (CommonCrawl-style host ranking). No
+    oracle: iterative float power-iteration is the canonical
+    non-SQL-expressible op (driver records rows-only); numpy parity,
+    mass conservation, and hub-dominance are pinned in
+    tests/test_operators.py."""
+    from rtdl_spark.operators.dedup import minhash_lsh_pairs
+    from rtdl_spark.operators.graph import pagerank
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    return pagerank(
+        pairs, src="id1", dst="id2", symmetric=True, n_iter=8
+    ).select("node", F.round("rank", 9).alias("rank"))

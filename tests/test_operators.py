@@ -837,3 +837,52 @@ def test_pq_encode_null_propagation(spark):
     ).collect()}
     assert rows[1] is not None and len(rows[1]) == 2
     assert rows[2] is None and rows[3] is None
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank vs a dense numpy power iteration on a directed graph with
+    a dangling node (3 has no out-edges) — same damping, same dangling
+    redistribution, 10 rounds: every rank equal to 1e-9, mass sums to 1."""
+    import numpy as np
+
+    from rtdl_spark.operators.graph import pagerank
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, n_iter=10).collect()
+    }
+
+    n, d = 4, 0.85
+    r = np.full(n, 1.0 / n)
+    out = {0: [1, 2], 1: [2, 3], 2: [0]}
+    for _ in range(10):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[u] for u in range(n) if u not in out)
+        nxt += d * dangling / n
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * r[u] / len(vs)
+        r = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+def test_pagerank_star_center_dominates(spark):
+    """On an undirected star, the hub must out-rank every leaf, all leaves
+    tie, and the distribution stays normalized."""
+    from rtdl_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src long, dst long"
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(star, symmetric=True, n_iter=15).collect()
+    }
+    leaves = [ranks[i] for i in range(1, 9)]
+    assert ranks[0] > max(leaves)
+    assert max(leaves) - min(leaves) < 1e-12
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
