@@ -205,6 +205,25 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentiles")
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-style approximate percentiles (percentile_approx) next to
+    the exact ones — no oracle (the sketch is engine-specific); the scale
+    story: percentile_approx is single-pass mergeable fixed memory, while
+    exact percentile must materialize and sort each group.
+    tests/test_operators.py bounds the rank error against the exact
+    quantiles."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.9], 10000
+        ).alias("approx_pcts"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))"
+        ).alias("exact_pcts"),
+    )
+
+
 @query(
     "agg_pivot_status_by_priority",
     oracle="""

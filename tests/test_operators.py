@@ -886,3 +886,33 @@ def test_pagerank_star_center_dominates(spark):
     assert ranks[0] > max(leaves)
     assert max(leaves) - min(leaves) < 1e-12
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_approx_percentiles_bounded_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=10000) must land within 1% rank error
+    of the exact quantile in every group — the contract that lets the
+    sketch replace the exact sort at scale."""
+    from rtdl_spark.queries import all_queries
+
+    rows = all_queries()["agg_approx_percentiles"](
+        spark, sf_dir
+    ).collect()
+    li = table(spark, sf_dir, "lineitem")
+    for r in rows:
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.filter(F.col("l_returnflag") == r["l_returnflag"])
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, approx in zip((0.25, 0.5, 0.9), r["approx_pcts"]):
+            import bisect
+
+            lo = bisect.bisect_left(vals, approx)
+            hi = bisect.bisect_right(vals, approx)
+            target = q * (n - 1)
+            # rank of the returned value must be within 1% of n of target
+            assert lo - 0.01 * n <= target <= hi + 0.01 * n, (
+                r["l_returnflag"], q, approx,
+            )
