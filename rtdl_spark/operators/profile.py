@@ -1,0 +1,81 @@
+"""Table profiling — the data-card / ANALYZE-style statistics pass every
+lake needs for monitoring, CBO input, and corpus documentation (data
+cards for training sets; reference parity: the reference registers
+datasets in Dremio/Glue, which run their own profiling — here the engine
+owns it natively).
+
+Scale shape: ONE full scan computes every column's statistics together
+(a single hash-aggregate row of ~6 expressions per column — all
+map-combinable, no shuffle beyond the final 1-row reduce), then the
+wide row is unpivoted driver-side into the tall (column, stats) form.
+Never one pass per column: at 100 TB, k passes for k columns is the
+difference between an hour and a day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column statistics in one scan. Returns one row per profiled
+    column: ``column, n_rows, n_nulls, null_frac, n_distinct (exact),
+    min_val, max_val, avg_len`` — min/max/avg-len as strings/doubles so
+    heterogeneous column types fit one schema (decimal types are profiled
+    via their string form; nested types are skipped).
+
+    ``n_distinct`` is exact (count(distinct)) — Spark expands multiple
+    count-distincts into one multi-pass expand, still a single scan; swap
+    to approx_count_distinct when profiling hundreds of columns.
+    """
+    cols = columns or [
+        c
+        for c, t in df.dtypes
+        if not t.startswith(("array", "map", "struct", "binary"))
+    ]
+    if not cols:
+        raise ValueError("profile_table: no profilable columns")
+    # All rounding happens JVM-side (F.round: half-up, the ANSI/DuckDB
+    # convention) so profiles are engine-reproducible — python's round()
+    # is half-even and would drift on exact .5 boundaries.
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        is_num = dict(df.dtypes)[c] in _NUMERIC
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+            F.round(
+                F.count(F.when(F.col(c).isNull(), 1))
+                / F.greatest(F.count(F.lit(1)), F.lit(1)),
+                6,
+            ).alias(f"__nf_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            (
+                F.round(F.avg(F.length(F.col(c).cast("string"))), 6)
+                if not is_num
+                else F.lit(None).cast("double")
+            ).alias(f"__len_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    out = [
+        (
+            c,
+            row["__n"],
+            row[f"__nulls_{c}"],
+            row[f"__nf_{c}"],
+            row[f"__nd_{c}"],
+            row[f"__min_{c}"],
+            row[f"__max_{c}"],
+            row[f"__len_{c}"],
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n_rows long, n_nulls long, null_frac double, "
+        "n_distinct long, min_val string, max_val string, avg_len double",
+    )

@@ -160,3 +160,57 @@ def x_ingest_pinned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id bigint, value double, props string"
         ),
     )
+
+
+@query(
+    "lake_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           ROUND((COUNT(*) - COUNT(o_orderkey)) * 1.0
+                 / GREATEST(COUNT(*), 1), 6) AS null_frac,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val,
+           CAST(NULL AS DOUBLE) AS avg_len
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           ROUND((COUNT(*) - COUNT(o_custkey)) * 1.0
+                 / GREATEST(COUNT(*), 1), 6),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           ROUND((COUNT(*) - COUNT(o_orderstatus)) * 1.0
+                 / GREATEST(COUNT(*), 1), 6),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR),
+           ROUND(AVG(length(o_orderstatus)), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           ROUND((COUNT(*) - COUNT(o_orderpriority)) * 1.0
+                 / GREATEST(COUNT(*), 1), 6),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR),
+           ROUND(AVG(length(o_orderpriority)), 6)
+    FROM orders
+    """,
+)
+def lake_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card profiling pass (operators/profile.py::profile_table):
+    per-column null/distinct/min/max/length stats for four orders columns,
+    computed in ONE scan (single hash-aggregate row, map-combinable) —
+    the ANALYZE/monitoring surface the reference delegates to
+    Dremio/Glue. Oracle recomputes every statistic per column in DuckDB."""
+    from rtdl_spark.operators.profile import profile_table
+
+    o = table(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )

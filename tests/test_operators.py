@@ -5,6 +5,7 @@ closing-the-loop slice)."""
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import functions as F
 
@@ -916,3 +917,41 @@ def test_approx_percentiles_bounded_rank_error(spark, sf_dir):
             assert lo - 0.01 * n <= target <= hi + 0.01 * n, (
                 r["l_returnflag"], q, approx,
             )
+
+
+def test_profile_table_semantics_and_single_scan(spark, sf_dir):
+    """profile_table: null accounting and distinct counts on a frame with
+    nulls; the whole profile must compile to ONE scan of the input (one
+    aggregate of all columns together — k passes for k columns is the
+    100 TB anti-pattern)."""
+    from rtdl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "bb"), (None, "a")],
+        "k long, s string",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 1
+    assert got["k"]["null_frac"] == 0.25
+    assert got["k"]["n_distinct"] == 3
+    assert (got["k"]["min_val"], got["k"]["max_val"]) == ("1", "3")
+    assert got["k"]["avg_len"] is None
+    assert got["s"]["n_distinct"] == 2
+    assert got["s"]["avg_len"] == round((1 + 2 + 1) / 3, 6)
+
+    # one-scan proof: the multi-statistic aggregate (the same shape
+    # profile_table builds internally) plans exactly one scan of orders —
+    # count-distincts expand, they do not re-read
+    from rtdl_spark.plans.inspect import formatted_plan
+
+    orders = table(spark, sf_dir, "orders")
+    agg_plan = formatted_plan(
+        orders.agg(
+            F.count(F.lit(1)),
+            F.countDistinct("o_orderkey"),
+            F.countDistinct("o_orderstatus"),
+            F.min("o_orderkey"),
+            F.max("o_orderstatus"),
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", agg_plan)) == 1
