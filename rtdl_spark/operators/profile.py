@@ -20,6 +20,62 @@ from pyspark.sql import functions as F
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
+def histogram(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
+    """Equi-width histogram of a numeric column: one aggregate derives the
+    range, one scan buckets every row — two passes total, both
+    map-combinable, independent of n_bins.
+
+    Bucket i (0-based) covers [min + i·w, min + (i+1)·w) with
+    w = (max−min)/n_bins; the max value folds into the last bucket
+    (standard closed-top convention). Nulls are excluded. Returns
+    ``bucket, lo, hi, n`` sorted by bucket; empty buckets appear with
+    n=0 so the shape is always n_bins rows (dashboards depend on it).
+    Bucketing arithmetic is plain IEEE double ops, so counts are
+    engine-reproducible (oracle-checked in DuckDB with the identical
+    formula).
+    """
+    if n_bins < 1:
+        raise ValueError("histogram: n_bins must be >= 1")
+    rng = F.broadcast(
+        df.filter(F.col(col).isNotNull()).agg(
+            F.min(F.col(col).cast("double")).alias("_mn"),
+            F.max(F.col(col).cast("double")).alias("_mx"),
+        )
+    )
+    x = F.col(col).cast("double")
+    bucket = F.least(
+        F.floor(
+            (x - F.col("_mn")) * n_bins / (F.col("_mx") - F.col("_mn"))
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counted = (
+        df.filter(F.col(col).isNotNull())
+        .crossJoin(rng)
+        .withColumn(
+            "bucket",
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(bucket),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bins = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    w = (F.col("_mx") - F.col("_mn")) / n_bins
+    return (
+        bins.crossJoin(rng)
+        .join(counted, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(F.col("_mn") + F.col("bucket") * w, 6).alias("lo"),
+            F.round(F.col("_mn") + (F.col("bucket") + 1) * w, 6).alias("hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Per-column statistics in one scan. Returns one row per profiled
     column: ``column, n_rows, n_nulls, null_frac, n_distinct (exact),

@@ -214,3 +214,38 @@ def lake_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+@query(
+    "lake_histogram_price",
+    oracle="""
+    WITH rng AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), counted AS (
+      SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) * 10 / (mx - mn)),
+                        9) AS INT) AS bucket,
+             COUNT(*) AS n
+      FROM lineitem, rng
+      WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT b.bucket,
+           ROUND(mn + b.bucket * (mx - mn) / 10, 6) AS lo,
+           ROUND(mn + (b.bucket + 1) * (mx - mn) / 10, 6) AS hi,
+           COALESCE(c.n, 0) AS n
+    FROM (SELECT UNNEST(range(10))::INT AS bucket) b
+    CROSS JOIN rng
+    LEFT JOIN counted c USING (bucket)
+    """,
+)
+def lake_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/profile.py::histogram) of
+    l_extendedprice in 10 bins: two map-combinable passes (range, then
+    bucket counts), empty bins materialized. Oracle re-runs the identical
+    IEEE bucketing formula in DuckDB, so the bin counts themselves are
+    hash-verified."""
+    from rtdl_spark.operators.profile import histogram
+
+    li = table(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", 10)

@@ -955,3 +955,24 @@ def test_profile_table_semantics_and_single_scan(spark, sf_dir):
         )
     )
     assert len(re.findall(r"\(\d+\) Scan parquet", agg_plan)) == 1
+
+
+def test_histogram_edges_and_counts(spark):
+    """histogram: totals preserved, max folds into the last bucket, nulls
+    excluded, empty bins materialized with n=0, constant column collapses
+    into bucket 0."""
+    from rtdl_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.5,), (9.9,), (10.0,), (None,)], "x double"
+    )
+    rows = histogram(df, "x", 5).collect()
+    assert [r["bucket"] for r in rows] == list(range(5))
+    assert sum(r["n"] for r in rows) == 5  # null excluded
+    assert rows[-1]["n"] == 2  # 9.9 and the max 10.0 both land in bin 4
+    assert rows[0]["lo"] == 0.0 and rows[-1]["hi"] == 10.0
+    assert any(r["n"] == 0 for r in rows)  # empty bin materialized
+
+    const = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    crows = histogram(const, "x", 4).collect()
+    assert crows[0]["n"] == 2 and sum(r["n"] for r in crows) == 2
