@@ -233,6 +233,52 @@ def span_dedup(
     )
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 1,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Edit-distance fuzzy matching: pairs of rows whose ``text_col``
+    values are within Levenshtein distance ``max_dist`` — the
+    identifier/title reconciliation primitive (entity resolution, fuzzy
+    key joins), complementing the token-level dedup family.
+
+    Scale shape: the quadratic is pruned BEFORE the expensive DP runs —
+    an equi join on ``block_col`` (e.g. language, first-token, or an
+    n-gram bucket) makes candidates a hash join per block, and the length
+    band ``|len(a) − len(b)| ≤ max_dist`` (a necessary condition for
+    edit distance) filters inside the join. levenshtein() — JVM codegen,
+    O(len²) per surviving pair — evaluates only on the pruned set. At
+    100 TB, block on cheap keys first; never run this unblocked.
+
+    Returns id1, id2 (id1 < id2), dist.
+    """
+    blocks = [block_col] if block_col else []
+    a = df.select(
+        F.col(id_col).alias("id1"),
+        F.col(text_col).alias("_t1"),
+        *[F.col(c) for c in blocks],
+    )
+    b = df.select(
+        F.col(id_col).alias("id2"),
+        F.col(text_col).alias("_t2"),
+        *[F.col(c).alias(f"_b_{c}") for c in blocks],
+    )
+    cond = F.col("id1") < F.col("id2")
+    for c in blocks:
+        cond = cond & (F.col(c) == F.col(f"_b_{c}"))
+    cand = a.join(b, cond).filter(
+        F.abs(F.length("_t1") - F.length("_t2")) <= max_dist
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("_t1"), F.col("_t2")))
+        .filter(F.col("dist") <= max_dist)
+        .select("id1", "id2", "dist")
+    )
+
+
 def dedup_groups(
     df: DataFrame, key_col, id_col: str
 ) -> DataFrame:

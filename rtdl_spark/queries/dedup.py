@@ -575,3 +575,30 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return span_dedup(d, span_words=16)
+
+
+@query(
+    "dedup_fuzzy_source_pairs",
+    oracle="""
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           levenshtein(a.source, b.source) AS dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(length(a.source) - length(b.source)) <= 1
+    WHERE levenshtein(a.source, b.source) <= 1
+      AND a.doc_id < 150 AND b.doc_id < 150
+    """,
+)
+def dedup_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein fuzzy matching (operators/dedup.py::fuzzy_pairs) over
+    source identifiers, blocked by language: the entity-resolution shape
+    (same-block hash join + length band prune the quadratic; the O(len²)
+    DP runs only on survivors). Oracle re-runs the identical blocking and
+    distance rule with DuckDB's levenshtein."""
+    from rtdl_spark.operators.dedup import fuzzy_pairs
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return fuzzy_pairs(
+        d, id_col="doc_id", text_col="source", max_dist=1, block_col="lang"
+    )

@@ -323,3 +323,31 @@ def win_session_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("sw.start").alias("session_start"), "n_events"
         )
     )
+
+
+@query(
+    "win_percent_rank_cume_dist",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderkey < 3000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics (percent_rank / cume_dist) per priority
+    group — the remaining ranking-family built-ins; deterministic via the
+    orderkey tiebreak."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
