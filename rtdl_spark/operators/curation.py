@@ -249,6 +249,63 @@ def decontaminate(
     return train.join(hit_ids, F.col(id_col) == F.col("_id"), "left_anti")
 
 
+def linear_quality_score(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed-feature linear scoring — the quality-classifier serving
+    shape (GPT-3/CCNet style: a linear model over hashed bag-of-words
+    decides what enters the corpus). This implements the SCORING path;
+    weights come from an externally trained model in production and are
+    derived here deterministically from the bucket id (an LCG step) so
+    the whole pipeline is engine-reproducible and oracle-checkable.
+
+    Exactness design: weights are INTEGERS and the per-doc reduction is
+    an integer SUM — exact in any partition/addition order (a float sum
+    would be order-dependent across partitions and could never
+    hash-match an oracle). The single division happens once at the end,
+    rounded.
+
+    Scale shape: tokenize → hash to ``n_buckets`` → weight lookup is
+    pure expression work (no weight-table join at all — the "model" is a
+    formula; a real weight vector would broadcast-join on bucket id);
+    one map-combinable groupBy(id) sums the score. One scan, one
+    shuffle.
+
+    Returns: id, n_tokens, score (mean bucket weight in [-0.5, 0.5),
+    rounded to 6; 0.0 for empty docs).
+    """
+    from rtdl_spark.functions.text import token_hash, tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("_tok"),
+    )
+    bucket = token_hash(F.col("_tok")) % n_buckets
+    w = (bucket * F.lit(1103515245) + F.lit(12345)) % F.lit(100000) - F.lit(
+        50000
+    )
+    per_doc = toks.withColumn(
+        "_w", F.when(F.col("_tok").isNotNull(), w)
+    ).groupBy("_id").agg(
+        F.count(F.col("_tok")).alias("n_tokens"),
+        F.sum("_w").alias("_sw"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("_sw") / (F.col("n_tokens") * 100000),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     benchmark: DataFrame,

@@ -793,3 +793,39 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 10 == 0)
     train = d.filter(F.col("doc_id") % 10 != 0)
     return contamination_overlap(train, bench, n=5)
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             ((list_reduce(list_transform(string_split(tok, ''),
+                           c -> ascii(c)::BIGINT),
+                           (h, c) -> (h * 31 + c) % {HASH_P}) % 4096)
+              * 1103515245 + 12345) % 100000 - 50000 AS w
+      FROM toks
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS sw
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           ROUND(CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                      THEN sw * 1.0 / (a.n_tokens * 100000)
+                      ELSE 0.0 END, 6) AS score
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality scoring (operators/curation.py::
+    linear_quality_score) — the GPT-3-style classifier SERVING path with
+    deterministic integer weights, so the mean-weight score is exact in
+    any partition order and the oracle hash-verifies the whole pipeline
+    (tokenize → polynomial hash → bucket → weight → integer sum)."""
+    from rtdl_spark.operators.curation import linear_quality_score
+
+    d = table(spark, sf_dir, "documents")
+    return linear_quality_score(d)

@@ -976,3 +976,20 @@ def test_histogram_edges_and_counts(spark):
     const = spark.createDataFrame([(7.0,), (7.0,)], "x double")
     crows = histogram(const, "x", 4).collect()
     assert crows[0]["n"] == 2 and sum(r["n"] for r in crows) == 2
+
+
+def test_linear_quality_score_empty_and_bounds(spark):
+    """linear_quality_score: null text scores 0 with 0 tokens; scores are
+    bounded mean bucket weights in [-0.5, 0.5); identical docs score
+    identically (pure function of text)."""
+    from rtdl_spark.operators.curation import linear_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in linear_quality_score(docs).collect()}
+    assert got[3]["n_tokens"] == 0 and got[3]["score"] == 0.0
+    assert got[1]["score"] == got[2]["score"]
+    assert -0.5 <= got[1]["score"] < 0.5
+    assert got[1]["n_tokens"] == 3
