@@ -829,3 +829,27 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return linear_quality_score(d)
+
+
+@query("ml_logreg_quality_filter")
+def ml_logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score classifier filter (operators/classify.py):
+    logistic regression over hashed bag-of-words learns a text-derived
+    label, then scores the corpus — the fastText/CCNet quality-filter
+    loop, end to end. Returns the confusion summary. No oracle:
+    iterative float training is non-SQL-expressible (rows-only); the
+    distributed gradient is verified EXACTLY against dense numpy in
+    tests/test_operators.py."""
+    from rtdl_spark.operators.classify import score_logreg, train_logreg
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "y",
+        F.array_contains(F.split(F.col("text"), " "), "spark").cast("int"),
+    )
+    w, b, _ = train_logreg(d, "y", n_buckets=1024, n_iter=8, lr=2.0)
+    return (
+        score_logreg(d, w, b, 1024)
+        .join(d.select("doc_id", "y"), "doc_id")
+        .groupBy("y", (F.col("prob") > 0.5).alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -993,3 +993,65 @@ def test_linear_quality_score_empty_and_bounds(spark):
     assert got[1]["score"] == got[2]["score"]
     assert -0.5 <= got[1]["score"] < 0.5
     assert got[1]["n_tokens"] == 3
+
+
+def test_logreg_trains_to_separate_planted_label(spark, sf_dir):
+    """train_logreg learns a text-derived label (doc contains the token
+    'spark') to high accuracy — the full train→score loop; and the
+    distributed full-batch gradient is EXACT: the loss trajectory equals
+    a dense numpy implementation of the same updates (first/last values
+    to 1e-9), so every map-combinable gradient sum is verified, not just
+    the outcome."""
+    import numpy as np
+
+    from rtdl_spark.functions.text import HASH_P
+    from rtdl_spark.operators.classify import score_logreg, train_logreg
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "y",
+        F.array_contains(F.split(F.col("text"), " "), "spark").cast("int"),
+    )
+    w, b, losses = train_logreg(d, "y", n_buckets=1024, n_iter=20, lr=2.0)
+    scored = (
+        score_logreg(d, w, b, 1024)
+        .join(d.select("doc_id", "y"), "doc_id")
+        .collect()
+    )
+    acc = sum(
+        1 for r in scored if (r["prob"] > 0.5) == (r["y"] == 1)
+    ) / len(scored)
+    ys = [r["y"] for r in scored]
+    base = max(sum(ys), len(ys) - sum(ys)) / len(ys)
+    assert acc >= 0.95 > base, (acc, base)
+
+    # exact-gradient proof vs dense numpy on the same data
+    rows = d.select("doc_id", "text", "y").collect()
+
+    def th(tok):
+        h = 0
+        for c in tok:
+            h = (h * 31 + ord(c)) % HASH_P
+        return h % 1024
+
+    X = np.zeros((len(rows), 1024))
+    Y = np.zeros(len(rows))
+    for k, r in enumerate(rows):
+        Y[k] = float(r["y"])
+        for tok in r["text"].split(" "):
+            X[k, th(tok)] = 1.0
+    wv = np.zeros(1024)
+    bv = 0.0
+    ref = []
+    for _ in range(20):
+        p = 1 / (1 + np.exp(-(X @ wv + bv)))
+        ref.append(
+            float(
+                -(
+                    Y * np.log(p + 1e-12) + (1 - Y) * np.log(1 - p + 1e-12)
+                ).mean()
+            )
+        )
+        wv -= 2.0 * (X.T @ (p - Y) / len(Y))
+        bv -= 2.0 * (p - Y).mean()
+    assert abs(losses[0] - ref[0]) < 1e-9
+    assert abs(losses[-1] - ref[-1]) < 1e-6, (losses[-1], ref[-1])
