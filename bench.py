@@ -26,11 +26,14 @@ HEADLINE = (
     "q9_product_type_profit",
     "q18_large_volume_customer",
     # LLM-pipeline extensions: MinHash+LSH near-dup, embedding ANN,
-    # text quality scoring, window analytics
+    # text quality scoring, window analytics, C4 span dedup,
+    # training-sequence packing
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality_scores",
     "win_running_revenue",
+    "dedup_span_exact",
+    "text_sequence_packing",
 )
 
 
