@@ -69,6 +69,16 @@ def pagerank(
     ew = e.join(deg, "u").repartition("u").localCheckpoint()
     nodes = nodes.localCheckpoint()
 
+    # Dangling detection once, not per round: a node is dangling iff it
+    # has no out-edges — an iteration-invariant property. Symmetrized
+    # graphs can't have any (every edge gives both endpoints an
+    # out-edge), so the per-round dangling-mass job — one full rank scan
+    # per iteration — vanishes for similarity graphs.
+    has_dangling = (
+        not symmetric
+        and nodes.join(deg, nodes["node"] == deg["u"], "left_anti").count() > 0
+    )
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     prev: DataFrame | None = None
     for _ in range(n_iter):
@@ -78,7 +88,7 @@ def pagerank(
             .agg(F.sum("rank"))
             .first()[0]
             or 0.0
-        )
+        ) if has_dangling else 0.0
         contribs = (
             ew.join(ranks, ew["u"] == ranks["node"])
             .select(
