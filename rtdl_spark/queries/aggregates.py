@@ -266,3 +266,15 @@ def agg_distinct_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_linestatus").agg(
         F.sum_distinct(dec("l_quantity")).cast("double").alias("sum_distinct_qty")
     )
+
+
+@query("agg_freq_items")
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Papadimitriou–Shenker frequent-items sketch (df.freqItems) on
+    the order-priority column — single-pass, fixed memory, false
+    positives possible but never false negatives above the support
+    threshold. No oracle (sketch internals are engine-specific);
+    tests/test_operators.py pins the no-false-negative guarantee against
+    exact counts."""
+    o = table(spark, sf_dir, "orders")
+    return o.freqItems(["o_orderpriority"], support=0.15)

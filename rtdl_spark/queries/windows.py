@@ -351,3 +351,55 @@ def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "win_gaps_islands_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def win_gaps_islands_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization — the batch window-function twin
+    of F.session_window (win_session_30min): a new session starts when
+    the gap to the previous event exceeds 30 minutes; session id is the
+    running sum of session starts. The pattern matters because it
+    sessionizes with plain windows on engines/queries where
+    session_window isn't available."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts")
+            <= F.lag("ts").over(w) + F.expr("INTERVAL 30 minutes"),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    s = e.withColumn("session_id", F.sum("new_session").over(run))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1055,3 +1055,22 @@ def test_logreg_trains_to_separate_planted_label(spark, sf_dir):
         bv -= 2.0 * (p - Y).mean()
     assert abs(losses[0] - ref[0]) < 1e-9
     assert abs(losses[-1] - ref[-1]) < 1e-6, (losses[-1], ref[-1])
+
+
+def test_freq_items_no_false_negatives(spark, sf_dir):
+    """df.freqItems(support=s) may return false positives but must never
+    miss an item with true frequency > s — the sketch's one guarantee."""
+    from rtdl_spark.queries import all_queries
+
+    got = all_queries()["agg_freq_items"](spark, sf_dir).collect()[0][
+        "o_orderpriority_freqItems"
+    ]
+    o = table(spark, sf_dir, "orders")
+    n = o.count()
+    truly_frequent = {
+        r["o_orderpriority"]
+        for r in o.groupBy("o_orderpriority").count().collect()
+        if r["count"] / n > 0.15
+    }
+    assert truly_frequent, "fixture must have at least one frequent item"
+    assert truly_frequent <= set(got)
