@@ -459,3 +459,63 @@ def test_stream_enrich_static_matches_batch(spark, sf_dir, events_stream):
         .toString()
     )
     assert "BroadcastHashJoin" in batch_plan
+
+
+def test_stream_tumbling_drops_data_later_than_watermark(spark, tmp_path):
+    """The watermark eviction contract, with its real (subtle) semantics:
+    the watermark is a LOWER BOUND on dropping, not an upper bound on
+    accepting — a late row arriving while its window is still in state is
+    merged (Spark makes no promptness promise), but once the watermark
+    passed the window end and the state was EVICTED, a later-arriving row
+    for that window is discarded and can never resurrect or double-emit
+    the window. Waves: on-time pair → watermark-advancer → eviction
+    batch → (late row + still-open row). The finalized window must count
+    exactly the on-time pair, and open windows stay withheld in append
+    mode."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from rtdl_spark.streaming import stream_tumbling_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    waves = [
+        [(1, t(0), 1, "click", 1.0), (2, t(2), 1, "click", 1.0)],
+        [(3, t(60), 2, "click", 1.0)],   # raises wm to 10:50 for NEXT batch
+        [(6, t(61), 5, "click", 1.0)],   # runs with wm=10:50 → evicts [10:00)
+        [(4, t(2), 3, "click", 1.0), (5, t(58), 4, "click", 1.0)],  # 4 late
+    ]
+    watch = tmp_path / "late_src"
+    watch.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    for i, rows in enumerate(waves):
+        stage = str(tmp_path / f"_stage_{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = watch / f"w{i}.parquet"
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    run_to_memory(
+        stream_tumbling_counts(stream, "5 minutes", "10 minutes"),
+        "late_out",
+        "append",
+    )
+    got = {
+        (str(r["window_start"]), r["n"])
+        for r in spark.sql(
+            "SELECT window_start, n FROM late_out"
+        ).collect()
+    }
+    # exactly the on-time pair: the late event_id=4 was dropped against
+    # the evicted window (no resurrection, no duplicate emission), and
+    # no still-open window (10:55 / 11:00 / 11:01) leaked out
+    assert got == {("2024-01-01 10:00:00", 2)}, got
