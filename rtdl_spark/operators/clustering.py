@@ -52,19 +52,34 @@ def kmeans(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "first",
 ) -> DataFrame:
     """Lloyd's k-means; returns (cell_id, n_members, inertia) after
     ``n_iter`` iterations. Deterministic: seeded from the k lowest-id
-    vectors; assignment ties break to the lowest cell_id."""
+    vectors (``init="first"``) or by the shared farthest-first
+    traversal (``init="kmeanspp"`` — operators/similarity.py::
+    _greedy_seed_rows, the same seeding the IVF/PQ/SemDeDup family
+    uses); assignment ties break to the lowest cell_id."""
     spark = corpus.sparkSession
     vecs = corpus.select(
         F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
     )
-    seed_rows = vecs.orderBy("_id").limit(k).collect()
-    if not seed_rows:
-        raise ValueError("kmeans: empty corpus")
-    dim = len(seed_rows[0]["_v"])
-    centroids = [(i + 1, list(r["_v"])) for i, r in enumerate(seed_rows)]
+    if init == "kmeanspp":
+        from rtdl_spark.operators.similarity import _greedy_seed_rows
+
+        seeds = _greedy_seed_rows(vecs, k, "_id", "_v", sample_cap=4096)
+        if not seeds:
+            raise ValueError("kmeans: empty corpus")
+        dim = len(seeds[0][1])
+        centroids = [(i + 1, v) for i, (_, v) in enumerate(seeds)]
+    elif init == "first":
+        seed_rows = vecs.orderBy("_id").limit(k).collect()
+        if not seed_rows:
+            raise ValueError("kmeans: empty corpus")
+        dim = len(seed_rows[0]["_v"])
+        centroids = [(i + 1, list(r["_v"])) for i, r in enumerate(seed_rows)]
+    else:
+        raise ValueError(f"kmeans: unknown init {init!r}")
 
     def cent_frame():
         return F.broadcast(

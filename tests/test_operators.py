@@ -1074,3 +1074,25 @@ def test_freq_items_no_false_negatives(spark, sf_dir):
     }
     assert truly_frequent, "fixture must have at least one frequent item"
     assert truly_frequent <= set(got)
+
+
+def test_kmeans_kmeanspp_init_converges_with_lower_inertia(spark, sf_dir):
+    """kmeans(init="kmeanspp") runs the shared farthest-first seeding:
+    deterministic, full membership, and on this fixture the spread seeds
+    start (and stay) at lower total inertia than first-rows seeding with
+    the same iteration budget."""
+    from rtdl_spark.operators.clustering import kmeans
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    n = emb.count()
+
+    def run(init):
+        rows = kmeans(emb, k=8, n_iter=2, init=init).collect()
+        assert sum(r["n_members"] for r in rows) == n
+        return sum(r["inertia"] for r in rows)
+
+    i_first = run("first")
+    i_kpp = run("kmeanspp")
+    i_kpp2 = run("kmeanspp")
+    assert i_kpp == i_kpp2  # deterministic
+    assert i_kpp <= i_first * 1.05, (i_kpp, i_first)
