@@ -320,3 +320,59 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["node"]: r["component"]
            for r in connected_components(df).collect()}
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_dedup_matches_python_model(spark, docs_tokens):
+    """span_dedup against a pure-Python model on arbitrary small-vocab
+    word docs (tiny vocabulary maximizes span collisions): identical
+    clean_text / n_spans / n_kept for every document, including empty
+    docs and heavy within- and cross-doc duplication."""
+    from rtdl_spark.operators.dedup import span_dedup
+
+    span_words = 2
+    texts = [" ".join(toks) for toks in docs_tokens]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_kept"])
+        for r in span_dedup(df, span_words=span_words).collect()
+    }
+
+    # python model: same windows, global first-occurrence, reassembly
+    seen = {}
+    expected = {}
+    spans_per_doc = {}
+    for i, t in rows:
+        toks = t.split(" ")
+        n = max((len(toks) + span_words - 1) // span_words, 1)
+        spans = [
+            " ".join(toks[j * span_words : (j + 1) * span_words])
+            for j in range(n)
+        ]
+        spans_per_doc[i] = spans
+        for j, sp in enumerate(spans):
+            seen.setdefault(sp, (i, j))
+    for i, _ in rows:
+        kept = [
+            sp
+            for j, sp in enumerate(spans_per_doc[i])
+            if seen[sp] == (i, j)
+        ]
+        expected[i] = (
+            " ".join(kept),
+            len(spans_per_doc[i]),
+            len(kept),
+        )
+    assert got == expected
