@@ -249,3 +249,42 @@ def lake_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     return histogram(li, "l_extendedprice", 10)
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_name, MAX(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan/sink path made driver-visible: nation → CSV (header) →
+    schema'd read-back → aggregate; the oracle aggregates the original
+    parquet, so the hash-compare proves the CSV write+read is lossless
+    for ints and strings. Scratch on tmpfs when available, removed after
+    materialization."""
+    nat = table(spark, sf_dir, "nation")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_csv_rt_", dir=shm)
+    try:
+        path = os.path.join(workdir, "nation_csv")
+        nat.write.option("header", True).csv(path)
+        back = (
+            spark.read.option("header", True)
+            .schema(nat.schema)
+            .csv(path)
+        )
+        rows = (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.min("n_name").alias("first_name"),
+                F.max("n_name").alias("last_name"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
