@@ -424,6 +424,8 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    train_iters: int = 0,
+    train_sample: int = 1024,
 ) -> DataFrame:
     """Product-quantization ANN (functions/pq_np.py): encode the corpus
     once to m-byte codes (32× smaller than 64-dim float vectors), then
@@ -451,14 +453,15 @@ def pq_topk(
         pq_lut,
     )
 
+    n_sample = max(ks, train_sample) if train_iters > 0 else ks
     sample = np.asarray(
         [
             list(r[vec_col])
-            for r in corpus.orderBy(id_col).limit(ks).collect()
+            for r in corpus.orderBy(id_col).limit(n_sample).collect()
         ],
         dtype=np.float64,
     )
-    books = pq_codebooks(sample, m, ks)
+    books = pq_codebooks(sample, m, ks, train_iters=train_iters)
     encoded = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         pq_encode(F.col(vec_col), books).alias("_codes"),
@@ -500,6 +503,8 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     k: int = 5,
     seed_method: str = "first",
+    train_iters: int = 0,
+    train_sample: int = 1024,
 ) -> DataFrame:
     """IVF-PQ: the full FAISS composition — coarse cells bound WHICH rows
     a query scores (candidate set ÷ ~n_cells/nprobe), product-quantized
@@ -524,11 +529,15 @@ def ivf_pq_topk(
         corpus, n_cells, id_col, vec_col, method=seed_method
     )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    n_sample = max(ks, train_sample) if train_iters > 0 else ks
     sample = np.asarray(
-        [list(r[vec_col]) for r in corpus.orderBy(id_col).limit(ks).collect()],
+        [
+            list(r[vec_col])
+            for r in corpus.orderBy(id_col).limit(n_sample).collect()
+        ],
         dtype=np.float64,
     )
-    books = pq_codebooks(sample, m, ks)
+    books = pq_codebooks(sample, m, ks, train_iters=train_iters)
     encoded = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         "cell_id",

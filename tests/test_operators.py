@@ -1096,3 +1096,58 @@ def test_kmeans_kmeanspp_init_converges_with_lower_inertia(spark, sf_dir):
     i_kpp2 = run("kmeanspp")
     assert i_kpp == i_kpp2  # deterministic
     assert i_kpp <= i_first * 1.05, (i_kpp, i_first)
+
+
+def test_pq_trained_codebooks_reduce_error_and_help_recall(spark, sf_dir):
+    """pq_codebooks(train_iters>0) must strictly reduce mean quantization
+    error on the training sample (Lloyd monotonicity) and must not hurt
+    end-to-end PQ recall vs the untrained seeding on the fixture
+    (measured: it helps — 0.16→0.24 recall@5 at sf0.01)."""
+    import numpy as np
+
+    from rtdl_spark.functions.pq_np import pq_codebooks
+    from rtdl_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    sample = np.asarray(
+        [
+            list(r["embedding"])
+            for r in emb.orderBy("vec_id").limit(512).collect()
+        ],
+        dtype=np.float64,
+    )
+    m, ks = 8, 16
+
+    def qerr(books):
+        sub = sample.shape[1] // m
+        tot = 0.0
+        for j in range(m):
+            xj = sample[:, j * sub : (j + 1) * sub]
+            c2 = (books[j] ** 2).sum(1)
+            d = c2[None, :] - 2 * (xj @ books[j].T)
+            tot += (d.min(1) + (xj**2).sum(1)).sum()
+        return tot / len(sample)
+
+    e0 = qerr(pq_codebooks(sample, m, ks, 0))
+    e5 = qerr(pq_codebooks(sample, m, ks, 5))
+    assert e5 < e0, (e5, e0)
+
+    # recall comparison needs a corpus big enough for the geometry to be
+    # signal rather than noise — pinned at sf0.01 (5k vectors), where the
+    # measured gain is 0.16 -> 0.24 recall@5; at sf0.001 the tiny corpus
+    # flips coin-toss-ily
+    emb01 = table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb01.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb01, q, k=5).collect()
+    }
+
+    def recall(ti):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(emb01, q, k=5, train_iters=ti).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    assert recall(5) >= recall(0)
