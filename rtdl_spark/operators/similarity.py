@@ -492,6 +492,40 @@ def pq_topk(
     )
 
 
+def _pq_probe_rows(
+    q_rows, cent_rows, books, nprobe: int, id_col: str, vec_col: str
+) -> list:
+    """(query_id, cell_id, LUT) probe rows, one per probed cell. Probes
+    with the SAME metric and tie rule the corpus was assigned with
+    (ivf_assign: cosine rounded to 6, ties to the lowest cell) — probing
+    by L2 against cosine-assigned cells systematically looks in the
+    wrong cells for unnormalized vectors. Shared by the in-memory
+    (ivf_pq_topk) and persisted-index (query_ivf_pq_index) paths so
+    their probe decisions can never drift apart."""
+    import numpy as np
+
+    from rtdl_spark.functions.pq_np import pq_lut
+
+    def _cos(a, b):
+        na, nb = float(np.sqrt(a @ a)), float(np.sqrt(b @ b))
+        return float(a @ b) / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    probes = []
+    for r in q_rows:
+        q = np.asarray(r[vec_col], dtype=np.float64)
+        by_sim = sorted(
+            (
+                -round(_cos(np.asarray(c[vec_col], dtype=np.float64), q), 6),
+                c["cell_id"],
+            )
+            for c in cent_rows
+        )
+        lut = pq_lut(list(r[vec_col]), books)  # once per query, not per cell
+        for _, cell in by_sim[:nprobe]:
+            probes.append((r[id_col], cell, lut))
+    return probes
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -546,28 +580,7 @@ def ivf_pq_topk(
 
     q_rows = queries.select(id_col, vec_col).collect()
     cent_rows = centroids.collect()
-
-    def _cos(a, b):
-        na, nb = float(np.sqrt(a @ a)), float(np.sqrt(b @ b))
-        return float(a @ b) / (na * nb) if na > 0 and nb > 0 else 0.0
-
-    probes = []
-    for r in q_rows:
-        q = np.asarray(r[vec_col], dtype=np.float64)
-        # Probe with the SAME metric and tie rule the corpus was assigned
-        # with (ivf_assign: cosine rounded to 6, ties to the lowest cell) —
-        # probing by L2 against cosine-assigned cells systematically looks
-        # in the wrong cells for unnormalized vectors.
-        by_sim = sorted(
-            (
-                -round(_cos(np.asarray(c[vec_col], dtype=np.float64), q), 6),
-                c["cell_id"],
-            )
-            for c in cent_rows
-        )
-        lut = pq_lut(list(r[vec_col]), books)  # once per query, not per cell
-        for _, cell in by_sim[:nprobe]:
-            probes.append((r[id_col], cell, lut))
+    probes = _pq_probe_rows(q_rows, cent_rows, books, nprobe, id_col, vec_col)
     probe_df = F.broadcast(
         corpus.sparkSession.createDataFrame(
             probes, "query_id long, cell_id int, _lut array<array<double>>"

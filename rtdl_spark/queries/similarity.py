@@ -330,3 +330,34 @@ def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         pairs, src="id1", dst="id2", symmetric=True, n_iter=8
     ).select("node", F.round("rank", 9).alias("rank"))
+
+
+@query("sim_index_ivf_pq")
+def sim_index_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ANN (operators/ann_index.py): build the IVF-PQ
+    index as a cell-partitioned lake layout on scratch, answer top-k by
+    reading ONLY the probed cell partitions (static partition pruning),
+    drop the scratch. No oracle (ANN family rationale); byte-exact parity
+    with ivf_pq_topk and the executed-scan pruning proof live in
+    tests/test_operators.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from rtdl_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_ann_idx_", dir=shm)
+    try:
+        idx = os.path.join(workdir, "idx")
+        build_ivf_pq_index(emb, idx, n_cells=8, m=8, ks=16)
+        out = query_ivf_pq_index(
+            spark, idx, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
