@@ -1195,3 +1195,29 @@ def test_persisted_ivf_pq_index_matches_inmemory_and_prunes(
     assert idx_scans
     scanned = sum(idx_scans)
     assert 0 < scanned < total, (scanned, total)
+
+
+def test_persisted_index_composes_seeding_and_training(spark, sf_dir, tmp_path):
+    """The persisted index composes with the quality knobs: kmeanspp
+    cell seeding + Lloyd-trained codebooks build and answer identically
+    to the in-memory path under the same parameters."""
+    from rtdl_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+    )
+    from rtdl_spark.operators.similarity import ivf_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "idx_kpp")
+    kw = dict(n_cells=4, m=8, ks=16, seed_method="kmeanspp", train_iters=3)
+    build_ivf_pq_index(emb, idx, **kw)
+    got = {
+        tuple(r)
+        for r in query_ivf_pq_index(spark, idx, queries, nprobe=2, k=3).collect()
+    }
+    mem = {
+        tuple(r)
+        for r in ivf_pq_topk(emb, queries, nprobe=2, k=3, **kw).collect()
+    }
+    assert got == mem and got
