@@ -519,3 +519,40 @@ def test_stream_tumbling_drops_data_later_than_watermark(spark, tmp_path):
     # the evicted window (no resurrection, no duplicate emission), and
     # no still-open window (10:55 / 11:00 / 11:01) leaked out
     assert got == {("2024-01-01 10:00:00", 2)}, got
+
+
+def test_stream_quality_scoring_matches_batch(spark, sf_dir, tmp_path):
+    """Score-at-ingest: the hashed-feature linear quality scorer
+    (curation.linear_quality_score) applied per micro-batch via
+    foreachBatch — the deployment shape for stateless per-document
+    stages (a document's tokens live in its own row, so batch-local
+    scoring is exact; no streaming-aggregation state, no watermark) —
+    must emit exactly the batch scores over the same corpus."""
+    from rtdl_spark.operators.curation import linear_quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+
+    collected = []
+
+    def score_batch(batch_df, _bid):
+        collected.extend(linear_quality_score(batch_df).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r["doc_id"], r["n_tokens"], r["score"]) for r in collected}
+    expected = {
+        (r["doc_id"], r["n_tokens"], r["score"])
+        for r in linear_quality_score(docs).collect()
+    }
+    assert got == expected and len(got) == docs.count()
