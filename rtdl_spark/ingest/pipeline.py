@@ -69,6 +69,7 @@ class IngestJob:
         register_catalog: bool = True,
         inference_sampling_ratio: float | None = None,
         corrupt_policy: str = "drop",
+        extra_functions: dict | None = None,
     ):
         """``time_source``: 'processing' (reference parity — bucket by wall
         clock at write, ingester.go:522-548) or 'event' (bucket by
@@ -87,7 +88,15 @@ class IngestJob:
         message, ingest-service.go:172-177), 'quarantine' (write the raw
         line to <lake_root>/_quarantine/ so bad producers are debuggable
         — at scale silent drops hide upstream breakage), or 'fail'
-        (FAILFAST — strict pipelines)."""
+        (FAILFAST — strict pipelines).
+
+        ``extra_functions``: ``{name: DataFrame -> DataFrame}`` user
+        transforms the A22 chain can route to by name — the reference's
+        extension point (any StateFun can join a stream's ``functions``
+        list, module.yaml); a config naming ``"ingester,dedup"`` runs the
+        registered ``dedup`` callable between envelope-flatten and the
+        partitioned write. Built-in names win; unknown names still
+        raise."""
         if time_source not in ("processing", "event"):
             raise ValueError("time_source must be 'processing' or 'event'")
         if corrupt_policy not in ("drop", "quarantine", "fail"):
@@ -104,6 +113,7 @@ class IngestJob:
         self.register_catalog = register_catalog
         self.inference_sampling_ratio = inference_sampling_ratio
         self.corrupt_policy = corrupt_policy
+        self.extra_functions = dict(extra_functions or {})
 
     # -- A1: envelope ------------------------------------------------------
     def read_json(self, path: str) -> DataFrame:
@@ -255,6 +265,8 @@ class IngestJob:
                 out = mask_pii_strings(out)
             elif fn == "deltawriter":
                 out = self._delta_append(cfg, out)
+            elif fn in self.extra_functions:
+                out = self.extra_functions[fn](out)
             else:
                 raise ValueError(f"unknown function in chain: {fn}")
         return out

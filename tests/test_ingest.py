@@ -392,3 +392,77 @@ def test_corrupt_quarantine_with_pinned_schema(spark, tmp_path):
         os.path.join(str(tmp_path / "lake"), "_quarantine")
     ).collect()
     assert [r["value"] for r in q] == ["not json {{{"]
+
+
+def test_chain_extra_function_dedup_at_ingest(spark, tmp_path):
+    """A22 extension point: a user-registered chain function, routed by
+    name from the stream config exactly like the built-ins — here a
+    dedup-at-ingest step that drops duplicate payloads before the
+    partitioned write (the reference's 'any StateFun joins the chain'
+    surface, module.yaml). Unknown names must still raise."""
+    import pytest as _pytest
+
+    from rtdl_spark.config import StreamConfig, StreamRegistry
+    from rtdl_spark.ingest import IngestJob
+    from rtdl_spark.operators.dedup import exact_dedup
+
+    reg = StreamRegistry(str(tmp_path / "configs"))
+    reg.create(
+        StreamConfig(
+            stream_id="dd-stream",
+            message_type="clicks",
+            folder_name="ddFolder",
+            partition_time_id=2,
+            functions="ingester,dedup",
+        )
+    )
+    path = write_events(
+        tmp_path,
+        [
+            {"stream_id": "dd-stream", "type": "clicks", "k": 1, "v": "a"},
+            {"stream_id": "dd-stream", "type": "clicks", "k": 1, "v": "a"},
+            {"stream_id": "dd-stream", "type": "clicks", "k": 2, "v": "b"},
+        ],
+        name="dd_events",
+    )
+    job = IngestJob(
+        spark,
+        reg,
+        str(tmp_path / "lake"),
+        fixed_time="2024-02-15 10:30:00",
+        register_catalog=False,
+        extra_functions={"dedup": lambda df: exact_dedup(df, ["k", "v"])},
+    )
+    job.ingest_json_dir(path)
+    out = spark.read.parquet(str(tmp_path / "lake" / "ddFolder"))
+    assert out.count() == 2
+    assert {(r["k"], r["v"]) for r in out.select("k", "v").collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+    # unknown chain names still fail loudly
+    reg2 = StreamRegistry(str(tmp_path / "configs2"))
+    reg2.create(
+        StreamConfig(
+            stream_id="bad-stream",
+            message_type="clicks",
+            folder_name="badFolder",
+            partition_time_id=2,
+            functions="ingester,nonexistent",
+        )
+    )
+    bad = IngestJob(
+        spark,
+        reg2,
+        str(tmp_path / "lake2"),
+        fixed_time="2024-02-15 10:30:00",
+        register_catalog=False,
+    )
+    bad_path = write_events(
+        tmp_path,
+        [{"stream_id": "bad-stream", "type": "clicks", "k": 1}],
+        name="bad_events",
+    )
+    with _pytest.raises(Exception, match="unknown function"):
+        bad.ingest_json_dir(bad_path)
