@@ -88,6 +88,48 @@ def build_ivf_pq_index(
     ).write.mode("overwrite").parquet(f"{path}/meta_codebooks")
 
 
+def append_to_ivf_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index growth — the recurring-crawl shape (mirror of
+    dedup_against_corpus): assign + encode a NEW batch with the index's
+    FROZEN model (centroids/codebooks read back from the meta tables —
+    never retrained here, so existing codes stay valid and queries see
+    old and new rows identically) and append the codes into the cell
+    partitions. One narrow scan of the new batch; no touch of existing
+    data files. Retrain = rebuild, by design: an index whose model
+    drifts under appends silently degrades recall."""
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(f"{path}/meta_centroids").select(
+        "cell_id", F.col("vec").alias(vec_col)
+    )
+    book_rows = spark.read.parquet(f"{path}/meta_codebooks").collect()
+    mm = 1 + max(r["j"] for r in book_rows)
+    kk = 1 + max(r["c"] for r in book_rows)
+    sub = len(book_rows[0]["vec"])
+    books = np.zeros((mm, kk, sub))
+    for r in book_rows:
+        books[r["j"]][r["c"]] = r["vec"]
+
+    assigned = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            "cell_id",
+            pq_encode(F.col(vec_col), books).alias("codes"),
+        )
+        .filter(F.col("codes").isNotNull())
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/data")
+    )
+
+
 def query_ivf_pq_index(
     spark: SparkSession,
     path: str,

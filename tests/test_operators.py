@@ -1221,3 +1221,51 @@ def test_persisted_index_composes_seeding_and_training(spark, sf_dir, tmp_path):
         for r in ivf_pq_topk(emb, queries, nprobe=2, k=3, **kw).collect()
     }
     assert got == mem and got
+
+
+def test_ann_index_incremental_append(spark, sf_dir, tmp_path):
+    """append_to_ivf_pq_index: new vectors are encoded with the FROZEN
+    model and joined into the cell partitions — after the append, a
+    query finds neighbors from both batches, the meta tables are
+    untouched, and an appended vector's exact twin ranks first for it."""
+    from rtdl_spark.operators.ann_index import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "inc_idx")
+    build_ivf_pq_index(half_a, idx, n_cells=4, m=8, ks=16)
+    meta_before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/meta_centroids").collect())
+    )
+    n_a = spark.read.parquet(f"{idx}/data").count()
+
+    # plant an exact twin of a B vector inside B so it must self-match
+    append_to_ivf_pq_index(half_b, idx)
+    twin_src = half_b.limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [(10_000_000, twin_src["embedding"], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    append_to_ivf_pq_index(twin, idx)
+
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{idx}/meta_centroids").collect())
+    ) == meta_before
+    total = spark.read.parquet(f"{idx}/data").count()
+    assert total == n_a + half_b.count() + 1
+
+    res = query_ivf_pq_index(
+        spark, idx, twin.select("vec_id", "embedding"), nprobe=4, k=3
+    ).collect()
+    by_rank = sorted(res, key=lambda r: r["rank"])
+    # the twin's source shares the query's codes, which achieve the
+    # minimum possible ADC distance (argmin per subspace) — so it ranks
+    # first; the distance is the quantization residual, NOT zero (ADC
+    # measures query-to-centroid, not query-to-vector)
+    assert by_rank[0]["neighbor_id"] == twin_src["vec_id"]
+    assert by_rank[0]["approx_dist"] <= min(r["approx_dist"] for r in res)
