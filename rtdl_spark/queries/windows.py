@@ -403,3 +403,60 @@ def win_gaps_islands_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "win_time_spine_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS mn,
+             date_trunc('hour', MAX(ts)) AS mx
+      FROM events
+    ), spine AS (
+      SELECT UNNEST(generate_series(mn, mx, INTERVAL 5 MINUTE)) AS slot
+      FROM bounds
+    ), counts AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS slot,
+             COUNT(*) AS n, SUM(value) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT s.slot,
+           COALESCE(c.n, 0) AS n_events,
+           ROUND(last_value(c.v IGNORE NULLS)
+                   OVER (ORDER BY s.slot ROWS UNBOUNDED PRECEDING),
+                 4) AS v_filled
+    FROM spine s LEFT JOIN counts c USING (slot)
+    """,
+)
+def win_time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling — the dashboard/resample primitive: a dense
+    5-minute spine over the event range (generated IN the engine, no
+    driver collect), per-slot counts joined on, and empty slots
+    forward-filled with the last observed value (last_value IGNORE
+    NULLS). The spine generation + as-needed fill is how a 100 TB events
+    table serves continuous charts without a driver loop."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 5 minutes"))
+        ).alias("slot")
+    )
+    counts = ev.groupBy(
+        F.window("ts", "5 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    counts = counts.select(F.col("w.start").alias("slot"), "n", "v")
+    w = Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(counts, "slot", "left")
+        .select(
+            "slot",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.round(
+                F.last("v", ignorenulls=True).over(w), 4
+            ).alias("v_filled"),
+        )
+    )
