@@ -94,7 +94,7 @@ def connected_components(
     dst: str = "id2",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
-    large_star_steps: int = 2,
+    large_star_steps: int = 1,
 ) -> DataFrame:
     """Resolve undirected edges ``(src, dst)`` into components.
 
@@ -134,11 +134,12 @@ def connected_components(
     small-star. Each large-star application alone preserves components
     (it only re-wires neighbors toward neighborhood minima), so any
     count is correct; the fixpoint signature still decides convergence.
-    Measured on 1M-edge path graphs (the propagation worst case):
-    2 steps halves the round count (11 → 6) — and with it the per-round
-    checkpoint materializations, where disk-mode cost lives — for one
-    extra window shuffle per round (net −13% wall in-memory, more on
-    disk). Set 1 to recover the textbook alternation.
+    2 halves the ROUND count (11 → 6 on path worst cases) at the price
+    of one extra window shuffle per round — measured net: wins when
+    per-round fixed costs dominate (1M edges in-memory −13%, 10M disk
+    85→80s), loses when the doubled shuffle on still-large early rounds
+    dominates (30M disk 195→205s). Default 1 (the textbook alternation)
+    is the safe choice at scale; raise it for latency-bound graphs.
     """
     spark = pairs.sparkSession
     edges = (
