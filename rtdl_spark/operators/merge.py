@@ -57,3 +57,44 @@ def scd2_apply(
         current_flag, F.lit(True)
     )
     return unchanged.unionByName(closed).unionByName(new_rows)
+
+
+def merge_aggregates(
+    prior: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental rollup maintenance — the materialized-view refresh
+    pattern: a persisted per-key aggregate table absorbs a new batch's
+    PARTIAL aggregate instead of recomputing from all history. Works for
+    any algebraically mergeable aggregate (sum/count here; min/max the
+    same way); avg/stddev derive from merged sums downstream.
+
+    Scale shape: the delta is batch-sized and its partial agg tiny —
+    the merge is one full-outer join on the rollup key + coalesced adds;
+    the history's raw events are never re-read. This is exactly what a
+    foreachBatch maintains against a lake rollup table at 100 TB:
+    refresh cost tracks the BATCH, not the table.
+    """
+    d = delta.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_d_{c}") for c in sum_cols],
+        F.col(count_col).alias("_d_n"),
+    )
+    merged = prior.join(d, keys, "full_outer")
+    return merged.select(
+        *[F.col(k) for k in keys],
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("_d_n"), F.lit(0))
+        ).alias(count_col),
+    )

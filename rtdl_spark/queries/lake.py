@@ -288,3 +288,44 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_incremental_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def lake_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup refresh (operators/merge.py::merge_aggregates):
+    the persisted rollup over 'history' (even orderkeys) absorbs the new
+    batch's (odd orderkeys) partial aggregate via one full-outer merge —
+    history's raw rows never re-read. The oracle recomputes the rollup
+    over ALL orders, so the hash-compare proves merged == recomputed."""
+    from rtdl_spark.operators.merge import merge_aggregates
+    from rtdl_spark.queries._util import dec
+
+    o = table(spark, sf_dir, "orders")
+
+    # Partial sums stay DECIMAL through the merge (adding double halves
+    # would drift in the last bits); one cast to double at the very end.
+    def rollup(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(dec("o_totalprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    prior = rollup(o.filter(F.col("o_orderkey") % 2 == 0))
+    delta = rollup(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged = merge_aggregates(
+        prior, delta, ["o_orderpriority"], ["total_price"]
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("total_price").cast("double").alias("total_price"),
+        "n",
+    )
