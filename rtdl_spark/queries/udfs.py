@@ -16,7 +16,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -153,4 +153,49 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.doc_id, t.pos, t.token "
         "FROM _udtf_docs d, LATERAL rtdl_tokenize(d.doc_id, d.text) t"
+    )
+
+
+@query(
+    "udf_window_pandas_mad",
+    oracle="""
+    WITH f AS (
+      SELECT * FROM orders WHERE o_orderkey < 5000
+    ), med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS m
+      FROM f GROUP BY o_orderpriority
+    ), mad AS (
+      SELECT f.o_orderpriority,
+             median(abs(f.o_totalprice - med.m)) AS mad
+      FROM f JOIN med USING (o_orderpriority)
+      GROUP BY f.o_orderpriority
+    )
+    SELECT o_orderkey, f.o_orderpriority, ROUND(mad.mad, 4) AS mad_price
+    FROM f JOIN mad USING (o_orderpriority)
+    """,
+)
+def udf_window_pandas_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDF as a WINDOW function (the last cell of the UDF matrix:
+    scalar pandas_udf / grouped applyInPandas / mapInPandas / UDTF /
+    window grouped-agg): per-partition median absolute deviation
+    attached to every row via OVER (PARTITION BY ...) — a statistic with
+    no Catalyst built-in, Arrow-batched per frame. The oracle derives
+    the same constant-per-partition value by group-level medians joined
+    back."""
+    import pandas as pd  # noqa: F401
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+
+    @F.pandas_udf("double")
+    def mad_udf(v: pd.Series) -> float:
+        # raw value out; rounding happens JVM-side (F.round is half-up,
+        # matching DuckDB ROUND — python round() is half-even and flips
+        # exact .5 boundaries, which sf0.01 happens to hit)
+        return float((v - v.median()).abs().median())
+
+    w = Window.partitionBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(mad_udf("o_totalprice").over(w), 4).alias("mad_price"),
     )
