@@ -148,3 +148,39 @@ def agg_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "json_variant_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the modern semi-structured path (parse once into
+    the binary variant encoding, typed extraction without re-parsing):
+    parse_json(props) -> try_variant_get('$.k'). Functionally equivalent
+    to get_json_object (scalar_json_funcs) but the variant encoding is
+    what a 100 TB semi-structured column should store: parse cost paid
+    once at write, extractions are binary field lookups. Oracle uses
+    DuckDB's json_extract on the same path."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.try_variant_get(
+                F.parse_json("props"), "$.k", "int"
+            ).alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
