@@ -1,0 +1,113 @@
+"""Training-shard export: deterministic global shuffle + fixed-count
+sharded write — the last step of a training-data pipeline, turning a
+curated corpus into the shard files a training loader consumes.
+
+Why not ``ORDER BY rand()``: a global sort at 100 TB is a full range
+shuffle whose only purpose is an ordering no reader needs end-to-end —
+training loaders consume *shards* and only need (a) every row to land in
+exactly one shard, (b) the assignment to be seed-deterministic, (c) rows
+to be well-mixed within and across shards. Hashing gives all three with a
+single hash-partition shuffle and an in-partition sort (sortWithinPartitions
+is a local sort, no range-exchange): O(n) movement, no skew from the sort's
+sampling pass, and resumable/reproducible because the shard of a row is a
+pure function of (seed, id), independent of cluster size or input order.
+
+The reference has no export path at all (its terminal op is the one-file-
+per-message Parquet write, ingester/ingester.go:551-565); this operator is
+north-star surface for the LLM-pipeline extension (SURVEY.md §2C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rtdl_spark.functions.text import token_hash
+
+
+def shuffle_key(id_col: str | F.Column, seed: int) -> F.Column:
+    """md5(seed ++ ':' ++ id) — the deterministic global-shuffle order key.
+
+    Changing the seed re-deals every row to a new shard and a new position;
+    the same seed reproduces the exact byte order on any cluster layout.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), c.cast("string")))
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Annotate each row with (shard_id, shuffle_key).
+
+    shard_id = polyhash(md5(seed:id)) mod n_shards — uniform because the
+    md5 digest is uniform; exact-reproducible in ANSI SQL (list_reduce
+    over the digest chars, see the query oracle). shuffle_key orders rows
+    within a shard.
+    """
+    key = shuffle_key(id_col, seed)
+    return df.withColumn("shuffle_key", key).withColumn(
+        "shard_id", (token_hash(F.col("shuffle_key")) % n_shards).cast("int")
+    )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Write ``df`` as ``n_shards`` shard files under ``path`` and return
+    the manifest (one row per shard).
+
+    Physical plan: one hash-partition exchange on shard_id (repartition to
+    exactly n_shards partitions), a LOCAL sort on the shuffle key (no
+    range exchange), then a partitionBy(shard_id) write — each task owns
+    one whole shard, so each shard is one file and parquet row-group order
+    IS the training order. At 1000 executors the same plan holds with
+    n_shards sized to ~the executor count × a small factor.
+
+    Manifest columns: shard_id, n_rows, order_digest (md5 over the id
+    sequence in training order — the reproducibility receipt a loader can
+    verify against).
+    """
+    assigned = assign_shards(df, id_col=id_col, n_shards=n_shards, seed=seed)
+    # shard_id leads the sort: FileFormatWriter requires task rows ordered
+    # by the partition column and would inject its OWN (order-destroying)
+    # sort if that prefix weren't already satisfied.
+    (
+        assigned.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shuffle_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return shard_manifest(assigned, id_col=id_col)
+
+
+def shard_manifest(assigned: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-shard manifest from an ``assign_shards`` frame.
+
+    order_digest folds the shard's ids *in shuffle order* into one md5 —
+    computed with a single groupBy (collect_list is map-side combinable;
+    a shard's id list is n/n_shards rows, the driver never sees it).
+    """
+    ordered_ids = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("shuffle_key").alias("k"),
+                    F.col(id_col).cast("long").alias("i"),
+                )
+            )
+        ),
+        lambda s: s["i"].cast("string"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(F.array_join(ordered_ids, ",")).alias("order_digest"),
+    )

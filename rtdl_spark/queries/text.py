@@ -853,3 +853,34 @@ def ml_logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("y", (F.col("prob") > 0.5).alias("predicted"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "text_training_shards",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS sk
+      FROM documents
+    ), a AS (
+      SELECT doc_id, sk,
+             CAST(list_reduce(list_transform(string_split(sk, ''),
+                              c -> ascii(c)::BIGINT),
+                  (h, c) -> (h * 31 + c) % {HASH_P}) % 8 AS INT) AS shard_id
+      FROM k
+    )
+    SELECT shard_id, COUNT(*) AS n_rows,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY sk, doc_id)) AS order_digest
+    FROM a GROUP BY shard_id
+    """,
+)
+def text_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training export
+    (operators/export.py): shard = polyhash(md5(seed:id)) mod 8, order
+    within shard = the md5 key. The manifest's order_digest folds every
+    id in training order, so the oracle verifies the exact permutation —
+    assignment AND order — without a global sort on either engine."""
+    from rtdl_spark.operators.export import assign_shards, shard_manifest
+
+    d = table(spark, sf_dir, "documents")
+    return shard_manifest(assign_shards(d, "doc_id", 8, 42), "doc_id")

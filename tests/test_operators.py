@@ -1269,3 +1269,47 @@ def test_ann_index_incremental_append(spark, sf_dir, tmp_path):
     # measures query-to-centroid, not query-to-vector)
     assert by_rank[0]["neighbor_id"] == twin_src["vec_id"]
     assert by_rank[0]["approx_dist"] <= min(r["approx_dist"] for r in res)
+
+
+def test_export_training_shards_write_order_and_manifest(spark, sf_dir, tmp_path):
+    """The written shard files ARE the training order: reading each shard
+    partition back in file order reproduces the manifest's order_digest,
+    every row lands in exactly one shard, and the same seed re-deals
+    identically while a different seed permutes."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.operators.export import (
+        assign_shards,
+        export_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "shards")
+    manifest = {
+        r["shard_id"]: (r["n_rows"], r["order_digest"])
+        for r in export_training_shards(docs, out, n_shards=4, seed=7).collect()
+    }
+    assert set(manifest) == {0, 1, 2, 3}
+    assert sum(n for n, _ in manifest.values()) == docs.count()
+
+    # Read-back order per shard must hash to the manifest digest.
+    for sid, (n_rows, digest) in manifest.items():
+        back = spark.read.parquet(f"{out}/shard_id={sid}")
+        ids = [str(r["doc_id"]) for r in back.select("doc_id").collect()]
+        assert len(ids) == n_rows
+        import hashlib
+
+        assert hashlib.md5(",".join(ids).encode()).hexdigest() == digest
+
+    # Determinism: same seed → same assignment; new seed → different deal.
+    a7 = assign_shards(docs, seed=7).select("doc_id", "shard_id")
+    a7b = assign_shards(docs, seed=7).select("doc_id", "shard_id")
+    assert a7.exceptAll(a7b).count() == 0
+    a8 = assign_shards(docs, seed=8).select("doc_id", "shard_id")
+    moved = (
+        a7.alias("x")
+        .join(a8.alias("y"), "doc_id")
+        .filter(F.col("x.shard_id") != F.col("y.shard_id"))
+        .count()
+    )
+    assert moved > 0
