@@ -98,3 +98,44 @@ def merge_aggregates(
             + F.coalesce(F.col("_d_n"), F.lit(0))
         ).alias(count_col),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classify every key across two table snapshots as added / removed /
+    changed / unchanged — the audit/CDC-extraction twin of merge_upsert
+    (diff two loads, emit only the delta downstream).
+
+    One full-outer sort-merge join on the key; on a partitioned/bucketed
+    lake table the exchange is pruned to co-partitioned reads, so diffing
+    two 100 TB snapshots moves each row once. Value comparison is
+    null-safe column equality (IS NOT DISTINCT FROM), never string/hash
+    round-trips — engine-portable and collision-free.
+
+    Output: key columns + change_type.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, *compare_cols, F.lit(True).alias("_in_old")
+    ).alias("o")
+    n = new.select(
+        *keys, *compare_cols, F.lit(True).alias("_in_new")
+    ).alias("n")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    joined = o.join(n, keys, "full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("o._in_old").isNull(), F.lit("added"))
+        .when(F.col("n._in_new").isNull(), F.lit("removed"))
+        .when(same if same is not None else F.lit(True), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+    )

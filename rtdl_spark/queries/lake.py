@@ -329,3 +329,65 @@ def lake_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_price").cast("double").alias("total_price"),
         "n",
     )
+
+
+@query(
+    "lake_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderdate < DATE '1997-01-01'
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders
+      WHERE o_orderdate < DATE '1998-01-01' AND o_orderkey % 97 <> 3
+    ), d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                   AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                  THEN 'unchanged'
+                  ELSE 'changed' END AS change_type
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM d GROUP BY change_type
+    """,
+)
+def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC extraction (operators/merge.py::snapshot_diff):
+    two simulated loads of orders (old = pre-1997; new = pre-1998 with a
+    price bump on every 10th key and every 97th-mod-3 key deleted) are
+    classified added/removed/changed/unchanged by one full-outer join with
+    null-safe value equality. The key_sum digest pins the exact membership
+    of each class, not just the counts."""
+    from rtdl_spark.operators.merge import snapshot_diff
+
+    orders = table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") < "1998-01-01")
+            & (F.col("o_orderkey") % 97 != 3)
+        )
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

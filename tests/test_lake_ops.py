@@ -393,3 +393,30 @@ def test_hilbert_layout_skips_and_bounds_no_worse_than_morton(
 
     h_area, m_area = mean_bbox_area(hdir), mean_bbox_area(mdir)
     assert h_area <= 1.1 * m_area, (h_area, m_area)
+
+
+def test_snapshot_diff_null_safe_classification(spark):
+    """null→null compares unchanged, null→value is changed, and the
+    added/removed classes come from key presence — the IS NOT DISTINCT
+    FROM contract that a string/hash compare would get wrong."""
+    from rtdl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "x", "c"), (4, "y", "d")],
+        "k int, v string, w string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "a"), (2, "now", "b"), (3, "x", "c"), (5, "z", "e")],
+        "k int, v string, w string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",
+        4: "removed",
+        5: "added",
+    }
