@@ -460,3 +460,40 @@ def win_time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v_filled"),
         )
     )
+
+
+@query(
+    "win_topk_partial_prune",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) t WHERE rk <= 5
+    """,
+)
+def win_topk_partial_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via map-side pruning (operators/topk.py::
+    grouped_topk): each partition keeps a local top-5 per priority first,
+    so the window's exchange moves ≤ k × n_partitions rows per group
+    instead of the whole table — the plan that survives 100 TB. Semantics
+    identical to the plain row_number window (the oracle IS that window)."""
+    from rtdl_spark.operators.topk import grouped_topk
+
+    o = table(spark, sf_dir, "orders")
+    out = grouped_topk(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        5,
+        tiebreak=["o_orderkey"],
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "rk",
+    )

@@ -1313,3 +1313,54 @@ def test_export_training_shards_write_order_and_manifest(spark, sf_dir, tmp_path
         .count()
     )
     assert moved > 0
+
+
+def test_grouped_topk_prunes_and_matches_window_plan(spark, sf_dir):
+    """grouped_topk equals the row_number-window result exactly, and the
+    map-side prune bounds the rows entering the final window at
+    k × n_partitions per group — the whole point at scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.operators.topk import grouped_topk
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .repartition(6)
+    )
+    k = 4
+    got = grouped_topk(
+        o, ["o_orderpriority"], "o_totalprice", k, tiebreak=["o_orderkey"]
+    )
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = o.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # Prune bound: rows entering the final window ≤ k × n_partitions per
+    # group (re-derive the operator's first stage and count it).
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["o_totalprice", "o_orderkey"],
+                        ascending=[False, True],
+                        kind="mergesort",
+                    )
+                    .groupby(["o_orderpriority"], sort=False)
+                    .head(k)
+                )
+
+    n_parts = o.rdd.getNumPartitions()
+    per_group = (
+        o.mapInPandas(prune, o.schema)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= k * n_parts for r in per_group)
