@@ -70,6 +70,7 @@ class IngestJob:
         inference_sampling_ratio: float | None = None,
         corrupt_policy: str = "drop",
         extra_functions: dict | None = None,
+        with_lineage: bool = False,
     ):
         """``time_source``: 'processing' (reference parity — bucket by wall
         clock at write, ingester.go:522-548) or 'event' (bucket by
@@ -96,7 +97,14 @@ class IngestJob:
         list, module.yaml); a config naming ``"ingester,dedup"`` runs the
         registered ``dedup`` callable between envelope-flatten and the
         partitioned write. Built-in names win; unknown names still
-        raise."""
+        raise.
+
+        ``with_lineage``: stamp every landed row with ``_source_file``
+        (the raw file it came from, via input_file_name()) and
+        ``_ingested_at``. The reference gets row provenance for free from
+        its one-file-per-message layout (ingester.go:551-565); micro-batch
+        writes lose that unless recorded as columns — and columns are
+        strictly better (queryable, prunable, survive compaction)."""
         if time_source not in ("processing", "event"):
             raise ValueError("time_source must be 'processing' or 'event'")
         if corrupt_policy not in ("drop", "quarantine", "fail"):
@@ -114,6 +122,7 @@ class IngestJob:
         self.inference_sampling_ratio = inference_sampling_ratio
         self.corrupt_policy = corrupt_policy
         self.extra_functions = dict(extra_functions or {})
+        self.with_lineage = with_lineage
 
     # -- A1: envelope ------------------------------------------------------
     def read_json(self, path: str) -> DataFrame:
@@ -156,14 +165,25 @@ class IngestJob:
         """ingest-service.go:167-206: build {stream_id, stream_alt_id,
         message_type, payload} from an arbitrary JSON record; writeKey/
         projectId map to stream_alt_id, payload keeps the whole message."""
-        return raw.select(
+        cols = [
             _col_or_null(raw, "stream_id").alias("stream_id"),
             F.coalesce(
                 _col_or_null(raw, "writeKey"), _col_or_null(raw, "projectId")
             ).alias("stream_alt_id"),
             _col_or_null(raw, "type").alias("message_type"),
             F.struct(*raw.columns).alias("payload"),
-        )
+        ]
+        if self.with_lineage:
+            ingested = (
+                F.lit(self.fixed_time).cast("timestamp")
+                if self.fixed_time is not None
+                else F.current_timestamp()
+            )
+            cols += [
+                F.input_file_name().alias("_source_file"),
+                ingested.alias("_ingested_at"),
+            ]
+        return raw.select(*cols)
 
     # -- A24: control messages --------------------------------------------
     def split_control(self, env: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -311,8 +331,16 @@ class IngestJob:
                 # PII masking) see the real data columns, and the lake
                 # schema is the payload schema (A8) plus the two partition
                 # columns.
+                lineage = (
+                    [F.col("_source_file"), F.col("_ingested_at")]
+                    if self.with_lineage
+                    else []
+                )
                 flat = resolved.select(
-                    F.col("payload.*"), F.col(TABLE_COL), F.col(BUCKET_COL)
+                    F.col("payload.*"),
+                    F.col(TABLE_COL),
+                    F.col(BUCKET_COL),
+                    *lineage,
                 )
                 chained = self.apply_chain(cfg, flat)
                 if chained.limit(1).count() == 0:

@@ -36,3 +36,11 @@ def list_names(spark: SparkSession, path: str) -> list[str]:
     if not fs.exists(p):
         return []
     return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def touch(spark: SparkSession, path: str) -> None:
+    """Create an empty file (parents auto-created), overwriting if present
+    — the atomic-enough marker primitive for commit logs."""
+    fs, p = _fs_path(spark, path)
+    out = fs.create(p, True)
+    out.close()

@@ -45,17 +45,28 @@ def stream_ingest_json(
     schema,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    commit_log_dir: str | None = None,
 ) -> StreamingQuery:
     """Streaming ingest: watch a directory of JSON envelopes (stand-in for
     the Kafka ingress; swap ``readStream.schema(...).json(dir)`` for
     ``readStream.format('kafka')`` + from_json in production) and run the
-    full A1–A22 pipeline per micro-batch via foreachBatch."""
+    full A1–A22 pipeline per micro-batch via foreachBatch.
+
+    ``commit_log_dir`` arms the epoch commit log (streaming/commit.py):
+    a re-delivered epoch (sink ran, offset commit lost) is skipped instead
+    of appending duplicates — the exactly-once upgrade over the
+    reference's at-least-once lake writes."""
     raw = job.spark.readStream.schema(schema).option(
         "dropFieldIfAllNull", "true"
     ).json(source_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         job.run_batch(batch_df)
+
+    if commit_log_dir is not None:
+        from rtdl_spark.streaming.commit import CommitLog, idempotent_sink
+
+        sink = idempotent_sink(sink, CommitLog(job.spark, commit_log_dir))
 
     writer = (
         raw.writeStream.foreachBatch(sink)

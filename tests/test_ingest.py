@@ -466,3 +466,52 @@ def test_chain_extra_function_dedup_at_ingest(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="unknown function"):
         bad.ingest_json_dir(bad_path)
+
+
+def test_ingest_lineage_columns(spark, tmp_path):
+    """with_lineage=True lands _source_file (the raw file each row came
+    from) and _ingested_at in the lake — the queryable replacement for
+    the provenance the reference got from one-file-per-message."""
+    import json
+
+    from rtdl_spark.config.registry import StreamRegistry
+    from rtdl_spark.ingest.pipeline import IngestJob
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    for fname, uid in [("a.json", 1), ("b.json", 2)]:
+        with open(src / fname, "w") as f:
+            f.write(
+                json.dumps(
+                    {"stream_id": "s1", "type": "ev", "user": uid}
+                )
+                + "\n"
+            )
+    from rtdl_spark.config.registry import StreamConfig
+
+    reg = StreamRegistry(str(tmp_path / "cfg"))
+    reg.create(
+        StreamConfig(
+            stream_id="s1",
+            active=True,
+            file_store_type_id=1,
+            partition_time_id=2,
+            compression_type_id=1,
+            folder_name="lake1",
+            functions="ingester",
+        )
+    )
+    job = IngestJob(
+        spark,
+        reg,
+        str(tmp_path / "lake"),
+        fixed_time="2024-03-01 10:00:00",
+        register_catalog=False,
+        with_lineage=True,
+    )
+    written = job.run_batch(job.read_json(str(src)))
+    back = spark.read.parquet(written["s1"])
+    rows = {r["user"]: r for r in back.collect()}
+    assert rows[1]["_source_file"].endswith("a.json")
+    assert rows[2]["_source_file"].endswith("b.json")
+    assert str(rows[1]["_ingested_at"]) == "2024-03-01 10:00:00"

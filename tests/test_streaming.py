@@ -556,3 +556,60 @@ def test_stream_quality_scoring_matches_batch(spark, sf_dir, tmp_path):
         for r in linear_quality_score(docs).collect()
     }
     assert got == expected and len(got) == docs.count()
+
+
+def test_stream_ingest_commit_log_skips_redelivered_epochs(spark, tmp_path):
+    """Exactly-once under re-delivery: after a full run, wipe the stream
+    checkpoint (forcing Spark to replay every source file as the same
+    epoch ids) and run again with the SAME commit log — no duplicate rows
+    may land. A third run with a fresh log proves the duplicates would
+    have landed without it."""
+    from rtdl_spark.config import StreamConfig, StreamRegistry
+    from rtdl_spark.ingest import IngestJob
+    from rtdl_spark.sources import fsutil
+    from rtdl_spark.streaming import stream_ingest_json
+    from rtdl_spark.streaming.commit import CommitLog
+
+    reg = StreamRegistry(str(tmp_path / "configs"))
+    reg.create(
+        StreamConfig(
+            stream_id="s1",
+            message_type="clicks",
+            folder_name="streamFolder",
+            partition_time_id=2,
+        )
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i in range(5):
+            f.write(
+                json.dumps({"stream_id": "s1", "i": i, "type": "clicks"})
+                + "\n"
+            )
+    job = IngestJob(
+        spark, reg, str(tmp_path / "lake"), fixed_time="2024-03-01 00:00:00"
+    )
+    schema = "stream_id string, i bigint, type string"
+    log_dir = str(tmp_path / "commitlog")
+
+    def run(ckpt: str, log: str | None):
+        q = stream_ingest_json(
+            job, str(src), schema, ckpt, trigger_once=True,
+            commit_log_dir=log,
+        )
+        q.awaitTermination(120)
+
+    lake = str(tmp_path / "lake" / "streamFolder")
+    run(str(tmp_path / "ckpt1"), log_dir)
+    assert spark.read.parquet(lake).count() == 5
+    assert CommitLog(spark, log_dir).committed_epochs() == [0]
+
+    # Simulated offset-commit loss: new checkpoint => epoch 0 re-delivered.
+    run(str(tmp_path / "ckpt2"), log_dir)
+    assert spark.read.parquet(lake).count() == 5  # skipped, no dupes
+
+    # Without the log the same replay double-writes (the failure mode).
+    run(str(tmp_path / "ckpt3"), None)
+    assert spark.read.parquet(lake).count() == 10
+    fsutil.delete(spark, log_dir)
