@@ -230,3 +230,93 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, FRAMES_SCHEMA)
+
+
+# -- perceptual near-dup ---------------------------------------------------
+
+PHASH_BITS = 60  # 15 md5 hex chars -> always fits a signed 64-bit long
+
+
+def perceptual_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Add ``phash``: a 60-bit perceptual fingerprint of the media payload.
+
+    Real path: decode the image, downscale, DCT, sign-of-coefficient bits
+    (classic pHash) — requires a codec, so it raises NotImplementedError
+    here exactly where PIL/ffmpeg would plug in. ``fake_decode=True``
+    derives the 60 bits from md5(payload) instead: content-deterministic,
+    byte-identical payloads collide (hamming 0) and everything else is
+    uniform — which is precisely the property the *plumbing* (banding,
+    join shape, hamming filter) needs for tests. Pure Catalyst: the hex
+    fold stays JVM-side, no Python in the hot path."""
+    if not fake_decode:
+        raise NotImplementedError(
+            "pHash needs an image codec (PIL) — not in this environment; "
+            "pass fake_decode=True for the deterministic test fingerprint"
+        )
+    hexval = lambda c: F.when(  # noqa: E731
+        F.ascii(c) <= 57, F.ascii(c) - 48
+    ).otherwise(F.ascii(c) - 87)
+    fold = F.aggregate(
+        F.split(F.substring(F.md5(F.col(payload_col)), 1, 15), ""),
+        F.lit(0).cast("long"),
+        lambda h, c: h * 16 + hexval(c),
+    )
+    return df.withColumn("phash", fold)
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs by perceptual-hash hamming distance.
+
+    Never all-pairs: the 60-bit hash splits into ``n_bands`` equal bands
+    and only pairs agreeing on at least one band meet in a bucket
+    equi-join (pigeonhole: any pair within hamming ≤ n_bands-1 is
+    *guaranteed* to share an identical band, so recall is exact for
+    max_hamming < n_bands; beyond that it degrades gracefully, the usual
+    LSH trade). Survivors pay one cheap bit_count(xor) filter.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, deduped across bands.
+    """
+    band_bits = PHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("phash"), i * band_bits)
+                .bitwiseAND(mask)
+                .alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    exploded = hashed.select(
+        F.col(id_col), F.col("phash"), F.explode(bands).alias("b")
+    ).select(id_col, "phash", "b.band", "b.key")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

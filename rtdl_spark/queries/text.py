@@ -884,3 +884,59 @@ def text_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return shard_manifest(assign_shards(d, "doc_id", 8, 42), "doc_id")
+
+
+@query(
+    "multimodal_phash_near_dup",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_reduce(list_transform(
+               string_split(substring(md5(text), 1, 15), ''),
+               c -> CASE WHEN ascii(c) <= 57 THEN CAST(ascii(c) - 48 AS BIGINT)
+                         ELSE CAST(ascii(c) - 87 AS BIGINT) END),
+               (h, c) -> h * 16 + c) AS phash
+      FROM documents
+    ), p AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             xor(phash, 1::BIGINT << CAST(doc_id % 60 AS INT)) AS phash
+      FROM h WHERE doc_id % 20 = 0
+    ), c AS (
+      SELECT doc_id, phash FROM h UNION ALL SELECT doc_id, phash FROM p
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM c a JOIN c b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over media payloads (operators/
+    multimodal.py::perceptual_hash + phash_near_dup_pairs): 60-bit
+    content fingerprint, 4-band bucket join, hamming ≤ 3 filter. With
+    max_hamming < n_bands the banding is pigeonhole-LOSSLESS, so the
+    all-pairs oracle is exact — the banded plan must find every pair the
+    quadratic scan would. Near-dups are planted as bit-flipped replicas
+    of every 20th fingerprint (the decode step is the stubbed fake;
+    perturbing real pixels would need a codec)."""
+    from rtdl_spark.operators.multimodal import (
+        attach_binary_payload,
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    hashed = perceptual_hash(
+        attach_binary_payload(d), fake_decode=True
+    ).select("doc_id", "phash")
+    planted = hashed.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "phash ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"
+        ).alias("phash"),
+    )
+    corpus = hashed.unionByName(planted)
+    pairs = phash_near_dup_pairs(corpus, n_bands=4, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

@@ -112,3 +112,40 @@ def test_frames_then_features_composes(spark, sf_dir):
     feats = extract_features(frames, fake_decode=True)
     assert feats.count() == 6
     assert all(len(r["features"]) == FEATURE_DIM for r in feats.collect())
+
+
+def test_phash_banding_is_lossless_below_n_bands(spark):
+    """A pair at hamming = n_bands-1 with its flipped bits spread across
+    DIFFERENT bands must still be found (pigeonhole: 3 flips cannot touch
+    all 4 bands), and the real-decode path fails loudly where a codec
+    would plug in."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    base = 0x0123456789ABCDE  # 60-bit
+    # flip one bit in bands 0, 1 and 2 — bands 3 stays identical
+    perturbed = base ^ (1 << 2) ^ (1 << 17) ^ (1 << 32)
+    far = base ^ 0xFF  # hamming 8 > max_hamming, must be filtered
+    hashed = spark.createDataFrame(
+        [(1, base), (2, perturbed), (3, far)], "doc_id long, phash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(
+            hashed, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == {(1, 2): 3}
+
+    docs = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary")
+    with _pytest.raises(NotImplementedError):
+        perceptual_hash(docs)
+    # fake path is deterministic and 60-bit-positive
+    h = perceptual_hash(docs, fake_decode=True).collect()[0]["phash"]
+    h2 = perceptual_hash(docs, fake_decode=True).collect()[0]["phash"]
+    assert h == h2 and 0 <= h < (1 << 60)
