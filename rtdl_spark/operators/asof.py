@@ -34,10 +34,17 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     direction: str = "backward",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the most recent right
     row with right_time <= left_time (direction='backward'; 'forward' gives
     the earliest right row with right_time >= left_time), matching on ``on``.
+
+    ``tolerance`` bounds the allowed time gap (pandas merge_asof
+    semantics): a match farther than this from the left row yields NULLs
+    instead. Pass an SQL interval body for timestamp times ("10 minutes")
+    or a number for numeric times. Costs nothing extra: the matched right
+    time already rides along in the same single-window pass.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -45,11 +52,13 @@ def asof_join(
     lcols = left.columns
     l_tag, r_tag = (1, 0) if direction == "backward" else (0, 1)
 
+    rtime_type = dict(right.dtypes)[right_time]
     l_side = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(l_tag).alias("_tag"),
         F.struct(*lcols).alias("_lrow"),
+        F.lit(None).cast(rtime_type).alias("_vt"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
     )
     r_side = right.select(
@@ -57,6 +66,7 @@ def asof_join(
         F.col(right_time).alias("_t"),
         F.lit(r_tag).alias("_tag"),
         F.lit(None).cast(l_side.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(right_time).alias("_vt"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
     unioned = l_side.unionByName(r_side)
@@ -82,9 +92,30 @@ def asof_join(
             for c in value_cols
         ]
 
+    picked.append(F.last("_vt", ignorenulls=True).over(w).alias("_p_t"))
     annotated = unioned.select("_k", "_t", "_tag", "_lrow", *picked).filter(
         F.col("_lrow").isNotNull()
     )
+    if tolerance is not None:
+        if isinstance(tolerance, (int, float)):
+            bound = F.lit(tolerance)
+        else:
+            bound = F.expr(f"INTERVAL {tolerance}")
+        within = (
+            (F.col("_t") - F.col("_p_t")) <= bound
+            if direction == "backward"
+            else (F.col("_p_t") - F.col("_t")) <= bound
+        )
+        annotated = annotated.select(
+            "_k",
+            "_t",
+            "_tag",
+            "_lrow",
+            *[
+                F.when(within, F.col(f"_p_{c}")).alias(f"_p_{c}")
+                for c in value_cols
+            ],
+        )
     return annotated.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
         *[F.col(f"_p_{c}").alias(c) for c in value_cols],

@@ -321,3 +321,47 @@ def join_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("click_id", "purchase_id", "user_id")
     )
+
+
+@query(
+    "join_asof_tolerance_error_context",
+    oracle="""
+    SELECT c.event_id,
+           (SELECT e.event_id FROM events e
+            WHERE e.user_id = c.user_id AND e.event_type = 'error'
+              AND e.ts <= c.ts
+              AND e.ts >= c.ts - INTERVAL 10 MINUTE
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_error_id
+    FROM events c
+    WHERE c.event_type = 'click'
+    """,
+)
+def join_asof_tolerance_error_context(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tolerance-bounded as-of join (operators/asof.py, merge_asof
+    semantics): each click attaches the user's most recent error, but
+    only within a 10-minute lookback — a stale error is NULLed, not
+    attached. Same single-window union plan; the matched right time
+    rides along so the gap check is free."""
+    from rtdl_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("last_error_id"),
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        "user_id",
+        "ts",
+        "err_ts",
+        ["last_error_id"],
+        tolerance="10 minutes",
+    )
+    return out.select("event_id", "last_error_id")

@@ -1364,3 +1364,43 @@ def test_grouped_topk_prunes_and_matches_window_plan(spark, sf_dir):
         .collect()
     )
     assert all(r["count"] <= k * n_parts for r in per_group)
+
+
+def test_asof_join_tolerance_nulls_out_stale_matches(spark):
+    """tolerance bounds the match gap (merge_asof semantics): a right row
+    farther back than the bound yields NULL, an in-range one still
+    attaches, forward direction mirrors it."""
+    from rtdl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0, "a"), (1, 200.0, "b"), (2, 50.0, "c")],
+        "k int, t double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 95.0, "r95"), (1, 120.0, "r120"), (2, 10.0, "r10")],
+        "k int, t double, v string",
+    )
+    no_tol = {
+        r["tag"]: r["v"]
+        for r in asof_join(left, right, "k", "t", "t", ["v"]).collect()
+    }
+    assert no_tol == {"a": "r95", "b": "r120", "c": "r10"}
+    with_tol = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "t", "t", ["v"], tolerance=30
+        ).collect()
+    }
+    # c's only match is 40 back -> nulled; a (5 back) and b (80 back->r120
+    # at 80? no: backward from 200 is r120, gap 80 -> nulled too)
+    assert with_tol == {"a": "r95", "b": None, "c": None}
+
+    fwd = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "t", "t", ["v"],
+            direction="forward", tolerance=30,
+        ).collect()
+    }
+    # forward: a(100)->r120 gap 20 ok; b(200)-> none ahead; c(50)->none
+    assert fwd == {"a": "r120", "b": None, "c": None}
