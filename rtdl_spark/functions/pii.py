@@ -47,3 +47,59 @@ def mask_pii_serialized(df: DataFrame) -> DataFrame:
     return df.select(
         mask_pii_col(F.to_json(F.struct(*df.columns))).alias("masked_json")
     )
+
+
+# -- extended detectors (capability-plus over the reference's two regexes) --
+
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+CARD_RE = r"\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}"
+
+
+def luhn_valid(digit_str: Column) -> Column:
+    """Luhn checksum over a digits-only string — pure Catalyst (transform
+    with index + aggregate), no UDF. Position counts from the RIGHT; every
+    second digit doubles, >9 subtracts 9, total must divide by 10."""
+    ds = F.split(digit_str, "")
+    n = F.size(ds)
+    vals = F.transform(
+        ds,
+        lambda ch, i: F.when(
+            ((n - 1 - i) % 2) == 1,
+            F.when(
+                (F.ascii(ch) - 48) * 2 > 9, (F.ascii(ch) - 48) * 2 - 9
+            ).otherwise((F.ascii(ch) - 48) * 2),
+        ).otherwise(F.ascii(ch) - 48),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda a, b: a + b)
+    return (n > 0) & (total % 10 == 0)
+
+
+def mask_credit_cards(col: Column | str) -> Column:
+    """Mask 16-digit card numbers ONLY when the Luhn checksum validates —
+    the precision upgrade a bare regex can't give (random 16-digit ids
+    survive; real PANs don't). Candidates come from one
+    regexp_extract_all pass; each valid candidate folds through a literal
+    replace. Distinct candidates are non-overlapping patterns, so fold
+    order can't change the result."""
+    c = F.col(col) if isinstance(col, str) else col
+    cands = F.array_distinct(F.regexp_extract_all(c, F.lit(CARD_RE), F.lit(0)))
+    return F.aggregate(
+        cands,
+        c,
+        lambda acc, cand: F.when(
+            luhn_valid(F.regexp_replace(cand, "[^0-9]", "")),
+            F.replace(acc, cand, F.lit(MASK)),
+        ).otherwise(acc),
+    )
+
+
+def mask_pii_extended(col: Column | str) -> Column:
+    """Full masking chain: Luhn-checked cards, then emails, then IPv4,
+    then the reference's SSN + phone regexes — deterministic order, all
+    JVM-side expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = mask_credit_cards(c)
+    out = F.regexp_replace(out, EMAIL_RE, MASK)
+    out = F.regexp_replace(out, IPV4_RE, MASK)
+    return mask_pii_col(out)

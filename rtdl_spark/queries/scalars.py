@@ -430,3 +430,72 @@ def message_type_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(resolved.alias("resolved_type")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "scalar_pii_mask_extended",
+    oracle=r"""
+    WITH base AS (
+      SELECT o_orderkey,
+             concat('id ', CAST(o_orderkey AS VARCHAR),
+                    ' pay 4539 1488 0343 6467 ref 1234-5678-9012-3456',
+                    ' mail bob@example.com ip 10.1.2.3 ssn 123-45-6789') AS s
+      FROM orders
+    ), cand AS (
+      SELECT o_orderkey,
+             UNNEST(regexp_extract_all(s,
+               '\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}')) AS c
+      FROM base
+    ), dec AS (
+      SELECT o_orderkey, c,
+             (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+                string_split(regexp_replace(c, '[^0-9]', '', 'g'), ''),
+                (ch, i) -> CAST(CASE
+                  WHEN (len(regexp_replace(c, '[^0-9]', '', 'g')) - i) % 2 = 1
+                  THEN CASE WHEN 2 * (ascii(ch) - 48) > 9
+                            THEN 2 * (ascii(ch) - 48) - 9
+                            ELSE 2 * (ascii(ch) - 48) END
+                  ELSE ascii(ch) - 48 END AS BIGINT))),
+              (a, b) -> a + b) % 10 = 0) AS ok
+      FROM cand
+    ), folded AS (
+      SELECT b.o_orderkey,
+             list_reduce(
+               list_prepend(b.s,
+                 COALESCE(list(CASE WHEN d.ok THEN d.c ELSE chr(1) END), [])),
+               (acc, x) -> replace(acc, x, '###')) AS cards_masked
+      FROM base b LEFT JOIN dec d USING (o_orderkey)
+      GROUP BY b.o_orderkey, b.s
+    )
+    SELECT o_orderkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(cards_masked,
+                   '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                   '###', 'g'),
+                 '\b(\d{1,3}\.){3}\d{1,3}\b', '###', 'g'),
+               '\d{3}-\d{2}-\d{4}', '###', 'g'),
+             '[2-9]\d{2}-\d{3}-\d{4}', '###', 'g') AS masked
+    FROM folded
+    """,
+)
+def scalar_pii_mask_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended PII chain (functions/pii.py::mask_pii_extended): Luhn-
+    validated card masking (the valid test PAN 4539... masks, the
+    checksum-failing 1234-5678-9012-3456 SURVIVES — precision a bare
+    regex can't express), then email, IPv4, and the reference's SSN +
+    phone regexes. The whole Luhn computation is re-derived in SQL, so
+    the oracle checks the checksum logic too."""
+    from rtdl_spark.functions.pii import mask_pii_extended
+
+    o = table(spark, sf_dir, "orders")
+    raw = F.concat(
+        F.lit("id "),
+        F.col("o_orderkey").cast("string"),
+        F.lit(
+            " pay 4539 1488 0343 6467 ref 1234-5678-9012-3456"
+            " mail bob@example.com ip 10.1.2.3 ssn 123-45-6789"
+        ),
+    )
+    return o.select("o_orderkey", mask_pii_extended(raw).alias("masked"))

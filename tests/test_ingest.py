@@ -515,3 +515,31 @@ def test_ingest_lineage_columns(spark, tmp_path):
     assert rows[1]["_source_file"].endswith("a.json")
     assert rows[2]["_source_file"].endswith("b.json")
     assert str(rows[1]["_ingested_at"]) == "2024-03-01 10:00:00"
+
+
+def test_luhn_validated_card_masking(spark):
+    """mask_pii_extended: the Luhn-valid PAN masks, the checksum-failing
+    16-digit id survives, emails/IPs/SSNs mask — precision semantics."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.functions.pii import luhn_valid, mask_pii_extended
+
+    df = spark.createDataFrame(
+        [
+            ("pay 4539 1488 0343 6467 now",),      # valid Luhn
+            ("order 1234-5678-9012-3456 ref",),     # invalid Luhn
+            ("bob@x.io from 192.168.0.1",),
+            ("4539148803436467",),                  # bare valid PAN
+        ],
+        "s string",
+    )
+    got = [r["m"] for r in df.select(mask_pii_extended("s").alias("m")).collect()]
+    assert got[0] == "pay ### now"
+    assert got[1] == "order 1234-5678-9012-3456 ref"
+    assert got[2] == "### from ###"
+    assert got[3] == "###"
+
+    checks = spark.createDataFrame(
+        [("4539148803436467",), ("1234567890123456",), ("",)], "d string"
+    ).select(luhn_valid(F.col("d")).alias("ok")).collect()
+    assert [r["ok"] for r in checks] == [True, False, False]
