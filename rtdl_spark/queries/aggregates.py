@@ -278,3 +278,32 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts."""
     o = table(spark, sf_dir, "orders")
     return o.freqItems(["o_orderpriority"], support=0.15)
+
+
+@query(
+    "agg_unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def agg_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt, the inverse of pivot): part's numeric
+    columns become (metric, value) rows via the native unpivot operator —
+    a zero-shuffle narrow transform (the oracle's UNION ALL is the
+    classical rewrite Catalyst avoids re-scanning for)."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -391,3 +391,22 @@ def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query("lake_hll_sketch_rollup")
+def lake_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count rollup (operators/sketches.py):
+    per-(status, month) customer sketches built in ONE scan, then rolled
+    up to status grain by sketch union — the only way COUNT(DISTINCT)
+    rolls up without re-scanning 100 TB. No oracle: sketch estimates are
+    engine-specific; tests/test_operators.py pins the ≤5% error bound,
+    parquet persistence, and merge-vs-direct-build equality."""
+    from rtdl_spark.operators.sketches import build_sketches, merge_sketches
+
+    o = table(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    fine = build_sketches(o, ["o_orderstatus", "month"], "o_custkey")
+    return merge_sketches(fine, ["o_orderstatus"]).select(
+        "o_orderstatus", "n_distinct_est"
+    )

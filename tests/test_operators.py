@@ -1330,19 +1330,37 @@ def test_grouped_topk_prunes_and_matches_window_plan(spark, sf_dir):
         .repartition(6)
     )
     k = 4
-    got = grouped_topk(
-        o, ["o_orderpriority"], "o_totalprice", k, tiebreak=["o_orderkey"]
-    )
-
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     want = o.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
-    assert got.exceptAll(want).count() == 0
-    assert want.exceptAll(got).count() == 0
+    for impl in ("threshold", "pandas"):
+        got = grouped_topk(
+            o, ["o_orderpriority"], "o_totalprice", k,
+            tiebreak=["o_orderkey"], impl=impl,
+        )
+        assert got.exceptAll(want).count() == 0, impl
+        assert want.exceptAll(got).count() == 0, impl
 
-    # Prune bound: rows entering the final window ≤ k × n_partitions per
-    # group (re-derive the operator's first stage and count it).
+    # threshold impl: force the over-pruned path (huge k vs tiny sample →
+    # survivors < k → recovery semi-join) and the ascending direction;
+    # result must still be exact.
+    k2 = 40
+    w2 = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want2 = o.withColumn("rk", F.row_number().over(w2)).filter(
+        F.col("rk") <= k2
+    )
+    got2 = grouped_topk(
+        o, ["o_orderpriority"], "o_totalprice", k2,
+        ascending=True, tiebreak=["o_orderkey"],
+        sample_fraction=0.05, slack=0.05,
+    )
+    assert got2.exceptAll(want2).count() == 0
+    assert want2.exceptAll(got2).count() == 0
+    # Pandas-impl prune bound: rows entering the final window ≤
+    # k × n_partitions per group (re-derive the first stage and count it).
     def prune(batches):
         for pdf in batches:
             if len(pdf):
@@ -1404,3 +1422,60 @@ def test_asof_join_tolerance_nulls_out_stale_matches(spark):
     }
     # forward: a(100)->r120 gap 20 ok; b(200)-> none ahead; c(50)->none
     assert fwd == {"a": "r120", "b": None, "c": None}
+
+
+def test_hll_sketch_rollup_accuracy_and_persistence(spark, sf_dir, tmp_path):
+    """HLL rollup: per-month sketches of o_custkey merge to per-status and
+    global estimates within the lgk=12 error bound (~1.6% rse; assert 5%),
+    survive a parquet round-trip byte-exactly, and the merged estimate
+    equals re-building at the coarse grain directly."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.operators.sketches import (
+        build_sketches,
+        estimate,
+        merge_sketches,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    fine = build_sketches(o, ["o_orderstatus", "month"], "o_custkey")
+
+    # rollup to status grain vs exact
+    per_status = {
+        r["o_orderstatus"]: r["n_distinct_est"]
+        for r in merge_sketches(fine, ["o_orderstatus"]).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(per_status[k] - n) / n <= 0.05, (k, per_status[k], n)
+
+    # global rollup (empty key list)
+    total = merge_sketches(fine, []).collect()[0]["n_distinct_est"]
+    exact_total = o.select("o_custkey").distinct().count()
+    assert abs(total - exact_total) / exact_total <= 0.05
+
+    # persistence: binary column round-trips; merged estimates identical
+    path = str(tmp_path / "sketches")
+    fine.write.parquet(path)
+    back = spark.read.parquet(path)
+    ps2 = {
+        r["o_orderstatus"]: r["n_distinct_est"]
+        for r in merge_sketches(back, ["o_orderstatus"]).collect()
+    }
+    assert ps2 == per_status
+
+    # merging fine sketches == building coarse directly (same estimator)
+    direct = {
+        r["o_orderstatus"]: r["n_distinct_est"]
+        for r in estimate(
+            build_sketches(o, ["o_orderstatus"], "o_custkey")
+        ).collect()
+    }
+    assert direct == per_status

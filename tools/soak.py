@@ -258,6 +258,52 @@ def main() -> None:
         ).count(),
     )
 
+    # top-k per group: the few-groups × many-rows shape where the plain
+    # window funnels ALL rows into a handful of reducers (worst-case skew)
+    # while the map-side prune ships only k×P rows per group.
+    from pyspark.sql import Window as W2
+
+    from rtdl_spark.operators.topk import grouped_topk
+
+    def topk_window():
+        w = W2.partitionBy("l_returnflag", "l_linestatus").orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey")
+        )
+        (
+            lineitem.select(
+                "l_returnflag", "l_linestatus", "l_extendedprice", "l_orderkey"
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .count()
+        )
+
+    run("topk_window", topk_window)
+    topk_in = lineitem.select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_orderkey"
+    )
+    run(
+        "topk_threshold",
+        lambda: grouped_topk(
+            topk_in,
+            ["l_returnflag", "l_linestatus"],
+            "l_extendedprice",
+            10,
+            tiebreak=["l_orderkey"],
+        ).count(),
+    )
+    run(
+        "topk_pandas_prune",
+        lambda: grouped_topk(
+            topk_in,
+            ["l_returnflag", "l_linestatus"],
+            "l_extendedprice",
+            10,
+            tiebreak=["l_orderkey"],
+            impl="pandas",
+        ).count(),
+    )
+
     print(
         json.dumps(
             {
