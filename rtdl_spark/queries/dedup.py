@@ -602,3 +602,31 @@ def dedup_fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(
         d, id_col="doc_id", text_col="source", max_dist=1, block_col="lang"
     )
+
+
+@query(
+    "dedup_incremental_bloom",
+    oracle=f"""
+    SELECT n.doc_id, n.source, n.lang
+    FROM documents n
+    WHERE n.doc_id % 2 = 1
+      AND {_FP_SQL} NOT IN (
+        SELECT {_FP_SQL} FROM documents WHERE doc_id % 2 = 0
+      )
+    """,
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-prefiltered incremental dedup (operators/dedup.py
+    method="bloom"): corpus keys collapse to a broadcastable bitmap-words
+    table; batch rows missing the filter skip the anti-join entirely (no
+    false negatives), only filter hits pay exact confirmation. Output is
+    REQUIRED identical to the plain anti-join — same oracle as
+    dedup_incremental_against_corpus proves the prefilter is lossless."""
+    from rtdl_spark.operators.dedup import dedup_against_corpus
+
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return dedup_against_corpus(new, corpus, method="bloom").select(
+        "doc_id", "source", "lang"
+    )

