@@ -307,7 +307,9 @@ class IngestJob:
         return df
 
     # -- end-to-end --------------------------------------------------------
-    def run_batch(self, raw: DataFrame) -> dict[str, str]:
+    def run_batch(
+        self, raw: DataFrame, collect_metrics: bool = False
+    ) -> dict[str, str]:
         """Full pipeline for one batch; returns {stream_id: dest_root}.
         Mirrors Ingest() (ingester.go:1545-1654) minus Kafka hops.
 
@@ -317,14 +319,27 @@ class IngestJob:
         3+ passes over raw JSON per batch. A micro-batch is bounded by
         construction, so caching it is the standard foreachBatch
         multi-sink pattern (and is why this method, not the caller,
-        owns persist/unpersist)."""
+        owns persist/unpersist).
+
+        ``collect_metrics=True`` fills ``self.last_metrics`` with the
+        batch's row accounting: n_input, n_control, n_unrouted (rows that
+        did not land: unmatched routing — the reference's silent drop,
+        ingest-service.go:244 — plus any rows a chain transform removed),
+        and per-stream written row counts. The
+        per-stream counts ride the write action itself via df.observe —
+        no extra pass; the input/control counts are reads of the cached
+        envelope frame."""
+        from pyspark.sql import Observation
+
         raw, cached_raw = self._quarantine_corrupt(raw)
         env = self.envelope(raw).persist()
+        self.last_metrics: dict | None = None
         try:
             data, ctrl = self.split_control(env)
             if ctrl.limit(1).count() > 0:
                 self.registry.reload()
             written: dict[str, str] = {}
+            stream_counts: dict[str, int] = {}
             for cfg, rows in self.route(data):
                 resolved = self.resolve_columns(rows, cfg)
                 # Flatten the payload before the chain so transforms (e.g.
@@ -345,7 +360,26 @@ class IngestJob:
                 chained = self.apply_chain(cfg, flat)
                 if chained.limit(1).count() == 0:
                     continue
+                obs = None
+                if collect_metrics:
+                    obs = Observation()
+                    chained = chained.observe(
+                        obs, F.count(F.lit(1)).alias("n_rows")
+                    )
                 written[cfg.stream_id] = self.write_stream_batch(cfg, chained)
+                if obs is not None:
+                    stream_counts[cfg.stream_id] = obs.get["n_rows"]
+            if collect_metrics:
+                n_input = env.count()
+                n_control = ctrl.count()
+                self.last_metrics = {
+                    "n_input": n_input,
+                    "n_control": n_control,
+                    "n_unrouted": n_input
+                    - n_control
+                    - sum(stream_counts.values()),
+                    "streams": stream_counts,
+                }
             return written
         finally:
             env.unpersist()
@@ -403,3 +437,25 @@ class IngestJob:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(dest)
         return df.filter(F.col(TABLE_COL) == table_name)
+
+
+def schema_diff(old_schema, new_schema) -> dict:
+    """Schema drift report between two batch schemas (StructTypes):
+    {added, removed, changed} — changed maps name -> (old_type, new_type).
+
+    The reference tolerates drift silently (every message re-infers its
+    own schema, ingester.go:453-520); at scale you want drift *visible*
+    per batch before mergeSchema absorbs it — a column flipping
+    long→string is usually an upstream bug, not evolution. Driver-side
+    metadata-only; zero data cost."""
+    old_f = {f.name: f.dataType.simpleString() for f in old_schema.fields}
+    new_f = {f.name: f.dataType.simpleString() for f in new_schema.fields}
+    return {
+        "added": sorted(set(new_f) - set(old_f)),
+        "removed": sorted(set(old_f) - set(new_f)),
+        "changed": {
+            k: (old_f[k], new_f[k])
+            for k in sorted(set(old_f) & set(new_f))
+            if old_f[k] != new_f[k]
+        },
+    }

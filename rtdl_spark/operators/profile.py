@@ -135,3 +135,38 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "column string, n_rows long, n_nulls long, null_frac double, "
         "n_distinct long, min_val string, max_val string, avg_len double",
     )
+
+
+def equidepth_histogram(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
+    """Equi-DEPTH (quantile) histogram: bins hold ~equal row counts, so
+    skewed columns get resolution where the data actually is (the
+    equi-width histogram wastes its bins on empty range under skew).
+
+    Exact construction: ntile over a single value-sort — one range
+    exchange, the same cost class as any percentile computation; for
+    100 TB dashboards use approx_percentile cut points instead (the
+    sketch path, agg_approx_percentiles) and this as the exact
+    ground-truth twin. Ties at a bin boundary may split across bins in
+    either engine, but the OUTPUT is insensitive to the split: bucket
+    counts are fixed by NTILE's row arithmetic and the boundary min/max
+    are the tied value itself — so the result stays oracle-exact.
+
+    Returns ``bucket, lo, hi, n`` (bucket 1-based like NTILE).
+    """
+    if n_bins < 1:
+        raise ValueError("equidepth_histogram: n_bins must be >= 1")
+    from pyspark.sql import Window
+
+    x = F.col(col).cast("double")
+    w = Window.orderBy(x)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .withColumn("bucket", F.ntile(n_bins).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min(x), 6).alias("lo"),
+            F.round(F.max(x), 6).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket")
+    )

@@ -410,3 +410,26 @@ def lake_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_sketches(fine, ["o_orderstatus"]).select(
         "o_orderstatus", "n_distinct_est"
     )
+
+
+@query(
+    "lake_histogram_equidepth",
+    oracle="""
+    SELECT bucket, ROUND(MIN(v), 6) AS lo, ROUND(MAX(v), 6) AS hi,
+           COUNT(*) AS n
+    FROM (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v,
+             NTILE(8) OVER (ORDER BY CAST(o_totalprice AS DOUBLE)) AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    GROUP BY bucket
+    """,
+)
+def lake_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (operators/profile.py::equidepth_histogram):
+    8 quantile bins over order totalprice — near-equal counts with data-
+    adaptive edges, the skew-robust twin of lake_histogram_price."""
+    from rtdl_spark.operators.profile import equidepth_histogram
+
+    o = table(spark, sf_dir, "orders")
+    return equidepth_histogram(o, "o_totalprice", 8)

@@ -543,3 +543,41 @@ def test_luhn_validated_card_masking(spark):
         [("4539148803436467",), ("1234567890123456",), ("",)], "d string"
     ).select(luhn_valid(F.col("d")).alias("ok")).collect()
     assert [r["ok"] for r in checks] == [True, False, False]
+
+
+def test_schema_diff_report(spark):
+    """schema_diff: added/removed/type-changed columns between batch
+    schemas, nested types compared by their full simpleString."""
+    from rtdl_spark.ingest.pipeline import schema_diff
+
+    a = spark.createDataFrame([(1, "x", 1.0)], "id int, name string, v double")
+    b = spark.createDataFrame([(1, 2, [1])], "id int, v bigint, tags array<int>")
+    d = schema_diff(a.schema, b.schema)
+    assert d == {
+        "added": ["tags"],
+        "removed": ["name"],
+        "changed": {"v": ("double", "bigint")},
+    }
+
+
+def test_batch_metrics_row_accounting(spark, registry, tmp_path):
+    """collect_metrics: n_input / n_control / n_unrouted / per-stream
+    written counts add up; per-stream counts ride the write via observe
+    (no extra pass)."""
+    path = write_events(
+        tmp_path,
+        [
+            {"stream_id": STREAM_ID, "a": 1},
+            {"stream_id": STREAM_ID, "a": 2},
+            {"stream_id": "", "type": "rtdl_205"},
+            {"stream_id": "nobody-home", "a": 3},
+        ],
+    )
+    job = make_job(spark, registry, tmp_path)
+    written = job.run_batch(job.read_json(path), collect_metrics=True)
+    m = job.last_metrics
+    assert set(written) == {STREAM_ID}
+    assert m["n_input"] == 4
+    assert m["n_control"] == 1
+    assert m["n_unrouted"] == 1
+    assert m["streams"] == {STREAM_ID: 2}
