@@ -433,3 +433,38 @@ def lake_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     return equidepth_histogram(o, "o_totalprice", 8)
+
+
+@query(
+    "sql_lateral_top_order",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.top_price, l.top_key
+    FROM customer c, LATERAL (
+      SELECT o.o_totalprice AS top_price, o.o_orderkey AS top_key
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 1
+    ) l
+    WHERE c.c_custkey % 50 = 0
+    """,
+)
+def sql_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL-text surface: each
+    sampled customer picks its single highest order. Catalyst
+    decorrelates this into a join + per-key window rather than executing
+    per-row — the plan property that makes LATERAL safe at 100 TB."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.top_price, l.top_key
+        FROM customer c, LATERAL (
+          SELECT o.o_totalprice AS top_price, o.o_orderkey AS top_key
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 1
+        ) l
+        WHERE c.c_custkey % 50 = 0
+        """
+    )

@@ -497,3 +497,40 @@ def win_topk_partial_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         "rk",
     )
+
+
+@query(
+    "win_nth_value_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           nth_value(o_totalprice, 3) OVER w AS third_price,
+           first_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                       IGNORE NULLS) OVER w AS first_f_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + first_value(IGNORE NULLS) over a full-partition frame:
+    per priority, the 3rd-highest price and the highest price among
+    status-F orders — the analytic accessors beyond lag/lead/first/last
+    already covered."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+        F.first(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("first_f_price"),
+    )
