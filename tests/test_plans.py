@@ -381,3 +381,60 @@ def test_runtime_bloom_filter_join_prunes_application_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_snapshot_diff_single_join_no_extra_exchange(spark, sf_dir):
+    """snapshot_diff is ONE join: exactly one SortMergeJoin/ShuffledHashJoin
+    (full outer can't broadcast) and no exchange beyond the two join
+    sides — diffing two 100 TB loads must move each row once."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.operators.merge import snapshot_diff
+    from rtdl_spark.plans.inspect import plan_report
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = o.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", "o_totalprice"
+    )
+    rep = plan_report(snapshot_diff(old, new, ["o_orderkey"]))
+    assert rep.sortmerge_joins + rep.broadcast_joins >= 1
+    assert rep.exchanges <= 2  # one per join side, nothing downstream
+
+
+def test_bloom_dedup_broadcasts_words_never_shuffles_batch(spark, sf_dir):
+    """The bloom probe joins must all be broadcast hash joins (words table
+    ~KBs); the batch side reaches the confirmation anti-join without an
+    exchange of its own beyond the final anti-join."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.operators.dedup import dedup_against_corpus
+    from rtdl_spark.plans.inspect import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup_against_corpus(new, corpus, method="bloom")
+    plan = formatted_plan(out)
+    # every probe join is a BroadcastHashJoin (n_hashes of them) and no
+    # BroadcastNestedLoopJoin sneaks in
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_export_shards_no_range_exchange(spark, sf_dir):
+    """The shard assignment is a hash repartition + LOCAL sort — a global
+    ORDER BY would show a rangepartitioning exchange; there must be none."""
+    from rtdl_spark.operators.export import assign_shards
+    from rtdl_spark.plans.inspect import exchange_count, formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assigned = assign_shards(docs, "doc_id", 8, 42).repartition(
+        8, "shard_id"
+    ).sortWithinPartitions("shard_id", "shuffle_key", "doc_id")
+    plan = formatted_plan(assigned)
+    assert "rangepartitioning" not in plan.lower()
+    assert exchange_count(plan) == 1
