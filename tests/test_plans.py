@@ -438,3 +438,17 @@ def test_export_shards_no_range_exchange(spark, sf_dir):
     plan = formatted_plan(assigned)
     assert "rangepartitioning" not in plan.lower()
     assert exchange_count(plan) == 1
+
+
+def test_lateral_subquery_decorrelates(spark, sf_dir):
+    """The LATERAL top-1-per-customer subquery must decorrelate into a
+    window + equi join — never a per-row nested-loop/cartesian execution."""
+    from rtdl_spark.plans.inspect import formatted_plan
+
+    from rtdl_spark.queries import all_queries
+
+    df = all_queries()["sql_lateral_top_order"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the decorrelated per-key top-1
