@@ -940,3 +940,54 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@query(
+    "text_distinctive_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT source, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY source, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT source) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.source
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+             ) AS rk
+      FROM tf JOIN df USING (term)
+    )
+    SELECT source, term, tf, df, rk FROM scored WHERE rk <= 3
+    """,
+)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive terms (the TF-IDF keyword shape, scored by
+    the deterministic tf/df ratio so both engines rank identically —
+    log-based idf differs only by a monotone-breaking constant here):
+    top-3 terms per source. Plan: explode → two map-combinable hash aggs
+    (term freq per source; source-df per term) → broadcast df join →
+    per-source window over the tiny aggregated frame — the corpus text
+    never reaches the window."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(
+        F.countDistinct("source").alias("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "term", "tf", "df", "rk")
+    )

@@ -258,6 +258,27 @@ def main() -> None:
         ).count(),
     )
 
+    # incremental corpus dedup: new batch (1/3 of docs) against history
+    # (2/3). The bloom path must beat-or-match the plain anti-join while
+    # staying exact — its prefilter skips the join for definite-new rows.
+    dedup_docs = docs  # already id-disambiguated above
+    corpus_side = dedup_docs.filter(F.col("doc_id") % 3 == 0)
+    batch_side = dedup_docs.filter(F.col("doc_id") % 3 != 0)
+    from rtdl_spark.operators.dedup import dedup_against_corpus
+
+    run(
+        "corpus_dedup_anti_join",
+        lambda: dedup_against_corpus(
+            batch_side, corpus_side, method="fingerprint"
+        ).count(),
+    )
+    run(
+        "corpus_dedup_bloom",
+        lambda: dedup_against_corpus(
+            batch_side, corpus_side, method="bloom"
+        ).count(),
+    )
+
     # top-k per group: the few-groups × many-rows shape where the plain
     # window funnels ALL rows into a handful of reducers (worst-case skew)
     # while the map-side prune ships only k×P rows per group.
