@@ -258,12 +258,19 @@ def main() -> None:
         ).count(),
     )
 
-    # incremental corpus dedup: new batch (1/3 of docs) against history
-    # (2/3). The bloom path must beat-or-match the plain anti-join while
-    # staying exact — its prefilter skips the join for definite-new rows.
-    dedup_docs = docs  # already id-disambiguated above
-    corpus_side = dedup_docs.filter(F.col("doc_id") % 3 == 0)
-    batch_side = dedup_docs.filter(F.col("doc_id") % 3 != 0)
+    # incremental corpus dedup: batch vs history with a realistic ~1/3
+    # duplicate rate (replication makes every TEXT exist on both sides, so
+    # an unsalted split is a degenerate 100%-dup workload where a
+    # prefilter can skip nothing — two-thirds of batch texts get a unique
+    # suffix to become genuinely new).
+    corpus_side = docs.filter(F.col("doc_id") % 3 == 0)
+    batch_side = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(" uniq"), F.col("doc_id")),
+        ).otherwise(F.col("text")),
+    )
     from rtdl_spark.operators.dedup import dedup_against_corpus
 
     run(
