@@ -468,3 +468,43 @@ def sql_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 50 = 0
         """
     )
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    SELECT concat('user', CAST(i % 50 AS VARCHAR)) AS name,
+           COUNT(*) AS n,
+           ROUND(SUM((42 * 1000003 + i * 31) % 97 + (i % 7) / 10.0), 6)
+             AS sum_value
+    FROM range(0, 1000) t(i)
+    GROUP BY 1
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API,
+    sources/envelope_source.py): the 'rtdl_envelopes' format generates
+    the reference's envelope stream natively — here 1000 deterministic
+    envelopes flow through from_json into an ordinary aggregation, and
+    the DuckDB oracle REGENERATES the same rows from the (seed, i)
+    formula over range(): the source's content contract, verified."""
+    from rtdl_spark.sources.envelope_source import EnvelopeDataSource
+
+    spark.dataSource.register(EnvelopeDataSource)
+    env = (
+        spark.read.format("rtdl_envelopes")
+        .option("n_rows", 1000)
+        .option("seed", 42)
+        .load()
+    )
+    p = F.from_json(
+        F.col("payload_json"), "name string, value double"
+    ).alias("p")
+    return (
+        env.select(p)
+        .groupBy(F.col("p.name").alias("name"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p.value"), 6).alias("sum_value"),
+        )
+    )

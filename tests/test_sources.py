@@ -125,3 +125,74 @@ def test_kafka_records_roundtrip_without_broker(spark):
     back = parse_kafka_envelopes(wire).collect()
     got = {(r["stream_id"], r["stream_alt_id"], r["message_type"]) for r in back}
     assert got == {("s1", None, "click"), (None, "wk-9", "view")}
+
+
+def test_envelope_datasource_batch_deterministic_and_partitioned(spark):
+    """Custom Python DataSource (Spark 4 API): registered format reads N
+    deterministic envelope rows across the requested partitions; two
+    reads with the same seed are identical, a different seed differs."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.sources.envelope_source import EnvelopeDataSource
+
+    spark.dataSource.register(EnvelopeDataSource)
+    df = (
+        spark.read.format("rtdl_envelopes")
+        .option("n_rows", 257)
+        .option("n_partitions", 4)
+        .option("seed", 7)
+        .load()
+    )
+    assert df.count() == 257
+    assert df.rdd.getNumPartitions() == 4
+    assert df.select(F.min("seq"), F.max("seq")).collect()[0] == (0, 256)
+    # envelope shape parses through the ingest contract
+    payload = spark.read.json(
+        df.select("payload_json").rdd.map(lambda r: r[0])
+    )
+    assert {"type", "name", "value", "array", "properties"} <= set(
+        payload.columns
+    )
+
+    again = (
+        spark.read.format("rtdl_envelopes")
+        .option("n_rows", 257)
+        .option("n_partitions", 4)
+        .option("seed", 7)
+        .load()
+    )
+    assert df.exceptAll(again).count() == 0
+    other = (
+        spark.read.format("rtdl_envelopes")
+        .option("n_rows", 257)
+        .option("seed", 8)
+        .load()
+    )
+    assert df.exceptAll(other).count() > 0
+
+
+def test_envelope_datasource_streaming_offsets(spark, tmp_path):
+    """The stream reader's integer-offset contract: one availableNow pass
+    delivers whole micro-batches with contiguous seq values and no
+    duplicates."""
+    from rtdl_spark.sources.envelope_source import EnvelopeDataSource
+
+    spark.dataSource.register(EnvelopeDataSource)
+    stream = (
+        spark.readStream.format("rtdl_envelopes")
+        .option("rows_per_batch", 50)
+        .option("seed", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("env_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT seq FROM env_stream").collect()
+    seqs = sorted(r["seq"] for r in rows)
+    assert len(seqs) > 0 and len(seqs) == len(set(seqs))
+    assert seqs == list(range(len(seqs)))
