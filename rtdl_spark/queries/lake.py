@@ -508,3 +508,44 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p.value"), 6).alias("sum_value"),
         )
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan/sink path (the second builtin columnar format besides
+    parquet — some lakes standardize on it): a filtered orders slice →
+    ORC write (snappy) → read-back → exact decimal aggregate; the oracle
+    aggregates the original parquet, so the hash-compare proves the ORC
+    round-trip is lossless for ints/doubles/strings. Scratch on tmpfs,
+    removed after materialization."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_orc_rt_", dir=shm)
+    try:
+        path = os.path.join(workdir, "orders_orc")
+        o.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).write.option("compression", "snappy").orc(path)
+        back = spark.read.orc(path)
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
