@@ -13,4 +13,5 @@ from rtdl_spark.streaming.jobs import (  # noqa: F401
     stream_sliding_counts,
     stream_stateful_user_totals,
     stream_tumbling_counts,
+    stream_tumbling_distinct_users,
 )

@@ -399,3 +399,30 @@ def stream_dedup_clusters(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_tumbling_distinct_users(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Watermarked tumbling approx-distinct users per window — the
+    streaming cardinality dashboard. approx_count_distinct's HLL state is
+    a fixed-size sketch per open window (KBs), where exact
+    COUNT(DISTINCT) would buffer every key — unbounded per-window state a
+    stream must never hold. Same estimator as the batch twin, so a
+    one-pass availableNow run equals the batch computation exactly
+    (tested), not just approximately."""
+    return (
+        _tz_ts(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "approx_users", "n_events"
+        )
+    )
