@@ -499,3 +499,41 @@ def scalar_pii_mask_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return o.select("o_orderkey", mask_pii_extended(raw).alias("masked"))
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+    SELECT doc_id,
+           concat('doc', CAST(doc_id % 7 AS VARCHAR), '.example.com') AS host,
+           concat('/', source, '/', CAST(doc_id AS VARCHAR)) AS path,
+           concat('lang=', lang) AS query_str,
+           lang AS lang_param
+    FROM documents
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with parse_url (the crawl-pipeline primitive for
+    per-domain caps/blocklists): URLs constructed from fixture fields are
+    split back into HOST/PATH/QUERY/parameter, and the oracle derives the
+    same parts directly from the fields — round-trip-proving the parser.
+    At scale host extraction feeds a per-domain stratified cap
+    (stratified_take) or a broadcast blocklist anti-join."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://doc"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_str"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -991,3 +991,54 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("source", "term", "tf", "df", "rk")
     )
+
+
+@query(
+    "text_train_val_test_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+               string_split(md5('split:' || CAST(doc_id AS VARCHAR)), ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {HASH_P}) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n, MIN(doc_id) AS min_id,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM h GROUP BY 1
+    """,
+)
+def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: a document's split is
+    a pure function of its id (bucket = polyhash(md5('split:'||id)) mod
+    100) — reproducible on any cluster, stable under re-runs and corpus
+    growth (existing docs never migrate), zero shuffle to assign. The
+    id_sum digest pins the exact membership of each split."""
+    from rtdl_spark.functions.text import token_hash
+
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        token_hash(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        )
+        % 100
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
