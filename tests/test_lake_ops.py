@@ -420,3 +420,61 @@ def test_snapshot_diff_null_safe_classification(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_zorder_three_columns_improves_locality(spark, sf_dir, tmp_path):
+    """Multi-column (3-col) curve support: clustering orders by
+    (custkey, totalprice, orderdate-epoch) must tighten per-file bounding
+    VOLUMES vs the naturally-ordered write for both curves, and Hilbert
+    must be at least as tight as Morton (its guarantee in 2D carries to
+    3D). Closes the NOTES 'multi-column curves' item."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.operators.zorder import zorder_write
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("o_epoch", F.unix_date(F.col("o_orderdate").cast("date")))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_epoch")
+    )
+    cols = ["o_custkey", "o_totalprice", "o_epoch"]
+
+    def mean_norm_volume(path):
+        df = spark.read.parquet(path)
+        rng = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        vols = []
+        for f in [
+            os.path.join(path, x)
+            for x in os.listdir(path)
+            if x.endswith(".parquet")
+        ]:
+            b = spark.read.parquet(f).agg(
+                *[F.min(c).alias(f"mn_{c}") for c in cols],
+                *[F.max(c).alias(f"mx_{c}") for c in cols],
+            ).collect()[0]
+            v = 1.0
+            for c in cols:
+                span = rng[f"mx_{c}"] - rng[f"mn_{c}"]
+                v *= (b[f"mx_{c}"] - b[f"mn_{c}"]) / span if span else 1.0
+            vols.append(v)
+        return sum(vols) / len(vols)
+
+    ndir = str(tmp_path / "natural")
+    orders.repartition(16).write.parquet(ndir)
+    mdir = str(tmp_path / "morton3")
+    zorder_write(orders, cols, mdir, n_files=16, curve="morton")
+    hdir = str(tmp_path / "hilbert3")
+    zorder_write(orders, cols, hdir, n_files=16, curve="hilbert")
+
+    nat, mor, hil = (
+        mean_norm_volume(ndir),
+        mean_norm_volume(mdir),
+        mean_norm_volume(hdir),
+    )
+    assert mor < nat * 0.5, (nat, mor)
+    assert hil <= mor * 1.05, (mor, hil)
