@@ -1042,3 +1042,18 @@ def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
     )
+
+
+@query("text_phrase_mining")
+def text_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative merge-rule training (operators/bpe.py — the BPE/
+    word2phrase loop): 5 rounds of count-pairs → argmax → fuse over the
+    corpus; returns the learned rules with their frequencies. No oracle:
+    the data-dependent iterative loop is non-SQL-expressible; training
+    AND application are pinned EXACTLY against a pure-Python reference in
+    tests/test_operators.py."""
+    from rtdl_spark.operators.bpe import train_phrase_merges
+
+    d = table(spark, sf_dir, "documents")
+    _, stats = train_phrase_merges(d, n_merges=5)
+    return stats

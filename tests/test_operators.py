@@ -1536,3 +1536,65 @@ def test_bloom_prefilter_exact_and_effective(spark, sf_dir):
         ) & F.col(f"_m{s}").isNotNull()
         hit_all = h if hit_all is None else (hit_all & h)
     assert probes.filter(~hit_all).count() == 0
+
+
+def test_phrase_merge_training_matches_pure_python(spark, sf_dir):
+    """train_phrase_merges must reproduce the pure-Python trainer exactly:
+    same rules in the same order with the same counts (ties broken
+    lexicographically), and applying the rules through the Spark kernel
+    equals apply_merges_py per document."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.operators.bpe import (
+        SEP,
+        _apply_merges_df,
+        apply_merges_py,
+        train_phrase_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    corpus = [
+        [t for t in (r["text"] or "").split(" ") if t]
+        for r in docs.select("text").collect()
+    ]
+
+    def py_train(corpus, n_merges, min_count=2):
+        out = []
+        rules = []
+        for _ in range(n_merges):
+            applied = [apply_merges_py(list(d), rules) for d in corpus]
+            counts = Counter()
+            for d in applied:
+                for i in range(len(d) - 1):
+                    counts[(d[i], d[i + 1])] += 1
+            if not counts:
+                break
+            (pair, n) = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if n < min_count:
+                break
+            rules.append(pair)
+            out.append((pair, n))
+        return out
+
+    want = py_train(corpus, 5)
+    rules, stats = train_phrase_merges(docs, n_merges=5)
+    stat_rows = stats.orderBy("merge_idx").collect()
+    assert [
+        ((a, b), n)
+        for (a, b), n in zip(rules, [r["n"] for r in stat_rows])
+    ] == want
+
+    # application parity via the Spark kernel
+    applied_spark = {
+        r["doc_id"]: r["tokens"]
+        for r in _apply_merges_df(docs, "text", rules)
+        .select("doc_id", "tokens")
+        .collect()
+    }
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for did, toks in zip(ids, corpus):
+        assert applied_spark[did] == apply_merges_py(list(toks), rules)
+    # learned rules actually fuse something
+    assert any(SEP in t for ts in applied_spark.values() for t in ts)
