@@ -170,3 +170,43 @@ def equidepth_histogram(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def footer_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """COUNT/MIN/MAX per column answered from parquet FOOTERS — no data
+    scan (DSv2 aggregate pushdown: the BatchScan's output IS the
+    aggregate). At 100 TB this is the difference between a metadata
+    operation and a full-table read for the monitoring stats every
+    pipeline polls. Complements profile_table (one full scan for the
+    stats pushdown can't answer: distinct counts, null fractions).
+
+    Constraints of the pushdown (Spark bails to a normal scan if
+    violated): no filters, no nested fields; MIN/MAX types must carry
+    parquet min/max stats. The v2 reader + pushdown confs are set just
+    for this plan and restored after.
+
+    Returns one row: n_rows + min_/max_ per column.
+    """
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+            ]
+        rows = df.agg(*aggs).collect()
+        return spark.createDataFrame(rows)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

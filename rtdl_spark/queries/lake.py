@@ -549,3 +549,27 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_footer_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_o_orderkey,
+           MAX(o_orderkey) AS max_o_orderkey,
+           MIN(o_custkey) AS min_o_custkey,
+           MAX(o_custkey) AS max_o_custkey
+    FROM orders
+    """,
+)
+def lake_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-answered table stats (operators/profile.py::footer_stats):
+    COUNT/MIN/MAX served by DSv2 parquet aggregate pushdown — the scan
+    node OUTPUTS the aggregate, reading metadata instead of 100 TB of
+    pages. Values are exact, so the ordinary oracle verifies them; the
+    plan property (PushedAggregation) is pinned in tests/test_plans.py."""
+    from rtdl_spark.operators.profile import footer_stats
+
+    return footer_stats(
+        spark, f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"]
+    )

@@ -452,3 +452,29 @@ def test_lateral_subquery_decorrelates(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan  # the decorrelated per-key top-1
+
+
+def test_footer_stats_pushes_aggregate_to_scan(spark, sf_dir):
+    """footer_stats must actually push the aggregate into the BatchScan
+    (PushedAggregation with the count/min/max list) — otherwise it
+    silently degrades to a full scan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("mn"),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan
+        assert "count(*)" in plan and "min(o_orderkey)" in plan.lower()
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
