@@ -376,3 +376,69 @@ def test_span_dedup_matches_python_model(spark, docs_tokens):
             len(kept),
         )
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="0123456789", min_size=0, max_size=24),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_luhn_matches_python_model(spark, digit_strs):
+    """luhn_valid (pure Catalyst) must agree with the textbook Python
+    Luhn on arbitrary digit strings, including empty and odd lengths."""
+    from rtdl_spark.functions.pii import luhn_valid
+
+    def py_luhn(s: str) -> bool:
+        if not s:
+            return False
+        total = 0
+        for pos, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if pos % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    df = spark.createDataFrame([(s,) for s in digit_strs], "d string")
+    got = [
+        r["ok"] for r in df.select(luhn_valid(F.col("d")).alias("ok")).collect()
+    ]
+    assert got == [py_luhn(s) for s in digit_strs]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=60
+    ),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_shard_assignment_is_partition_and_seed_pure(spark, ids, seed):
+    """assign_shards: every id gets exactly one shard in [0, n); the
+    assignment equals the pure-Python recomputation of the same hash
+    formula (pure function of (seed, id) — cluster-layout independence
+    by construction)."""
+    import hashlib
+
+    from rtdl_spark.operators.export import assign_shards
+
+    n_shards = 5
+    df = spark.createDataFrame([(i,) for i in set(ids)], "doc_id long")
+    rows = assign_shards(df, "doc_id", n_shards, seed).collect()
+
+    def py_shard(i: int) -> int:
+        md = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        h = 0
+        for ch in md:
+            h = (h * 31 + ord(ch)) % HASH_P
+        return h % n_shards
+
+    assert len(rows) == len(set(ids))
+    for r in rows:
+        assert 0 <= r["shard_id"] < n_shards
+        assert r["shard_id"] == py_shard(r["doc_id"]), r["doc_id"]
