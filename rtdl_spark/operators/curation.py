@@ -380,10 +380,18 @@ def mixture_sample(
     (repeat-sampling a scarce source is a curriculum decision, not a
     sampling primitive).
 
-    Caps are banker's-rounded, not truncated: int() would turn the float
-    epsilon in 60·(1/3) into an off-by-one cap."""
+    Caps are rounded HALF-UP (floor(x+0.5)), not truncated and not
+    python-banker's-rounded: int() would turn the float epsilon in
+    60·(1/3) into an off-by-one cap, and round() differs from the
+    SQL/DuckDB half-up convention exactly when equal-sized keys put
+    budget·w on .5 (e.g. 90 across 20 uniform sources → 4.5 → SQL says
+    5, banker's says 4 — a real mismatch caught by the oracle gate)."""
+    import math
+
     total = sum(weights.values())
-    caps = {k: round(budget * w / total) for k, w in weights.items()}
+    caps = {
+        k: math.floor(budget * w / total + 0.5) for k, w in weights.items()
+    }
     cap_expr = None
     for k, cap in caps.items():
         branch = F.when(F.col(key_col) == k, F.lit(cap))
@@ -399,3 +407,25 @@ def mixture_sample(
         .filter(F.col("_rk") <= cap_expr)
         .drop("_rk")
     )
+
+
+def temperature_weights(
+    df: DataFrame, key_col: str, alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-based mixture weights: w_k ∝ n_k^alpha — the standard
+    multilingual/multi-source rebalancing rule (alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform; XLM-R used 0.3/0.7-style
+    exponents). One tiny aggregate; feed the result to mixture_sample:
+
+        mixture_sample(df, key, budget, temperature_weights(df, key, .5))
+
+    Eager by design (the weights ARE driver-side recipe data)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    powered = {k: float(n) ** alpha for k, n in counts.items()}
+    total = sum(powered.values())
+    return {k: v / total for k, v in powered.items()}

@@ -1057,3 +1057,48 @@ def text_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     _, stats = train_phrase_merges(d, n_merges=5)
     return stats
+
+
+@query(
+    "text_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, sqrt(n) / SUM(sqrt(n)) OVER () AS wt FROM counts
+    ), caps AS (
+      SELECT source, CAST(round(93 * wt) AS BIGINT) AS cap FROM w
+    ), ranked AS (
+      SELECT d.source, d.doc_id, c.cap,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rk
+      FROM documents d JOIN caps c USING (source)
+    )
+    SELECT source, COUNT(*) AS n_drawn,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM ranked WHERE rk <= cap GROUP BY source
+    """,
+)
+def text_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced mixture (operators/curation.py::
+    temperature_weights + mixture_sample): weights ∝ sqrt(source size)
+    (alpha=0.5 up-weights small sources vs natural sampling), budget 93,
+    draws in deterministic md5(id) order. sqrt is IEEE-exact on both
+    engines; the budget is chosen so no cap lands on an exact .5 (a
+    uniform-source corpus puts budget/n_sources there, where float
+    summation order makes rounding engine-unstable — 90 across 20 equal
+    sources was caught by this very gate)."""
+    from rtdl_spark.operators.curation import (
+        mixture_sample,
+        temperature_weights,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    w = temperature_weights(d, "source", alpha=0.5)
+    out = mixture_sample(d, "source", 93, w)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_drawn"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
