@@ -478,3 +478,50 @@ def test_zorder_three_columns_improves_locality(spark, sf_dir, tmp_path):
     )
     assert mor < nat * 0.5, (nat, mor)
     assert hil <= mor * 1.05, (mor, hil)
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, sf_dir, tmp_path):
+    """Catalog tables support ANALYZE TABLE; the collected rowCount/size
+    reach the optimizer (Statistics on the relation) — the CBO input a
+    100 TB lake needs for join ordering beyond AQE's runtime sizes."""
+    from rtdl_spark.catalog import register_lake_table, table
+
+    orders = table(spark, sf_dir, "orders")
+    dest = str(tmp_path / "lake" / "orders_t")
+    orders.write.parquet(dest)
+    register_lake_table(spark, "statsdb", "orders_t", dest)
+    try:
+        spark.sql(
+            "ANALYZE TABLE statsdb.orders_t COMPUTE STATISTICS"
+        )
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED statsdb.orders_t"
+            ).collect()
+        }
+        assert "Statistics" in desc, desc.keys()
+        stats_line = desc["Statistics"]
+        assert "rows" in stats_line, stats_line
+        n = orders.count()
+        assert str(n) in stats_line, (n, stats_line)
+
+        # the optimizer consumes the rowCount once CBO is on (off by
+        # default — AQE's runtime sizes are the standing default; CBO is
+        # the static complement when stats are maintained)
+        old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+        try:
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            plan_stats = (
+                spark.table("statsdb.orders_t")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .toString()
+            )
+            assert "rowCount=" in plan_stats, plan_stats  # 1.50E+3 form
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS statsdb.orders_t")
+        spark.sql("DROP DATABASE IF EXISTS statsdb")
