@@ -429,3 +429,123 @@ def temperature_weights(
     powered = {k: float(n) ** alpha for k, n in counts.items()}
     total = sum(powered.values())
     return {k: v / total for k, v in powered.items()}
+
+
+def domain_policy(
+    df: DataFrame,
+    url_col: str,
+    blocklist: list[str],
+    per_domain_cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-corpus domain policy: extract the host from ``url_col``,
+    drop blocklisted domains, and cap every surviving domain at
+    ``per_domain_cap`` documents — the Common-Crawl-style rule that stops
+    a handful of giant sites from dominating a training mix.
+
+    Output = input + ``host`` + verdict columns (house style: flags, not
+    silent drops, so the funnel is one aggregation away):
+      is_blocked    — host appears in the blocklist
+      domain_rank   — deterministic md5(id) rank within the host,
+                      unblocked rows only
+      kept          — not blocked and rank <= cap
+
+    Scale shape: the blocklist is a literal broadcast (`isin` compiles to
+    a hash-set probe, no join when the list is small; swap in a broadcast
+    anti-join for million-entry lists); the cap is ONE window shuffle on
+    host — the same shape as stratified_take, so a skewed giant domain
+    parallelizes across its hash partition like any top-k-per-group.
+    parse_url is a JVM built-in, so host extraction stays in codegen.
+    """
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    out = df.withColumn("host", host).withColumn(
+        "is_blocked", F.col("host").isin(blocklist)
+    )
+    w = Window.partitionBy(
+        F.when(~F.col("is_blocked"), F.col("host"))
+    ).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    out = out.withColumn(
+        "domain_rank",
+        F.when(~F.col("is_blocked"), F.row_number().over(w)),
+    )
+    return out.withColumn(
+        "kept",
+        (~F.col("is_blocked")) & (F.col("domain_rank") <= per_domain_cap),
+    )
+
+
+def exact_k_sample(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic exact-k uniform sample of a whole corpus: the k rows
+    with the smallest md5(id) — a fixed pseudo-random order every engine
+    computes identically (TABLESAMPLE/rand() give neither exact k nor
+    stability). The eval-subset / human-inspection primitive.
+
+    Scale shape: orderBy + limit compiles to TakeOrderedAndProject —
+    each partition keeps a k-row heap (O(n log k) work, O(k) output per
+    partition), then the driver merges P·k rows. There is NO global sort
+    and NO single-partition exchange; pinned by the plan test."""
+    return df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)).limit(k)
+
+
+def assign_sequential_ids(
+    df: DataFrame,
+    order_col: str,
+    id_name: str = "row_id",
+    bucket_width: int | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Contiguous 1..N row ids in ``order_col`` order — the stable
+    document-id assignment a training pipeline needs — WITHOUT the naive
+    ROW_NUMBER() OVER (ORDER BY ...) plan, whose empty-PARTITION-BY window
+    funnels the entire table through ONE partition (the canonical
+    100 TB-killer; at sf100 that is a single task sorting every row).
+
+    Two-pass bucket-offset scheme, all Catalyst:
+      1. a column-pruned min/max scan of ``order_col`` fixes equi-width
+         bucket edges (deterministic, data-independent within the range);
+      2. per-bucket counts (tiny: n_buckets rows) get cumulative offsets
+         via a window over the AGGREGATED frame only, broadcast-joined
+         back; the final id = bucket offset + intra-bucket row_number,
+         one hash shuffle on the bucket key with parallelism n_buckets.
+
+    Requires a numeric/orderable ``order_col`` with unique values (ties
+    within a bucket break identically to the oracle via the column
+    itself; uniqueness is the caller's contract, same as ROW_NUMBER
+    determinism). Result equals ROW_NUMBER() OVER (ORDER BY order_col)
+    exactly — oracle-checked."""
+    from pyspark.sql.functions import broadcast
+
+    key = F.col(order_col)
+    if bucket_width is None:
+        lo, hi = df.agg(F.min(key), F.max(key)).first()
+        if lo is None:
+            return df.withColumn(id_name, F.lit(None).cast("bigint"))
+        span = int(hi) - int(lo) + 1
+        bucket_width = max(1, -(-span // n_buckets))
+        base = int(lo)
+    else:
+        base = 0
+    bucket = ((key.cast("bigint") - F.lit(base)) / F.lit(bucket_width)).cast(
+        "bigint"
+    )
+    with_b = df.withColumn("_bkt", bucket)
+    counts = with_b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_bkt", "_offset")
+    w_local = Window.partitionBy("_bkt").orderBy(order_col)
+    return (
+        with_b.join(broadcast(offsets), "_bkt")
+        .withColumn(
+            id_name, (F.col("_offset") + F.row_number().over(w_local)).cast("bigint")
+        )
+        .drop("_bkt", "_offset")
+    )

@@ -1102,3 +1102,100 @@ def text_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_drawn"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+@query(
+    "text_domain_policy",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('doc', CAST(doc_id % 7 AS VARCHAR), '.example.com') AS host
+      FROM documents
+    ), r AS (
+      SELECT doc_id, host,
+             host IN ('doc0.example.com', 'doc3.example.com') AS is_blocked,
+             CASE WHEN host NOT IN ('doc0.example.com', 'doc3.example.com')
+               THEN ROW_NUMBER() OVER (
+                 PARTITION BY CASE WHEN host NOT IN
+                   ('doc0.example.com', 'doc3.example.com') THEN host END
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             END AS domain_rank
+      FROM u
+    )
+    SELECT doc_id, host, is_blocked, domain_rank,
+           (NOT is_blocked) AND (domain_rank <= 30) AS kept
+    FROM r
+    """,
+)
+def text_domain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl domain policy (operators/curation.py::domain_policy): host
+    extracted from a URL (parse_url, JVM built-in), blocklisted domains
+    flagged, survivors capped at 30 docs per domain in deterministic
+    md5(id) order — the Common-Crawl-style rule that keeps giant sites
+    from dominating a training mix. The oracle re-derives host, verdicts,
+    and the exact per-domain sample. One window shuffle on host; the
+    blocklist is a literal hash-set probe (no join)."""
+    from rtdl_spark.operators.curation import domain_policy
+
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://doc"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    out = domain_policy(
+        d.withColumn("url", url),
+        "url",
+        ["doc0.example.com", "doc3.example.com"],
+        per_domain_cap=30,
+    )
+    return out.select("doc_id", "host", "is_blocked", "domain_rank", "kept")
+
+
+@query(
+    "text_exact_k_sample",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 50
+    """,
+)
+def text_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k corpus sample
+    (operators/curation.py::exact_k_sample): the 50 rows with the
+    smallest md5(doc_id) — stable across runs/engines where
+    TABLESAMPLE/rand() are neither. Compiles to TakeOrderedAndProject
+    (per-partition k-row heaps, driver merges P·k rows — no global sort,
+    no single-partition exchange; pinned by the plan test)."""
+    from rtdl_spark.operators.curation import exact_k_sample
+
+    d = table(spark, sf_dir, "documents")
+    return exact_k_sample(d, 50).select("doc_id", "source")
+
+
+@query(
+    "text_row_id_assignment",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def text_row_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids in doc_id order
+    (operators/curation.py::assign_sequential_ids) WITHOUT the
+    empty-PARTITION-BY window plan that funnels the whole table through
+    one partition: equi-width buckets over a min/max pre-scan, per-bucket
+    counts → cumulative offsets (window over the 1024-row aggregated
+    frame only), broadcast-joined back, id = offset + intra-bucket
+    row_number. Equals ROW_NUMBER() OVER (ORDER BY doc_id) exactly —
+    which IS the oracle — while the big-table shuffle stays hash-
+    partitioned on the bucket key (plan-gated: no SinglePartition
+    exchange on the documents scan)."""
+    from rtdl_spark.operators.curation import assign_sequential_ids
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_sequential_ids(d, "doc_id")

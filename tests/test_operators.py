@@ -1598,3 +1598,65 @@ def test_phrase_merge_training_matches_pure_python(spark, sf_dir):
         assert applied_spark[did] == apply_merges_py(list(toks), rules)
     # learned rules actually fuse something
     assert any(SEP in t for ts in applied_spark.values() for t in ts)
+
+
+def test_domain_policy_blocklist_cap_and_funnel(spark):
+    """Blocked hosts flagged (never ranked), survivors capped per domain
+    deterministically, and the flag columns make the funnel one agg."""
+    from rtdl_spark.operators.curation import domain_policy
+
+    rows = [(i, f"https://{h}/p/{i}") for i, h in enumerate(
+        ["a.com"] * 5 + ["b.com"] * 3 + ["bad.com"] * 4
+    )]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = domain_policy(df, "url", ["bad.com"], per_domain_cap=2).cache()
+    blocked = out.filter("is_blocked")
+    assert blocked.count() == 4
+    assert blocked.filter("domain_rank IS NOT NULL").count() == 0
+    kept = out.filter("kept")
+    per_host = {r["host"]: r["n"] for r in
+                kept.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host == {"a.com": 2, "b.com": 2}
+    # deterministic: same sample on re-run
+    again = domain_policy(df, "url", ["bad.com"], per_domain_cap=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.filter("kept").collect()
+    )
+    out.unpersist()
+
+
+def test_exact_k_sample_exact_and_nested(spark):
+    """Exactly k rows, deterministic, and the k=10 sample contains the
+    k=5 sample (prefix property of a fixed order)."""
+    from rtdl_spark.operators.curation import exact_k_sample
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s5 = {r["doc_id"] for r in exact_k_sample(df, 5).collect()}
+    s10 = {r["doc_id"] for r in exact_k_sample(df, 10).collect()}
+    assert len(s5) == 5 and len(s10) == 10
+    assert s5 < s10
+    assert s5 == {r["doc_id"] for r in exact_k_sample(df, 5).collect()}
+
+
+def test_assign_sequential_ids_contiguous_and_edge_cases(spark):
+    """Ids are exactly 1..N in key order — across negative keys, gaps,
+    explicit bucket widths, and the empty frame."""
+    from rtdl_spark.operators.curation import assign_sequential_ids
+
+    keys = [-50, -3, 0, 7, 7000, 12, 99, 100000, 5]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r["k"]: r["row_id"]
+           for r in assign_sequential_ids(df, "k", n_buckets=4).collect()}
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+    # explicit bucket_width path (skips the min/max pre-scan)
+    got2 = {r["k"]: r["row_id"] for r in assign_sequential_ids(
+        spark.createDataFrame([(k,) for k in [3, 1, 2, 10]], ["k"]),
+        "k", bucket_width=4).collect()}
+    assert got2 == {1: 1, 2: 2, 3: 3, 10: 4}
+
+    empty = assign_sequential_ids(
+        spark.createDataFrame([], "k bigint"), "k")
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["row_id"] == "bigint"

@@ -478,3 +478,42 @@ def test_footer_stats_pushes_aggregate_to_scan(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_exact_k_sample_take_ordered_no_global_sort(spark, sf_dir):
+    """exact_k_sample must compile to TakeOrderedAndProject (per-partition
+    k-heaps, driver merge) — a rangepartitioning exchange would mean a
+    full global sort of the corpus for a 50-row sample."""
+    from rtdl_spark.queries import all_queries
+
+    df = all_queries()["text_exact_k_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_domain_policy_blocklist_is_set_probe_not_join(spark, sf_dir):
+    """The blocklist must compile to an IN-set probe inside the host
+    window stage — a join (let alone a nested-loop) for a 2-entry literal
+    list would add a pointless exchange."""
+    from rtdl_spark.queries import all_queries
+
+    df = all_queries()["text_domain_policy"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_row_id_assignment_avoids_single_partition_big_window(spark, sf_dir):
+    """assign_sequential_ids' big-table shuffle must hash-partition on the
+    bucket key with the offsets broadcast back; the ONLY SinglePartition
+    exchange allowed is the one under the 1024-row offsets window. The
+    naive ROW_NUMBER() OVER (ORDER BY ...) plan this replaces pushes the
+    whole table through that single partition."""
+    from rtdl_spark.queries import all_queries
+
+    df = all_queries()["text_row_id_assignment"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(_bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
