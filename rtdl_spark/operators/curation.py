@@ -549,3 +549,35 @@ def assign_sequential_ids(
         )
         .drop("_bkt", "_offset")
     )
+
+
+def adaptive_quality_threshold(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float = 0.2,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group adaptive quality gate: keep rows scoring at or above
+    their OWN group's q-quantile — thresholds adapt to each language/
+    source instead of one global constant, so an English-calibrated
+    cutoff doesn't wipe out low-resource languages (the CCNet/fineweb
+    per-language filtering rule).
+
+    Output = input + ``q_threshold`` + ``kept`` (flags, house style).
+
+    Scale shape: the threshold is one aggregate per group joined back via
+    broadcast (group count is small: languages/sources) — never a per-row
+    window sort of the corpus. Exact ``percentile`` buffers each group's
+    scores in the aggregate state (fine to ~10⁸ rows/group); at true
+    100 TB scale pass ``approx=True`` for the mergeable fixed-memory
+    ``percentile_approx`` sketch — same plan shape, bounded state."""
+    pct = (
+        F.percentile_approx(score_col, q)
+        if approx
+        else F.percentile(score_col, q)
+    )
+    thr = df.groupBy(group_col).agg(pct.alias("q_threshold"))
+    return df.join(F.broadcast(thr), group_col).withColumn(
+        "kept", F.col(score_col) >= F.col("q_threshold")
+    )

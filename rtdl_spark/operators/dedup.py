@@ -497,3 +497,40 @@ def _bloom_prefiltered_anti(
         corpus_keys, suspects["_key_expr"] == F.col("_k"), "left_anti"
     ).drop("_maybe", "_key_expr")
     return definitely_new.unionByName(confirmed_new)
+
+
+def overlap_matrix(
+    df: DataFrame,
+    key_col,
+    id_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """Cross-attribute duplicate attribution matrix — the data-card view
+    "how much does source A duplicate source B": every duplicate pair
+    (same ``key_col``, distinct ids) is counted under its unordered
+    ``attr_col`` pair. Diagonal cells (attr_a == attr_b) measure
+    within-source duplication; off-diagonal cells expose mirror sites /
+    cross-source contamination.
+
+    Scale shape: ONE hash shuffle on the dup key for the within-group
+    self-join (pair count is bounded by group sizes — same candidate
+    bound as any dedup pair generation; feed an LSH/fingerprint key, not
+    a constant), then a tiny aggregate over attribute pairs (|attrs|²
+    rows at most)."""
+    keyed = df.select(
+        key_col.alias("_k"),
+        F.col(id_col).alias("_id"),
+        F.col(attr_col).alias("_a"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a._k") == F.col("b._k")) & (F.col("a._id") < F.col("b._id"))
+    )
+    return (
+        pairs.select(
+            F.least(F.col("a._a"), F.col("b._a")).alias("attr_a"),
+            F.greatest(F.col("a._a"), F.col("b._a")).alias("attr_b"),
+        )
+        .groupBy("attr_a", "attr_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

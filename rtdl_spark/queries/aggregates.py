@@ -307,3 +307,33 @@ def agg_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "agg_regression_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS n,
+           ROUND(regr_slope(o_totalprice, o_custkey), 6) AS slope,
+           ROUND(regr_intercept(o_totalprice, o_custkey), 2) AS intercept,
+           ROUND(regr_r2(o_totalprice, o_custkey), 6) AS r2,
+           ROUND(regr_avgx(o_totalprice, o_custkey), 4) AS avgx,
+           ROUND(regr_avgy(o_totalprice, o_custkey), 4) AS avgy
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_count/slope/intercept/
+    r2/avgx/avgy) — single-pass map-combinable moment accumulation in
+    both engines; rounded on both sides (accumulation order differs)."""
+    o = table(spark, sf_dir, "orders")
+    y, x = F.col("o_totalprice"), F.col("o_custkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avgx"),
+        F.round(F.regr_avgy(y, x), 4).alias("avgy"),
+    )

@@ -630,3 +630,32 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_corpus(new, corpus, method="bloom").select(
         "doc_id", "source", "lang"
     )
+
+
+@query(
+    "dedup_source_overlap_matrix",
+    oracle="""
+    WITH g AS (
+      SELECT md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k,
+             doc_id, source
+      FROM documents
+    ), p AS (
+      SELECT least(a.source, b.source) AS attr_a,
+             greatest(a.source, b.source) AS attr_b
+      FROM g a JOIN g b ON a.k = b.k AND a.doc_id < b.doc_id
+    )
+    SELECT attr_a, attr_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY attr_a, attr_b
+    """,
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate attribution
+    (operators/dedup.py::overlap_matrix): fingerprint-identical document
+    pairs counted per unordered source pair — the data-card answering
+    'which sources mirror each other'. One hash shuffle on the
+    fingerprint key; the matrix itself is at most |sources|² rows."""
+    from rtdl_spark.operators.dedup import overlap_matrix
+
+    d = table(spark, sf_dir, "documents")
+    return overlap_matrix(d, fingerprint("text"), "doc_id", "source")

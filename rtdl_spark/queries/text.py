@@ -1199,3 +1199,41 @@ def text_row_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     return assign_sequential_ids(d, "doc_id")
+
+
+@query(
+    "text_adaptive_quality_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), t AS (
+      SELECT lang, quantile_cont(n_tokens, 0.2) AS thr
+      FROM s GROUP BY lang
+    )
+    SELECT s.lang, ROUND(t.thr, 4) AS q_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.n_tokens >= t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM s JOIN t ON s.lang = t.lang
+    GROUP BY s.lang, t.thr
+    """,
+)
+def text_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality gate
+    (operators/curation.py::adaptive_quality_threshold): each language's
+    cutoff is its OWN 20th token-count percentile (CCNet-style), so
+    low-resource languages aren't wiped out by a global constant. The
+    threshold is one per-group aggregate broadcast back — no corpus-wide
+    window sort; interpolated percentiles agree exactly across engines
+    (integer endpoints, identical linear interpolation)."""
+    from rtdl_spark.operators.curation import adaptive_quality_threshold
+
+    d = table(spark, sf_dir, "documents")
+    s = d.select("doc_id", "lang", token_count(F.col("text")).alias("n_tokens"))
+    out = adaptive_quality_threshold(s, "lang", "n_tokens", 0.2)
+    return out.groupBy("lang").agg(
+        F.round(F.first("q_threshold"), 4).alias("q_threshold"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+    )

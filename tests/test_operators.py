@@ -1660,3 +1660,37 @@ def test_assign_sequential_ids_contiguous_and_edge_cases(spark):
         spark.createDataFrame([], "k bigint"), "k")
     assert empty.count() == 0
     assert dict(empty.dtypes)["row_id"] == "bigint"
+
+
+def test_overlap_matrix_counts_unordered_pairs(spark):
+    """Within-group pairs land in unordered attr cells: a 3-doc group
+    across sources {A, A, B} yields one (A,A) and two (A,B) pairs."""
+    from rtdl_spark.operators.dedup import overlap_matrix
+
+    df = spark.createDataFrame(
+        [(1, "k1", "A"), (2, "k1", "A"), (3, "k1", "B"),
+         (4, "k2", "C"), (5, "k3", "B"), (6, "k3", "A")],
+        ["doc_id", "fp", "source"],
+    )
+    got = {(r["attr_a"], r["attr_b"]): r["n_pairs"]
+           for r in overlap_matrix(df, F.col("fp"), "doc_id", "source").collect()}
+    assert got == {("A", "A"): 1, ("A", "B"): 3}
+
+
+def test_adaptive_quality_threshold_per_group_and_approx(spark):
+    """Each group's cutoff is its own quantile; the approx path keeps the
+    same plan shape and agrees on a clean integer quantile."""
+    from rtdl_spark.operators.curation import adaptive_quality_threshold
+
+    rows = [("en", i) for i in range(1, 101)] + [("de", i) for i in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, ["lang", "score"])
+    out = adaptive_quality_threshold(df, "lang", "score", q=0.5)
+    thr = {r["lang"]: r["q_threshold"]
+           for r in out.select("lang", "q_threshold").distinct().collect()}
+    assert thr == {"en": 50.5, "de": 3.0}
+    kept = out.filter("kept").groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in kept} == {"en": 50, "de": 3}
+
+    ap = adaptive_quality_threshold(df, "lang", "score", q=0.5, approx=True)
+    de_thr = ap.filter("lang = 'de'").select("q_threshold").first()[0]
+    assert de_thr in (2, 3, 4)  # sketch hits an actual value near the median

@@ -517,3 +517,26 @@ def test_row_id_assignment_avoids_single_partition_big_window(spark, sf_dir):
     assert "hashpartitioning(_bkt" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_overlap_matrix_equi_join_on_key(spark, sf_dir):
+    """Pair generation must be an equi hash/merge join on the dup key —
+    a BroadcastNestedLoopJoin would mean the id inequality leaked into
+    the join condition as the ONLY key."""
+    from rtdl_spark.queries import all_queries
+
+    df = all_queries()["dedup_source_overlap_matrix"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_adaptive_threshold_broadcasts_thresholds(spark, sf_dir):
+    """The per-group thresholds frame (|langs| rows) must broadcast back
+    onto the corpus — a shuffle join here would re-exchange every row for
+    a 5-row dimension."""
+    from rtdl_spark.queries import all_queries
+
+    df = all_queries()["text_adaptive_quality_filter"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
