@@ -493,6 +493,7 @@ def assign_sequential_ids(
     id_name: str = "row_id",
     bucket_width: int | None = None,
     n_buckets: int = 1024,
+    bucket_by=None,
 ) -> DataFrame:
     """Contiguous 1..N row ids in ``order_col`` order — the stable
     document-id assignment a training pipeline needs — WITHOUT the naive
@@ -512,11 +513,20 @@ def assign_sequential_ids(
     within a bucket break identically to the oracle via the column
     itself; uniqueness is the caller's contract, same as ROW_NUMBER
     determinism). Result equals ROW_NUMBER() OVER (ORDER BY order_col)
-    exactly — oracle-checked."""
+    exactly — oracle-checked.
+
+    ``bucket_by`` overrides the equi-width numeric scheme with an explicit
+    bucket expression (no pre-scan). Caller's contract: the bucket value
+    must be monotone in ``order_col`` across buckets (rows in a lower
+    bucket sort before every row of a higher bucket) — e.g. a fixed-width
+    hex-prefix integer of a string order key, whose integer order equals
+    the string's lexicographic order."""
     from pyspark.sql.functions import broadcast
 
     key = F.col(order_col)
-    if bucket_width is None:
+    if bucket_by is not None:
+        bucket = bucket_by
+    elif bucket_width is None:
         lo, hi = df.agg(F.min(key), F.max(key)).first()
         if lo is None:
             return df.withColumn(id_name, F.lit(None).cast("bigint"))
@@ -525,9 +535,10 @@ def assign_sequential_ids(
         base = int(lo)
     else:
         base = 0
-    bucket = ((key.cast("bigint") - F.lit(base)) / F.lit(bucket_width)).cast(
-        "bigint"
-    )
+    if bucket_by is None:
+        bucket = ((key.cast("bigint") - F.lit(base)) / F.lit(bucket_width)).cast(
+            "bigint"
+        )
     with_b = df.withColumn("_bkt", bucket)
     counts = with_b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.withColumn(
@@ -581,3 +592,53 @@ def adaptive_quality_threshold(
     return df.join(F.broadcast(thr), group_col).withColumn(
         "kept", F.col(score_col) >= F.col("q_threshold")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic corpus-wide negative sampling for contrastive
+    training: each anchor row gets ``k`` negatives — the rows at
+    positions pos+1..pos+k (circular) of the md5(id) permutation of the
+    corpus. The md5 order is a high-quality fixed shuffle (the house
+    standard for engine-independent pseudo-randomness), so consecutive
+    positions are unrelated documents, yet every engine — and every
+    rerun — draws the identical sample. No anchor can draw itself
+    (offsets are 1..k < N) and an anchor's negatives are distinct.
+
+    Output: (anchor_id, j, negative_id), one row per anchor × offset.
+
+    Scale shape: positions come from assign_sequential_ids bucketed on
+    the md5 hex prefix (integer order of a fixed-width lowercase-hex
+    prefix == lexicographic order of the full string, so buckets are
+    monotone — no numeric pre-scan, no single-partition window); the
+    fetch is ONE equi hash-join on the position integer after a
+    k-element posexplode. Corpus size N is one count() (driver scalar,
+    the same metadata pass any modulo-based sampler needs)."""
+    md5_key = F.md5(F.col(id_col).cast("string"))
+    keyed = df.select(F.col(id_col), md5_key.alias("_m"))
+    perm = assign_sequential_ids(
+        keyed,
+        "_m",
+        id_name="_pos",
+        bucket_by=F.conv(F.substring(F.col("_m"), 1, 4), 16, 10).cast("bigint"),
+    )
+    n = perm.count()
+    if n <= 1:
+        return df.sparkSession.createDataFrame(
+            [], f"anchor_id {dict(df.dtypes)[id_col]}, j int, negative_id "
+            f"{dict(df.dtypes)[id_col]}"
+        )
+    anchors = perm.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("_pos"),
+        F.explode(F.array(*[F.lit(j) for j in range(1, min(k, n - 1) + 1)])).alias(
+            "j"
+        ),
+    ).withColumn("_target", ((F.col("_pos") - 1 + F.col("j")) % n) + 1)
+    lookup = perm.select(
+        F.col("_pos").alias("_target"), F.col(id_col).alias("negative_id")
+    )
+    return anchors.join(lookup, "_target").select("anchor_id", "j", "negative_id")

@@ -1237,3 +1237,36 @@ def text_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
     )
+
+
+@query(
+    "text_negative_samples",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS pos
+      FROM documents
+    ), c AS (SELECT COUNT(*) AS n FROM documents),
+    e AS (
+      SELECT doc_id AS anchor_id, pos, j
+      FROM p, UNNEST([1, 2, 3]) AS t(j)
+    )
+    SELECT e.anchor_id, e.j, q.doc_id AS negative_id
+    FROM e CROSS JOIN c
+    JOIN p q ON q.pos = ((e.pos - 1 + e.j) % c.n) + 1
+    """,
+)
+def text_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (operators/curation.py::negative_samples): each document draws 3
+    negatives — its successors in the fixed md5(id) permutation of the
+    corpus (circular), so every engine and rerun draws the identical
+    sample. Positions come from the bucket-offset row-id scheme bucketed
+    on the md5 hex prefix (string order == prefix-integer order — no
+    single-partition window), and the fetch is one equi hash-join on the
+    position integer. The oracle replays the permutation and modular
+    walk in SQL."""
+    from rtdl_spark.operators.curation import negative_samples
+
+    d = table(spark, sf_dir, "documents")
+    return negative_samples(d, "doc_id", 3)

@@ -1694,3 +1694,30 @@ def test_adaptive_quality_threshold_per_group_and_approx(spark):
     ap = adaptive_quality_threshold(df, "lang", "score", q=0.5, approx=True)
     de_thr = ap.filter("lang = 'de'").select("q_threshold").first()[0]
     assert de_thr in (2, 3, 4)  # sketch hits an actual value near the median
+
+
+def test_negative_samples_invariants(spark):
+    """Exactly k negatives per anchor, never itself, all distinct,
+    deterministic; k clamps to N-1 on tiny corpora; singleton yields none."""
+    from rtdl_spark.operators.curation import negative_samples
+
+    df = spark.range(40).withColumnRenamed("id", "doc_id")
+    out = negative_samples(df, "doc_id", 3).cache()
+    per = out.groupBy("anchor_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("negative_id").alias("nd"),
+        F.sum((F.col("negative_id") == F.col("anchor_id")).cast("int")).alias(
+            "self_hits"
+        ),
+    )
+    rows = per.collect()
+    assert len(rows) == 40
+    assert all(r["n"] == 3 and r["nd"] == 3 and r["self_hits"] == 0 for r in rows)
+    again = negative_samples(df, "doc_id", 3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    out.unpersist()
+
+    tiny = spark.range(3).withColumnRenamed("id", "doc_id")
+    assert negative_samples(tiny, "doc_id", 10).count() == 3 * 2  # k -> N-1
+    single = spark.range(1).withColumnRenamed("id", "doc_id")
+    assert negative_samples(single, "doc_id", 5).count() == 0

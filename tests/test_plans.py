@@ -540,3 +540,18 @@ def test_adaptive_threshold_broadcasts_thresholds(spark, sf_dir):
     df = all_queries()["text_adaptive_quality_filter"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_negative_samples_no_big_single_partition(spark, sf_dir):
+    """The permutation must come from the hex-prefix bucketed row-id
+    scheme (hash exchange), and the position fetch must be an equi join —
+    never a nested loop; ≤1 tiny SinglePartition exchange (the offsets
+    window over the bucket-count frame)."""
+    from rtdl_spark.queries import all_queries
+
+    df = all_queries()["text_negative_samples"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(_bkt" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
