@@ -530,15 +530,15 @@ def assign_sequential_ids(
         lo, hi = df.agg(F.min(key), F.max(key)).first()
         if lo is None:
             return df.withColumn(id_name, F.lit(None).cast("bigint"))
-        span = int(hi) - int(lo) + 1
+        span = int(hi) - int(lo) + 1  # python ints: no overflow
         bucket_width = max(1, -(-span // n_buckets))
-        base = int(lo)
-    else:
-        base = 0
     if bucket_by is None:
-        bucket = ((key.cast("bigint") - F.lit(base)) / F.lit(bucket_width)).cast(
-            "bigint"
-        )
+        # floor-divide in DECIMAL: exact and monotone for the FULL int64
+        # range (a bigint `key - min` subtraction overflows under ANSI when
+        # keys span more than half the range, e.g. xxhash64 output)
+        bucket = F.floor(
+            key.cast("decimal(38,0)") / F.lit(bucket_width).cast("decimal(38,0)")
+        ).cast("bigint")
     with_b = df.withColumn("_bkt", bucket)
     counts = with_b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.withColumn(

@@ -332,6 +332,22 @@ def main() -> None:
         ).count(),
     )
 
+    # sequential row ids: bucket-offset scheme vs the naive global window
+    # (empty PARTITION BY = whole table through one sorting task). Measured
+    # 60M rows/local[32]: 20.5s vs 87.3s, digest-identical (SCALE.md).
+    from rtdl_spark.operators.curation import assign_sequential_ids
+
+    ids_in = lineitem.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.input_file_name().alias("f"),
+    ).select((F.xxhash64("k", "f")).alias("k"))  # unique-ish, unsorted
+    run(
+        "row_ids_bucketed",
+        lambda: assign_sequential_ids(ids_in, "k").agg(
+            F.max("row_id")
+        ).collect(),
+    )
+
     print(
         json.dumps(
             {
