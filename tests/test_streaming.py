@@ -653,3 +653,56 @@ def test_stream_tumbling_distinct_users_matches_batch(
     assert len(got) >= len(want) - 2 > 0
     for k, v in got.items():
         assert want[k] == v, k
+
+
+def test_progress_metrics_capture_and_summary(spark, sf_dir, events_stream):
+    """Both capture paths (pull recentProgress / push listener) see the
+    stream's batches; totals account for every input row; the windowed
+    agg reports nonzero state; the summary rolls up per query."""
+    from rtdl_spark.streaming import stream_tumbling_counts
+    from rtdl_spark.streaming.metrics import (
+        ProgressLog,
+        progress_frame,
+        throughput_summary,
+    )
+
+    log = ProgressLog()
+    spark.streams.addListener(log)
+    try:
+        q = run_to_memory(
+            stream_tumbling_counts(events_stream), "metrics_probe", "append"
+        )
+        pull = progress_frame(spark, q).cache()
+        n_events = table(spark, sf_dir, "events").count()
+        got = pull.agg(
+            F.sum("num_input_rows"), F.count(F.lit(1)), F.max("state_rows")
+        ).first()
+        assert got[0] == n_events  # every input row accounted for
+        assert got[1] >= 1
+        assert got[2] > 0  # windowed agg keeps state
+        assert pull.filter("watermark IS NOT NULL").count() >= 1
+
+        summary = throughput_summary(pull).collect()
+        assert len(summary) == 1
+        assert summary[0]["total_rows"] == n_events
+        assert summary[0]["max_batch_ms"] > 0
+
+        # push path saw the same batches (listener delivery is async)
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            push = log.frame(spark)
+            if (
+                push.filter("query_id = '%s'" % q.id)
+                .agg(F.sum("num_input_rows"))
+                .first()[0]
+                == n_events
+            ):
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError("listener never delivered full progress")
+        pull.unpersist()
+    finally:
+        spark.streams.removeListener(log)
