@@ -489,7 +489,7 @@ def exact_k_sample(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
 
 def assign_sequential_ids(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     id_name: str = "row_id",
     bucket_width: int | None = None,
     n_buckets: int = 1024,
@@ -520,10 +520,16 @@ def assign_sequential_ids(
     must be monotone in ``order_col`` across buckets (rows in a lower
     bucket sort before every row of a higher bucket) — e.g. a fixed-width
     hex-prefix integer of a string order key, whose integer order equals
-    the string's lexicographic order."""
+    the string's lexicographic order.
+
+    ``order_col`` may be a list: bucketing (and the uniqueness contract)
+    applies to the FIRST column; the rest are tiebreaks inside the
+    bucket-local window (ties of the first column always share a bucket,
+    so the combined order is global)."""
     from pyspark.sql.functions import broadcast
 
-    key = F.col(order_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    key = F.col(order_cols[0])
     if bucket_by is not None:
         bucket = bucket_by
     elif bucket_width is None:
@@ -552,7 +558,7 @@ def assign_sequential_ids(
             F.lit(0),
         ),
     ).select("_bkt", "_offset")
-    w_local = Window.partitionBy("_bkt").orderBy(order_col)
+    w_local = Window.partitionBy("_bkt").orderBy(*order_cols)
     return (
         with_b.join(broadcast(offsets), "_bkt")
         .withColumn(

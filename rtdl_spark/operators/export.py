@@ -111,3 +111,63 @@ def shard_manifest(assigned: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.md5(F.array_join(ordered_ids, ",")).alias("order_digest"),
     )
+
+
+def assign_curriculum_shards(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Annotate each row with (curriculum_rank, shard_id): rank = global
+    position under (score, id) ascending, shard = contiguous rank band
+    floor((rank-1)·n_shards / N) — curriculum-learning export, where a
+    trainer consumes shard 0 (easiest) through n_shards-1 (hardest) in
+    phase order. Bands are exactly balanced (sizes differ by ≤1) and
+    DETERMINISTIC — unlike repartitionByRange, whose sampled boundaries
+    shift run-to-run and skew under duplicate scores.
+
+    Scale shape: the rank comes from assign_sequential_ids (score-bucketed
+    hash shuffle — never a whole-table single-partition window); the band
+    is then a pure function of rank, and N is one count() (same metadata
+    pass the range sampler would do, but exact)."""
+    from rtdl_spark.operators.curation import assign_sequential_ids
+
+    n = df.count()
+    ranked = assign_sequential_ids(
+        df, [score_col, id_col], id_name="curriculum_rank"
+    )
+    if n == 0:
+        return ranked.withColumn("shard_id", F.lit(None).cast("int"))
+    return ranked.withColumn(
+        "shard_id",
+        F.floor((F.col("curriculum_rank") - 1) * n_shards / F.lit(n)).cast(
+            "int"
+        ),
+    )
+
+
+def export_curriculum_shards(
+    df: DataFrame,
+    path: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Write curriculum shards under ``path``: file order within a shard
+    IS the curriculum order (easiest row first). Same writer discipline
+    as export_training_shards: shard_id leads the local sort so
+    FileFormatWriter doesn't inject its own order-destroying sort; one
+    hash exchange to give each task a whole shard. Returns the annotated
+    frame (rank + shard per row) for manifesting."""
+    assigned = assign_curriculum_shards(
+        df, score_col, id_col=id_col, n_shards=n_shards
+    )
+    (
+        assigned.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "curriculum_rank")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return assigned

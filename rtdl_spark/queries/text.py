@@ -1270,3 +1270,32 @@ def text_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return negative_samples(d, "doc_id", 3)
+
+
+@query(
+    "text_curriculum_shards",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS curriculum_rank,
+             COUNT(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, n_chars, curriculum_rank,
+           CAST(FLOOR((curriculum_rank - 1) * 8 / n) AS INT) AS shard_id
+    FROM r
+    """,
+)
+def text_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning shard assignment
+    (operators/export.py::assign_curriculum_shards): global rank under
+    (n_chars, doc_id) — short/easy documents first — cut into 8 exactly
+    balanced contiguous bands. Rank comes from the bucket-offset row-id
+    scheme (hash shuffle on the score bucket, never a single-partition
+    window); bands are a pure function of rank, deterministic where
+    repartitionByRange's sampled boundaries are not."""
+    from rtdl_spark.operators.export import assign_curriculum_shards
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return assign_curriculum_shards(d, "n_chars", n_shards=8)

@@ -1721,3 +1721,36 @@ def test_negative_samples_invariants(spark):
     assert negative_samples(tiny, "doc_id", 10).count() == 3 * 2  # k -> N-1
     single = spark.range(1).withColumnRenamed("id", "doc_id")
     assert negative_samples(single, "doc_id", 5).count() == 0
+
+
+def test_export_curriculum_shards_order_and_balance(spark, sf_dir, tmp_path):
+    """Shard bands are contiguous, balanced to ±1 row, and each written
+    shard file's physical row order is the curriculum (score) order."""
+    from rtdl_spark.operators.export import export_curriculum_shards
+
+    out = str(tmp_path / "curriculum")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    assigned = export_curriculum_shards(docs, out, "n_chars", n_shards=8)
+    n = docs.count()
+    sizes = {r["shard_id"]: r["n"] for r in
+             assigned.groupBy("shard_id").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == 8
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+
+    # contiguity: shard 0's max rank < shard 1's min rank, etc.
+    bands = (
+        assigned.groupBy("shard_id")
+        .agg(F.min("curriculum_rank").alias("lo"), F.max("curriculum_rank").alias("hi"))
+        .orderBy("shard_id")
+        .collect()
+    )
+    for a, b in zip(bands, bands[1:]):
+        assert a["hi"] < b["lo"]
+
+    # physical read-back order inside one shard == ascending rank
+    back = spark.read.parquet(f"{out}/shard_id=3").select("curriculum_rank")
+    got = [r[0] for r in back.toLocalIterator()]
+    assert got == sorted(got) and len(got) == sizes[3]

@@ -442,3 +442,27 @@ def test_shard_assignment_is_partition_and_seed_pure(spark, ids, seed):
     for r in rows:
         assert 0 <= r["shard_id"] < n_shards
         assert r["shard_id"] == py_shard(r["doc_id"]), r["doc_id"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_assign_sequential_ids_matches_enumerate_model(spark, keys):
+    """For ANY unique int64 keys (full range — the overflow trap), the
+    bucket-offset ids equal 1 + rank in sorted order (the pure-Python
+    model of ROW_NUMBER OVER (ORDER BY k))."""
+    from rtdl_spark.operators.curation import assign_sequential_ids
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["row_id"]
+        for r in assign_sequential_ids(df, "k", n_buckets=7).collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
