@@ -65,3 +65,39 @@ def salted_broadcast_left(
         )
     )
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """The decision input for the operators above: per-key-group weight of
+    the ``top_n`` heaviest keys, with each key's share of all rows and a
+    ``skew_factor`` (key count ÷ mean count over distinct keys). A
+    skew_factor ≫ #reducers on the join/agg key says the plain hash plan
+    will stall on one task — reach for salting or check AQE's split took.
+
+    Two map-combinable aggregations (rows → per-key counts → scalar
+    stats) and a top-n TakeOrdered on the per-key frame — the report
+    never sorts or re-shuffles the input itself. Run it on a sample at
+    100 TB if even one count pass is too dear; shares are ratios, so
+    uniform sampling preserves them in expectation."""
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_count"))
+    totals = per_key.agg(
+        F.sum("key_count").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        per_key.join(F.broadcast(totals))
+        .select(
+            *keys,
+            "key_count",
+            F.round(F.col("key_count") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("key_count") * F.col("_n_keys") / F.col("_total"), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("key_count"), *keys)
+        .limit(top_n)
+    )

@@ -573,3 +573,33 @@ def lake_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return footer_stats(
         spark, f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"]
     )
+
+
+@query(
+    "lake_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey, COUNT(*) AS key_count
+      FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT SUM(key_count) AS total, COUNT(*) AS n_keys FROM k
+    )
+    SELECT o_custkey, CAST(key_count AS BIGINT) AS key_count,
+           ROUND(key_count / total, 6) AS share,
+           ROUND(key_count * n_keys / total, 4) AS skew_factor
+    FROM k CROSS JOIN t
+    ORDER BY key_count DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def lake_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report (operators/skew.py::skew_report): the 10 heaviest
+    o_custkey groups with their share of all rows and skew factor
+    (count ÷ mean group size) — the number that decides between the plain
+    hash plan, AQE skew split, and explicit salting. Two map-combinable
+    aggregations + a TakeOrdered over the per-key frame; the input is
+    never re-sorted."""
+    from rtdl_spark.operators.skew import skew_report
+
+    o = table(spark, sf_dir, "orders")
+    return skew_report(o, ["o_custkey"], top_n=10)

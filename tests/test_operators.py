@@ -1754,3 +1754,19 @@ def test_export_curriculum_shards_order_and_balance(spark, sf_dir, tmp_path):
     back = spark.read.parquet(f"{out}/shard_id=3").select("curriculum_rank")
     got = [r[0] for r in back.toLocalIterator()]
     assert got == sorted(got) and len(got) == sizes[3]
+
+
+def test_skew_report_flags_hot_key(spark):
+    """A planted 50%-of-rows key tops the report with share .5 and a
+    skew_factor ~ n_keys/2; top_n bounds the output."""
+    from rtdl_spark.operators.skew import skew_report
+
+    rows = [(0,)] * 50 + [(k,) for k in range(1, 51)]
+    df = spark.createDataFrame(rows, ["k"])
+    rep = skew_report(df, ["k"], top_n=5).collect()
+    assert len(rep) == 5
+    top = rep[0]
+    assert top["k"] == 0 and top["key_count"] == 50
+    assert top["share"] == 0.5
+    assert top["skew_factor"] == 25.5  # 50 / (100/51 mean)
+    assert all(r["key_count"] == 1 for r in rep[1:])
