@@ -648,3 +648,52 @@ def negative_samples(
         F.col("_pos").alias("_target"), F.col(id_col).alias("negative_id")
     )
     return anchors.join(lookup, "_target").select("anchor_id", "j", "negative_id")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Tokenizer-prep data card: build the corpus's top-``vocab_size``
+    token vocabulary (by total frequency, ties broken by token — fully
+    deterministic) and report per-``group_col`` coverage: total token
+    occurrences, how many fall outside the vocabulary, and the OOV rate.
+    The number that decides whether a vocab/tokenizer fits a corpus —
+    per-language, so a high-resource language can't mask another's 40%
+    OOV.
+
+    Scale shape: token counts are one explode + map-combinable groupBy;
+    the vocab cut is a TakeOrdered over the token-count frame (top-k
+    heap, no global sort); membership is a broadcast left join of the
+    vocab (vocab_size rows) onto per-group token counts — the corpus
+    text is scanned once and never re-shuffled on anything but the token
+    key."""
+    toks = df.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    vocab = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("_tok"))
+        .limit(vocab_size)
+        .select("_tok", F.lit(True).alias("_in_vocab"))
+    )
+    gcols = [group_col] if group_col else []
+    per_group_tok = toks.groupBy(*gcols, "_tok").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    joined = per_group_tok.join(F.broadcast(vocab), "_tok", "left")
+    return joined.groupBy(*gcols).agg(
+        F.sum("_n").alias("total_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), F.col("_n")).otherwise(0)).alias(
+            "oov_tokens"
+        ),
+        F.round(
+            F.sum(F.when(F.col("_in_vocab").isNull(), F.col("_n")).otherwise(0))
+            / F.sum("_n"),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -1299,3 +1299,40 @@ def text_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return assign_curriculum_shards(d, "n_chars", n_shards=8)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), t2 AS (
+      SELECT lang, tok FROM toks WHERE tok <> ''
+    ), vc AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM t2 GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 500
+      )
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_rate
+    FROM t2 t LEFT JOIN vc v ON t.tok = v.tok
+    GROUP BY t.lang
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage data card
+    (operators/curation.py::vocab_coverage): top-500 corpus vocabulary by
+    frequency (ties broken by token — deterministic cut), then per-language
+    total/OOV token counts and OOV rate — the number that decides whether
+    a tokenizer vocab fits each language. Token counts are one explode +
+    map-combinable groupBy; the vocab cut is a top-k heap; membership is
+    a broadcast join of the 500-row vocab."""
+    from rtdl_spark.operators.curation import vocab_coverage
+
+    d = table(spark, sf_dir, "documents")
+    return vocab_coverage(d, 500, group_col="lang")

@@ -1770,3 +1770,20 @@ def test_skew_report_flags_hot_key(spark):
     assert top["share"] == 0.5
     assert top["skew_factor"] == 25.5  # 50 / (100/51 mean)
     assert all(r["key_count"] == 1 for r in rep[1:])
+
+
+def test_vocab_coverage_planted_oov(spark):
+    """vocab_size=2 on a corpus where 'a','b' dominate: every other token
+    counts as OOV, per group and ungrouped."""
+    from rtdl_spark.operators.curation import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("g1", "a a a b b x"), ("g2", "a b y z")], ["g", "text"]
+    )
+    per = {r["g"]: r for r in vocab_coverage(df, 2, group_col="g").collect()}
+    assert per["g1"]["total_tokens"] == 6 and per["g1"]["oov_tokens"] == 1
+    assert per["g2"]["total_tokens"] == 4 and per["g2"]["oov_tokens"] == 2
+    assert per["g2"]["oov_rate"] == 0.5
+    whole = vocab_coverage(df, 2).collect()
+    assert len(whole) == 1
+    assert whole[0]["total_tokens"] == 10 and whole[0]["oov_tokens"] == 3

@@ -555,3 +555,15 @@ def test_negative_samples_no_big_single_partition(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_vocab_coverage_topk_heap_and_broadcast(spark, sf_dir):
+    """The vocab cut must be a TakeOrdered heap (never a global sort of
+    the token-count frame) and vocab membership a broadcast join."""
+    from rtdl_spark.queries import all_queries
+
+    df = all_queries()["text_vocab_coverage"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
