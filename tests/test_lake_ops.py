@@ -525,3 +525,35 @@ def test_analyze_table_feeds_cbo_statistics(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS statsdb.orders_t")
         spark.sql("DROP DATABASE IF EXISTS statsdb")
+
+
+def test_file_manifest_matches_filesystem(spark, sf_dir, tmp_path):
+    """file_manifest's per-file bytes/rows agree with the real FS and
+    parquet footers; the summary flags every small file; compaction-sized
+    files pass the threshold."""
+    import os
+
+    from rtdl_spark.operators.profile import file_manifest, manifest_summary
+
+    out = str(tmp_path / "manifest_probe")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(6).write.parquet(out)
+
+    man = file_manifest(spark, out, small_file_bytes=1 << 20).cache()
+    files = {
+        f: os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    }
+    got = {os.path.basename(r["file_path"]): r for r in man.collect()}
+    assert set(got) == set(files)
+    for name, size in files.items():
+        assert got[name]["file_bytes"] == size
+    assert sum(r["n_rows"] for r in got.values()) == docs.count()
+
+    s = manifest_summary(man).first()
+    assert s["n_files"] == 6
+    assert s["n_small"] == 6 and s["small_share"] == 1.0  # all tiny here
+    assert s["total_bytes"] == sum(files.values())
+    assert s["total_rows"] == docs.count()
+    man.unpersist()
