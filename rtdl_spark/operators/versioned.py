@@ -1,0 +1,142 @@
+"""Versioned parquet table — Delta-shaped semantics (atomic commits,
+snapshot isolation, time travel, version diff) on plain parquet.
+
+The reference's deltawriter appends every message to a Delta table and
+reads it back (`/root/reference/deltawriter/delta_writer.py:81-98`); this
+container has no delta-spark package, so `sources/readers.py::read_delta`
+is import-gated. This module supplies the SEMANTICS on plain parquet so
+the capability isn't hostage to a package: each write lands in its own
+`v=N` directory and becomes visible only when its commit marker lands in
+`_commits/` — the marker write is the atomic commit point (single-file
+create, same scheme as streaming/commit.py). Readers union only
+committed versions, so a crashed half-written version is invisible
+forever (and its directory is ignored, never half-read).
+
+All control-plane FS ops go through sources/fsutil.py (Hadoop FS), so the
+table is object-store-correct; data moves only through ordinary parquet
+scans/writes.
+
+Scale notes: a snapshot is ONE multi-path parquet scan (file listing per
+version dir; at thousands of versions, `compact()` folds history into a
+single base version — the OPTIMIZE/checkpoint analogue). Version counts
+here are like Delta's: bounded by append frequency, not data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rtdl_spark.sources import fsutil
+
+_COMMITS = "_commits"
+
+
+class VersionedTable:
+    """An append/overwrite parquet table with time travel.
+
+    - ``append(df)``: new version containing only the new rows.
+    - ``overwrite(df)``: new BASE version; snapshots never look behind it.
+    - ``snapshot(as_of=None)``: DataFrame of the table at a version.
+    - ``diff(v_from, v_to, keys)``: keyed change set between snapshots
+      (added/removed/changed rows via merge.snapshot_diff).
+    - ``compact()``: fold all committed history into one base version.
+
+    Single-writer contract (like a Delta table without a coordination
+    service): version numbers are allocated as latest+1, so concurrent
+    writers could collide; run writes from one job (e.g. a foreachBatch
+    sink, which Structured Streaming already serializes).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # -- commit log ------------------------------------------------------
+    def _marker(self, version: int, kind: str) -> str:
+        return f"{self.root}/{_COMMITS}/{version:020d}.{kind}"
+
+    def history(self) -> list[tuple[int, str]]:
+        """Committed (version, kind) pairs, ascending."""
+        out = []
+        for name in fsutil.list_names(self.spark, f"{self.root}/{_COMMITS}"):
+            v, kind = name.split(".", 1)
+            out.append((int(v), kind))
+        return sorted(out)
+
+    def versions(self) -> list[int]:
+        return [v for v, _ in self.history()]
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    # -- writes ----------------------------------------------------------
+    def _write(self, df: DataFrame, kind: str) -> int:
+        latest = self.latest_version()
+        version = 0 if latest is None else latest + 1
+        df.write.mode("overwrite").parquet(f"{self.root}/v={version}")
+        # data is fully on disk; the marker makes it visible (atomic point)
+        fsutil.touch(self.spark, self._marker(version, kind))
+        return version
+
+    def append(self, df: DataFrame) -> int:
+        return self._write(df, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._write(df, "base")
+
+    # -- reads -----------------------------------------------------------
+    def _live_versions(self, as_of: int | None) -> list[int]:
+        hist = [
+            (v, kind) for v, kind in self.history()
+            if as_of is None or v <= as_of
+        ]
+        live: list[int] = []
+        for v, kind in hist:
+            if kind == "base":
+                live = [v]  # a base version supersedes all history
+            else:
+                live.append(v)
+        return live
+
+    def snapshot(self, as_of: int | None = None) -> DataFrame:
+        """The table as of ``as_of`` (default: latest). Uncommitted
+        version directories are never read."""
+        live = self._live_versions(as_of)
+        if not live:
+            raise ValueError(f"no committed versions in {self.root}")
+        return self.spark.read.parquet(
+            *[f"{self.root}/v={v}" for v in live]
+        )
+
+    def diff(self, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
+        from rtdl_spark.operators.merge import snapshot_diff
+
+        return snapshot_diff(
+            self.snapshot(as_of=v_from), self.snapshot(as_of=v_to), keys
+        )
+
+    # -- maintenance -----------------------------------------------------
+    def compact(self) -> int:
+        """Fold committed history into one base version (checkpoint).
+        Old version dirs stay for time travel until vacuum()."""
+        return self.overwrite(self.snapshot())
+
+    def vacuum(self, keep_from: int | None = None) -> list[int]:
+        """Drop version dirs (and markers) no snapshot at or after the
+        latest base — or ``keep_from`` — can reach. Returns dropped
+        versions. Time travel behind the cut stops working, like Delta's
+        VACUUM."""
+        hist = self.history()
+        if keep_from is None:
+            bases = [v for v, kind in hist if kind == "base"]
+            if not bases:
+                return []
+            keep_from = bases[-1]
+        dropped = []
+        for v, kind in hist:
+            if v < keep_from:
+                fsutil.delete(self.spark, f"{self.root}/v={v}")
+                fsutil.delete(self.spark, self._marker(v, kind))
+                dropped.append(v)
+        return dropped

@@ -603,3 +603,65 @@ def lake_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     return skew_report(o, ["o_custkey"], top_n=10)
+
+
+@query(
+    "lake_versioned_diff",
+    oracle="""
+    WITH s1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 IN (0, 1, 2)
+    ), s2 AS (
+      SELECT o_orderkey,
+             o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 IN (0, 3)
+    ), d AS (
+      SELECT COALESCE(s1.o_orderkey, s2.o_orderkey) AS k,
+             CASE WHEN s1.o_orderkey IS NULL THEN 'added'
+                  WHEN s2.o_orderkey IS NULL THEN 'removed'
+                  WHEN s1.o_totalprice = s2.o_totalprice THEN 'unchanged'
+                  ELSE 'changed' END AS change_type
+      FROM s1 FULL OUTER JOIN s2 ON s1.o_orderkey = s2.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY change_type
+    """,
+)
+def lake_versioned_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel exercised end-to-end
+    (operators/versioned.py::VersionedTable — Delta-shaped semantics on
+    plain parquet, deltawriter parity for this container): two appends
+    build version 1, an overwrite (price bump on every %5==0 order, rows
+    %5∈(1,2) dropped, %5==3 added) becomes version 2, and the returned
+    frame is the keyed diff between the two snapshots — which the oracle
+    recomputes directly from the fixture with a full-outer join. The
+    scratch table lives on tmpfs and is deleted before returning."""
+    import os
+    import shutil
+    import tempfile
+
+    from rtdl_spark.operators.versioned import VersionedTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_versioned_", dir=shm)
+    try:
+        t = VersionedTable(spark, os.path.join(workdir, "tbl"))
+        t.append(o.filter("o_orderkey % 5 IN (0, 1)"))
+        t.append(o.filter("o_orderkey % 5 = 2"))
+        t.overwrite(
+            o.filter("o_orderkey % 5 IN (0, 3)").withColumn(
+                "o_totalprice",
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 5 == 0, 1.0).otherwise(0.0),
+            )
+        )
+        out = (
+            t.diff(1, 2, ["o_orderkey"])
+            .groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -557,3 +557,57 @@ def test_file_manifest_matches_filesystem(spark, sf_dir, tmp_path):
     assert s["total_bytes"] == sum(files.values())
     assert s["total_rows"] == docs.count()
     man.unpersist()
+
+
+def test_versioned_table_time_travel_and_atomic_visibility(
+    spark, sf_dir, tmp_path
+):
+    """Appends are atomic (uncommitted dirs invisible), snapshots compose
+    versions, as-of time travel works across an overwrite, diff reports
+    the keyed change set, and compact+vacuum preserve the current state
+    while cutting history."""
+    import pytest as _pytest
+
+    from rtdl_spark.operators.versioned import VersionedTable
+
+    root = str(tmp_path / "vt")
+    t = VersionedTable(spark, root)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    v0 = t.append(docs.filter("doc_id < 100"))
+    v1 = t.append(docs.filter("doc_id >= 100 AND doc_id < 150"))
+    assert (v0, v1) == (0, 1)
+    assert t.snapshot().count() == docs.filter("doc_id < 150").count()
+    assert t.snapshot(as_of=0).count() == docs.filter("doc_id < 100").count()
+
+    # a crashed half-write: data dir exists, no marker -> invisible
+    docs.limit(5).write.parquet(f"{root}/v=99")
+    assert t.snapshot().count() == docs.filter("doc_id < 150").count()
+    assert t.versions() == [0, 1]
+
+    # overwrite supersedes; time travel still sees the pre-base state
+    v2 = t.overwrite(docs.filter("doc_id < 20"))
+    assert t.snapshot().count() == 20
+    assert t.snapshot(as_of=1).count() == docs.filter("doc_id < 150").count()
+
+    # keyed diff across the overwrite: rows 20..149 removed, none added
+    d = t.diff(1, v2, ["doc_id"])
+    by_change = {
+        r["change_type"]: r["n"]
+        for r in d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_change.get("removed", 0) == docs.filter(
+        "doc_id >= 20 AND doc_id < 150"
+    ).count()
+    assert "added" not in by_change
+
+    v3 = t.append(docs.filter("doc_id >= 480"))
+    before = sorted(r["doc_id"] for r in t.snapshot().collect())
+    t.compact()
+    dropped = t.vacuum()
+    assert set(dropped) == {0, 1, 2, 3}
+    assert sorted(r["doc_id"] for r in t.snapshot().collect()) == before
+    with _pytest.raises(ValueError):
+        t.snapshot(as_of=v3)  # history behind the vacuum cut is gone
