@@ -426,3 +426,43 @@ def stream_tumbling_distinct_users(
             F.col("w.start").alias("window_start"), "approx_users", "n_events"
         )
     )
+
+
+def stream_to_versioned_table(
+    spark,
+    source_dir: str,
+    schema,
+    table_root: str,
+    checkpoint_dir: str,
+    commit_log_dir: str,
+    transform=None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Continuous exactly-once appends into a VersionedTable
+    (operators/versioned.py): every micro-batch becomes one committed
+    table version, so the stream's history is time-travelable and
+    diffable — the Delta-streaming-sink shape on plain parquet.
+
+    Exactly-once comes from composing two commit logs: Structured
+    Streaming's checkpoint replays an epoch whose offset commit was lost,
+    and the epoch CommitLog then SKIPS the re-delivered batch, so a
+    version is never written twice (the VersionedTable's single-writer
+    contract holds — foreachBatch serializes batches). ``transform`` is
+    an optional DataFrame→DataFrame step (the A22 chain hook) applied
+    before the append."""
+    from rtdl_spark.operators.versioned import VersionedTable
+    from rtdl_spark.streaming.commit import CommitLog, idempotent_sink
+
+    raw = spark.readStream.schema(schema).json(source_dir)
+    vt = VersionedTable(spark, table_root)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        vt.append(out)
+
+    writer = raw.writeStream.foreachBatch(
+        idempotent_sink(sink, CommitLog(spark, commit_log_dir))
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -706,3 +706,52 @@ def test_progress_metrics_capture_and_summary(spark, sf_dir, events_stream):
         pull.unpersist()
     finally:
         spark.streams.removeListener(log)
+
+
+def test_stream_to_versioned_table_exactly_once_and_time_travel(
+    spark, sf_dir, tmp_path
+):
+    """Each micro-batch commits one table version; a wiped checkpoint
+    (forced epoch re-delivery) appends NOTHING thanks to the commit log;
+    snapshots time-travel across batches."""
+    import json as _json
+    import shutil
+
+    from rtdl_spark.operators.versioned import VersionedTable
+    from rtdl_spark.streaming import stream_to_versioned_table
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    ckpt, log, root = (
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "clog"),
+        str(tmp_path / "vtbl"),
+    )
+    schema = "event_id long, user_id long"
+
+    def wave(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    wave("w1.json", [{"event_id": i, "user_id": i % 3} for i in range(10)])
+    q = stream_to_versioned_table(
+        spark, str(src), schema, root, ckpt, log
+    )
+    q.awaitTermination(120)
+
+    t = VersionedTable(spark, root)
+    v_after_w1 = t.latest_version()
+    assert t.snapshot().count() == 10
+
+    wave("w2.json", [{"event_id": 100 + i, "user_id": 0} for i in range(5)])
+    q = stream_to_versioned_table(spark, str(src), schema, root, ckpt, log)
+    q.awaitTermination(120)
+    assert t.snapshot().count() == 15
+    assert t.snapshot(as_of=v_after_w1).count() == 10  # time travel
+
+    # lose the offset log -> both files re-delivered -> commit log skips
+    shutil.rmtree(ckpt)
+    q = stream_to_versioned_table(spark, str(src), schema, root, ckpt, log)
+    q.awaitTermination(120)
+    assert t.snapshot().count() == 15, "re-delivered epochs must be skipped"
