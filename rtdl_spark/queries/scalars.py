@@ -537,3 +537,36 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query_str"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey % 16 AS bucket,
+           CAST(BIT_AND(o_orderkey) AS BIGINT) AS all_and,
+           CAST(BIT_OR(o_orderkey) AS BIGINT) AS all_or,
+           CAST(BIT_XOR(o_orderkey) AS BIGINT) AS all_xor,
+           CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS popcount_sum,
+           CAST(MAX(o_orderkey << 2) AS BIGINT) AS max_shl2,
+           CAST(MIN(o_orderkey >> 1) AS BIGINT) AS min_shr1,
+           CAST(MAX(xor(o_orderkey, 255)) AS BIGINT) AS max_xor_mask
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate family (the sketch/bitmap building
+    blocks the bloom-words and HLL operators rely on): per o_orderkey%16
+    bucket the BIT_AND/OR/XOR aggregates, total popcount, shifts, and an
+    XOR mask — all JVM built-ins on both engines."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.groupBy((k % 16).alias("bucket")).agg(
+        F.bit_and(k).cast("bigint").alias("all_and"),
+        F.bit_or(k).cast("bigint").alias("all_or"),
+        F.bit_xor(k).cast("bigint").alias("all_xor"),
+        F.sum(F.bit_count(k)).cast("bigint").alias("popcount_sum"),
+        F.max(F.shiftleft(k, 2)).cast("bigint").alias("max_shl2"),
+        F.min(F.shiftright(k, 1)).cast("bigint").alias("min_shr1"),
+        F.max(k.bitwiseXOR(F.lit(255))).cast("bigint").alias("max_xor_mask"),
+    )
