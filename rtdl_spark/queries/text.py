@@ -1336,3 +1336,79 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return vocab_coverage(d, 500, group_col="lang")
+
+
+@query(
+    "multimodal_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT doc_id,
+             list_reduce(list_transform(
+               string_split(substring(md5(text), 1, 15), ''),
+               c -> CASE WHEN ascii(c) <= 57 THEN CAST(ascii(c) - 48 AS BIGINT)
+                         ELSE CAST(ascii(c) - 87 AS BIGINT) END),
+               (h, c) -> h * 16 + c) AS phash
+      FROM documents
+    ), p AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             xor(phash, 1::BIGINT << CAST(doc_id % 60 AS INT)) AS phash
+      FROM h WHERE doc_id % 20 = 0
+    ), c AS (
+      SELECT doc_id, phash FROM h UNION ALL SELECT doc_id, phash FROM p
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM c a JOIN c b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk(node, comp) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+    ), assign AS (
+      SELECT node, MIN(comp) AS canonical_id FROM walk GROUP BY node
+    )
+    SELECT node AS media_id, canonical_id,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+    FROM assign
+    """,
+)
+def multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup PAIRS → delete-list CLUSTERS: the perceptual-hash
+    banded pairs (same planted corpus as multimodal_phash_near_dup)
+    resolved by distributed connected components — transitive chains of
+    bit-flipped variants collapse to one canonical media id, exactly as
+    the text pipeline's dedup_cluster_assignment does for MinHash pairs.
+    Oracle: the pairs recomputed quadratically + recursive-CTE min-label
+    reachability."""
+    from pyspark.sql import Window
+
+    from rtdl_spark.operators.components import connected_components
+    from rtdl_spark.operators.multimodal import (
+        attach_binary_payload,
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    hashed = perceptual_hash(
+        attach_binary_payload(d), fake_decode=True
+    ).select("doc_id", "phash")
+    planted = hashed.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "phash ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"
+        ).alias("phash"),
+    )
+    corpus = hashed.unionByName(planted)
+    pairs = phash_near_dup_pairs(corpus, n_bands=4, max_hamming=3)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("media_id"),
+        F.col("component").alias("canonical_id"),
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
+    )
