@@ -47,9 +47,15 @@ class VersionedTable:
     sink, which Structured Streaming already serializes).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_by: list[str] | None = None,
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
+        self.partition_by = list(partition_by or [])
 
     # -- commit log ------------------------------------------------------
     def _marker(self, version: int, kind: str) -> str:
@@ -74,7 +80,13 @@ class VersionedTable:
     def _write(self, df: DataFrame, kind: str) -> int:
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
-        df.write.mode("overwrite").parquet(f"{self.root}/v={version}")
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            # partition layout inside every version dir: snapshot reads
+            # keep static partition pruning (the filter reaches the scan
+            # as a directory prune, version count notwithstanding)
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(f"{self.root}/v={version}")
         # data is fully on disk; the marker makes it visible (atomic point)
         fsutil.touch(self.spark, self._marker(version, kind))
         return version
@@ -105,8 +117,13 @@ class VersionedTable:
         live = self._live_versions(as_of)
         if not live:
             raise ValueError(f"no committed versions in {self.root}")
-        return self.spark.read.parquet(
-            *[f"{self.root}/v={v}" for v in live]
+        # basePath makes v= (and any partition_by dirs) partition columns
+        # of ONE multi-path scan — only live version dirs are listed, and
+        # a partition_by filter still prunes directories inside them
+        return (
+            self.spark.read.option("basePath", self.root)
+            .parquet(*[f"{self.root}/v={v}" for v in live])
+            .drop("v")
         )
 
     def diff(self, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
@@ -115,6 +132,36 @@ class VersionedTable:
         return snapshot_diff(
             self.snapshot(as_of=v_from), self.snapshot(as_of=v_to), keys
         )
+
+    def history_frame(self) -> DataFrame:
+        """DESCRIBE HISTORY analogue: one row per committed version —
+        kind, per-version file count / bytes / rows (from the _metadata
+        hidden columns via profile.file_manifest, so it is object-store-
+        correct and one column-pruned scan per version)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from rtdl_spark.operators.profile import file_manifest
+
+        frames = []
+        for v, kind in self.history():
+            man = file_manifest(self.spark, f"{self.root}/v={v}")
+            frames.append(
+                man.agg(
+                    F.lit(v).alias("version"),
+                    F.lit(kind).alias("kind"),
+                    F.count(F.lit(1)).alias("n_files"),
+                    F.sum("file_bytes").alias("bytes"),
+                    F.sum("n_rows").alias("n_rows"),
+                )
+            )
+        if not frames:
+            return self.spark.createDataFrame(
+                [], "version bigint, kind string, n_files bigint, "
+                "bytes bigint, n_rows bigint"
+            )
+        return reduce(lambda a, b: a.unionByName(b), frames)
 
     # -- maintenance -----------------------------------------------------
     def compact(self) -> int:

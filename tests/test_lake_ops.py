@@ -611,3 +611,37 @@ def test_versioned_table_time_travel_and_atomic_visibility(
     assert sorted(r["doc_id"] for r in t.snapshot().collect()) == before
     with _pytest.raises(ValueError):
         t.snapshot(as_of=v3)  # history behind the vacuum cut is gone
+
+
+def test_versioned_table_partitioned_snapshot_prunes(spark, sf_dir, tmp_path):
+    """partition_by layouts inside version dirs survive multi-version
+    snapshots (partition column readable, values intact) and a partition
+    filter prunes the scan to matching directories; history_frame
+    accounts every version's rows."""
+    from rtdl_spark.operators.versioned import VersionedTable
+    from rtdl_spark.plans.inspect import formatted_plan
+
+    root = str(tmp_path / "vt_part")
+    t = VersionedTable(spark, root, partition_by=["o_orderstatus"])
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.append(o.filter("o_orderkey % 2 = 0"))
+    t.append(o.filter("o_orderkey % 2 = 1"))
+
+    snap = t.snapshot()
+    assert snap.count() == o.count()
+    assert set(snap.columns) == {"o_orderkey", "o_orderstatus", "o_totalprice"}
+
+    one = snap.filter(F.col("o_orderstatus") == "F")
+    assert one.count() == o.filter("o_orderstatus = 'F'").count()
+    plan = formatted_plan(one)
+    # the filter must prune at the directory level, not post-scan
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+
+    hist = {r["version"]: r for r in t.history_frame().collect()}
+    assert hist[0]["n_rows"] == o.filter("o_orderkey % 2 = 0").count()
+    assert hist[1]["n_rows"] == o.filter("o_orderkey % 2 = 1").count()
+    assert all(r["kind"] == "append" for r in hist.values())
