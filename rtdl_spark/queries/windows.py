@@ -534,3 +534,39 @@ def win_nth_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("first_f_price"),
     )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS n_last_30m,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS value_last_30m
+    FROM events
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, rolling count and value sum over
+    the trailing 30 minutes of EVENT TIME (value-range over epoch
+    seconds) — the sliding-lookback analytic that row frames
+    (win_moving_avg_3) cannot express when events are irregularly
+    spaced. One hash shuffle on user_id; the frame scans each
+    partition's sorted run once (Spark's range-frame window keeps a
+    sliding aggregate, not O(n²) re-evaluation)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-1800, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_30m"),
+        F.sum(dec("value")).over(w).cast("double").alias("value_last_30m"),
+    )

@@ -46,6 +46,7 @@ def stream_ingest_json(
     checkpoint_dir: str,
     trigger_once: bool = True,
     commit_log_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Streaming ingest: watch a directory of JSON envelopes (stand-in for
     the Kafka ingress; swap ``readStream.schema(...).json(dir)`` for
@@ -55,10 +56,18 @@ def stream_ingest_json(
     ``commit_log_dir`` arms the epoch commit log (streaming/commit.py):
     a re-delivered epoch (sink ran, offset commit lost) is skipped instead
     of appending duplicates — the exactly-once upgrade over the
-    reference's at-least-once lake writes."""
-    raw = job.spark.readStream.schema(schema).option(
+    reference's at-least-once lake writes.
+
+    ``max_files_per_trigger`` paces a large backfill: a month of history
+    replays as bounded micro-batches instead of one giant batch whose
+    shuffle state must fit at once (the knob the multi-wave watermark
+    tests also rely on)."""
+    reader = job.spark.readStream.schema(schema).option(
         "dropFieldIfAllNull", "true"
-    ).json(source_dir)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(source_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         job.run_batch(batch_df)

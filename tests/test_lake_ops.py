@@ -645,3 +645,25 @@ def test_versioned_table_partitioned_snapshot_prunes(spark, sf_dir, tmp_path):
     assert hist[0]["n_rows"] == o.filter("o_orderkey % 2 = 0").count()
     assert hist[1]["n_rows"] == o.filter("o_orderkey % 2 = 1").count()
     assert all(r["kind"] == "append" for r in hist.values())
+
+
+def test_register_versioned_view_sql_access(spark, sf_dir, tmp_path):
+    """A registered snapshot view answers SQL, is pinned to the version
+    list at registration, and re-registering picks up new commits."""
+    from rtdl_spark.catalog import register_versioned_view
+    from rtdl_spark.operators.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt_view"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.append(o.limit(100))
+    register_versioned_view(spark, t, "vt_probe")
+    assert spark.sql("SELECT COUNT(*) FROM vt_probe").first()[0] == 100
+
+    t.append(o.limit(300).exceptAll(o.limit(100)))
+    # view still pinned to registration-time versions
+    assert spark.sql("SELECT COUNT(*) FROM vt_probe").first()[0] == 100
+    register_versioned_view(spark, t, "vt_probe")
+    assert spark.sql("SELECT COUNT(*) FROM vt_probe").first()[0] == 300
+    spark.catalog.dropTempView("vt_probe")
