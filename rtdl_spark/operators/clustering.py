@@ -109,3 +109,97 @@ def kmeans(
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.sum("_d"), 6).alias("inertia"),
     )
+
+
+def pca_fit(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 8,
+):
+    """Distributed PCA fit over an embedding column: returns
+    (mean: list[float], components: list[list[float]] — rows are the top
+    ``n_components`` principal axes, variance_ratio: list[float]).
+
+    Scale shape: embeddings never leave the executors — the fit reduces
+    the corpus to one d-vector (mean) and one d×d Gram matrix via a
+    SINGLE map-combinable aggregate (per-(i,j) sums of x_i·x_j after
+    posexplode pairing), then eigendecomposes the d×d matrix on the
+    driver (d is embedding width: 16-1024 — a numpy-instant problem).
+    That is the standard big-n-small-d covariance route; at d where d²
+    sums stop fitting a shuffle row (~4k+), switch to randomized sketch
+    methods, which this corpus does not need.
+
+    Determinism: eigenvectors are sign-fixed (largest-|component| made
+    positive) so every run and engine produces identical projections."""
+    import numpy as np
+
+    from rtdl_spark.functions.vectors import to_double
+
+    v = to_double(vec_col)
+    base = vecs.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    # one pass: n, per-dim sums, and upper-triangle cross sums
+    pairs = base.select(
+        F.posexplode("_v").alias("i", "xi"), F.col("_v").alias("_v")
+    ).select(
+        "i", "xi", F.posexplode("_v").alias("j", "xj")
+    ).filter(F.col("j") >= F.col("i"))
+    sums = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("sxx"),
+        F.sum("xi").alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    d = max(r["j"] for r in sums) + 1
+    n = max(r["n"] for r in sums)
+    gram = np.zeros((d, d))
+    sx = np.zeros(d)
+    for r in sums:
+        gram[r["i"], r["j"]] = gram[r["j"], r["i"]] = r["sxx"]
+        if r["i"] == r["j"]:
+            sx[r["i"]] = r["sx"]
+    mean = sx / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # rows = components
+    for k in range(comps.shape[0]):  # sign fix: largest-|x| entry positive
+        j = int(np.argmax(np.abs(comps[k])))
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    total = float(np.clip(evals.sum(), 1e-30, None))
+    ratio = [float(evals[i] / total) for i in order]
+    return mean.tolist(), comps.tolist(), ratio
+
+
+def pca_project(
+    vecs: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto fitted components: out_k = (x - mean)·c_k.
+    Pure Catalyst expression work (zip_with + aggregate per component —
+    components are literals, so the whole projection stays in codegen;
+    no UDF, no shuffle)."""
+    from rtdl_spark.functions.vectors import to_double
+
+    x = to_double(vec_col)
+    centered = F.zip_with(
+        x,
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda a, b: a - b,
+    )
+    outs = []
+    for k, comp in enumerate(components):
+        c = F.array(*[F.lit(float(ci)) for ci in comp])
+        outs.append(
+            F.aggregate(
+                F.zip_with(centered, c, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            ).alias(f"_p{k}")
+        )
+    tmp = vecs.withColumns({f"_p{k}": o for k, o in enumerate(outs)})
+    return tmp.withColumn(
+        out_col, F.array(*[F.col(f"_p{k}") for k in range(len(components))])
+    ).drop(*[f"_p{k}" for k in range(len(components))])

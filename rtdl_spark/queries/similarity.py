@@ -361,3 +361,25 @@ def sim_index_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query("sim_pca_projection")
+def sim_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/clustering.py::pca_fit/pca_project):
+    the fit reduces the corpus to one d-vector + d×d Gram matrix in a
+    single map-combinable aggregate (embeddings never leave executors),
+    eigendecomposition happens on the KB-sized driver problem, and the
+    projection is pure Catalyst (components are literals — whole
+    projection in codegen). No SQL oracle (eigendecomposition isn't
+    ANSI-expressible); exact numpy-trajectory parity is pinned by
+    tests/test_operators.py::test_pca_matches_numpy_and_projects_in_catalyst.
+    The retrieval-stack use: whiten/reduce embeddings before IVF/PQ."""
+    from rtdl_spark.operators.clustering import pca_fit, pca_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, _ratio = pca_fit(emb, "embedding", n_components=4)
+    out = pca_project(emb, mean, comps, "embedding")
+    return out.select(
+        "vec_id",
+        F.transform("pca", lambda x: F.round(x, 6)).alias("pca"),
+    )

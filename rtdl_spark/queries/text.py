@@ -1412,3 +1412,57 @@ def multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
     )
+
+
+@query(
+    "ml_pr_curve_quality",
+    oracle="""
+    WITH s AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), agg AS (
+      SELECT score, COUNT(*) AS n, SUM(y) AS np FROM s GROUP BY score
+    ), c AS (
+      SELECT score,
+             SUM(n) OVER (ORDER BY score DESC) AS cum_n,
+             SUM(np) OVER (ORDER BY score DESC) AS cum_p,
+             SUM(np) OVER () AS total_p
+      FROM agg
+    )
+    SELECT score AS threshold,
+           ROUND(cum_p * 1.0 / cum_n, 6) AS precision_at,
+           ROUND(cum_p * 1.0 / total_p, 6) AS recall_at
+    FROM c
+    """,
+)
+def ml_pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation at scale: the full precision/recall curve of
+    a score (n_chars) against a label (lang='en') — one point per
+    distinct threshold. The corpus collapses to per-score counts in a
+    map-combinable aggregate FIRST; the cumulative windows then run over
+    the tiny distinct-score frame (same aggregate-then-window discipline
+    as q2/q15) — a billion-doc eval costs one shuffle on score, never a
+    corpus-wide window sort."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    agg = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    )
+    w = Window.orderBy(F.desc("score"))
+    c = agg.select(
+        "score",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("np").over(w).alias("cum_p"),
+        F.sum("np").over(Window.partitionBy()).alias("total_p"),
+    )
+    return c.select(
+        F.col("score").alias("threshold"),
+        F.round(F.col("cum_p") / F.col("cum_n"), 6).alias("precision_at"),
+        F.round(F.col("cum_p") / F.col("total_p"), 6).alias("recall_at"),
+    )

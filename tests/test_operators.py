@@ -1787,3 +1787,43 @@ def test_vocab_coverage_planted_oov(spark):
     whole = vocab_coverage(df, 2).collect()
     assert len(whole) == 1
     assert whole[0]["total_tokens"] == 10 and whole[0]["oov_tokens"] == 3
+
+
+def test_pca_matches_numpy_and_projects_in_catalyst(spark, sf_dir):
+    """The distributed Gram-aggregate fit equals numpy PCA on the
+    collected matrix (same mean/components after sign fixing); the
+    Catalyst projection equals the numpy projection; variance ratios
+    descend."""
+    import numpy as np
+
+    from rtdl_spark.operators.clustering import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, comps, ratio = pca_fit(emb, "embedding", n_components=4)
+
+    X = np.array([r["embedding"] for r in emb.select("embedding").collect()],
+                 dtype=np.float64)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / X.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    C = evecs[:, order].T
+    for k in range(4):
+        j = int(np.argmax(np.abs(C[k])))
+        if C[k, j] < 0:
+            C[k] = -C[k]
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(comps, C, atol=1e-7)
+    assert ratio == sorted(ratio, reverse=True)
+    # orthonormal axes
+    assert np.allclose(np.array(comps) @ np.array(comps).T, np.eye(4),
+                       atol=1e-9)
+
+    got = pca_project(emb, mean, comps, "embedding").select(
+        "vec_id", "pca"
+    ).collect()
+    want = (X - mu) @ C.T
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    want_by_id = {i: want[k] for k, i in enumerate(ids)}
+    for r in got:
+        assert np.allclose(r["pca"], want_by_id[r["vec_id"]], atol=1e-7)
