@@ -404,7 +404,30 @@ class IngestJob:
             )
         return raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL), raw
 
-    def ingest_json_dir(self, path: str) -> dict[str, str]:
+    def ingest_json_dir(
+        self,
+        path: str,
+        batch_id: str | None = None,
+        commit_log_dir: str | None = None,
+    ) -> dict[str, str]:
+        """Batch ingest, optionally idempotent: pass a stable ``batch_id``
+        (the orchestrator's run key — date, file-list hash) plus a
+        ``commit_log_dir`` and a re-run of an already-committed batch is a
+        no-op instead of a duplicate append — the batch twin of the
+        streaming epoch commit log (an Airflow retry after a lost success
+        callback is the same failure as a replayed micro-batch). The
+        marker lands AFTER the writes, so a crash mid-batch re-runs the
+        batch (at-least-once within, exactly-once across runs — same
+        contract as foreachBatch + CommitLog)."""
+        if batch_id is not None and commit_log_dir is not None:
+            from rtdl_spark.sources import fsutil
+
+            marker = f"{commit_log_dir.rstrip('/')}/{batch_id}.committed"
+            if fsutil.exists(self.spark, marker):
+                return {}
+            out = self.run_batch(self.read_json(path))
+            fsutil.touch(self.spark, marker)
+            return out
         return self.run_batch(self.read_json(path))
 
     def read_table(self, cfg: StreamConfig, table_name: str) -> DataFrame:

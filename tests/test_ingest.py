@@ -581,3 +581,52 @@ def test_batch_metrics_row_accounting(spark, registry, tmp_path):
     assert m["n_control"] == 1
     assert m["n_unrouted"] == 1
     assert m["streams"] == {STREAM_ID: 2}
+
+
+def test_ingest_json_dir_idempotent_on_batch_replay(spark, sf_dir, tmp_path):
+    """Re-running a committed batch_id is a no-op (no duplicate rows);
+    a different batch_id ingests normally."""
+    import json as _json
+
+    from rtdl_spark.config.registry import StreamConfig, StreamRegistry
+    from rtdl_spark.ingest import IngestJob
+
+    registry = StreamRegistry(str(tmp_path / "batch_cfg"))
+    cfg = registry.create(
+        StreamConfig(
+            stream_id="sb1",
+            active=True,
+            file_store_type_id=1,
+            partition_time_id=2,
+            compression_type_id=1,
+            folder_name="lakeb",
+            functions="ingester",
+            message_type="events",
+        )
+    )
+    src = tmp_path / "batch_src"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for i in range(20):
+            f.write(_json.dumps({
+                "stream_id": cfg.stream_id, "type": "events", "event_id": i
+            }) + "\n")
+
+    job = IngestJob(spark, registry, str(tmp_path / "lake"),
+                    register_catalog=False)
+    log = str(tmp_path / "batch_log")
+    out1 = job.ingest_json_dir(str(src), batch_id="run-1",
+                               commit_log_dir=log)
+    assert out1
+    n1 = job.read_table(cfg, "events").count()
+    assert n1 == 20
+
+    # replay: same batch_id -> skipped
+    out2 = job.ingest_json_dir(str(src), batch_id="run-1",
+                               commit_log_dir=log)
+    assert out2 == {}
+    assert job.read_table(cfg, "events").count() == 20
+
+    # new batch_id -> appends
+    job.ingest_json_dir(str(src), batch_id="run-2", commit_log_dir=log)
+    assert job.read_table(cfg, "events").count() == 40
