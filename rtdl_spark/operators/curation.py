@@ -293,15 +293,23 @@ def linear_quality_score(
         F.count(F.col("_tok")).alias("n_tokens"),
         F.sum("_w").alias("_sw"),
     )
+    # fixed-point via FLOOR, not ROUND(…, 6): both engines compute the
+    # IDENTICAL IEEE double for _sw*10/n (exact integers in), and floor of
+    # that double is unambiguous — whereas ROUND half-up disagrees across
+    # engines when the true rational lands on .5 at the 6th decimal
+    # (Spark rounds the shortest decimal repr, DuckDB the binary value;
+    # a real sf0.1 doc hit this)
     return per_doc.select(
         F.col("_id").alias(id_col),
         "n_tokens",
-        F.round(
+        (
             F.when(
                 F.col("n_tokens") > 0,
-                F.col("_sw") / (F.col("n_tokens") * 100000),
-            ).otherwise(F.lit(0.0)),
-            6,
+                F.floor(F.col("_sw") * 10.0 / F.col("n_tokens")),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            / F.lit(1000000.0)
         ).alias("score"),
     )
 

@@ -534,3 +534,26 @@ def overlap_matrix(
         .groupBy("attr_a", "attr_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    key_col,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Survivorship policy: within each duplicate group (same
+    ``key_col``), keep the HIGHEST-``score_col`` row (ties broken by
+    lowest id) — the RefinedWeb/C4-style 'keep the longest/cleanest
+    copy' rule, versus the min-id canonical the other dedup operators
+    use (right when copies are identical; wrong when one copy is
+    truncated or boilerplate-wrapped).
+
+    Output = input + ``is_keeper`` flag (house style). Same single
+    window shuffle on the dup key as any keeper rule."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return df.withColumn("is_keeper", F.row_number().over(w) == 1)

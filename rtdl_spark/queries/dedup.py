@@ -659,3 +659,31 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return overlap_matrix(d, fingerprint("text"), "doc_id", "source")
+
+
+@query(
+    "dedup_survivorship_policy",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (
+             PARTITION BY k ORDER BY n_chars DESC, doc_id) = 1 AS is_keeper
+    FROM g
+    """,
+)
+def dedup_survivorship_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best survivorship (operators/dedup.py::dedup_keep_best):
+    within each fingerprint duplicate group the LONGEST document wins
+    (ties → lowest id) — the RefinedWeb-style rule for when one copy is
+    truncated, versus the min-id canonical used elsewhere. One window
+    shuffle on the fingerprint key."""
+    from rtdl_spark.operators.dedup import dedup_keep_best
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    out = dedup_keep_best(d, fingerprint("text"), "doc_id", "n_chars")
+    return out.select("doc_id", "n_chars", "is_keeper")

@@ -813,9 +813,9 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            COALESCE(a.n_tokens, 0) AS n_tokens,
-           ROUND(CASE WHEN COALESCE(a.n_tokens, 0) > 0
-                      THEN sw * 1.0 / (a.n_tokens * 100000)
-                      ELSE 0.0 END, 6) AS score
+           CAST(CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                     THEN FLOOR(sw * 10.0 / a.n_tokens)
+                     ELSE 0 END AS BIGINT) / 1000000.0 AS score
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )

@@ -541,10 +541,10 @@ def win_nth_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            COUNT(*) OVER (
-             PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
              RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS n_last_30m,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-             PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
              RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS value_last_30m
     FROM events
