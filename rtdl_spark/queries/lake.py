@@ -665,3 +665,29 @@ def lake_versioned_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+_SQL_SUBQ = """
+SELECT n_name,
+       (SELECT COUNT(*) FROM supplier s
+        WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers
+FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
+  AND n_regionkey IN (SELECT r_regionkey FROM region
+                      WHERE r_name IN ('ASIA', 'EUROPE'))
+"""
+
+
+@query("sql_exists_in_scalar_subqueries", oracle=_SQL_SUBQ)
+def sql_exists_in_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three remaining subquery shapes through the SQL-text surface
+    in one statement: correlated EXISTS (→ left-semi join), uncorrelated
+    IN (→ semi join on the broadcast region list), and a correlated
+    SCALAR subquery in the projection (→ aggregate + left outer join).
+    Catalyst de-correlates all three — never per-row execution — and the
+    oracle is the SAME text run by DuckDB."""
+    register_views(
+        spark, sf_dir, ("nation", "supplier", "customer", "region")
+    )
+    return spark.sql(_SQL_SUBQ)

@@ -570,3 +570,39 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.shiftright(k, 1)).cast("bigint").alias("min_shr1"),
         F.max(k.bitwiseXOR(F.lit(255))).cast("bigint").alias("max_xor_mask"),
     )
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey / nullif(o_orderkey % 7, 0) AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                         THEN CAST(o_orderkey AS VARCHAR)
+                         ELSE o_orderpriority END AS INTEGER) AS mixed_int,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_int,
+           nullif(o_orderkey % 3, 0) AS nz_mod
+    FROM orders
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safety scalar family: try_divide and try_cast return NULL
+    where strict ANSI (this engine's default) would raise — division by
+    a %7 bucket that hits zero, casting '5-LOW'-style strings — plus
+    nullif. The pattern every ratio expression in this repo uses under
+    ANSI mode, exercised as first-class surface. Integer operands make
+    the double quotient IEEE-identical on both engines (no rounding
+    contract needed); the mixed cast keeps each output column partially
+    non-null so pandas dtypes agree across engines."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(k, k % 7).alias("safe_div"),
+        F.when(k % 2 == 0, k.cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .try_cast("int")
+        .alias("mixed_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_int"),
+        F.nullif(k % 3, F.lit(0)).alias("nz_mod"),
+    )
