@@ -87,8 +87,10 @@ class VersionedTable:
             # as a directory prune, version count notwithstanding)
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(f"{self.root}/v={version}")
-        # data is fully on disk; the marker makes it visible (atomic point)
-        fsutil.touch(self.spark, self._marker(version, kind))
+        # data is fully on disk; the marker makes it visible (atomic
+        # point). create-if-absent turns a writer race on the same
+        # version number into an error instead of a silent clobber
+        fsutil.touch_new(self.spark, self._marker(version, kind))
         return version
 
     def append(self, df: DataFrame) -> int:
@@ -111,20 +113,29 @@ class VersionedTable:
                 live.append(v)
         return live
 
-    def snapshot(self, as_of: int | None = None) -> DataFrame:
+    def snapshot(
+        self, as_of: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
         """The table as of ``as_of`` (default: latest). Uncommitted
-        version directories are never read."""
+        version directories are never read.
+
+        ``merge_schema=True`` unions the schemas of every live version
+        (drifted appends' new columns surface as nullables — the Delta
+        mergeSchema read); the default reads with the newest file
+        footer's schema, which is the footer-cheap path when versions
+        agree."""
         live = self._live_versions(as_of)
         if not live:
             raise ValueError(f"no committed versions in {self.root}")
         # basePath makes v= (and any partition_by dirs) partition columns
         # of ONE multi-path scan — only live version dirs are listed, and
         # a partition_by filter still prunes directories inside them
-        return (
-            self.spark.read.option("basePath", self.root)
-            .parquet(*[f"{self.root}/v={v}" for v in live])
-            .drop("v")
-        )
+        reader = self.spark.read.option("basePath", self.root)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
+            *[f"{self.root}/v={v}" for v in live]
+        ).drop("v")
 
     def diff(self, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
         from rtdl_spark.operators.merge import snapshot_diff

@@ -44,3 +44,13 @@ def touch(spark: SparkSession, path: str) -> None:
     fs, p = _fs_path(spark, path)
     out = fs.create(p, True)
     out.close()
+
+
+def touch_new(spark: SparkSession, path: str) -> None:
+    """Create an empty file, FAILING if it already exists (overwrite
+    False) — the compare-and-set primitive: on HDFS/local the create is
+    atomic, so two writers racing on the same marker get one winner and
+    one error instead of a silent clobber."""
+    fs, p = _fs_path(spark, path)
+    out = fs.create(p, False)
+    out.close()

@@ -667,3 +667,31 @@ def test_register_versioned_view_sql_access(spark, sf_dir, tmp_path):
     register_versioned_view(spark, t, "vt_probe")
     assert spark.sql("SELECT COUNT(*) FROM vt_probe").first()[0] == 300
     spark.catalog.dropTempView("vt_probe")
+
+
+def test_versioned_table_schema_drift_and_collision_guard(
+    spark, sf_dir, tmp_path
+):
+    """A drifted append's new column surfaces under merge_schema=True
+    (nullable for old versions); racing on an existing marker raises
+    instead of silently clobbering."""
+    import pytest as _pytest
+
+    from rtdl_spark.operators.versioned import VersionedTable
+    from rtdl_spark.sources import fsutil
+
+    t = VersionedTable(spark, str(tmp_path / "vt_drift"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, s string"))
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, s string, extra double"
+        )
+    )
+    merged = t.snapshot(merge_schema=True)
+    assert set(merged.columns) == {"id", "s", "extra"}
+    vals = {r["id"]: r["extra"] for r in merged.collect()}
+    assert vals == {1: None, 2: 9.5}
+
+    # CAS marker: second create of the same version marker must fail
+    with _pytest.raises(Exception):
+        fsutil.touch_new(spark, t._marker(0, "append"))
