@@ -34,6 +34,10 @@ HEADLINE = (
     "win_running_revenue",
     "dedup_span_exact",
     "text_sequence_packing",
+    # ANN scale path (IVF cells prune rows, PQ codes prune bytes) and
+    # curriculum export (bucket-offset global rank, no single-task sort)
+    "sim_ivf_pq_topk",
+    "text_curriculum_shards",
 )
 
 
