@@ -337,3 +337,34 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 4).alias("avgx"),
         F.round(F.regr_avgy(y, x), 4).alias("avgy"),
     )
+
+
+@query(
+    "agg_boolean_funcs",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(COUNT(*) FILTER (
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01') AS BIGINT)
+             AS n_recent,
+           CAST(COUNT(*) FILTER (WHERE o_custkey % 2 = 0) AS BIGINT)
+             AS n_even_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: bool_and/bool_or (ANSI EVERY/SOME) and
+    count_if (FILTER-clause counting) — single-pass map-combinable, the
+    assertion-style data-quality checks ('every order over $1k?') that
+    otherwise get written as min(case...) hacks."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(
+            F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+        ).alias("n_recent"),
+        F.count_if(F.col("o_custkey") % 2 == 0).alias("n_even_cust"),
+    )
