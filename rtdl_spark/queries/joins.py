@@ -365,3 +365,31 @@ def join_asof_tolerance_error_context(
         tolerance="10 minutes",
     )
     return out.select("event_id", "last_error_id")
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: the SHUFFLE_HASH hint forces a
+    ShuffledHashJoin (build a hash map per partition — no sort of either
+    side) where the planner would otherwise pick sort-merge or
+    broadcast. The fact⋈fact case where this wins at scale: both sides
+    already too big to broadcast, one side's PER-PARTITION slice still
+    fits in memory — SMJ's two sorts are pure overhead. Same answer by
+    construction; the strategy is pinned by the plan gate."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = li.join(
+        o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+    )

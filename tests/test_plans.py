@@ -567,3 +567,14 @@ def test_vocab_coverage_topk_heap_and_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_join_hint_forces_shuffled_hash(spark, sf_dir):
+    """The SHUFFLE_HASH hint must materialize as a ShuffledHashJoin —
+    if Catalyst silently ignores the hint (broadcast or SMJ instead),
+    explicit strategy control is broken."""
+    from rtdl_spark.queries import all_queries
+
+    df = all_queries()["join_hint_shuffle_hash"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
