@@ -72,11 +72,49 @@ def compact_partition(
         .mode("overwrite")
         .parquet(tmp_dir)
     )
-    import shutil
+    # swap through the Hadoop FS (not shutil/os): correct on any store
+    # the JVM can see, atomic where the store supports rename
+    from rtdl_spark.sources import fsutil
 
-    shutil.rmtree(part_dir)
-    os.rename(tmp_dir, part_dir)
+    fsutil.delete(spark, part_dir)
+    fsutil.rename(spark, tmp_dir, part_dir)
     return n_files
+
+
+def partition_file_stats_metadata(
+    spark: SparkSession, root: str
+) -> list[dict]:
+    """partition_file_stats computed INSIDE the scan from the _metadata
+    hidden columns (one column-pruned pass, distributed) instead of a
+    driver directory walk — the object-store-correct selection input
+    (os.walk on s3a:// silently reports nothing there)."""
+    from pyspark.sql import functions as F
+
+    per_file = (
+        spark.read.parquet(root)
+        .select(
+            F.col(TABLE_COL).cast("string").alias("t"),
+            F.col(BUCKET_COL).cast("string").alias("b"),
+            F.col("_metadata.file_path").alias("p"),
+            F.col("_metadata.file_size").alias("s"),
+        )
+        .groupBy("t", "b", "p")
+        .agg(F.first("s").alias("s"))
+    )
+    rows = (
+        per_file.groupBy("t", "b")
+        .agg(F.count(F.lit(1)).alias("n_files"), F.sum("s").alias("bytes"))
+        .collect()
+    )
+    return [
+        {
+            "table": r["t"],
+            "bucket": r["b"],
+            "n_files": r["n_files"],
+            "bytes": r["bytes"],
+        }
+        for r in rows
+    ]
 
 
 def compact_lake(
@@ -84,11 +122,16 @@ def compact_lake(
     root: str,
     min_files: int = 8,
     target_file_bytes: int = 128 << 20,
+    use_metadata: bool = False,
 ) -> dict[tuple[str, str], int]:
     """Selective compaction: only partitions with ≥ min_files small files
-    are rewritten."""
+    are rewritten. ``use_metadata=True`` selects candidates from the
+    distributed _metadata scan instead of a driver directory walk."""
+    stats_fn = (
+        partition_file_stats_metadata if use_metadata else partition_file_stats
+    )
     done = {}
-    for s in partition_file_stats(spark, root):
+    for s in stats_fn(spark, root):
         if s["n_files"] >= min_files:
             done[(s["table"], s["bucket"])] = compact_partition(
                 spark, root, s["table"], s["bucket"], target_file_bytes

@@ -54,3 +54,11 @@ def touch_new(spark: SparkSession, path: str) -> None:
     fs, p = _fs_path(spark, path)
     out = fs.create(p, False)
     out.close()
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """fs.rename — atomic on HDFS/local, copy-ish on object stores (use
+    a metadata layer there for true swaps); returns success."""
+    fs, s = _fs_path(spark, src)
+    _, d = _fs_path(spark, dst)
+    return bool(fs.rename(s, d))

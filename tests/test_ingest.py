@@ -630,3 +630,42 @@ def test_ingest_json_dir_idempotent_on_batch_replay(spark, sf_dir, tmp_path):
     # new batch_id -> appends
     job.ingest_json_dir(str(src), batch_id="run-2", commit_log_dir=log)
     assert job.read_table(cfg, "events").count() == 40
+
+
+def test_metadata_compaction_selection_matches_walk(spark, sf_dir, tmp_path):
+    """The _metadata-based partition stats agree with the os.walk stats
+    on file counts and bytes, and metadata-selected compaction rewrites
+    the same partitions to the same file counts."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.ingest.compact import (
+        compact_lake,
+        partition_file_stats,
+        partition_file_stats_metadata,
+    )
+    from rtdl_spark.ingest.pipeline import BUCKET_COL, TABLE_COL
+
+    root = str(tmp_path / "clake")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (
+        docs.withColumn(TABLE_COL, F.lit("docs"))
+        .withColumn(BUCKET_COL, (F.col("doc_id") % 2).cast("string"))
+        .repartition(12)
+        .write.partitionBy(TABLE_COL, BUCKET_COL)
+        .parquet(root)
+    )
+    walk = {(s["table"], s["bucket"]): s for s in partition_file_stats(spark, root)}
+    meta = {(s["table"], s["bucket"]): s
+            for s in partition_file_stats_metadata(spark, root)}
+    assert set(walk) == set(meta)
+    for k in walk:
+        assert walk[k]["n_files"] == meta[k]["n_files"]
+        assert walk[k]["bytes"] == meta[k]["bytes"]
+
+    done = compact_lake(spark, root, min_files=2, use_metadata=True)
+    assert set(done) == set(walk)
+    assert all(n == 1 for n in done.values())  # tiny partitions -> 1 file
+    after = {(s["table"], s["bucket"]): s["n_files"]
+             for s in partition_file_stats_metadata(spark, root)}
+    assert all(v == 1 for v in after.values())
+    assert spark.read.parquet(root).count() == docs.count()
