@@ -116,3 +116,54 @@ def pagerank(
     release_local_checkpoint(ew)
     release_local_checkpoint(nodes)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
+    """Distributed triangle counting with the degree-orientation trick:
+    every undirected edge is oriented from its LOWER-degree endpoint to
+    the higher (ties by id), so each node's out-adjacency is bounded by
+    O(sqrt(E)) — the wedge join (adjacency ⋈ adjacency on the middle
+    node) then does O(E^{3/2}) work worst-case instead of the naive
+    sum-of-squared-degrees, which a power-law hub makes quadratic. Three
+    hash joins on node keys, no per-row Python.
+
+    Returns a 1-row DataFrame: n_triangles (each triangle counted once).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    oriented = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y1"))
+    w2 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y2"))
+    wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
+    # a wedge (x; y1, y2) closes iff (y1, y2) is an edge in EITHER
+    # orientation — check against the undirected canonical set
+    closed = wedges.join(
+        e.select(F.col("a").alias("y1"), F.col("b").alias("y2")),
+        ["y1", "y2"],
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

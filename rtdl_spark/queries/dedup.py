@@ -687,3 +687,42 @@ def dedup_survivorship_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
     out = dedup_keep_best(d, fingerprint("text"), "doc_id", "n_chars")
     return out.select("doc_id", "n_chars", "is_keeper")
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+      FROM documents
+    ), e AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS a,
+                      greatest(a.doc_id, b.doc_id) AS b
+      FROM g x JOIN g a ON x.k = a.k JOIN g b ON x.k = b.k
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py::triangle_count) over the
+    fingerprint-duplicate graph — identical-doc groups form cliques, so
+    the count is a structural audit of duplication density. The operator
+    orients every edge low-degree→high-degree (acyclic; each triangle
+    counted at its unique 2-out-edge pivot), bounding the wedge join at
+    O(E^1.5) where a naive neighbor self-join is quadratic in hub
+    degree. Oracle: direct a<b<c three-way edge join."""
+    from rtdl_spark.operators.graph import triangle_count
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", fingerprint("text").alias("k"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    edges = a.join(
+        b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    return triangle_count(edges)

@@ -1827,3 +1827,22 @@ def test_pca_matches_numpy_and_projects_in_catalyst(spark, sf_dir):
     want_by_id = {i: want[k] for k, i in enumerate(ids)}
     for r in got:
         assert np.allclose(r["pca"], want_by_id[r["vec_id"]], atol=1e-7)
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles, a 5-path has none, a star has none, and a
+    hub-heavy graph (star + one closing rim edge) has exactly 1 —
+    orientation must count each triangle once at its unique pivot."""
+    from rtdl_spark.operators.graph import triangle_count
+
+    def tc(pairs):
+        df = spark.createDataFrame(pairs, ["src", "dst"])
+        return triangle_count(df).first()["n_triangles"]
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert tc(k4) == 4
+    assert tc([(i, i + 1) for i in range(5)]) == 0
+    assert tc([(0, i) for i in range(1, 6)]) == 0
+    assert tc([(0, i) for i in range(1, 6)] + [(1, 2)]) == 1
+    # duplicate + reversed edges must not inflate the count
+    assert tc(k4 + [(1, 0), (2, 0), (0, 1)]) == 4
