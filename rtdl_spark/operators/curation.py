@@ -612,6 +612,7 @@ def negative_samples(
     df: DataFrame,
     id_col: str = "doc_id",
     k: int = 3,
+    within: str | None = None,
 ) -> DataFrame:
     """Deterministic corpus-wide negative sampling for contrastive
     training: each anchor row gets ``k`` negatives — the rows at
@@ -630,8 +631,45 @@ def negative_samples(
     monotone — no numeric pre-scan, no single-partition window); the
     fetch is ONE equi hash-join on the position integer after a
     k-element posexplode. Corpus size N is one count() (driver scalar,
-    the same metadata pass any modulo-based sampler needs)."""
+    the same metadata pass any modulo-based sampler needs).
+
+    ``within`` draws negatives from the anchor's OWN group (e.g. label
+    or language) — the hard-negative recipe for contrastive training
+    (in-class negatives are the informative ones). Positions become a
+    per-group window (one hash shuffle on the group key — no bucket
+    machinery needed, the group IS the partition), k clamps to each
+    group's size - 1, and the fetch joins on (group, position)."""
     md5_key = F.md5(F.col(id_col).cast("string"))
+    if within is not None:
+        w = Window.partitionBy(within).orderBy(md5_key, F.col(id_col))
+        perm = df.select(F.col(id_col), F.col(within)).withColumn(
+            "_pos", F.row_number().over(w)
+        ).withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(within))
+        )
+        anchors = (
+            perm.select(
+                F.col(id_col).alias("anchor_id"),
+                F.col(within),
+                "_pos",
+                "_n",
+                F.explode(
+                    F.array(*[F.lit(j) for j in range(1, k + 1)])
+                ).alias("j"),
+            )
+            .filter(F.col("j") <= F.col("_n") - 1)
+            .withColumn(
+                "_target", ((F.col("_pos") - 1 + F.col("j")) % F.col("_n")) + 1
+            )
+        )
+        lookup = perm.select(
+            F.col(within),
+            F.col("_pos").alias("_target"),
+            F.col(id_col).alias("negative_id"),
+        )
+        return anchors.join(lookup, [within, "_target"]).select(
+            "anchor_id", within, "j", "negative_id"
+        )
     keyed = df.select(F.col(id_col), md5_key.alias("_m"))
     perm = assign_sequential_ids(
         keyed,

@@ -368,3 +368,36 @@ def agg_boolean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_recent"),
         F.count_if(F.col("o_custkey") % 2 == 0).alias("n_even_cust"),
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, '' ORDER BY o_orderkey) AS status_seq,
+           md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
+                          ORDER BY o_orderkey)) AS key_digest
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP): per
+    priority, order statuses concatenated in key order plus an md5
+    digest of the key sequence — deterministic because the WITHIN GROUP
+    order is total. Exercised through the SQL-text surface (the
+    DataFrame listagg doesn't expose WITHIN GROUP ordering)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(o_orderstatus, '')
+                 WITHIN GROUP (ORDER BY o_orderkey) AS status_seq,
+               md5(listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_orderkey)) AS key_digest
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        GROUP BY o_orderpriority
+        """
+    )

@@ -383,3 +383,38 @@ def sim_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("pca", lambda x: F.round(x, 6)).alias("pca"),
     )
+
+
+@query(
+    "sim_negative_samples_within_label",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pos,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id AS anchor_id, label, pos, n, j
+      FROM p, UNNEST([1, 2]) AS t(j)
+      WHERE j <= n - 1
+    )
+    SELECT e.anchor_id, e.label, e.j, q.vec_id AS negative_id
+    FROM e JOIN p q
+      ON q.label = e.label AND q.pos = ((e.pos - 1 + e.j) % e.n) + 1
+    """,
+)
+def sim_negative_samples_within_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative sampling (curation.negative_samples(within=...)):
+    each embedding draws 2 negatives from its OWN label's md5
+    permutation — in-class negatives, the informative kind for
+    contrastive training. One window shuffle on label + one equi join on
+    (label, position); k clamps per group. The oracle replays the
+    per-group permutation walk."""
+    from rtdl_spark.operators.curation import negative_samples
+
+    e = table(spark, sf_dir, "embeddings")
+    return negative_samples(e, "vec_id", 2, within="label")
