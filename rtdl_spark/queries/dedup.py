@@ -726,3 +726,58 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     return triangle_count(edges)
+
+
+@query(
+    "graph_clustering_coefficients",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+      FROM documents
+    ), e AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS a,
+                      greatest(a.doc_id, b.doc_id) AS b
+      FROM g x JOIN g a ON x.k = a.k JOIN g b ON x.k = b.k
+      WHERE a.doc_id < b.doc_id
+    ), deg AS (
+      SELECT n, COUNT(*) AS degree FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+      ) GROUP BY n
+    ), tri AS (
+      SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), per_node AS (
+      SELECT n, COUNT(*) AS n_triangles FROM (
+        SELECT n1 AS n FROM tri UNION ALL SELECT n2 FROM tri
+        UNION ALL SELECT n3 FROM tri
+      ) GROUP BY n
+    )
+    SELECT deg.n AS node, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(COALESCE(per_node.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN COALESCE(per_node.n_triangles, 0) * 2.0
+                     / (deg.degree * (deg.degree - 1))
+                ELSE 0.0 END AS coefficient
+    FROM deg LEFT JOIN per_node ON deg.n = per_node.n
+    """,
+)
+def graph_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficients
+    (operators/graph.py::clustering_coefficients) over the fingerprint
+    duplicate graph: inside identical-doc cliques the coefficient is
+    1.0, so deviations expose partial/bridging duplication. Each closed
+    wedge credits its three corners via one explode — no extra join
+    passes; coefficient = 2·triangles / (deg·(deg−1)) is exact rational
+    arithmetic in identical operand order on both engines."""
+    from rtdl_spark.operators.graph import clustering_coefficients
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", fingerprint("text").alias("k"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    edges = a.join(
+        b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    return clustering_coefficients(edges)

@@ -1846,3 +1846,23 @@ def test_triangle_count_known_graphs(spark):
     assert tc([(0, i) for i in range(1, 6)] + [(1, 2)]) == 1
     # duplicate + reversed edges must not inflate the count
     assert tc(k4 + [(1, 0), (2, 0), (0, 1)]) == 4
+
+
+def test_clustering_coefficients_known_graphs(spark):
+    """K4 nodes all have coefficient 1; a star hub has 0; the star+rim
+    graph gives the hub 1/C(5,2) and the rim pair 1.0."""
+    from rtdl_spark.operators.graph import clustering_coefficients
+
+    def cc(pairs):
+        df = spark.createDataFrame(pairs, ["src", "dst"])
+        return {r["node"]: r for r in clustering_coefficients(df).collect()}
+
+    k4 = cc([(a, b) for a in range(4) for b in range(a + 1, 4)])
+    assert all(r["coefficient"] == 1.0 and r["n_triangles"] == 3
+               for r in k4.values())
+
+    star = cc([(0, i) for i in range(1, 6)] + [(1, 2)])
+    assert star[0]["degree"] == 5 and star[0]["n_triangles"] == 1
+    assert star[0]["coefficient"] == 1 * 2.0 / (5 * 4)
+    assert star[1]["coefficient"] == 1.0 and star[2]["coefficient"] == 1.0
+    assert star[3]["coefficient"] == 0.0 and star[3]["degree"] == 1
