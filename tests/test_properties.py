@@ -510,3 +510,36 @@ def test_versioned_table_matches_log_model(spark, tmp_path_factory, ops):
             live = ids if kind == "base" else live | ids
         got = sorted(r["id"] for r in t.snapshot(as_of=v).collect())
         assert got == sorted(live), (ops, v)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, raw_edges):
+    """For ANY small multigraph (self-loops, duplicates, reversed edges),
+    the degree-oriented wedge count equals brute-force triple
+    enumeration."""
+    from itertools import combinations
+
+    from rtdl_spark.operators.graph import triangle_count
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    want = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges
+    )
+    df = spark.createDataFrame(list(raw_edges), ["src", "dst"])
+    got = triangle_count(df).first()["n_triangles"]
+    assert got == want, (sorted(edges), got, want)
