@@ -1466,3 +1466,71 @@ def ml_pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cum_p") / F.col("cum_n"), 6).alias("precision_at"),
         F.round(F.col("cum_p") / F.col("total_p"), 6).alias("recall_at"),
     )
+
+
+@query(
+    "ml_auc_rank_sum",
+    oracle="""
+    WITH s AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), agg AS (
+      SELECT score, COUNT(*) AS n, SUM(y) AS np FROM s GROUP BY score
+    ), c AS (
+      SELECT score, n, np,
+             SUM(n) OVER (ORDER BY score) AS cum_n
+      FROM agg
+    ), t AS (
+      SELECT CAST(SUM(np * (2 * cum_n - n + 1)) AS BIGINT) AS r2,
+             CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(n - np) AS BIGINT) AS n_neg
+      FROM c
+    )
+    SELECT n_pos, n_neg,
+           CAST(FLOOR((r2 - n_pos * (n_pos + 1)) * 1000000.0
+                      / (2 * n_pos * n_neg)) AS BIGINT) / 1000000.0 AS auc
+    FROM t
+    """,
+)
+def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC by the Mann–Whitney rank-sum identity — tie-correct
+    (average ranks) and EXACT: the corpus collapses to per-score counts,
+    one cumulative window over the tiny distinct-score frame yields
+    2·rank-sums as pure integers, and the final ratio is floor-fixed-
+    point (both engines floor the identical IEEE double — the ROUND
+    half-up trap doesn't apply). The single-number eval for any quality
+    classifier at any corpus size: one shuffle on score, no sort of the
+    corpus."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    agg = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    )
+    c = agg.withColumn(
+        "cum_n", F.sum("n").over(Window.orderBy("score"))
+    )
+    t = c.agg(
+        F.sum(
+            F.col("np") * (2 * F.col("cum_n") - F.col("n") + 1)
+        ).cast("bigint").alias("r2"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).cast("bigint").alias("n_neg"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.floor(
+                (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+                * 1000000.0
+                / (2 * F.col("n_pos") * F.col("n_neg"))
+            ).cast("bigint")
+            / F.lit(1000000.0)
+        ).alias("auc"),
+    )
