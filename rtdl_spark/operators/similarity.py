@@ -603,3 +603,107 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank", "cell_id")
     )
+
+
+def allpairs_cosine_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine similarity join: every unordered pair with
+    cosine >= threshold, via block-pair GEMM — the dense-embedding
+    similarity join (inverted-index prefix filtering is useless on dense
+    vectors: every pair shares every dimension).
+
+    Scale design (the classic sharded-GEMM decomposition):
+    - rows are hashed into B blocks; the B·(B+1)/2 block PAIRS are the unit
+      of work, so the quadratic cost is tiled into independent tasks;
+    - each row is replicated ~B times (shuffle volume N·B rows — choose
+      B ≈ sqrt(tasks wanted); never N² pairs on the wire);
+    - within a block pair the scoring is ONE vectorized float64 GEMM in an
+      Arrow-batched applyInPandas (numpy dgemm, not 64·|pairs| expression
+      evals), emitting only surviving pairs — output, not candidates, hits
+      the shuffle;
+    - norms are computed once per row before replication; pairs are
+      deduped structurally (id_a < id_b; diagonal blocks score L×L once).
+
+    Returns: id_a, id_b, sim (rounded to 6).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        to_double(F.col(vec_col)).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("_b"),
+    )
+    pairs = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("bi"))
+        .crossJoin(
+            spark.range(n_blocks).select(F.col("id").cast("int").alias("bj"))
+        )
+        .filter(F.col("bi") <= F.col("bj"))
+    )
+    left = pairs.join(src, pairs.bi == src._b).select(
+        "bi", "bj", F.lit("L").alias("_side"), "_id", "_v"
+    )
+    right = (
+        pairs.filter(F.col("bi") < F.col("bj"))
+        .join(src, F.col("bj") == src._b)
+        .select("bi", "bj", F.lit("R").alias("_side"), "_id", "_v")
+    )
+    tagged = left.unionByName(right)
+
+    thr = float(threshold)
+
+    def score(key, pdf: pd.DataFrame):
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        lmask = pdf["_side"].to_numpy() == "L"
+        if not lmask.any():
+            return empty
+        lids = pdf["_id"].to_numpy()[lmask]
+        lmat = np.stack(pdf["_v"].to_numpy()[lmask])
+        diagonal = key[0] == key[1]
+        if diagonal:
+            rids, rmat = lids, lmat
+        else:
+            rmask = ~lmask
+            if not rmask.any():
+                return empty
+            rids = pdf["_id"].to_numpy()[rmask]
+            rmat = np.stack(pdf["_v"].to_numpy()[rmask])
+        ln = np.linalg.norm(lmat, axis=1)
+        rn = np.linalg.norm(rmat, axis=1)
+        denom = np.outer(ln, rn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (lmat @ rmat.T) / denom, 0.0)
+        ii, jj = np.nonzero(sims >= thr)
+        if diagonal:
+            keep = lids[ii] < rids[jj]
+            ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return empty
+        ida, idb = lids[ii], rids[jj]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ii, jj]})
+
+    # Raw sims cross the Arrow boundary; rounding happens JVM-side so the
+    # half-up convention matches DuckDB ROUND (numpy rounds half-even).
+    return (
+        tagged.groupBy("bi", "bj")
+        .applyInPandas(score, "id_a long, id_b long, sim double")
+        .withColumn("sim", F.round("sim", 6))
+    )

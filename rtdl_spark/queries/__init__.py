@@ -54,6 +54,7 @@ def _import_all() -> None:
         joins,
         json_schema,
         lake,
+        mleval,
         scalars,
         similarity,
         text,

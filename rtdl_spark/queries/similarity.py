@@ -418,3 +418,28 @@ def sim_negative_samples_within_label(
 
     e = table(spark, sf_dir, "embeddings")
     return negative_samples(e, "vec_id", 2, within="label")
+
+
+@query(
+    "sim_allpairs_blocked",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_cos('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def sim_allpairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs similarity join (every pair with cosine >= 0.3) via
+    the block-pair GEMM decomposition — dense-embedding twin of the LSH
+    pair miners: N·B rows shuffled instead of N² pairs, each block pair one
+    vectorized dgemm task emitting only survivors
+    (operators/similarity.py::allpairs_cosine_blocked). The id cap bounds
+    the O(N²) oracle at any SF; the operator itself has no such cap."""
+    from rtdl_spark.operators.similarity import allpairs_cosine_blocked
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return allpairs_cosine_blocked(
+        e, "vec_id", "embedding", threshold=0.3, n_blocks=8
+    )

@@ -1866,3 +1866,56 @@ def test_clustering_coefficients_known_graphs(spark):
     assert star[0]["coefficient"] == 1 * 2.0 / (5 * 4)
     assert star[1]["coefficient"] == 1.0 and star[2]["coefficient"] == 1.0
     assert star[3]["coefficient"] == 0.0 and star[3]["degree"] == 1
+
+
+def test_allpairs_cosine_blocked_exact_vs_bruteforce(spark, sf_dir):
+    """The block-pair GEMM join is EXACT: same pair set and sims as a
+    numpy brute force, and invariant to the block count (tiling is a
+    physical choice, never a semantic one)."""
+    import numpy as np
+
+    from rtdl_spark.operators.similarity import allpairs_cosine_blocked
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 120)
+        .select("vec_id", "embedding")
+    )
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    sims = (mat @ mat.T) / np.outer(
+        np.linalg.norm(mat, axis=1), np.linalg.norm(mat, axis=1)
+    )
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and sims[i, j] >= 0.25:
+                want[(int(ids[i]), int(ids[j]))] = sims[i, j]
+
+    for n_blocks in (1, 4, 7):
+        got = {
+            (r.id_a, r.id_b): r.sim
+            for r in allpairs_cosine_blocked(
+                emb, threshold=0.25, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got.keys() == want.keys(), f"n_blocks={n_blocks}"
+        assert all(
+            abs(got[k] - want[k]) < 1e-6 for k in want
+        ), f"n_blocks={n_blocks}"
+
+
+def test_allpairs_cosine_blocked_zero_norm_guard(spark):
+    from rtdl_spark.operators.similarity import allpairs_cosine_blocked
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in allpairs_cosine_blocked(df, threshold=0.5, n_blocks=2)
+        .collect()
+    }
+    assert got == {(1, 3): 1.0}
