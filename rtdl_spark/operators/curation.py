@@ -743,3 +743,39 @@ def vocab_coverage(
             6,
         ).alias("oov_rate"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws:",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES /
+    Efraimidis–Spirtsis): each row draws the pseudo-uniform
+    u = (fold_hash(md5(salt || id)) + 1) / 2^31 and keeps key =
+    ln(u) / weight; the k LARGEST keys are the sample. P(row i first) =
+    w_i / sum(w) exactly as with u^(1/w) (ln is monotone), but the whole
+    draw is a pure function of the id — engine- and rerun-identical, where
+    rand()-based sampling is neither.
+
+    Scale shape: the key is a narrow map; orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition k-heaps, no global sort, no
+    single-partition exchange) — same plan as exact_k_sample.
+    Zero/negative weights are excluded (their keys are undefined)."""
+    from rtdl_spark.functions.text import token_hash
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = token_hash(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(2147483648.0)
+    key = F.log(u) / w.cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn("_ws_key", key)
+        .orderBy(F.desc("_ws_key"), F.col(id_col))
+        .limit(k)
+        .drop("_ws_key")
+    )

@@ -236,3 +236,60 @@ def clustering_coefficients(
         .otherwise(F.lit(0.0))
         .alias("coefficient"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core extraction by iterative peeling: repeatedly delete nodes of
+    degree < k until none remain; what survives is the maximal subgraph
+    where every node keeps >= k neighbors — the dense kernel of a
+    duplicate/similarity graph (a large k-core of near-dup edges is a
+    template/boilerplate cluster, invisible to pairwise thresholds).
+
+    Scale shape: each round is ONE degree aggregate + ONE semi-join
+    filter of the live edge set — both hash-partitioned on node id; no
+    adjacency lists are ever materialized. Rounds are bounded by the peel
+    depth (the graph's degeneracy ordering depth), not |V|: every round
+    removes EVERY currently-under-k node at once. Lineage is cut per
+    round via localCheckpoint (the live edge set shrinks monotonically;
+    see operators/components.py for the eviction caveats at very large
+    |E| — a checkpoint-dir variant is the same two-line change there).
+
+    Returns: node, degree — nodes of the k-core with their within-core
+    degree (empty frame if the k-core is empty).
+    """
+    live = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    for _ in range(max_iter):
+        deg = (
+            live.select(F.col("a").alias("n"))
+            .unionAll(live.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        low = deg.filter(F.col("degree") < k).select("n")
+        n_low = low.count()
+        if n_low == 0:
+            return deg.select(F.col("n").alias("node"), "degree")
+        live = (
+            live.join(
+                low.withColumnRenamed("n", "a"), "a", "left_anti"
+            )
+            .join(low.withColumnRenamed("n", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        if live.isEmpty():
+            break
+    return live.sparkSession.createDataFrame([], "node long, degree long")

@@ -139,3 +139,30 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("change_type"),
     )
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Partition-scoped overwrite (INSERT OVERWRITE ... PARTITION dynamic):
+    replace ONLY the partitions present in ``df``, leave every other
+    partition untouched — the idempotent backfill/restatement primitive
+    (re-running a day's pipeline rewrites that day, never the table).
+
+    Uses Spark's native dynamic partitionOverwriteMode: the writer stages
+    new files per touched partition and commits by directory swap, so a
+    failed job never leaves a partially-deleted table (static mode would
+    first truncate the whole root). The conf is set per-write here and
+    restored, not assumed session-wide."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)

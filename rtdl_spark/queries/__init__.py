@@ -57,6 +57,7 @@ def _import_all() -> None:
         mleval,
         scalars,
         similarity,
+        sqltext,
         text,
         tpch,
         tpch2,

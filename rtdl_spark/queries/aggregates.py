@@ -401,3 +401,139 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "agg_spearman_corr",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(FLOOR(l_extendedprice) AS BIGINT) AS p
+      FROM lineitem WHERE l_orderkey % 13 = 0
+    ), rq AS (
+      SELECT q, 2 * (SUM(n) OVER (ORDER BY q) - n) + n + 1 AS rx2
+      FROM (SELECT q, COUNT(*) AS n FROM li GROUP BY q)
+    ), rp AS (
+      SELECT p, 2 * (SUM(n) OVER (ORDER BY p) - n) + n + 1 AS ry2
+      FROM (SELECT p, COUNT(*) AS n FROM li GROUP BY p)
+    ), j AS (
+      SELECT CAST(rx2 AS DECIMAL(19,0)) AS rx, CAST(ry2 AS DECIMAL(19,0)) AS ry
+      FROM li JOIN rq USING (q) JOIN rp USING (p)
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+             CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+             CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+             CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           FLOOR((n * sxy - sx * sy) * 1000000.0
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+               / 1000000.0 AS spearman_rho
+    FROM m
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs extended price) — the
+    robust, outlier-proof association number for table profiling.
+
+    Scale shape: tie-corrected average ranks come from the AUC trick —
+    aggregate to per-VALUE counts first, run the cumulative window over
+    the distinct-value frame only, then hash-join ranks back (the quantity
+    rank table is broadcast-sized). Price is binned to whole dollars so
+    the distinct frame is bounded by the VALUE RANGE, not the row count —
+    the tie-corrected ranks make rank-of-bin a sound estimator — keeping
+    the cumulative window tiny at any SF. Ranks stay doubled (2r is always
+    an integer) and moments accumulate in DECIMAL(38,0), so everything is
+    exact until one final floor-fixed-point divide. No corpus-wide
+    ROW_NUMBER sort anywhere."""
+    from pyspark.sql import Window
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .select(
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.floor("l_extendedprice").cast("bigint").alias("p"),
+        )
+    )
+
+    def ranks(col: str, out: str) -> DataFrame:
+        cnt = li.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.orderBy(col)
+        return cnt.select(
+            col,
+            (
+                2 * (F.sum("n").over(w) - F.col("n")) + F.col("n") + 1
+            ).cast("decimal(19,0)").alias(out),
+        )
+
+    j = (
+        li.join(F.broadcast(ranks("q", "rx")), "q")
+        .join(ranks("p", "ry"), "p")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    rho = F.floor(
+        (n * sxy - sx * sy)
+        * F.lit(1000000.0)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    ) / F.lit(1000000.0)
+    return m.select(
+        n.cast("bigint").alias("n_rows"), rho.alias("spearman_rho")
+    )
+
+
+@query(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+      SELECT l_linestatus, median(l_quantity) AS med_qty,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ), counts AS (
+      SELECT l_linestatus, l_returnflag, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), mode AS (
+      SELECT l_linestatus, l_returnflag AS mode_returnflag
+      FROM counts
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY l_linestatus
+                                 ORDER BY cnt DESC, l_returnflag DESC) = 1
+    )
+    SELECT l_linestatus, n_rows, med_qty, mode_returnflag
+    FROM med JOIN mode USING (l_linestatus)
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIAN plus a DETERMINISTIC mode per group. The built-in
+    mode() breaks frequency ties arbitrarily (engine- and run-dependent),
+    so the mode here is max_by(value, (count, value)) over the per-value
+    count frame — same answer everywhere, ties to the largest value.
+    Median interpolates identically in Spark and DuckDB when endpoints
+    are integers (quantity is int-valued). Two map-combinable aggregates
+    plus a groups-sized argmax — no corpus sort."""
+    li = table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_linestatus").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    counts = li.groupBy("l_linestatus", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mode = counts.groupBy("l_linestatus").agg(
+        F.max_by(
+            "l_returnflag", F.struct(F.col("cnt"), F.col("l_returnflag"))
+        ).alias("mode_returnflag")
+    )
+    return med.join(mode, "l_linestatus").select(
+        "l_linestatus", "n_rows", "med_qty", "mode_returnflag"
+    )

@@ -781,3 +781,41 @@ def graph_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame
         b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     return clustering_coefficients(edges)
+
+
+@query(
+    "graph_kcore_docs",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+      FROM documents
+    ), sizes AS (
+      SELECT k, COUNT(*) AS s FROM g GROUP BY k
+    )
+    SELECT g.doc_id AS node, CAST(sizes.s - 1 AS BIGINT) AS degree
+    FROM g JOIN sizes USING (k)
+    WHERE sizes.s - 1 >= 2
+    """,
+)
+def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the fingerprint-duplicate graph
+    (operators/graph.py::k_core): iterative peeling keeps only nodes
+    that retain >= 2 duplicate-neighbors — the dense template/boilerplate
+    kernel, invisible to any pairwise threshold. On this graph every
+    fingerprint group is a clique, so the oracle is closed-form (a
+    clique of size s survives iff s-1 >= k, with within-core degree
+    s-1); the general cascading behavior is pinned by the peeling
+    property test against brute force."""
+    from rtdl_spark.operators.graph import k_core
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", fingerprint("text").alias("k"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    return k_core(edges, k=2)

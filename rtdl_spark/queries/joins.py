@@ -393,3 +393,37 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_custkey % 7, 3) AS k, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT NULLIF(c_custkey % 7, 3) AS k, COUNT(*) AS n_customers
+      FROM customer GROUP BY 1
+    )
+    SELECT a.k, a.n_orders, b.n_customers
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the join you need when the key
+    is an optional attribute and 'both missing' is a real match. Still a
+    plain hash equi-join (null-safe equality is hashable: NULL gets its
+    own bucket), never a nested loop."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    a = o.groupBy(
+        F.nullif(F.col("o_custkey") % 7, F.lit(3)).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    b = c.groupBy(
+        F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("ck")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("ck")))
+        .select("k", "n_orders", "n_customers")
+    )

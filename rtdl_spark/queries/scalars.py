@@ -606,3 +606,86 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_int"),
         F.nullif(k % 3, F.lit(0)).alias("nz_mod"),
     )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT p_partkey,
+           2 AS n_keys,
+           CAST(p_size AS BIGINT) AS size_val,
+           CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS retail_cents,
+           CASE WHEN p_size > 20 AND FLOOR(p_retailprice * 100) > 20 THEN 2
+                WHEN p_size > 20 OR FLOOR(p_retailprice * 100) > 20 THEN 1
+                ELSE 0 END AS n_over_20,
+           CAST(p_size AS BIGINT) * 2 AS size_doubled
+    FROM part WHERE p_partkey % 17 = 0
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP column surface: build a map<string,bigint> per row
+    (map_from_entries), then element_at lookup, cardinality, map_filter
+    and transform_values — the typed key-value column pattern used for
+    per-row feature bags / tag sets. All pure Catalyst map expressions
+    (whole-stage codegen); the oracle recomputes every output
+    arithmetically, proving the map pipeline preserves the values."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") % 17 == 0)
+    m = F.map_from_entries(
+        F.array(
+            F.struct(
+                F.lit("size").alias("key"),
+                F.col("p_size").cast("bigint").alias("value"),
+            ),
+            F.struct(
+                F.lit("retail_cents").alias("key"),
+                F.floor(F.col("p_retailprice") * 100).alias("value"),
+            ),
+        )
+    )
+    withm = p.select("p_partkey", m.alias("m"))
+    return withm.select(
+        "p_partkey",
+        F.size("m").alias("n_keys"),
+        F.element_at("m", F.lit("size")).alias("size_val"),
+        F.element_at("m", F.lit("retail_cents")).alias("retail_cents"),
+        F.size(F.map_filter("m", lambda k, v: v > 20)).alias("n_over_20"),
+        F.element_at(
+            F.transform_values("m", lambda k, v: v * 2), F.lit("size")
+        ).alias("size_doubled"),
+    )
+
+
+@query(
+    "setop_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'),
+    ea AS (SELECT 'except_all' AS op, l_suppkey FROM
+           (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)),
+    ia AS (SELECT 'intersect_all' AS op, l_suppkey FROM
+           (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b))
+    SELECT op, l_suppkey, COUNT(*) AS n
+    FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia)
+    GROUP BY op, l_suppkey
+    """,
+)
+def setop_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (EXCEPT ALL / INTERSECT ALL): duplicates
+    count — row multiplicity is data, not noise, when the inputs are event
+    streams. Both compile to a single hash aggregation computing per-key
+    multiplicities on each side (count-difference / count-min), NOT a
+    row-pairing join — one shuffle each at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_suppkey")
+    ea = a.exceptAll(b).select(
+        F.lit("except_all").alias("op"), "l_suppkey"
+    )
+    ia = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "l_suppkey"
+    )
+    return (
+        ea.unionByName(ia)
+        .groupBy("op", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -443,3 +443,19 @@ def sim_allpairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_cosine_blocked(
         e, "vec_id", "embedding", threshold=0.3, n_blocks=8
     )
+
+
+@query("x_allpairs_blocked_full")
+def x_allpairs_blocked_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of sim_allpairs_blocked with NO id cap: the full corpus
+    all-pairs cosine join at whatever the scale factor provides (sf0.1 =
+    5000 vectors = 12.5M scored pairs across 36 block-pair GEMM tasks).
+    Rows-only in the correctness gate (the exact-pairs oracle is the
+    capped entry); here the point is throughput of the tiled decomposition
+    on the bench surface."""
+    from rtdl_spark.operators.similarity import allpairs_cosine_blocked
+
+    e = table(spark, sf_dir, "embeddings")
+    return allpairs_cosine_blocked(
+        e, "vec_id", "embedding", threshold=0.3, n_blocks=8
+    )

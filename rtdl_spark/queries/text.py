@@ -1534,3 +1534,110 @@ def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("auc"),
     )
+
+
+@query(
+    "text_weighted_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+               string_split(md5('ws:' || CAST(doc_id AS VARCHAR)), ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {HASH_P}) AS fold
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars
+    FROM h
+    ORDER BY ln((fold + 1.0) / 2147483648.0) / n_chars DESC, doc_id
+    LIMIT 40
+    """,
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/curation.py::weighted_sample, A-ES scheme): 40 documents
+    drawn with probability proportional to length — the
+    importance-sampling primitive for training-mix construction — as a
+    pure function of the id, so every engine and rerun draws the same
+    set. TakeOrderedAndProject plan (per-partition heaps), like
+    exact_k_sample; the oracle replays hash, key and order in SQL."""
+    from rtdl_spark.operators.curation import weighted_sample
+
+    d = table(spark, sf_dir, "documents")
+    return weighted_sample(d, "n_chars", 40).select("doc_id", "n_chars")
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS bigram,
+             UNNEST(list_transform(range(1, len(w)), i -> w[i])) AS ctx
+      FROM t WHERE len(w) >= 2
+    ), bfreq AS (
+      SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram
+    ), cfreq AS (
+      SELECT ctx, COUNT(*) AS cc FROM bg GROUP BY ctx
+    ), vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT UNNEST(w) AS tok FROM t)
+    ), scored AS (
+      SELECT g.doc_id,
+             -log2((f.cb + 1.0) / (c.cc + vocab.v)) AS nll
+      FROM bg g JOIN bfreq f USING (bigram) JOIN cfreq c USING (ctx)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with Laplace smoothing — one step up
+    from text_unigram_logprob toward the KenLM-perplexity quality filter:
+    p(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V), per-doc mean −log2 p.
+
+    Scale shape identical to the unigram scorer: the model (bigram +
+    context frequency tables) is vocabulary-sized, so scoring joins the
+    exploded corpus against broadcast model tables; the corpus is never
+    shuffled by token. Three aggregates total (bigram freq, context freq,
+    per-doc score), all map-combinable."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ).alias("bigram"),
+            F.element_at(toks, i + 1).alias("ctx"),
+        ),
+    )
+    bg = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.bigram").alias("bigram"),
+                F.col("g.ctx").alias("ctx"))
+    )
+    bfreq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    cfreq = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("cc"))
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bg.join(F.broadcast(bfreq), "bigram")
+        .join(F.broadcast(cfreq), "ctx")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log2((F.col("cb") + F.lit(1.0)) / (F.col("cc") + F.col("v"))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )

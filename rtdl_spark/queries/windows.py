@@ -570,3 +570,45 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_30m"),
         F.sum(dec("value")).over(w).cast("double").alias("value_last_30m"),
     )
+
+
+@query(
+    "win_ewma_bounded",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_custkey % 97 = 0
+    )
+    SELECT o_custkey, o_orderkey,
+           0.5    * o_totalprice
+         + 0.25   * LAG(o_totalprice, 1, 0.0) OVER w
+         + 0.125  * LAG(o_totalprice, 2, 0.0) OVER w
+         + 0.0625 * LAG(o_totalprice, 3, 0.0) OVER w
+         + 0.03125    * LAG(o_totalprice, 4, 0.0) OVER w
+         + 0.015625   * LAG(o_totalprice, 5, 0.0) OVER w
+         + 0.0078125  * LAG(o_totalprice, 6, 0.0) OVER w
+         + 0.00390625 * LAG(o_totalprice, 7, 0.0) OVER w AS ewma_price
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average with a bounded kernel
+    (alpha = 1/2, 8 taps) — the smoothing/trend primitive. The recursive
+    EWMA definition is inherently sequential; truncating the kernel (tap 8
+    carries 2^-8 of the signal) turns it into a FIXED set of lag terms, so
+    it runs as one per-key window sort with no iteration and no state.
+    alpha = 1/2 makes every weight a power of two: each product is an
+    exact float scale, and the fixed left-to-right sum is engine-identical
+    — no rounding needed anywhere.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 97 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    taps = F.lit(0.5) * F.col("o_totalprice")
+    weight = 0.25
+    for j in range(1, 8):
+        taps = taps + F.lit(weight) * F.lag("o_totalprice", j, 0.0).over(w)
+        weight /= 2
+    return o.select(
+        "o_custkey", "o_orderkey", taps.alias("ewma_price")
+    )

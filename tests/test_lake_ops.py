@@ -695,3 +695,38 @@ def test_versioned_table_schema_drift_and_collision_guard(
     # CAS marker: second create of the same version marker must fail
     with _pytest.raises(Exception):
         fsutil.touch_new(spark, t._marker(0, "append"))
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the partitions present in
+    the incoming frame; untouched partitions survive byte-for-byte."""
+    from rtdl_spark.operators.merge import overwrite_partitions_dynamic
+
+    path = str(tmp_path / "dynpo")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"),
+         ("2024-01-03", 3, "c")],
+        "day string, id long, v string",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    restated = spark.createDataFrame(
+        [("2024-01-02", 20, "B1"), ("2024-01-02", 21, "B2")],
+        "day string, id long, v string",
+    )
+    overwrite_partitions_dynamic(restated, path, ["day"])
+
+    got = {
+        (str(r.day), r.id, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1, "a"),
+        ("2024-01-02", 20, "B1"),
+        ("2024-01-02", 21, "B2"),
+        ("2024-01-03", 3, "c"),
+    }
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )

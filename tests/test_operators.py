@@ -1919,3 +1919,56 @@ def test_allpairs_cosine_blocked_zero_norm_guard(spark):
         .collect()
     }
     assert got == {(1, 3): 1.0}
+
+
+def test_weighted_sample_deterministic_and_guarded(spark, sf_dir):
+    """weighted_sample: rerun-identical, excludes nonpositive weights,
+    clamps at the population size, and favors heavy rows (a max-weight row
+    planted 10^6x heavier than everything else must always be drawn)."""
+    from rtdl_spark.operators.curation import weighted_sample
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s1 = {r.doc_id for r in weighted_sample(d, "n_chars", 30).collect()}
+    s2 = {r.doc_id for r in weighted_sample(d, "n_chars", 30).collect()}
+    assert s1 == s2 and len(s1) == 30
+
+    wcol = F.when(F.col("doc_id") == 7, F.lit(1_000_000_000)).otherwise(
+        F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(F.lit(1))
+    )
+    w = d.withColumn("w", wcol)
+    got = [r.doc_id for r in weighted_sample(w, "w", 10, "doc_id").collect()]
+    assert 7 in got
+    assert all(g % 2 == 1 or g == 7 for g in got)
+
+    tiny = w.filter(F.col("doc_id") < 6)  # 3 rows with positive weight
+    assert weighted_sample(tiny, "w", 10, "doc_id").count() == 3
+
+
+def test_ewma_bounded_matches_recurrence(spark, sf_dir):
+    """The truncated-kernel window EWMA must equal the classic recurrence
+    y_i = a*x_i + (1-a)*y_{i-1} up to the dropped tail (< 2^-8 of the
+    oldest mass) on a per-customer replay."""
+    from rtdl_spark.queries import all_queries
+
+    out = all_queries()["win_ewma_bounded"](spark, sf_dir).toPandas()
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 97 == 0)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .toPandas()
+        .sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    )
+    got = dict(zip(out.o_orderkey, out.ewma_price))
+    for ck, grp in orders.groupby("o_custkey"):
+        y = 0.0
+        hist = []
+        for row in grp.itertuples():
+            hist.append(row.o_totalprice)
+            y = 0.5 * row.o_totalprice + 0.5 * y
+            trunc = sum(
+                0.5 ** (j + 1) * x
+                for j, x in enumerate(reversed(hist[-8:]))
+            )
+            assert abs(got[row.o_orderkey] - trunc) < 1e-9
+            # and the truncation error vs the true recurrence is bounded
+            assert abs(trunc - y) <= 0.5 ** 8 * max(hist)

@@ -543,3 +543,46 @@ def test_triangle_count_matches_bruteforce(spark, raw_edges):
     df = spark.createDataFrame(list(raw_edges), ["src", "dst"])
     got = triangle_count(df).first()["n_triangles"]
     assert got == want, (sorted(edges), got, want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=40,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_k_core_matches_bruteforce_peeling(spark, edges, k):
+    """k_core == sequential peeling on arbitrary small graphs, including
+    cascades (removing a node drops a neighbor under k later)."""
+    from rtdl_spark.operators.graph import k_core
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # brute-force peel
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    want = {n: len(ns) for n, ns in adj.items()}
+
+    if not simple:
+        df = spark.createDataFrame([(0, 0)], "src long, dst long").filter(
+            "src > 99"
+        )
+    else:
+        df = spark.createDataFrame(
+            [(a, b) for a, b in simple], "src long, dst long"
+        )
+    got = {r.node: r.degree for r in k_core(df, k).collect()}
+    assert got == want
