@@ -114,3 +114,37 @@ def register_versioned_view(
     new commits for a fresher snapshot (same semantics as a catalog
     pointer update)."""
     table_obj.snapshot(as_of=as_of).createOrReplaceTempView(view_name)
+
+
+def register_masked_view(
+    spark: SparkSession,
+    df,
+    view_name: str,
+    mask_cols: list[str],
+    extended: bool = False,
+    drop_cols: list[str] | None = None,
+) -> None:
+    """Governance surface: expose ``df`` as a temp view with PII-masked
+    string columns (A23's regexes — functions/pii.py) and optionally some
+    columns dropped outright — so SQL users query the masked view while
+    the raw table stays access-controlled. Masking is an ordinary
+    projection: pushdown/pruning still work through the view, and columns
+    not listed are passed through untouched.
+
+    ``extended=True`` applies the Luhn-validated card + email + IPv4 chain
+    (mask_pii_extended) instead of the reference's SSN/phone pair."""
+    from rtdl_spark.functions.pii import mask_pii_col, mask_pii_extended
+
+    from pyspark.sql import functions as F
+
+    fn = mask_pii_extended if extended else mask_pii_col
+    drop = set(drop_cols or [])
+    cols = []
+    for name in df.columns:
+        if name in drop:
+            continue
+        if name in mask_cols:
+            cols.append(fn(F.col(name)).alias(name))
+        else:
+            cols.append(F.col(name))
+    df.select(*cols).createOrReplaceTempView(view_name)

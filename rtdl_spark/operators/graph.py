@@ -263,6 +263,8 @@ def k_core(
     Returns: node, degree — nodes of the k-core with their within-core
     degree (empty frame if the k-core is empty).
     """
+    from rtdl_spark.operators.components import release_local_checkpoint
+
     live = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -271,6 +273,7 @@ def k_core(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    prev = None
     for _ in range(max_iter):
         deg = (
             live.select(F.col("a").alias("n"))
@@ -281,7 +284,12 @@ def k_core(
         low = deg.filter(F.col("degree") < k).select("n")
         n_low = low.count()
         if n_low == 0:
-            return deg.select(F.col("n").alias("node"), "degree")
+            result = deg.select(F.col("n").alias("node"), "degree")
+            if prev is not None:
+                # materialize before freeing the lineage the plan reads
+                result = result.localCheckpoint()
+                release_local_checkpoint(prev)
+            return result
         live = (
             live.join(
                 low.withColumnRenamed("n", "a"), "a", "left_anti"
@@ -290,6 +298,11 @@ def k_core(
             .select("a", "b")
             .localCheckpoint()
         )
+        if prev is not None:
+            # only one checkpoint generation stays pinned (see NOTES.md:
+            # localCheckpoint blocks are unevictable storage)
+            release_local_checkpoint(prev)
+        prev = live
         if live.isEmpty():
             break
     return live.sparkSession.createDataFrame([], "node long, degree long")

@@ -175,3 +175,54 @@ def scan_output_rows(df: DataFrame) -> int | None:
                 if kv._1() == "numOutputRows":
                     return kv._2().value()
     return None
+
+
+def profile_execution(df: DataFrame):
+    """EXPLAIN ANALYZE for a DataFrame: execute it and return the executed
+    plan's per-node runtime metrics as a (small, driver-side) DataFrame —
+    node_id (pre-order position), node, metric, value. The queryable form
+    of the Spark UI's SQL tab: rows out of every operator, shuffle bytes
+    written/read, spill sizes, broadcast sizes — the numbers that decide
+    whether a plan SCALES (metrics accumulate across all tasks, so the
+    frame stays node-count-sized at any data size).
+
+    Collapses AdaptiveSparkPlan/QueryStage wrappers to the plans that
+    actually ran, and skips reused-exchange bodies (their metrics belong
+    to the original).
+    """
+    df.collect()
+
+    rows: list[tuple[int, str, str, int]] = []
+    seen: set[int] = set()
+
+    def walk(node):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name and hasattr(node, "plan"):
+            walk(node.plan())
+            return
+        nid = node.id()
+        first_visit = nid not in seen
+        seen.add(nid)
+        if first_visit:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                rows.append((nid, name, kv._1(), kv._2().value()))
+        if "ReusedExchange" in name:
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], "node_id long, node string, metric string, value long"
+        )
+    return spark.createDataFrame(
+        [(int(a), b, c, int(d)) for a, b, c, d in rows],
+        "node_id long, node string, metric string, value long",
+    )

@@ -691,3 +691,67 @@ def sql_exists_in_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFra
         spark, sf_dir, ("nation", "supplier", "customer", "region")
     )
     return spark.sql(_SQL_SUBQ)
+
+
+@query(
+    "lake_outlier_report",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS med_qty,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ), dev AS (
+      SELECT li.l_returnflag, med.med_qty, med.n_rows,
+             ABS(li.l_quantity - med.med_qty) AS adev
+      FROM lineitem li JOIN med USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag, ANY_VALUE(med_qty) AS med_qty,
+             ANY_VALUE(n_rows) AS n_rows,
+             median(adev) AS mad_qty
+      FROM dev GROUP BY 1
+    )
+    SELECT d.l_returnflag, m.n_rows, m.med_qty, m.mad_qty,
+           CAST(SUM(CASE WHEN d.adev > 1.5 * m.mad_qty THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag, m.n_rows, m.med_qty, m.mad_qty
+    """,
+)
+def lake_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier data card: per-group median + MAD (median absolute
+    deviation) and the count of rows beyond 1.5x MAD — the
+    skew/corruption detector that, unlike mean±k·stddev, a single wild
+    value cannot poison.
+
+    Exactness: quantity is integer-valued, so medians and deviations live
+    on the exact half-integer grid — interpolation and the threshold
+    comparison are bit-identical across engines, no rounding needed.
+    Scale shape: two grouped exact-percentile aggregates plus one
+    conditional count, all shuffling only on the (tiny) group key; the
+    group medians are broadcast back, the table is never sorted. For
+    truly high-cardinality value domains swap median() for the mergeable
+    approx sketch (see text_adaptive_quality_filter's approx= path)."""
+    li = table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med_qty", "n_rows",
+        F.abs(F.col("l_quantity") - F.col("med_qty")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.any_value("med_qty").alias("med_qty"),
+        F.any_value("n_rows").alias("n_rows"),
+        F.median("adev").alias("mad_qty"),
+    )
+    return (
+        dev.select("l_returnflag", "adev")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "n_rows", "med_qty", "mad_qty")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 1.5 * F.col("mad_qty"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+    )

@@ -1641,3 +1641,61 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 6).alias("avg_nll"),
     )
+
+
+@query(
+    "text_index_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             AVG(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, COUNT(*) AS n_terms_hit, ROUND(SUM(s), 5) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 answered from the PERSISTED inverted index
+    (operators/text_index.py) — index-as-layout for text retrieval, the
+    keyword twin of sim_index_ivf_pq: postings partitioned by term
+    bucket, a query reads only its terms' partitions (static directory
+    pruning), df/stats are tiny broadcast sides; the corpus itself is
+    never touched at query time. Scores must equal the scan-everything
+    text_bm25_search exactly — same oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from rtdl_spark.operators.text_index import (
+        build_inverted_index,
+        query_inverted_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_text_idx_", dir=shm)
+    try:
+        idx = os.path.join(workdir, "idx")
+        build_inverted_index(d, idx, n_buckets=8)
+        out = query_inverted_index(spark, idx, list(_BM25_TERMS), n_buckets=8)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

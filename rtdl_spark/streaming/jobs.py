@@ -475,3 +475,86 @@ def stream_to_versioned_table(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+HH_OUTPUT = "bucket int, key string, min_count long, max_count long"
+HH_STATE = "keys array<string>, counts array<long>, errors array<long>"
+
+
+def stream_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "event_type",
+    n_buckets: int = 8,
+    capacity: int = 16,
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: the space-saving /
+    Misra-Gries summary, sharded. Keys hash into ``n_buckets`` state
+    groups; each group maintains at most ``capacity`` counters no matter
+    how many distinct keys flow through — where an exact groupBy-count
+    would grow state with key cardinality forever.
+
+    Per key the summary tracks (count_upper, error): true frequency f
+    satisfies max_count - error <= f <= max_count, and any key with
+    f > N_bucket/capacity is guaranteed present (Misra-Gries bound).
+    Each micro-batch emits every bucket's current candidates (update
+    semantics); union the buckets and re-rank for the global view —
+    sketches merge, which is exactly why this shape scales horizontally.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd  # local so the closure ships cleanly
+
+    cap = int(capacity)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ks, cs, es = state.get
+            counters = {k: [c, e] for k, c, e in zip(ks, cs, es)}
+        else:
+            counters = {}
+        for pdf in pdfs:
+            for k, n in pdf["_hh_key"].value_counts().items():
+                n = int(n)
+                if k in counters:
+                    counters[k][0] += n
+                elif len(counters) < cap:
+                    counters[k] = [n, 0]
+                else:
+                    # space-saving: evict the current minimum, inherit its
+                    # count as the new key's error bound
+                    mk = min(counters, key=lambda x: (counters[x][0], x))
+                    mc = counters[mk][0]
+                    del counters[mk]
+                    counters[k] = [mc + n, mc]
+        items = sorted(counters.items())
+        state.update(
+            (
+                [k for k, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(items),
+                "key": [k for k, _ in items],
+                "min_count": [v[0] - v[1] for _, v in items],
+                "max_count": [v[0] for _, v in items],
+            }
+        )
+
+    return (
+        events.withColumn("_hh_key", F.col(key_col).cast("string"))
+        .withColumn(
+            "_hh_bucket",
+            F.pmod(F.xxhash64("_hh_key"), F.lit(n_buckets)).cast("int"),
+        )
+        .groupBy("_hh_bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HH_OUTPUT,
+            stateStructType=HH_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

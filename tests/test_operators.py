@@ -1972,3 +1972,52 @@ def test_ewma_bounded_matches_recurrence(spark, sf_dir):
             assert abs(got[row.o_orderkey] - trunc) < 1e-9
             # and the truncation error vs the true recurrence is bounded
             assert abs(trunc - y) <= 0.5 ** 8 * max(hist)
+
+
+def test_inverted_index_matches_scan_bm25_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted inverted index must (a) reproduce the scan-everything
+    BM25 scores exactly, (b) read ONLY the probed term-bucket partitions
+    (static pruning visible in the scan's partition filters), and
+    (c) absorb appends with df/stats refreshed."""
+    from rtdl_spark.operators.text_index import (
+        append_to_inverted_index,
+        build_inverted_index,
+        query_inverted_index,
+    )
+    from rtdl_spark.plans.inspect import formatted_plan
+    from rtdl_spark.queries import all_queries
+
+    d = table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "tidx")
+    build_inverted_index(d, idx, n_buckets=8)
+
+    terms = ["vector", "hash", "merge"]
+    got = {
+        r.doc_id: (r.n_terms_hit, r.bm25)
+        for r in query_inverted_index(spark, idx, terms, n_buckets=8)
+        .collect()
+    }
+    want = {
+        r.doc_id: (r.n_terms_hit, r.bm25)
+        for r in all_queries()["text_bm25_search"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # pruning: the postings scan carries a term_bucket partition filter
+    plan = formatted_plan(query_inverted_index(spark, idx, terms, 8))
+    assert "term_bucket" in plan and "PartitionFilters" in plan
+
+    # append: new docs change df/n_docs; the same doc must re-score
+    extra = spark.createDataFrame(
+        [(100000, "vector vector merge", "en", "srcX", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    append_to_inverted_index(extra, idx, n_buckets=8)
+    stats = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert stats.n_docs == d.count() + 1
+    got2 = {
+        r.doc_id: r.n_terms_hit
+        for r in query_inverted_index(spark, idx, terms, n_buckets=8)
+        .collect()
+    }
+    assert got2[100000] == 2

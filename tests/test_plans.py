@@ -578,3 +578,38 @@ def test_join_hint_forces_shuffled_hash(spark, sf_dir):
     df = all_queries()["join_hint_shuffle_hash"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_profile_execution_metrics_account_for_rows(spark, sf_dir):
+    """profile_execution (EXPLAIN ANALYZE surface): executed-plan metrics
+    must account for real row movement — the scan emits the table's rows,
+    some aggregate emits exactly the group count, and a shuffle exchange
+    appears with its partition metric."""
+    from rtdl_spark.catalog import table
+    from rtdl_spark.plans.inspect import profile_execution
+
+    li = table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    n_rows = li.count()
+    n_groups = df.count()
+
+    m = profile_execution(df).collect()
+    by_node: dict[tuple, dict] = {}
+    for r in m:
+        by_node.setdefault((r.node_id, r.node), {})[r.metric] = r.value
+
+    scan_rows = [
+        v["numOutputRows"]
+        for (nid, name), v in by_node.items()
+        if "Scan" in name and "numOutputRows" in v
+    ]
+    assert scan_rows and scan_rows[0] == n_rows
+
+    agg_rows = {
+        v["numOutputRows"]
+        for (nid, name), v in by_node.items()
+        if "HashAggregate" in name and "numOutputRows" in v
+    }
+    assert n_groups in agg_rows
+
+    assert any("Exchange" in name for (_, name) in by_node), by_node.keys()

@@ -755,3 +755,55 @@ def test_stream_to_versioned_table_exactly_once_and_time_travel(
     q = stream_to_versioned_table(spark, str(src), schema, root, ckpt, log)
     q.awaitTermination(120)
     assert t.snapshot().count() == 15, "re-delivered epochs must be skipped"
+
+
+def test_stream_heavy_hitters_bounds_and_guarantee(spark, sf_dir, events_stream):
+    """Sharded Misra-Gries heavy hitters: per-bucket state stays within
+    capacity, every emitted candidate's [min_count, max_count] interval
+    brackets the true frequency, and every key heavier than
+    N_bucket/capacity is guaranteed present in its bucket's candidates."""
+    from rtdl_spark.streaming.jobs import stream_heavy_hitters
+
+    cap = 4
+    run_to_memory(
+        stream_heavy_hitters(
+            events_stream, "event_type", n_buckets=2, capacity=cap
+        ),
+        "hh",
+        "update",
+    )
+    # last emission per (bucket, key) is the final summary state
+    final = {
+        (r.bucket, r.key): r
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket, key
+                                              ORDER BY max_count DESC) rk
+                 FROM hh) WHERE rk = 1"""
+        ).collect()
+    }
+    truth = {
+        (r.b, r.k): r.n
+        for r in table(spark, sf_dir, "events")
+        .select(F.col("event_type").cast("string").alias("k"))
+        .withColumn("b", F.pmod(F.xxhash64("k"), F.lit(2)).cast("int"))
+        .groupBy("b", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bucket_n = {}
+    for (b, k), n in truth.items():
+        bucket_n[b] = bucket_n.get(b, 0) + n
+
+    # capacity bound
+    for b in bucket_n:
+        assert sum(1 for (bb, _) in final if bb == b) <= cap
+
+    # interval correctness for every surviving candidate
+    for (b, k), r in final.items():
+        assert r.min_count <= truth[(b, k)] <= r.max_count, (b, k)
+
+    # Misra-Gries guarantee: f > N_b/cap => present
+    for (b, k), n in truth.items():
+        if n > bucket_n[b] / cap:
+            assert (b, k) in final, (b, k, n, bucket_n[b])

@@ -348,6 +348,54 @@ def main() -> None:
         ).collect(),
     )
 
+    # exact all-pairs cosine via block-pair GEMM: synthetic 64-dim corpus
+    # (n scales with N); quadratic work tiled into B(B+1)/2 dgemm tasks.
+    from rtdl_spark.operators.similarity import allpairs_cosine_blocked
+
+    n_vec = 4000 * n
+    vecs = (
+        spark.range(n_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.sin(F.col("id") * i * 0.7 + i * i * 1.3),
+            ).alias("embedding"),
+        )
+    )
+    run(
+        "allpairs_gemm",
+        lambda: allpairs_cosine_blocked(
+            vecs, threshold=0.6, n_blocks=16
+        ).count(),
+    )
+
+    # k-core peeling on a synthetic hash graph (~3 edges/node + a planted
+    # dense kernel): rounds = peel depth, each one agg + one anti-join.
+    from rtdl_spark.operators.graph import k_core
+
+    n_nodes = 100_000 * n
+    sparse = (
+        spark.range(3 * n_nodes)
+        .select(
+            F.pmod(F.xxhash64(F.col("id") * 2 + 1), F.lit(n_nodes)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id") * 2 + 2), F.lit(n_nodes)).alias("dst"),
+        )
+    )
+    clique_ids = spark.range(60).select(F.col("id").alias("a"))
+    kernel = (
+        clique_ids.crossJoin(
+            spark.range(60).select(F.col("id").alias("b"))
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            (F.col("a") + n_nodes).alias("src"),
+            (F.col("b") + n_nodes).alias("dst"),
+        )
+    )
+    edges = sparse.unionByName(kernel)
+    run("kcore_peel_k5", lambda: k_core(edges, 5).count())
+
     print(
         json.dumps(
             {
