@@ -286,3 +286,45 @@ def top_ngram_share(text: Column | str, n: int = 2) -> Column:
             / F.size(g).cast("double"),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalize a URL for dedup keys: lowercase scheme+host (path case
+    preserved), strip the #fragment, drop tracking query params
+    (utm_*, fbclid, gclid), sort the surviving params, strip one trailing
+    slash from the path. Pure Catalyst string/HOF expressions — the
+    pre-dedup normalization step of every web-corpus pipeline (raw URL
+    variants of the same page otherwise defeat exact dedup)."""
+    c = F.col(col) if isinstance(col, str) else col
+    nofrag = F.element_at(F.split(c, "#", 2), 1)
+    base = F.element_at(F.split(nofrag, r"\?", 2), 1)
+    qry = F.when(
+        F.size(F.split(nofrag, r"\?", 2)) > 1,
+        F.element_at(F.split(nofrag, r"\?", 2), 2),
+    ).otherwise(F.lit(""))
+    sep = F.locate("://", base)
+    scheme = F.lower(F.substring(base, F.lit(1), sep - 1))
+    rest = F.substring(base, sep + 3, F.length(base))
+    host = F.lower(F.element_at(F.split(rest, "/", 2), 1))
+    path = F.regexp_replace(
+        F.substring(rest, F.length(host) + 1, F.length(rest)), "/$", ""
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(qry, "&"),
+            lambda p: (~p.startswith("utm_"))
+            & (~p.startswith("fbclid="))
+            & (~p.startswith("gclid="))
+            & (p != ""),
+        )
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )

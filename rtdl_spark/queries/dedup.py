@@ -819,3 +819,97 @@ def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     return k_core(edges, k=2)
+
+
+@query(
+    "dedup_er_pipeline",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 150
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM base a JOIN base b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(length(a.source) - length(b.source)) <= 1
+      WHERE levenshtein(a.source, b.source) <= 1
+    ), sym AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ), walk(node, comp) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+    ), assign AS (
+      SELECT node, MIN(comp) AS canonical_id FROM walk GROUP BY node
+    ), everyone AS (
+      SELECT b.doc_id, COALESCE(a.canonical_id, b.doc_id) AS canonical_id,
+             b.n_chars
+      FROM base b LEFT JOIN assign a ON a.node = b.doc_id
+    ), surv AS (
+      SELECT canonical_id, doc_id AS survivor_id
+      FROM everyone
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY canonical_id
+                                 ORDER BY n_chars DESC, doc_id) = 1
+    )
+    SELECT e.doc_id, e.canonical_id, s.survivor_id,
+           COUNT(*) OVER (PARTITION BY e.canonical_id) AS cluster_size
+    FROM everyone e JOIN surv s USING (canonical_id)
+    """,
+)
+def dedup_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution: block (lang) → candidate pairs
+    (length band) → verify (Levenshtein DP on survivors only) → cluster
+    (connected components, so A~B~C chains resolve together) → survivor
+    election (longest copy, ties to lowest id) — every stage the
+    distributed operator, composed; singletons become their own cluster.
+    The oracle replays blocking, distance, a recursive-CTE closure and
+    the survivorship window in SQL. Scale: the quadratic dies at the
+    blocking/band prune, CC is O(log² n) rounds on the pair set, the
+    election is one window over the (clusters-sized) assignment."""
+    from pyspark.sql import Window
+
+    from rtdl_spark.operators.components import connected_components
+    from rtdl_spark.operators.dedup import fuzzy_pairs
+
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+    pairs = fuzzy_pairs(
+        base, id_col="doc_id", text_col="source", max_dist=1,
+        block_col="lang",
+    )
+    cc = connected_components(pairs, "id1", "id2")
+    everyone = (
+        base.join(
+            cc.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("_comp"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("_comp", "doc_id").alias("canonical_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    surv = (
+        everyone.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("canonical_id", F.col("doc_id").alias("survivor_id"))
+    )
+    return (
+        everyone.join(surv, "canonical_id")
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
+        )
+        .select("doc_id", "canonical_id", "survivor_id", "cluster_size")
+    )

@@ -755,3 +755,50 @@ def lake_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers")
         )
     )
+
+
+@query(
+    "source_binaryfile_scan",
+    oracle="""
+    WITH f AS (
+      SELECT UNNEST(range(0, 20)) AS i
+    ), gen AS (
+      SELECT 'asset_' || CAST(i AS VARCHAR) || '.bin' AS fname,
+             'media-asset-' || CAST(i AS VARCHAR) || ':'
+             || repeat('x', CAST(i * 7 AS INT)) AS body
+      FROM f
+    )
+    SELECT fname, CAST(len(body) AS BIGINT) AS n_bytes,
+           md5(hex(encode(body))) AS content_md5
+    FROM gen
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The opaque-binary ingestion path (multimodal contract, SURVEY §2C):
+    spark.read.format('binaryFile') over a directory of assets → (path,
+    length, content) rows. The query hashes every file's exact bytes; the
+    oracle regenerates the expected bytes in SQL, so the compare proves
+    the binary reader is byte-faithful. At scale this is the image/audio
+    bronze layer: each file one row, scan parallelism = file count, and
+    pathGlobFilter/recursiveFileLookup prune at the listing, before any
+    byte is read."""
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_binsrc_", dir=shm)
+    try:
+        for i in range(20):
+            body = f"media-asset-{i}:" + "x" * (i * 7)
+            with open(os.path.join(workdir, f"asset_{i}.bin"), "wb") as f:
+                f.write(body.encode())
+        bf = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(workdir)
+        )
+        rows = bf.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.hex(F.col("content"))).alias("content_md5"),
+        ).collect()
+        return spark.createDataFrame(rows, "fname string, n_bytes long, content_md5 string")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

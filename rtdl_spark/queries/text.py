@@ -1699,3 +1699,154 @@ def text_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "text_pii_audit",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             text || CASE WHEN doc_id % 10 = 0 THEN ' ssn 123-45-6789'
+                          WHEN doc_id % 10 = 5 THEN ' tel 212-555-0147'
+                          ELSE '' END AS body
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(body, '\d{3}-\d{2}-\d{4}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_ssn,
+           CAST(SUM(CASE WHEN regexp_matches(body,
+                                             '[2-9]\d{2}-\d{3}-\d{4}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_phone,
+           CAST(SUM(len(regexp_extract_all(body, '\d{3}-\d{2}-\d{4}')))
+                AS BIGINT) AS total_ssn_hits
+    FROM t GROUP BY source
+    """,
+)
+def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure data card: per-source counts of documents containing
+    SSN / US-phone patterns (the reference's A23 regexes, pii.py) plus
+    total hit counts — the audit you run BEFORE deciding what to mask or
+    drop. PII is planted deterministically (the fixture text is clean) to
+    exercise the counting path. One scan, one map-combinable aggregate;
+    regexp evaluation stays in whole-stage codegen."""
+    from rtdl_spark.functions.pii import PHONE_RE, SSN_RE
+
+    d = table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(" ssn 123-45-6789"))
+        .when(F.col("doc_id") % 10 == 5, F.lit(" tel 212-555-0147"))
+        .otherwise(F.lit("")),
+    )
+    t = d.select("source", body.alias("body"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("body").rlike(SSN_RE), 1).otherwise(0)
+        ).cast("bigint").alias("n_with_ssn"),
+        F.sum(
+            F.when(F.col("body").rlike(PHONE_RE), 1).otherwise(0)
+        ).cast("bigint").alias("n_with_phone"),
+        F.sum(F.regexp_count("body", F.lit(SSN_RE)))
+        .cast("bigint")
+        .alias("total_ssn_hits"),
+    )
+
+
+_URL_RAW_SQL = """
+      'HTTPS://' || UPPER(source) || '.Example.COM/Docs/D'
+      || CAST(doc_id % 50 AS VARCHAR)
+      || CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+           WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                       || '&utm_campaign=x'
+           ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END
+"""
+
+
+@query(
+    "text_url_canonical",
+    oracle=f"""
+    WITH u AS (
+      SELECT source, {_URL_RAW_SQL} AS raw FROM documents
+    ), c AS (
+      SELECT source, raw,
+             string_split(raw, '#')[1] AS nofrag
+      FROM u
+    ), p AS (
+      SELECT source, raw,
+             string_split(nofrag, '?')[1] AS base,
+             CASE WHEN len(string_split(nofrag, '?')) > 1
+                  THEN string_split(nofrag, '?')[2] ELSE '' END AS qry
+      FROM c
+    ), parts AS (
+      SELECT source, raw,
+             lower(substr(base, 1, strpos(base, '://') - 1)) AS scheme,
+             substr(base, strpos(base, '://') + 3) AS rest, qry
+      FROM p
+    ), hp AS (
+      SELECT source, raw, scheme,
+             lower(string_split(rest, '/')[1]) AS host,
+             regexp_replace(substr(rest, len(string_split(rest, '/')[1]) + 1),
+                            '/$', '') AS path,
+             list_sort(list_filter(string_split(qry, '&'),
+               q -> NOT starts_with(q, 'utm_')
+                    AND NOT starts_with(q, 'fbclid=')
+                    AND NOT starts_with(q, 'gclid=') AND q <> '')) AS params
+      FROM parts
+    ), canon AS (
+      SELECT source, raw,
+             scheme || '://' || host || path ||
+             CASE WHEN len(params) > 0
+                  THEN '?' || array_to_string(params, '&') ELSE '' END AS cu
+      FROM hp
+    )
+    SELECT source, COUNT(*) AS n_urls,
+           COUNT(DISTINCT raw) AS n_distinct_raw,
+           COUNT(DISTINCT cu) AS n_distinct_canonical
+    FROM canon GROUP BY source
+    """,
+)
+def text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/text.py::canonical_url): lowercase
+    scheme+host, fragment stripped, tracking params dropped, surviving
+    params sorted — the pre-dedup normalization without which raw URL
+    variants of one page defeat exact dedup. The card counts distinct
+    raw vs canonical URLs per source (the dedup win). URLs are built
+    deterministically from the fixture (it has no URL column); the
+    oracle replays the whole normalization in SQL. Pure Catalyst
+    string/HOF expressions, one aggregate."""
+    from rtdl_spark.functions.text import canonical_url
+
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM/Docs/D"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("?id="),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    u = d.select("source", raw.alias("raw"))
+    return u.select(
+        "source", "raw", canonical_url("raw").alias("cu")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("raw").alias("n_distinct_raw"),
+        F.countDistinct("cu").alias("n_distinct_canonical"),
+    )

@@ -612,3 +612,40 @@ def win_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey", "o_orderkey", taps.alias("ewma_price")
     )
+
+
+@query(
+    "win_ohlc_resample",
+    oracle=f"""
+    SELECT event_type,
+           time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+           COUNT(*) AS n_events,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(SUM({DEC('value')}) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle resampling: per event type and 15-minute bucket, the
+    first/max/min/last value plus count and (exact decimal) total — the
+    time-series downsampling primitive for dashboards and feature
+    engineering. open/close use min_by/max_by on the event timestamp
+    (unique within a bucket at microsecond grain), so the whole candle is
+    ONE map-combinable aggregate — no window sort, no self-join; a year
+    of ticks costs one shuffle on (type, bucket)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.window("ts", "15 minutes").start.alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.sum(dec("value")).cast("double").alias("total"),
+    )

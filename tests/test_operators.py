@@ -2021,3 +2021,18 @@ def test_inverted_index_matches_scan_bm25_and_prunes(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got2[100000] == 2
+
+
+def test_canonical_url_edges(spark):
+    from rtdl_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTP://EXample.com/A/B/?utm_source=x", "http://example.com/A/B"),
+        ("https://a.com/p?b=2&a=1&utm_campaign=z#frag", "https://a.com/p?a=1&b=2"),
+        ("https://A.com", "https://a.com"),
+        ("https://a.com/?fbclid=abc", "https://a.com"),
+        ("https://a.com/x?gclid=1&id=9", "https://a.com/x?id=9"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
+    got = [r.c for r in df.select(canonical_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
