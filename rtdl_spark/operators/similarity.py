@@ -687,18 +687,35 @@ def allpairs_cosine_blocked(
             rmat = np.stack(pdf["_v"].to_numpy()[rmask])
         ln = np.linalg.norm(lmat, axis=1)
         rn = np.linalg.norm(rmat, axis=1)
-        denom = np.outer(ln, rn)
+        # Chunk the GEMM over L-rows: a full |L|x|R| float64 sims matrix is
+        # 450 MB at 7500x7500 and there are ~cores of these tasks at once —
+        # bounding the live block at CHUNK x |R| keeps per-task memory flat
+        # regardless of block size. Identical values (same dgemm, same
+        # divisions), just streamed.
+        chunk = max(1, 8_000_000 // max(len(rids), 1))
+        outs = []
         with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.where(denom > 0, (lmat @ rmat.T) / denom, 0.0)
-        ii, jj = np.nonzero(sims >= thr)
-        if diagonal:
-            keep = lids[ii] < rids[jj]
-            ii, jj = ii[keep], jj[keep]
-        if len(ii) == 0:
+            for s0 in range(0, len(lids), chunk):
+                s1 = min(s0 + chunk, len(lids))
+                denom = np.outer(ln[s0:s1], rn)
+                sims = np.where(
+                    denom > 0, (lmat[s0:s1] @ rmat.T) / denom, 0.0
+                )
+                ii, jj = np.nonzero(sims >= thr)
+                if diagonal:
+                    keep = lids[s0 + ii] < rids[jj]
+                    ii, jj = ii[keep], jj[keep]
+                if len(ii):
+                    outs.append(
+                        (lids[s0 + ii], rids[jj], sims[ii, jj])
+                    )
+        if not outs:
             return empty
-        ida, idb = lids[ii], rids[jj]
+        ida = np.concatenate([o[0] for o in outs])
+        idb = np.concatenate([o[1] for o in outs])
+        vals = np.concatenate([o[2] for o in outs])
         lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ii, jj]})
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": vals})
 
     # Raw sims cross the Arrow boundary; rounding happens JVM-side so the
     # half-up convention matches DuckDB ROUND (numpy rounds half-even).

@@ -78,6 +78,14 @@ class VersionedTable:
 
     # -- writes ----------------------------------------------------------
     def _write(self, df: DataFrame, kind: str) -> int:
+        if "v" in df.columns:
+            # 'v=' is the version partition directory; a data column named
+            # 'v' would be silently swallowed by the partition layout and
+            # dropped on read — refuse loudly instead
+            raise ValueError(
+                "column name 'v' is reserved by VersionedTable's version "
+                "partitioning; rename it before writing"
+            )
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
         writer = df.write.mode("overwrite")

@@ -427,3 +427,54 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("k").eqNullSafe(F.col("ck")))
         .select("k", "n_orders", "n_customers")
     )
+
+
+@query(
+    "join_temporal_validity",
+    oracle="""
+    WITH vers AS (
+      SELECT c_custkey,
+             c_custkey % 3 AS v,
+             TIMESTAMP '1995-01-01' + INTERVAL 200 DAY * (c_custkey % 3)
+               AS valid_from,
+             CASE WHEN c_custkey % 3 < 2
+                  THEN TIMESTAMP '1995-01-01'
+                       + INTERVAL 200 DAY * (c_custkey % 3 + 1)
+                  ELSE TIMESTAMP '9999-12-31' END AS valid_to,
+             'seg_v' || CAST(c_custkey % 3 AS VARCHAR) AS segment_then
+      FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey, v.segment_then
+    FROM orders o JOIN vers v
+      ON v.c_custkey = o.o_custkey
+     AND o.o_orderdate >= v.valid_from AND o.o_orderdate < v.valid_to
+    WHERE o.o_orderkey % 7 = 0
+    """,
+)
+def join_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join: each fact row matches the
+    dimension VERSION whose [valid_from, valid_to) interval contains the
+    event time — the SCD2 lookup that makes features training-serving
+    consistent (no time travel leakage). Version intervals are derived
+    deterministically from the fixture (it ships no SCD2 table). Still a
+    hash equi-join on the key — the interval predicate is a post-join
+    filter, so there is no nested loop; with at most a few versions per
+    key the fan-out is bounded."""
+    c = table(spark, sf_dir, "customer")
+    base = F.to_timestamp(F.lit("1995-01-01"))
+    v = F.col("c_custkey") % 3
+    vers = c.select(
+        "c_custkey",
+        (base + F.expr("INTERVAL 200 DAYS") * v).alias("valid_from"),
+        F.when(
+            v < 2, base + F.expr("INTERVAL 200 DAYS") * (v + 1)
+        ).otherwise(F.to_timestamp(F.lit("9999-12-31"))).alias("valid_to"),
+        F.concat(F.lit("seg_v"), v.cast("string")).alias("segment_then"),
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.join(
+        vers,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    ).select("o_orderkey", "o_custkey", "segment_then")

@@ -802,3 +802,77 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "fname string, n_bytes long, content_md5 string")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_constraint_audit",
+    oracle="""
+    WITH pk AS (
+      SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dupes
+      FROM orders
+    ), fk AS (
+      SELECT COUNT(*) AS fk_orphans
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_custkey IS NULL
+    ), nn AS (
+      SELECT CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS status_nulls,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nonpositive_prices,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                             OR o_orderdate > TIMESTAMP '2030-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS dates_out_of_range,
+             COUNT(*) AS n_rows
+      FROM orders
+    )
+    SELECT nn.n_rows, pk.pk_dupes, fk.fk_orphans, nn.status_nulls,
+           nn.nonpositive_prices, nn.dates_out_of_range
+    FROM pk CROSS JOIN fk CROSS JOIN nn
+    """,
+)
+def lake_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit card (the dbt-test / Delta-constraint layer, run
+    as a query): primary-key uniqueness, referential integrity (orphan
+    foreign keys via anti-join), NOT NULL, and range checks — one row of
+    violation counts. Scale: the PK check is one count-distinct
+    aggregate, the FK check one broadcast-able anti-join on the dimension
+    key, the column checks ride a single scan; nothing is ever sorted.
+    Zeroes on this fixture by construction — the point is the shape."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dupes")
+    )
+    fk = (
+        o.join(
+            c.select(F.col("c_custkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    nn = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("status_nulls"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nonpositive_prices"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.to_timestamp(F.lit("1990-01-01")))
+                | (F.col("o_orderdate") > F.to_timestamp(F.lit("2030-01-01"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dates_out_of_range"),
+    )
+    return (
+        pk.join(fk)
+        .join(nn)
+        .select(
+            "n_rows", "pk_dupes", "fk_orphans", "status_nulls",
+            "nonpositive_prices", "dates_out_of_range",
+        )
+    )

@@ -199,3 +199,71 @@ def udf_window_pandas_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(mad_udf("o_totalprice").over(w), 4).alias("mad_price"),
     )
+
+
+@query(
+    "udaf_grouped_arrow_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey,
+                                         l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), mid AS (
+      SELECT l_returnflag, l_quantity, n,
+             CAST(FLOOR(n * 0.1) AS BIGINT) AS k
+      FROM ranked
+      WHERE rk > CAST(FLOOR(n * 0.1) AS BIGINT)
+        AND rk <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+    )
+    SELECT l_returnflag,
+           ANY_VALUE(n) AS n_rows,
+           COUNT(*) AS n_kept,
+           FLOOR(CAST(SUM(l_quantity) AS DOUBLE) * 1000000.0 / COUNT(*))
+               / 1000000.0 AS trimmed_mean_qty
+    FROM mid GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_arrow_trimmed_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UDAF on the ARROW-NATIVE lane (applyInArrow, Spark 4): 10% trimmed
+    mean per group — the robust average with no Catalyst built-in. The
+    group arrives as a pyarrow.Table (zero pandas conversion — the lane
+    to use when the kernel is numpy/arrow-compute anyway); values sort
+    once in numpy, the trim is integer index arithmetic, and the mean is
+    one floor-fixed-point ratio of exact integers. The groupBy is the
+    only shuffle; at scale guard giant groups the same way as the pandas
+    UDAF twin (udaf_grouped_mad)."""
+    import math
+
+    import pyarrow as pa
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+
+    def trimmed(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        q = np.sort(t.column("q").to_numpy())
+        n = len(q)
+        k = int(math.floor(n * 0.1))
+        mid = q[k : n - k]
+        tm = math.floor(float(mid.sum()) * 1_000_000.0 / len(mid)) / 1e6
+        return pa.table(
+            {
+                "l_returnflag": [t.column("l_returnflag")[0].as_py()],
+                "n_rows": [n],
+                "n_kept": [len(mid)],
+                "trimmed_mean_qty": [tm],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInArrow(
+        trimmed,
+        "l_returnflag string, n_rows long, n_kept long, "
+        "trimmed_mean_qty double",
+    )

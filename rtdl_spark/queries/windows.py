@@ -649,3 +649,223 @@ def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close"),
         F.sum(dec("value")).cast("double").alias("total"),
     )
+
+
+@query(
+    "win_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY 1
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, each step's
+    FIRST occurrence strictly after the previous step's): the product-
+    analytics staple. Three conditional min-timestamp aggregates chained
+    by per-user joins — each stage is one map-combinable agg + one hash
+    join on user_id, timestamps stay exact (no floats anywhere). At any
+    scale this is 3 shuffles on user_id; no window sort, no event-order
+    materialization."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .join(v.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .join(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+@query(
+    "win_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            DATE_TRUNC('week', e.ts)) / 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def win_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in every later week they were active — the (cohort × week-offset)
+    retention triangle. One min-ts aggregate fixes cohorts, a distinct on
+    (user, offset) dedups within-week activity, one final count. Offsets
+    are exact integers (difference of week-truncated timestamps / 7).
+    Two shuffles on user_id + one on the (tiny) matrix key."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+@query(
+    "win_session_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    ), paths AS (
+      SELECT user_id, session_id,
+             array_to_string(list(event_type ORDER BY ts, event_id), '>')
+               AS path
+      FROM s GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+)
+def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: the top event-type SEQUENCES users take
+    within a session (gaps-and-islands sessionization → ordered path
+    string → frequency) — the 'how do users actually move through the
+    product' query. Event order inside a session is pinned by
+    sort_array over (ts, event_id) structs (collect_list alone has no
+    order guarantee across merges); the path build is per-session, the
+    ranking runs over the (tiny) distinct-path frame via TakeOrdered."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts")
+            <= F.lag("ts").over(w) + F.expr("INTERVAL 30 minutes"),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    s = e.withColumn("session_id", F.sum("new_session").over(run))
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("ts", "event_id", "event_type")
+                )
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("evs"), lambda x: x["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(15)
+    )
+
+
+@query(
+    "win_rolling_distinct_users",
+    oracle="""
+    WITH days AS (
+      SELECT DATE_TRUNC('day', ts) AS day, user_id
+      FROM events GROUP BY 1, 2
+    )
+    SELECT DISTINCT day,
+           COUNT(DISTINCT user_id) OVER (ORDER BY day) AS cum_distinct_users
+    FROM days
+    """,
+)
+def win_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — COUNT(DISTINCT) OVER, which
+    Spark's window functions DON'T support — bridged exactly with the
+    first-appearance trick: dedup (day, user), mark each user's FIRST day
+    (min aggregate, no window over raw rows), count first-appearances per
+    day, cumulative-sum over the days-sized frame. Every step is
+    map-combinable; the only window runs over |days| rows. DuckDB has the
+    native window, which is the oracle."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    first_day = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    news = first_day.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    all_days = days.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        all_days.join(news, "day", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .withColumn("cum_distinct_users", F.sum("n_new").over(w))
+        .select("day", "cum_distinct_users")
+    )

@@ -757,3 +757,68 @@ def test_register_masked_view_masks_and_prunes(spark):
 
     got = spark.sql("SELECT id FROM masked_v WHERE id = 2").collect()
     assert [r.id for r in got] == [2]
+
+
+def test_materialized_agg_view_incremental_and_rebuild(spark, tmp_path):
+    """MaterializedAggView: first refresh builds, append-only refreshes
+    fold ONLY the delta (and equal a full recompute), an overwrite commit
+    forces a rebuild, vacuum keeps one state generation."""
+    from rtdl_spark.operators.matview import MaterializedAggView
+    from rtdl_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "fact"))
+    mv = MaterializedAggView(
+        vt, str(tmp_path / "mv"), ["k"], {"total": "val", "wide": "val * 2"}
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, val long")
+
+    def recompute():
+        return {
+            (r.k): (r.total, r.wide, r.n)
+            for r in vt.snapshot()
+            .groupBy("k")
+            .agg(
+                F.sum("val").alias("total"),
+                F.sum(F.expr("val * 2")).alias("wide"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+
+    vt.append(batch([("a", 1), ("b", 2)]))
+    v1 = mv.refresh()
+    assert {(r.k): (r.total, r.wide, r.n) for r in mv.frame().collect()} == recompute()
+
+    vt.append(batch([("b", 10), ("c", 5)]))
+    v2 = mv.refresh()
+    assert v2 > v1
+    assert {(r.k): (r.total, r.wide, r.n) for r in mv.frame().collect()} == recompute()
+    # idempotent when current
+    assert mv.refresh() == v2
+
+    # overwrite invalidates increments -> rebuild still correct
+    vt.overwrite(batch([("z", 7), ("z", 3)]))
+    mv.refresh()
+    got = {(r.k): (r.total, r.wide, r.n) for r in mv.frame().collect()}
+    assert got == recompute() == {"z": (10, 20, 2)}
+
+    mv.vacuum()
+    import os
+
+    states = [
+        n for n in os.listdir(tmp_path / "mv") if n.startswith("state_v=")
+    ]
+    assert len(states) == 1
+
+
+def test_versioned_table_rejects_reserved_column(spark, tmp_path):
+    from rtdl_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "rescol"))
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="reserved"):
+        vt.append(df)

@@ -6,7 +6,8 @@ Purpose: empirical backing for SCALE.md's claims — near-linear scaling of
 the scan-agg, join, dedup, and ingest paths, no cliff from partition-count
 or memory pressure. Usage:
 
-    python tools/soak.py [N]          # default N=10 (≈6M lineitem rows)
+    python tools/soak.py [N]                      # default N=10 (~6M rows)
+    python tools/soak.py 30 --only allpairs_gemm  # one cell at 30x
 """
 
 from __future__ import annotations
@@ -23,6 +24,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from rtdl_spark.catalog import table
@@ -47,6 +51,8 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def run(name, fn):
+        if only is not None and name not in only:
+            return
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -353,20 +359,28 @@ def main() -> None:
     from rtdl_spark.operators.similarity import allpairs_cosine_blocked
 
     n_vec = 4000 * n
+    # decorrelated hash vectors: cosine concentrates near 0 (real-corpus
+    # density — survivors are rare, so the cell measures the tiled GEMM +
+    # replication shuffle, not result materialization). The dense regime
+    # (sin-formula vectors, 0.8% of pairs over threshold -> 58M emitted
+    # pairs at 120k vectors) was measured once: 590s, dominated by the
+    # Arrow emit of the survivor set itself - see SCALE.md.
     vecs = (
         spark.range(n_vec)
         .select(
             F.col("id").alias("vec_id"),
             F.transform(
                 F.sequence(F.lit(1), F.lit(64)),
-                lambda i: F.sin(F.col("id") * i * 0.7 + i * i * 1.3),
+                lambda i: F.pmod(F.xxhash64(F.col("id") * 64 + i), F.lit(2000))
+                / 1000.0
+                - 1.0,
             ).alias("embedding"),
         )
     )
     run(
         "allpairs_gemm",
         lambda: allpairs_cosine_blocked(
-            vecs, threshold=0.6, n_blocks=16
+            vecs, threshold=0.5, n_blocks=16
         ).count(),
     )
 
