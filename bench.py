@@ -38,6 +38,10 @@ HEADLINE = (
     # curriculum export (bucket-offset global rank, no single-task sort)
     "sim_ivf_pq_topk",
     "text_curriculum_shards",
+    # time-series candle (single-aggregate OHLC) and rank statistics
+    # (tie-corrected Spearman over value-binned ranks)
+    "win_ohlc_resample",
+    "agg_spearman_corr",
 )
 
 

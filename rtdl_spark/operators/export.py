@@ -60,6 +60,7 @@ def export_training_shards(
     id_col: str = "doc_id",
     n_shards: int = 8,
     seed: int = 42,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Write ``df`` as ``n_shards`` shard files under ``path`` and return
     the manifest (one row per shard).
@@ -79,13 +80,21 @@ def export_training_shards(
     # shard_id leads the sort: FileFormatWriter requires task rows ordered
     # by the partition column and would inject its OWN (order-destroying)
     # sort if that prefix weren't already satisfied.
-    (
+    writer = (
         assigned.repartition(n_shards, "shard_id")
         .sortWithinPartitions("shard_id", "shuffle_key", id_col)
         .write.mode("overwrite")
         .partitionBy("shard_id")
-        .parquet(path)
     )
+    # fmt="json" emits JSONL shard files — the format most training
+    # loaders stream natively; same plan, same order guarantee (the JSON
+    # writer preserves task row order exactly like parquet's row groups).
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported shard format: {fmt!r}")
     return shard_manifest(assigned, id_col=id_col)
 
 

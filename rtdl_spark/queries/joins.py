@@ -478,3 +478,43 @@ def join_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") >= F.col("valid_from"))
         & (F.col("o_orderdate") < F.col("valid_to")),
     ).select("o_orderkey", "o_custkey", "segment_then")
+
+
+@query(
+    "join_inequality_bnl",
+    oracle="""
+    WITH thresholds AS (
+      SELECT r_regionkey AS tier, 1000.0 * (r_regionkey + 1) AS cutoff
+      FROM region
+    )
+    SELECT t.tier, COUNT(*) AS n_accounts,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM customer c JOIN thresholds t ON c.c_acctbal <= t.cutoff
+    GROUP BY t.tier
+    """,
+)
+def join_inequality_bnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-inequality join (NO equi key): every customer × every
+    threshold tier it falls under — banding/tiering against a rule table.
+    With no hashable key Catalyst must pick BroadcastNestedLoopJoin; that
+    is the RIGHT plan exactly when one side is rule-table-sized (5 rows
+    here): the fact side streams once, never shuffles, and each row
+    evaluates |rules| predicates. The plan gate pins the broadcast side
+    so a regression to a cartesian shuffle join is caught. For large BOTH
+    sides, use banded_range_join (bucketed equi-join) instead."""
+    r = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("tier"),
+        (1000.0 * (F.col("r_regionkey") + 1)).alias("cutoff"),
+    )
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(r), F.col("c_acctbal") <= F.col("cutoff"))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_accounts"),
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+    )

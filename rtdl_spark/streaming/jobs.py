@@ -446,6 +446,7 @@ def stream_to_versioned_table(
     commit_log_dir: str,
     transform=None,
     trigger_once: bool = True,
+    matview=None,
 ) -> StreamingQuery:
     """Continuous exactly-once appends into a VersionedTable
     (operators/versioned.py): every micro-batch becomes one committed
@@ -468,6 +469,8 @@ def stream_to_versioned_table(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
         vt.append(out)
+        if matview is not None:
+            matview.refresh()
 
     writer = raw.writeStream.foreachBatch(
         idempotent_sink(sink, CommitLog(spark, commit_log_dir))

@@ -2036,3 +2036,39 @@ def test_canonical_url_edges(spark):
     df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
     got = [r.c for r in df.select(canonical_url("u").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_export_training_shards_jsonl(spark, sf_dir, tmp_path):
+    """fmt='json' writes JSONL shards with the identical deterministic
+    order and membership as the parquet path (manifest digests equal)."""
+    import json as _json
+    import glob as _glob
+
+    from rtdl_spark.operators.export import export_training_shards
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    p_par = str(tmp_path / "par")
+    p_jsn = str(tmp_path / "jsn")
+    m1 = {
+        r.shard_id: (r.n_rows, r.order_digest)
+        for r in export_training_shards(d, p_par, n_shards=4).collect()
+    }
+    m2 = {
+        r.shard_id: (r.n_rows, r.order_digest)
+        for r in export_training_shards(
+            d, p_jsn, n_shards=4, fmt="json"
+        ).collect()
+    }
+    assert m1 == m2
+
+    # file order in one JSONL shard == parquet read-back order
+    files = sorted(_glob.glob(f"{p_jsn}/shard_id=0/part-*"))
+    json_ids = []
+    for fp in files:
+        with open(fp) as f:
+            json_ids += [_json.loads(line)["doc_id"] for line in f]
+    par_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{p_par}/shard_id=0").collect()
+    ]
+    assert json_ids == par_ids and len(json_ids) == m1[0][0]

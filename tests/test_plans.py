@@ -613,3 +613,13 @@ def test_profile_execution_metrics_account_for_rows(spark, sf_dir):
     assert n_groups in agg_rows
 
     assert any("Exchange" in name for (_, name) in by_node), by_node.keys()
+
+
+def test_inequality_join_uses_broadcast_nested_loop(spark, sf_dir):
+    """join_inequality_bnl must plan as BroadcastNestedLoopJoin (tiny rule
+    side broadcast; fact side never shuffles before the join)."""
+    from rtdl_spark.queries import all_queries
+
+    plan = formatted_plan(all_queries()["join_inequality_bnl"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan

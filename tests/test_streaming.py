@@ -807,3 +807,67 @@ def test_stream_heavy_hitters_bounds_and_guarantee(spark, sf_dir, events_stream)
     for (b, k), n in truth.items():
         if n > bucket_n[b] / cap:
             assert (b, k) in final, (b, k, n, bucket_n[b])
+
+
+def test_stream_matview_continuous_rollup(spark, tmp_path):
+    """stream_to_versioned_table(matview=...): every micro-batch commits a
+    version AND folds it into the persisted rollup; after replay with a
+    wiped checkpoint the view still equals a full recompute (no double
+    counting — the CommitLog skips the batch, so no version, no
+    refresh delta)."""
+    import json as _json
+    import shutil
+
+    from rtdl_spark.operators.matview import MaterializedAggView
+    from rtdl_spark.operators.versioned import VersionedTable
+    from rtdl_spark.streaming import stream_to_versioned_table
+
+    src = tmp_path / "mvsrc"
+    src.mkdir()
+    ckpt, log, root, mdir = (
+        str(tmp_path / "ck"),
+        str(tmp_path / "cl"),
+        str(tmp_path / "vt"),
+        str(tmp_path / "mv"),
+    )
+    schema = "event_id long, user_id long, amount long"
+
+    def wave(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run():
+        vt = VersionedTable(spark, root)
+        mv = MaterializedAggView(vt, mdir, ["user_id"], {"amt": "amount"})
+        q = stream_to_versioned_table(
+            spark, str(src), schema, root, ckpt, log, matview=mv
+        )
+        q.awaitTermination(120)
+        return vt, mv
+
+    wave("a.json", [{"event_id": i, "user_id": i % 2, "amount": i}
+                    for i in range(8)])
+    vt, mv = run()
+    wave("b.json", [{"event_id": 100 + i, "user_id": 1, "amount": 10}
+                    for i in range(3)])
+    vt, mv = run()
+
+    def view():
+        return {r.user_id: (r.amt, r.n) for r in mv.frame().collect()}
+
+    def full():
+        return {
+            r.user_id: (r.amt, r.n)
+            for r in vt.snapshot()
+            .groupBy("user_id")
+            .agg(F.sum("amount").alias("amt"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    assert view() == full()
+    assert mv.refreshed_version() == vt.latest_version()
+
+    shutil.rmtree(ckpt)  # force re-delivery of both files
+    vt, mv = run()
+    assert view() == full()  # commit log skipped -> no double counting
