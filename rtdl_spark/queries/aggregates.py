@@ -537,3 +537,62 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mode, "l_linestatus").select(
         "l_linestatus", "n_rows", "med_qty", "mode_returnflag"
     )
+
+
+@query(
+    "agg_crosstab_chi2",
+    oracle="""
+    WITH ct AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), margins AS (
+      SELECT r, c, n,
+             CAST(SUM(n) OVER (PARTITION BY r) AS DOUBLE) AS row_n,
+             CAST(SUM(n) OVER (PARTITION BY c) AS DOUBLE) AS col_n,
+             CAST(SUM(n) OVER () AS DOUBLE) AS total_n
+      FROM ct
+    ), cells AS (
+      SELECT r, c, n, (row_n * col_n) / total_n AS expected
+      FROM margins
+    )
+    SELECT COUNT(*) AS n_cells,
+           FLOOR(SUM(((n - expected) * (n - expected)) / expected)
+                 * 1000.0) / 1000.0 AS chi2_stat
+    FROM cells
+    """,
+)
+def agg_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (order priority × status): contingency counts in ONE aggregate, row/
+    column margins as windows over the CELLS frame (|R|·|C| rows — never
+    the table), expected = row·col/total, then Σ(obs−exp)²/exp. All
+    inputs to the float math are exact integers and the expression is
+    operand-order-mirrored, so one floor-fixed-point output matches
+    across engines. The profiling answer to 'are these two columns
+    related or can I treat them independently'."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    ct = o.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    margins = ct.select(
+        "r", "c", "n",
+        F.sum("n").over(Window.partitionBy("r")).cast("double").alias("row_n"),
+        F.sum("n").over(Window.partitionBy("c")).cast("double").alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).cast("double").alias("total_n"),
+    )
+    cells = margins.withColumn(
+        "expected", (F.col("row_n") * F.col("col_n")) / F.col("total_n")
+    )
+    diff = F.col("n") - F.col("expected")
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            F.floor(
+                F.sum((diff * diff) / F.col("expected")) * F.lit(1000.0)
+            )
+            / F.lit(1000.0)
+        ).alias("chi2_stat"),
+    )

@@ -2072,3 +2072,54 @@ def test_export_training_shards_jsonl(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{p_par}/shard_id=0").collect()
     ]
     assert json_ids == par_ids and len(json_ids) == m1[0][0]
+
+
+def test_pipeline_spec_composes_and_validates(spark, sf_dir):
+    """run_pipeline: the spec-driven composition equals the hand-written
+    chain; validation rejects unknown ops/params/missing-required BEFORE
+    execution; the result is one lazy plan."""
+    import pytest as _pt
+
+    from rtdl_spark.operators.curation import stratified_take
+    from rtdl_spark.operators.dedup import exact_dedup
+    from rtdl_spark.operators.pipeline_spec import run_pipeline, validate_pipeline
+
+    d = table(spark, sf_dir, "documents")
+    spec = [
+        {"op": "quality_filter", "min_tokens": 5},
+        {"op": "exact_dedup", "subset": ["text"]},
+        {"op": "stratified_sample", "group_cols": ["lang"], "per_group": 10},
+        {"op": "filter", "where": "n_chars > 50"},
+        {"op": "select", "cols": ["doc_id", "lang", "n_chars"]},
+    ]
+    out, lineage = run_pipeline(d, spec)
+    assert lineage == [
+        "quality_filter", "exact_dedup", "stratified_sample", "filter",
+        "select",
+    ]
+
+    from rtdl_spark.functions.text import (
+        distinct_token_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    t = F.col("text")
+    manual = d.filter(
+        (token_count(t) >= 5)
+        & (stopword_ratio(t) <= 0.5)
+        & (distinct_token_ratio(t) >= 0.3)
+    )
+    manual = exact_dedup(manual.orderBy("doc_id"), ["text"])
+    manual = stratified_take(manual, ["lang"], 10)
+    manual = manual.filter("n_chars > 50").select("doc_id", "lang", "n_chars")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+
+    with _pt.raises(ValueError, match="unknown op"):
+        validate_pipeline([{"op": "nope"}])
+    with _pt.raises(ValueError, match="unknown params"):
+        validate_pipeline([{"op": "quality_filter", "min_tokensz": 1}])
+    with _pt.raises(ValueError, match="missing required"):
+        validate_pipeline([{"op": "exact_dedup"}])

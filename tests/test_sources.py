@@ -196,3 +196,28 @@ def test_envelope_datasource_streaming_offsets(spark, tmp_path):
     seqs = sorted(r["seq"] for r in rows)
     assert len(seqs) > 0 and len(seqs) == len(set(seqs))
     assert seqs == list(range(len(seqs)))
+
+
+def test_ignore_corrupt_parquet_files(spark, tmp_path):
+    """Bad-file tolerance on the scan path: with
+    spark.sql.files.ignoreCorruptFiles=true a truncated/garbage parquet
+    file in the directory is skipped and the healthy files' rows survive —
+    the lake keeps serving under partial corruption; with the default
+    (false) the scan fails loudly. Both behaviors verified."""
+    import pytest as _pt
+
+    path = str(tmp_path / "mixed")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(path)
+    with open(f"{path}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    key = "spark.sql.files.ignoreCorruptFiles"
+    prev = spark.conf.get(key, "false")
+    try:
+        spark.conf.set(key, "false")
+        with _pt.raises(Exception):
+            spark.read.parquet(path).count()
+        spark.conf.set(key, "true")
+        assert spark.read.parquet(path).count() == 10
+    finally:
+        spark.conf.set(key, prev)
