@@ -320,3 +320,63 @@ def phash_near_dup_pairs(
         .distinct()
     )
     return pairs
+
+
+AUDIO_SEGMENTS_SCHEMA = (
+    "doc_id long, seg_idx int, offset_ms long, dur_ms long, segment binary"
+)
+
+
+def segment_audio(
+    df: DataFrame,
+    seg_ms: int = 1000,
+    bytes_per_ms: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """mapInPandas audio segmentation — one audio row fans out to
+    fixed-duration segment rows keyed (doc_id, seg_idx, offset_ms): the
+    bronze→silver step before per-segment feature extraction / dedup
+    (same contract as sample_frames for video).
+
+    The fake path treats the payload as fixed-rate PCM (``bytes_per_ms``)
+    and slices byte ranges, standing in for soundfile/librosa decode +
+    resample; the Spark-side shape — schema, fan-out, Arrow batching,
+    partition behavior — is the real deliverable. A short final segment
+    is kept (its dur_ms says so), matching what a real splitter emits.
+    """
+
+    seg_bytes = seg_ms * bytes_per_ms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "audio codecs not available in this environment; plug "
+                    "soundfile/librosa decode here or pass fake_decode=True"
+                )
+            ids, idxs, offs, durs, segs = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = payload or b""
+                n_segs = max((len(payload) + seg_bytes - 1) // seg_bytes, 1)
+                for i in range(n_segs):
+                    chunk = payload[i * seg_bytes : (i + 1) * seg_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * seg_ms)
+                    durs.append(
+                        (len(chunk) + bytes_per_ms - 1) // bytes_per_ms
+                    )
+                    segs.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "seg_idx": idxs,
+                    "offset_ms": offs,
+                    "dur_ms": durs,
+                    "segment": segs,
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_SEGMENTS_SCHEMA)

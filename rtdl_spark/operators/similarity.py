@@ -724,3 +724,76 @@ def allpairs_cosine_blocked(
         .applyInPandas(score, "id_a long, id_b long, sim double")
         .withColumn("sim", F.round("sim", 6))
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    candidates: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: diversity-aware top-k.
+    Plain top-k returns near-duplicates of the best hit; MMR selects
+    iteratively by  lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s), so each
+    pick is relevant AND far from what's already picked — retrieval-
+    augmented sampling / eval-set construction both want this.
+
+    Scale shape: the DISTRIBUTED stage is candidate generation (exact
+    brute-force here; swap in ivf_pq/rp_lsh for big corpora — same
+    contract). The iterative selection is inherently sequential but runs
+    on the CANDIDATE set only: an N×N sim matrix with N=``candidates``
+    per query (tiny, driver-side numpy), never on the corpus. Ties break
+    by lowest id; fully deterministic.
+
+    Returns: query_id, neighbor_id, relevance (rounded 6), mmr_rank.
+    """
+    import numpy as np
+
+    topc = cosine_topk(corpus, queries, id_col, vec_col, k=candidates)
+    cand_rows = topc.collect()
+    vec_ids = {r.neighbor_id for r in cand_rows} | {
+        r.query_id for r in cand_rows
+    }
+    vecs = {
+        r[0]: np.asarray(r[1], dtype=np.float64)
+        for r in corpus.select(id_col, vec_col)
+        .filter(F.col(id_col).isin([int(v) for v in vec_ids]))
+        .collect()
+    }
+
+    by_query: dict[int, list] = {}
+    for r in cand_rows:
+        by_query.setdefault(r.query_id, []).append(r)
+
+    out = []
+    for qid, rows in sorted(by_query.items()):
+        ids = [r.neighbor_id for r in rows]
+        rel = {r.neighbor_id: r.cosine_sim for r in rows}
+        mat = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+        sims = mat @ mat.T  # candidate-candidate cosine
+        idx = {i: j for j, i in enumerate(ids)}
+        selected: list[int] = []
+        remaining = set(ids)
+        while remaining and len(selected) < k:
+            best, best_score = None, None
+            for i in sorted(remaining):
+                penalty = (
+                    max(sims[idx[i], idx[s]] for s in selected)
+                    if selected
+                    else 0.0
+                )
+                score = lam * rel[i] - (1 - lam) * penalty
+                if best_score is None or score > best_score + 1e-12:
+                    best, best_score = i, score
+            selected.append(best)
+            remaining.discard(best)
+        for rank, i in enumerate(selected, 1):
+            out.append((qid, i, float(rel[i]), rank))
+
+    return corpus.sparkSession.createDataFrame(
+        out, "query_id long, neighbor_id long, relevance double, "
+        "mmr_rank int"
+    )

@@ -459,3 +459,194 @@ def x_allpairs_blocked_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_cosine_blocked(
         e, "vec_id", "embedding", threshold=0.3, n_blocks=8
     )
+
+
+@query("sim_mmr_rerank")
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval (operators/similarity.py::mmr_rerank):
+    exact top-50 candidates per query, then Maximal Marginal Relevance
+    selects 5 that are relevant AND mutually distant — the de-dup'd
+    retrieval a RAG/eval pipeline wants. Rows-only (iterative argmax is
+    not SQL-expressible); determinism + diversity-beats-topk pinned in
+    tests/test_operators.py."""
+    from rtdl_spark.operators.similarity import mmr_rerank
+
+    e = table(spark, sf_dir, "embeddings")
+    return mmr_rerank(e, e.filter(F.col("vec_id") < 3), k=5, candidates=30)
+
+
+_RRF_BM25_CTE = """
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             AVG(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+      WHERE tok IN ('vector', 'hash', 'merge')
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 5) AS bm25
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), btop AS (
+      SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100
+    ), brank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+      FROM btop
+    )
+"""
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH {_RRF_BM25_CTE},
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND({_cos('q.qvec', 'e.embedding')}, 6) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ), ctop AS (
+      SELECT doc_id, sim FROM cos WHERE sim IS NOT NULL
+      ORDER BY sim DESC, doc_id LIMIT 100
+    ), crank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rc
+      FROM ctop
+    ), fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             FLOOR((COALESCE(1.0 / (60 + b.rb), 0.0)
+                    + COALESCE(1.0 / (60 + c.rc), 0.0)) * 1000000000.0)
+               / 1000000000.0 AS rrf
+      FROM brank b FULL OUTER JOIN crank c USING (doc_id)
+    )
+    SELECT doc_id, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: keyword (BM25) and embedding (cosine) rankings
+    fused by Reciprocal Rank Fusion — score(d) = Σ 1/(60+rank_list(d))
+    over the lists containing d. RRF needs no score calibration between
+    the two modalities (only ranks), which is why it's the standard
+    hybrid-search baseline. Both rankers are the engine's existing
+    shapes (vocab-model broadcast joins; broadcast query vector); each
+    list is cut to its top-100 FIRST via orderBy+limit (TakeOrdered
+    per-partition heaps — never a corpus-wide single-partition rank
+    window), ranks are then assigned on the 100-row frames; the fusion
+    is one full-outer join on doc_id + exact 1/(60+r) arithmetic
+    (floor-fixed); ties pin by (rounded score, id) identically on both
+    engines."""
+    from pyspark.sql import Window
+
+    from rtdl_spark.functions.text import tokens as _tokens
+    from rtdl_spark.functions.vectors import cosine as _cosine
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    dl = d.select("doc_id", F.size(_tokens("text")).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(_tokens("text"))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("tok").isin("vector", "hash", "merge"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = F.broadcast(
+        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    bm = (
+        tf.join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                        + 1
+                    )
+                    * F.col("tf")
+                    * 2.2
+                    / (
+                        F.col("tf")
+                        + 1.2
+                        * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                5,
+            ).alias("bm25")
+        )
+    )
+    btop = bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(100)
+    brank = btop.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rb"),
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    cos = (
+        e.filter(F.col("vec_id") != 0)
+        .join(q)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine(F.col("qvec"), F.col("embedding")), 6).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim").isNotNull())
+    )
+    ctop = cos.orderBy(F.desc("sim"), F.asc("doc_id")).limit(100)
+    crank = ctop.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+        .alias("rc"),
+    )
+
+    fused = (
+        brank.join(crank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    (
+                        F.coalesce(
+                            F.lit(1.0) / (F.lit(60) + F.col("rb")), F.lit(0.0)
+                        )
+                        + F.coalesce(
+                            F.lit(1.0) / (F.lit(60) + F.col("rc")), F.lit(0.0)
+                        )
+                    )
+                    * F.lit(1000000000.0)
+                )
+                / F.lit(1000000000.0)
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)

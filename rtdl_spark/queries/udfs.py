@@ -267,3 +267,22 @@ def udaf_grouped_arrow_trimmed_mean(
         "l_returnflag string, n_rows long, n_kept long, "
         "trimmed_mean_qty double",
     )
+
+
+@query("multimodal_audio_segments")
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plumbing (operators/multimodal.py::
+    segment_audio): binary payloads fan out to fixed-duration segment
+    rows via mapInPandas (codec-stubbed deterministic slicer — real
+    decode plugs in at the marked point). Rows-only; byte-exact
+    reconstruction pinned in tests/test_multimodal.py."""
+    from rtdl_spark.operators.multimodal import (
+        attach_binary_payload,
+        segment_audio,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return segment_audio(
+        attach_binary_payload(docs), seg_ms=20, bytes_per_ms=8,
+        fake_decode=True,
+    ).drop("segment")

@@ -149,3 +149,39 @@ def test_phash_banding_is_lossless_below_n_bands(spark):
     h = perceptual_hash(docs, fake_decode=True).collect()[0]["phash"]
     h2 = perceptual_hash(docs, fake_decode=True).collect()[0]["phash"]
     assert h == h2 and 0 <= h < (1 << 60)
+
+
+def test_segment_audio_fanout_and_boundaries(spark, sf_dir):
+    """segment_audio: segment count/offsets/durations reconstruct the
+    payload exactly; a short tail segment keeps its true duration; the
+    codec-gated path raises NotImplementedError."""
+    import pytest as _pt
+
+    from rtdl_spark.operators.multimodal import attach_binary_payload, segment_audio
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    mm = attach_binary_payload(docs)
+    segs = segment_audio(
+        mm, seg_ms=10, bytes_per_ms=3, fake_decode=True
+    ).collect()
+
+    payloads = {
+        r.doc_id: bytes(r.payload) for r in mm.select("doc_id", "payload").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(payloads)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.seg_idx)
+        joined = b"".join(bytes(r.segment) for r in rows)
+        assert joined == payloads[doc_id]
+        for i, r in enumerate(rows):
+            assert r.seg_idx == i and r.offset_ms == i * 10
+            if i < len(rows) - 1:
+                assert r.dur_ms == 10
+            else:
+                assert 0 < r.dur_ms <= 10
+
+    with _pt.raises(Exception, match="codecs not available"):
+        segment_audio(mm, fake_decode=False).collect()

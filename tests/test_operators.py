@@ -2123,3 +2123,38 @@ def test_pipeline_spec_composes_and_validates(spark, sf_dir):
         validate_pipeline([{"op": "quality_filter", "min_tokensz": 1}])
     with _pt.raises(ValueError, match="missing required"):
         validate_pipeline([{"op": "exact_dedup"}])
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR: first pick = plain top-1; a near-duplicate of the first pick
+    is demoted below a less-relevant-but-diverse candidate; deterministic
+    across runs."""
+    import numpy as np
+
+    from rtdl_spark.operators.similarity import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = [0.99, 0.14, 0.0, 0.0]      # most relevant
+    a_dup = [0.985, 0.17, 0.0, 0.0]  # near-dup of a, still very relevant
+    b = [0.7, 0.0, 0.71, 0.0]        # less relevant, diverse
+    rows = [(0, q), (1, a), (2, a_dup), (3, b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = mmr_rerank(
+        df, df.filter(F.col("vec_id") == 0), k=2, candidates=3, lam=0.5
+    ).collect()
+    picks = [r.neighbor_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+    assert picks[0] == 1          # top relevance first
+    assert picks[1] == 3          # diverse b beats near-dup a_dup
+
+    out2 = mmr_rerank(
+        df, df.filter(F.col("vec_id") == 0), k=2, candidates=3, lam=0.5
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    # lam=1 reduces to plain top-k order
+    out3 = mmr_rerank(
+        df, df.filter(F.col("vec_id") == 0), k=3, candidates=3, lam=1.0
+    ).collect()
+    picks3 = [r.neighbor_id for r in sorted(out3, key=lambda r: r.mmr_rank)]
+    assert picks3 == [1, 2, 3]

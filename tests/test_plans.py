@@ -623,3 +623,64 @@ def test_inequality_join_uses_broadcast_nested_loop(spark, sf_dir):
     plan = formatted_plan(all_queries()["join_inequality_bnl"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_reused_exchange_in_self_join(spark, sf_dir):
+    """AQE reuses an identical shuffle subtree instead of recomputing it:
+    a self-join of one aggregated frame must show ReusedExchange in the
+    executed plan — the per-key agg is shuffled ONCE, not twice. The
+    reuse is what makes 'compare every group to itself' patterns (share
+    of total, self-ratios) scale like one aggregation."""
+    from rtdl_spark.catalog import table
+    from rtdl_spark.plans.inspect import executed_plan
+
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity")).alias("q")
+    )
+    a = agg.alias("a")
+    b = agg.withColumnRenamed("q", "q2").alias("b")
+    # broadcast would asymmetrize the two subtrees; force the shuffle
+    # join so both sides build the IDENTICAL exchange
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        joined = a.join(b, "l_orderkey").select("l_orderkey", "q", "q2")
+        plan = executed_plan(joined)
+    finally:
+        spark.conf.set(key, prev)
+    assert "ReusedExchange" in plan, plan
+
+
+def test_cbo_stats_enable_auto_broadcast(spark, sf_dir, tmp_path):
+    """Catalog statistics drive join strategy: after ANALYZE TABLE, the
+    optimizer KNOWS the dimension is tiny and picks BroadcastHashJoin on
+    its own — no F.broadcast hint. This is the mechanism that replaces
+    hand-hints across a 100-table warehouse. (File-relation scans get
+    sizes from files; catalog tables need ANALYZE — this pins that the
+    stats path works end-to-end.)"""
+    from rtdl_spark.catalog import table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo_t")
+    try:
+        nat = table(spark, sf_dir, "nation")
+        nat.write.mode("overwrite").saveAsTable("cbo_t.nation_small")
+        spark.sql(
+            "ANALYZE TABLE cbo_t.nation_small COMPUTE STATISTICS"
+        )
+        stats_row = spark.sql(
+            "DESCRIBE EXTENDED cbo_t.nation_small"
+        ).filter("col_name = 'Statistics'").collect()
+        assert stats_row, "ANALYZE produced no Statistics row"
+
+        sup = table(spark, sf_dir, "supplier")
+        j = sup.join(
+            spark.table("cbo_t.nation_small"),
+            sup.s_nationkey == F.col("n_nationkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_t.nation_small")
+        spark.sql("DROP DATABASE IF EXISTS cbo_t")
