@@ -206,3 +206,31 @@ class VersionedTable:
                 fsutil.delete(self.spark, self._marker(v, kind))
                 dropped.append(v)
         return dropped
+
+
+def tag_version(table: "VersionedTable", name: str, version: int | None = None) -> int:
+    """Name a committed version (a data release: 'train-2024-08'). Tags
+    are immutable create-once markers like commits themselves — re-tagging
+    a name errors instead of silently moving a release. Returns the
+    tagged version."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"invalid tag name: {name!r}")
+    v = table.latest_version() if version is None else version
+    if v is None or v not in table.versions():
+        raise ValueError(f"cannot tag uncommitted version {v!r}")
+    for entry in fsutil.list_names(table.spark, f"{table.root}/_tags"):
+        if entry.rpartition(".")[0] == name:
+            raise ValueError(f"tag {name!r} already exists (immutable)")
+    fsutil.touch_new(table.spark, f"{table.root}/_tags/{name}.{v}")
+    return v
+
+
+def resolve_tag(table: "VersionedTable", name: str) -> int:
+    """Tag name → version number (for snapshot(as_of=resolve_tag(...)))."""
+    for entry in fsutil.list_names(table.spark, f"{table.root}/_tags"):
+        tag, _, v = entry.rpartition(".")
+        if tag == name:
+            return int(v)
+    raise KeyError(f"no tag {name!r} in {table.root}")

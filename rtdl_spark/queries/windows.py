@@ -869,3 +869,121 @@ def win_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_distinct_users", F.sum("n_new").over(w))
         .select("day", "cum_distinct_users")
     )
+
+
+@query(
+    "win_forecast_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, day, total,
+             LAG(total, 1) OVER w AS prev1,
+             LAG(total, 7) OVER w AS prev7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           COUNT(prev7) AS n_scored,
+           FLOOR(SUM(CASE WHEN prev7 IS NOT NULL
+                          THEN ABS(total - prev1) END) * 1000000.0
+                 / SUM(CASE WHEN prev7 IS NOT NULL
+                            THEN ABS(total - prev7) END)) / 1000000.0
+             AS mase_naive1_vs_seasonal7
+    FROM lagged
+    GROUP BY event_type
+    """,
+)
+def win_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality metric (MASE shape): per event type, the mean
+    absolute error of the naive forecast (yesterday's value) scaled by
+    the seasonal-naive error (same weekday last week) — <1 means
+    'yesterday' beats 'last week', the standard scale-free baseline
+    comparison before any real model ships. Daily totals are exact
+    decimal sums; both error sums restrict to the same scored rows
+    (where the 7-lag exists) so the ratio is well-defined; one window
+    over the (days × types)-sized frame, floor-fixed output."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(dec("value")).cast("double").alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "day", "total",
+        F.lag("total", 1).over(w).alias("prev1"),
+        F.lag("total", 7).over(w).alias("prev7"),
+    )
+    scored = F.col("prev7").isNotNull()
+    return lagged.groupBy("event_type").agg(
+        F.count(F.col("prev7")).alias("n_scored"),
+        (
+            F.floor(
+                F.sum(
+                    F.when(scored, F.abs(F.col("total") - F.col("prev1")))
+                )
+                * F.lit(1000000.0)
+                / F.sum(
+                    F.when(scored, F.abs(F.col("total") - F.col("prev7")))
+                )
+            )
+            / F.lit(1000000.0)
+        ).alias("mase_naive1_vs_seasonal7"),
+    )
+
+
+@query(
+    "win_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
+      FROM events WHERE event_type = 'purchase'
+    ), grp AS (
+      SELECT user_id, day,
+             day - INTERVAL 1 DAY * ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, COUNT(*) AS streak_len, MIN(day) AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, streak_len, streak_start
+    FROM streaks
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY streak_len DESC, streak_start) = 1
+    """,
+)
+def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (purchases):
+    the classic gaps-and-islands variant — day minus row_number-days is
+    CONSTANT within a consecutive run, so grouping by that anchor turns
+    streaks into plain aggregates. Engagement/retention feature. One
+    window per user's distinct days (dedup first, so the window frame is
+    days-sized, never event-sized), one aggregate, one argmax."""
+    ev = table(spark, sf_dir, "events")
+    days = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id", "day",
+        (
+            F.col("day").cast("long")
+            - F.row_number().over(w) * F.lit(86400)
+        ).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("_rk", F.row_number().over(best))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "streak_len", "streak_start")
+    )

@@ -822,3 +822,30 @@ def test_versioned_table_rejects_reserved_column(spark, tmp_path):
 
     with _pt.raises(ValueError, match="reserved"):
         vt.append(df)
+
+
+def test_versioned_table_tags(spark, tmp_path):
+    """tag_version/resolve_tag: a named release pins a version for
+    time travel; re-tagging the same name errors (immutable releases)."""
+    import pytest as _pt
+
+    from rtdl_spark.operators.versioned import (
+        VersionedTable,
+        resolve_tag,
+        tag_version,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "tagged"))
+    v0 = vt.append(spark.createDataFrame([(1,)], "k long"))
+    v1 = vt.append(spark.createDataFrame([(2,)], "k long"))
+    assert tag_version(vt, "train-v1", v0) == v0
+    assert tag_version(vt, "latest-release") == v1
+    assert resolve_tag(vt, "train-v1") == v0
+    assert vt.snapshot(as_of=resolve_tag(vt, "train-v1")).count() == 1
+    assert vt.snapshot(as_of=resolve_tag(vt, "latest-release")).count() == 2
+    with _pt.raises(Exception):
+        tag_version(vt, "train-v1", v1)  # immutable
+    with _pt.raises(KeyError):
+        resolve_tag(vt, "nope")
+    with _pt.raises(ValueError):
+        tag_version(vt, "bad/name", v0)
