@@ -797,3 +797,135 @@ def mmr_rerank(
         out, "query_id long, neighbor_id long, relevance double, "
         "mmr_rank int"
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph: every row's top-k cosine neighbors
+    over the whole corpus — the input structure for SemDeDup-style
+    clustering, kNN-graph community detection, and diversity analysis.
+    cosine_topk answers 'top-k for a FEW queries'; this answers it for
+    EVERY row without ever broadcasting the corpus.
+
+    Decomposition (same tiling as allpairs_cosine_blocked): rows hash
+    into B blocks; within each of the B(B+1)/2 block pairs one chunked
+    float64 GEMM scores L×R and BOTH sides keep their local top-k
+    (numpy argpartition — O(n) per row, not a sort). A node's global
+    candidates are its ≤ B·k locals; one hash aggregation per node
+    merges them to the final top-k. Shuffle volume: N·B rows in, N·B·k
+    candidate rows out of the GEMM stage — never N² pairs.
+
+    Returns: src, dst, sim (rounded 6), rank (1 = nearest; global ties
+    by lowest dst id; ties exactly AT a block-local k-boundary resolve
+    arbitrarily within that block — harmless for neighbor semantics,
+    the one deviation from a total ordering). Zero-norm vectors produce
+    sim 0 edges.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        to_double(F.col(vec_col)).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("_b"),
+    )
+    pairs = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("bi"))
+        .crossJoin(
+            spark.range(n_blocks).select(F.col("id").cast("int").alias("bj"))
+        )
+        .filter(F.col("bi") <= F.col("bj"))
+    )
+    left = pairs.join(src, pairs.bi == src._b).select(
+        "bi", "bj", F.lit("L").alias("_side"), "_id", "_v"
+    )
+    right = (
+        pairs.filter(F.col("bi") < F.col("bj"))
+        .join(src, F.col("bj") == src._b)
+        .select("bi", "bj", F.lit("R").alias("_side"), "_id", "_v")
+    )
+    tagged = left.unionByName(right)
+    kk = int(k)
+
+    def local_topk(key, pdf: pd.DataFrame):
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        lmask = pdf["_side"].to_numpy() == "L"
+        if not lmask.any():
+            return empty
+        lids = pdf["_id"].to_numpy()[lmask]
+        lmat = np.stack(pdf["_v"].to_numpy()[lmask])
+        diagonal = key[0] == key[1]
+        if diagonal:
+            rids, rmat = lids, lmat
+        else:
+            rmask = ~lmask
+            if not rmask.any():
+                return empty
+            rids = pdf["_id"].to_numpy()[rmask]
+            rmat = np.stack(pdf["_v"].to_numpy()[rmask])
+        ln = np.linalg.norm(lmat, axis=1)
+        rn = np.linalg.norm(rmat, axis=1)
+
+        frames = []
+
+        def emit(qids, qmat, qn, cids, cmat, cn, exclude_self):
+            chunk = max(1, 8_000_000 // max(len(cids), 1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for s0 in range(0, len(qids), chunk):
+                    s1 = min(s0 + chunk, len(qids))
+                    denom = np.outer(qn[s0:s1], cn)
+                    sims = np.where(
+                        denom > 0, (qmat[s0:s1] @ cmat.T) / denom, 0.0
+                    )
+                    if exclude_self:
+                        eq = qids[s0:s1, None] == cids[None, :]
+                        sims = np.where(eq, -np.inf, sims)
+                    kc = min(kk, sims.shape[1])
+                    part = np.argpartition(-sims, kc - 1, axis=1)[:, :kc]
+                    rows = np.repeat(qids[s0:s1], kc)
+                    cols = cids[part].ravel()
+                    vals = np.take_along_axis(sims, part, axis=1).ravel()
+                    keep = np.isfinite(vals)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "src": rows[keep],
+                                "dst": cols[keep],
+                                "sim": vals[keep],
+                            }
+                        )
+                    )
+
+        emit(lids, lmat, ln, rids, rmat, rn, exclude_self=diagonal)
+        if not diagonal:
+            emit(rids, rmat, rn, lids, lmat, ln, exclude_self=False)
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    cand = (
+        tagged.groupBy("bi", "bj")
+        .applyInPandas(local_topk, "src long, dst long, sim double")
+        .withColumn("sim", F.round("sim", 6))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+    )

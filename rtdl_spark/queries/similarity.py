@@ -650,3 +650,64 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@query("sim_knn_graph")
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN graph over the whole embedding corpus
+    (operators/similarity.py::knn_graph): per-node top-5 via block-pair
+    GEMMs with per-side local top-k (argpartition) and one per-node
+    merge — N·B rows shuffled, never N² pairs, corpus never broadcast.
+    The input structure for SemDeDup clustering / kNN communities.
+    Rows-only; exactness vs brute force and block-invariance pinned in
+    tests/test_operators.py."""
+    from rtdl_spark.operators.similarity import knn_graph
+
+    e = table(spark, sf_dir, "embeddings")
+    return knn_graph(e, k=5, n_blocks=8)
+
+
+@query("sim_mutual_knn_clusters")
+def sim_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-nearest-neighbor clustering: an edge survives only if
+    BOTH endpoints rank each other in their top-2 AND the similarity
+    clears a floor — the mutuality filter that keeps hub vectors from
+    gluing unrelated clusters — then connected components resolve the
+    RNN chains into communities (the agglomerative-clustering building
+    block). Pure composition: knn_graph (block-GEMM) → intersect with
+    the reversed edge set → components. Rows-only; the pieces are each
+    verified on their own (kNN exactness, CC oracle/property)."""
+    from rtdl_spark.operators.components import connected_components
+    from rtdl_spark.operators.similarity import knn_graph
+
+    e = table(spark, sf_dir, "embeddings")
+    # rank <= 2 both directions + a similarity floor: reciprocal-nearest
+    # -neighbor pairs (the RNN criterion of agglomerative clustering) —
+    # plain mutual-kNN on uniform-random fixtures percolates into one
+    # giant component (verified: k=8 mutual edges -> avg degree ~6)
+    knn = knn_graph(e, k=2, n_blocks=8).filter(F.col("sim") >= 0.3)
+    a = knn.select("src", "dst")
+    b = knn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = a.intersect(b).filter(F.col("src") < F.col("dst"))
+    cc = connected_components(mutual, "src", "dst")
+    return (
+        cc.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_member"),
+            F.max("node").alias("max_member"),
+        )
+    )
+
+
+@query("x_knn_graph_full")
+def x_knn_graph_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of sim_knn_graph (x_ prefix → headline set): the full
+    corpus kNN graph at whatever the scale factor provides — measures the
+    tiled-GEMM + candidate-merge throughput per round."""
+    from rtdl_spark.operators.similarity import knn_graph
+
+    e = table(spark, sf_dir, "embeddings")
+    return knn_graph(e, k=5, n_blocks=8)

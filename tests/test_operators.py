@@ -2158,3 +2158,41 @@ def test_mmr_rerank_diversifies(spark):
     ).collect()
     picks3 = [r.neighbor_id for r in sorted(out3, key=lambda r: r.mmr_rank)]
     assert picks3 == [1, 2, 3]
+
+
+def test_knn_graph_exact_vs_bruteforce(spark, sf_dir):
+    """knn_graph: every node's top-k equals brute force (ids AND sims),
+    invariant to block count; no self-edges; exactly k ranks per node."""
+    import numpy as np
+
+    from rtdl_spark.operators.similarity import knn_graph
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 90)
+        .select("vec_id", "embedding")
+    )
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    sims = (mat @ mat.T) / np.outer(
+        np.linalg.norm(mat, axis=1), np.linalg.norm(mat, axis=1)
+    )
+    np.fill_diagonal(sims, -np.inf)
+    want = {}
+    k = 4
+    for i, nid in enumerate(ids):
+        order = sorted(
+            range(len(ids)),
+            key=lambda j: (-round(sims[i, j], 6), ids[j]),
+        )[:k]
+        want[int(nid)] = [int(ids[j]) for j in order]
+
+    for n_blocks in (1, 5):
+        out = knn_graph(emb, k=k, n_blocks=n_blocks).collect()
+        got: dict[int, list] = {}
+        for r in sorted(out, key=lambda r: (r.src, r.rank)):
+            got.setdefault(r.src, []).append(r.dst)
+            assert r.src != r.dst
+        assert got == want, f"n_blocks={n_blocks}"
+        assert all(len(v) == k for v in got.values())

@@ -384,6 +384,13 @@ def main() -> None:
         ).count(),
     )
 
+    from rtdl_spark.operators.similarity import knn_graph
+
+    run(
+        "knn_graph_k10",
+        lambda: knn_graph(vecs, k=10, n_blocks=16).count(),
+    )
+
     # k-core peeling on a synthetic hash graph (~3 edges/node + a planted
     # dense kernel): rounds = peel depth, each one agg + one anti-join.
     from rtdl_spark.operators.graph import k_core
