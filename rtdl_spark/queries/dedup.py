@@ -913,3 +913,42 @@ def dedup_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "canonical_id", "survivor_id", "cluster_size")
     )
+
+
+@query(
+    "dedup_weighted_keepers",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang, n_chars,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           COUNT(*) OVER (PARTITION BY k) AS repeat_count
+    FROM g
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) = 1
+    """,
+)
+def dedup_weighted_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-WEIGHTED dedup: one keeper per fingerprint group plus a
+    repeat_count column — instead of silently deleting duplicates, the
+    training pipeline keeps the count as a loss/sampling weight (a
+    document seen 40 times on the web arguably matters more than one
+    seen once; plain dedup erases that signal, up-weighting preserves it
+    without the redundancy). One window shuffle on the fingerprint; same
+    plan as keep-first dedup, one extra column."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", "lang", "n_chars", fingerprint("text").alias("k")
+    )
+    wcnt = Window.partitionBy("k")
+    wrk = Window.partitionBy("k").orderBy("doc_id")
+    return (
+        g.withColumn("repeat_count", F.count(F.lit(1)).over(wcnt))
+        .withColumn("_rk", F.row_number().over(wrk))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", "lang", "n_chars", "repeat_count")
+    )

@@ -561,3 +561,37 @@ def stream_heavy_hitters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_ohlc_candles(
+    events: DataFrame,
+    window: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming OHLC candles: per event type and time bucket, open/high/
+    low/close/count/total maintained incrementally — min_by/max_by are
+    algebraic (state = current champion + its key), so the candle is ONE
+    watermarked streaming aggregate with fixed-size per-window state;
+    watermark-expired windows finalize and evict. Must equal the batch
+    twin (win_ohlc_resample) exactly on replay — pinned by test."""
+    from rtdl_spark.queries._util import dec
+
+    return (
+        _tz_ts(events)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.sum(dec("value")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n_events",
+            "open", "high", "low", "close", "total",
+        )
+    )

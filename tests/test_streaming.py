@@ -871,3 +871,32 @@ def test_stream_matview_continuous_rollup(spark, tmp_path):
     shutil.rmtree(ckpt)  # force re-delivery of both files
     vt, mv = run()
     assert view() == full()  # commit log skipped -> no double counting
+
+
+def test_stream_ohlc_matches_batch(spark, sf_dir, events_stream):
+    """Streaming OHLC after one availableNow replay == the batch candle
+    query (win_ohlc_resample) on the same data — min_by/max_by state
+    carries the champion across micro-batches correctly."""
+    from rtdl_spark.streaming.jobs import stream_ohlc_candles
+
+    run_to_memory(stream_ohlc_candles(events_stream), "sohlc", "update")
+    got = {
+        (str(r.bucket), r.event_type): (
+            r.n_events, r.open, r.high, r.low, r.close, round(r.total, 2)
+        )
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket, event_type
+                                              ORDER BY n_events DESC) rk
+                 FROM sohlc) WHERE rk = 1"""
+        ).collect()
+    }
+    from rtdl_spark.queries import all_queries
+
+    want = {
+        (str(r.bucket), r.event_type): (
+            r.n_events, r.open, r.high, r.low, r.close, round(r.total, 2)
+        )
+        for r in all_queries()["win_ohlc_resample"](spark, sf_dir).collect()
+    }
+    assert got == want
