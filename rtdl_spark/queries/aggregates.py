@@ -596,3 +596,54 @@ def agg_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000.0)
         ).alias("chi2_stat"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH vw AS (
+      SELECT l_returnflag AS g, CAST(FLOOR(l_extendedprice) AS BIGINT) AS v,
+             CAST(SUM(l_quantity) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT g, v, w,
+             SUM(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY g) AS total
+      FROM vw
+    )
+    SELECT g AS l_returnflag, MIN(v) AS weighted_median_price,
+           CAST(ANY_VALUE(total) AS BIGINT) AS total_weight
+    FROM c
+    WHERE 2 * cum >= total
+    GROUP BY g
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (quantity-weighted price): the importance-weighted
+    statistic plain median() cannot express — the smallest value whose
+    cumulative weight reaches half the total. Same aggregate-then-window
+    discipline as the AUC/Spearman family: collapse to per-(group, value)
+    weight sums first (values dollar-binned, so the frame is bounded by
+    the value range), run the cumulative window over that small frame,
+    pick the crossing point with one aggregate. All integers; no
+    interpolation ambiguity to reconcile across engines."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    vw = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.floor("l_extendedprice").cast("bigint").alias("v"),
+    ).agg(F.sum("l_quantity").cast("bigint").alias("w"))
+    c = vw.select(
+        "g", "v", "w",
+        F.sum("w").over(Window.partitionBy("g").orderBy("v")).alias("cum"),
+        F.sum("w").over(Window.partitionBy("g")).alias("total"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy(F.col("g").alias("l_returnflag"))
+        .agg(
+            F.min("v").alias("weighted_median_price"),
+            F.any_value("total").cast("bigint").alias("total_weight"),
+        )
+    )
