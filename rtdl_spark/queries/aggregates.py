@@ -193,34 +193,101 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch count — no oracle (DuckDB's HLL implementation
-    yields different estimates); the scale story: approx_count_distinct is
-    a single-pass, fixed-memory aggregate vs countDistinct's expand+shuffle."""
+    """HyperLogLog++ sketch count next to the exact count.  The sketch's
+    estimate is engine-specific so it can't be value-compared against
+    DuckDB; instead the output carries the exact count (oracle-checked)
+    plus a boolean asserting the HLL estimate landed within 5 % relative
+    error (rsd=0.02 → 5 % is > 2 sigma; HLL is deterministic for a given
+    input, so this is a stable bound, not a flake).  The scale story:
+    approx_count_distinct is a single-pass, fixed-memory aggregate vs
+    countDistinct's expand+shuffle."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
+    )
 
 
-@query("agg_approx_percentiles")
+_APPROX_PCTS = (0.25, 0.5, 0.9)
+# percentile_approx(accuracy=10000) guarantees rank error <= n/10000; the
+# bound below checks the sketch value lies between the exact interpolated
+# quantiles at p +- 0.01 — 100x the guarantee, so it never flakes while
+# still pinning the sketch to the right neighborhood.
+_APPROX_EPS = 0.01
+
+
+@query(
+    "agg_approx_percentiles",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT l_returnflag, CAST({p} AS DOUBLE) AS pct,
+           ROUND(quantile_cont(l_extendedprice, {p}), 4) AS exact_val,
+           TRUE AS approx_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """
+        for p in _APPROX_PCTS
+    ),
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL/GK-style approximate percentiles (percentile_approx) next to
-    the exact ones — no oracle (the sketch is engine-specific); the scale
-    story: percentile_approx is single-pass mergeable fixed memory, while
-    exact percentile must materialize and sort each group.
-    tests/test_operators.py bounds the rank error against the exact
-    quantiles."""
+    """KLL/GK-style approximate percentiles (percentile_approx) checked
+    against the exact quantiles, exploded to one scalar row per
+    (returnflag, pct) so every output cell is hashable by the driver's
+    canonicalizer.  The exact side is a real DuckDB oracle (both engines
+    interpolate linearly); the approx side is a bound test — the sketch
+    value must fall between the exact quantiles at pct ± 0.01 (the
+    accuracy=10000 guarantee is ±0.0001 rank error, so the bound holds
+    deterministically).  Scale story: percentile_approx is single-pass
+    mergeable fixed memory, while exact percentile must materialize and
+    sort each group."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.9], 10000
-        ).alias("approx_pcts"),
-        F.expr(
-            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))"
-        ).alias("exact_pcts"),
+    pcts = list(_APPROX_PCTS)
+    lo_p = [max(0.0, p - _APPROX_EPS) for p in pcts]
+    hi_p = [min(1.0, p + _APPROX_EPS) for p in pcts]
+
+    def _pct_arr(ps: list[float]) -> F.Column:
+        return F.array(*[F.lit(float(p)) for p in ps])
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", pcts, 10000).alias("approx"),
+        F.percentile("l_extendedprice", _pct_arr(pcts)).alias("exact"),
+        F.percentile("l_extendedprice", _pct_arr(lo_p)).alias("lo"),
+        F.percentile("l_extendedprice", _pct_arr(hi_p)).alias("hi"),
+    )
+    e = agg.select(
+        "l_returnflag",
+        "approx",
+        "exact",
+        "lo",
+        "hi",
+        F.posexplode(_pct_arr(pcts)).alias("pos", "pct"),
+    )
+    idx = F.col("pos") + 1
+    return e.select(
+        "l_returnflag",
+        "pct",
+        F.round(F.element_at("exact", idx), 4).alias("exact_val"),
+        F.element_at("approx", idx)
+        .between(F.element_at("lo", idx), F.element_at("hi", idx))
+        .alias("approx_in_bounds"),
     )
 
 
@@ -268,16 +335,46 @@ def agg_distinct_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_freq_items")
+@query(
+    "agg_freq_items",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS total FROM orders),
+         c AS (SELECT o_orderpriority, COUNT(*) AS cnt
+               FROM orders GROUP BY o_orderpriority)
+    SELECT c.o_orderpriority,
+           CAST(FLOOR(c.cnt * 1000000 / t.total) AS BIGINT) AS share_ppm,
+           TRUE AS in_sketch
+    FROM c, tot t
+    WHERE c.cnt > t.total * 0.15
+    """,
+)
 def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Karp–Papadimitriou–Shenker frequent-items sketch (df.freqItems) on
-    the order-priority column — single-pass, fixed memory, false
-    positives possible but never false negatives above the support
-    threshold. No oracle (sketch internals are engine-specific);
-    tests/test_operators.py pins the no-false-negative guarantee against
-    exact counts."""
+    """Karp–Papadimitriou–Shenker frequent-items sketch (df.freqItems) —
+    single-pass, fixed memory, false positives possible but never false
+    negatives above the support threshold.  Output is the oracle-checkable
+    projection of that guarantee: each truly-frequent value (exact share,
+    floor-fixed-point ppm — both engines floor the identical IEEE double)
+    with a boolean asserting the sketch contained it.  The sketch array
+    itself stays out of the output (engine-specific, unhashable)."""
     o = table(spark, sf_dir, "orders")
-    return o.freqItems(["o_orderpriority"], support=0.15)
+    support = 0.15
+    sketch = o.freqItems(["o_orderpriority"], support=support).select(
+        F.col("o_orderpriority_freqItems").alias("freq_list")
+    )
+    counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = o.agg(F.count(F.lit(1)).alias("total"))
+    frequent = counts.crossJoin(F.broadcast(tot)).where(
+        F.col("cnt") > F.col("total") * support
+    )
+    return frequent.crossJoin(F.broadcast(sketch)).select(
+        "o_orderpriority",
+        F.floor(F.col("cnt") * 1000000 / F.col("total"))
+        .cast("bigint")
+        .alias("share_ppm"),
+        F.array_contains("freq_list", F.col("o_orderpriority")).alias(
+            "in_sketch"
+        ),
+    )
 
 
 @query(

@@ -62,3 +62,25 @@ def test_every_query_documented_in_coverage():
         if n not in tokens and n.split("_")[0] not in tokens
     ]
     assert not missing, missing
+
+
+def test_driver_head_samples_every_category():
+    """The driver's per-round correctness budget verifies queries() in
+    registration order and may stop after ~50 entries.  Guard the curated
+    head (rtdl_spark.queries.DRIVER_HEAD): exactly the first 50 registered
+    names, every one oracle-backed, spanning >= 8 operator categories —
+    so future query additions can never silently push a whole category
+    out of the driver's verification window again."""
+    from rtdl_spark.queries import DRIVER_HEAD, all_oracles, all_queries
+
+    q = all_queries()
+    o = all_oracles()
+    head = list(q)[:50]
+    assert head == list(DRIVER_HEAD), "head ordering not applied"
+    unbacked = [n for n in head if n not in o]
+    assert not unbacked, f"driver-head entries without oracles: {unbacked}"
+    categories = {n.split("_")[0] for n in head}
+    # collapse the per-query TPC-H prefixes (q1, q5, ...) into one family
+    tpch = {c for c in categories if c.startswith("q") and c[1:].isdigit()}
+    categories = (categories - tpch) | ({"tpch"} if tpch else set())
+    assert len(categories) >= 8, sorted(categories)
