@@ -139,6 +139,13 @@ def register_masked_view(
 
     fn = mask_pii_extended if extended else mask_pii_col
     drop = set(drop_cols or [])
+    unknown = (set(mask_cols) | drop) - set(df.columns)
+    if unknown:
+        # a typo here would silently expose unmasked PII through the view
+        raise ValueError(
+            f"mask_cols/drop_cols name columns not in the frame: "
+            f"{sorted(unknown)} (have: {df.columns})"
+        )
     cols = []
     for name in df.columns:
         if name in drop:

@@ -304,5 +304,14 @@ def k_core(
             release_local_checkpoint(prev)
         prev = live
         if live.isEmpty():
-            break
-    return live.sparkSession.createDataFrame([], "node long, degree long")
+            return live.sparkSession.createDataFrame(
+                [], "node long, degree long"
+            )
+    # Peeling did not converge within the budget; a non-empty k-core may
+    # still exist (deep cascades peel one layer per round), so silently
+    # returning empty would be wrong — make the caller raise the budget.
+    raise RuntimeError(
+        f"k_core: peeling did not converge within max_iter={max_iter} "
+        f"rounds; raise max_iter (each round removes at least one "
+        f"sub-k-degree layer)"
+    )

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,9 +55,17 @@ def _quality_filter(df: DataFrame, *, min_tokens: int = 5,
 
 def _exact_dedup(df: DataFrame, *, subset: list[str],
                  id_col: str = "doc_id") -> DataFrame:
-    from rtdl_spark.operators.dedup import exact_dedup
-
-    return exact_dedup(df.orderBy(id_col), subset)
+    # row_number-over-key (lowest id wins), NOT orderBy+dropDuplicates:
+    # Spark gives no survivor guarantee across the dedup shuffle, and a
+    # pre-sort would add a useless global sort exchange while still
+    # leaving the output nondeterministic — which would break the
+    # config-as-data reproducibility contract of spec pipelines.
+    w = Window.partitionBy(*subset).orderBy(id_col)
+    return (
+        df.withColumn("_xd_rk", F.row_number().over(w))
+        .filter(F.col("_xd_rk") == 1)
+        .drop("_xd_rk")
+    )
 
 
 def _fingerprint_dedup(df: DataFrame, *, text_col: str = "text",

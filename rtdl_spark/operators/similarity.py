@@ -772,8 +772,13 @@ def mmr_rerank(
     for qid, rows in sorted(by_query.items()):
         ids = [r.neighbor_id for r in rows]
         rel = {r.neighbor_id: r.cosine_sim for r in rows}
-        mat = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
-        sims = mat @ mat.T  # candidate-candidate cosine
+        # zero-norm guard (same convention as allpairs/knn_graph: sim=0) —
+        # dividing by 0 here would produce NaN rows whose comparisons are
+        # all False, silently corrupting the argmax below
+        norms = np.array([np.linalg.norm(vecs[i]) for i in ids])
+        safe = np.where(norms > 0.0, norms, 1.0)
+        mat = np.stack([vecs[i] for i in ids]) / safe[:, None]
+        sims = mat @ mat.T  # candidate-candidate cosine (0 for zero-norm)
         idx = {i: j for j, i in enumerate(ids)}
         selected: list[int] = []
         remaining = set(ids)
@@ -785,9 +790,16 @@ def mmr_rerank(
                     if selected
                     else 0.0
                 )
-                score = lam * rel[i] - (1 - lam) * penalty
+                rv = rel[i]
+                if rv is None:  # zero-norm candidate: cosine_sim is NULL
+                    continue
+                score = lam * rv - (1 - lam) * penalty
+                if not np.isfinite(score):
+                    continue  # never select a NaN-scored candidate
                 if best_score is None or score > best_score + 1e-12:
                     best, best_score = i, score
+            if best is None:
+                break
             selected.append(best)
             remaining.discard(best)
         for rank, i in enumerate(selected, 1):

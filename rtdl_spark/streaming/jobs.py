@@ -469,12 +469,23 @@ def stream_to_versioned_table(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
         vt.append(out)
+
+    # The epoch marker must land immediately after vt.append(): if
+    # matview.refresh() ran inside the idempotency scope and failed AFTER
+    # the version committed, the unmarked epoch would replay and re-append
+    # the same batch as a new version (permanent duplicates). refresh() is
+    # self-idempotent via its state_v/.done markers, so it runs OUTSIDE
+    # the scope — a failed refresh simply catches up on the next trigger.
+    core = idempotent_sink(sink, CommitLog(spark, commit_log_dir))
+
+    def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        core(batch_df, epoch_id)
         if matview is not None:
             matview.refresh()
 
-    writer = raw.writeStream.foreachBatch(
-        idempotent_sink(sink, CommitLog(spark, commit_log_dir))
-    ).option("checkpointLocation", checkpoint_dir)
+    writer = raw.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()

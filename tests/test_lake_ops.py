@@ -759,6 +759,24 @@ def test_register_masked_view_masks_and_prunes(spark):
     assert [r.id for r in got] == [2]
 
 
+def test_register_masked_view_rejects_unknown_columns(spark):
+    """A typo in mask_cols/drop_cols must raise, not silently expose
+    unmasked PII through the governance view."""
+    import pytest
+
+    from rtdl_spark.catalog import register_masked_view
+
+    df = spark.createDataFrame(
+        [(1, "ssn 123-45-6789")], "id long, note string"
+    )
+    with pytest.raises(ValueError, match="notes"):
+        register_masked_view(spark, df, "masked_bad_v", ["notes"])
+    with pytest.raises(ValueError, match="internal"):
+        register_masked_view(
+            spark, df, "masked_bad_v", ["note"], drop_cols=["internal"]
+        )
+
+
 def test_materialized_agg_view_incremental_and_rebuild(spark, tmp_path):
     """MaterializedAggView: first refresh builds, append-only refreshes
     fold ONLY the delta (and equal a full recompute), an overwrite commit

@@ -2099,7 +2099,14 @@ def test_pipeline_spec_composes_and_validates(spark, sf_dir):
         & (stopword_ratio(t) <= 0.5)
         & (distinct_token_ratio(t) >= 0.3)
     )
-    manual = exact_dedup(manual.orderBy("doc_id"), ["text"])
+    from pyspark.sql import Window
+
+    w_dd = Window.partitionBy("text").orderBy("doc_id")
+    manual = (
+        manual.withColumn("_rk", F.row_number().over(w_dd))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
     manual = stratified_take(manual, ["lang"], 10)
     manual = manual.filter("n_chars > 50").select("doc_id", "lang", "n_chars")
     assert sorted(map(tuple, out.collect())) == sorted(
@@ -2185,3 +2192,66 @@ def test_knn_graph_exact_vs_bruteforce(spark, sf_dir):
             assert r.src != r.dst
         assert got == want, f"n_blocks={n_blocks}"
         assert all(len(v) == k for v in got.values())
+
+
+def test_mmr_rerank_zero_norm_candidate_never_nan(spark):
+    """A zero-norm candidate vector must not poison MMR with NaN sims:
+    it scores sim=0 against everything (the allpairs/knn_graph
+    convention) and real candidates still get selected deterministically."""
+    from rtdl_spark.operators.similarity import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = [0.99, 0.14, 0.0, 0.0]
+    z = [0.0, 0.0, 0.0, 0.0]          # zero-norm candidate
+    b = [0.7, 0.0, 0.71, 0.0]
+    df = spark.createDataFrame(
+        [(0, q), (1, a), (2, z), (3, b)],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank(
+        df, df.filter(F.col("vec_id") == 0), k=3, candidates=3, lam=0.5
+    ).collect()
+    import math
+
+    assert out, "zero-norm candidate must not empty the result"
+    for r in out:
+        assert math.isfinite(r.relevance), r
+    picks = [r.neighbor_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+    assert picks[0] == 1  # the NaN-free argmax picks the true top-1
+
+
+def test_k_core_raises_on_exhausted_iteration_budget(spark):
+    """k_core must RAISE when the peel budget runs out with live edges
+    left — silently returning empty would deny an existing k-core (deep
+    cascades peel one layer per round)."""
+    import pytest
+
+    from rtdl_spark.operators.graph import k_core
+
+    # path 1-2-3-4-5: k=2 peeling needs 2+ rounds to finish
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        k_core(edges, k=2, max_iter=1)
+    # with budget, the same graph correctly yields an EMPTY 2-core
+    assert k_core(edges, k=2, max_iter=10).count() == 0
+
+
+def test_pipeline_spec_exact_dedup_keeps_lowest_id_no_global_sort(spark):
+    """Spec-pipeline exact dedup must be deterministic (lowest id
+    survives — config-as-data reproducibility) and must not smuggle a
+    global sort exchange into the composed plan."""
+    from rtdl_spark.operators.pipeline_spec import run_pipeline
+
+    df = spark.createDataFrame(
+        [(5, "dup", 100), (2, "dup", 100), (9, "uniq", 100)],
+        "doc_id long, text string, n_chars long",
+    ).repartition(4)
+    out, _ = run_pipeline(df, [{"op": "exact_dedup", "subset": ["text"]}])
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [2, 9]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # row_number's window sort is partition-local; a RangePartitioning
+    # exchange would mean an accidental global orderBy survived
+    assert "rangepartitioning" not in plan.lower(), plan

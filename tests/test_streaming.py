@@ -873,6 +873,76 @@ def test_stream_matview_continuous_rollup(spark, tmp_path):
     assert view() == full()  # commit log skipped -> no double counting
 
 
+def test_stream_matview_refresh_failure_does_not_duplicate_versions(
+    spark, tmp_path
+):
+    """If matview.refresh() dies AFTER vt.append() committed, the epoch
+    must already be marked: the retried batch is skipped (no duplicate
+    version / rows) and the self-idempotent refresh catches up on the
+    next trigger."""
+    import json as _json
+
+    from rtdl_spark.operators.matview import MaterializedAggView
+    from rtdl_spark.operators.versioned import VersionedTable
+    from rtdl_spark.streaming import stream_to_versioned_table
+
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    ckpt, log, root, mdir = (
+        str(tmp_path / "fck"),
+        str(tmp_path / "fcl"),
+        str(tmp_path / "fvt"),
+        str(tmp_path / "fmv"),
+    )
+    schema = "event_id long, user_id long, amount long"
+    with open(src / "a.json", "w") as f:
+        for i in range(6):
+            f.write(_json.dumps(
+                {"event_id": i, "user_id": i % 2, "amount": i}) + "\n")
+
+    bomb = tmp_path / "bomb"
+    bomb.touch()
+
+    class FlakyMV:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def refresh(self):
+            if bomb.exists():
+                bomb.unlink()
+                raise RuntimeError("injected refresh failure")
+            self.inner.refresh()
+
+    def run():
+        vt = VersionedTable(spark, root)
+        mv = MaterializedAggView(vt, mdir, ["user_id"], {"amt": "amount"})
+        q = stream_to_versioned_table(
+            spark, str(src), schema, root, ckpt, log, matview=FlakyMV(mv)
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # first run: injected refresh failure kills the query
+        finally:
+            if q.isActive:
+                q.stop()
+        return vt, mv
+
+    vt, mv = run()          # append committed, refresh exploded
+    vt, mv = run()          # replayed epoch skipped; refresh catches up
+    snap = vt.snapshot()
+    assert snap.count() == 6          # no duplicated batch
+    assert vt.latest_version() == 0   # exactly one committed version (v0)
+    got = {r.user_id: (r.amt, r.n) for r in mv.frame().collect()}
+    want = {
+        r.user_id: (r.amt, r.n)
+        for r in snap.groupBy("user_id")
+        .agg(F.sum("amount").alias("amt"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_ohlc_matches_batch(spark, sf_dir, events_stream):
     """Streaming OHLC after one availableNow replay == the batch candle
     query (win_ohlc_resample) on the same data — min_by/max_by state
