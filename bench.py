@@ -82,6 +82,10 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+    # Round-over-round hygiene: the stable round-1 core is reported as its
+    # own subtotal so growing the headline set can never mask a regression
+    # on the carried-over queries (compare core16_sec across BENCH_r*.json).
+    core16 = [n for n in HEADLINE[:16] if n in timings]
     print(
         json.dumps(
             {
@@ -89,6 +93,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "core16_sec": round(sum(timings[n] for n in core16), 4),
                 "sf": sf,
             }
         )

@@ -119,13 +119,63 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_topk")
+@query(
+    "sim_ivf_topk",
+    # Full SQL replay of the IVF pipeline: seed_method="first" pins the
+    # centroids to the 8 lowest-id embeddings (cell_id = row_number by
+    # id), assignment/probing are round-6 cosine argmax with lowest-cell
+    # tie-break — exactly operators/similarity.py::seed_centroids/
+    # ivf_assign/ivf_topk, so cells, probes, and the final ranking are
+    # all hash-verified, not just row counts.
+    oracle=f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell_id,
+             embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 8)
+    ), assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos('e.embedding', 'c.cvec')}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < 5
+    ), probed AS (
+      SELECT query_id, qvec, cell_id FROM (
+        SELECT q.query_id, q.qvec, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_cos('q.qvec', 'c.cvec')}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= 2
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND({_cos('p.qvec', 'a.embedding')}, 6) AS cosine_sim,
+             a.cell_id
+      FROM assigned a JOIN probed p USING (cell_id)
+      WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id) AS rank,
+           cell_id
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (cell-probed) — no oracle: the algorithm's output is
-    deterministic but expressing the two-level argmin in portable SQL adds
-    no verification value beyond the exact brute-force query above; the
-    driver records a rows-only check, and tests assert recall vs brute
-    force (tests/test_similarity.py)."""
+    """IVF-style ANN (cell-probed): deterministic first-rows centroids,
+    broadcast argmax assignment, nprobe=2 probed cells, exact re-rank
+    inside the probed subset. The oracle replays the whole two-level
+    pipeline in SQL (centroids are the 8 lowest-id vectors, so every
+    stage is expressible), pinning cell assignment, probe choice, and
+    ranking."""
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb,
@@ -149,13 +199,68 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=8, n_iter=3)
 
 
-@query("sim_rp_lsh_topk")
+def _rp_lsh_oracle_sql(
+    n_tables: int = 8, n_bits: int = 6, seed: int = 42, dim: int = 64
+) -> str:
+    """SQL replay of the RP-LSH pipeline: the hyperplanes are
+    data-independent constants (seeded numpy default_rng, exactly
+    functions/rp_lsh.py::planes_for), so they inline into the oracle as
+    literal arrays — repr() emits the shortest round-trip decimal, which
+    DuckDB parses back to the identical IEEE double. Bucket codes, the
+    candidate equi-join, and the exact-cosine re-rank are then all plain
+    SQL. A sign flip would need |v·p| below the fold-vs-GEMM summation
+    noise (~1e-13) — none occurs in the fixtures."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables * n_bits, dim)
+    )
+    rows = []
+    for t in range(n_tables):
+        for b in range(n_bits):
+            vals = ", ".join(repr(float(x)) for x in planes[t * n_bits + b])
+            rows.append(f"({t}, {b}, [{vals}])")
+    values = ",\n      ".join(rows)
+    dot_vp = _DOT.format(a="e.v", b="pl.p")
+    return f"""
+    WITH planes(t, b, p) AS (
+      VALUES {values}
+    ), emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), codes AS (
+      SELECT e.vec_id, pl.t,
+             SUM(CASE WHEN {dot_vp} > 0
+                 THEN (CAST(1 AS BIGINT) << ({n_bits} - 1 - pl.b))
+                 ELSE 0 END) AS code
+      FROM emb e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.t
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM codes c JOIN codes q ON c.t = q.t AND c.code = q.code
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND({_cos('qe.embedding', 'ce.embedding')}, 6) AS cosine_sim
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@query("sim_rp_lsh_topk", oracle=_rp_lsh_oracle_sql())
 def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (operators/similarity.py::rp_lsh_topk) —
     the train-free scale path: bucket equi-join candidates, exact cosine
-    re-rank. No oracle (same rationale as sim_ivf_topk: brute force above
-    is the exactness witness); rows-only check here, recall vs brute force
-    asserted in tests/test_operators.py."""
+    re-rank. The oracle replays the full pipeline (the seeded hyperplanes
+    are data-independent constants inlined as SQL literals), so bucket
+    codes, the candidate set, AND the ranking are hash-verified; recall
+    vs brute force is additionally asserted in tests/test_operators.py."""
     from rtdl_spark.operators.similarity import rp_lsh_topk
 
     emb = table(spark, sf_dir, "embeddings")
@@ -215,14 +320,59 @@ def sim_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_quantized_topk")
+@query(
+    "sim_quantized_topk",
+    # The quantized ranking is EXACTLY SQL-replayable: the quantizer is
+    # bit-deterministic (one division + one multiply + floor-half-up per
+    # component — identical IEEE doubles on both engines, proven by
+    # sim_quantization_error), and the cosine numerator/norms are INTEGER
+    # sums — associative, so accumulation order can't diverge. The only
+    # float ops after quantization are two sqrt and one divide of exact
+    # integers: bit-identical everywhere.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, d,
+             CASE WHEN list_max(list_transform(d, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(d, x -> abs(x)))
+                  ELSE 0.0 END AS scale
+      FROM v
+    ), qz AS (
+      SELECT vec_id,
+             list_transform(d, x -> CAST(floor(x * scale + 0.5) AS BIGINT))
+               AS q
+      FROM s
+    ), qn AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE))
+               AS nrm
+      FROM qz
+    ), qq AS (
+      SELECT vec_id AS query_id, q AS qvec, nrm AS qnrm
+      FROM qn WHERE vec_id < 5
+    ), scored AS (
+      SELECT qq.query_id, c.vec_id AS neighbor_id,
+             ROUND(CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+                                                i -> qvec[i] * c.q[i]))
+                        AS DOUBLE) / (qq.qnrm * c.nrm), 6) AS qcos
+      FROM qn c CROSS JOIN qq
+      WHERE c.vec_id <> qq.query_id
+    )
+    SELECT query_id, neighbor_id, qcos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY qcos DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k over int8-quantized embeddings
     (functions/vectors.py): the 4×-smaller-corpus path, scored entirely in
-    integer space (scales cancel in cosine). No oracle — the quantized
-    ranking is engine-internal by design; the round-trip error is
-    oracle-checked (sim_quantization_error) and top-k recall vs exact is
-    pinned in tests/test_operators.py."""
+    integer space (scales cancel in cosine). The oracle replays the
+    quantizer and the integer-space ranking bit-for-bit; top-k recall vs
+    exact floats is pinned in tests/test_operators.py."""
     from pyspark.sql import Window
 
     from rtdl_spark.functions.vectors import quantize_int8, quantized_cosine
@@ -313,15 +463,65 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=4, k=5)
 
 
-@query("graph_pagerank_docs")
+def _pagerank_oracle_sql(n_iter: int = 8) -> str:
+    """SQL replay of operators/graph.py::pagerank on the symmetrized
+    MinHash-LSH pair graph: the fixed iteration count unrolls into
+    ``n_iter`` chained CTEs (pr0..prN), each computing
+    (1-d)/n + d * SUM(in-neighbor rank / out-degree) exactly as the
+    Spark loop does; the LSH pair mining reuses the proven _LSH_CTE +
+    Jaccard-threshold fragment from queries/dedup.py."""
+    from rtdl_spark.queries.dedup import _LSH_CTE
+
+    damp = "CAST(0.85 AS DOUBLE)"
+    base = (
+        _LSH_CTE
+        + """
+    , lsh_pairs AS (
+      SELECT id1, id2 FROM cand
+      WHERE ROUND(len(list_intersect(sh1, sh2)) * 1.0
+                  / len(list_distinct(list_concat(sh1, sh2))), 6) >= 0.5
+    ), sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT id1 AS src, id2 AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT id2 AS src, id1 AS dst FROM lsh_pairs)
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM sym
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM sym GROUP BY src
+    ), pr0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+      FROM nodes CROSS JOIN nn
+    )"""
+    )
+    for i in range(1, n_iter + 1):
+        base += f"""
+    , pr{i} AS (
+      SELECT nd.node,
+             (CAST(1.0 AS DOUBLE) - {damp}) / nn.n
+               + {damp} * COALESCE(c.c, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT s.dst AS node, SUM(p.rank / d.d) AS c
+        FROM sym s JOIN pr{i - 1} p ON p.node = s.src
+                   JOIN deg d ON d.src = s.src
+        GROUP BY s.dst) c ON c.node = nd.node
+    )"""
+    return base + f"""
+    SELECT node, ROUND(rank, 9) AS rank FROM pr{n_iter}
+    """
+
+
+@query("graph_pagerank_docs", oracle=_pagerank_oracle_sql(8))
 def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the document near-dup graph
     (operators/graph.py::pagerank on symmetrized MinHash-LSH pairs) — the
-    web-corpus quality signal (CommonCrawl-style host ranking). No
-    oracle: iterative float power-iteration is the canonical
-    non-SQL-expressible op (driver records rows-only); numpy parity,
-    mass conservation, and hub-dominance are pinned in
-    tests/test_operators.py."""
+    web-corpus quality signal (CommonCrawl-style host ranking). The
+    oracle unrolls the 8-round power iteration into chained SQL CTEs
+    (symmetric graph → no dangling mass, so each round is one
+    join-aggregate); numpy parity, mass conservation, and hub-dominance
+    are additionally pinned in tests/test_operators.py."""
     from rtdl_spark.operators.dedup import minhash_lsh_pairs
     from rtdl_spark.operators.graph import pagerank
 
@@ -445,14 +645,22 @@ def sim_allpairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_allpairs_blocked_full")
+@query(
+    "x_allpairs_blocked_full",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
 def x_allpairs_blocked_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench twin of sim_allpairs_blocked with NO id cap: the full corpus
     all-pairs cosine join at whatever the scale factor provides (sf0.1 =
     5000 vectors = 12.5M scored pairs across 36 block-pair GEMM tasks).
-    Rows-only in the correctness gate (the exact-pairs oracle is the
-    capped entry); here the point is throughput of the tiled decomposition
-    on the bench surface."""
+    The O(N²) oracle is affordable at the driver's sf0.01 (it never runs
+    at bench scale); here the point is throughput of the tiled
+    decomposition on the bench surface."""
     from rtdl_spark.operators.similarity import allpairs_cosine_blocked
 
     e = table(spark, sf_dir, "embeddings")
@@ -652,22 +860,79 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
 
 
-@query("sim_knn_graph")
+@query(
+    "sim_knn_graph",
+    # Brute-force witness: EVERY node's neighbors ranked by round-6
+    # cosine with lowest-dst tie-break — the tiled-GEMM decomposition
+    # must be invisible in the output (N=500 at sf0.01 keeps the O(N²)
+    # oracle bounded; the operator itself never materializes N² pairs).
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY sim DESC, dst) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN graph over the whole embedding corpus
     (operators/similarity.py::knn_graph): per-node top-5 via block-pair
     GEMMs with per-side local top-k (argpartition) and one per-node
     merge — N·B rows shuffled, never N² pairs, corpus never broadcast.
     The input structure for SemDeDup clustering / kNN communities.
-    Rows-only; exactness vs brute force and block-invariance pinned in
-    tests/test_operators.py."""
+    The oracle is the O(N²) brute-force ranking the tiling must equal;
+    block-invariance is additionally pinned in tests/test_operators.py."""
     from rtdl_spark.operators.similarity import knn_graph
 
     e = table(spark, sf_dir, "embeddings")
     return knn_graph(e, k=5, n_blocks=8)
 
 
-@query("sim_mutual_knn_clusters")
+@query(
+    "sim_mutual_knn_clusters",
+    # Replays the whole composition in SQL: brute-force round-6 top-2
+    # ranking, the sim floor, the reciprocity intersect, then connected
+    # components via recursive closure with MIN-id canonicalization
+    # (same walk as the dedup CC oracle).
+    oracle=f"""
+    WITH RECURSIVE scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst, sim,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY sim DESC, dst) AS rank
+      FROM scored
+      QUALIFY rank <= 2
+    ), knn AS (
+      SELECT src, dst FROM ranked WHERE sim >= 0.3
+    ), mutual AS (
+      SELECT k.src, k.dst
+      FROM knn k JOIN knn r ON r.src = k.dst AND r.dst = k.src
+      WHERE k.src < k.dst
+    ), sym AS (
+      SELECT src, dst FROM mutual
+      UNION
+      SELECT dst AS src, src AS dst FROM mutual
+    ), walk(node, comp) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+    ), assign AS (
+      SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+    )
+    SELECT comp AS cluster_id, COUNT(*) AS n_members,
+           MIN(node) AS min_member, MAX(node) AS max_member
+    FROM assign
+    GROUP BY comp
+    """,
+)
 def sim_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-nearest-neighbor clustering: an edge survives only if
     BOTH endpoints rank each other in their top-2 AND the similarity
@@ -702,11 +967,26 @@ def sim_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_knn_graph_full")
+@query(
+    "x_knn_graph_full",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY sim DESC, dst) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def x_knn_graph_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench twin of sim_knn_graph (x_ prefix → headline set): the full
     corpus kNN graph at whatever the scale factor provides — measures the
-    tiled-GEMM + candidate-merge throughput per round."""
+    tiled-GEMM + candidate-merge throughput per round. Shares the
+    brute-force oracle (both run the uncapped corpus)."""
     from rtdl_spark.operators.similarity import knn_graph
 
     e = table(spark, sf_dir, "embeddings")
