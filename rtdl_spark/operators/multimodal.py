@@ -327,6 +327,51 @@ AUDIO_SEGMENTS_SCHEMA = (
 )
 
 
+def make_wav(samples: bytes, framerate: int = 16000, nchannels: int = 1,
+             sampwidth: int = 2) -> bytes:
+    """Encode raw PCM sample bytes as a standalone RIFF/WAVE container
+    (stdlib ``wave`` — pure Python, no external codec). Test fixtures and
+    the segmenter's re-encode step share this one encoder."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nchannels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def _wav_segment_rows(payload: bytes, seg_ms: int):
+    """Real container decode: parse the WAV header (channels / sample
+    width / frame rate), slice sample-accurate fixed-duration windows,
+    and re-encode each segment as a standalone playable WAV. Yields
+    (seg_idx, offset_ms, dur_ms, segment_bytes)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, fr = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        frames_per_seg = max(int(fr * seg_ms / 1000), 1)
+        i = 0
+        while True:
+            data = w.readframes(frames_per_seg)
+            if not data and i > 0:
+                break
+            n_frames = len(data) // (nch * sw)
+            yield (
+                i,
+                int(i * frames_per_seg * 1000 / fr),
+                int(round(n_frames * 1000 / fr)),
+                make_wav(data, fr, nch, sw),
+            )
+            if not data:
+                break
+            i += 1
+
+
 def segment_audio(
     df: DataFrame,
     seg_ms: int = 1000,
@@ -334,31 +379,53 @@ def segment_audio(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     fake_decode: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """mapInPandas audio segmentation — one audio row fans out to
     fixed-duration segment rows keyed (doc_id, seg_idx, offset_ms): the
     bronze→silver step before per-segment feature extraction / dedup
     (same contract as sample_frames for video).
 
-    The fake path treats the payload as fixed-rate PCM (``bytes_per_ms``)
-    and slices byte ranges, standing in for soundfile/librosa decode +
-    resample; the Spark-side shape — schema, fan-out, Arrow batching,
-    partition behavior — is the real deliverable. A short final segment
-    is kept (its dur_ms says so), matching what a real splitter emits.
+    ``codec="wav"`` is a REAL end-to-end decode path: the stdlib ``wave``
+    parser reads the RIFF header (channels, sample width, frame rate),
+    segments are cut sample-accurately per ``seg_ms``, and each segment is
+    re-encoded as a standalone playable WAV — no byte-range guessing.
+    ``codec="fake-pcm"`` (or the legacy ``fake_decode=True``) treats the
+    payload as fixed-rate headerless PCM (``bytes_per_ms``) and slices
+    byte ranges — the stand-in for compressed formats whose codecs
+    (soundfile/librosa/ffmpeg) aren't in this environment; the default
+    still raises at the exact plug point. A short final segment is kept
+    (its dur_ms says so), matching what a real splitter emits.
     """
+    if codec is None and fake_decode:
+        codec = "fake-pcm"
+    if codec not in (None, "fake-pcm", "wav"):
+        raise ValueError(f"segment_audio: unknown codec {codec!r}")
 
     seg_bytes = seg_ms * bytes_per_ms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
+            if codec is None:
                 raise NotImplementedError(
-                    "audio codecs not available in this environment; plug "
-                    "soundfile/librosa decode here or pass fake_decode=True"
+                    "compressed-audio codecs not available in this "
+                    "environment; plug soundfile/librosa decode here, or "
+                    "use codec='wav' (stdlib container decode) / "
+                    "codec='fake-pcm'"
                 )
             ids, idxs, offs, durs, segs = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = payload or b""
+                if codec == "wav":
+                    for i, off, dur, seg in _wav_segment_rows(
+                        bytes(payload), seg_ms
+                    ):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        offs.append(off)
+                        durs.append(dur)
+                        segs.append(seg)
+                    continue
                 n_segs = max((len(payload) + seg_bytes - 1) // seg_bytes, 1)
                 for i in range(n_segs):
                     chunk = payload[i * seg_bytes : (i + 1) * seg_bytes]

@@ -286,3 +286,61 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_binary_payload(docs), seg_ms=20, bytes_per_ms=8,
         fake_decode=True,
     ).drop("segment")
+
+
+@query(
+    "multimodal_wav_segments",
+    # With framerate=1000 and sampwidth=2, every duration is an exact
+    # integer (frames == milliseconds), so the real-decode output is
+    # fully SQL-derivable from the text byte length: n_frames =
+    # bytes//2, 250-frame segments, a 44-byte RIFF/PCM header per
+    # re-encoded segment.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, LENGTH(text) AS nb
+      FROM documents WHERE doc_id < 100
+    ), f AS (
+      SELECT doc_id, nb // 2 AS nframes FROM d
+    )
+    SELECT f.doc_id, t.i AS seg_idx,
+           t.i * 250 AS offset_ms,
+           LEAST(f.nframes - t.i * 250, 250) AS dur_ms,
+           LEAST(f.nframes - t.i * 250, 250) * 2 + 44 AS wav_bytes
+    FROM f, UNNEST(range(0, GREATEST(
+        CAST(CEIL(f.nframes / 250.0) AS BIGINT), 1))) t(i)
+    """,
+)
+def multimodal_wav_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container decode end-to-end (operators/multimodal.py::
+    segment_audio(codec="wav")): document text bytes become 16-bit PCM
+    WAV payloads (stdlib wave encoder), the segmenter parses the RIFF
+    header and cuts sample-accurate 250 ms windows, each re-encoded as a
+    standalone playable WAV. The oracle derives every (seg_idx,
+    offset_ms, dur_ms, wav_bytes) from the text length alone — header
+    parsing, frame math, and re-encode overhead are all hash-verified,
+    no codec stub anywhere on this path."""
+    from pyspark.sql.types import BinaryType
+
+    from rtdl_spark.operators.multimodal import make_wav, segment_audio
+
+    @pandas_udf(BinaryType())
+    def to_wav(texts: pd.Series) -> pd.Series:
+        def enc(t: str) -> bytes:
+            b = t.encode("utf-8")
+            return make_wav(b[: (len(b) // 2) * 2], framerate=1000)
+
+        return texts.map(enc)
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", to_wav(F.col("text")).alias("payload"))
+    )
+    segs = segment_audio(docs, seg_ms=250, codec="wav")
+    return segs.select(
+        "doc_id",
+        "seg_idx",
+        "offset_ms",
+        "dur_ms",
+        F.length("segment").alias("wav_bytes"),
+    )

@@ -669,3 +669,92 @@ def test_metadata_compaction_selection_matches_walk(spark, sf_dir, tmp_path):
              for s in partition_file_stats_metadata(spark, root)}
     assert all(v == 1 for v in after.values())
     assert spark.read.parquet(root).count() == docs.count()
+
+
+def test_dest_root_uri_dispatch_all_store_types(spark, tmp_path):
+    """A12–A16: the writer varies ONLY the URI prefix per store type; the
+    Hadoop FS layer owns the transport. Pin the exact URI for each of the
+    reference's five stores (constants/file_store_types.json)."""
+    reg = StreamRegistry(str(tmp_path / "cfg"))
+    job = make_job(spark, reg, tmp_path)
+
+    def cfg(**kw):
+        return StreamConfig(stream_id=STREAM_ID, folder_name="f", **kw)
+
+    assert job.dest_root(cfg(file_store_type_id=1)).endswith("lake/f")
+    assert (
+        job.dest_root(cfg(file_store_type_id=2, bucket_name="b"))
+        == "s3a://b/f"
+    )
+    assert (
+        job.dest_root(cfg(file_store_type_id=3, bucket_name="b"))
+        == "gs://b/f"
+    )
+    assert (
+        job.dest_root(cfg(file_store_type_id=4, bucket_name="c"))
+        == "abfss://c/f"
+    )
+    assert (
+        job.dest_root(
+            cfg(file_store_type_id=5, namenode_host="nn", namenode_port=9000)
+        )
+        == "hdfs://nn:9000/f"
+    )
+
+
+def test_remote_store_write_through_non_local_hadoop_fs(spark, tmp_path):
+    """A13–A16 composition proof: the partitioned writer + catalog path
+    works through a NON-local Hadoop filesystem, not just file://. A
+    viewfs:// mount table (Hadoop's federation FS, bundled in
+    hadoop-client) plays the remote store: the pipeline writes to
+    viewfs://cluster/<folder> exactly as it would to s3a://bucket/<folder>
+    — scheme resolution, qualified paths, and the commit-protocol renames
+    all run through the foreign-FS dispatch layer."""
+    from unittest import mock
+
+    import rtdl_spark.ingest.pipeline as pipemod
+
+    backing = tmp_path / "remote_lake"
+    backing.mkdir()
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set(
+        "fs.viewfs.mounttable.cluster.link./remoteFolder",
+        f"file://{backing}/remoteFolder",
+    )
+
+    reg = StreamRegistry(str(tmp_path / "cfg"))
+    reg.create(
+        StreamConfig(
+            stream_id=STREAM_ID,
+            message_type="remote-msg",
+            file_store_type_id=2,  # aws-shaped: prefix + bucket + folder
+            bucket_name="cluster",
+            folder_name="remoteFolder",
+            partition_time_id=2,
+            compression_type_id=1,
+            functions="ingester",
+        )
+    )
+    path = write_events(
+        tmp_path,
+        [
+            {"stream_id": STREAM_ID, "name": "r1", "v": 1},
+            {"stream_id": STREAM_ID, "name": "r2", "v": 2},
+        ],
+    )
+    job = make_job(spark, reg, tmp_path)
+    # the writer is store-agnostic: point the aws prefix at the mounted
+    # non-local scheme; everything downstream is the production code path
+    with mock.patch.dict(
+        pipemod.STORE_URI_PREFIX, {"aws": "viewfs://"}
+    ):
+        written = job.ingest_json_dir(path)
+    dest = written[STREAM_ID]
+    assert dest == "viewfs://cluster/remoteFolder"
+
+    back = spark.read.parquet(dest)
+    assert back.count() == 2
+    assert {r["name"] for r in back.collect()} == {"r1", "r2"}
+    # partitioned layout landed on the backing store via the mount
+    sub = os.listdir(backing / "remoteFolder")
+    assert any(s.startswith("rtdl_table=") for s in sub), sub

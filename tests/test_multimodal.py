@@ -185,3 +185,47 @@ def test_segment_audio_fanout_and_boundaries(spark, sf_dir):
 
     with _pt.raises(Exception, match="codecs not available"):
         segment_audio(mm, fake_decode=False).collect()
+
+
+def test_segment_audio_wav_codec_real_decode_roundtrip(spark):
+    """codec="wav" is a REAL decode path: the RIFF header is parsed
+    (stdlib wave), segments are sample-accurate, each segment is itself a
+    playable WAV, and reassembling the segments' frames reproduces the
+    original sample stream byte-exactly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from rtdl_spark.operators.multimodal import make_wav, segment_audio
+
+    fr, nch, sw = 8000, 1, 2
+    # 2.6 s of a deterministic int16 ramp -> 3 segments (last one short)
+    n = int(fr * 2.6)
+    samples = (np.arange(n, dtype=np.int64) % 20011 - 10000).astype("<i2")
+    payload = make_wav(samples.tobytes(), fr, nch, sw)
+
+    df = spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    ).repartition(2)
+    rows = sorted(
+        segment_audio(df, seg_ms=1000, codec="wav").collect(),
+        key=lambda r: r.seg_idx,
+    )
+    assert [r.seg_idx for r in rows] == [0, 1, 2]
+    assert [r.offset_ms for r in rows] == [0, 1000, 2000]
+    assert [r.dur_ms for r in rows] == [1000, 1000, 600]
+
+    rebuilt = b""
+    for r in rows:
+        with wave.open(io.BytesIO(bytes(r.segment)), "rb") as w:
+            assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) \
+                == (fr, nch, sw)
+            rebuilt += w.readframes(w.getnframes())
+    assert rebuilt == samples.tobytes()
+
+    # default (no codec) still raises at the plug point
+    import pytest
+
+    with pytest.raises(Exception, match="codec"):
+        segment_audio(df, seg_ms=1000).collect()
