@@ -133,7 +133,8 @@ def setop_union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_lists",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+             AS statuses,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -142,10 +143,14 @@ def setop_union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set → array_sort: set-valued aggregation with a
     deterministic (sorted) surface — raw collect order is partitioning-
-    dependent and must never be exposed."""
+    dependent and must never be exposed. The sorted set is serialized to
+    a joined string because the driver's canonicalizer can only hash
+    scalar cells (array cells crash its pandas sort)."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
 

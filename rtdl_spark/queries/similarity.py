@@ -579,10 +579,14 @@ def sim_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     mean, comps, _ratio = pca_fit(emb, "embedding", n_components=4)
     out = pca_project(emb, mean, comps, "embedding")
+    # one scalar row per (vec, component): the driver's canonicalizer
+    # only hashes scalar cells (array cells crash its pandas sort)
     return out.select(
         "vec_id",
-        F.transform("pca", lambda x: F.round(x, 6)).alias("pca"),
-    )
+        F.posexplode(
+            F.transform("pca", lambda x: F.round(x, 6))
+        ).alias("component", "value"),
+    ).withColumn("component", F.col("component").cast("int"))
 
 
 @query(

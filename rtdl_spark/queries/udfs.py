@@ -103,15 +103,50 @@ def udaf_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract")
+@query(
+    "multimodal_feature_extract",
+    # The fake encoder is a 16-bin byte histogram, L1-normalized — for
+    # the (all-ASCII) document payloads that is SQL: ascii(char) % 16
+    # counts over the text, each divided by the byte total. The division
+    # is one IEEE op on exact integers, then narrowed to float32 on both
+    # sides — bit-identical, no rounding fudge needed. Output is one
+    # SCALAR row per (doc, bin): the driver's canonicalizer cannot hash
+    # array cells, so vector outputs are always exploded (the
+    # agg_approx_percentiles lesson).
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, LENGTH(text) AS total,
+             ascii(u.c) % 16 AS bin
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+           UNNEST(string_split(text, '')) AS u(c)
+    ), counts AS (
+      SELECT doc_id, total, bin, COUNT(*) AS c
+      FROM ch GROUP BY doc_id, total, bin
+    ), bins AS (
+      SELECT d.doc_id, d.total, b.i AS bin
+      FROM (SELECT DISTINCT doc_id, total FROM ch) d,
+           UNNEST(range(0, 16)) AS b(i)
+    )
+    SELECT b.doc_id, CAST(b.bin AS INT) AS bin,
+           CAST(COALESCE(c.c, 0) * 1.0 / b.total AS FLOAT) AS share
+    FROM bins b LEFT JOIN counts c
+      ON c.doc_id = b.doc_id AND c.bin = b.bin
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF-shaped mapInPandas: binary payload → fixed-dim feature vector
     (deterministic fake encoder; real codec point documented in
-    operators.multimodal). No oracle — byte-level decode is outside SQL;
-    tests pin exact feature values instead (tests/test_multimodal.py)."""
+    operators.multimodal), exploded to one scalar row per (doc, bin) so
+    the feature values themselves are oracle-checked (the fake encoder is
+    a byte histogram — SQL-expressible over ASCII payloads); exact
+    vector-level parity is additionally pinned in
+    tests/test_multimodal.py."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     mm = attach_binary_payload(docs)
-    return extract_features(mm, fake_decode=True)
+    feats = extract_features(mm, fake_decode=True)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin", "share")
+    ).withColumn("bin", F.col("bin").cast("int"))
 
 
 @query(

@@ -84,3 +84,24 @@ def test_driver_head_samples_every_category():
     tpch = {c for c in categories if c.startswith("q") and c[1:].isdigit()}
     categories = (categories - tpch) | ({"tpch"} if tpch else set())
     assert len(categories) >= 8, sorted(categories)
+
+
+def test_no_query_emits_non_scalar_columns(spark):
+    """The driver's canonicalizer hashes every output cell via a pandas
+    sort — array/map/struct cells are unhashable and turn the row into an
+    err (the agg_approx_percentiles incident). Guard the whole registry:
+    every query's output schema must be scalar-only (explode vectors,
+    join-serialize sets)."""
+    from rtdl_spark.queries import all_queries
+
+    offenders = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
