@@ -44,6 +44,16 @@ HEADLINE = (
     "agg_spearman_corr",
 )
 
+# The exact 20-entry set BENCH_r03 timed (16 headline + 4 x_ twins as of
+# round 3) — frozen so core_r3_sec stays comparable across future rounds
+# even as HEADLINE grows.
+CORE_R3 = HEADLINE + (
+    "x_allpairs_blocked_full",
+    "x_ingest_json_replay",
+    "x_ingest_pinned_replay",
+    "x_knn_graph_full",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,8 +78,13 @@ def main() -> None:
 
     # Median of 3 runs per query: single-run numbers on a shared machine
     # mix in page-cache and contention noise, which would read as phantom
-    # regressions in round-over-round comparisons.
+    # regressions in round-over-round comparisons.  The per-query MIN is
+    # reported alongside: on a contended box the min is the least-load-
+    # biased estimate, so a loaded-run artifact is self-diagnosing
+    # (BENCH_r03 read 1.3-3x high under external tenant load).
+    load1_start = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in names:
         runs = []
         for _ in range(3):
@@ -77,15 +92,19 @@ def main() -> None:
             registry[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 4)
+        timings_min[name] = round(min(runs), 4)
+    load1_end = round(os.getloadavg()[0], 2)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    # Round-over-round hygiene: the stable round-1 core is reported as its
-    # own subtotal so growing the headline set can never mask a regression
-    # on the carried-over queries (compare core16_sec across BENCH_r*.json).
+    # Round-over-round hygiene: stable cores are reported as their own
+    # subtotals so growing the headline set can never mask a regression on
+    # carried-over queries (compare core16_sec / core_r3_sec across
+    # BENCH_r*.json).  core_r3 pins the exact 20-entry set BENCH_r03 timed.
     core16 = [n for n in HEADLINE[:16] if n in timings]
+    core_r3 = [n for n in CORE_R3 if n in timings]
     print(
         json.dumps(
             {
@@ -93,7 +112,17 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "core16_sec": round(sum(timings[n] for n in core16), 4),
+                "core_r3_sec": round(sum(timings[n] for n in core_r3), 4),
+                "core16_min_sec": round(
+                    sum(timings_min[n] for n in core16), 4
+                ),
+                "core_r3_min_sec": round(
+                    sum(timings_min[n] for n in core_r3), 4
+                ),
+                "load1_start": load1_start,
+                "load1_end": load1_end,
                 "sf": sf,
             }
         )

@@ -163,12 +163,14 @@ class IngestJob:
 
     def envelope(self, raw: DataFrame) -> DataFrame:
         """ingest-service.go:167-206: build {stream_id, stream_alt_id,
-        message_type, payload} from an arbitrary JSON record; writeKey/
-        projectId map to stream_alt_id, payload keeps the whole message."""
+        message_type, payload} from an arbitrary JSON record; projectId/
+        writeKey map to stream_alt_id (projectId takes precedence when both
+        are present — ingest-service.go:179-189 only consults writeKey when
+        projectId is nil), payload keeps the whole message."""
         cols = [
             _col_or_null(raw, "stream_id").alias("stream_id"),
             F.coalesce(
-                _col_or_null(raw, "writeKey"), _col_or_null(raw, "projectId")
+                _col_or_null(raw, "projectId"), _col_or_null(raw, "writeKey")
             ).alias("stream_alt_id"),
             _col_or_null(raw, "type").alias("message_type"),
             F.struct(*raw.columns).alias("payload"),

@@ -262,6 +262,14 @@ def k_core(
 
     Returns: node, degree — nodes of the k-core with their within-core
     degree (empty frame if the k-core is empty).
+
+    BEHAVIOR CHANGE (round 3): exhausting ``max_iter`` with live edges
+    remaining now raises RuntimeError instead of returning an empty
+    frame — a silently-empty result denied k-cores that existed below
+    deep peel cascades. Callers that treated budget exhaustion as "no
+    k-core" must size ``max_iter`` for their graph's peel depth (each
+    round removes at least one sub-k-degree layer, so depth <= the
+    degeneracy ordering depth; 100 covers any realistic dedup graph).
     """
     from rtdl_spark.operators.components import release_local_checkpoint
 

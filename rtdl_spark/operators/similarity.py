@@ -832,11 +832,13 @@ def knn_graph(
     merges them to the final top-k. Shuffle volume: N·B rows in, N·B·k
     candidate rows out of the GEMM stage — never N² pairs.
 
-    Returns: src, dst, sim (rounded 6), rank (1 = nearest; global ties
-    by lowest dst id; ties exactly AT a block-local k-boundary resolve
-    arbitrarily within that block — harmless for neighbor semantics,
-    the one deviation from a total ordering). Zero-norm vectors produce
-    sim 0 edges.
+    Returns: src, dst, sim (rounded 6), rank (1 = nearest; ties by
+    lowest dst id — a TOTAL order: each block keeps its top-k plus every
+    candidate within a 1e-6 margin of its kth raw sim, so any candidate
+    that could round-6-tie with a keeper survives to the global merge
+    and the result is block-count-invariant and matches the brute-force
+    (round-6 sim DESC, dst ASC) ranking exactly). Zero-norm vectors
+    produce sim 0 edges.
     """
     import pandas as pd
 
@@ -909,10 +911,19 @@ def knn_graph(
                         eq = qids[s0:s1, None] == cids[None, :]
                         sims = np.where(eq, -np.inf, sims)
                     kc = min(kk, sims.shape[1])
-                    part = np.argpartition(-sims, kc - 1, axis=1)[:, :kc]
-                    rows = np.repeat(qids[s0:s1], kc)
-                    cols = cids[part].ravel()
-                    vals = np.take_along_axis(sims, part, axis=1).ravel()
+                    # Deterministic local selection: keep every candidate
+                    # within 1e-6 of the row's kth-largest RAW sim, not an
+                    # arbitrary argpartition truncation.  Anything below
+                    # that margin provably rounds (at 6 digits) strictly
+                    # below the kth keeper, so the global (round-6 sim
+                    # DESC, dst ASC) merge sees every possible tie and the
+                    # output is a total order independent of block count.
+                    kth = -np.partition(-sims, kc - 1, axis=1)[:, kc - 1]
+                    mask = sims >= (kth[:, None] - 1e-6)
+                    qi, ci = np.nonzero(mask)
+                    rows = qids[s0:s1][qi]
+                    cols = cids[ci]
+                    vals = sims[qi, ci]
                     keep = np.isfinite(vals)
                     frames.append(
                         pd.DataFrame(

@@ -15,81 +15,77 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 # The driver's per-round correctness budget verifies queries() in
-# registration order and may stop after the first ~50 entries.  This head
-# list pins that window to a curated sample of EVERY category — TPC-H,
-# aggregates, joins, windows, scalars, UDF lanes, set ops, ingest, JSON,
-# Spark-4 SQL, dedup, graph, similarity, text, multimodal, lake, sources,
-# ML eval — all oracle-backed and cheap at sf0.01, so the hard external
-# signal covers the whole surface instead of whichever module imports
-# first.  tests/test_queries_oracle.py enforces the invariants (every head
-# name exists, has an oracle, and the head spans >= 8 categories).
-DRIVER_HEAD: tuple[str, ...] = (
-    # TPC-H core shapes (scan+agg, 6-join, profit rollup, semi-ish, top-k)
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customer",
-    # aggregates
-    "agg_stats_by_returnflag",
-    "agg_rollup_flag_status",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_weighted_median",
-    # joins
-    "join_inner_segment_revenue",
-    "join_full_outer_nation_presence",
-    "join_semi_customers_with_f_orders",
-    "join_anti_parts_never_ordered",
-    "join_asof_last_order",
-    "join_interval_attribution",
-    # windows / event analytics
-    "win_topk_orders_per_segment",
-    "win_running_revenue",
-    "win_tumbling_5min",
-    "win_session_30min",
-    "win_funnel_conversion",
-    "win_ohlc_resample",
-    # scalar function families + UDF lane
-    "scalar_string_funcs",
-    "scalar_pii_mask",
-    "scalar_partition_buckets",
-    "udaf_grouped_mad",
-    # set ops + ingest routing
-    "setop_union_by_name_drift",
-    "message_type_resolution",
-    # JSON / VARIANT
-    "json_from_json_struct",
-    "json_variant_extract",
-    # Spark-4 SQL surface
-    "sql_recursive_cte",
-    "sql_group_by_all",
-    # dedup (§2C)
-    "dedup_exact_by_source",
-    "dedup_minhash_lsh",
-    "dedup_span_exact",
-    "dedup_er_pipeline",
-    # graph
-    "graph_kcore_docs",
-    # similarity (§2C)
-    "sim_cosine_topk",
-    "sim_allpairs_blocked",
-    "sim_hybrid_rrf",
-    # text / curation (§2C)
-    "text_quality_scores",
-    "text_bm25_search",
-    "text_sequence_packing",
-    "text_decontaminate",
-    # multimodal (§2C)
-    "multimodal_binary_stats",
-    "multimodal_phash_near_dup",
-    # lake ops + sources
-    "lake_profile_orders",
-    "lake_versioned_diff",
-    "source_csv_roundtrip",
-    # ML eval
-    "ml_auc_rank_sum",
+# registration order and may stop after the first ~50 entries.  Rounds 2-3
+# pinned a fixed curated 50, which meant the SAME 50 got re-verified every
+# round while ~150 registered queries never received an external
+# correctness row.  The head is now CANARIES (a fixed one-per-category
+# smoke set, cheap at sf0.01) + ROTATION (slots refilled each round from
+# the pool of oracle-backed queries that have never had a driver
+# correctness row — the served history lives in DRIVER_SERVED.json at the
+# repo root, appended each round).  tests/test_queries_oracle.py enforces
+# the invariants: head == first 50 registered, every entry oracle-backed,
+# canaries span >= 8 categories, and every rotation slot is absent from
+# all prior rounds' served sets.
+CANARIES: tuple[str, ...] = (
+    "q1_pricing_summary",        # TPC-H scan+agg
+    "agg_stats_by_returnflag",   # aggregates
+    "join_inner_segment_revenue",  # joins
+    "win_running_revenue",       # windows
+    "scalar_string_funcs",       # scalar fns
+    "udaf_grouped_mad",          # UDF/UDAF lane
+    "json_from_json_struct",     # JSON
+    "sql_group_by_all",          # Spark-4 SQL
+    "dedup_minhash_lsh",         # dedup (§2C)
+    "sim_cosine_topk",           # similarity (§2C)
+    "text_quality_scores",       # text (§2C)
+    "multimodal_binary_stats",   # multimodal (§2C)
 )
+
+# Round-4 rotation: 38 never-driver-verified, oracle-backed queries —
+# the 17 remaining TPC-H, the window bulk, the scalar families, and one
+# each from the smaller never-served pools.
+ROTATION: tuple[str, ...] = (
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_national_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_theta_or_predicates",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "win_rank_parts_by_price",
+    "win_lag_lead_order_gaps",
+    "win_moving_avg_3",
+    "win_range_frame_price_band",
+    "win_ntile_customer_quartiles",
+    "win_sliding_10min_5min",
+    "win_percent_rank_cume_dist",
+    "win_gaps_islands_sessions",
+    "win_ewma_bounded",
+    "win_cohort_retention",
+    "scalar_regexp_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_json_funcs",
+    "scalar_array_funcs",
+    "scalar_map_funcs",
+    "scalar_try_funcs",
+    "agg_collect_sorted_lists",
+    "setop_multiset_ops",
+    "join_null_safe_eq",
+    "sim_ivf_topk",
+)
+
+DRIVER_HEAD: tuple[str, ...] = CANARIES + ROTATION
 
 
 def query(name: str, oracle: str | None = None):

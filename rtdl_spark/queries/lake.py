@@ -393,22 +393,50 @@ def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lake_hll_sketch_rollup")
+@query(
+    "lake_hll_sketch_rollup",
+    # The sketch estimate itself is engine-specific, but the EXACT
+    # distinct count and the ≤5% error guarantee are not: emit the exact
+    # side plus an in-bounds boolean, so the driver hash-verifies the
+    # rollup grain, the true cardinalities, and that the merged sketches
+    # honor their bound (the agg_approx_count_distinct pattern).
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def lake_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-count rollup (operators/sketches.py):
     per-(status, month) customer sketches built in ONE scan, then rolled
     up to status grain by sketch union — the only way COUNT(DISTINCT)
-    rolls up without re-scanning 100 TB. No oracle: sketch estimates are
-    engine-specific; tests/test_operators.py pins the ≤5% error bound,
-    parquet persistence, and merge-vs-direct-build equality."""
+    rolls up without re-scanning 100 TB. The sketch estimate is
+    engine-specific, so the oracle checks the exact distinct count and
+    the ≤5% relative-error guarantee of the MERGED sketches; estimate
+    parity, parquet persistence, and merge-vs-direct-build equality are
+    additionally pinned in tests/test_operators.py."""
     from rtdl_spark.operators.sketches import build_sketches, merge_sketches
 
     o = table(spark, sf_dir, "orders").withColumn(
         "month", F.date_format("o_orderdate", "yyyy-MM")
     )
     fine = build_sketches(o, ["o_orderstatus", "month"], "o_custkey")
-    return merge_sketches(fine, ["o_orderstatus"]).select(
+    merged = merge_sketches(fine, ["o_orderstatus"]).select(
         "o_orderstatus", "n_distinct_est"
+    )
+    exact = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_exact"))
+    )
+    return merged.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_exact",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
     )
 
 

@@ -509,7 +509,7 @@ def _pagerank_oracle_sql(n_iter: int = 8) -> str:
         GROUP BY s.dst) c ON c.node = nd.node
     )"""
     return base + f"""
-    SELECT node, ROUND(rank, 9) AS rank FROM pr{n_iter}
+    SELECT node, ROUND(rank, 7) AS rank FROM pr{n_iter}
     """
 
 
@@ -521,7 +521,11 @@ def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the 8-round power iteration into chained SQL CTEs
     (symmetric graph → no dangling mass, so each round is one
     join-aggregate); numpy parity, mass conservation, and hub-dominance
-    are additionally pinned in tests/test_operators.py."""
+    are additionally pinned in tests/test_operators.py. Rounded at 7 (not
+    9): the per-round SUM(rank/deg) is accumulation-order-dependent on
+    both engines, and 1-ulp drift amplified over 8 iterations can flip a
+    1e-9 boundary — 1e-7 sits comfortably above the 1e-16·deg·8 error
+    bound."""
     from rtdl_spark.operators.dedup import minhash_lsh_pairs
     from rtdl_spark.operators.graph import pagerank
 
@@ -529,7 +533,7 @@ def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(d, "doc_id", "text")
     return pagerank(
         pairs, src="id1", dst="id2", symmetric=True, n_iter=8
-    ).select("node", F.round("rank", 9).alias("rank"))
+    ).select("node", F.round("rank", 7).alias("rank"))
 
 
 @query("sim_index_ivf_pq")

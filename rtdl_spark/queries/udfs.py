@@ -33,12 +33,16 @@ def _cos_vs_ones_udf():
 
     @pandas_udf("double")
     def _cos_vs_ones(emb: pd.Series) -> pd.Series:
-        def one(v):
-            a = np.asarray(v, dtype=np.float64)
-            denom = math.sqrt(float((a * a).sum())) * math.sqrt(len(a))
-            return float(a.sum()) / denom if denom else None
-
-        return emb.map(one)
+        if len(emb) == 0:
+            return pd.Series(dtype="float64")
+        # One matrix op per Arrow batch — no per-row Python.  Row-axis
+        # sums keep numpy's pairwise summation along contiguous memory,
+        # bit-identical to the per-row kernel this replaced.
+        mat = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        denom = np.sqrt((mat * mat).sum(axis=1)) * math.sqrt(mat.shape[1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, mat.sum(axis=1) / denom, np.nan)
+        return pd.Series(out)
 
     return _cos_vs_ones
 
@@ -115,7 +119,10 @@ def udaf_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agg_approx_percentiles lesson).
     oracle="""
     WITH ch AS (
-      SELECT doc_id, LENGTH(text) AS total,
+      -- strlen = BYTE length (the Spark side hashes text.encode('utf-8'));
+      -- the per-char ascii() histogram additionally assumes ASCII payloads
+      -- (true for these fixtures) — byte-length is explicit either way.
+      SELECT doc_id, strlen(text) AS total,
              ascii(u.c) % 16 AS bin
       FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200),
            UNNEST(string_split(text, '')) AS u(c)
@@ -304,13 +311,35 @@ def udaf_grouped_arrow_trimmed_mean(
     )
 
 
-@query("multimodal_audio_segments")
+@query(
+    "multimodal_audio_segments",
+    # fake-pcm slicing is pure integer byte arithmetic: seg_bytes =
+    # 20ms * 8B/ms = 160, n_segs = max(ceil(nb/160), 1), last chunk is
+    # nb - i*160 bytes, dur = ceil(chunk/8).  strlen = BYTE length
+    # (payload is text.encode('utf-8')).
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, strlen(text) AS nb
+      FROM documents WHERE doc_id < 100
+    ), s AS (
+      SELECT doc_id, nb,
+             GREATEST((nb + 159) // 160, 1) AS n_segs
+      FROM d
+    )
+    SELECT s.doc_id, CAST(t.i AS INT) AS seg_idx,
+           t.i * 20 AS offset_ms,
+           (LEAST(s.nb - t.i * 160, 160) + 7) // 8 AS dur_ms
+    FROM s, UNNEST(range(0, s.n_segs)) t(i)
+    """,
+)
 def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segmentation plumbing (operators/multimodal.py::
     segment_audio): binary payloads fan out to fixed-duration segment
     rows via mapInPandas (codec-stubbed deterministic slicer — real
-    decode plugs in at the marked point). Rows-only; byte-exact
-    reconstruction pinned in tests/test_multimodal.py."""
+    decode plugs in at the marked point; the wav twin below drives the
+    REAL container decode). The oracle replays the fake-pcm byte
+    arithmetic exactly (integer-only, no rounding surface); byte-exact
+    reconstruction is additionally pinned in tests/test_multimodal.py."""
     from rtdl_spark.operators.multimodal import (
         attach_binary_payload,
         segment_audio,
@@ -332,7 +361,9 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-encoded segment.
     oracle="""
     WITH d AS (
-      SELECT doc_id, LENGTH(text) AS nb
+      -- strlen = BYTE length, matching the Spark side's utf-8 encode
+      -- (LENGTH counts characters and silently diverges on multibyte text)
+      SELECT doc_id, strlen(text) AS nb
       FROM documents WHERE doc_id < 100
     ), f AS (
       SELECT doc_id, nb // 2 AS nframes FROM d

@@ -157,9 +157,11 @@ ENVELOPE_SCHEMA = (
 def parse_kafka_envelopes(kafka_df: "DataFrame", payload_schema=None) -> "DataFrame":
     """Decode Kafka records into the reference's message envelope
     (ingest-service.go:167-206): ``value`` bytes are JSON; identity fields
-    map to stream_id / stream_alt_id (writeKey > projectId precedence) and
-    ``type`` to message_type; the whole JSON string is kept as ``payload``
-    for batch-level schema inference downstream (A8).
+    map to stream_id / stream_alt_id (projectId > writeKey precedence —
+    the reference only consults writeKey when projectId is nil,
+    ingest-service.go:179-189) and ``type`` to message_type; the whole
+    JSON string is kept as ``payload`` for batch-level schema inference
+    downstream (A8).
 
     Works identically on a streaming or batch Kafka frame — or any frame
     with a binary/string ``value`` column, which is how tests drive it
@@ -172,7 +174,7 @@ def parse_kafka_envelopes(kafka_df: "DataFrame", payload_schema=None) -> "DataFr
     out = kafka_df.select(
         env.getField("stream_id").alias("stream_id"),
         F.coalesce(
-            env.getField("writeKey"), env.getField("projectId")
+            env.getField("projectId"), env.getField("writeKey")
         ).alias("stream_alt_id"),
         F.coalesce(env.getField("type"), env.getField("message_type")).alias(
             "message_type"

@@ -66,24 +66,61 @@ def test_every_query_documented_in_coverage():
 
 def test_driver_head_samples_every_category():
     """The driver's per-round correctness budget verifies queries() in
-    registration order and may stop after ~50 entries.  Guard the curated
-    head (rtdl_spark.queries.DRIVER_HEAD): exactly the first 50 registered
-    names, every one oracle-backed, spanning >= 8 operator categories —
-    so future query additions can never silently push a whole category
-    out of the driver's verification window again."""
-    from rtdl_spark.queries import DRIVER_HEAD, all_oracles, all_queries
+    registration order and may stop after ~50 entries.  Guard the head
+    (rtdl_spark.queries.DRIVER_HEAD = CANARIES + ROTATION): exactly the
+    first 50 registered names, every one oracle-backed, and the canaries
+    spanning >= 8 operator categories — so future query additions can
+    never silently push a whole category out of the driver's verification
+    window again."""
+    from rtdl_spark.queries import (
+        CANARIES,
+        DRIVER_HEAD,
+        ROTATION,
+        all_oracles,
+        all_queries,
+    )
 
     q = all_queries()
     o = all_oracles()
     head = list(q)[:50]
     assert head == list(DRIVER_HEAD), "head ordering not applied"
+    assert DRIVER_HEAD == CANARIES + ROTATION
     unbacked = [n for n in head if n not in o]
     assert not unbacked, f"driver-head entries without oracles: {unbacked}"
-    categories = {n.split("_")[0] for n in head}
+    categories = {n.split("_")[0] for n in CANARIES}
     # collapse the per-query TPC-H prefixes (q1, q5, ...) into one family
     tpch = {c for c in categories if c.startswith("q") and c[1:].isdigit()}
     categories = (categories - tpch) | ({"tpch"} if tpch else set())
     assert len(categories) >= 8, sorted(categories)
+
+
+def test_driver_head_rotation_is_fresh():
+    """Rotation slots must be queries that have NEVER received a driver
+    correctness row: each round's served set is appended to
+    DRIVER_SERVED.json, and the current ROTATION must be disjoint from
+    the union of all PRIOR rounds (and recorded as the latest round).
+    This is what guarantees the external hard signal eventually touches
+    the whole registry instead of re-verifying a fixed 50 forever."""
+    import json
+    import os
+
+    from rtdl_spark.queries import CANARIES, DRIVER_HEAD, ROTATION
+
+    path = os.path.join(os.path.dirname(__file__), "..", "DRIVER_SERVED.json")
+    served = json.load(open(path))
+    rounds = sorted(k for k in served if k.startswith("r"))
+    assert rounds, "DRIVER_SERVED.json has no round entries"
+    latest = rounds[-1]
+    assert served[latest] == list(DRIVER_HEAD), (
+        f"DRIVER_SERVED.json[{latest}] must record the current head"
+    )
+    prior = set().union(*(served[r] for r in rounds[:-1]))
+    stale = [n for n in ROTATION if n in prior]
+    assert not stale, f"rotation slots already driver-verified: {stale}"
+    # canaries are the only sanctioned repeats
+    assert set(CANARIES) <= prior, (
+        "canaries should be previously-verified known-good queries"
+    )
 
 
 def test_no_query_emits_non_scalar_columns(spark):

@@ -79,8 +79,9 @@ def test_kafka_reader_builds_without_broker(spark):
 
 def test_parse_kafka_envelopes_without_broker(spark):
     """Envelope decoding from raw Kafka-shaped (value: binary) rows:
-    writeKey precedence over projectId, type→message_type, full JSON kept
-    as payload for downstream inference."""
+    projectId precedence over writeKey (ingest-service.go:179-189),
+    type→message_type, full JSON kept as payload for downstream
+    inference."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -102,7 +103,7 @@ def test_parse_kafka_envelopes_without_broker(spark):
         .collect()
     )}
     assert out[1]["stream_id"] == "s1" and out[1]["message_type"] == "click"
-    assert out[2]["stream_alt_id"] == "wk1"  # writeKey wins over projectId
+    assert out[2]["stream_alt_id"] == "pj1"  # projectId wins over writeKey
     assert out[3]["stream_alt_id"] == "pj2" and out[3]["message_type"] == "page"
     assert all(_json.loads(r["payload_json"])["v"] == v for v, r in out.items())
 
