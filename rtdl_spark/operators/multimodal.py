@@ -136,25 +136,62 @@ def resize_media(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     fake_decode: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """mapInPandas image/video resize stage — 1 row in, 1 row out, typed
     size metadata updated.
 
     Narrow transform: no shuffle, parallel per input split, so it scales
-    linearly with executors regardless of corpus size. Real decoding is
-    environment-gated exactly like ``extract_features``; the fake path
-    deterministically re-samples the byte stream to width*height bytes
-    (truncate or cycle-pad), standing in for PIL's ``Image.resize``.
+    linearly with executors regardless of corpus size.
+
+    ``codec="ppm"`` / ``codec="bmp"`` is a REAL end-to-end decode path
+    (functions/imagecodec.py — the image twin of the WAV audio path):
+    the container header is parsed, pixels are resampled nearest-neighbor
+    with pure floor-division index math (integer-exact, SQL-replayable),
+    and the result is re-encoded in the same format. Compressed codecs
+    (JPEG/PNG — PIL.Image.open(...).resize) still plug in at the marked
+    point; ``fake_decode=True`` keeps the legacy byte-resampling stand-in
+    (truncate or cycle-pad to width*height bytes).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
+            if codec in ("ppm", "bmp"):
+                from rtdl_spark.functions.imagecodec import (
+                    decode_image,
+                    make_bmp,
+                    make_ppm,
+                    resize_nearest,
+                )
+
+                def real_resize(payload: bytes) -> bytes:
+                    w0, h0, ch, pix = decode_image(bytes(payload), codec)
+                    out = resize_nearest(pix, w0, h0, ch, width, height)
+                    enc = make_ppm if codec == "ppm" else make_bmp
+                    return enc(out, width, height, ch)
+
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "payload": pdf[payload_col].map(real_resize),
+                        "meta": [
+                            {
+                                "modality": "image",
+                                "width": width,
+                                "height": height,
+                            }
+                        ]
+                        * len(pdf),
+                    }
+                )
+                continue
             if not fake_decode:
                 raise NotImplementedError(
-                    "media codecs not available in this environment; plug "
-                    "PIL.Image.open(...).resize((w,h)) here or pass "
-                    "fake_decode=True"
+                    "compressed-image codecs not available in this "
+                    "environment; plug PIL.Image.open(...).resize((w,h)) "
+                    "here, or use codec='ppm'/'bmp' (stdlib container "
+                    "decode) / fake_decode=True"
                 )
 
             def fake_resize(payload: bytes) -> bytes:
@@ -237,25 +274,94 @@ def sample_frames(
 PHASH_BITS = 60  # 15 md5 hex chars -> always fits a signed 64-bit long
 
 
+def image_hash_bits(
+    payload: bytes, codec: str, method: str = "ahash"
+) -> int:
+    """REAL 60-bit perceptual hash of one uncompressed image payload
+    (functions/imagecodec.py parsers — no byte-slicing stand-in):
+
+    - ``ahash`` (average hash): decode → integer grayscale → 10×6
+      nearest-neighbor downscale → bit_i = (60·px_i > Σpx), folded
+      row-major MSB-first. ALL-INTEGER, so the bits (and the banded
+      near-dup join built on them) are exactly SQL-replayable — the
+      floor-fixed-point discipline applied to images.
+    - ``dct`` (classic pHash): decode → grayscale → 32×32 downscale →
+      2-D DCT-II → first 60 non-DC coefficients of the low-frequency
+      8×8 block, bit = (coef > median). Float; robust to small pixel
+      noise (the property ahash trades away), pinned by unit tests
+      rather than a SQL oracle.
+    """
+    from rtdl_spark.functions.imagecodec import (
+        decode_image,
+        resize_nearest,
+        to_grayscale,
+    )
+
+    w, h, ch, pix = decode_image(bytes(payload), codec)
+    gray = to_grayscale(w, h, ch, pix)
+    if method == "ahash":
+        small = resize_nearest(gray, w, h, 1, 10, 6)
+        total = sum(small)
+        out = 0
+        for px in small:
+            out = out * 2 + (1 if 60 * px > total else 0)
+        return out
+    if method == "dct":
+        import numpy as np
+
+        small = np.frombuffer(
+            resize_nearest(gray, w, h, 1, 32, 32), dtype=np.uint8
+        ).reshape(32, 32).astype(np.float64)
+        n = 32
+        k = np.arange(n)
+        basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        coefs = basis @ small @ basis.T  # unnormalized 2-D DCT-II
+        low = coefs[:8, :8].ravel()[1:61]  # skip DC, take 60
+        med = float(np.median(low))
+        out = 0
+        for c in low:
+            out = out * 2 + (1 if c > med else 0)
+        return out
+    raise ValueError(f"image_hash_bits: unknown method {method!r}")
+
+
 def perceptual_hash(
     df: DataFrame,
     payload_col: str = "payload",
     fake_decode: bool = False,
+    codec: str | None = None,
+    method: str = "ahash",
 ) -> DataFrame:
     """Add ``phash``: a 60-bit perceptual fingerprint of the media payload.
 
-    Real path: decode the image, downscale, DCT, sign-of-coefficient bits
-    (classic pHash) — requires a codec, so it raises NotImplementedError
-    here exactly where PIL/ffmpeg would plug in. ``fake_decode=True``
-    derives the 60 bits from md5(payload) instead: content-deterministic,
-    byte-identical payloads collide (hamming 0) and everything else is
-    uniform — which is precisely the property the *plumbing* (banding,
-    join shape, hamming filter) needs for tests. Pure Catalyst: the hex
-    fold stays JVM-side, no Python in the hot path."""
+    ``codec="ppm"``/``"bmp"`` is the REAL path: a stdlib container decode
+    (functions/imagecodec.py) feeding ``image_hash_bits`` — average-hash
+    by default (all-integer, SQL-replayable) or ``method="dct"`` (classic
+    pHash). Arrow-batched pandas UDF: per-payload Python is inherent to
+    variable-size binary parsing, the sanctioned multimodal batch shape
+    (same as segment_audio).
+
+    Compressed formats still raise at the marked plug point.
+    ``fake_decode=True`` derives the 60 bits from md5(payload) instead:
+    content-deterministic, byte-identical payloads collide (hamming 0)
+    and everything else is uniform — which is precisely the property the
+    *plumbing* (banding, join shape, hamming filter) needs for tests;
+    pure Catalyst, no Python at all."""
+    if codec in ("ppm", "bmp"):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _hash(payloads: pd.Series) -> pd.Series:
+            return payloads.map(
+                lambda p: image_hash_bits(p, codec, method)
+            ).astype("int64")
+
+        return df.withColumn("phash", _hash(F.col(payload_col)))
     if not fake_decode:
         raise NotImplementedError(
-            "pHash needs an image codec (PIL) — not in this environment; "
-            "pass fake_decode=True for the deterministic test fingerprint"
+            "compressed-image codecs (PIL) not in this environment; use "
+            "codec='ppm'/'bmp' (stdlib container decode) or "
+            "fake_decode=True for the deterministic test fingerprint"
         )
     hexval = lambda c: F.when(  # noqa: E731
         F.ascii(c) <= 57, F.ascii(c) - 48

@@ -502,6 +502,8 @@ def _pq_probe_rows(
     wrong cells for unnormalized vectors. Shared by the in-memory
     (ivf_pq_topk) and persisted-index (query_ivf_pq_index) paths so
     their probe decisions can never drift apart."""
+    import math
+
     import numpy as np
 
     from rtdl_spark.functions.pq_np import pq_lut
@@ -510,12 +512,20 @@ def _pq_probe_rows(
         na, nb = float(np.sqrt(a @ a)), float(np.sqrt(b @ b))
         return float(a @ b) / (na * nb) if na > 0 and nb > 0 else 0.0
 
+    def _round6_half_up(x: float) -> float:
+        # F.round / DuckDB ROUND are HALF-UP (away from zero); python
+        # round() is half-even and would diverge from the corpus-side
+        # ivf_assign (and the SQL oracles) on exact .5 boundaries
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
     probes = []
     for r in q_rows:
         q = np.asarray(r[vec_col], dtype=np.float64)
         by_sim = sorted(
             (
-                -round(_cos(np.asarray(c[vec_col], dtype=np.float64), q), 6),
+                -_round6_half_up(
+                    _cos(np.asarray(c[vec_col], dtype=np.float64), q)
+                ),
                 c["cell_id"],
             )
             for c in cent_rows
@@ -745,11 +755,19 @@ def mmr_rerank(
     brute-force here; swap in ivf_pq/rp_lsh for big corpora — same
     contract). The iterative selection is inherently sequential but runs
     on the CANDIDATE set only: an N×N sim matrix with N=``candidates``
-    per query (tiny, driver-side numpy), never on the corpus. Ties break
-    by lowest id; fully deterministic.
+    per query (tiny, driver-side), never on the corpus. Ties break by
+    lowest id; fully deterministic AND cross-engine replayable: both the
+    relevance (round-6, from cosine_topk) and the candidate-candidate
+    sims (left-fold dot products, floor-fixed at 6) use the exact
+    arithmetic a SQL engine reproduces, so the greedy argmax is a pure
+    function of decimal-quantized inputs — score gaps are either 0 or
+    ≥ ~1e-7, far above any float drift (the sim_mmr_rerank oracle
+    unrolls the k selection rounds as chained CTEs on this basis).
 
     Returns: query_id, neighbor_id, relevance (rounded 6), mmr_rank.
     """
+    import math
+
     import numpy as np
 
     topc = cosine_topk(corpus, queries, id_col, vec_col, k=candidates)
@@ -764,6 +782,14 @@ def mmr_rerank(
         .collect()
     }
 
+    def _fold_dot(a, b) -> float:
+        # sequential left fold — the same association order as the SQL
+        # list_reduce / F.aggregate replays, so the doubles are identical
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
     by_query: dict[int, list] = {}
     for r in cand_rows:
         by_query.setdefault(r.query_id, []).append(r)
@@ -773,12 +799,21 @@ def mmr_rerank(
         ids = [r.neighbor_id for r in rows]
         rel = {r.neighbor_id: r.cosine_sim for r in rows}
         # zero-norm guard (same convention as allpairs/knn_graph: sim=0) —
-        # dividing by 0 here would produce NaN rows whose comparisons are
+        # a 0 denominator would produce NaN rows whose comparisons are
         # all False, silently corrupting the argmax below
-        norms = np.array([np.linalg.norm(vecs[i]) for i in ids])
-        safe = np.where(norms > 0.0, norms, 1.0)
-        mat = np.stack([vecs[i] for i in ids]) / safe[:, None]
-        sims = mat @ mat.T  # candidate-candidate cosine (0 for zero-norm)
+        norms = [math.sqrt(_fold_dot(vecs[i], vecs[i])) for i in ids]
+        n_cand = len(ids)
+        sims = np.zeros((n_cand, n_cand))
+        for ai in range(n_cand):
+            for bi in range(ai + 1, n_cand):
+                d = norms[ai] * norms[bi]
+                if d > 0:
+                    # floor-fixed-point 6: both engines floor the same
+                    # IEEE double — no rounding-mode ambiguity
+                    v = math.floor(
+                        _fold_dot(vecs[ids[ai]], vecs[ids[bi]]) / d * 1e6
+                    ) / 1e6
+                    sims[ai, bi] = sims[bi, ai] = v
         idx = {i: j for j, i in enumerate(ids)}
         selected: list[int] = []
         remaining = set(ids)
@@ -951,4 +986,79 @@ def knn_graph(
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= kk)
+    )
+
+
+def knn_graph_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed_method: str = "first",
+) -> DataFrame:
+    """APPROXIMATE k-nearest-neighbor graph via IVF candidate pruning —
+    the scale path past exact ``knn_graph`` for CLUSTERED corpora.
+
+    knn_graph's exact tiling scores N²/2 pairs no matter what; on a
+    corpus with real cluster structure almost all of those pairs are
+    wasted work. Here every node probes its ``nprobe`` nearest coarse
+    cells (same seeding/assignment/probe rules as ivf_topk: round-6
+    cosine argmax, ties to the lowest cell) and scores ONLY members of
+    those cells — pair work drops from N²/2 to ~N²·nprobe/n_cells, and
+    with n_cells ~ √N the graph build is ~N^1.5. Recall is exact within
+    the probed candidate set (everything after candidate generation is
+    exact and totally ordered); edges to neighbors living outside every
+    probed cell are missed — the standard IVF trade, near-zero misses
+    when clusters are real (tests plant one and verify), honest misses
+    on uniform noise.
+
+    Plan shape: the candidate join shuffles on cell_id (each node's row
+    is replicated nprobe times — N·nprobe rows, never N²), the centroid
+    frame is a broadcast, and scoring is pure Catalyst (the cosine
+    aggregate in codegen). For GEMM-throughput scoring swap the per-cell
+    stage onto knn_graph's applyInPandas kernel — candidate generation
+    is identical; expression scoring keeps this variant whole-stage-
+    codegen and exactly SQL-replayable (sim_knn_graph_ivf's oracle).
+
+    Returns: src, dst, sim (rounded 6), rank — (sim DESC, dst ASC) total
+    order within each node's candidate set, rank <= k.
+    """
+    centroids = seed_centroids(df, n_cells, id_col, vec_col, method=seed_method)
+    cent = F.broadcast(
+        centroids.select("cell_id", F.col(vec_col).alias("_cvec"))
+    )
+    nodes = df.select(
+        F.col(id_col).alias("src"), to_double(F.col(vec_col)).alias("_qvec")
+    )
+    wp = Window.partitionBy("src").orderBy(
+        F.desc(F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)),
+        F.asc("cell_id"),
+    )
+    probes = (
+        nodes.join(cent)
+        .withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= nprobe)
+        .select("src", "_qvec", "cell_id")
+    )
+    members = ivf_assign(df, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("dst"),
+        to_double(F.col(vec_col)).alias("_dvec"),
+        "cell_id",
+    )
+    # each dst has exactly ONE home cell and probes are distinct cells,
+    # so a (src, dst) pair meets at most once — no distinct needed
+    scored = (
+        probes.join(members, "cell_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("_qvec"), F.col("_dvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

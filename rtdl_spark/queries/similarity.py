@@ -438,25 +438,162 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_pq_topk")
+# Shared PQ replay CTEs (m=8 subspaces × sub=8 dims over the 64-dim
+# embeddings, ks=16 codes): with train_iters=0 the codebooks are the first
+# 16 corpus rows' subvectors — pure data, so encoding (per-subspace argmin
+# of c2 − 2·x·c, ties to the lowest code = numpy argmin), the per-query
+# ADC lookup tables, and the m-lookup distance sums are all SQL-derivable.
+# Float sums are left folds on the SQL side vs numpy's blocked sums in the
+# kernels — last-ulp drift against a round-6/argmin boundary is the same
+# accepted risk class as every cosine oracle in this module.
+_PQ_CTE = """
+    WITH srows AS (
+      SELECT sv, ROW_NUMBER() OVER (ORDER BY svid) - 1 AS c FROM (
+        SELECT vec_id AS svid, embedding AS sv
+        FROM embeddings ORDER BY vec_id LIMIT 16)
+    ), books AS (
+      SELECT j.j, s.c,
+             list_transform(range(j.j * 8 + 1, j.j * 8 + 9),
+                            i -> CAST(s.sv[CAST(i AS INT)] AS DOUBLE)) AS bv
+      FROM srows s, UNNEST(range(0, 8)) j(j)
+    ), bstats AS (
+      SELECT j, c, bv,
+             list_reduce(list_transform(bv, x -> x * x),
+                         (a, b) -> a + b) AS c2
+      FROM books
+    ), subv AS (
+      SELECT e.vec_id AS neighbor_id, j.j,
+             list_transform(range(j.j * 8 + 1, j.j * 8 + 9),
+                            i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))
+                 AS xv
+      FROM embeddings e, UNNEST(range(0, 8)) j(j)
+    ), codes AS (
+      SELECT neighbor_id, j, c AS code FROM (
+        SELECT s.neighbor_id, s.j, b.c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.neighbor_id, s.j
+                 ORDER BY b.c2 - 2.0 * list_reduce(
+                   list_transform(range(1, 9),
+                     i -> s.xv[CAST(i AS INT)] * b.bv[CAST(i AS INT)]),
+                   (a, bb) -> a + bb) ASC, b.c) AS rk
+        FROM subv s JOIN bstats b ON b.j = s.j)
+      WHERE rk = 1
+    ), qsub AS (
+      SELECT e.vec_id AS query_id, j.j,
+             list_transform(range(j.j * 8 + 1, j.j * 8 + 9),
+                            i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))
+                 AS qv
+      FROM embeddings e, UNNEST(range(0, 8)) j(j)
+      WHERE e.vec_id < 5
+    ), lut AS (
+      SELECT qs.query_id, b.j, b.c,
+             list_reduce(list_transform(range(1, 9),
+               i -> (qs.qv[CAST(i AS INT)] - b.bv[CAST(i AS INT)])
+                    * (qs.qv[CAST(i AS INT)] - b.bv[CAST(i AS INT)])),
+               (a, bb) -> a + bb) AS d2
+      FROM qsub qs JOIN books b ON b.j = qs.j
+    )"""
+
+
+@query(
+    "sim_pq_topk",
+    # Full SQL replay of the PQ pipeline: seeded codebooks → per-row codes
+    # → per-query ADC tables → m-lookup distance sums → (dist ASC, id)
+    # ranking. The adc left fold starts at 0.0 (0.0 + x == x exactly), so
+    # a plain list_reduce over the j-ordered lookups matches bit-for-bit.
+    oracle=_PQ_CTE
+    + """
+    , scored AS (
+      SELECT l.query_id, cd.neighbor_id,
+             ROUND(list_reduce(list(l.d2 ORDER BY l.j),
+                               (a, b) -> a + b), 6) AS approx_dist
+      FROM codes cd
+      JOIN lut l ON l.j = cd.j AND l.c = cd.code
+      WHERE l.query_id <> cd.neighbor_id
+      GROUP BY l.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_dist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (operators/similarity.py::pq_topk):
     64-dim floats → 8 one-byte codes, queries answered from lookup-table
-    sums over the code column only. No oracle (engine-specific
-    approximation, same rationale as IVF/RP-LSH); recall vs brute force
-    and an exact ADC-parity bound are tested in tests/test_operators.py."""
+    sums over the code column only. train_iters=0 seeds the codebooks
+    from the 16 lowest-id rows, which makes the WHOLE pipeline — encode,
+    ADC tables, distance sums, ranking — SQL-replayable (the _PQ_CTE
+    oracle); recall vs brute force and the exact ADC-parity bound are
+    additionally pinned in tests/test_operators.py."""
     from rtdl_spark.operators.similarity import pq_topk
 
     emb = table(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-@query("sim_ivf_pq_topk")
+@query(
+    "sim_ivf_pq_topk",
+    # The PQ replay composed with the IVF coarse stage (sim_ivf_topk's
+    # proven CTEs): first-8-rows centroids, round-6 cosine assignment
+    # (ties to the lowest cell), nprobe=4 probed cells per query; only
+    # rows in probed cells are ADC-scored.
+    oracle=_PQ_CTE
+    + f"""
+    , cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cvid) AS cell_id, cvec FROM (
+        SELECT vec_id AS cvid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos('e.embedding', 'c.cvec')}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < 5
+    ), probed AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_cos('q.qvec', 'c.cvec')}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= 4
+    ), scored AS (
+      SELECT l.query_id, cd.neighbor_id,
+             ROUND(list_reduce(list(l.d2 ORDER BY l.j),
+                               (a, b) -> a + b), 6) AS approx_dist,
+             ANY_VALUE(a.cell_id) AS cell_id
+      FROM codes cd
+      JOIN assigned a ON a.vec_id = cd.neighbor_id
+      JOIN probed p ON p.cell_id = a.cell_id
+      JOIN lut l ON l.j = cd.j AND l.c = cd.code
+                AND l.query_id = p.query_id
+      WHERE l.query_id <> cd.neighbor_id
+      GROUP BY l.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_dist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist, neighbor_id) AS rank,
+           CAST(cell_id AS INT) AS cell_id
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (operators/similarity.py::ivf_pq_topk): coarse cells
     prune WHICH rows are scored, PQ codes prune WHAT each row costs —
-    the composed FAISS shape. Rows-only (approximate, engine-specific);
-    recall bound tested in tests/test_operators.py."""
+    the composed FAISS shape. With first-rows seeding on both levels the
+    full composition replays in SQL (coarse assignment + probe choice
+    from sim_ivf_topk's CTEs, encode/ADC from _PQ_CTE); the recall bound
+    is additionally pinned in tests/test_operators.py."""
     from rtdl_spark.operators.similarity import ivf_pq_topk
 
     emb = table(spark, sf_dir, "embeddings")
@@ -536,14 +673,68 @@ def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", F.round("rank", 7).alias("rank"))
 
 
-@query("sim_index_ivf_pq")
+@query(
+    "sim_index_ivf_pq",
+    # Same composed IVF+PQ replay as sim_ivf_pq_topk, at this query's
+    # nprobe=2 — the persisted index is only a storage layout; its
+    # answers must equal the in-memory pipeline's bit-for-bit, so the
+    # same SQL witnesses both.
+    oracle=_PQ_CTE
+    + f"""
+    , cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cvid) AS cell_id, cvec FROM (
+        SELECT vec_id AS cvid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos('e.embedding', 'c.cvec')}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < 5
+    ), probed AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_cos('q.qvec', 'c.cvec')}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= 2
+    ), scored AS (
+      SELECT l.query_id, cd.neighbor_id,
+             ROUND(list_reduce(list(l.d2 ORDER BY l.j),
+                               (a, b) -> a + b), 6) AS approx_dist,
+             ANY_VALUE(a.cell_id) AS cell_id
+      FROM codes cd
+      JOIN assigned a ON a.vec_id = cd.neighbor_id
+      JOIN probed p ON p.cell_id = a.cell_id
+      JOIN lut l ON l.j = cd.j AND l.c = cd.code
+                AND l.query_id = p.query_id
+      WHERE l.query_id <> cd.neighbor_id
+      GROUP BY l.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_dist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist, neighbor_id) AS rank,
+           CAST(cell_id AS INT) AS cell_id
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def sim_index_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-index ANN (operators/ann_index.py): build the IVF-PQ
     index as a cell-partitioned lake layout on scratch, answer top-k by
     reading ONLY the probed cell partitions (static partition pruning),
-    drop the scratch. No oracle (ANN family rationale); byte-exact parity
-    with ivf_pq_topk and the executed-scan pruning proof live in
-    tests/test_operators.py."""
+    drop the scratch. The oracle is the composed IVF+PQ SQL replay (the
+    persisted layout must answer identically to the in-memory pipeline);
+    byte-exact parity with ivf_pq_topk and the executed-scan pruning
+    proof additionally live in tests/test_operators.py."""
     import os
     import shutil
     import tempfile
@@ -677,14 +868,84 @@ def x_allpairs_blocked_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_mmr_rerank")
+def _mmr_oracle_sql(k: int = 5, candidates: int = 30, n_queries: int = 3) -> str:
+    """SQL replay of operators/similarity.py::mmr_rerank: the greedy
+    selection unrolls into ``k`` chained CTEs (the pagerank discipline —
+    each round scores the remaining candidates as
+    0.7·rel − (1−0.7)·max(sim to already-selected) and picks the argmax,
+    ties by lowest id). Replayable because both score inputs are
+    decimal-quantized (rel: round-6 from cosine_topk; candidate-candidate
+    sims: floor-fixed-6 left-fold cosines), so score gaps are 0 or ≥~1e-7
+    — far above cross-engine float drift — and the float combine
+    0.7·x − (1.0−0.7)·y is the same two IEEE ops on both engines."""
+    base = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS id, c.embedding AS v,
+             ROUND({_cos('q.qvec', 'c.embedding')}, 6) AS rel
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ), cand AS (
+      SELECT query_id, id, v, rel FROM (
+        SELECT query_id, id, v, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, id) AS rk
+        FROM scored)
+      WHERE rk <= {candidates} AND rel IS NOT NULL
+    ), cc AS (
+      SELECT a.query_id, a.id AS i, b.id AS j,
+             FLOOR({_cos('a.v', 'b.v')} * 1000000.0) / 1000000.0 AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.id <> b.id
+    ), sel1 AS (
+      SELECT query_id, id, rel, 1 AS r FROM (
+        SELECT query_id, id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, id) AS rk
+        FROM cand) WHERE rk = 1
+    ), selset1 AS (SELECT query_id, id FROM sel1)"""
+    for r in range(2, k + 1):
+        base += f"""
+    , sc{r} AS (
+      SELECT c.query_id, c.id, c.rel,
+             0.7 * c.rel
+               - (CAST(1.0 AS DOUBLE) - 0.7) * MAX(x.sim) AS score
+      FROM cand c
+      JOIN cc x ON x.query_id = c.query_id AND x.i = c.id
+      JOIN selset{r - 1} s ON s.query_id = x.query_id AND s.id = x.j
+      WHERE NOT EXISTS (SELECT 1 FROM selset{r - 1} p
+                        WHERE p.query_id = c.query_id AND p.id = c.id)
+      GROUP BY c.query_id, c.id, c.rel
+    ), sel{r} AS (
+      SELECT query_id, id, rel, {r} AS r FROM (
+        SELECT query_id, id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS rk
+        FROM sc{r}) WHERE rk = 1
+    ), selset{r} AS (
+      SELECT query_id, id FROM selset{r - 1}
+      UNION ALL SELECT query_id, id FROM sel{r}
+    )"""
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM sel{r}" for r in range(1, k + 1)
+    )
+    return base + f"""
+    SELECT query_id, id AS neighbor_id, rel AS relevance,
+           CAST(r AS INT) AS mmr_rank
+    FROM ({union})
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle_sql(5, 30, 3))
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware retrieval (operators/similarity.py::mmr_rerank):
-    exact top-50 candidates per query, then Maximal Marginal Relevance
+    exact top-30 candidates per query, then Maximal Marginal Relevance
     selects 5 that are relevant AND mutually distant — the de-dup'd
-    retrieval a RAG/eval pipeline wants. Rows-only (iterative argmax is
-    not SQL-expressible); determinism + diversity-beats-topk pinned in
-    tests/test_operators.py."""
+    retrieval a RAG/eval pipeline wants. The oracle unrolls the greedy
+    argmax into 5 chained CTE rounds over decimal-quantized scores (see
+    _mmr_oracle_sql); determinism + diversity-beats-topk additionally
+    pinned in tests/test_operators.py."""
     from rtdl_spark.operators.similarity import mmr_rerank
 
     e = table(spark, sf_dir, "embeddings")
@@ -999,3 +1260,63 @@ def x_knn_graph_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return knn_graph(e, k=5, n_blocks=8)
+
+
+@query(
+    "sim_knn_graph_ivf",
+    # Full SQL replay (the sim_ivf_topk pattern, per NODE instead of per
+    # query): first-8-rows centroids, round-6 cosine home-cell assignment
+    # and per-node nprobe=2 probe choice (ties to the lowest cell), exact
+    # (round-6 sim DESC, dst ASC) ranking within the probed candidates.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+    ), cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cvid) AS cell_id, cvec FROM (
+        SELECT vec_id AS cvid, embedding AS cvec
+        FROM e ORDER BY vec_id LIMIT 8)
+    ), assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT n.vec_id, n.embedding, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ROUND({_cos('n.embedding', 'c.cvec')}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM e n CROSS JOIN cent c)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT src, qvec, cell_id FROM (
+        SELECT n.vec_id AS src, n.embedding AS qvec, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ROUND({_cos('n.embedding', 'c.cvec')}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM e n CROSS JOIN cent c)
+      WHERE rn <= 2
+    ), scored AS (
+      SELECT p.src, m.vec_id AS dst,
+             ROUND({_cos('p.qvec', 'm.embedding')}, 6) AS sim
+      FROM probes p JOIN assigned m
+        ON m.cell_id = p.cell_id AND m.vec_id <> p.src
+    )
+    SELECT src, dst, sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY sim DESC, dst) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE kNN graph via IVF candidate pruning
+    (operators/similarity.py::knn_graph_ivf): every node probes its 2
+    nearest coarse cells and scores only their members — pair work drops
+    from N²/2 to ~N²·nprobe/n_cells, the graph-build scale path for
+    clustered corpora (exact knn_graph is the uniform-data baseline).
+    Recall is exact WITHIN the probed candidates, so the whole pipeline
+    — assignment, probe choice, ranking — replays in SQL; the
+    planted-cluster recall floor vs exact knn_graph is pinned in
+    tests/test_operators.py."""
+    from rtdl_spark.operators.similarity import knn_graph_ivf
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return knn_graph_ivf(e, k=5, n_cells=8, nprobe=2)

@@ -410,3 +410,130 @@ def multimodal_wav_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dur_ms",
         F.length("segment").alias("wav_bytes"),
     )
+
+
+def _to_ppm_udf():
+    """documents.text → P5 grayscale PPM payload: 16 px wide, height =
+    max(byte_len // 16, 1) rows (make_ppm zero-pads a short last image).
+    Built lazily (pandas_udf needs an active session)."""
+    from pyspark.sql.types import BinaryType
+
+    from rtdl_spark.functions.imagecodec import make_ppm
+
+    @pandas_udf(BinaryType())
+    def _to_ppm(texts: pd.Series) -> pd.Series:
+        def enc(t: str) -> bytes:
+            b = t.encode("utf-8")
+            return make_ppm(b, 16, max(len(b) // 16, 1), 1)
+
+        return texts.map(enc)
+
+    return _to_ppm
+
+
+@query(
+    "multimodal_image_resize",
+    # Every output pixel is SQL-derivable: source pixel (sy, sx) is text
+    # byte sy*16+sx (0 beyond the end — make_ppm zero-pads), and the
+    # nearest-neighbor map is pure floor division: sy=(y*src_h)//8,
+    # sx=(x*16)//8. strlen = BYTE length (ASCII fixtures; the payload is
+    # text.encode('utf-8')).
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, strlen(text) AS nb,
+             GREATEST(strlen(text) // 16, 1) AS src_h
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT d.doc_id, CAST(y.y AS INT) AS y, CAST(x.x AS INT) AS x,
+           CAST(CASE WHEN ((y.y * d.src_h) // 8) * 16 + ((x.x * 16) // 8)
+                          < d.nb
+                THEN ascii(d.text[CAST(((y.y * d.src_h) // 8) * 16
+                                       + ((x.x * 16) // 8) + 1 AS INT)])
+                ELSE 0 END AS INT) AS pixel
+    FROM dims d, UNNEST(range(0, 8)) y(y), UNNEST(range(0, 8)) x(x)
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (operators/multimodal.py::
+    resize_media(codec="ppm"), functions/imagecodec.py): document bytes
+    become P5 grayscale images, the resizer parses the container and
+    nearest-neighbor-resamples to 8×8 with integer floor-division index
+    math, re-encoding a valid PPM — then the output container is parsed
+    AGAIN and exploded to one row per pixel, so header handling, the
+    resample map, and the re-encode are all hash-verified against pure
+    SQL byte arithmetic. The image twin of multimodal_wav_segments."""
+    from rtdl_spark.functions.imagecodec import parse_ppm
+    from rtdl_spark.operators.multimodal import resize_media
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", _to_ppm_udf()(F.col("text")).alias("payload"))
+    )
+    resized = resize_media(docs, 8, 8, codec="ppm")
+
+    @pandas_udf("array<int>")
+    def _pixels(payloads: pd.Series) -> pd.Series:
+        return payloads.map(lambda p: list(parse_ppm(bytes(p))[3]))
+
+    return (
+        resized.select("doc_id", _pixels(F.col("payload")).alias("px"))
+        .select("doc_id", F.posexplode("px").alias("pos", "pixel"))
+        .select(
+            "doc_id",
+            (F.col("pos") / 8).cast("int").alias("y"),
+            (F.col("pos") % 8).cast("int").alias("x"),
+            "pixel",
+        )
+    )
+
+
+@query(
+    "multimodal_image_ahash",
+    # The average-hash is ALL-INTEGER: 10×6 nearest-neighbor downscale
+    # (floor-division index map over the text bytes), bit = 60·px > Σpx
+    # (integer cross-multiplication — no division), MSB-first fold
+    # h*2+b (fold(0,b0)==b0, so the init-less list_reduce matches).
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, strlen(text) AS nb,
+             GREATEST(strlen(text) // 16, 1) AS src_h
+      FROM documents WHERE doc_id < 200
+    ), small AS (
+      SELECT d.doc_id, y.y * 10 + x.x AS ord,
+             CASE WHEN ((y.y * d.src_h) // 6) * 16 + ((x.x * 16) // 10)
+                       < d.nb
+             THEN ascii(d.text[CAST(((y.y * d.src_h) // 6) * 16
+                                    + ((x.x * 16) // 10) + 1 AS INT)])
+             ELSE 0 END AS px
+      FROM dims d, UNNEST(range(0, 6)) y(y), UNNEST(range(0, 10)) x(x)
+    ), tot AS (
+      SELECT doc_id, SUM(px) AS s FROM small GROUP BY doc_id
+    ), bits AS (
+      SELECT sm.doc_id, sm.ord,
+             CASE WHEN 60 * sm.px > t.s THEN 1 ELSE 0 END AS b
+      FROM small sm JOIN tot t USING (doc_id)
+    )
+    SELECT doc_id,
+           list_reduce(list(CAST(b AS BIGINT) ORDER BY ord),
+                       (h, c) -> h * 2 + c) AS phash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual hashing end-to-end (operators/multimodal.py::
+    perceptual_hash(codec="ppm") → image_hash_bits): P5 container decode,
+    integer grayscale, 10×6 nearest downscale, average-hash 60-bit fold —
+    every bit SQL-replayable because the whole kernel is integer
+    arithmetic. The banded near-dup join over this column is the same
+    phash_near_dup_pairs plumbing already driver-verified on the md5
+    path; the noise-robust DCT variant (method="dct") is pinned by unit
+    tests (floats aren't oracle territory)."""
+    from rtdl_spark.operators.multimodal import perceptual_hash
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", _to_ppm_udf()(F.col("text")).alias("payload"))
+    )
+    return perceptual_hash(docs, codec="ppm").select("doc_id", "phash")

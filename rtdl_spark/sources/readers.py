@@ -98,9 +98,17 @@ def read_csv(
 
 
 def delta_available(spark: SparkSession) -> bool:
-    """True when the delta-spark package is on the classpath."""
+    """True when the delta-spark package is on the classpath.
+
+    Must go through Class.forName: a bare ``spark._jvm.a.b.C`` attribute
+    chain NEVER raises for a missing class — py4j lazily returns a
+    JavaPackage — so the previous probe reported delta present on every
+    image (caught in round 4 when the gated delta round-trip test FAILED
+    instead of skipping)."""
     try:
-        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # type: ignore[union-attr]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.delta.DeltaLog"
+        )
         return True
     except Exception:
         return False

@@ -56,3 +56,14 @@ def duck():
         )
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "gated: environment-gated integration test — skips with a reason "
+        "when the dependency (kafka package/broker, delta-spark, "
+        "transformWithStateInPandas) is absent in this image, and goes "
+        "green automatically the round it appears. Probe the round's "
+        "image with `pytest -m gated -rs`.",
+    )

@@ -229,3 +229,145 @@ def test_segment_audio_wav_codec_real_decode_roundtrip(spark):
 
     with pytest.raises(Exception, match="codec"):
         segment_audio(df, seg_ms=1000).collect()
+
+
+def test_image_codec_roundtrips():
+    """PPM (P5/P6) and BMP (8-bit palette / 24-bit) encode→parse are the
+    identity on (width, height, channels, pixels) — including BMP's
+    bottom-up row order, 4-byte row padding, and BGR channel swap, and
+    PPM's comment/whitespace header grammar."""
+    import pytest
+
+    from rtdl_spark.functions.imagecodec import (
+        make_bmp,
+        make_ppm,
+        parse_bmp,
+        parse_ppm,
+    )
+
+    gray = bytes((x * 7 + y * 31) % 256 for y in range(5) for x in range(7))
+    rgb = bytes(
+        v
+        for y in range(5)
+        for x in range(7)
+        for v in ((x * 3) % 256, (y * 5) % 256, (x + y) % 256)
+    )
+    assert parse_ppm(make_ppm(gray, 7, 5, 1)) == (7, 5, 1, gray)
+    assert parse_ppm(make_ppm(rgb, 7, 5, 3)) == (7, 5, 3, rgb)
+    assert parse_bmp(make_bmp(gray, 7, 5, 1)) == (7, 5, 1, gray)
+    assert parse_bmp(make_bmp(rgb, 7, 5, 3)) == (7, 5, 3, rgb)
+    # header grammar: comments + arbitrary whitespace between tokens
+    hdr = b"P5 # comment\n# another\n 7\t5 #x\n255\n" + gray
+    assert parse_ppm(hdr) == (7, 5, 1, gray)
+    # short input zero-pads, oversize truncates
+    assert parse_ppm(make_ppm(gray[:10], 7, 5, 1))[3] == gray[:10] + bytes(25)
+    with pytest.raises(ValueError, match="magic"):
+        parse_ppm(b"JUNKDATA")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ppm(b"P5\n7 5\n255\n" + gray[:10])
+
+
+def test_resize_media_real_codec_nearest_neighbor(spark):
+    """codec="ppm" is a REAL decode→resample→re-encode path: output
+    payloads are valid PPMs whose pixels equal the floor-division
+    nearest-neighbor mapping of the input pixels (checked against an
+    independent numpy computation)."""
+    import numpy as np
+
+    from rtdl_spark.functions.imagecodec import make_ppm, parse_ppm
+    from rtdl_spark.operators.multimodal import resize_media
+
+    w0, h0 = 13, 9
+    pix = bytes((x * 17 + y * 53) % 256 for y in range(h0) for x in range(w0))
+    df = spark.createDataFrame(
+        [(1, make_ppm(pix, w0, h0, 1))], "doc_id long, payload binary"
+    )
+    out = resize_media(df, 8, 8, codec="ppm").collect()[0]
+    assert (out.meta["width"], out.meta["height"]) == (8, 8)
+    ow, oh, och, opix = parse_ppm(bytes(out.payload))
+    assert (ow, oh, och) == (8, 8, 1)
+    src = np.frombuffer(pix, dtype=np.uint8).reshape(h0, w0)
+    ys = (np.arange(8) * h0) // 8
+    xs = (np.arange(8) * w0) // 8
+    assert opix == src[np.ix_(ys, xs)].tobytes()
+
+
+def test_image_ahash_real_decode_properties(spark):
+    """The real perceptual-hash path (codec="ppm", ahash): identical
+    images collide at hamming 0, a lightly-noised copy stays within a
+    small hamming distance, an unrelated image lands far away — and the
+    Spark column equals the pure-Python kernel bit for bit."""
+    from rtdl_spark.functions.imagecodec import make_ppm
+    from rtdl_spark.operators.multimodal import (
+        image_hash_bits,
+        perceptual_hash,
+    )
+
+    w, h = 40, 30
+    base = bytearray(
+        ((x // 5) * 40 + (y // 6) * 17) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    noisy = bytearray(base)
+    for i in range(0, len(noisy), 97):  # sparse ±2 perturbation
+        noisy[i] = min(255, noisy[i] + 2)
+    other = bytes((x * 91 + y * 13) % 256 for y in range(h) for x in range(w))
+    imgs = {
+        1: make_ppm(bytes(base), w, h, 1),
+        2: make_ppm(bytes(base), w, h, 1),
+        3: make_ppm(bytes(noisy), w, h, 1),
+        4: make_ppm(other, w, h, 1),
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in imgs.items()], "doc_id long, payload binary"
+    )
+    got = {
+        r.doc_id: r.phash
+        for r in perceptual_hash(df, codec="ppm").collect()
+    }
+    for k, v in imgs.items():
+        assert got[k] == image_hash_bits(v, "ppm", "ahash")
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(got[1], got[2]) == 0
+    assert ham(got[1], got[3]) <= 6
+    assert ham(got[1], got[4]) >= 15
+
+
+def test_image_dct_phash_real_decode(spark):
+    """method="dct" (classic pHash) on the real decode path: noise-robust
+    (lightly-noised copy within small hamming) and discriminative, and
+    deterministic across Spark and the pure-Python kernel."""
+    from rtdl_spark.functions.imagecodec import make_bmp
+    from rtdl_spark.operators.multimodal import (
+        image_hash_bits,
+        perceptual_hash,
+    )
+
+    w, h = 40, 30
+    base = bytearray(
+        ((x // 5) * 40 + (y // 6) * 17) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    noisy = bytearray(base)
+    for i in range(0, len(noisy), 53):
+        noisy[i] = max(0, noisy[i] - 3)
+    other = bytes((x * 91 + y * 13) % 256 for y in range(h) for x in range(w))
+    imgs = {
+        1: make_bmp(bytes(base), w, h, 1),
+        2: make_bmp(bytes(noisy), w, h, 1),
+        3: make_bmp(other, w, h, 1),
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in imgs.items()], "doc_id long, payload binary"
+    )
+    got = {
+        r.doc_id: r.phash
+        for r in perceptual_hash(df, codec="bmp", method="dct").collect()
+    }
+    for k, v in imgs.items():
+        assert got[k] == image_hash_bits(v, "bmp", "dct")
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(got[1], got[2]) <= 8
+    assert ham(got[1], got[3]) >= 15
