@@ -1014,51 +1014,140 @@ def knn_graph_ivf(
     when clusters are real (tests plant one and verify), honest misses
     on uniform noise.
 
-    Plan shape: the candidate join shuffles on cell_id (each node's row
-    is replicated nprobe times — N·nprobe rows, never N²), the centroid
-    frame is a broadcast, and scoring is pure Catalyst (the cosine
-    aggregate in codegen). For GEMM-throughput scoring swap the per-cell
-    stage onto knn_graph's applyInPandas kernel — candidate generation
-    is identical; expression scoring keeps this variant whole-stage-
-    codegen and exactly SQL-replayable (sim_knn_graph_ivf's oracle).
+    Plan shape — every quadratic-adjacent stage is a numpy GEMM, never
+    per-pair expressions (the first cut scored candidates with the
+    Catalyst cosine aggregate and lost to exact knn_graph's dgemm tiling
+    2.4× at 40k vectors — measured, see SCALE.md; expression work per
+    pair is the whole difference):
+    - assignment+probing is ONE Arrow-batched pass (batch × centroids
+      GEMM against the broadcast centroid matrix; round-6 half-up,
+      stable argsort → ties to the lowest cell — same decisions as
+      ivf_assign/ivf_topk, so the SQL oracle still replays them);
+    - each node then ships to its nprobe probed cells and each member to
+      its ONE home cell (shuffle N·nprobe + N rows, never pairs), and a
+      cogrouped applyInPandas runs one chunked float64 GEMM per cell,
+      keeping each src's local top-k plus knn_graph's 1e-6 margin (so
+      round-6 ties always survive to the merge);
+    - one global (round-6 sim DESC, dst ASC) window merges the ≤
+      nprobe·k locals per node — a total order, SQL-replayable.
 
-    Returns: src, dst, sim (rounded 6), rank — (sim DESC, dst ASC) total
-    order within each node's candidate set, rank <= k.
+    Returns: src, dst, sim (rounded 6), rank — exact top-k within the
+    probed candidate set, rank <= k.
     """
+    import numpy as np
+    import pandas as pd
+
     centroids = seed_centroids(df, n_cells, id_col, vec_col, method=seed_method)
-    cent = F.broadcast(
-        centroids.select("cell_id", F.col(vec_col).alias("_cvec"))
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cell_ids = np.array([int(r["cell_id"]) for r in cent_rows])
+    C = np.asarray([list(r[vec_col]) for r in cent_rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    dim = C.shape[1]
+    npb = int(nprobe)
+
+    def assign(batches):
+        # per batch: one GEMM vs the centroid matrix; emits home cell +
+        # probe cells per node. Rounding is half-up on the binary double
+        # (DuckDB ROUND semantics; F.round differs only on decimal-repr
+        # corner cases — the accepted round-6 risk class), ties to the
+        # lowest cell via stable argsort over the cell-ordered matrix.
+        for pdf in batches:
+            ok = pdf["_v"].map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy()
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_v"].to_numpy())
+            vn = np.linalg.norm(V, axis=1)
+            denom = np.outer(vn, cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, (V @ C.T) / denom, 0.0)
+            sims6 = np.copysign(
+                np.floor(np.abs(sims) * 1e6 + 0.5), sims
+            ) / 1e6
+            order = np.argsort(-sims6, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "_v": pdf["_v"].to_numpy(),
+                    "home": cell_ids[order[:, 0]],
+                    "probes": list(cell_ids[order[:, :npb]]),
+                }
+            )
+
+    assigned = df.select(
+        F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
+    ).mapInPandas(
+        assign, "_id long, _v array<double>, home int, probes array<int>"
     )
-    nodes = df.select(
-        F.col(id_col).alias("src"), to_double(F.col(vec_col)).alias("_qvec")
+    probers = assigned.select(
+        "_id", "_v", F.explode("probes").alias("cell_id")
     )
-    wp = Window.partitionBy("src").orderBy(
-        F.desc(F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)),
-        F.asc("cell_id"),
+    # member columns renamed: both cogroup sides share the `assigned`
+    # lineage, and identically-named (same-attribute) columns on the
+    # right side get pruned away to just the grouping key — the worker
+    # then sees a member frame with only cell_id (observed on 4.1.2)
+    members = assigned.select(
+        F.col("_id").alias("_mid"),
+        F.col("_v").alias("_mv"),
+        F.col("home").alias("cell_id"),
     )
-    probes = (
-        nodes.join(cent)
-        .withColumn("_pr", F.row_number().over(wp))
-        .filter(F.col("_pr") <= nprobe)
-        .select("src", "_qvec", "cell_id")
-    )
-    members = ivf_assign(df, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("dst"),
-        to_double(F.col(vec_col)).alias("_dvec"),
-        "cell_id",
-    )
-    # each dst has exactly ONE home cell and probes are distinct cells,
-    # so a (src, dst) pair meets at most once — no distinct needed
-    scored = (
-        probes.join(members, "cell_id")
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(cosine(F.col("_qvec"), F.col("_dvec")), 6).alias("sim"),
+    kk = int(k)
+
+    def score_cell(key, probe_pdf: pd.DataFrame, member_pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
         )
+        if not len(probe_pdf) or not len(member_pdf):
+            return empty
+        qids = probe_pdf["_id"].to_numpy()
+        qmat = np.stack(probe_pdf["_v"].to_numpy())
+        cids = member_pdf["_mid"].to_numpy()
+        cmat = np.stack(member_pdf["_mv"].to_numpy())
+        qn = np.linalg.norm(qmat, axis=1)
+        mn = np.linalg.norm(cmat, axis=1)
+        frames = []
+        chunk = max(1, 8_000_000 // max(len(cids), 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s0 in range(0, len(qids), chunk):
+                s1 = min(s0 + chunk, len(qids))
+                denom = np.outer(qn[s0:s1], mn)
+                sims = np.where(
+                    denom > 0, (qmat[s0:s1] @ cmat.T) / denom, 0.0
+                )
+                eq = qids[s0:s1, None] == cids[None, :]
+                sims = np.where(eq, -np.inf, sims)
+                kc = min(kk, sims.shape[1])
+                # knn_graph's margin rule: everything below kth-1e-6
+                # provably rounds below the kth keeper at 6 digits
+                kth = -np.partition(-sims, kc - 1, axis=1)[:, kc - 1]
+                mask = sims >= (kth[:, None] - 1e-6)
+                qi, ci = np.nonzero(mask)
+                vals = sims[qi, ci]
+                keep = np.isfinite(vals)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "src": qids[s0:s1][qi][keep],
+                            "dst": cids[ci][keep],
+                            "sim": vals[keep],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    cand = (
+        probers.groupBy("cell_id")
+        .cogroup(members.groupBy("cell_id"))
+        .applyInPandas(score_cell, "src long, dst long, sim double")
+        .withColumn("sim", F.round("sim", 6))
     )
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= kk
     )

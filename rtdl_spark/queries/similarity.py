@@ -1320,3 +1320,56 @@ def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     return knn_graph_ivf(e, k=5, n_cells=8, nprobe=2)
+
+
+@query(
+    "x_knn_graph_ivf_full",
+    # Same per-node replay as sim_knn_graph_ivf, uncapped corpus and
+    # n_cells=16 — the bench-twin contrast to x_knn_graph_full's exact
+    # tiling (quality-for-throughput knob made measurable per round).
+    oracle=f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cvid) AS cell_id, cvec FROM (
+        SELECT vec_id AS cvid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 16)
+    ), assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT n.vec_id, n.embedding, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ROUND({_cos('n.embedding', 'c.cvec')}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings n CROSS JOIN cent c)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT src, qvec, cell_id FROM (
+        SELECT n.vec_id AS src, n.embedding AS qvec, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ROUND({_cos('n.embedding', 'c.cvec')}, 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings n CROSS JOIN cent c)
+      WHERE rn <= 2
+    ), scored AS (
+      SELECT p.src, m.vec_id AS dst,
+             ROUND({_cos('p.qvec', 'm.embedding')}, 6) AS sim
+      FROM probes p JOIN assigned m
+        ON m.cell_id = p.cell_id AND m.vec_id <> p.src
+    )
+    SELECT src, dst, sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY sim DESC, dst) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def x_knn_graph_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of sim_knn_graph_ivf (x_ prefix → headline set): the
+    IVF-pruned kNN graph over the UNCAPPED corpus at n_cells=16 — per
+    round this measures the approximate scale path head-to-head against
+    x_knn_graph_full's exact tiling on identical data (the
+    quality-for-throughput trade, quantified)."""
+    from rtdl_spark.operators.similarity import knn_graph_ivf
+
+    e = table(spark, sf_dir, "embeddings")
+    return knn_graph_ivf(e, k=5, n_cells=16, nprobe=2)

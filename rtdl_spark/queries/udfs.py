@@ -537,3 +537,47 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _to_ppm_udf()(F.col("text")).alias("payload"))
     )
     return perceptual_hash(docs, codec="ppm").select("doc_id", "phash")
+
+
+@query(
+    "x_image_ahash_full",
+    # sim of multimodal_image_ahash, uncapped — and the same all-integer
+    # SQL replay, so the bench twin stays hash-verified at every scale.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, strlen(text) AS nb,
+             GREATEST(strlen(text) // 16, 1) AS src_h
+      FROM documents
+    ), small AS (
+      SELECT d.doc_id, y.y * 10 + x.x AS ord,
+             CASE WHEN ((y.y * d.src_h) // 6) * 16 + ((x.x * 16) // 10)
+                       < d.nb
+             THEN ascii(d.text[CAST(((y.y * d.src_h) // 6) * 16
+                                    + ((x.x * 16) // 10) + 1 AS INT)])
+             ELSE 0 END AS px
+      FROM dims d, UNNEST(range(0, 6)) y(y), UNNEST(range(0, 10)) x(x)
+    ), tot AS (
+      SELECT doc_id, SUM(px) AS s FROM small GROUP BY doc_id
+    ), bits AS (
+      SELECT sm.doc_id, sm.ord,
+             CASE WHEN 60 * sm.px > t.s THEN 1 ELSE 0 END AS b
+      FROM small sm JOIN tot t USING (doc_id)
+    )
+    SELECT doc_id,
+           list_reduce(list(CAST(b AS BIGINT) ORDER BY ord),
+                       (h, c) -> h * 2 + c) AS phash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def x_image_ahash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of multimodal_image_ahash (x_ prefix → headline set):
+    REAL image decode + perceptual hashing over the UNCAPPED document
+    corpus — per-round throughput of the container-parse → integer
+    downscale → 60-bit fold pipeline (the mapInPandas decode lane a
+    compressed codec would slot into)."""
+    from rtdl_spark.operators.multimodal import perceptual_hash
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _to_ppm_udf()(F.col("text")).alias("payload")
+    )
+    return perceptual_hash(docs, codec="ppm").select("doc_id", "phash")

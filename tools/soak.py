@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pandas as pd  # noqa: E402  (module-level: pandas_udf type-hint
+# resolution evaluates string annotations against module globals)
 from pyspark.sql import functions as F  # noqa: E402
 
 
@@ -389,6 +391,48 @@ def main() -> None:
     run(
         "knn_graph_k10",
         lambda: knn_graph(vecs, k=10, n_blocks=16).count(),
+    )
+
+    # IVF-pruned approximate kNN graph on the SAME corpus — the
+    # head-to-head vs the exact tiling above. n_cells ~ sqrt(N) gives the
+    # ~N^1.5 pair-work bound; on these uniform hash vectors recall is the
+    # honest IVF trade (cells are meaningless), so this cell measures
+    # THROUGHPUT of the cell-bucketed candidate join + codegen scoring.
+    from rtdl_spark.operators.similarity import knn_graph_ivf
+
+    run(
+        "knn_graph_ivf_k10",
+        lambda: knn_graph_ivf(
+            vecs, k=10, n_cells=max(16, int(n_vec**0.5)), nprobe=2
+        ).count(),
+    )
+
+    # REAL image decode throughput: documents -> P5 PPM payloads ->
+    # container parse + integer downscale + 60-bit average-hash fold
+    # (operators/multimodal.py::perceptual_hash(codec="ppm")); the
+    # mapInPandas decode lane a compressed codec would slot into.
+    from pyspark.sql.types import BinaryType
+
+    from rtdl_spark.functions.imagecodec import make_ppm
+    from rtdl_spark.operators.multimodal import perceptual_hash
+
+    @F.pandas_udf(BinaryType())
+    def _soak_to_ppm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: make_ppm(
+                t.encode("utf-8"), 16, max(len(t.encode("utf-8")) // 16, 1), 1
+            )
+        )
+
+    docs_n = xn("documents")
+    run(
+        "image_ahash_decode",
+        lambda: perceptual_hash(
+            docs_n.select(
+                "doc_id", _soak_to_ppm(F.col("text")).alias("payload")
+            ),
+            codec="ppm",
+        ).count(),
     )
 
     # k-core peeling on a synthetic hash graph (~3 edges/node + a planted
