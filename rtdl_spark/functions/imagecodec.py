@@ -36,15 +36,18 @@ def make_ppm(
     return magic + b"\n%d %d\n255\n" % (width, height) + body
 
 
-def parse_ppm(data: bytes) -> tuple[int, int, int, bytes]:
-    """Parse binary netpbm → (width, height, channels, pixel bytes).
-    Handles the full header grammar: whitespace runs and ``#`` comments
-    between tokens, any maxval up to 255 (larger needs 2-byte samples —
-    rejected, not silently misread)."""
-    if data[:2] not in (b"P5", b"P6"):
-        raise ValueError(f"not a binary PPM/PGM: magic {data[:2]!r}")
-    channels = 1 if data[:2] == b"P5" else 3
-    pos = 2
+def parse_ppm_at(data: bytes, pos: int = 0) -> tuple[int, int, int, bytes, int]:
+    """Parse one binary netpbm image starting at ``pos`` → (width, height,
+    channels, pixel bytes, next_pos). Handles the full header grammar:
+    whitespace runs and ``#`` comments between tokens, any maxval up to
+    255 (larger needs 2-byte samples — rejected, not silently misread).
+    ``next_pos`` is the offset just past this image's pixel block, which
+    is what makes a CONCATENATED stream of netpbm images (the MJPEG-style
+    frame container) parseable image by image."""
+    if data[pos : pos + 2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PPM/PGM: magic {data[pos:pos + 2]!r}")
+    channels = 1 if data[pos : pos + 2] == b"P5" else 3
+    pos += 2
     fields = []
     while len(fields) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
@@ -65,7 +68,26 @@ def parse_ppm(data: bytes) -> tuple[int, int, int, bytes]:
     body = data[pos : pos + n]
     if len(body) < n:
         raise ValueError(f"PPM truncated: need {n} pixel bytes, got {len(body)}")
-    return width, height, channels, body
+    return width, height, channels, body, pos + n
+
+
+def parse_ppm(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a single binary netpbm image → (width, height, channels,
+    pixel bytes)."""
+    w, h, ch, body, _ = parse_ppm_at(data, 0)
+    return w, h, ch, body
+
+
+def parse_ppm_stream(data: bytes) -> list[tuple[int, int, int, bytes]]:
+    """Parse a concatenated stream of binary netpbm images (the
+    'ppm-stream' video container: frame N's header starts right after
+    frame N-1's pixel block) → list of (w, h, channels, pixels)."""
+    frames = []
+    pos = 0
+    while pos < len(data):
+        w, h, ch, body, pos = parse_ppm_at(data, pos)
+        frames.append((w, h, ch, body))
+    return frames
 
 
 # -- BMP (BITMAPINFOHEADER, uncompressed) ------------------------------------

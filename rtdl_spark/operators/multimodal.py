@@ -230,24 +230,60 @@ def sample_frames(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     fake_decode: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """mapInPandas frame sampling — 1 video row fans out to ``n_frames``
     frame rows (the one multimodal stage that *grows* the data; keep it
     after filters so the fan-out happens on the surviving subset only).
 
-    The fake path slices the byte stream into n equal chunks, standing in
-    for cv2.VideoCapture + evenly-spaced frame grabs. Output stays
-    keyed by (doc_id, frame_idx) so downstream feature extraction and
-    dedup operate per frame.
+    ``codec="ppm-stream"`` is a REAL container decode (the video leg of
+    the WAV-audio / PPM-image trio): the payload is a concatenated
+    stream of binary netpbm images (MJPEG's shape with a stdlib-
+    parseable codec), each frame header is parsed to find the next
+    (functions/imagecodec.py::parse_ppm_stream), grabs are evenly
+    spaced over the TRUE frame count — fi = (i·total)//n, cv2-style,
+    repeating frames when total < n — and each sampled frame is
+    re-encoded as a standalone image. Compressed video (cv2/ffmpeg)
+    plugs in at the marked point; the fake path slices the byte stream
+    into n equal chunks. Output stays keyed by (doc_id, frame_idx) so
+    downstream feature extraction and dedup operate per frame.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if codec == "ppm-stream":
+                from rtdl_spark.functions.imagecodec import (
+                    make_ppm,
+                    parse_ppm_stream,
+                )
+
+                ids, idxs, frames, totals = [], [], [], []
+                for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                    decoded = parse_ppm_stream(bytes(payload or b""))
+                    total = len(decoded)
+                    for i in range(n_frames):
+                        if total == 0:
+                            break
+                        w, h, ch, pix = decoded[(i * total) // n_frames]
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(make_ppm(pix, w, h, ch))
+                        totals.append(total)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "frame_idx": idxs,
+                        "frame": frames,
+                        "n_frames": totals,
+                    }
+                )
+                continue
             if not fake_decode:
                 raise NotImplementedError(
-                    "media codecs not available in this environment; plug "
-                    "cv2.VideoCapture frame sampling here or pass "
-                    "fake_decode=True"
+                    "compressed-video codecs not available in this "
+                    "environment; plug cv2.VideoCapture frame sampling "
+                    "here, or use codec='ppm-stream' (stdlib container "
+                    "decode) / fake_decode=True"
                 )
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):

@@ -581,3 +581,80 @@ def x_image_ahash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _to_ppm_udf()(F.col("text")).alias("payload")
     )
     return perceptual_hash(docs, codec="ppm").select("doc_id", "phash")
+
+
+@query(
+    "multimodal_video_frames",
+    # The 'video' is a concatenated stream of 16×6 P5 frames built from
+    # consecutive 96-byte text chunks (the last zero-padded), so every
+    # output is integer byte arithmetic: total = max(ceil(nb/96), 1),
+    # sampled source frame fi = (frame_idx·total)//4 (cv2-style evenly
+    # spaced grabs), per-frame re-encode is header(12B: 'P5\\n16 6\\n255\\n')
+    # + 96 pixel bytes, and the pixel sum ranges over the chunk with
+    # zeros beyond the text end.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, strlen(text) AS nb,
+             GREATEST((strlen(text) + 95) // 96, 1) AS total
+      FROM documents WHERE doc_id < 100
+    ), f AS (
+      SELECT t.doc_id, i.i AS frame_idx, t.total,
+             (i.i * t.total) // 4 AS fi, t.text, t.nb
+      FROM t, UNNEST(range(0, 4)) i(i)
+    )
+    SELECT f.doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+           f.total AS total_frames,
+           CAST(108 AS INT) AS frame_bytes,
+           CAST(SUM(CASE WHEN f.fi * 96 + j.j < f.nb
+                    THEN ascii(f.text[CAST(f.fi * 96 + j.j + 1 AS INT)])
+                    ELSE 0 END) AS BIGINT) AS pixel_sum
+    FROM f, UNNEST(range(0, 96)) j(j)
+    GROUP BY f.doc_id, f.frame_idx, f.total
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode end-to-end (operators/multimodal.py::
+    sample_frames(codec="ppm-stream") — the video leg of the WAV/PPM
+    real-codec trio): document bytes become a concatenated stream of
+    16×6 grayscale frames, the sampler parses frame headers to walk the
+    container, grabs 4 evenly-spaced frames over the TRUE frame count,
+    and re-encodes each as a standalone image — then each sampled frame
+    is parsed AGAIN and reduced to its pixel sum, so container walking,
+    the grab positions, the re-encode size, and the pixel content are
+    all hash-verified against pure SQL byte arithmetic."""
+    from pyspark.sql.types import BinaryType
+
+    from rtdl_spark.functions.imagecodec import make_ppm, parse_ppm
+    from rtdl_spark.operators.multimodal import sample_frames
+
+    @pandas_udf(BinaryType())
+    def to_stream(texts: pd.Series) -> pd.Series:
+        def enc(t: str) -> bytes:
+            b = t.encode("utf-8")
+            total = max(-(-len(b) // 96), 1)
+            return b"".join(
+                make_ppm(b[i * 96 : (i + 1) * 96], 16, 6, 1)
+                for i in range(total)
+            )
+
+        return texts.map(enc)
+
+    @pandas_udf("long")
+    def pixel_sum(frames: pd.Series) -> pd.Series:
+        return frames.map(
+            lambda fr: int(sum(parse_ppm(bytes(fr))[3]))
+        ).astype("int64")
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", to_stream(F.col("text")).alias("payload"))
+    )
+    sampled = sample_frames(docs, n_frames=4, codec="ppm-stream")
+    return sampled.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("n_frames").alias("total_frames"),
+        F.length("frame").alias("frame_bytes"),
+        pixel_sum(F.col("frame")).alias("pixel_sum"),
+    )

@@ -7,6 +7,7 @@ from rtdl_spark.streaming.jobs import (  # noqa: F401
     stream_dedup_clusters,
     stream_dedup_within_watermark,
     stream_enrich_static,
+    stream_image_ahash,
     stream_ingest_json,
     stream_interval_join,
     stream_session_counts,

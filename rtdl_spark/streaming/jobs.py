@@ -23,6 +23,9 @@ event-time windows are capability-plus, flagged as such in SURVEY §2B.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves its (string,
+# under future-annotations) type hints against module globals, so a
+# function-local `import pandas as pd` breaks @pandas_udf inference
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -606,3 +609,41 @@ def stream_ohlc_candles(
             "open", "high", "low", "close", "total",
         )
     )
+
+
+def stream_image_ahash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming multimodal decode lane: documents arriving as a stream
+    become P5 grayscale payloads and are perceptually hashed through the
+    REAL container decode (operators/multimodal.py::perceptual_hash
+    (codec="ppm") → functions/imagecodec.py) — the streaming twin of
+    multimodal_image_ahash / x_image_ahash_full.
+
+    Stateless by construction (a scalar Arrow-batched UDF per
+    micro-batch): nothing to watermark, no state store, so the stage
+    scales exactly like its batch twin — one decode lane per input
+    split. Feed the phash column into stream_dedup_clusters (or a banded
+    hamming join per batch) for streaming media near-dup detection; a
+    compressed codec (PIL/ffmpeg) slots into the same UDF at the marked
+    plug point.
+    """
+    from pyspark.sql.types import BinaryType
+
+    from rtdl_spark.functions.imagecodec import make_ppm
+    from rtdl_spark.operators.multimodal import perceptual_hash
+
+    @F.pandas_udf(BinaryType())
+    def to_ppm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: make_ppm(
+                t.encode("utf-8"), 16, max(len(t.encode("utf-8")) // 16, 1), 1
+            )
+        )
+
+    payloads = docs.select(
+        F.col(id_col).alias("doc_id"), to_ppm(F.col(text_col)).alias("payload")
+    )
+    return perceptual_hash(payloads, codec="ppm").select("doc_id", "phash")

@@ -371,3 +371,59 @@ def test_image_dct_phash_real_decode(spark):
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(got[1], got[2]) <= 8
     assert ham(got[1], got[3]) >= 15
+
+
+def test_sample_frames_ppm_stream_real_decode(spark):
+    """codec="ppm-stream" walks a REAL multi-image container: frame
+    headers (with mixed sizes) locate each next frame, grabs are evenly
+    spaced over the true frame count — (i*total)//n, repeating frames
+    when total < n — and every sampled frame round-trips as a standalone
+    image with the right pixels."""
+    import pytest
+
+    from rtdl_spark.functions.imagecodec import (
+        make_ppm,
+        parse_ppm,
+        parse_ppm_stream,
+    )
+    from rtdl_spark.operators.multimodal import sample_frames
+
+    # 7 frames with DIFFERENT dims (header walking must use each
+    # frame's own pixel-block length)
+    frames = [
+        bytes((f * 31 + i) % 256 for i in range((4 + f % 3) * 3))
+        for f in range(7)
+    ]
+    dims = [(4 + f % 3, 3) for f in range(7)]
+    stream = b"".join(
+        make_ppm(p, w, h, 1) for p, (w, h) in zip(frames, dims)
+    )
+    assert [f[:3] for f in parse_ppm_stream(stream)] == [
+        (w, h, 1) for w, h in dims
+    ]
+
+    short = make_ppm(bytes(range(12)), 4, 3, 1)  # 1-frame "video"
+    df = spark.createDataFrame(
+        [(1, stream), (2, short)], "doc_id long, payload binary"
+    )
+    out = sorted(
+        sample_frames(df, n_frames=4, codec="ppm-stream").collect(),
+        key=lambda r: (r.doc_id, r.frame_idx),
+    )
+    d1 = [r for r in out if r.doc_id == 1]
+    assert [r.frame_idx for r in d1] == [0, 1, 2, 3]
+    assert all(r.n_frames == 7 for r in d1)
+    for r in d1:
+        want = (r.frame_idx * 7) // 4
+        w, h, ch, pix = parse_ppm(bytes(r.frame))
+        assert (w, h) == dims[want] and pix == frames[want]
+    d2 = [r for r in out if r.doc_id == 2]
+    # total(1) < n(4): the single frame repeats in every grab slot
+    assert [r.frame_idx for r in d2] == [0, 1, 2, 3]
+    assert all(
+        r.n_frames == 1 and parse_ppm(bytes(r.frame))[3] == bytes(range(12))
+        for r in d2
+    )
+    # default (no codec) still raises at the plug point
+    with pytest.raises(Exception, match="codec"):
+        sample_frames(df, n_frames=2).collect()

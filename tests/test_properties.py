@@ -586,3 +586,82 @@ def test_k_core_matches_bruteforce_peeling(spark, edges, k):
         )
     got = {r.node: r.degree for r in k_core(df, k).collect()}
     assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=1, max_value=17),
+    st.sampled_from([1, 3]),
+    st.binary(min_size=0, max_size=23 * 17 * 3),
+    st.sampled_from(["ppm", "bmp"]),
+)
+def test_imagecodec_roundtrip_property(w, h, channels, pixels, codec):
+    """PPM and BMP encode→parse is the identity on (w, h, channels,
+    zero-padded pixels) for ARBITRARY dimensions — including 1-pixel
+    images, widths that hit every BMP row-padding residue (w*ch % 4),
+    and payloads shorter/longer than the pixel buffer."""
+    from rtdl_spark.functions.imagecodec import (
+        make_bmp,
+        make_ppm,
+        parse_bmp,
+        parse_ppm,
+    )
+
+    n = w * h * channels
+    want = pixels[:n] + bytes(max(n - len(pixels), 0))
+    enc, dec = (
+        (make_ppm, parse_ppm) if codec == "ppm" else (make_bmp, parse_bmp)
+    )
+    assert dec(enc(pixels, w, h, channels)) == (w, h, channels, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=19),
+    st.integers(min_value=1, max_value=19),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.binary(min_size=0, max_size=19 * 19),
+)
+def test_resize_nearest_properties(src_w, src_h, out_w, out_h, pixels):
+    """Nearest-neighbor resample invariants for arbitrary dims: output
+    size is exact, every output pixel VALUE exists at its floor-division
+    source index, and identity dims return the input unchanged."""
+    from rtdl_spark.functions.imagecodec import resize_nearest
+
+    n = src_w * src_h
+    pix = (pixels[:n] + bytes(max(n - len(pixels), 0)))[:n]
+    out = resize_nearest(pix, src_w, src_h, 1, out_w, out_h)
+    assert len(out) == out_w * out_h
+    for y in range(out_h):
+        for x in range(out_w):
+            sy, sx = (y * src_h) // out_h, (x * src_w) // out_w
+            assert out[y * out_w + x] == pix[sy * src_w + sx]
+    assert resize_nearest(pix, src_w, src_h, 1, src_w, src_h) == pix
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=1, max_size=600))
+def test_image_ahash_kernel_properties(payload):
+    """Average-hash invariants for arbitrary payload bytes encoded as a
+    16-wide P5 image (the query fixture shape): 60-bit range, exact
+    determinism, and global-brightness invariance (adding a constant to
+    every pixel that stays in range cannot flip any px-vs-mean bit when
+    60·px−Σpx shifts uniformly... verified directly: hash equality)."""
+    from rtdl_spark.functions.imagecodec import make_ppm
+    from rtdl_spark.operators.multimodal import image_hash_bits
+
+    ppm = make_ppm(payload, 16, max(len(payload) // 16, 1), 1)
+    hv = image_hash_bits(ppm, "ppm", "ahash")
+    assert 0 <= hv < (1 << 60)
+    assert image_hash_bits(ppm, "ppm", "ahash") == hv
+    # brightness shift: +c on every pixel shifts 60*px and sum by the
+    # same 60*c, so every comparison 60*px > sum is preserved exactly
+    if payload and max(payload) < 200:
+        shifted = bytes(b + 55 for b in payload)
+        n = (max(len(payload) // 16, 1)) * 16
+        # only valid when padding stays identical (exact multiple of 16)
+        if len(payload) == n:
+            ppm2 = make_ppm(shifted, 16, len(payload) // 16, 1)
+            assert image_hash_bits(ppm2, "ppm", "ahash") == hv

@@ -970,3 +970,45 @@ def test_stream_ohlc_matches_batch(spark, sf_dir, events_stream):
         for r in all_queries()["win_ohlc_resample"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_image_ahash_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming multimodal decode: documents fed as a file stream hash
+    to EXACTLY the per-doc values of the batch twin (the real PPM decode
+    → integer average-hash path is stateless, so streaming == batch) —
+    including across multiple micro-batches."""
+    import json
+
+    from rtdl_spark.streaming import stream_image_ahash
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    # two waves → at least two micro-batches under availableNow
+    for wave, chunk in enumerate((docs[:30], docs[30:])):
+        with open(d / f"wave{wave}.jsonl", "w") as f:
+            for doc_id, text in chunk:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    run_to_memory(stream_image_ahash(stream), "img_ahash_out", "append")
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in spark.sql("SELECT * FROM img_ahash_out").collect()
+    }
+
+    batch_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r["doc_id"]: r["phash"]
+        for r in stream_image_ahash(batch_docs).collect()
+    }
+    assert got == want and len(got) == len(docs)
