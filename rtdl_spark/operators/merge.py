@@ -166,3 +166,90 @@ def overwrite_partitions_dynamic(
         )
     finally:
         spark.conf.set(key, prev)
+
+
+def delete_by_keys(
+    spark,
+    table_dir: str,
+    keys: DataFrame,
+    key_col: str,
+) -> dict:
+    """Targeted physical delete (GDPR / right-to-be-forgotten): purge all
+    rows whose ``key_col`` appears in ``keys`` by rewriting ONLY the
+    parquet files that actually contain a matching row — at 100 TB the
+    delete set touches a tiny fraction of files, and untouched files are
+    neither rewritten nor fully read.
+
+    Two phases:
+    1. IDENTIFY — scan just (key_col, _metadata.file_path) (column
+       pruning keeps this a one-narrow-column pass) and broadcast
+       semi-join the delete keys: the distinct file list that must be
+       rewritten. The key set is driver-bounded by definition (a delete
+       request), so the broadcast is safe.
+    2. REWRITE — read ONLY the affected files (explicit file-list scan),
+       anti-join the keys, write each file's survivors to a staging dir,
+       then swap: delete the old file, move its replacement in (the
+       compact_partition write-then-swap discipline, through the Hadoop
+       FS so it is correct on any store the JVM sees). A crash between
+       swaps leaves some files purged and some not — re-running the same
+       delete is idempotent and completes the job (the delete-log twin
+       of the batch-ingest commit marker).
+
+    Returns {"files_scanned", "files_rewritten", "rows_deleted"}.
+    Caveats: file-level atomicity only (readers can observe a partially
+    deleted table mid-run — front it with VersionedTable for snapshot
+    semantics); partition directory values are preserved because
+    _metadata.file_path scoping keeps every surviving row in a file
+    written back to its original directory.
+    """
+    import os
+
+    from rtdl_spark.sources import fsutil
+
+    k = F.broadcast(keys.select(F.col(key_col)).distinct())
+    base = spark.read.option("basePath", table_dir).parquet(table_dir)
+    n_total_files = base.select(
+        F.col("_metadata.file_path")
+    ).distinct().count()
+    affected = [
+        r["fp"]
+        for r in base.select(
+            F.col(key_col), F.col("_metadata.file_path").alias("fp")
+        )
+        .join(k, key_col, "semi")
+        .select("fp")
+        .distinct()
+        .collect()
+    ]
+    rows_deleted = 0
+    for fp in sorted(affected):
+        local = fp[7:] if fp.startswith("file://") else fp
+        # plain single-file read (no basePath): PHYSICAL columns only, so
+        # directory-derived partition columns are not duplicated into the
+        # rewritten file's data schema (which would break later partition
+        # discovery with a data/partition column conflict)
+        one = spark.read.parquet(local)
+        survivors = one.join(k, key_col, "anti")
+        n_before = one.count()
+        staged = local + "._delete_tmp"
+        survivors.coalesce(1).write.mode("overwrite").parquet(staged)
+        n_after = spark.read.parquet(staged).count()
+        rows_deleted += n_before - n_after
+        fsutil.delete(spark, local)
+        if n_after > 0:
+            # move the one staged parquet into the original's directory
+            name = [
+                f for f in fsutil.list_names(spark, staged)
+                if f.endswith(".parquet")
+            ][0]
+            fsutil.rename(
+                spark,
+                os.path.join(staged, name),
+                os.path.join(os.path.dirname(local), "purged-" + name),
+            )
+        fsutil.delete(spark, staged)
+    return {
+        "files_scanned": n_total_files,
+        "files_rewritten": len(affected),
+        "rows_deleted": rows_deleted,
+    }

@@ -569,17 +569,30 @@ def ivf_pq_topk(
         pq_lut,
     )
 
-    centroids = seed_centroids(
-        corpus, n_cells, id_col, vec_col, method=seed_method
-    )
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     n_sample = max(ks, train_sample) if train_iters > 0 else ks
+    if seed_method == "first" and n_sample >= n_cells:
+        # the "first" centroids are the first n_cells of the SAME
+        # id-ordered prefix the codebook sample reads — one TakeOrdered
+        # collect (and zero centroid Spark jobs) serves both models,
+        # instead of three driver-side jobs fitting identical bytes
+        sample_rows = corpus.orderBy(id_col).limit(n_sample).collect()
+        cent_rows = [
+            {"cell_id": i + 1, vec_col: r[vec_col]}
+            for i, r in enumerate(sample_rows[:n_cells])
+        ]
+        centroids = corpus.sparkSession.createDataFrame(
+            [(c["cell_id"], list(c[vec_col])) for c in cent_rows],
+            f"cell_id int, {vec_col} array<double>",
+        )
+    else:
+        centroids = seed_centroids(
+            corpus, n_cells, id_col, vec_col, method=seed_method
+        )
+        cent_rows = centroids.collect()
+        sample_rows = corpus.orderBy(id_col).limit(n_sample).collect()
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     sample = np.asarray(
-        [
-            list(r[vec_col])
-            for r in corpus.orderBy(id_col).limit(n_sample).collect()
-        ],
-        dtype=np.float64,
+        [list(r[vec_col]) for r in sample_rows], dtype=np.float64
     )
     books = pq_codebooks(sample, m, ks, train_iters=train_iters)
     encoded = assigned.select(
@@ -589,7 +602,6 @@ def ivf_pq_topk(
     )
 
     q_rows = queries.select(id_col, vec_col).collect()
-    cent_rows = centroids.collect()
     probes = _pq_probe_rows(q_rows, cent_rows, books, nprobe, id_col, vec_col)
     probe_df = F.broadcast(
         corpus.sparkSession.createDataFrame(

@@ -867,3 +867,73 @@ def test_versioned_table_tags(spark, tmp_path):
         resolve_tag(vt, "nope")
     with _pt.raises(ValueError):
         tag_version(vt, "bad/name", v0)
+
+
+def test_delete_by_keys_rewrites_only_affected_files(spark, tmp_path):
+    """GDPR-style targeted delete: only files containing a target key are
+    rewritten (mtimes of every other file are untouched), the purged
+    rows are gone and every survivor row remains byte-identical, the
+    partitioned table still reads cleanly afterwards, and re-running the
+    same delete is an idempotent no-op."""
+    import os
+    import time
+
+    from rtdl_spark.operators.merge import delete_by_keys
+
+    root = str(tmp_path / "tbl")
+    # 3 partitions × 4 files each; user_id spread so targets live in a
+    # known subset of files
+    df = spark.range(1200).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 100).alias("user_id"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 7).alias("payload"),
+    )
+    df.repartition(4, "row_id").write.partitionBy("p").parquet(root)
+
+    before = {
+        r["row_id"]: (r["user_id"], r["payload"], r["p"])
+        for r in spark.read.parquet(root).collect()
+    }
+    files_before = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+    targets = spark.createDataFrame([(7,), (42,)], "user_id long")
+    time.sleep(0.05)
+    out = delete_by_keys(spark, root, targets, "user_id")
+    assert out["rows_deleted"] == sum(
+        1 for uid, _, _ in before.values() if uid in (7, 42)
+    )
+    assert 0 < out["files_rewritten"] <= out["files_scanned"]
+
+    after = {
+        r["row_id"]: (r["user_id"], r["payload"], r["p"])
+        for r in spark.read.parquet(root).collect()
+    }
+    assert set(after) == {
+        rid for rid, (uid, _, _) in before.items() if uid not in (7, 42)
+    }
+    assert all(after[rid] == before[rid] for rid in after)
+
+    # untouched files really untouched (same path, same mtime)
+    files_after = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    untouched = set(files_before) & set(files_after)
+    assert untouched and all(
+        files_before[f] == files_after[f] for f in untouched
+    )
+    assert len(files_before) - len(
+        set(files_before) & set(files_after)
+    ) == out["files_rewritten"]
+
+    # idempotent: the second run finds nothing to rewrite
+    again = delete_by_keys(spark, root, targets, "user_id")
+    assert again["files_rewritten"] == 0 and again["rows_deleted"] == 0
