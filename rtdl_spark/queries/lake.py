@@ -904,3 +904,79 @@ def lake_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nonpositive_prices", "dates_out_of_range",
         )
     )
+
+
+@query(
+    "lake_delete_by_keys",
+    # Survivors are pure relational algebra (anti join on the fixed key
+    # set); the physical-pruning claims ride as columns the oracle can
+    # assert exactly: rewritten < scanned (the layout is KEY-CLUSTERED,
+    # so the two purged customers live in few files) and rows_deleted =
+    # the matching row count.
+    oracle="""
+    WITH tgt AS (
+      SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 2
+    ), survivors AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders WHERE o_custkey NOT IN (SELECT o_custkey FROM tgt)
+      GROUP BY o_orderstatus
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_deleted
+      FROM orders WHERE o_custkey IN (SELECT o_custkey FROM tgt)
+    )
+    SELECT s.o_orderstatus, s.n_rows, st.rows_deleted,
+           TRUE AS pruned_rewrites
+    FROM survivors s CROSS JOIN stats st
+    """,
+)
+def lake_delete_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted physical delete exercised end-to-end
+    (operators/merge.py::delete_by_keys — the GDPR primitive): orders
+    staged to a partitioned scratch table CLUSTERED BY the delete key
+    (8 hash files per status — exactly the bucketing/Z-order-by-user-id
+    layout that makes right-to-be-forgotten feasible at 100 TB), the two
+    lowest customers purged, and the returned frame is the surviving
+    per-status row counts plus the delete accounting — which the oracle
+    recomputes as a plain anti-join. ``pruned_rewrites`` asserts the
+    physical claim: fewer files rewritten than scanned, because the
+    key-clustered layout confines each customer to one file per
+    partition. Scratch on tmpfs, deleted before returning."""
+    import os
+    import shutil
+    import tempfile
+
+    from rtdl_spark.operators.merge import delete_by_keys
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_delete_", dir=shm)
+    try:
+        root = os.path.join(workdir, "tbl")
+        (
+            o.repartition(8, "o_custkey")
+            .write.partitionBy("o_orderstatus")
+            .parquet(root)
+        )
+        targets = (
+            o.select("o_custkey").distinct().orderBy("o_custkey").limit(2)
+        )
+        stats = delete_by_keys(spark, root, targets, "o_custkey")
+        out = (
+            spark.read.parquet(root)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn(
+                "rows_deleted",
+                F.lit(stats["rows_deleted"]).cast("bigint"),
+            )
+            .withColumn(
+                "pruned_rewrites",
+                F.lit(stats["files_rewritten"] < stats["files_scanned"]),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
