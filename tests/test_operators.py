@@ -2336,3 +2336,45 @@ def test_knn_graph_ivf_planted_clusters_and_candidate_exactness(spark):
             ),
         )[:k]
         assert [r.dst for r in rs] == want, f"src={src}"
+
+
+def test_knn_graph_ivf_kmeanspp_rescues_degenerate_seeding(spark):
+    """When ids are sorted by cluster, first-rows seeding puts every
+    centroid inside ONE planted cluster (the degenerate case observed in
+    round 4: recall dropped to ~0.95 even with strong structure);
+    kmeanspp (deterministic farthest-first) spreads the seeds across the
+    clusters and restores near-perfect recall on the same data."""
+    import numpy as np
+
+    from rtdl_spark.operators.similarity import knn_graph, knn_graph_ivf
+
+    rng = np.random.default_rng(11)
+    n_clusters, per, dim = 6, 25, 16
+    centers = rng.normal(size=(n_clusters, dim)) * 5.0
+    rows = []
+    for ci in range(n_clusters):
+        for j in range(per):
+            v = centers[ci] + rng.normal(size=dim) * 0.05
+            # ids SORTED BY CLUSTER: the first 6 rows all live in
+            # cluster 0, so seed_method="first" is degenerate
+            rows.append((ci * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    k = 5
+    exact = {
+        (r.src, r.dst) for r in knn_graph(df, k=k, n_blocks=4).collect()
+    }
+
+    def recall(seed_method):
+        approx = {
+            (r.src, r.dst)
+            for r in knn_graph_ivf(
+                df, k=k, n_cells=6, nprobe=2, seed_method=seed_method
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r_first = recall("first")
+    r_pp = recall("kmeanspp")
+    assert r_pp >= 0.99, f"kmeanspp recall {r_pp:.3f}"
+    assert r_pp >= r_first, (r_pp, r_first)
