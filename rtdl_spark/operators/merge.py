@@ -180,74 +180,117 @@ def delete_by_keys(
     delete set touches a tiny fraction of files, and untouched files are
     neither rewritten nor fully read.
 
-    Two phases:
+    Three phases, a CONSTANT number of Spark jobs regardless of how many
+    files are affected (a scatter-keyed delete touching thousands of
+    files costs the same four jobs as a clustered one touching two —
+    pinned by test):
+    0. FREEZE — materialize the key set once (localCheckpoint) so a
+       ``keys`` frame derived from the very table being rewritten cannot
+       be silently re-evaluated mid-run against already-mutated files.
+       The key set is driver-bounded by definition (a delete request),
+       so the subsequent broadcast is safe.
     1. IDENTIFY — scan just (key_col, _metadata.file_path) (column
-       pruning keeps this a one-narrow-column pass) and broadcast
-       semi-join the delete keys: the distinct file list that must be
-       rewritten. The key set is driver-bounded by definition (a delete
-       request), so the broadcast is safe.
-    2. REWRITE — read ONLY the affected files (explicit file-list scan),
-       anti-join the keys, write each file's survivors to a staging dir,
-       then swap: delete the old file, move its replacement in (the
-       compact_partition write-then-swap discipline, through the Hadoop
-       FS so it is correct on any store the JVM sees). A crash between
-       swaps leaves some files purged and some not — re-running the same
-       delete is idempotent and completes the job (the delete-log twin
-       of the batch-ingest commit marker).
+       pruning keeps this a one-narrow-column pass), broadcast semi-join
+       the delete keys, and aggregate per-file match counts: one job
+       yields the affected-file list AND rows_deleted.
+    2. REWRITE — ONE distributed job over all affected files: explicit
+       file-list scan (physical columns only, so directory-derived
+       partition values are not duplicated into the data schema),
+       anti-join the keys once, tag each row with its source file's id
+       (broadcast file→id map), and write every file's survivors in a
+       single ``partitionBy(file id)`` pass to a staging root inside the
+       table ("_"-prefixed, so Spark's file listing never surfaces
+       in-flight state to concurrent readers).
+    3. SWAP — driver-side filesystem METADATA ops only (no Spark jobs):
+       per affected file, rename its staged survivor parquet to a
+       DETERMINISTIC final name ("purged-" + original name) in the
+       original directory FIRST, then delete the original. Crash
+       recovery is exact: a re-run skips the rename when the final name
+       already exists (the write committed; only the delete is owed), so
+       no ordering of crash points loses survivor rows or duplicates
+       them — unlike delete-then-rename, where a crash in the gap
+       strands survivors in the staging dir.
 
     Returns {"files_scanned", "files_rewritten", "rows_deleted"}.
     Caveats: file-level atomicity only (readers can observe a partially
     deleted table mid-run — front it with VersionedTable for snapshot
-    semantics); partition directory values are preserved because
-    _metadata.file_path scoping keeps every surviving row in a file
-    written back to its original directory.
+    semantics); partition directory values are preserved because each
+    surviving row is written back to its source file's directory.
     """
     import os
+    import posixpath
 
     from rtdl_spark.sources import fsutil
 
-    k = F.broadcast(keys.select(F.col(key_col)).distinct())
+    # phase 0: freeze the delete set (one job; truncates lineage so the
+    # broadcast below can never re-read a mutated source)
+    frozen = keys.select(F.col(key_col)).distinct().localCheckpoint(eager=True)
+    k = F.broadcast(frozen)
+
     base = spark.read.option("basePath", table_dir).parquet(table_dir)
     n_total_files = base.select(
         F.col("_metadata.file_path")
     ).distinct().count()
-    affected = [
-        r["fp"]
-        for r in base.select(
-            F.col(key_col), F.col("_metadata.file_path").alias("fp")
-        )
+    # phase 1: affected files + per-file match counts in ONE pass
+    per_file = (
+        base.select(F.col(key_col), F.col("_metadata.file_path").alias("fp"))
         .join(k, key_col, "semi")
-        .select("fp")
-        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("matches"))
         .collect()
-    ]
-    rows_deleted = 0
-    for fp in sorted(affected):
-        local = fp[7:] if fp.startswith("file://") else fp
-        # plain single-file read (no basePath): PHYSICAL columns only, so
-        # directory-derived partition columns are not duplicated into the
-        # rewritten file's data schema (which would break later partition
-        # discovery with a data/partition column conflict)
-        one = spark.read.parquet(local)
-        survivors = one.join(k, key_col, "anti")
-        n_before = one.count()
-        staged = local + "._delete_tmp"
-        survivors.coalesce(1).write.mode("overwrite").parquet(staged)
-        n_after = spark.read.parquet(staged).count()
-        rows_deleted += n_before - n_after
-        fsutil.delete(spark, local)
-        if n_after > 0:
-            # move the one staged parquet into the original's directory
-            name = [
-                f for f in fsutil.list_names(spark, staged)
-                if f.endswith(".parquet")
-            ][0]
+    )
+    affected = sorted(r["fp"] for r in per_file)
+    rows_deleted = int(sum(r["matches"] for r in per_file))
+    if not affected:
+        return {
+            "files_scanned": n_total_files,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+
+    def _local(fp: str) -> str:
+        return fp[7:] if fp.startswith("file://") else fp
+
+    staging = posixpath.join(table_dir, "_rtdl_delete_stage")
+    fsutil.delete(spark, staging)
+    # phase 2: one distributed rewrite over ALL affected files
+    fmap = F.broadcast(
+        spark.createDataFrame(
+            [(fp, i) for i, fp in enumerate(affected)], "_fp string, _fid int"
+        )
+    )
+    aff = spark.read.parquet(*[_local(fp) for fp in affected])
+    survivors = (
+        aff.withColumn("_fp", F.col("_metadata.file_path"))
+        .join(k, key_col, "anti")
+        .join(fmap, "_fp", "inner")
+        .drop("_fp")
+    )
+    # repartition on the file id: each id lands in exactly one task, so
+    # partitionBy writes exactly one survivor parquet per original file
+    (
+        survivors.repartition("_fid")
+        .write.partitionBy("_fid")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    # phase 3: batched swap — pure FS metadata ops, zero Spark jobs
+    for i, fp in enumerate(affected):
+        local = _local(fp)
+        final = os.path.join(
+            os.path.dirname(local), "purged-" + os.path.basename(local)
+        )
+        part_dir = posixpath.join(staging, f"_fid={i}")
+        staged_parts = [
+            f for f in fsutil.list_names(spark, part_dir)
+            if f.endswith(".parquet")
+        ]
+        if staged_parts and not fsutil.exists(spark, final):
             fsutil.rename(
-                spark,
-                os.path.join(staged, name),
-                os.path.join(os.path.dirname(local), "purged-" + name),
+                spark, posixpath.join(part_dir, staged_parts[0]), final
             )
-        fsutil.delete(spark, staged)
+        fsutil.delete(spark, local)
+    fsutil.delete(spark, staging)
     return {
         "files_scanned": n_total_files,
         "files_rewritten": len(affected),

@@ -937,3 +937,77 @@ def test_delete_by_keys_rewrites_only_affected_files(spark, tmp_path):
     # idempotent: the second run finds nothing to rewrite
     again = delete_by_keys(spark, root, targets, "user_id")
     assert again["files_rewritten"] == 0 and again["rows_deleted"] == 0
+
+
+def test_delete_by_keys_constant_job_count_and_recovery(spark, tmp_path):
+    """The 100 TB contract: a scatter-keyed delete touching MANY files
+    costs the same constant number of Spark jobs as one touching few
+    (the rewrite is ONE distributed pass + driver-side FS metadata
+    swaps, not a per-file job loop), and the rename-before-delete swap
+    order means a crash between the two leaves a recoverable (never
+    lossy) state: re-running completes the job exactly once."""
+    import os
+
+    from rtdl_spark.operators.merge import delete_by_keys
+    from rtdl_spark.sources import fsutil
+
+    def build(root: str, n_files: int) -> None:
+        df = spark.range(2000).select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 50).alias("user_id"),
+            (F.col("id") * 3).alias("payload"),
+        )
+        df.repartition(n_files, "row_id").write.parquet(root)
+
+    def jobs_used(root: str, targets) -> int:
+        # count ALL job ids allocated during the call (the scheduler's
+        # next-job counter is a plain monotonically increasing int)
+        before_all = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        delete_by_keys(spark, root, targets, "user_id")
+        after_all = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        return after_all - before_all
+
+    # scatter key: user_id = id % 50 appears in EVERY file
+    few_root = str(tmp_path / "few")
+    many_root = str(tmp_path / "many")
+    build(few_root, 2)
+    build(many_root, 24)
+    t1 = spark.createDataFrame([(7,)], "user_id long")
+    n_few = jobs_used(few_root, t1)
+    t2 = spark.createDataFrame([(9,)], "user_id long")
+    n_many = jobs_used(many_root, t2)
+    assert n_many == n_few, (n_few, n_many)
+    assert spark.read.parquet(many_root).filter("user_id = 9").count() == 0
+    assert spark.read.parquet(many_root).count() == 2000 - 40
+
+    # crash-window recovery: simulate "renamed the staged survivors in,
+    # crashed before deleting the original" — both files coexist
+    # (documented transient double-count); a re-run must converge to the
+    # exact survivor set, no loss, no duplicates.
+    root = str(tmp_path / "crash")
+    build(root, 4)
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith("purged-")
+    )
+    victim = files[0]
+    # hand-craft the committed-rename state for one file
+    one = spark.read.parquet(victim)
+    surv = one.filter("user_id <> 11")
+    staged = str(tmp_path / "stage_one")
+    surv.coalesce(1).write.parquet(staged)
+    part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+    final = os.path.join(
+        os.path.dirname(victim), "purged-" + os.path.basename(victim)
+    )
+    fsutil.rename(spark, os.path.join(staged, part), final)
+    # original still present: table transiently double-counts survivors
+    t3 = spark.createDataFrame([(11,)], "user_id long")
+    delete_by_keys(spark, root, t3, "user_id")
+    got = spark.read.parquet(root)
+    assert got.filter("user_id = 11").count() == 0
+    rest = got.groupBy("row_id").count().filter("count > 1").count()
+    assert rest == 0, "duplicated survivors after recovery"
+    assert got.count() == 2000 - 40
