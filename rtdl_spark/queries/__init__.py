@@ -139,6 +139,7 @@ def _import_all() -> None:
         scalars,
         similarity,
         sqltext,
+        streaming_exec,
         text,
         tpch,
         tpch2,

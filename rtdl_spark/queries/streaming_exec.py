@@ -1,0 +1,203 @@
+"""Streaming-EXECUTED queries: each entry here runs a REAL Structured
+Streaming query (readStream file source → memory sink, availableNow
+trigger) and returns its final result table — so the external driver's
+correctness gate exercises the actual streaming engine path (state store,
+micro-batch planner, streaming aggregation), not a batch twin.
+
+Determinism contract (what makes a streaming run hash-comparable against
+a DuckDB oracle):
+- the staged source is ONE parquet file → availableNow runs ONE
+  micro-batch → the watermark never advances mid-run, so no input row is
+  ever late-dropped;
+- output mode ``complete`` emits every window (append would withhold the
+  non-finalized suffix — nondeterministic across file splits);
+- money sums go through DECIMAL (exact) like every batch query;
+- event timestamps are unique per (event_type, bucket) at microsecond
+  grain, so min_by/max_by champions are unique.
+
+Reference parity: rtdl's streaming surface is the Kafka→StateFun chain
+(ingester/module.yaml:22-34); these queries are the Spark-native
+equivalent of "the same aggregation, fed by a stream" over the lake the
+reference writes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtdl_spark.catalog import table
+from rtdl_spark.queries import query
+from rtdl_spark.queries._util import DEC
+
+
+def _run_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Stage the events table as a single-file stream source, run
+    ``build(stream_df)`` through a real StreamingQuery into a memory
+    sink, and return the final table materialized (the scratch source
+    and checkpoint die before returning)."""
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_stream_", dir=shm)
+    try:
+        src = os.path.join(workdir, "src")
+        ev = table(spark, sf_dir, "events")
+        ev.coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = build(stream)
+        spark.catalog.dropTempView(name)  # False if absent, never raises
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option(
+                "checkpointLocation", os.path.join(workdir, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        result = spark.table(name)
+        rows = result.collect()  # materialize before scratch dies
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "stream_exec_tumbling_counts",
+    # the oracle is the batch-twin SQL (win_tumbling_5min's shape): one
+    # availableNow micro-batch over the same rows must equal the batch
+    # aggregate exactly — counts are integers, the sum is DECIMAL-exact
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM({DEC('value')}) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_exec_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling counts per event_type executed THROUGH the
+    streaming engine (streaming/jobs.py::stream_tumbling_counts — real
+    readStream, streaming aggregation state store, availableNow): the
+    first externally-verifiable proof that the streaming lane computes
+    the same answer the lake batch path does."""
+    from rtdl_spark.streaming.jobs import stream_tumbling_counts
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: stream_tumbling_counts(s),
+        "stream_exec_tumbling",
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "stream_exec_ohlc_candles",
+    # batch twin: win_ohlc_resample's oracle at the stream job's 15-minute
+    # grain — arg_min/arg_max champions unique at microsecond ts grain
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(SUM({DEC('value')}) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_exec_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candles (streaming/jobs.py::stream_ohlc_candles)
+    executed end-to-end: min_by/max_by/decimal-sum maintained by the
+    streaming state store across the micro-batch, emitted in complete
+    mode, hash-equal to the batch resample."""
+    from rtdl_spark.streaming.jobs import stream_ohlc_candles
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: stream_ohlc_candles(s),
+        "stream_exec_ohlc",
+    )
+    return out.select(
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "event_type",
+        "n_events",
+        "open",
+        "high",
+        "low",
+        "close",
+        "total",
+    )
+
+
+@query(
+    "stream_exec_session_counts",
+    # gap-based sessionization replayed as gaps-and-islands: a new
+    # session starts when the gap to the previous event is >= 30 minutes
+    # (Spark merges events whose [ts, ts+gap) intervals OVERLAP, so an
+    # exact-gap successor does NOT merge); session_end = last ts + gap
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM g
+    GROUP BY user_id, sid
+    """,
+)
+def stream_exec_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming SESSION windows (streaming/jobs.py::
+    stream_session_counts — session_window state merging in the streaming
+    engine), verified against a pure-SQL gaps-and-islands replay: the
+    session-merge semantics (merge iff event intervals overlap; end =
+    last event + gap) are pinned cross-engine."""
+    from rtdl_spark.streaming.jobs import stream_session_counts
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: stream_session_counts(s),
+        "stream_exec_sessions",
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )

@@ -96,14 +96,19 @@ def stream_tumbling_counts(
 ) -> DataFrame:
     """Watermarked tumbling counts per event_type — append-mode safe.
     State is bounded by the watermark: windows older than (max event time −
-    watermark) are finalized and evicted."""
+    watermark) are finalized and evicted. The money sum goes through
+    DECIMAL (exact, order-independent) like the batch twin
+    win_tumbling_5min, so replaying the stream equals the batch aggregate
+    bit-for-bit."""
+    from rtdl_spark.queries._util import dec
+
     return (
         _tz_ts(events)
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total_value"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n",
                 "total_value")
