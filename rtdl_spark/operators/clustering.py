@@ -53,13 +53,26 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "first",
+    exact_replay: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means; returns (cell_id, n_members, inertia) after
     ``n_iter`` iterations. Deterministic: seeded from the k lowest-id
     vectors (``init="first"``) or by the shared farthest-first
     traversal (``init="kmeanspp"`` — operators/similarity.py::
     _greedy_seed_rows, the same seeding the IVF/PQ/SemDeDup family
-    uses); assignment ties break to the lowest cell_id."""
+    uses); assignment ties break to the lowest cell_id.
+
+    ``exact_replay=True`` makes the whole trajectory bit-replayable by an
+    independent SQL engine (the pagerank-unroll discipline): the update
+    step's per-dimension sums go through DECIMAL (exact, summation-order-
+    independent — a plain double SUM varies with Spark's partial-agg
+    order, so no oracle could ever match it), each new centroid
+    coordinate is then one deterministic double division, and the final
+    inertia is a floor-fixed-point integer sum (floor(d·1e6) per member,
+    exact integer arithmetic) instead of a rounded float sum. The float
+    kmeans trajectory itself is unchanged in spirit — squared distances
+    and argmin stay plain doubles — only the two order-sensitive
+    reductions are made associativity-exact."""
     spark = corpus.sparkSession
     vecs = corpus.select(
         F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
@@ -86,6 +99,12 @@ def kmeans(
             spark.createDataFrame(centroids, "cell_id int, _c array<double>")
         )
 
+    def _dim_sum(i: int):
+        x = F.element_at("_v", i + 1)
+        if exact_replay:
+            return F.sum(x.cast("decimal(28,12)")).cast("double")
+        return F.sum(x)
+
     for _ in range(n_iter):
         assigned = _assign(vecs, cent_frame())
         # update: per-dimension sums (map-side combinable) / member count
@@ -93,10 +112,7 @@ def kmeans(
             assigned.groupBy("cell_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}")
-                    for i in range(dim)
-                ],
+                *[_dim_sum(i).alias(f"_s{i}") for i in range(dim)],
             )
             .collect()
         )
@@ -105,9 +121,14 @@ def kmeans(
             for r in new_cent
         ]
 
+    inertia = (
+        (F.sum(F.floor(F.col("_d") * 1e6)).cast("double") / F.lit(1e6))
+        if exact_replay
+        else F.round(F.sum("_d"), 6)
+    )
     return _assign(vecs, cent_frame()).groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.sum("_d"), 6).alias("inertia"),
+        inertia.alias("inertia"),
     )
 
 

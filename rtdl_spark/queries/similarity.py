@@ -186,17 +186,89 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_kmeans_embeddings")
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """SQL replay of Lloyd's k-means (the pagerank-unroll discipline,
+    VERDICT r4 #4): with ``init="first"`` the seeds are the k lowest-id
+    vectors (SQL-visible), each assignment round is an argmin over a
+    bounded k-row cross join with the SAME left-fold squared distance the
+    operator computes (0.0-init fold ≡ init-less list_reduce bit-for-bit),
+    and with ``exact_replay=True`` the two order-sensitive float
+    reductions are associativity-exact: centroid updates are DECIMAL sums
+    (then one deterministic double division per coordinate) and inertia
+    is a floor-fixed integer sum — so the whole 2-iteration trajectory is
+    engine-independent, no rounding tolerance anywhere."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim} + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            "(x, y) -> x + y)"
+        )
+
+    parts = [
+        f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 1000
+    ), cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell_id,
+             v AS c
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(f"""
+    , a{it} AS (
+      SELECT vec_id, v, cell_id, d,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY d, cell_id
+             ) AS rn
+      FROM (
+        SELECT e.vec_id, e.v, c.cell_id, {d2('e.v', 'c.c')} AS d
+        FROM emb e CROSS JOIN cent{it - 1} c
+      )
+    ), u{it} AS (
+      SELECT cell_id, dims.i AS dim,
+             CAST(SUM(CAST(v[dims.i] AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS cx
+      FROM a{it} CROSS JOIN (SELECT UNNEST(range(1, {dim} + 1)) AS i) dims
+      WHERE rn = 1
+      GROUP BY cell_id, dims.i
+    ), cent{it} AS (
+      SELECT cell_id, list(cx ORDER BY dim) AS c FROM u{it} GROUP BY cell_id
+    )""")
+    parts.append(f"""
+    , af AS (
+      SELECT vec_id, cell_id, d,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY d, cell_id
+             ) AS rn
+      FROM (
+        SELECT e.vec_id, c.cell_id, {d2('e.v', 'c.c')} AS d
+        FROM emb e CROSS JOIN cent{n_iter} c
+      )
+    )
+    SELECT cell_id, COUNT(*) AS n_members,
+           SUM(FLOOR(d * 1e6)) / 1e6 AS inertia
+    FROM af WHERE rn = 1
+    GROUP BY cell_id""")
+    return "".join(parts)
+
+
+@query("ml_kmeans_embeddings", oracle=_kmeans_oracle_sql())
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative k-means over the embedding corpus (operators/clustering).
-    No oracle: an iterative driver-loop algorithm is the canonical
-    non-SQL-expressible op (the driver records the weaker rows-only check);
-    tests/test_operators.py asserts inertia decreases monotonically across
-    iterations and membership covers the corpus."""
+    """Iterative k-means over the embedding corpus (operators/clustering)
+    in exact-replay mode: two Lloyd iterations unrolled into chained CTEs
+    on the oracle side (seed = k lowest-id vectors → argmin-assign →
+    decimal group-mean, twice, then a final assignment), hash-verified —
+    the iterative-driver-loop pattern is SQL-witnessable after all when
+    the order-sensitive reductions are made associativity-exact.
+    tests/test_operators.py asserts inertia decreases monotonically
+    across iterations (float mode) and membership covers the corpus."""
     from rtdl_spark.operators.clustering import kmeans
 
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    return kmeans(emb, k=8, n_iter=3)
+    return kmeans(emb, k=8, n_iter=2, exact_replay=True)
 
 
 def _rp_lsh_oracle_sql(

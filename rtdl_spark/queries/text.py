@@ -836,10 +836,22 @@ def ml_logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-score classifier filter (operators/classify.py):
     logistic regression over hashed bag-of-words learns a text-derived
     label, then scores the corpus — the fastText/CCNet quality-filter
-    loop, end to end. Returns the confusion summary. No oracle:
-    iterative float training is non-SQL-expressible (rows-only); the
-    distributed gradient is verified EXACTLY against dense numpy in
-    tests/test_operators.py."""
+    loop, end to end. Returns the confusion summary.
+
+    No oracle — and the kmeans-style exact unroll (ml_kmeans_embeddings)
+    is provably NOT portable here (the r4-brief attempt, documented per
+    its instruction): from iteration 2 onward every margin passes through
+    exp() (sigmoid) and the loss through log(), and java.lang.Math.exp /
+    DuckDB's libm exp are each <=1-ulp but NOT correctly-rounded — the
+    same input can differ in the last ulp between engines, each
+    iteration feeds those outputs into the next gradient, and GD has no
+    fixed-point scale at which a floor/round could absorb an
+    input-dependent ulp. Only the transcendental-free prefix is
+    engine-exact — which is exactly what ml_logreg_exact_step verifies
+    (iteration 1 from w=0 has p=1/(1+exp(0))=0.5 EXACTLY, so the whole
+    first gradient step is +-0.5 dyadic arithmetic). The full-depth
+    distributed gradient here is instead verified EXACTLY against dense
+    numpy in tests/test_operators.py (same floats, same fold order)."""
     from rtdl_spark.operators.classify import score_logreg, train_logreg
 
     d = table(spark, sf_dir, "documents").withColumn(
@@ -852,6 +864,98 @@ def ml_logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d.select("doc_id", "y"), "doc_id")
         .groupBy("y", (F.col("prob") > 0.5).alias("predicted"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "ml_logreg_exact_step",
+    # full SQL replay of ONE exact gradient step + sign-threshold serving:
+    # from w=0 the sigmoid is exactly 0.5 (no transcendental reached), so
+    # residuals are +-0.5, per-bucket gradient sums are dyadic-exact in any
+    # order, the weight step is the operator's literal -2.0*(g/n) float
+    # sequence, and serving margins go through DECIMAL so the per-doc sum
+    # is associativity-exact; predicted = margin+bias > 0 (sign test — no
+    # sigmoid, hence no cross-engine exp() ulp exposure).
+    oracle=f"""
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), feats AS (
+      SELECT DISTINCT doc_id,
+             CAST(list_reduce(list_transform(string_split(tok, ''),
+                              c -> ascii(c)::BIGINT),
+                  (h, c) -> (h * 31 + c) % {HASH_P}) % 1024 AS INT) AS b
+      FROM toks
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    grad AS (
+      SELECT f.b, SUM(0.5 - l.y) AS g
+      FROM feats f JOIN lab l USING (doc_id) GROUP BY f.b
+    ), w AS (
+      SELECT b, -2.0 * (g / (SELECT n_docs FROM n)) AS w FROM grad
+    ), bias AS (
+      SELECT -2.0 * AVG(0.5 - y) AS bias FROM lab
+    ), marg AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(w.w AS DECIMAL(28,12))) AS DOUBLE) AS m
+      FROM feats f JOIN w USING (b) GROUP BY f.doc_id
+    )
+    SELECT CAST(l.y AS INT) AS y,
+           (COALESCE(m.m, 0.0) + (SELECT bias FROM bias)) > 0 AS predicted,
+           COUNT(*) AS n,
+           CAST(SUM(FLOOR(
+             (COALESCE(m.m, 0.0) + (SELECT bias FROM bias)) * 1e9
+           )) AS BIGINT) AS margin_fix
+    FROM lab l LEFT JOIN marg m USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def ml_logreg_exact_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-exact prefix of the logreg trajectory, externally
+    verifiable end to end (see ml_logreg_quality_filter's docstring for
+    why iteration >= 2 cannot be): train_logreg with n_iter=1 computes
+    one full-batch distributed gradient step (residuals exactly +-0.5,
+    so every reduction is dyadic-exact), then the corpus is scored with
+    a DECIMAL-exact margin sum and thresholded on the margin's SIGN
+    (equivalent to prob > 0.5 without evaluating the sigmoid). Verifies
+    the tokenize→hash→bucket→gradient→step→serve pipeline cross-engine,
+    bit-for-bit."""
+    from rtdl_spark.operators.classify import doc_features, train_logreg
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "y",
+        F.array_contains(F.split(F.col("text"), " "), "spark").cast("int"),
+    )
+    w, b, _ = train_logreg(d, "y", n_buckets=1024, n_iter=1, lr=2.0)
+    spark_w = F.broadcast(
+        spark.createDataFrame(
+            [(i, float(w[i])) for i in range(1024) if w[i] != 0.0],
+            "_b int, _w double",
+        )
+    )
+    feats = doc_features(d, 1024)
+    marg = (
+        feats.join(spark_w, "_b", "inner")
+        .withColumn(
+            "_t", (F.col("_w") * F.col("_x")).cast("decimal(28,12)")
+        )
+        .groupBy("_id")
+        .agg(F.sum("_t").cast("double").alias("_m"))
+    )
+    mb = F.coalesce(F.col("_m"), F.lit(0.0)) + F.lit(float(b))
+    return (
+        d.select(F.col("doc_id").alias("_id"), "y")
+        .join(marg, "_id", "left")
+        .groupBy("y", (mb > 0).alias("predicted"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # floor-fixed integer sum of the margins pins every per-doc
+            # margin VALUE cross-engine, not just its sign
+            F.sum(F.floor(mb * 1e9)).alias("margin_fix"),
+        )
     )
 
 
