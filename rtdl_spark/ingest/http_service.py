@@ -70,13 +70,20 @@ def build_envelope(message: dict) -> dict:
 
 
 def match_config(
-    configs: list[StreamConfig], envelope: dict
+    configs: list[StreamConfig], message: dict
 ) -> StreamConfig | None:
-    """Config lookup, ingest-service.go:214-244: first config whose
-    stream_alt_id equals the envelope's alt-id, else whose stream_id
-    equals the envelope's stream_id; None = silent drop."""
-    alt = envelope.get("stream_alt_id")
-    sid = envelope.get("stream_id")
+    """Config lookup, ingest-service.go:221-243: the service matches
+    against the RAW message's own ``stream_alt_id``/``stream_id`` fields
+    — NOT the envelope's derived alt-id (the projectId/writeKey mapping
+    at :179-189 only populates the OUTGOING envelope; the lookup loop
+    reads ``message["stream_alt_id"]`` directly, so a writeKey-only
+    message routes by stream_id or is dropped at this layer — it is the
+    downstream INGESTER that honors the derived alt-id,
+    ingester.go:1565-1590 / pipeline.py::envelope). Per config record,
+    alt-id is tested before stream_id, in registry iteration order;
+    None = silent drop (:244)."""
+    alt = message.get("stream_alt_id")
+    sid = message.get("stream_id")
     for cfg in configs:
         if alt and cfg.stream_alt_id == alt:
             return cfg
@@ -146,8 +153,7 @@ class IngestHttpService:
                 return 400, {"error": "body must be a JSON object"}
             if not isinstance(message, dict):
                 return 400, {"error": "body must be a JSON object"}
-            env = build_envelope(message)
-            cfg = match_config(self.registry.get_all_active(), env)
+            cfg = match_config(self.registry.get_all_active(), message)
             if cfg is None:
                 # reference parity: no matching config = silent drop
                 # (ingest-service.go:244) — 200, nothing spooled
@@ -164,8 +170,10 @@ class IngestHttpService:
         if path == "/createStream":
             try:
                 raw = json.loads(body)
+                if not isinstance(raw, dict):
+                    return 400, {"error": "body must be a JSON object"}
                 cfg = self.registry.create(StreamRegistry._from_dict(raw))
-            except (ValueError, TypeError) as exc:
+            except (ValueError, TypeError, KeyError, AttributeError) as exc:
                 return 400, {"error": str(exc)}
             return 200, {"stream_id": cfg.stream_id}
         if path == "/getAllStreams":
@@ -174,8 +182,15 @@ class IngestHttpService:
             }
         if path == "/deleteStream":
             try:
-                self.registry.delete(json.loads(body)["stream_id"])
-            except (ValueError, KeyError) as exc:
+                sid = json.loads(body)["stream_id"]
+            except (ValueError, KeyError, TypeError) as exc:
+                return 400, {"error": str(exc)}
+            try:
+                self.registry.delete(sid)
+            except FileNotFoundError:
+                # unknown stream: a JSON 404, not a dropped connection
+                return 404, {"error": f"no stream {sid}"}
+            except (ValueError, KeyError, OSError) as exc:
                 return 400, {"error": str(exc)}
             return 200, {"status": "deleted"}
         return 404, {"error": f"no route {path}"}

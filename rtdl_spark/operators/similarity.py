@@ -958,13 +958,20 @@ def knn_graph(
                         eq = qids[s0:s1, None] == cids[None, :]
                         sims = np.where(eq, -np.inf, sims)
                     kc = min(kk, sims.shape[1])
-                    # Deterministic local selection: keep every candidate
-                    # within 1e-6 of the row's kth-largest RAW sim, not an
-                    # arbitrary argpartition truncation.  Anything below
-                    # that margin provably rounds (at 6 digits) strictly
-                    # below the kth keeper, so the global (round-6 sim
-                    # DESC, dst ASC) merge sees every possible tie and the
-                    # output is a total order independent of block count.
+                    # Deterministic BOUNDED local selection. Stage 1: the
+                    # 1e-6 margin around the row's kth-largest RAW sim is
+                    # a cheap superset of every candidate that can tie the
+                    # kth keeper at 6 digits (anything below it provably
+                    # rounds strictly lower).  Stage 2 (the r4-advice
+                    # fix): within that pool take EXACTLY the top-k under
+                    # the global merge's own total order (round-6 sim
+                    # DESC, dst ASC) — a candidate in the global top-k is
+                    # in the top-k of every subset containing it under
+                    # the same order, so block-count invariance is
+                    # preserved while tie-heavy inputs (all-equal or
+                    # zero-norm sims, where kth-1e-6 keeps the WHOLE
+                    # block) now emit at most k rows per query instead of
+                    # the full quadratic blow-up.
                     kth = -np.partition(-sims, kc - 1, axis=1)[:, kc - 1]
                     mask = sims >= (kth[:, None] - 1e-6)
                     qi, ci = np.nonzero(mask)
@@ -972,13 +979,21 @@ def knn_graph(
                     cols = cids[ci]
                     vals = sims[qi, ci]
                     keep = np.isfinite(vals)
+                    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+                    if len(rows):
+                        r6 = np.round(vals, 6)
+                        order = np.lexsort((cols, -r6, rows))
+                        rs = rows[order]
+                        new = np.r_[True, rs[1:] != rs[:-1]]
+                        grp_start = np.maximum.accumulate(
+                            np.where(new, np.arange(len(rs)), 0)
+                        )
+                        rank = np.arange(len(rs)) - grp_start
+                        sel = order[rank < kc]
+                        rows, cols, vals = rows[sel], cols[sel], vals[sel]
                     frames.append(
                         pd.DataFrame(
-                            {
-                                "src": rows[keep],
-                                "dst": cols[keep],
-                                "sim": vals[keep],
-                            }
+                            {"src": rows, "dst": cols, "sim": vals}
                         )
                     )
 
@@ -1135,21 +1150,32 @@ def knn_graph_ivf(
                 eq = qids[s0:s1, None] == cids[None, :]
                 sims = np.where(eq, -np.inf, sims)
                 kc = min(kk, sims.shape[1])
-                # knn_graph's margin rule: everything below kth-1e-6
-                # provably rounds below the kth keeper at 6 digits
+                # knn_graph's two-stage bounded selection: margin pool
+                # (everything below kth-1e-6 provably rounds below the
+                # kth keeper at 6 digits), then exact top-k within the
+                # pool under the global merge's order (round-6 DESC, dst
+                # ASC) so tie-heavy cells emit <= k rows per query
                 kth = -np.partition(-sims, kc - 1, axis=1)[:, kc - 1]
                 mask = sims >= (kth[:, None] - 1e-6)
                 qi, ci = np.nonzero(mask)
+                rows = qids[s0:s1][qi]
+                cols = cids[ci]
                 vals = sims[qi, ci]
                 keep = np.isfinite(vals)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "src": qids[s0:s1][qi][keep],
-                            "dst": cids[ci][keep],
-                            "sim": vals[keep],
-                        }
+                rows, cols, vals = rows[keep], cols[keep], vals[keep]
+                if len(rows):
+                    r6 = np.round(vals, 6)
+                    order = np.lexsort((cols, -r6, rows))
+                    rs = rows[order]
+                    new = np.r_[True, rs[1:] != rs[:-1]]
+                    grp_start = np.maximum.accumulate(
+                        np.where(new, np.arange(len(rs)), 0)
                     )
+                    rank = np.arange(len(rs)) - grp_start
+                    sel = order[rank < kc]
+                    rows, cols, vals = rows[sel], cols[sel], vals[sel]
+                frames.append(
+                    pd.DataFrame({"src": rows, "dst": cols, "sim": vals})
                 )
         return pd.concat(frames, ignore_index=True) if frames else empty
 

@@ -174,14 +174,55 @@ def test_topic_routing_and_alt_id_precedence(tmp_path):
     # iteration-order semantics: config a precedes b, so a's stream_id
     # match wins even though b's alt-id also matches (the Go loop breaks
     # at the first hit of either kind)
-    env = build_envelope({"stream_id": "sa", "projectId": "proj-1"})
-    assert match_config(configs, env).stream_id == a.stream_id
-    # with no stream_id collision the alt-id (projectId) finds b
-    env = build_envelope({"projectId": "proj-1"})
-    assert match_config(configs, env).stream_id == b.stream_id
-    env = build_envelope({"stream_id": "sa"})
-    assert match_config(configs, env).stream_id == a.stream_id
-    assert match_config(configs, build_envelope({"x": 1})) is None
+    msg = {"stream_id": "sa", "stream_alt_id": "proj-1"}
+    assert match_config(configs, msg).stream_id == a.stream_id
+    # with no stream_id collision the raw stream_alt_id field finds b
+    assert match_config(configs, {"stream_alt_id": "proj-1"}).stream_id == b.stream_id
+    assert match_config(configs, {"stream_id": "sa"}).stream_id == a.stream_id
+    # STRICT parity (ingest-service.go:221-231): the service matches the
+    # RAW message's stream_alt_id field only — a writeKey/projectId-only
+    # message derives an ENVELOPE alt-id (build_envelope) but does NOT
+    # match at this layer; the downstream ingester honors the derived
+    # alt-id instead (pipeline.envelope + route)
+    assert build_envelope({"projectId": "proj-1"})["stream_alt_id"] == "proj-1"
+    assert match_config(configs, {"projectId": "proj-1"}) is None
+    assert match_config(configs, {"x": 1}) is None
     assert topic_for(a) == "ingester-ingress"
     assert topic_for(b) == "pii-detection-ingress"
     assert topic_for(c) == "ingester-ingress"
+
+
+def test_http_service_malformed_requests_get_json_errors(tmp_path):
+    """Client errors must come back as JSON status codes, never as a
+    dropped connection: /deleteStream on an unknown stream is a 404
+    (registry.delete raises FileNotFoundError), /createStream with a
+    non-dict JSON body (a list) is a 400 (not an AttributeError escaping
+    the handler), and /deleteStream without a stream_id is a 400."""
+    import urllib.error
+
+    registry = StreamRegistry(str(tmp_path / "configs"))
+    spool = str(tmp_path / "spool")
+
+    def post_allowing_errors(host, port, path, body):
+        try:
+            return _post(host, port, path, body)
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    with IngestHttpService(registry, spool) as svc:
+        host, port = svc.host, svc.port
+        code, out = post_allowing_errors(
+            host, port, "/deleteStream", {"stream_id": "nope"}
+        )
+        assert code == 404 and "no stream" in out["error"]
+        code, out = post_allowing_errors(host, port, "/createStream", [1, 2])
+        assert code == 400
+        code, out = post_allowing_errors(host, port, "/deleteStream", {})
+        assert code == 400
+        # service still alive and functional after the error responses
+        code, out = _post(host, port, "/createStream", CREATE_STREAM_BODY)
+        assert code == 200
+        code, out = _post(
+            host, port, "/deleteStream", {"stream_id": STREAM_ID}
+        )
+        assert code == 200 and out == {"status": "deleted"}

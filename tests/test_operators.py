@@ -2378,3 +2378,53 @@ def test_knn_graph_ivf_kmeanspp_rescues_degenerate_seeding(spark):
     r_pp = recall("kmeanspp")
     assert r_pp >= 0.99, f"kmeanspp recall {r_pp:.3f}"
     assert r_pp >= r_first, (r_pp, r_first)
+
+
+def test_knn_graph_tie_heavy_emission_is_bounded(spark):
+    """The r4-advice regression: on tie-heavy inputs (duplicated vectors
+    and zero-norm vectors, where every candidate ties the kth keeper)
+    the block-local margin pool used to keep the ENTIRE N x B block —
+    quadratic. The bounded selection must emit exactly k rows per query
+    under the global order (round-6 sim DESC, dst ASC), identical across
+    block counts, with smallest-id neighbors winning ties."""
+    from rtdl_spark.operators.similarity import knn_graph, knn_graph_ivf
+
+    n, k = 120, 3
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rows.append((i, [1.0, 2.0, 3.0, 4.0]))  # all duplicates
+        else:
+            rows.append((i, [0.0, 0.0, 0.0, 0.0]))  # all zero-norm
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for n_blocks in (1, 6):
+        out = knn_graph(df, k=k, n_blocks=n_blocks)
+        got = {}
+        for r in out.collect():
+            assert r.src != r.dst
+            got.setdefault(r.src, []).append((r.rank, r.dst, r.sim))
+        assert set(got) == set(range(n))
+        for src, lst in got.items():
+            lst.sort()
+            assert len(lst) == k, (src, lst)
+            dsts = [d for _, d, _ in lst]
+            evens = [i for i in range(n) if i % 2 == 0 and i != src]
+            odds = [i for i in range(n) if i % 2 == 1 and i != src]
+            if src % 2 == 0:
+                # duplicates: sim 1.0 with every other even id; ties
+                # break to the k smallest ids
+                assert dsts == evens[:k], (src, dsts)
+                assert all(s == 1.0 for _, _, s in lst)
+            else:
+                # zero-norm: sim 0.0 against everything; ties break to
+                # the k smallest ids overall
+                allied = sorted(evens + odds)
+                assert dsts == allied[:k], (src, dsts)
+                assert all(s == 0.0 for _, _, s in lst)
+
+    # the IVF variant shares the kernel: same per-src cardinality bound
+    out = knn_graph_ivf(df, k=k, n_cells=4, nprobe=2)
+    per_src = out.groupBy("src").count().collect()
+    assert all(r["count"] <= k for r in per_src)
+    assert len(per_src) == n
