@@ -54,6 +54,13 @@ CORE_R3 = HEADLINE + (
     "x_knn_graph_full",
 )
 
+# The exact 22-entry set BENCH_r04 timed (core_r3 + the two r4 twins) —
+# frozen for the same one-field round-over-round comparison.
+CORE_R4 = CORE_R3 + (
+    "x_image_ahash_full",
+    "x_knn_graph_ivf_full",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,12 +93,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for name in names:
+        # min-of-5 on the headline core (r4-brief bench hygiene: at ~10
+        # loadavg the median-of-3 produced two false regression alarms),
+        # 3 reps for the heavier x_ twins; "median" = middle of 5 / 3.
+        reps = 5 if name in CORE_R4 else 3
         runs = []
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 4)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
         timings_min[name] = round(min(runs), 4)
     load1_end = round(os.getloadavg()[0], 2)
 
@@ -105,6 +116,7 @@ def main() -> None:
     # BENCH_r*.json).  core_r3 pins the exact 20-entry set BENCH_r03 timed.
     core16 = [n for n in HEADLINE[:16] if n in timings]
     core_r3 = [n for n in CORE_R3 if n in timings]
+    core_r4 = [n for n in CORE_R4 if n in timings]
     print(
         json.dumps(
             {
@@ -115,11 +127,15 @@ def main() -> None:
                 "queries_min": timings_min,
                 "core16_sec": round(sum(timings[n] for n in core16), 4),
                 "core_r3_sec": round(sum(timings[n] for n in core_r3), 4),
+                "core_r4_sec": round(sum(timings[n] for n in core_r4), 4),
                 "core16_min_sec": round(
                     sum(timings_min[n] for n in core16), 4
                 ),
                 "core_r3_min_sec": round(
                     sum(timings_min[n] for n in core_r3), 4
+                ),
+                "core_r4_min_sec": round(
+                    sum(timings_min[n] for n in core_r4), 4
                 ),
                 "load1_start": load1_start,
                 "load1_end": load1_end,

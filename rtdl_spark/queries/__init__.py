@@ -24,8 +24,12 @@ ORACLE: dict[str, str] = {}
 # correctness row — the served history lives in DRIVER_SERVED.json at the
 # repo root, appended each round).  tests/test_queries_oracle.py enforces
 # the invariants: head == first 50 registered, every entry oracle-backed,
-# canaries span >= 8 categories, and every rotation slot is absent from
-# all prior rounds' served sets.
+# canaries span >= 8 categories, and every rotation slot is either absent
+# from all prior rounds' served sets OR its most recent driver row was
+# RED (r5 amendment per the r4 verdict: the never-served-only rule
+# structurally barred re-serving a fixed query whose last external word
+# was FAIL — red-latest names are now required back in the head until a
+# green row supersedes them).
 CANARIES: tuple[str, ...] = (
     "q1_pricing_summary",        # TPC-H scan+agg
     "agg_stats_by_returnflag",   # aggregates
@@ -41,48 +45,52 @@ CANARIES: tuple[str, ...] = (
     "multimodal_binary_stats",   # multimodal (§2C)
 )
 
-# Round-4 rotation: 38 never-driver-verified, oracle-backed queries —
-# the 17 remaining TPC-H, the window bulk, the scalar families, and one
-# each from the smaller never-served pools.
+# Round-5 rotation: the 3 red-latest approx aggregates (fixed in r3,
+# re-served under the amended invariant so the ledger's only FAILs get
+# green rows), the first-ever streaming-EXECUTED entries, the newly
+# oracle-backed ML pair (kmeans exact-replay unroll + logreg exact step),
+# the never-served lake-maintenance family, the r4-new multimodal
+# image/video/audio oracles, the PQ/IVF-PQ/kNN-graph similarity bulk,
+# and one each from the smaller never-served pools.
 ROTATION: tuple[str, ...] = (
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_national_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_theta_or_predicates",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "win_rank_parts_by_price",
-    "win_lag_lead_order_gaps",
-    "win_moving_avg_3",
-    "win_range_frame_price_band",
-    "win_ntile_customer_quartiles",
-    "win_sliding_10min_5min",
-    "win_percent_rank_cume_dist",
-    "win_gaps_islands_sessions",
-    "win_ewma_bounded",
-    "win_cohort_retention",
-    "scalar_regexp_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_json_funcs",
-    "scalar_array_funcs",
-    "scalar_map_funcs",
-    "scalar_try_funcs",
-    "agg_collect_sorted_lists",
-    "setop_multiset_ops",
-    "join_null_safe_eq",
-    "sim_ivf_topk",
+    "agg_approx_count_distinct",
+    "agg_approx_percentiles",
+    "agg_freq_items",
+    "stream_exec_tumbling_counts",
+    "stream_exec_ohlc_candles",
+    "stream_exec_session_counts",
+    "ml_kmeans_embeddings",
+    "ml_logreg_exact_step",
+    "lake_delete_by_keys",
+    "lake_hll_sketch_rollup",
+    "lake_snapshot_diff",
+    "lake_incremental_rollup",
+    "lake_histogram_price",
+    "lake_footer_stats",
+    "multimodal_image_resize",
+    "multimodal_image_ahash",
+    "multimodal_video_frames",
+    "multimodal_audio_segments",
+    "multimodal_dedup_clusters",
+    "sim_pq_topk",
+    "sim_ivf_pq_topk",
+    "sim_index_ivf_pq",
+    "sim_mmr_rerank",
+    "sim_knn_graph",
+    "sim_knn_graph_ivf",
+    "sim_mutual_knn_clusters",
+    "graph_pagerank_docs",
+    "join_broadcast_nation_rollup",
+    "join_range_part_size_pairs",
+    "json_tuple_extract",
+    "scalar_pii_mask_extended",
+    "setop_intersect_nations",
+    "source_python_datasource",
+    "sql_lateral_top_order",
+    "text_quality_classifier",
+    "text_training_shards",
+    "udtf_tokenize_positions",
+    "win_time_spine_gap_fill",
 )
 
 DRIVER_HEAD: tuple[str, ...] = CANARIES + ROTATION

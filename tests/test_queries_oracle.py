@@ -95,29 +95,48 @@ def test_driver_head_samples_every_category():
 
 
 def test_driver_head_rotation_is_fresh():
-    """Rotation slots must be queries that have NEVER received a driver
-    correctness row: each round's served set is appended to
-    DRIVER_SERVED.json, and the current ROTATION must be disjoint from
-    the union of all PRIOR rounds (and recorded as the latest round).
-    This is what guarantees the external hard signal eventually touches
-    the whole registry instead of re-verifying a fixed 50 forever."""
+    """Rotation slots must be queries that have never received a driver
+    correctness row — OR whose most recent driver row was RED (the r5
+    amendment: the never-served-only rule structurally barred re-serving
+    the three r2-red approx aggregates after their r3 fix, leaving FAIL
+    as their last external word forever). Each round's served set is
+    appended to DRIVER_SERVED.json; the current ROTATION must be
+    disjoint from the union of all PRIOR rounds minus the red-latest
+    set, red-latest names MUST be back in the head, and the latest round
+    key must record the current head. This is what guarantees the
+    external hard signal eventually touches the whole registry AND that
+    no fixed failure stays externally unrefuted."""
+    import glob
     import json
     import os
 
     from rtdl_spark.queries import CANARIES, DRIVER_HEAD, ROTATION
 
-    path = os.path.join(os.path.dirname(__file__), "..", "DRIVER_SERVED.json")
-    served = json.load(open(path))
+    root = os.path.join(os.path.dirname(__file__), "..")
+    served = json.load(open(os.path.join(root, "DRIVER_SERVED.json")))
     rounds = sorted(k for k in served if k.startswith("r"))
     assert rounds, "DRIVER_SERVED.json has no round entries"
     latest = rounds[-1]
     assert served[latest] == list(DRIVER_HEAD), (
         f"DRIVER_SERVED.json[{latest}] must record the current head"
     )
+    # a name's latest CORRECTNESS verdict, across all committed artifacts
+    verdict: dict[str, bool] = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(p)).items():
+            verdict[name] = row.get("err") is None and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+    red_latest = {n for n, ok in verdict.items() if not ok}
     prior = set().union(*(served[r] for r in rounds[:-1]))
-    stale = [n for n in ROTATION if n in prior]
+    stale = [n for n in ROTATION if n in prior and n not in red_latest]
     assert not stale, f"rotation slots already driver-verified: {stale}"
-    # canaries are the only sanctioned repeats
+    missing_reds = red_latest - set(DRIVER_HEAD)
+    assert not missing_reds, (
+        f"red-latest queries must be re-served until green: {missing_reds}"
+    )
+    # canaries are the only sanctioned green repeats
     assert set(CANARIES) <= prior, (
         "canaries should be previously-verified known-good queries"
     )

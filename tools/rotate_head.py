@@ -37,9 +37,27 @@ def main() -> None:
     rounds = sorted(k for k in served if k.startswith("r"))
     prior = set().union(*(served[r] for r in rounds))
 
+    # r5 amendment: a name whose LATEST committed CORRECTNESS row is red
+    # re-enters the pool (and should be prioritized) — the never-served
+    # rule alone would leave FAIL as its last external word forever
+    import glob
+
+    verdict: dict[str, bool] = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(p)).items():
+            verdict[name] = row.get("err") is None and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+    red_latest = {n for n, ok in verdict.items() if not ok}
+    if red_latest:
+        print(f"# RED-LATEST (must be re-served): {sorted(red_latest)}")
+
     q = all_queries()
     o = all_oracles()
-    pool = [n for n in q if n in o and n not in prior]
+    pool = [
+        n for n in q if n in o and (n not in prior or n in red_latest)
+    ]
     rows_only = [n for n in q if n not in o and n not in prior]
 
     # round-robin across name-prefix families so one giant family can't
