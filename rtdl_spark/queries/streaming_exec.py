@@ -110,6 +110,44 @@ def stream_exec_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_exec_sliding_counts",
+    # batch twin: win_sliding_10min_5min's oracle shape with the stream
+    # job's per-event_type grouping — every event lands in exactly
+    # window/slide = 2 overlapping windows, enumerated via the offset
+    # cross join
+    oracle="""
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               - (off * INTERVAL '5 minutes') AS window_start,
+             event_type
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS off) offs
+    ) t
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_exec_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows executed through the
+    streaming engine (streaming/jobs.py::stream_sliding_counts): each
+    event contributes to window/slide state entries — the state-fan-out
+    shape whose memory budget SCALE.md calls out — and the complete-mode
+    final table equals the batch offset-enumeration replay exactly."""
+    from rtdl_spark.streaming.jobs import stream_sliding_counts
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: stream_sliding_counts(s),
+        "stream_exec_sliding",
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@query(
     "stream_exec_ohlc_candles",
     # batch twin: win_ohlc_resample's oracle at the stream job's 15-minute
     # grain — arg_min/arg_max champions unique at microsecond ts grain
