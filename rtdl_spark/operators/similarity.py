@@ -981,16 +981,27 @@ def knn_graph(
                     keep = np.isfinite(vals)
                     rows, cols, vals = rows[keep], cols[keep], vals[keep]
                     if len(rows):
-                        r6 = np.round(vals, 6)
-                        order = np.lexsort((cols, -r6, rows))
-                        rs = rows[order]
-                        new = np.r_[True, rs[1:] != rs[:-1]]
-                        grp_start = np.maximum.accumulate(
-                            np.where(new, np.arange(len(rs)), 0)
+                        # rows is already group-sorted (np.nonzero is
+                        # row-major); every row keeps >= kc pool entries,
+                        # so the selection is a no-op unless some row
+                        # kept extras — skip the sort on the common path
+                        starts = np.flatnonzero(
+                            np.r_[True, rows[1:] != rows[:-1]]
                         )
-                        rank = np.arange(len(rs)) - grp_start
-                        sel = order[rank < kc]
-                        rows, cols, vals = rows[sel], cols[sel], vals[sel]
+                        counts = np.diff(np.r_[starts, len(rows)])
+                        if counts.max() > kc:
+                            r6 = np.round(vals, 6)
+                            order = np.lexsort((cols, -r6, rows))
+                            rs = rows[order]
+                            new = np.r_[True, rs[1:] != rs[:-1]]
+                            grp_start = np.maximum.accumulate(
+                                np.where(new, np.arange(len(rs)), 0)
+                            )
+                            rank = np.arange(len(rs)) - grp_start
+                            sel = order[rank < kc]
+                            rows, cols, vals = (
+                                rows[sel], cols[sel], vals[sel]
+                            )
                     frames.append(
                         pd.DataFrame(
                             {"src": rows, "dst": cols, "sim": vals}
@@ -1164,16 +1175,22 @@ def knn_graph_ivf(
                 keep = np.isfinite(vals)
                 rows, cols, vals = rows[keep], cols[keep], vals[keep]
                 if len(rows):
-                    r6 = np.round(vals, 6)
-                    order = np.lexsort((cols, -r6, rows))
-                    rs = rows[order]
-                    new = np.r_[True, rs[1:] != rs[:-1]]
-                    grp_start = np.maximum.accumulate(
-                        np.where(new, np.arange(len(rs)), 0)
+                    # no-ties fast path, same as knn_graph's kernel
+                    starts = np.flatnonzero(
+                        np.r_[True, rows[1:] != rows[:-1]]
                     )
-                    rank = np.arange(len(rs)) - grp_start
-                    sel = order[rank < kc]
-                    rows, cols, vals = rows[sel], cols[sel], vals[sel]
+                    counts = np.diff(np.r_[starts, len(rows)])
+                    if counts.max() > kc:
+                        r6 = np.round(vals, 6)
+                        order = np.lexsort((cols, -r6, rows))
+                        rs = rows[order]
+                        new = np.r_[True, rs[1:] != rs[:-1]]
+                        grp_start = np.maximum.accumulate(
+                            np.where(new, np.arange(len(rs)), 0)
+                        )
+                        rank = np.arange(len(rs)) - grp_start
+                        sel = order[rank < kc]
+                        rows, cols, vals = rows[sel], cols[sel], vals[sel]
                 frames.append(
                     pd.DataFrame({"src": rows, "dst": cols, "sim": vals})
                 )
