@@ -41,16 +41,20 @@ def _run_events_stream(
     build,
     name: str,
     output_mode: str = "complete",
+    prepare=None,
 ) -> DataFrame:
     """Stage the events table as a single-file stream source, run
     ``build(stream_df)`` through a real StreamingQuery into a memory
     sink, and return the final table materialized (the scratch source
-    and checkpoint die before returning)."""
+    and checkpoint die before returning). ``prepare`` optionally
+    transforms the staged batch frame (e.g. planting duplicates)."""
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     workdir = tempfile.mkdtemp(prefix="rtdl_stream_", dir=shm)
     try:
         src = os.path.join(workdir, "src")
         ev = table(spark, sf_dir, "events")
+        if prepare is not None:
+            ev = prepare(ev)
         ev.coalesce(1).write.parquet(src)
         schema = spark.read.parquet(src).schema
         stream = spark.readStream.schema(schema).parquet(src)
@@ -186,6 +190,49 @@ def stream_exec_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         "close",
         "total",
+    )
+
+
+@query(
+    "stream_exec_dedup_within_watermark",
+    # the staged stream carries EVERY event twice (union with itself);
+    # watermark-scoped streaming dedup on event_id must emit each exactly
+    # once — the oracle is simply the original table (aggregated so the
+    # check is order-free and compact)
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_exec_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming exact dedup executed through the engine
+    (streaming/jobs.py::stream_dedup_within_watermark →
+    dropDuplicatesWithinWatermark): the source stream is the events
+    table UNIONED WITH ITSELF (every event arrives twice), and the
+    deduped stream must equal the original table exactly — planted
+    duplicates make this a discriminating external check of the
+    streaming dedup state store, not an identity pass. Emitted rows are
+    folded to per-type (count, id-sum, user-sum) so the comparison is
+    compact and order-free; integer sums are exact."""
+    from rtdl_spark.streaming.jobs import stream_dedup_within_watermark
+
+    out = _run_events_stream(
+        spark,
+        sf_dir,
+        lambda s: stream_dedup_within_watermark(s),
+        "stream_exec_dedup",
+        output_mode="append",
+        prepare=lambda ev: ev.unionByName(ev),
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        F.sum("user_id").alias("user_sum"),
     )
 
 
