@@ -144,31 +144,36 @@ def resize_media(
     Narrow transform: no shuffle, parallel per input split, so it scales
     linearly with executors regardless of corpus size.
 
-    ``codec="ppm"`` / ``codec="bmp"`` is a REAL end-to-end decode path
-    (functions/imagecodec.py — the image twin of the WAV audio path):
-    the container header is parsed, pixels are resampled nearest-neighbor
-    with pure floor-division index math (integer-exact, SQL-replayable),
-    and the result is re-encoded in the same format. Compressed codecs
-    (JPEG/PNG — PIL.Image.open(...).resize) still plug in at the marked
-    point; ``fake_decode=True`` keeps the legacy byte-resampling stand-in
-    (truncate or cycle-pad to width*height bytes).
+    ``codec="ppm"`` / ``codec="bmp"`` / ``codec="png"`` is a REAL
+    end-to-end decode path (functions/imagecodec.py — png is genuinely
+    COMPRESSED: chunk CRCs, zlib DEFLATE, scanline-filter reconstruction,
+    all stdlib): the container is parsed, pixels are resampled
+    nearest-neighbor with pure floor-division index math (integer-exact,
+    SQL-replayable), and the result is re-encoded in the same format.
+    The remaining codecs (JPEG/WebP — PIL.Image.open(...).resize) still
+    plug in at the marked point; ``fake_decode=True`` keeps the legacy
+    byte-resampling stand-in (truncate or cycle-pad to width*height
+    bytes).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
-            if codec in ("ppm", "bmp"):
+            if codec in ("ppm", "bmp", "png"):
                 from rtdl_spark.functions.imagecodec import (
                     decode_image,
                     make_bmp,
+                    make_png,
                     make_ppm,
                     resize_nearest,
                 )
+                enc = {"ppm": make_ppm, "bmp": make_bmp, "png": make_png}[
+                    codec
+                ]
 
                 def real_resize(payload: bytes) -> bytes:
                     w0, h0, ch, pix = decode_image(bytes(payload), codec)
                     out = resize_nearest(pix, w0, h0, ch, width, height)
-                    enc = make_ppm if codec == "ppm" else make_bmp
                     return enc(out, width, height, ch)
 
                 yield pd.DataFrame(
@@ -188,10 +193,11 @@ def resize_media(
                 continue
             if not fake_decode:
                 raise NotImplementedError(
-                    "compressed-image codecs not available in this "
-                    "environment; plug PIL.Image.open(...).resize((w,h)) "
-                    "here, or use codec='ppm'/'bmp' (stdlib container "
-                    "decode) / fake_decode=True"
+                    "JPEG/WebP codecs not available in this environment; "
+                    "plug PIL.Image.open(...).resize((w,h)) here, or use "
+                    "codec='ppm'/'bmp' (stdlib uncompressed) / "
+                    "codec='png' (stdlib zlib-compressed) / "
+                    "fake_decode=True"
                 )
 
             def fake_resize(payload: bytes) -> bytes:
@@ -370,8 +376,10 @@ def perceptual_hash(
 ) -> DataFrame:
     """Add ``phash``: a 60-bit perceptual fingerprint of the media payload.
 
-    ``codec="ppm"``/``"bmp"`` is the REAL path: a stdlib container decode
-    (functions/imagecodec.py) feeding ``image_hash_bits`` — average-hash
+    ``codec="ppm"``/``"bmp"``/``"png"`` is the REAL path: a stdlib
+    container decode (functions/imagecodec.py; png includes the full
+    compressed-format walk — CRCs, DEFLATE, filters) feeding
+    ``image_hash_bits`` — average-hash
     by default (all-integer, SQL-replayable) or ``method="dct"`` (classic
     pHash). Arrow-batched pandas UDF: per-payload Python is inherent to
     variable-size binary parsing, the sanctioned multimodal batch shape
@@ -383,7 +391,7 @@ def perceptual_hash(
     and everything else is uniform — which is precisely the property the
     *plumbing* (banding, join shape, hamming filter) needs for tests;
     pure Catalyst, no Python at all."""
-    if codec in ("ppm", "bmp"):
+    if codec in ("ppm", "bmp", "png"):
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("long")
@@ -395,8 +403,8 @@ def perceptual_hash(
         return df.withColumn("phash", _hash(F.col(payload_col)))
     if not fake_decode:
         raise NotImplementedError(
-            "compressed-image codecs (PIL) not in this environment; use "
-            "codec='ppm'/'bmp' (stdlib container decode) or "
+            "JPEG/WebP codecs (PIL) not in this environment; use "
+            "codec='ppm'/'bmp'/'png' (stdlib container decode) or "
             "fake_decode=True for the deterministic test fingerprint"
         )
     hexval = lambda c: F.when(  # noqa: E731

@@ -427,3 +427,110 @@ def test_sample_frames_ppm_stream_real_decode(spark):
     # default (no codec) still raises at the plug point
     with pytest.raises(Exception, match="codec"):
         sample_frames(df, n_frames=2).collect()
+
+
+def test_png_codec_real_compressed_roundtrip(spark):
+    """PNG is a REAL compressed-format decode (stdlib zlib): encode→parse
+    is the identity under EVERY spec scanline filter (None/Sub/Up/
+    Average/Paeth), multi-IDAT streams and ancillary chunks parse, CRC
+    corruption and Adam7 interlace are rejected loudly, paletted files
+    resolve through PLTE, and the decoded pixels agree byte-for-byte
+    with the uncompressed PPM/BMP codecs on the same image. The full
+    resize_media / perceptual_hash lanes run on codec='png'."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from rtdl_spark.functions.imagecodec import (
+        _png_chunk,
+        _PNG_SIG,
+        make_bmp,
+        make_png,
+        make_ppm,
+        parse_bmp,
+        parse_png,
+        parse_ppm,
+    )
+    from rtdl_spark.operators.multimodal import perceptual_hash, resize_media
+
+    w, h = 13, 9
+    gray = bytes((x * 17 + y * 53) % 256 for y in range(h) for x in range(w))
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((x * 3) % 256, (y * 5) % 256, (x * x + y) % 256)
+    )
+    for ft in range(5):
+        assert parse_png(make_png(gray, w, h, 1, filter_type=ft)) == (
+            w, h, 1, gray,
+        ), f"filter {ft} gray"
+        assert parse_png(make_png(rgb, w, h, 3, filter_type=ft)) == (
+            w, h, 3, rgb,
+        ), f"filter {ft} rgb"
+    # compression is real: Sub-filtered gradient deflates well below raw
+    assert len(make_png(bytes(range(256)) * 8, 64, 32, 1, filter_type=1)) < (
+        64 * 32 // 2
+    )
+    # cross-codec agreement on identical pixels
+    assert (
+        parse_png(make_png(rgb, w, h, 3))
+        == parse_ppm(make_ppm(rgb, w, h, 3))
+        == parse_bmp(make_bmp(rgb, w, h, 3))
+    )
+    # multi-IDAT + ancillary chunk tolerance
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + gray[y * w : (y + 1) * w] for y in range(h))
+    z = zlib.compress(raw)
+    multi = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Comment\x00hi")
+        + _png_chunk(b"IDAT", z[: len(z) // 2])
+        + _png_chunk(b"IDAT", z[len(z) // 2 :])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert parse_png(multi) == (w, h, 1, gray)
+    # paletted: grayscale palette collapses to 1 channel, colored expands
+    plte_gray = b"".join(bytes((i, i, i)) for i in range(256))
+    pal_png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte_gray)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert parse_png(pal_png) == (w, h, 1, gray)
+    # rejections: CRC corruption, interlace, junk signature
+    good = make_png(gray, w, h, 1)
+    corrupt = bytearray(good)
+    corrupt[-5] ^= 0xFF  # inside IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(corrupt))
+    inter = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        parse_png(inter)
+    with pytest.raises(ValueError, match="signature"):
+        parse_png(b"JUNKJUNKJUNK")
+
+    # Spark lanes: resize + perceptual hash through the compressed codec
+    df = spark.createDataFrame(
+        [(1, make_png(gray, w, h, 1, filter_type=4))],
+        "doc_id long, payload binary",
+    )
+    out = resize_media(df, 8, 8, codec="png").collect()[0]
+    ow, oh, och, opix = parse_png(bytes(out.payload))
+    assert (ow, oh, och) == (8, 8, 1)
+    # pixel values must equal the PPM lane's resize of the same image
+    ppm_df = spark.createDataFrame(
+        [(1, make_ppm(gray, w, h, 1))], "doc_id long, payload binary"
+    )
+    ppm_out = resize_media(ppm_df, 8, 8, codec="ppm").collect()[0]
+    assert opix == parse_ppm(bytes(ppm_out.payload))[3]
+    ph_png = perceptual_hash(df, codec="png").collect()[0]["phash"]
+    ph_ppm = perceptual_hash(ppm_df, codec="ppm").collect()[0]["phash"]
+    assert ph_png == ph_ppm

@@ -594,25 +594,33 @@ def test_k_core_matches_bruteforce_peeling(spark, edges, k):
     st.integers(min_value=1, max_value=17),
     st.sampled_from([1, 3]),
     st.binary(min_size=0, max_size=23 * 17 * 3),
-    st.sampled_from(["ppm", "bmp"]),
+    st.sampled_from(["ppm", "bmp", "png-0", "png-1", "png-2", "png-3", "png-4"]),
 )
 def test_imagecodec_roundtrip_property(w, h, channels, pixels, codec):
-    """PPM and BMP encode→parse is the identity on (w, h, channels,
-    zero-padded pixels) for ARBITRARY dimensions — including 1-pixel
-    images, widths that hit every BMP row-padding residue (w*ch % 4),
-    and payloads shorter/longer than the pixel buffer."""
+    """PPM, BMP and compressed PNG (under every scanline filter)
+    encode→parse is the identity on (w, h, channels, zero-padded pixels)
+    for ARBITRARY dimensions — including 1-pixel images, widths that hit
+    every BMP row-padding residue (w*ch % 4), and payloads
+    shorter/longer than the pixel buffer."""
     from rtdl_spark.functions.imagecodec import (
         make_bmp,
+        make_png,
         make_ppm,
         parse_bmp,
+        parse_png,
         parse_ppm,
     )
 
     n = w * h * channels
     want = pixels[:n] + bytes(max(n - len(pixels), 0))
-    enc, dec = (
-        (make_ppm, parse_ppm) if codec == "ppm" else (make_bmp, parse_bmp)
-    )
+    if codec == "ppm":
+        enc, dec = make_ppm, parse_ppm
+    elif codec == "bmp":
+        enc, dec = make_bmp, parse_bmp
+    else:
+        ft = int(codec.split("-")[1])
+        enc = lambda p, w_, h_, c_: make_png(p, w_, h_, c_, filter_type=ft)  # noqa: E731
+        dec = parse_png
     assert dec(enc(pixels, w, h, channels)) == (w, h, channels, want)
 
 
