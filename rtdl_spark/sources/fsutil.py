@@ -62,3 +62,18 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     fs, s = _fs_path(spark, src)
     _, d = _fs_path(spark, dst)
     return bool(fs.rename(s, d))
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Read a small control file's full text through the Hadoop FS.
+    Needed where spark.read.text cannot go: Spark's file index HIDES
+    paths whose name starts with '_' or '.' (that is why staging dirs use
+    those prefixes), but control files like Delta's _last_checkpoint live
+    at exactly such names."""
+    fs, p = _fs_path(spark, path)
+    stream = fs.open(p)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
