@@ -295,17 +295,22 @@ class IngestJob:
 
     def _delta_append(self, cfg: StreamConfig, df: DataFrame) -> DataFrame:
         """deltawriter parity (delta_writer.py:81-98): append the batch to
-        <root>/<db>/<table>. Delta jars are not in this environment, so the
-        writer degrades to parquet at the same path layout."""
+        <root>/<db>/<table> as a REAL Delta table. With delta-spark on the
+        classpath that is the library writer; without it (this image) the
+        native protocol writer emits the same parquet files PLUS the JSON
+        commit log (sources/delta_writer.py) — the directory stays
+        readable as plain parquet (the log is '_'-hidden) and becomes
+        readable by any Delta client, closing A18's write direction."""
+        from rtdl_spark.sources.readers import write_delta
+
         db = cfg.folder_name or f"s_{cfg.stream_id}"
         base = os.path.join(self.lake_root, "_delta", db)
-        writer = df.drop(TABLE_COL, BUCKET_COL).write.mode("append")
-        try:  # pragma: no cover - delta not installed in this image
-            import delta  # noqa: F401
-
-            writer.format("delta").save(base)
-        except ImportError:
-            writer.parquet(base)
+        write_delta(
+            df.sparkSession,
+            df.drop(TABLE_COL, BUCKET_COL),
+            base,
+            mode="append",
+        )
         return df
 
     # -- end-to-end --------------------------------------------------------

@@ -1118,3 +1118,98 @@ def lake_delta_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_native_write",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'a'
+                  WHEN o_orderkey % 3 = 1 THEN 'b'
+                  ELSE 'c' END AS src
+      FROM orders
+    )
+    SELECT 0 AS v, src, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM t WHERE src IN ('a', 'b') GROUP BY src
+    UNION ALL
+    SELECT 1 AS v, src, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM t GROUP BY src
+    UNION ALL
+    SELECT 2 AS v, src, COUNT(*) AS n, CAST(NULL AS DOUBLE) AS total
+    FROM t WHERE src = 'a' GROUP BY src
+    """,
+)
+def lake_delta_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE Delta protocol WRITE, end to end with no delta-spark
+    (sources/delta_writer.py, r5 — closes A18's write direction): a
+    partitioned Delta table is CREATED by the native writer (protocol +
+    metaData + partitioned adds with numRecords stats), APPENDED to
+    (version 1), then OVERWRITTEN with a narrower schema (version 2 —
+    remove tombstones + replacement metaData), and finally CHECKPOINTED
+    (classic single-part parquet + _last_checkpoint). All three versions
+    are read back through log replay — the latest via the checkpoint,
+    the earlier two via the JSON commits — and hash-verified against the
+    oracle recomputing each version's contents from the fixture."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        write_checkpoint_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "a")
+        .when(F.col("o_orderkey") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_deltaw_", dir=shm)
+    try:
+        root = os.path.join(workdir, "dtab")
+        write_delta_native(
+            spark,
+            o.filter(F.col("src").isin("a", "b")),
+            root,
+            partition_by=["src"],
+            checkpoint_interval=0,
+        )
+        write_delta_native(
+            spark, o.filter(F.col("src") == "c"), root,
+            checkpoint_interval=0,
+        )
+        write_delta_native(
+            spark,
+            o.filter(F.col("src") == "a").select("o_orderkey", "src"),
+            root,
+            mode="overwrite",
+            checkpoint_interval=0,
+        )
+        write_checkpoint_native(spark, root)
+
+        def snap(version: int, has_price: bool) -> DataFrame:
+            df = read_delta_native(spark, root, version=version)
+            total = (
+                F.sum(dec("o_totalprice")).cast("double")
+                if has_price
+                else F.lit(None).cast("double")
+            )
+            return (
+                df.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("n"), total.alias("total"))
+                .withColumn("v", F.lit(version))
+                .select("v", "src", "n", "total")
+            )
+
+        out = snap(0, True).unionByName(snap(1, True)).unionByName(
+            snap(2, False)
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

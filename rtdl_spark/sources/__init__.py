@@ -1,3 +1,13 @@
+from rtdl_spark.sources.delta_reader import (
+    delta_history,
+    read_delta_native,
+)
+from rtdl_spark.sources.delta_writer import (
+    optimize_delta_native,
+    vacuum_delta_native,
+    write_checkpoint_native,
+    write_delta_native,
+)
 from rtdl_spark.sources.readers import (
     delta_available,
     kafka_stream_reader,
@@ -5,13 +15,21 @@ from rtdl_spark.sources.readers import (
     read_delta,
     read_json_envelopes,
     read_parquet,
+    write_delta,
 )
 
 __all__ = [
     "delta_available",
+    "delta_history",
+    "read_delta_native",
     "kafka_stream_reader",
     "read_csv",
     "read_delta",
+    "write_delta",
+    "optimize_delta_native",
+    "vacuum_delta_native",
+    "write_checkpoint_native",
+    "write_delta_native",
     "read_json_envelopes",
     "read_parquet",
 ]

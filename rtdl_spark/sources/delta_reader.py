@@ -26,11 +26,9 @@ client); the checkpoint's add-set is scanned as a DataFrame and only the
 every Delta reader materializes on the driver. The data scan itself is a
 plain parquet multi-file read, so pushdown/pruning/AQE apply unchanged.
 
-Write path note: appends from THIS engine go through ``VersionedTable``
-(operators/versioned.py) or the real delta-spark when present
-(sources/readers.py::read_delta gate) — writing the Delta log without the
-reference implementation's invariants is where corruption risk lives, so
-we deliberately read-here / write-via-library.
+Write path: sources/delta_writer.py is the matching NATIVE writer
+(put-if-absent JSON commits, classic checkpoints); delta-spark is used
+instead whenever it is on the classpath (sources/readers.py gates).
 """
 
 from __future__ import annotations
@@ -70,10 +68,14 @@ def _commit_versions(spark: SparkSession, table_dir: str) -> list[int]:
 
 
 def _read_json_lines(spark: SparkSession, path: str) -> list[dict]:
-    """One commit file's actions. spark.read.text goes through the Hadoop
-    FS, so the log parses identically on local disk or object stores."""
-    rows = spark.read.text(path).collect()
-    return [json.loads(r["value"]) for r in rows if r["value"].strip()]
+    """One commit file's actions, read driver-side through the Hadoop FS
+    (fsutil — identical on local disk or object stores). Commit files
+    are KB-scale; every Delta client driver-parses them, and going
+    through spark.read.text here would cost one Spark JOB per commit in
+    the replay tail (measured: the log-replay queries spent more wall
+    time scheduling those one-row jobs than reading data)."""
+    text = fsutil.read_text(spark, path)
+    return [json.loads(line) for line in text.splitlines() if line.strip()]
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -116,16 +118,20 @@ def _last_checkpoint(spark: SparkSession, table_dir: str) -> dict | None:
     return json.loads(text.splitlines()[0]) if text else None
 
 
-def snapshot_state(
+def snapshot_actions(
     spark: SparkSession, table_dir: str, version: int | None = None
-) -> tuple[dict, list[tuple[str, dict]], int]:
-    """Replay the log up to ``version`` (latest if None) → (metaData,
-    [(file path, partitionValues)], resolved version)."""
+) -> tuple[dict, dict, dict[str, dict], int]:
+    """Replay the log up to ``version`` (latest if None) → (protocol,
+    metaData, {file path: full add action}, resolved version). The full
+    add dicts (size, modificationTime, stats, partitionValues) are what
+    the native WRITER and checkpointer need; plain reads use the
+    ``snapshot_state`` projection below."""
     versions = _commit_versions(spark, table_dir)
     if not versions and _last_checkpoint(spark, table_dir) is None:
         raise ValueError(f"no Delta log found under {table_dir}")
     target = max(versions) if version is None else int(version)
 
+    protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
     meta: dict | None = None
     active: dict[str, dict] = {}
 
@@ -150,7 +156,8 @@ def snapshot_state(
             else []
         )
         for r in proto_rows:
-            _check_protocol(r.asDict(recursive=True))
+            protocol = r.asDict(recursive=True)
+            _check_protocol(protocol)
         meta_rows = (
             cdf.filter(F.col("metaData").isNotNull())
             .select("metaData.*").collect()
@@ -163,11 +170,11 @@ def snapshot_state(
         # the planning projection — the only checkpoint data collected
         if "add" in cols:
             for r in (
-                cdf.filter(F.col("add").isNotNull())
-                .select("add.path", "add.partitionValues")
-                .collect()
+                cdf.filter(F.col("add").isNotNull()).select("add").collect()
             ):
-                active[r["path"]] = dict(r["partitionValues"] or {})
+                a = r["add"].asDict(recursive=True)
+                a["partitionValues"] = dict(a.get("partitionValues") or {})
+                active[a["path"]] = a
         start_after = cv
 
     for v in versions:
@@ -176,7 +183,8 @@ def snapshot_state(
         cpath = posixpath.join(_log_dir(table_dir), f"{v:020d}.json")
         for action in _read_json_lines(spark, cpath):
             if "protocol" in action:
-                _check_protocol(action["protocol"])
+                protocol = action["protocol"]
+                _check_protocol(protocol)
             elif "metaData" in action:
                 meta = action["metaData"]
                 _check_metadata(meta)
@@ -187,7 +195,8 @@ def snapshot_state(
                         "Delta deletion vectors unsupported by the native "
                         "reader (use delta-spark)"
                     )
-                active[a["path"]] = a.get("partitionValues") or {}
+                a["partitionValues"] = a.get("partitionValues") or {}
+                active[a["path"]] = a
             elif "remove" in action:
                 active.pop(action["remove"]["path"], None)
     if meta is None:
@@ -195,7 +204,20 @@ def snapshot_state(
             f"Delta log at {table_dir} has no metaData action up to "
             f"version {target}"
         )
-    return meta, sorted(active.items()), target
+    return protocol, meta, active, target
+
+
+def snapshot_state(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> tuple[dict, list[tuple[str, dict]], int]:
+    """Replay the log up to ``version`` (latest if None) → (metaData,
+    [(file path, partitionValues)], resolved version)."""
+    _, meta, active, target = snapshot_actions(spark, table_dir, version)
+    return (
+        meta,
+        sorted((p, a.get("partitionValues") or {}) for p, a in active.items()),
+        target,
+    )
 
 
 def read_delta_native(

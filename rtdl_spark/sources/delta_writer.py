@@ -1,0 +1,797 @@
+"""Native Delta Lake TABLE WRITER — no delta-spark required.
+
+Round 5's native reader (sources/delta_reader.py) made Delta tables
+readable on this image; this module closes the WRITE direction of the A18
+gap (the reference's deltawriter, deltawriter/delta_writer.py:81-98,
+appends micro-batches to Delta tables). It emits the OPEN, published
+Delta protocol (github.com/delta-io/delta PROTOCOL.md): parquet data
+files plus newline-delimited JSON commits and classic single-part parquet
+checkpoints under ``_delta_log/`` — so a table written here is a real
+Delta table, readable by delta-spark / delta-rs / DuckDB's delta scanner,
+while staying a valid plain-parquet directory too (the log lives under a
+'_'-prefixed dir Spark's file index hides, and data files keep their
+Hive-style partition layout).
+
+Safety posture (the reason round 5's reader deliberately deferred this):
+- **Commits are put-if-absent.** The Delta commit rule is "version N is
+  whoever creates N.json first"; we write the final name through an
+  exclusive Hadoop-FS create (fsutil.write_text_new — atomic on
+  HDFS/local), and on losing the race we re-read the log and retry the
+  NEXT version (appends re-validate schema; overwrites recompute their
+  remove set). Object stores without atomic create need a coordination
+  layer (same caveat as every Delta writer, including delta-spark's
+  S3-single-driver LogStore).
+- **Foreign-table feature checks are loud.** Before touching an existing
+  table we check minWriterVersion (≤2 implemented; 7 only when every
+  writerFeature is one we honor), refuse tables carrying column
+  invariants (protocol v2 requires writers to ENFORCE them), and honor
+  ``delta.appendOnly`` by rejecting overwrites.
+- **Data files land before the commit.** A crash between the data-file
+  move and the commit leaves unreferenced files (invisible to readers,
+  reclaimable by vacuum) — never a log entry pointing at missing data.
+
+Scale shape: the data write is one ordinary distributed
+``df.write.parquet`` (partitioned, AQE/whole-stage intact); per-file
+numRecords stats come from ONE metadata-only aggregation over the staged
+files; everything else is driver-side KB-scale log bookkeeping — the same
+division of labor as delta-spark's OptimisticTransaction. Checkpoints
+(every ``checkpoint_interval`` commits, Delta's default 10) bound log
+replay for readers to [checkpoint, tail].
+
+Known divergence, documented rather than silent: checkpoints carry
+protocol/metaData/add but no expired remove tombstones; batch readers
+(ours, delta-spark, delta-rs) plan from the active add set and are
+unaffected, but an incremental/streaming reader wanting tombstones within
+the retention window must replay the JSON commits (which we never delete).
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from rtdl_spark.sources import fsutil
+from rtdl_spark.sources.delta_reader import (
+    _check_protocol,
+    _commit_versions,
+    _last_checkpoint,
+    _log_dir,
+    snapshot_actions,
+)
+
+_SUPPORTED_WRITER_FEATURES = {"appendOnly", "invariants"}
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class DeltaConcurrentWriteError(RuntimeError):
+    """Raised when every commit attempt lost the version race."""
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _check_writer_protocol(protocol: dict) -> None:
+    """Refuse tables whose protocol demands writer behavior we do not
+    implement — writing anyway is exactly how logs get corrupted."""
+    v = int(protocol.get("minWriterVersion", 1))
+    if v in (3, 4, 5, 6):
+        raise ValueError(
+            f"Delta minWriterVersion {v} requires writer behavior "
+            "(CHECK constraints / generated columns / CDF / column "
+            "mapping / identity columns) this native writer does not "
+            "implement — use delta-spark"
+        )
+    if v == 7:
+        unsupported = set(protocol.get("writerFeatures") or ()) - (
+            _SUPPORTED_WRITER_FEATURES
+        )
+        if unsupported:
+            raise ValueError(
+                "Delta table requires writer features this native writer "
+                f"does not implement: {sorted(unsupported)}"
+            )
+    elif v > 7:
+        raise ValueError(
+            f"Delta minWriterVersion {v} is newer than this writer supports"
+        )
+
+
+def _check_no_invariants(meta: dict) -> None:
+    """Protocol v2 writers must ENFORCE column invariants; we don't, so a
+    table that carries any is refused rather than silently violated."""
+    try:
+        fields = json.loads(meta["schemaString"]).get("fields") or []
+    except Exception:
+        return
+    for f in fields:
+        if "delta.invariants" in (f.get("metadata") or {}):
+            raise ValueError(
+                f"column {f.get('name')!r} carries a Delta invariant; this "
+                "native writer does not enforce invariants — use delta-spark"
+            )
+
+
+def _schema_key(schema_json: str) -> list[tuple[str, object]]:
+    fields = json.loads(schema_json).get("fields") or []
+    return [(f["name"], f["type"]) for f in fields]
+
+
+def _unescape_hive(value: str) -> str | None:
+    if value == _HIVE_NULL:
+        return None
+    # Spark/Hive escapePathName percent-encodes the reserved char set;
+    # unquote inverts exactly that %XX form.
+    return urllib.parse.unquote(value)
+
+
+def _table_exists(spark: SparkSession, table_dir: str) -> bool:
+    return bool(_commit_versions(spark, table_dir)) or (
+        _last_checkpoint(spark, table_dir) is not None
+    )
+
+
+def _staged_counts(
+    spark: SparkSession, staging: str
+) -> dict[str, int]:
+    """Per-file numRecords over the staged write — one metadata-backed
+    aggregation (count per _metadata.file_path), keyed by plain path."""
+    counts = (
+        spark.read.parquet(staging)
+        .select(F.col("_metadata.file_path").alias("fp"))
+        .groupBy("fp")
+        .count()
+        .collect()
+    )
+    out = {}
+    for r in counts:
+        out[urllib.parse.urlparse(r["fp"]).path] = int(r["count"])
+    return out
+
+
+def _promote_staged(
+    spark: SparkSession,
+    table_dir: str,
+    staging: str,
+    part_cols: list[str],
+    with_stats: bool,
+) -> list[dict]:
+    """Move staged parquet files into the table root (keeping their
+    Hive-style relative layout) and return their add actions."""
+    counts = _staged_counts(spark, staging) if with_stats else {}
+    root = table_dir.rstrip("/")
+    stage_prefix = staging.rstrip("/") + "/"
+    adds = []
+    for path, size, _mtime in fsutil.list_files(spark, staging):
+        name = posixpath.basename(path)
+        if not name.endswith(".parquet"):
+            continue  # _SUCCESS and friends stay behind
+        rel = path[len(stage_prefix):] if path.startswith(stage_prefix) else name
+        segs = rel.split("/")
+        pvals: dict[str, str | None] = {}
+        for seg in segs[:-1]:
+            col, eq, raw = seg.partition("=")
+            if eq:
+                pvals[col] = _unescape_hive(raw)
+        if sorted(pvals) != sorted(part_cols):
+            raise ValueError(
+                f"staged file {rel!r} does not carry the partition "
+                f"columns {part_cols} (got {sorted(pvals)})"
+            )
+        dest = posixpath.join(root, rel)
+        if len(segs) > 1:
+            fsutil.mkdirs(spark, posixpath.dirname(dest))
+        if not fsutil.rename(spark, path, dest):
+            raise IOError(f"failed to move staged file {path} -> {dest}")
+        add = {
+            "path": urllib.parse.quote(rel, safe="/="),
+            "partitionValues": {c: pvals[c] for c in part_cols},
+            "size": size,
+            "modificationTime": _now_ms(),
+            "dataChange": True,
+        }
+        if with_stats:
+            n = counts.get(path)
+            if n is not None:
+                add["stats"] = json.dumps({"numRecords": n})
+        adds.append(add)
+    return sorted(adds, key=lambda a: a["path"])
+
+
+def _try_commit(
+    spark: SparkSession, table_dir: str, version: int, actions: list[dict]
+) -> bool:
+    """Put-if-absent write of {version}.json; False = lost the race."""
+    path = posixpath.join(_log_dir(table_dir), f"{version:020d}.json")
+    fsutil.mkdirs(spark, _log_dir(table_dir))
+    text = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
+    try:
+        fsutil.write_text_new(spark, path, text)
+        return True
+    except Exception:
+        if fsutil.exists(spark, path):
+            return False
+        raise
+
+
+def write_delta_native(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    checkpoint_interval: int = 10,
+    with_stats: bool = True,
+    max_retries: int = 5,
+) -> int:
+    """Write ``df`` to a Delta table at ``table_dir`` (creating it on
+    first write) and return the committed version.
+
+    mode="append" adds files; mode="overwrite" additionally emits remove
+    tombstones for every currently-active file (and may change the schema
+    / partitioning — a new metaData action is committed when it does).
+    Appends to an existing table require an identical schema (names +
+    types) and partitioning; pass ``partition_by=None`` to inherit the
+    table's existing partition columns.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    root = table_dir.rstrip("/")
+
+    protocol: dict | None = None
+    meta: dict | None = None
+    active: dict[str, dict] = {}
+    current = -1
+    if _table_exists(spark, root):
+        protocol, meta, active, current = snapshot_actions(spark, root)
+        _check_protocol(protocol)
+        _check_writer_protocol(protocol)
+        _check_no_invariants(meta)
+        if mode == "overwrite" and (
+            (meta.get("configuration") or {}).get("delta.appendOnly")
+            == "true"
+        ):
+            raise ValueError(
+                "table is delta.appendOnly=true; overwrite is not allowed"
+            )
+
+    existing_parts = list((meta or {}).get("partitionColumns") or [])
+    part_cols = (
+        list(partition_by) if partition_by is not None else existing_parts
+    )
+    schema_json = df.schema.json()
+    if meta is not None and mode == "append":
+        if _schema_key(schema_json) != _schema_key(meta["schemaString"]):
+            raise ValueError(
+                "append schema mismatch vs the table's metaData "
+                "(names/types must match exactly; overwrite to replace)"
+            )
+        if part_cols != existing_parts:
+            raise ValueError(
+                f"append partitioning {part_cols} != table's "
+                f"{existing_parts}"
+            )
+
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns absent from frame: {missing}")
+
+    staging = posixpath.join(root, f"_staging-{uuid.uuid4().hex[:12]}")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    try:
+        adds = _promote_staged(spark, root, staging, part_cols, with_stats)
+    finally:
+        fsutil.delete(spark, staging)
+
+    ts = _now_ms()
+    for _attempt in range(max_retries):
+        version = current + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "Append" if mode == "append" else "Overwrite",
+                        "partitionBy": json.dumps(part_cols),
+                    },
+                    "engineInfo": "rtdl-spark native-delta-writer/1",
+                }
+            }
+        ]
+        creating = meta is None
+        replacing_meta = mode == "overwrite" and meta is not None and (
+            _schema_key(schema_json) != _schema_key(meta["schemaString"])
+            or part_cols != list(meta.get("partitionColumns") or [])
+        )
+        if creating:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        if creating or replacing_meta:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()) if creating else meta["id"],
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": part_cols,
+                        "configuration": {},
+                        "createdTime": ts
+                        if creating
+                        else meta.get("createdTime"),
+                    }
+                }
+            )
+        if mode == "overwrite":
+            for path in sorted(active):
+                a = active[path]
+                actions.append(
+                    {
+                        "remove": {
+                            "path": path,
+                            "deletionTimestamp": ts,
+                            "dataChange": True,
+                            "extendedFileMetadata": True,
+                            "partitionValues": a.get("partitionValues")
+                            or {},
+                            "size": a.get("size"),
+                        }
+                    }
+                )
+        actions.extend({"add": a} for a in adds)
+
+        if _try_commit(spark, root, version, actions):
+            if checkpoint_interval and version > 0 and (
+                version % checkpoint_interval == 0
+            ):
+                write_checkpoint_native(spark, root)
+            return version
+
+        # lost the race: re-read and re-validate against the new tip
+        protocol, meta, active, current = snapshot_actions(spark, root)
+        _check_protocol(protocol)
+        _check_writer_protocol(protocol)
+        _check_no_invariants(meta)
+        if mode == "append":
+            if _schema_key(schema_json) != _schema_key(meta["schemaString"]):
+                raise ValueError(
+                    "append schema mismatch after concurrent commit"
+                )
+            if part_cols != list(meta.get("partitionColumns") or []):
+                raise ValueError(
+                    "append partitioning mismatch after concurrent commit"
+                )
+    raise DeltaConcurrentWriteError(
+        f"lost the Delta commit race {max_retries} times at {root}"
+    )
+
+
+# classic single-part checkpoint schema (the columns every Delta reader
+# probes; remove is present-but-null — see the module docstring)
+_CHECKPOINT_SCHEMA = StructType(
+    [
+        StructField(
+            "protocol",
+            StructType(
+                [
+                    StructField("minReaderVersion", IntegerType()),
+                    StructField("minWriterVersion", IntegerType()),
+                ]
+            ),
+        ),
+        StructField(
+            "metaData",
+            StructType(
+                [
+                    StructField("id", StringType()),
+                    StructField("name", StringType()),
+                    StructField("description", StringType()),
+                    StructField(
+                        "format",
+                        StructType(
+                            [
+                                StructField("provider", StringType()),
+                                StructField(
+                                    "options",
+                                    MapType(StringType(), StringType()),
+                                ),
+                            ]
+                        ),
+                    ),
+                    StructField("schemaString", StringType()),
+                    StructField(
+                        "partitionColumns", ArrayType(StringType())
+                    ),
+                    StructField(
+                        "configuration",
+                        MapType(StringType(), StringType()),
+                    ),
+                    StructField("createdTime", LongType()),
+                ]
+            ),
+        ),
+        StructField(
+            "add",
+            StructType(
+                [
+                    StructField("path", StringType()),
+                    StructField(
+                        "partitionValues",
+                        MapType(StringType(), StringType(), True),
+                    ),
+                    StructField("size", LongType()),
+                    StructField("modificationTime", LongType()),
+                    StructField("dataChange", BooleanType()),
+                    StructField("stats", StringType()),
+                ]
+            ),
+        ),
+        StructField(
+            "remove",
+            StructType(
+                [
+                    StructField("path", StringType()),
+                    StructField("deletionTimestamp", LongType()),
+                    StructField("dataChange", BooleanType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def optimize_delta_native(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+    where: dict[str, str] | None = None,
+) -> dict:
+    """OPTIMIZE: bin-pack each partition's small files into
+    ~``target_file_bytes`` files and commit the swap as ONE Delta commit
+    with ``dataChange=false`` adds/removes (the spec's signal that the
+    commit rearranges existing data — streaming readers skip it).
+
+    Scale shape (the delete_by_keys lesson — never a per-file driver
+    loop): bin assignment is driver-side arithmetic over the KB-scale
+    add-action list; the rewrite is ONE distributed job — read every
+    selected file, broadcast-join the file→bin map, repartition by bin
+    (each bin lands in exactly one task) and write all bins in a single
+    partitioned staging write. O(1) Spark jobs regardless of how many
+    thousands of files are compacted.
+
+    ``where`` restricts to partitions whose partitionValues exactly match
+    (e.g. ``{"day": "2024-02-15"}``) — at 100 TB you optimize the
+    partitions the small-file report flags, never the whole table.
+    Returns {"version", "partitions", "files_in", "files_out"};
+    version None = nothing needed doing. A lost commit race aborts
+    loudly; promoted-but-uncommitted files are unreferenced and
+    reclaimed by vacuum."""
+    root = table_dir.rstrip("/")
+    protocol, meta, active, current = snapshot_actions(spark, root)
+    _check_protocol(protocol)
+    _check_writer_protocol(protocol)
+    part_cols = list(meta.get("partitionColumns") or [])
+
+    groups: dict[tuple, list[dict]] = {}
+    for a in active.values():
+        pvals = a.get("partitionValues") or {}
+        if where is not None and any(
+            pvals.get(k) != v for k, v in where.items()
+        ):
+            continue
+        groups.setdefault(
+            tuple(pvals.get(c) for c in part_cols), []
+        ).append(a)
+
+    # driver-side bin packing over file metadata (first-fit on the
+    # size-sorted list — files, not rows, are the packing unit)
+    bins: list[dict] = []
+    for key, adds in sorted(groups.items()):
+        packable = sorted(adds, key=lambda a: -int(a.get("size") or 0))
+        if len(packable) < min_files:
+            continue
+        part_bins: list[dict] = []
+        for a in packable:
+            size = int(a.get("size") or 0)
+            tgt = next(
+                (
+                    b
+                    for b in part_bins
+                    if b["bytes"] + size <= target_file_bytes
+                ),
+                None,
+            )
+            if tgt is None:
+                tgt = {"key": key, "files": [], "bytes": 0}
+                part_bins.append(tgt)
+            tgt["files"].append(a)
+            tgt["bytes"] += size
+        if len(part_bins) < len(packable):  # strictly fewer files out
+            bins.extend(part_bins)
+    if not bins:
+        return {
+            "version": None, "partitions": 0, "files_in": 0, "files_out": 0
+        }
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    # the bin column must NOT be '_'-prefixed: it becomes a staging
+    # partition directory name, and Spark's file index hides those
+    bin_col, fp_col = "rtdl_opt_bin", "rtdl_opt_fp"
+    if bin_col in schema.fieldNames() or fp_col in schema.fieldNames():
+        raise ValueError(
+            f"table schema uses the reserved column {bin_col}/{fp_col}"
+        )
+    file_to_bin = []
+    for i, b in enumerate(bins):
+        b["bk"] = f"b{i:06d}"
+        for a in b["files"]:
+            file_to_bin.append(
+                (
+                    posixpath.join(
+                        root, urllib.parse.unquote(a["path"])
+                    ),
+                    b["bk"],
+                )
+            )
+    in_paths = [p for p, _ in file_to_bin]
+    bin_map = F.broadcast(
+        spark.createDataFrame(
+            file_to_bin, f"{fp_col} string, {bin_col} string"
+        )
+    )
+    src = (
+        spark.read.schema(data_schema)
+        .parquet(*in_paths)
+        .withColumn(fp_col, F.col("_metadata.file_path"))
+        # _metadata paths are URIs; normalize to the plain-path form
+        .withColumn(
+            fp_col, F.regexp_replace(fp_col, "^[a-zA-Z0-9+.-]+://?", "/")
+        )
+        .withColumn(fp_col, F.regexp_replace(fp_col, "^//+", "/"))
+        .join(bin_map, fp_col)
+        .drop(fp_col)
+    )
+    staging = posixpath.join(root, f"_optimize-{uuid.uuid4().hex[:12]}")
+    (
+        src.repartition(len(bins), bin_col)
+        .write.partitionBy(bin_col)
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    try:
+        counts = _staged_counts(spark, staging)
+        adds = []
+        removes = []
+        ts = _now_ms()
+        staged = {
+            p: (sz, mt) for p, sz, mt in fsutil.list_files(spark, staging)
+        }
+        by_bk: dict[str, list[str]] = {}
+        for p in staged:
+            if not p.endswith(".parquet"):
+                continue
+            seg = [
+                s for s in p.split("/") if s.startswith(f"{bin_col}=")
+            ]
+            if seg:
+                by_bk.setdefault(
+                    seg[0][len(bin_col) + 1:], []
+                ).append(p)
+        for b in bins:
+            pvals = dict(
+                zip(part_cols, b["key"])
+            )
+            rel_dir = "/".join(
+                f"{c}=" + (
+                    _HIVE_NULL
+                    if v is None
+                    else urllib.parse.quote(v, safe="")
+                )
+                for c, v in zip(part_cols, b["key"])
+            )
+            for p in sorted(by_bk.get(b["bk"], ())):
+                dest_rel = posixpath.join(
+                    rel_dir, posixpath.basename(p)
+                ) if rel_dir else posixpath.basename(p)
+                dest = posixpath.join(root, dest_rel)
+                if rel_dir:
+                    fsutil.mkdirs(spark, posixpath.dirname(dest))
+                if not fsutil.rename(spark, p, dest):
+                    raise IOError(f"failed to move {p} -> {dest}")
+                adds.append(
+                    {
+                        "path": urllib.parse.quote(dest_rel, safe="/="),
+                        "partitionValues": pvals,
+                        "size": staged[p][0],
+                        "modificationTime": ts,
+                        "dataChange": False,
+                        "stats": json.dumps(
+                            {"numRecords": counts.get(p, 0)}
+                        ),
+                    }
+                )
+            for a in b["files"]:
+                removes.append(
+                    {
+                        "path": a["path"],
+                        "deletionTimestamp": ts,
+                        "dataChange": False,
+                        "extendedFileMetadata": True,
+                        "partitionValues": pvals,
+                        "size": a.get("size"),
+                    }
+                )
+    finally:
+        fsutil.delete(spark, staging)
+
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_file_bytes)
+                },
+                "engineInfo": "rtdl-spark native-delta-writer/1",
+            }
+        }
+    ]
+    actions.extend({"remove": r} for r in removes)
+    actions.extend({"add": a} for a in adds)
+    if not _try_commit(spark, root, current + 1, actions):
+        raise DeltaConcurrentWriteError(
+            "concurrent commit during OPTIMIZE — re-run (the staged "
+            "files are unreferenced and reclaimable by vacuum)"
+        )
+    return {
+        "version": current + 1,
+        "partitions": len({b["key"] for b in bins}),
+        "files_in": len(removes),
+        "files_out": len(adds),
+    }
+
+
+def vacuum_delta_native(
+    spark: SparkSession,
+    table_dir: str,
+    retain_ms: int = 7 * 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM: delete data files not referenced by the LATEST snapshot
+    and older than ``retain_ms`` (Delta's 7-day default — the grace
+    window protects concurrent writers' promoted-but-uncommitted files
+    and readers of recent versions). Returns the deleted (or, dry_run,
+    deletable) paths. As in every Delta implementation, time travel to
+    versions whose files were vacuumed stops working — the log entries
+    remain, the bytes do not.
+
+    The listing here is a driver-side recursive walk; a 100 TB table
+    with tens of millions of files would distribute the listing (read
+    the file index as a DataFrame and anti-join the active set) — same
+    plan shape, bigger driver."""
+    root = table_dir.rstrip("/")
+    _, _, active, _ = snapshot_actions(spark, root)
+    keep = {
+        posixpath.join(root, urllib.parse.unquote(p)) for p in active
+    }
+    log_prefix = _log_dir(root) + "/"
+    cutoff = _now_ms() - retain_ms
+    victims = []
+    for path, _size, mtime in fsutil.list_files(spark, root):
+        if path.startswith(log_prefix) or path in keep:
+            continue
+        name = posixpath.basename(path)
+        rel = path[len(root) + 1:] if path.startswith(root + "/") else name
+        if name.startswith((".", "_")) and not rel.startswith(
+            ("_staging-", "_optimize-")
+        ):
+            continue  # markers/metadata that are not ours to reap
+        if mtime > cutoff:
+            continue
+        victims.append(path)
+    if not dry_run:
+        for path in victims:
+            fsutil.delete(spark, path)
+    return sorted(victims)
+
+
+def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
+    """Write a classic single-part parquet checkpoint of the CURRENT
+    state plus ``_last_checkpoint``, bounding every subsequent reader's
+    log replay to the JSON tail. Returns the checkpointed version."""
+    root = table_dir.rstrip("/")
+    protocol, meta, active, version = snapshot_actions(spark, root)
+    rows: list[tuple] = [
+        (
+            (
+                int(protocol.get("minReaderVersion", 1)),
+                int(protocol.get("minWriterVersion", 1)),
+            ),
+            None,
+            None,
+            None,
+        ),
+        (
+            None,
+            (
+                meta.get("id"),
+                meta.get("name"),
+                meta.get("description"),
+                (
+                    (meta.get("format") or {}).get("provider", "parquet"),
+                    dict((meta.get("format") or {}).get("options") or {}),
+                ),
+                meta["schemaString"],
+                list(meta.get("partitionColumns") or []),
+                dict(meta.get("configuration") or {}),
+                meta.get("createdTime"),
+            ),
+            None,
+            None,
+        ),
+    ]
+    for path in sorted(active):
+        a = active[path]
+        rows.append(
+            (
+                None,
+                None,
+                (
+                    a["path"],
+                    dict(a.get("partitionValues") or {}),
+                    int(a["size"]) if a.get("size") is not None else None,
+                    int(a["modificationTime"])
+                    if a.get("modificationTime") is not None
+                    else None,
+                    False,  # checkpoint adds are dataChange=false per spec
+                    a.get("stats"),
+                ),
+                None,
+            )
+        )
+    cdf = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
+    log = _log_dir(root)
+    tmp = posixpath.join(log, f".ckpt-tmp-{uuid.uuid4().hex[:12]}")
+    cdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    try:
+        part = next(
+            p
+            for p, _s, _m in fsutil.list_files(spark, tmp)
+            if p.endswith(".parquet")
+        )
+        final = posixpath.join(log, f"{version:020d}.checkpoint.parquet")
+        if not fsutil.rename(spark, part, final):
+            raise IOError(f"failed to move checkpoint into place: {final}")
+    finally:
+        fsutil.delete(spark, tmp)
+    fsutil.write_text(
+        spark,
+        posixpath.join(log, "_last_checkpoint"),
+        json.dumps({"version": version, "size": len(rows)}),
+    )
+    return version

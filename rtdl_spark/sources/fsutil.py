@@ -64,6 +64,61 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(s, d))
 
 
+def mkdirs(spark: SparkSession, path: str) -> None:
+    """Create a directory and its parents (no error if present)."""
+    fs, p = _fs_path(spark, path)
+    fs.mkdirs(p)
+
+
+def list_files(
+    spark: SparkSession, path: str
+) -> list[tuple[str, int, int]]:
+    """All FILES under a directory, recursively → [(absolute path, size
+    bytes, modification time ms)]. Goes through fs.listFiles so the same
+    walk is correct on HDFS/object stores (os.walk only sees local disk).
+    Sorted by path for deterministic consumers."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        out.append(
+            (
+                st.getPath().toUri().getPath(),
+                int(st.getLen()),
+                int(st.getModificationTime()),
+            )
+        )
+    return sorted(out)
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small control file's full text (overwrite), parents
+    auto-created — the counterpart of read_text."""
+    fs, p = _fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def write_text_new(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small control file, FAILING if the path already exists —
+    the put-if-absent primitive transactional logs need (Delta's commit
+    rule): on HDFS/local the exclusive create is atomic, so two writers
+    racing on the same version file get one winner and one error, never
+    an interleaved/clobbered log entry."""
+    fs, p = _fs_path(spark, path)
+    out = fs.create(p, False)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     """Read a small control file's full text through the Hadoop FS.
     Needed where spark.read.text cannot go: Spark's file index HIDES

@@ -133,6 +133,32 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None) -> Da
     return reader.load(path)
 
 
+def write_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Delta write, the reference's deltawriter write side
+    (delta_writer.py:88-94 — ``format("delta").mode("append")``). Uses
+    the real delta-spark format when on the classpath; otherwise the
+    NATIVE protocol writer (sources/delta_writer.py — r5: JSON commits +
+    classic checkpoints per the published protocol), so tables written
+    on this image are real Delta tables any Delta client can read."""
+    if delta_available(spark):  # pragma: no cover - delta not in image
+        writer = df.write.format("delta").mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        return
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    write_delta_native(
+        spark, df, path, mode=mode, partition_by=partition_by
+    )
+
+
 def kafka_stream_reader(
     spark: SparkSession,
     bootstrap_servers: str,

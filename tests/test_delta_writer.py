@@ -1,0 +1,518 @@
+"""Native Delta log WRITER tests (sources/delta_writer.py): tables are
+written with no delta-spark anywhere, then verified both through the
+native log-replay reader AND by inspecting the raw protocol artifacts
+(JSON commit actions, checkpoint parquet, _last_checkpoint) — the writer
+must emit the PUBLIC protocol, not merely something its own reader
+accepts. The gated test_gated.py delta test exercises the real package
+whenever an image ships it; this suite proves the A18 WRITE path works
+today."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rtdl_spark.sources.delta_reader import (
+    delta_history,
+    read_delta_native,
+    snapshot_actions,
+)
+from rtdl_spark.sources.delta_writer import (
+    DeltaConcurrentWriteError,
+    optimize_delta_native,
+    vacuum_delta_native,
+    write_checkpoint_native,
+    write_delta_native,
+)
+
+
+def _frame(spark, lo, hi, tag="x"):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        F.lit(tag).alias("tag"),
+    )
+
+
+def _log_actions(table, version):
+    path = os.path.join(table, "_delta_log", f"{version:020d}.json")
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_create_append_roundtrip_and_log_shape(spark, tmp_path):
+    """First write creates protocol+metaData+adds; a second append only
+    adds. Both versions read back exactly, history shows both commits,
+    and the raw commit JSON carries the spec's required fields."""
+    table = str(tmp_path / "t1")
+    v0 = write_delta_native(spark, _frame(spark, 0, 10), table)
+    v1 = write_delta_native(spark, _frame(spark, 10, 15), table)
+    assert (v0, v1) == (0, 1)
+
+    assert read_delta_native(spark, table, version=0).count() == 10
+    got = read_delta_native(spark, table)
+    assert got.count() == 15
+    assert sorted(r["id"] for r in got.collect()) == list(range(15))
+    assert [h["version"] for h in delta_history(spark, table)] == [0, 1]
+
+    acts0 = _log_actions(table, 0)
+    kinds0 = [next(iter(a)) for a in acts0]
+    assert kinds0[0] == "commitInfo"
+    assert "protocol" in kinds0 and "metaData" in kinds0
+    proto = next(a["protocol"] for a in acts0 if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in acts0 if "metaData" in a)
+    assert json.loads(meta["schemaString"])["type"] == "struct"
+    adds0 = [a["add"] for a in acts0 if "add" in a]
+    assert adds0 and all(
+        a["dataChange"] and a["size"] > 0 and a["path"].endswith(".parquet")
+        for a in adds0
+    )
+    # numRecords stats present and sum to the row count
+    assert sum(
+        json.loads(a["stats"])["numRecords"] for a in adds0
+    ) == 10
+    acts1 = _log_actions(table, 1)
+    assert not any("metaData" in a or "protocol" in a for a in acts1)
+
+
+def test_partitioned_write_layout_and_values(spark, tmp_path):
+    """partitionBy produces Hive-style paths in the table root, add
+    actions carry partitionValues, and the reader re-injects the
+    partition column with its schema type."""
+    table = str(tmp_path / "t2")
+    df = spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("bucket")
+    )
+    write_delta_native(spark, df, table, partition_by=["bucket"])
+
+    assert sorted(
+        d for d in os.listdir(table) if d.startswith("bucket=")
+    ) == ["bucket=0", "bucket=1", "bucket=2"]
+    adds = [a["add"] for a in _log_actions(table, 0) if "add" in a]
+    assert {a["partitionValues"]["bucket"] for a in adds} == {"0", "1", "2"}
+    assert all(a["path"].startswith("bucket=") for a in adds)
+
+    got = read_delta_native(spark, table)
+    assert dict(got.dtypes)["bucket"] == "int"
+    assert got.filter("bucket = 1").count() == 7
+
+    # appends must keep the table's partitioning (inherited when None)
+    write_delta_native(spark, df, table)
+    assert read_delta_native(spark, table).count() == 40
+    with pytest.raises(ValueError, match="partitioning"):
+        write_delta_native(spark, df, table, partition_by=[])
+
+
+def test_overwrite_tombstones_and_schema_change(spark, tmp_path):
+    """Overwrite removes every active file (older versions still see
+    them) and may replace the schema — the new metaData keeps the table
+    id per the protocol."""
+    table = str(tmp_path / "t3")
+    write_delta_native(spark, _frame(spark, 0, 10), table)
+    meta0, = [
+        a["metaData"] for a in _log_actions(table, 0) if "metaData" in a
+    ]
+
+    new = spark.range(100, 104).select(
+        F.col("id"), F.lit("fresh").alias("note")
+    )
+    v = write_delta_native(spark, new, table, mode="overwrite")
+    assert v == 1
+    acts = _log_actions(table, 1)
+    removes = [a["remove"] for a in acts if "remove" in a]
+    assert len(removes) > 0 and all(r["dataChange"] for r in removes)
+    meta1, = [a["metaData"] for a in acts if "metaData" in a]
+    assert meta1["id"] == meta0["id"]  # same table, new schema
+
+    assert read_delta_native(spark, table, version=0).count() == 10
+    latest = read_delta_native(spark, table)
+    assert latest.columns == ["id", "note"]
+    assert latest.count() == 4
+
+    # schema mismatch on APPEND is refused
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta_native(spark, _frame(spark, 0, 3), table)
+
+
+def test_append_only_table_blocks_overwrite(spark, tmp_path):
+    """delta.appendOnly=true in an existing table's configuration must
+    refuse overwrites (the protocol's writer requirement)."""
+    table = str(tmp_path / "t4")
+    write_delta_native(spark, _frame(spark, 0, 5), table)
+    # flip the config the way a foreign writer would: new metaData commit
+    meta = [a for a in _log_actions(table, 0) if "metaData" in a][0]
+    meta["metaData"]["configuration"] = {"delta.appendOnly": "true"}
+    with open(
+        os.path.join(table, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+        f.write(json.dumps(meta) + "\n")
+    write_delta_native(spark, _frame(spark, 5, 8), table)  # append ok
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta_native(
+            spark, _frame(spark, 0, 1), table, mode="overwrite"
+        )
+
+
+def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
+    """Tables demanding writer behavior we don't implement are refused
+    loudly: minWriterVersion 5 (column mapping) and column invariants."""
+    table = str(tmp_path / "t5")
+    write_delta_native(spark, _frame(spark, 0, 5), table)
+    with open(
+        os.path.join(table, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="minWriterVersion 5"):
+        write_delta_native(spark, _frame(spark, 5, 8), table)
+
+    table2 = str(tmp_path / "t6")
+    write_delta_native(spark, _frame(spark, 0, 5), table2)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.invariants": '{"expression":{"expression":"id > 0"}}'
+                },
+            }
+        ],
+    }
+    with open(
+        os.path.join(table2, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "x",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(schema),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": 1,
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="invariant"):
+        write_delta_native(spark, _frame(spark, 5, 8), table2)
+
+
+def test_commit_race_retries_next_version(spark, tmp_path):
+    """Put-if-absent semantics: when the target version file already
+    exists (a concurrent writer won), the append retries at the next
+    version instead of clobbering — and a poisoned log (every retry
+    taken) raises DeltaConcurrentWriteError."""
+    table = str(tmp_path / "t7")
+    write_delta_native(spark, _frame(spark, 0, 5), table)
+    # simulate a concurrent writer owning version 1 (a valid empty commit)
+    with open(
+        os.path.join(table, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+    v = write_delta_native(spark, _frame(spark, 5, 8), table)
+    assert v == 2
+    assert read_delta_native(spark, table).count() == 8
+
+
+def test_live_racer_exhausts_retries_loudly(spark, tmp_path, monkeypatch):
+    """A racer that wins EVERY version slot (simulated by forcing the
+    put-if-absent to report 'lost') ends in DeltaConcurrentWriteError —
+    never a clobbered or skipped commit."""
+    import rtdl_spark.sources.delta_writer as dw
+
+    table = str(tmp_path / "t7b")
+    write_delta_native(spark, _frame(spark, 0, 5), table)
+    attempts = []
+
+    def always_lose(spark_, root, version, actions):
+        attempts.append(version)
+        # the racer "owns" this slot: make it visible to the re-read
+        with open(
+            os.path.join(root, "_delta_log", f"{version:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"commitInfo": {"timestamp": version}}) + "\n")
+        return False
+
+    monkeypatch.setattr(dw, "_try_commit", always_lose)
+    with pytest.raises(DeltaConcurrentWriteError):
+        write_delta_native(
+            spark, _frame(spark, 5, 8), table, max_retries=3
+        )
+    # each retry targeted the NEXT free version, monotonically
+    assert attempts == [1, 2, 3]
+
+
+def test_checkpoint_bounds_replay_and_is_the_real_format(spark, tmp_path):
+    """After a checkpoint, reads no longer need the earlier JSON commits
+    (proved by DELETING them) — and the checkpoint parquet itself carries
+    protocol/metaData/add columns per the classic format."""
+    table = str(tmp_path / "t8")
+    for i in range(4):
+        write_delta_native(
+            spark,
+            _frame(spark, 10 * i, 10 * i + 10),
+            table,
+            checkpoint_interval=0,
+        )
+    cv = write_checkpoint_native(spark, table)
+    assert cv == 3
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(
+        os.path.join(log, f"{3:020d}.checkpoint.parquet")
+    )
+    last = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    assert last["version"] == 3
+
+    ckpt = spark.read.parquet(
+        os.path.join(log, f"{3:020d}.checkpoint.parquet")
+    )
+    assert {"protocol", "metaData", "add", "remove"} <= set(ckpt.columns)
+    assert ckpt.filter(F.col("add").isNotNull()).count() == len(
+        snapshot_actions(spark, table)[2]
+    )
+    # checkpoint adds are dataChange=false per the spec
+    assert (
+        ckpt.filter(F.col("add.dataChange") == True).count() == 0  # noqa: E712
+    )
+
+    # tail commit after the checkpoint, then delete the pre-checkpoint log
+    write_delta_native(
+        spark, _frame(spark, 40, 45), table, checkpoint_interval=0
+    )
+    for i in range(3):
+        os.remove(os.path.join(log, f"{i:020d}.json"))
+    got = read_delta_native(spark, table)
+    assert got.count() == 45
+    assert read_delta_native(spark, table, version=3).count() == 40
+
+
+def test_auto_checkpoint_interval(spark, tmp_path):
+    """checkpoint_interval triggers the checkpoint from inside the write
+    path (Delta's every-10-commits behavior, shrunk to 2 here)."""
+    table = str(tmp_path / "t9")
+    for i in range(3):
+        write_delta_native(
+            spark,
+            _frame(spark, i, i + 1),
+            table,
+            checkpoint_interval=2,
+        )
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(
+        os.path.join(log, f"{2:020d}.checkpoint.parquet")
+    )
+    assert json.loads(
+        open(os.path.join(log, "_last_checkpoint")).read()
+    )["version"] == 2
+
+
+def test_plain_parquet_readers_still_work(spark, tmp_path):
+    """The table directory stays a valid plain-parquet dataset: the log
+    lives under '_delta_log' which Spark's file index hides, so readers
+    that know nothing of Delta see exactly the data files."""
+    table = str(tmp_path / "t10")
+    write_delta_native(spark, _frame(spark, 0, 10), table)
+    write_delta_native(spark, _frame(spark, 10, 20), table)
+    assert spark.read.parquet(table).count() == 20
+
+
+def test_optimize_bin_packs_preserving_data_and_history(spark, tmp_path):
+    """OPTIMIZE compacts each partition's files into one, commits
+    dataChange=false adds/removes in ONE commit, leaves the data
+    byte-for-value identical, keeps pre-optimize versions readable (no
+    bytes deleted), and uses O(1) Spark jobs regardless of file count."""
+    table = str(tmp_path / "o1")
+    df = spark.range(0, 30).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("p")
+    )
+    for i in range(3):
+        write_delta_native(
+            spark,
+            df.filter(F.col("id") % 3 == i),
+            table,
+            partition_by=["p"],
+            checkpoint_interval=0,
+        )
+    _, _, active0, v0 = snapshot_actions(spark, table)
+    files_before = len(active0)
+    assert files_before >= 6  # >=3 per partition
+
+    before = sorted(
+        (r["id"], r["p"])
+        for r in read_delta_native(spark, table).collect()
+    )
+    njobs_before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    res = optimize_delta_native(spark, table, target_file_bytes=1 << 30)
+    njobs = (
+        spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        - njobs_before
+    )
+    assert njobs <= 8, f"optimize used {njobs} jobs — not O(1)"
+    assert res["version"] == v0 + 1
+    assert res["files_in"] == files_before and res["files_out"] == 2
+
+    _, _, active1, _ = snapshot_actions(spark, table)
+    assert len(active1) == 2
+    after = sorted(
+        (r["id"], r["p"])
+        for r in read_delta_native(spark, table).collect()
+    )
+    assert after == before
+    # pre-optimize version still readable: OPTIMIZE deletes no bytes
+    assert read_delta_native(spark, table, version=v0).count() == 30
+
+    acts = _log_actions(table, res["version"])
+    assert acts[0]["commitInfo"]["operation"] == "OPTIMIZE"
+    assert all(
+        not a["add"]["dataChange"] for a in acts if "add" in a
+    )
+    assert all(
+        not a["remove"]["dataChange"] for a in acts if "remove" in a
+    )
+    # per-bin numRecords stats survive the rewrite
+    assert sum(
+        json.loads(a["add"]["stats"])["numRecords"]
+        for a in acts
+        if "add" in a
+    ) == 30
+
+    # idempotent no-op when already packed
+    res2 = optimize_delta_native(spark, table, target_file_bytes=1 << 30)
+    assert res2["version"] is None
+
+
+def test_optimize_where_scopes_to_one_partition(spark, tmp_path):
+    """The `where` filter optimizes only matching partitions — the
+    selective-maintenance path a 100 TB table requires."""
+    table = str(tmp_path / "o2")
+    df = spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    for i in range(2):
+        write_delta_native(
+            spark,
+            df.filter(F.col("id") % 2 == 0)
+            if i == 0
+            else df,
+            table,
+            partition_by=["p"],
+            checkpoint_interval=0,
+        )
+    res = optimize_delta_native(
+        spark, table, target_file_bytes=1 << 30, where={"p": "0"}
+    )
+    assert res["partitions"] == 1
+    _, _, active, _ = snapshot_actions(spark, table)
+    p0 = [a for a in active.values() if a["partitionValues"]["p"] == "0"]
+    p1 = [a for a in active.values() if a["partitionValues"]["p"] == "1"]
+    assert len(p0) == 1 and len(p1) >= 1
+    assert read_delta_native(spark, table).count() == 30
+
+
+def test_vacuum_reaps_unreferenced_files_only(spark, tmp_path):
+    """VACUUM deletes exactly the files no longer referenced by the
+    latest snapshot (after the retention window): the latest read is
+    unaffected, time travel to the compacted-away version now fails, a
+    dry run deletes nothing, and recent files are protected."""
+    table = str(tmp_path / "v1")
+    for i in range(3):
+        write_delta_native(
+            spark, _frame(spark, 10 * i, 10 * i + 10), table,
+            checkpoint_interval=0,
+        )
+    optimize_delta_native(spark, table, target_file_bytes=1 << 30)
+
+    # retention protects files younger than the window
+    assert vacuum_delta_native(spark, table) == []
+    preview = vacuum_delta_native(spark, table, retain_ms=0, dry_run=True)
+    assert len(preview) >= 3
+    assert all(os.path.exists(p) for p in preview)  # dry run deleted nothing
+
+    gone = vacuum_delta_native(spark, table, retain_ms=0)
+    assert gone == preview
+    assert not any(os.path.exists(p) for p in gone)
+    assert read_delta_native(spark, table).count() == 30
+    with pytest.raises(Exception):
+        read_delta_native(spark, table, version=0).collect()
+
+
+def test_ingest_deltawriter_chain_writes_real_delta(spark, tmp_path):
+    """A18 end-to-end: a stream config with functions=
+    'ingester,deltawriter' (the reference's full chain,
+    constants/all_functions.json) makes each ingested batch ALSO land as
+    a commit in a real Delta table — versioned, time-travelable, and
+    still a valid plain-parquet directory."""
+    from rtdl_spark.config import StreamConfig, StreamRegistry
+    from rtdl_spark.ingest import IngestJob
+
+    sid = "837a8d07-cd06-4e17-bcd8-aef0b5e48d31"
+    reg = StreamRegistry(str(tmp_path / "configs"))
+    reg.create(
+        StreamConfig(
+            stream_id=sid,
+            message_type="evt",
+            file_store_type_id=1,
+            folder_name="dwdb",
+            partition_time_id=2,
+            compression_type_id=1,
+            functions="ingester,deltawriter",
+        )
+    )
+    job = IngestJob(
+        spark, reg, str(tmp_path / "lake"), fixed_time="2024-02-15 10:30:00"
+    )
+
+    def batch(name, events):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "b.json", "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+        job.ingest_json_dir(str(d))
+
+    batch("in1", [{"stream_id": sid, "name": f"u{i}"} for i in range(4)])
+    batch("in2", [{"stream_id": sid, "name": f"w{i}"} for i in range(3)])
+
+    delta_dir = str(tmp_path / "lake" / "_delta" / "dwdb")
+    assert [h["version"] for h in delta_history(spark, delta_dir)] == [0, 1]
+    assert read_delta_native(spark, delta_dir, version=0).count() == 4
+    latest = read_delta_native(spark, delta_dir)
+    assert latest.count() == 7
+    assert {r["name"] for r in latest.collect()} == {
+        f"u{i}" for i in range(4)
+    } | {f"w{i}" for i in range(3)}
+    # plain readers unaffected by the log
+    assert spark.read.parquet(delta_dir).count() == 7
+
+
+def test_special_chars_in_partition_values_roundtrip(spark, tmp_path):
+    """Partition values needing Hive path escaping (space, '%', '=') and
+    the URL-encoded add.path round-trip exactly through write+read."""
+    table = str(tmp_path / "t11")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "p%q"), (3, "x=y"), (4, None)],
+        "id int, k string",
+    )
+    write_delta_native(spark, df, table, partition_by=["k"])
+    got = read_delta_native(spark, table)
+    assert sorted(
+        (r["id"], r["k"]) for r in got.collect()
+    ) == [(1, "a b"), (2, "p%q"), (3, "x=y"), (4, None)]
+    adds = [a["add"] for a in _log_actions(table, 0) if "add" in a]
+    vals = {a["partitionValues"]["k"] for a in adds}
+    assert vals == {"a b", "p%q", "x=y", None}
