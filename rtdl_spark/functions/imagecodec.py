@@ -377,6 +377,9 @@ def parse_png(data: bytes) -> tuple[int, int, int, bytes]:
 
 # -- shared pixel ops (integer-exact) ----------------------------------------
 
+IMAGE_CODECS = ("ppm", "bmp", "png", "jpeg")
+
+
 def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
     """Dispatch to the real parser for a supported codec."""
     if codec == "ppm":
@@ -385,6 +388,10 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
         return parse_bmp(payload)
     if codec == "png":
         return parse_png(payload)
+    if codec == "jpeg":
+        from rtdl_spark.functions.jpegcodec import parse_jpeg
+
+        return parse_jpeg(payload)
     raise ValueError(f"decode_image: unknown codec {codec!r}")
 
 

@@ -144,22 +144,23 @@ def resize_media(
     Narrow transform: no shuffle, parallel per input split, so it scales
     linearly with executors regardless of corpus size.
 
-    ``codec="ppm"`` / ``codec="bmp"`` / ``codec="png"`` is a REAL
-    end-to-end decode path (functions/imagecodec.py — png is genuinely
-    COMPRESSED: chunk CRCs, zlib DEFLATE, scanline-filter reconstruction,
-    all stdlib): the container is parsed, pixels are resampled
-    nearest-neighbor with pure floor-division index math (integer-exact,
-    SQL-replayable), and the result is re-encoded in the same format.
-    The remaining codecs (JPEG/WebP — PIL.Image.open(...).resize) still
-    plug in at the marked point; ``fake_decode=True`` keeps the legacy
-    byte-resampling stand-in (truncate or cycle-pad to width*height
-    bytes).
+    ``codec="ppm"`` / ``codec="bmp"`` / ``codec="png"`` / ``codec="jpeg"``
+    is a REAL end-to-end decode path (functions/imagecodec.py +
+    functions/jpegcodec.py — png and jpeg are genuinely COMPRESSED: zlib
+    DEFLATE / baseline DCT+Huffman, no external library): the container
+    is parsed, pixels are resampled nearest-neighbor with pure
+    floor-division index math (integer-exact, SQL-replayable), and the
+    result is re-encoded in the same format (jpeg re-encodes at
+    quality=100, where constant blocks stay bit-exact; other content is
+    lossy as JPEG inherently is). WebP (VP8) still plugs in at the marked
+    point; ``fake_decode=True`` keeps the legacy byte-resampling stand-in
+    (truncate or cycle-pad to width*height bytes).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
-            if codec in ("ppm", "bmp", "png"):
+            if codec in ("ppm", "bmp", "png", "jpeg"):
                 from rtdl_spark.functions.imagecodec import (
                     decode_image,
                     make_bmp,
@@ -167,9 +168,16 @@ def resize_media(
                     make_ppm,
                     resize_nearest,
                 )
-                enc = {"ppm": make_ppm, "bmp": make_bmp, "png": make_png}[
-                    codec
-                ]
+                from rtdl_spark.functions.jpegcodec import make_jpeg
+
+                enc = {
+                    "ppm": make_ppm,
+                    "bmp": make_bmp,
+                    "png": make_png,
+                    "jpeg": lambda p, w, h, ch: make_jpeg(
+                        p, w, h, ch, quality=100
+                    ),
+                }[codec]
 
                 def real_resize(payload: bytes) -> bytes:
                     w0, h0, ch, pix = decode_image(bytes(payload), codec)
@@ -193,10 +201,11 @@ def resize_media(
                 continue
             if not fake_decode:
                 raise NotImplementedError(
-                    "JPEG/WebP codecs not available in this environment; "
+                    "WebP codec not available in this environment; "
                     "plug PIL.Image.open(...).resize((w,h)) here, or use "
                     "codec='ppm'/'bmp' (stdlib uncompressed) / "
-                    "codec='png' (stdlib zlib-compressed) / "
+                    "codec='png'/'jpeg' (real compressed codecs, "
+                    "functions/imagecodec.py + jpegcodec.py) / "
                     "fake_decode=True"
                 )
 
@@ -376,22 +385,23 @@ def perceptual_hash(
 ) -> DataFrame:
     """Add ``phash``: a 60-bit perceptual fingerprint of the media payload.
 
-    ``codec="ppm"``/``"bmp"``/``"png"`` is the REAL path: a stdlib
-    container decode (functions/imagecodec.py; png includes the full
-    compressed-format walk — CRCs, DEFLATE, filters) feeding
+    ``codec="ppm"``/``"bmp"``/``"png"``/``"jpeg"`` is the REAL path: a
+    no-external-library container decode (functions/imagecodec.py /
+    jpegcodec.py; png is the full compressed-format walk — CRCs, DEFLATE,
+    filters — and jpeg is a real baseline DCT+Huffman decode) feeding
     ``image_hash_bits`` — average-hash
     by default (all-integer, SQL-replayable) or ``method="dct"`` (classic
     pHash). Arrow-batched pandas UDF: per-payload Python is inherent to
     variable-size binary parsing, the sanctioned multimodal batch shape
     (same as segment_audio).
 
-    Compressed formats still raise at the marked plug point.
+    WebP still raises at the marked plug point.
     ``fake_decode=True`` derives the 60 bits from md5(payload) instead:
     content-deterministic, byte-identical payloads collide (hamming 0)
     and everything else is uniform — which is precisely the property the
     *plumbing* (banding, join shape, hamming filter) needs for tests;
     pure Catalyst, no Python at all."""
-    if codec in ("ppm", "bmp", "png"):
+    if codec in ("ppm", "bmp", "png", "jpeg"):
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("long")
@@ -403,8 +413,8 @@ def perceptual_hash(
         return df.withColumn("phash", _hash(F.col(payload_col)))
     if not fake_decode:
         raise NotImplementedError(
-            "JPEG/WebP codecs (PIL) not in this environment; use "
-            "codec='ppm'/'bmp'/'png' (stdlib container decode) or "
+            "WebP codec (PIL) not in this environment; use "
+            "codec='ppm'/'bmp'/'png'/'jpeg' (real container decodes) or "
             "fake_decode=True for the deterministic test fingerprint"
         )
     hexval = lambda c: F.when(  # noqa: E731

@@ -606,6 +606,84 @@ def multimodal_image_png_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_jpeg_roundtrip",
+    # How a LOSSY codec still gets an exact oracle: at quality=100 every
+    # Annex-K quant entry scales to 1, so a CONSTANT 8×8 block is
+    # bit-exact through the full DCT+Huffman pipeline (DC = 8·(c−128) is
+    # an integer, AC = 0). The image is 3×2 such tiles with per-tile
+    # values (doc_id·31 + t·37) % 256 — six different DCs exercising the
+    # DC differential predictor — and it survives TWO encode/decode trips
+    # (build → lane resize re-encode → verify decode). The oracle just
+    # recomputes the tile formula; px_min==px_max pins within-tile
+    # constancy of every decoded pixel.
+    oracle="""
+    SELECT d.doc_id, CAST(t.t AS INT) AS tile,
+           CAST((d.doc_id * 31 + t.t * 37) % 256 AS INT) AS px_min,
+           CAST((d.doc_id * 31 + t.t * 37) % 256 AS INT) AS px_max
+    FROM documents d, UNNEST(range(0, 6)) t(t)
+    WHERE d.doc_id < 150
+    """,
+)
+def multimodal_image_jpeg_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL baseline JPEG, encode AND decode, no PIL/libjpeg
+    (functions/jpegcodec.py, r5 — retires the DCT-codec plug point):
+    per-document 24×16 grayscale JPEGs built from six constant 8×8 tiles
+    go through the resize_media(codec="jpeg") lane (decode → identity
+    nearest-neighbor resample → quality-100 re-encode), then the output
+    container is decoded AGAIN and exploded per tile. Marker grammar,
+    Annex-K tables, canonical Huffman coding, byte stuffing, zig-zag,
+    the DC prediction chain and the vectorized DCT/IDCT are all on the
+    hash-verified path — twice."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from rtdl_spark.functions.jpegcodec import make_jpeg, parse_jpeg
+    from rtdl_spark.operators.multimodal import resize_media
+
+    @pandas_udf(BinaryType())
+    def to_jpeg(ids: pd.Series) -> pd.Series:
+        def enc(doc_id: int) -> bytes:
+            a = np.zeros((16, 24), np.uint8)
+            for t in range(6):
+                ty, tx = divmod(t, 3)
+                a[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
+                    doc_id * 31 + t * 37
+                ) % 256
+            return make_jpeg(a.tobytes(), 24, 16, 1, quality=100)
+
+        return ids.map(enc)
+
+    @pandas_udf("array<struct<tile:int,px_min:int,px_max:int>>")
+    def tile_stats(payloads: pd.Series) -> pd.Series:
+        def stats(p: bytes) -> list:
+            w, h, ch, px = parse_jpeg(bytes(p))
+            a = np.frombuffer(px, np.uint8).reshape(h, w)
+            out = []
+            for t in range(6):
+                ty, tx = divmod(t, 3)
+                tile = a[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8]
+                out.append((t, int(tile.min()), int(tile.max())))
+            return out
+
+        return payloads.map(stats)
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", to_jpeg(F.col("doc_id")).alias("payload"))
+    )
+    resized = resize_media(docs, 24, 16, codec="jpeg")
+    return (
+        resized.select(
+            "doc_id", F.explode(tile_stats(F.col("payload"))).alias("s")
+        )
+        .select("doc_id", "s.tile", "s.px_min", "s.px_max")
+    )
+
+
+@query(
     "x_image_ahash_full",
     # sim of multimodal_image_ahash, uncapped — and the same all-integer
     # SQL replay, so the bench twin stays hash-verified at every scale.
