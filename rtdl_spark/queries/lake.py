@@ -1213,3 +1213,91 @@ def lake_delta_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_optimize",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'a'
+                  WHEN o_orderkey % 3 = 1 THEN 'b'
+                  ELSE 'c' END AS src
+      FROM orders
+    )
+    SELECT src, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(2 AS INT) AS version
+    FROM t GROUP BY src
+    """,
+)
+def lake_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Delta OPTIMIZE end-to-end (sources/delta_writer.py::
+    optimize_delta_native): two appends build a partitioned table whose
+    partitions each hold several files; OPTIMIZE bin-packs every
+    partition down to ONE file in a single distributed rewrite job and
+    commits the swap as dataChange=false. The result must be invisible
+    to query semantics — per-partition counts and DECIMAL-exact sums are
+    hash-verified unchanged — while the active file set (read from the
+    post-OPTIMIZE snapshot's add actions) drops to exactly one file per
+    partition at version 2."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        optimize_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "a")
+        .when(F.col("o_orderkey") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_deltao_", dir=shm)
+    try:
+        root = os.path.join(workdir, "dtab")
+        write_delta_native(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0).repartition(3),
+            root,
+            partition_by=["src"],
+            checkpoint_interval=0,
+        )
+        write_delta_native(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1).repartition(3),
+            root,
+            checkpoint_interval=0,
+        )
+        res = optimize_delta_native(spark, root, target_file_bytes=1 << 30)
+        _, _, active, _, _ = snapshot_actions(spark, root)
+        per_part: dict[str, int] = {}
+        for a in active.values():
+            k = a["partitionValues"]["src"]
+            per_part[k] = per_part.get(k, 0) + 1
+        files = spark.createDataFrame(
+            [(k, v) for k, v in per_part.items()], "src string, n_files long"
+        )
+        out = (
+            read_delta_native(spark, root)
+            .groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            )
+            .join(files, "src")
+            .withColumn("version", F.lit(int(res["version"])).cast("int"))
+            .select("src", "n", "total", "n_files", "version")
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

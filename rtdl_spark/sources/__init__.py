@@ -1,5 +1,6 @@
 from rtdl_spark.sources.delta_reader import (
     delta_history,
+    last_txn_version,
     read_delta_native,
 )
 from rtdl_spark.sources.delta_writer import (
@@ -21,6 +22,7 @@ from rtdl_spark.sources.readers import (
 __all__ = [
     "delta_available",
     "delta_history",
+    "last_txn_version",
     "read_delta_native",
     "kafka_stream_reader",
     "read_csv",

@@ -120,22 +120,30 @@ def _last_checkpoint(spark: SparkSession, table_dir: str) -> dict | None:
 
 def snapshot_actions(
     spark: SparkSession, table_dir: str, version: int | None = None
-) -> tuple[dict, dict, dict[str, dict], int]:
+) -> tuple[dict, dict, dict[str, dict], int, dict[str, int]]:
     """Replay the log up to ``version`` (latest if None) → (protocol,
-    metaData, {file path: full add action}, resolved version). The full
-    add dicts (size, modificationTime, stats, partitionValues) are what
-    the native WRITER and checkpointer need; plain reads use the
-    ``snapshot_state`` projection below."""
+    metaData, {file path: full add action}, resolved version,
+    {appId: latest txn version}). The full add dicts (size,
+    modificationTime, stats, partitionValues) are what the native WRITER
+    and checkpointer need; the txn map is the protocol's SetTransaction
+    state — how a streaming writer knows which epochs already committed;
+    plain reads use the ``snapshot_state`` projection below."""
     versions = _commit_versions(spark, table_dir)
-    if not versions and _last_checkpoint(spark, table_dir) is None:
+    ckpt = _last_checkpoint(spark, table_dir)
+    if not versions and ckpt is None:
         raise ValueError(f"no Delta log found under {table_dir}")
-    target = max(versions) if version is None else int(version)
+    if version is not None:
+        target = int(version)
+    elif versions:
+        target = max(versions)
+    else:
+        # checkpoint-only log (tail cleaned up): the checkpoint IS the tip
+        target = int(ckpt["version"])
 
     protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
     meta: dict | None = None
     active: dict[str, dict] = {}
-
-    ckpt = _last_checkpoint(spark, table_dir)
+    txns: dict[str, int] = {}
     start_after = -1
     if ckpt is not None and int(ckpt["version"]) <= target:
         if int(ckpt.get("parts") or 1) != 1:
@@ -175,6 +183,13 @@ def snapshot_actions(
                 a = r["add"].asDict(recursive=True)
                 a["partitionValues"] = dict(a.get("partitionValues") or {})
                 active[a["path"]] = a
+        if "txn" in cols:
+            for r in (
+                cdf.filter(F.col("txn").isNotNull()).select("txn").collect()
+            ):
+                t = r["txn"].asDict(recursive=True)
+                if t.get("appId") is not None:
+                    txns[t["appId"]] = int(t["version"])
         start_after = cv
 
     for v in versions:
@@ -199,12 +214,16 @@ def snapshot_actions(
                 active[a["path"]] = a
             elif "remove" in action:
                 active.pop(action["remove"]["path"], None)
+            elif "txn" in action:
+                t = action["txn"]
+                if t.get("appId") is not None:
+                    txns[t["appId"]] = int(t["version"])
     if meta is None:
         raise ValueError(
             f"Delta log at {table_dir} has no metaData action up to "
             f"version {target}"
         )
-    return protocol, meta, active, target
+    return protocol, meta, active, target, txns
 
 
 def snapshot_state(
@@ -212,12 +231,26 @@ def snapshot_state(
 ) -> tuple[dict, list[tuple[str, dict]], int]:
     """Replay the log up to ``version`` (latest if None) → (metaData,
     [(file path, partitionValues)], resolved version)."""
-    _, meta, active, target = snapshot_actions(spark, table_dir, version)
+    _, meta, active, target, _ = snapshot_actions(spark, table_dir, version)
     return (
         meta,
         sorted((p, a.get("partitionValues") or {}) for p, a in active.items()),
         target,
     )
+
+
+def last_txn_version(
+    spark: SparkSession, table_dir: str, app_id: str
+) -> int | None:
+    """The latest SetTransaction version committed for ``app_id`` — the
+    protocol's exactly-once handshake for streaming writers (a sink
+    skips any epoch ≤ this). None if the table is empty or the app never
+    committed."""
+    try:
+        _, _, _, _, txns = snapshot_actions(spark, table_dir)
+    except ValueError:
+        return None
+    return txns.get(app_id)
 
 
 def read_delta_native(

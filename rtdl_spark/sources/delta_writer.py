@@ -240,6 +240,7 @@ def write_delta_native(
     checkpoint_interval: int = 10,
     with_stats: bool = True,
     max_retries: int = 5,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` to a Delta table at ``table_dir`` (creating it on
     first write) and return the committed version.
@@ -250,6 +251,14 @@ def write_delta_native(
     Appends to an existing table require an identical schema (names +
     types) and partitioning; pass ``partition_by=None`` to inherit the
     table's existing partition columns.
+
+    ``txn=(app_id, version)`` attaches the protocol's SetTransaction
+    action — the exactly-once handshake for streaming writers: if the
+    table's latest txn version for ``app_id`` is already ≥ ``version``
+    (a re-delivered epoch), the write is SKIPPED and -1 returned, so a
+    crashed-and-replayed micro-batch can never double-append. The check
+    re-runs inside the commit retry loop, so it also holds against a
+    concurrent writer of the same app landing between attempts.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -258,9 +267,12 @@ def write_delta_native(
     protocol: dict | None = None
     meta: dict | None = None
     active: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     current = -1
     if _table_exists(spark, root):
-        protocol, meta, active, current = snapshot_actions(spark, root)
+        protocol, meta, active, current, txns = snapshot_actions(spark, root)
+        if txn is not None and txns.get(txn[0], -1) >= int(txn[1]):
+            return -1  # epoch already committed: exactly-once skip
         _check_protocol(protocol)
         _check_writer_protocol(protocol)
         _check_no_invariants(meta)
@@ -343,6 +355,16 @@ def write_delta_native(
                     }
                 }
             )
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": int(txn[1]),
+                        "lastUpdated": ts,
+                    }
+                }
+            )
         if mode == "overwrite":
             for path in sorted(active):
                 a = active[path]
@@ -369,7 +391,9 @@ def write_delta_native(
             return version
 
         # lost the race: re-read and re-validate against the new tip
-        protocol, meta, active, current = snapshot_actions(spark, root)
+        protocol, meta, active, current, txns = snapshot_actions(spark, root)
+        if txn is not None and txns.get(txn[0], -1) >= int(txn[1]):
+            return -1  # the concurrent writer WAS this epoch
         _check_protocol(protocol)
         _check_writer_protocol(protocol)
         _check_no_invariants(meta)
@@ -457,6 +481,16 @@ _CHECKPOINT_SCHEMA = StructType(
                 ]
             ),
         ),
+        StructField(
+            "txn",
+            StructType(
+                [
+                    StructField("appId", StringType()),
+                    StructField("version", LongType()),
+                    StructField("lastUpdated", LongType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -489,7 +523,7 @@ def optimize_delta_native(
     loudly; promoted-but-uncommitted files are unreferenced and
     reclaimed by vacuum."""
     root = table_dir.rstrip("/")
-    protocol, meta, active, current = snapshot_actions(spark, root)
+    protocol, meta, active, current, _txns = snapshot_actions(spark, root)
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     part_cols = list(meta.get("partitionColumns") or [])
@@ -695,7 +729,7 @@ def vacuum_delta_native(
     the file index as a DataFrame and anti-join the active set) — same
     plan shape, bigger driver."""
     root = table_dir.rstrip("/")
-    _, _, active, _ = snapshot_actions(spark, root)
+    _, _, active, _, _ = snapshot_actions(spark, root)
     keep = {
         posixpath.join(root, urllib.parse.unquote(p)) for p in active
     }
@@ -725,13 +759,14 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
     state plus ``_last_checkpoint``, bounding every subsequent reader's
     log replay to the JSON tail. Returns the checkpointed version."""
     root = table_dir.rstrip("/")
-    protocol, meta, active, version = snapshot_actions(spark, root)
+    protocol, meta, active, version, txns = snapshot_actions(spark, root)
     rows: list[tuple] = [
         (
             (
                 int(protocol.get("minReaderVersion", 1)),
                 int(protocol.get("minWriterVersion", 1)),
             ),
+            None,
             None,
             None,
             None,
@@ -753,6 +788,7 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
             ),
             None,
             None,
+            None,
         ),
     ]
     for path in sorted(active):
@@ -772,7 +808,15 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
                     a.get("stats"),
                 ),
                 None,
+                None,
             )
+        )
+    # SetTransaction state must survive checkpoint-bounded replay, or a
+    # streaming writer would lose its exactly-once watermark the moment
+    # the pre-checkpoint commits stop being read
+    for app_id in sorted(txns):
+        rows.append(
+            (None, None, None, None, (app_id, int(txns[app_id]), None))
         )
     cdf = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
     log = _log_dir(root)

@@ -13,6 +13,7 @@ from rtdl_spark.streaming.jobs import (  # noqa: F401
     stream_session_counts,
     stream_sliding_counts,
     stream_stateful_user_totals,
+    stream_to_delta_table,
     stream_to_versioned_table,
     stream_tumbling_counts,
     stream_tumbling_distinct_users,

@@ -499,6 +499,56 @@ def stream_to_versioned_table(
     return writer.start()
 
 
+def stream_to_delta_table(
+    spark,
+    source_dir: str,
+    schema,
+    table_root: str,
+    checkpoint_dir: str,
+    app_id: str,
+    transform=None,
+    trigger_once: bool = True,
+    partition_by: list[str] | None = None,
+) -> StreamingQuery:
+    """Continuous exactly-once appends into a REAL Delta table via the
+    NATIVE protocol writer (sources/delta_writer.py) — the actual Delta
+    streaming-sink algorithm, not an approximation: every micro-batch
+    commit carries a SetTransaction action ``(app_id, epoch_id)``, and a
+    re-delivered epoch (Structured Streaming replays the batch whose
+    offset commit was lost) is detected by ``txn version ≤ latest`` and
+    SKIPPED inside the writer, so a batch can never double-append even
+    if the sink crashes between the Delta commit and the streaming
+    checkpoint. Unlike the CommitLog composition in
+    ``stream_to_versioned_table``, the idempotency marker here IS the
+    table commit itself — one atomic put-if-absent file carries both the
+    data and the progress watermark, which is why the protocol defines
+    txn actions at all (delta-io PROTOCOL.md, Transaction Identifiers).
+
+    The result is versioned, time-travelable, OPTIMIZE/VACUUM-able, and
+    readable by any Delta client while the stream runs."""
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    raw = spark.readStream.schema(schema).json(source_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        write_delta_native(
+            out.sparkSession,
+            out,
+            table_root,
+            mode="append",
+            partition_by=partition_by,
+            txn=(app_id, int(epoch_id)),
+        )
+
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 HH_OUTPUT = "bucket int, key string, min_count long, max_count long"
 HH_STATE = "keys array<string>, counts array<long>, errors array<long>"
 

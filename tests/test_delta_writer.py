@@ -348,7 +348,7 @@ def test_optimize_bin_packs_preserving_data_and_history(spark, tmp_path):
             partition_by=["p"],
             checkpoint_interval=0,
         )
-    _, _, active0, v0 = snapshot_actions(spark, table)
+    _, _, active0, v0, _ = snapshot_actions(spark, table)
     files_before = len(active0)
     assert files_before >= 6  # >=3 per partition
 
@@ -366,7 +366,7 @@ def test_optimize_bin_packs_preserving_data_and_history(spark, tmp_path):
     assert res["version"] == v0 + 1
     assert res["files_in"] == files_before and res["files_out"] == 2
 
-    _, _, active1, _ = snapshot_actions(spark, table)
+    _, _, active1, _, _ = snapshot_actions(spark, table)
     assert len(active1) == 2
     after = sorted(
         (r["id"], r["p"])
@@ -417,7 +417,7 @@ def test_optimize_where_scopes_to_one_partition(spark, tmp_path):
         spark, table, target_file_bytes=1 << 30, where={"p": "0"}
     )
     assert res["partitions"] == 1
-    _, _, active, _ = snapshot_actions(spark, table)
+    _, _, active, _, _ = snapshot_actions(spark, table)
     p0 = [a for a in active.values() if a["partitionValues"]["p"] == "0"]
     p1 = [a for a in active.values() if a["partitionValues"]["p"] == "1"]
     assert len(p0) == 1 and len(p1) >= 1
@@ -498,6 +498,97 @@ def test_ingest_deltawriter_chain_writes_real_delta(spark, tmp_path):
     } | {f"w{i}" for i in range(3)}
     # plain readers unaffected by the log
     assert spark.read.parquet(delta_dir).count() == 7
+
+
+def test_txn_exactly_once_skip_and_checkpoint_survival(spark, tmp_path):
+    """SetTransaction semantics: a commit carrying txn=(app, v) makes any
+    later write with version <= v a no-op (returns -1, no commit, no
+    rows) — and the txn watermark SURVIVES checkpoint-bounded replay
+    (proved by deleting the pre-checkpoint commits)."""
+    from rtdl_spark.sources.delta_reader import last_txn_version
+
+    table = str(tmp_path / "tx1")
+    assert write_delta_native(
+        spark, _frame(spark, 0, 5), table, txn=("appA", 0)
+    ) == 0
+    assert write_delta_native(
+        spark, _frame(spark, 5, 10), table, txn=("appA", 1)
+    ) == 1
+    assert last_txn_version(spark, table, "appA") == 1
+    assert last_txn_version(spark, table, "appB") is None
+
+    # re-delivered epoch 1 and stale epoch 0: both skipped
+    assert write_delta_native(
+        spark, _frame(spark, 5, 10), table, txn=("appA", 1)
+    ) == -1
+    assert write_delta_native(
+        spark, _frame(spark, 0, 5), table, txn=("appA", 0)
+    ) == -1
+    assert read_delta_native(spark, table).count() == 10
+    # a different app is independent
+    assert write_delta_native(
+        spark, _frame(spark, 10, 12), table, txn=("appB", 0)
+    ) == 2
+
+    write_checkpoint_native(spark, table)
+    log = os.path.join(table, "_delta_log")
+    for i in range(3):
+        os.remove(os.path.join(log, f"{i:020d}.json"))
+    assert last_txn_version(spark, table, "appA") == 1
+    assert last_txn_version(spark, table, "appB") == 0
+    assert write_delta_native(
+        spark, _frame(spark, 5, 10), table, txn=("appA", 1)
+    ) == -1
+    assert read_delta_native(spark, table).count() == 12
+
+
+def test_stream_to_delta_table_exactly_once(spark, tmp_path):
+    """The Delta streaming sink end-to-end: each micro-batch is one
+    Delta commit with a txn action; wiping the streaming checkpoint
+    (forcing full epoch re-delivery) appends NOTHING because the table's
+    own txn watermark skips the replayed epochs."""
+    import json as _json
+    import shutil
+
+    from rtdl_spark.sources.delta_reader import delta_history
+    from rtdl_spark.streaming import stream_to_delta_table
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "dckpt")
+    root = str(tmp_path / "dtbl")
+    schema = "event_id long, user_id long"
+
+    def wave(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    wave("w1.json", [{"event_id": i, "user_id": i % 3} for i in range(10)])
+    q = stream_to_delta_table(
+        spark, str(src), schema, root, ckpt, app_id="ingestA"
+    )
+    q.awaitTermination(120)
+    assert read_delta_native(spark, root).count() == 10
+    v1 = delta_history(spark, root)[-1]["version"]
+
+    wave("w2.json", [{"event_id": 100 + i, "user_id": 0} for i in range(5)])
+    q = stream_to_delta_table(
+        spark, str(src), schema, root, ckpt, app_id="ingestA"
+    )
+    q.awaitTermination(120)
+    assert read_delta_native(spark, root).count() == 15
+    assert read_delta_native(spark, root, version=v1).count() == 10
+
+    # lose the offset log -> everything re-delivered -> txn skips all
+    shutil.rmtree(ckpt)
+    q = stream_to_delta_table(
+        spark, str(src), schema, root, ckpt, app_id="ingestA"
+    )
+    q.awaitTermination(120)
+    assert read_delta_native(spark, root).count() == 15, (
+        "re-delivered epochs must be skipped by the txn watermark"
+    )
 
 
 def test_special_chars_in_partition_values_roundtrip(spark, tmp_path):
