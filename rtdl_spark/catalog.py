@@ -116,6 +116,42 @@ def register_versioned_view(
     table_obj.snapshot(as_of=as_of).createOrReplaceTempView(view_name)
 
 
+def register_delta_view(
+    spark: SparkSession,
+    table_dir: str,
+    view_name: str,
+    version: int | None = None,
+    timestamp=None,
+) -> None:
+    """Expose a Delta table (read via delta-spark when present, else the
+    NATIVE log-replay reader) as a temp view for plain SQL users —
+    optionally pinned to a version or a commit timestamp:
+    ``register_delta_view(spark, path, "events_v3", version=3)`` then
+    ``spark.sql("SELECT ... FROM events_v3")``. Like every catalog
+    pointer, the view captures the snapshot's file list at registration
+    time — re-register after new commits for a fresher snapshot. The
+    underlying scan is ordinary parquet, so pushdown/pruning work
+    through the view."""
+    from rtdl_spark.sources.readers import delta_available, read_delta
+
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        if delta_available(spark):  # pragma: no cover - delta not in image
+            df = (
+                spark.read.format("delta")
+                .option("timestampAsOf", str(timestamp))
+                .load(table_dir)
+            )
+        else:
+            from rtdl_spark.sources.delta_reader import read_delta_native
+
+            df = read_delta_native(spark, table_dir, timestamp=timestamp)
+    else:
+        df = read_delta(spark, table_dir, version=version)
+    df.createOrReplaceTempView(view_name)
+
+
 def register_masked_view(
     spark: SparkSession,
     df,

@@ -286,3 +286,74 @@ def stream_exec_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "stream_exec_delta_sink",
+    # the oracle is the plain batch aggregate over the same source rows:
+    # the stream ran ONCE through a wiped-and-replayed checkpoint, so any
+    # txn-watermark failure would DOUBLE every count/sum and mismatch;
+    # n_commits pins that the replay added no commit (1 data commit).
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM({DEC('value')}) AS DOUBLE) AS total_value,
+           CAST(1 AS INT) AS n_commits
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def stream_exec_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta STREAMING SINK executed end-to-end (streaming/jobs.py::
+    stream_to_delta_table → sources/delta_writer.py): a real readStream
+    feeds foreachBatch appends into a NATIVE-protocol Delta table, each
+    micro-batch commit carrying its SetTransaction action; the streaming
+    checkpoint is then WIPED and the whole stream re-delivered — the
+    table's own txn watermark must skip every replayed epoch, which the
+    oracle proves by exact (non-doubled) counts and DECIMAL sums plus a
+    commit count of 1."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import (
+        delta_history,
+        read_delta_native,
+    )
+    from rtdl_spark.streaming import stream_to_delta_table
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_dsink_", dir=shm)
+    try:
+        src = os.path.join(workdir, "src")
+        root = os.path.join(workdir, "dtbl")
+        ckpt = os.path.join(workdir, "ckpt")
+        ev = (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 5 == 0)
+            .select("event_id", "event_type", "value")
+        )
+        ev.coalesce(1).write.json(src)
+        schema = "event_id long, event_type string, value double"
+
+        q = stream_to_delta_table(
+            spark, src, schema, root, ckpt, app_id="dsink-oracle"
+        )
+        q.awaitTermination(600)
+        # forced full re-delivery: the txn watermark must skip it all
+        shutil.rmtree(ckpt)
+        q = stream_to_delta_table(
+            spark, src, schema, root, ckpt, app_id="dsink-oracle"
+        )
+        q.awaitTermination(600)
+
+        n_commits = len(delta_history(spark, root))
+        out = (
+            read_delta_native(spark, root)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            )
+            .withColumn("n_commits", F.lit(n_commits).cast("int"))
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -253,14 +253,62 @@ def last_txn_version(
     return txns.get(app_id)
 
 
+def version_at_timestamp(
+    spark: SparkSession, table_dir: str, timestamp
+) -> int:
+    """Resolve timestampAsOf semantics: the LAST version whose commit
+    timestamp is ≤ the given time (epoch millis, a datetime, or a
+    'YYYY-MM-DD HH:MM:SS' string interpreted as UTC) — exactly how Delta
+    resolves timestamp time travel. Raises if the table's first commit
+    is already later (nothing existed yet), or if the log's JSON tail
+    was cleaned up (commitInfo timestamps live there)."""
+    if isinstance(timestamp, str):
+        import datetime as _dt
+
+        ts_ms = int(
+            _dt.datetime.strptime(timestamp, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+            * 1000
+        )
+    elif hasattr(timestamp, "timestamp"):
+        ts_ms = int(timestamp.timestamp() * 1000)
+    else:
+        ts_ms = int(timestamp)
+    hist = delta_history(spark, table_dir)
+    if not hist:
+        raise ValueError(
+            f"no JSON commits under {table_dir} — timestamp time travel "
+            "needs the commitInfo tail (use a version number instead)"
+        )
+    eligible = [
+        h["version"]
+        for h in hist
+        if h["timestamp"] is not None and int(h["timestamp"]) <= ts_ms
+    ]
+    if not eligible:
+        raise ValueError(
+            f"timestamp {timestamp!r} predates the table's first commit"
+        )
+    return max(eligible)
+
+
 def read_delta_native(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
-    """Read a Delta table (optionally as of ``version``) via log replay +
-    one plain parquet scan per partition-value group. Partition columns
-    come from the log's partitionValues (the protocol's source of truth —
-    Delta does NOT require Hive-style paths), cast to the schema types;
-    an empty active set returns an empty frame with the full schema."""
+    """Read a Delta table (optionally as of ``version`` or of a commit
+    ``timestamp``) via log replay + one plain parquet scan per
+    partition-value group. Partition columns come from the log's
+    partitionValues (the protocol's source of truth — Delta does NOT
+    require Hive-style paths), cast to the schema types; an empty active
+    set returns an empty frame with the full schema."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(spark, table_dir, timestamp)
     meta, files, _ = snapshot_state(spark, table_dir, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])

@@ -501,6 +501,9 @@ def optimize_delta_native(
     target_file_bytes: int = 128 << 20,
     min_files: int = 2,
     where: dict[str, str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_curve: str = "hilbert",
+    zorder_bits: int = 8,
 ) -> dict:
     """OPTIMIZE: bin-pack each partition's small files into
     ~``target_file_bytes`` files and commit the swap as ONE Delta commit
@@ -518,10 +521,22 @@ def optimize_delta_native(
     ``where`` restricts to partitions whose partitionValues exactly match
     (e.g. ``{"day": "2024-02-15"}``) — at 100 TB you optimize the
     partitions the small-file report flags, never the whole table.
+
+    ``zorder_by`` is OPTIMIZE ZORDER BY: rows are ordered along a
+    space-filling curve of those columns (operators/zorder.py —
+    ``zorder_curve`` "hilbert"/"morton", ``zorder_bits`` resolution)
+    within each output file, so min/max footer stats on the z-ordered
+    columns become selective and scans skip files. The sort is
+    sortWithinPartitions led by the bin column (satisfying the writer's
+    required ordering — no extra exchange); min_files drops to 1 when
+    z-ordering, since re-clustering a single file is useful work.
+
     Returns {"version", "partitions", "files_in", "files_out"};
     version None = nothing needed doing. A lost commit race aborts
     loudly; promoted-but-uncommitted files are unreferenced and
     reclaimed by vacuum."""
+    if zorder_by:
+        min_files = min(min_files, 1)
     root = table_dir.rstrip("/")
     protocol, meta, active, current, _txns = snapshot_actions(spark, root)
     _check_protocol(protocol)
@@ -539,35 +554,59 @@ def optimize_delta_native(
             tuple(pvals.get(c) for c in part_cols), []
         ).append(a)
 
-    # driver-side bin packing over file metadata (first-fit on the
-    # size-sorted list — files, not rows, are the packing unit)
-    bins: list[dict] = []
-    for key, adds in sorted(groups.items()):
+    # driver-side planning over file metadata. Two binning modes:
+    # - plain compaction: first-fit pack FILES into bins (no row shuffle
+    #   beyond the repartition-by-bin);
+    # - ZORDER BY: bins are contiguous CURVE-RANK ranges within each
+    #   partition (Databricks OPTIMIZE ZORDER semantics — every output
+    #   file owns a contiguous curve segment, so per-file min/max stats
+    #   on the z-ordered columns are tight and scans skip files). The
+    #   range split costs one window sort per partition — inherent: a
+    #   clustering rewrite IS a sort.
+    entries: list[dict] = []  # {key, files, bks: [bin keys]}
+    for gi, (key, adds) in enumerate(sorted(groups.items())):
         packable = sorted(adds, key=lambda a: -int(a.get("size") or 0))
         if len(packable) < min_files:
             continue
-        part_bins: list[dict] = []
+        total = sum(int(a.get("size") or 0) for a in packable)
+        if zorder_by:
+            n_out = max(1, -(-total // max(target_file_bytes, 1)))
+            entries.append(
+                {
+                    "key": key,
+                    "files": packable,
+                    "bks": [f"g{gi:06d}x{j:04d}" for j in range(n_out)],
+                }
+            )
+            continue
+        part_bins: list[list[dict]] = []
+        sizes: list[int] = []
         for a in packable:
             size = int(a.get("size") or 0)
-            tgt = next(
-                (
-                    b
-                    for b in part_bins
-                    if b["bytes"] + size <= target_file_bytes
-                ),
-                None,
-            )
-            if tgt is None:
-                tgt = {"key": key, "files": [], "bytes": 0}
-                part_bins.append(tgt)
-            tgt["files"].append(a)
-            tgt["bytes"] += size
+            placed = False
+            for bi, used in enumerate(sizes):
+                if used + size <= target_file_bytes:
+                    part_bins[bi].append(a)
+                    sizes[bi] += size
+                    placed = True
+                    break
+            if not placed:
+                part_bins.append([a])
+                sizes.append(size)
         if len(part_bins) < len(packable):  # strictly fewer files out
-            bins.extend(part_bins)
-    if not bins:
+            for j, files in enumerate(part_bins):
+                entries.append(
+                    {
+                        "key": key,
+                        "files": files,
+                        "bks": [f"g{gi:06d}x{j:04d}"],
+                    }
+                )
+    if not entries:
         return {
             "version": None, "partitions": 0, "files_in": 0, "files_out": 0
         }
+    n_bins = sum(len(e["bks"]) for e in entries)
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     data_schema = StructType(
@@ -576,26 +615,31 @@ def optimize_delta_native(
     # the bin column must NOT be '_'-prefixed: it becomes a staging
     # partition directory name, and Spark's file index hides those
     bin_col, fp_col = "rtdl_opt_bin", "rtdl_opt_fp"
-    if bin_col in schema.fieldNames() or fp_col in schema.fieldNames():
+    z_col, n_col = "rtdl_opt_z", "rtdl_opt_n"
+    reserved = {bin_col, fp_col, z_col, n_col}
+    if reserved & set(schema.fieldNames()):
         raise ValueError(
-            f"table schema uses the reserved column {bin_col}/{fp_col}"
+            f"table schema uses a reserved optimize column: "
+            f"{sorted(reserved & set(schema.fieldNames()))}"
         )
-    file_to_bin = []
-    for i, b in enumerate(bins):
-        b["bk"] = f"b{i:06d}"
-        for a in b["files"]:
-            file_to_bin.append(
+    # one row per input file: zorder mode maps every file to its GROUP
+    # key (the per-row curve rank then picks the x-suffixed bin); plain
+    # mode maps straight to the entry's single bin key
+    file_rows = []
+    for e in entries:
+        group_key = e["bks"][0].split("x")[0] if zorder_by else e["bks"][0]
+        for a in e["files"]:
+            file_rows.append(
                 (
-                    posixpath.join(
-                        root, urllib.parse.unquote(a["path"])
-                    ),
-                    b["bk"],
+                    posixpath.join(root, urllib.parse.unquote(a["path"])),
+                    group_key,
+                    len(e["bks"]),
                 )
             )
-    in_paths = [p for p, _ in file_to_bin]
+    in_paths = sorted({p for p, _g, _n in file_rows})
     bin_map = F.broadcast(
         spark.createDataFrame(
-            file_to_bin, f"{fp_col} string, {bin_col} string"
+            file_rows, f"{fp_col} string, {bin_col} string, {n_col} int"
         )
     )
     src = (
@@ -610,10 +654,54 @@ def optimize_delta_native(
         .join(bin_map, fp_col)
         .drop(fp_col)
     )
+    if zorder_by:
+        bad = [c for c in zorder_by if c not in data_schema.fieldNames()]
+        if bad:
+            raise ValueError(
+                f"zorder_by columns not in the table's data columns: {bad}"
+            )
+        from pyspark.sql import Window
+
+        from rtdl_spark.operators.zorder import zvalue
+
+        _, zk = zvalue(
+            src, list(zorder_by), bits=zorder_bits, curve=zorder_curve
+        )
+        w = Window.partitionBy(bin_col).orderBy(z_col)
+        src = (
+            src.withColumn(z_col, zk)
+            # contiguous curve-rank ranges: row's bin = its percent-rank
+            # bucket within the partition group
+            .withColumn(
+                bin_col,
+                F.concat(
+                    F.col(bin_col),
+                    F.lit("x"),
+                    F.lpad(
+                        F.least(
+                            F.floor(
+                                F.percent_rank().over(w) * F.col(n_col)
+                            ).cast("int"),
+                            F.col(n_col) - 1,
+                        ).cast("string"),
+                        4,
+                        "0",
+                    ),
+                ),
+            )
+        )
+        staged_src = (
+            src.repartition(n_bins, bin_col)
+            # lead with the bin column: the writer's required ordering on
+            # its partition column is a prefix, so no second sort lands
+            .sortWithinPartitions(bin_col, z_col)
+            .drop(z_col, n_col)
+        )
+    else:
+        staged_src = src.repartition(n_bins, bin_col).drop(n_col)
     staging = posixpath.join(root, f"_optimize-{uuid.uuid4().hex[:12]}")
     (
-        src.repartition(len(bins), bin_col)
-        .write.partitionBy(bin_col)
+        staged_src.write.partitionBy(bin_col)
         .mode("overwrite")
         .parquet(staging)
     )
@@ -636,9 +724,9 @@ def optimize_delta_native(
                 by_bk.setdefault(
                     seg[0][len(bin_col) + 1:], []
                 ).append(p)
-        for b in bins:
+        for e in entries:
             pvals = dict(
-                zip(part_cols, b["key"])
+                zip(part_cols, e["key"])
             )
             rel_dir = "/".join(
                 f"{c}=" + (
@@ -646,30 +734,35 @@ def optimize_delta_native(
                     if v is None
                     else urllib.parse.quote(v, safe="")
                 )
-                for c, v in zip(part_cols, b["key"])
+                for c, v in zip(part_cols, e["key"])
             )
-            for p in sorted(by_bk.get(b["bk"], ())):
-                dest_rel = posixpath.join(
-                    rel_dir, posixpath.basename(p)
-                ) if rel_dir else posixpath.basename(p)
-                dest = posixpath.join(root, dest_rel)
-                if rel_dir:
-                    fsutil.mkdirs(spark, posixpath.dirname(dest))
-                if not fsutil.rename(spark, p, dest):
-                    raise IOError(f"failed to move {p} -> {dest}")
-                adds.append(
-                    {
-                        "path": urllib.parse.quote(dest_rel, safe="/="),
-                        "partitionValues": pvals,
-                        "size": staged[p][0],
-                        "modificationTime": ts,
-                        "dataChange": False,
-                        "stats": json.dumps(
-                            {"numRecords": counts.get(p, 0)}
-                        ),
-                    }
-                )
-            for a in b["files"]:
+            for bk in e["bks"]:
+                for p in sorted(by_bk.get(bk, ())):
+                    # bin-key prefix: two bins written by the SAME task
+                    # share Spark's part-file name and would collide when
+                    # promoted into the same destination directory
+                    name = f"{bk}-{posixpath.basename(p)}"
+                    dest_rel = (
+                        posixpath.join(rel_dir, name) if rel_dir else name
+                    )
+                    dest = posixpath.join(root, dest_rel)
+                    if rel_dir:
+                        fsutil.mkdirs(spark, posixpath.dirname(dest))
+                    if not fsutil.rename(spark, p, dest):
+                        raise IOError(f"failed to move {p} -> {dest}")
+                    adds.append(
+                        {
+                            "path": urllib.parse.quote(dest_rel, safe="/="),
+                            "partitionValues": pvals,
+                            "size": staged[p][0],
+                            "modificationTime": ts,
+                            "dataChange": False,
+                            "stats": json.dumps(
+                                {"numRecords": counts.get(p, 0)}
+                            ),
+                        }
+                    )
+            for a in e["files"]:
                 removes.append(
                     {
                         "path": a["path"],
@@ -689,7 +782,8 @@ def optimize_delta_native(
                 "timestamp": ts,
                 "operation": "OPTIMIZE",
                 "operationParameters": {
-                    "targetSize": str(target_file_bytes)
+                    "targetSize": str(target_file_bytes),
+                    "zOrderBy": json.dumps(list(zorder_by or [])),
                 },
                 "engineInfo": "rtdl-spark native-delta-writer/1",
             }
@@ -704,7 +798,7 @@ def optimize_delta_native(
         )
     return {
         "version": current + 1,
-        "partitions": len({b["key"] for b in bins}),
+        "partitions": len({e["key"] for e in entries}),
         "files_in": len(removes),
         "files_out": len(adds),
     }

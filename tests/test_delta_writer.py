@@ -424,6 +424,106 @@ def test_optimize_where_scopes_to_one_partition(spark, tmp_path):
     assert read_delta_native(spark, table).count() == 30
 
 
+def test_optimize_zorder_clusters_and_preserves_data(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: output files own contiguous curve-rank ranges,
+    so per-file min/max on the z-ordered column become near-disjoint —
+    the footer-skipping property — while the data survives exactly and
+    the commit stays dataChange=false."""
+    import numpy as np
+
+    table = str(tmp_path / "z1")
+    # 4 appends of interleaved ids -> every file spans the full id range
+    for i in range(4):
+        write_delta_native(
+            spark,
+            spark.range(0, 4000)
+            .filter(F.col("id") % 4 == i)
+            .select("id", (F.col("id") % 97).alias("k")),
+            table,
+            checkpoint_interval=0,
+        )
+    before = sorted(
+        r["id"] for r in read_delta_native(spark, table).collect()
+    )
+
+    res = optimize_delta_native(
+        spark,
+        table,
+        target_file_bytes=12_000,  # force several output files
+        zorder_by=["id"],
+        zorder_curve="morton",
+    )
+    assert res["files_out"] >= 3
+    after = sorted(
+        r["id"] for r in read_delta_native(spark, table).collect()
+    )
+    assert after == before
+
+    # per-file id ranges must be (near-)disjoint: total overlap across
+    # file [min,max] spans collapses vs the all-interleaved input
+    _, _, active, _, _ = snapshot_actions(spark, table)
+    spans = []
+    for a in active.values():
+        df = spark.read.parquet(os.path.join(table, a["path"]))
+        row = df.agg(
+            F.min("id").alias("lo"), F.max("id").alias("hi")
+        ).collect()[0]
+        spans.append((row["lo"], row["hi"]))
+    spans.sort()
+    overlaps = sum(
+        max(0, min(h1, h2) - max(l1, l2))
+        for (l1, h1), (l2, h2) in zip(spans, spans[1:])
+    )
+    widths = sum(h - l for l, h in spans)
+    assert overlaps <= widths * 0.05, (spans, overlaps)
+
+    acts = _log_actions(table, res["version"])
+    assert acts[0]["commitInfo"]["operationParameters"]["zOrderBy"] == (
+        '["id"]'
+    )
+    assert all(not a["add"]["dataChange"] for a in acts if "add" in a)
+
+    # numpy cross-check: ranks really partition the id space evenly-ish
+    sizes = [
+        json.loads(a["add"]["stats"])["numRecords"]
+        for a in acts
+        if "add" in a
+    ]
+    assert sum(sizes) == 4000
+    # percent-rank ties (multiple ids share one 8-bit z value) bunch a
+    # few rows at bucket boundaries — allow 10% imbalance
+    assert max(sizes) <= int(np.ceil(4000 / len(sizes)) * 1.10)
+
+
+def test_timestamp_time_travel_and_delta_view(spark, tmp_path):
+    """timestampAsOf semantics (last commit at-or-before the given time,
+    errors before the first commit) + the SQL catalog view over a native
+    Delta table, pinned by version and by timestamp."""
+    from rtdl_spark.catalog import register_delta_view
+    from rtdl_spark.sources.delta_reader import version_at_timestamp
+
+    table = str(tmp_path / "ts1")
+    write_delta_native(spark, _frame(spark, 0, 5), table)
+    write_delta_native(spark, _frame(spark, 5, 12), table)
+    hist = delta_history(spark, table)
+    t0, t1 = hist[0]["timestamp"], hist[1]["timestamp"]
+
+    assert version_at_timestamp(spark, table, t0) == 0
+    assert version_at_timestamp(spark, table, t1 + 10_000) == 1
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(spark, table, t0 - 10_000)
+    assert read_delta_native(spark, table, timestamp=t0).count() == 5
+    with pytest.raises(ValueError, match="not both"):
+        read_delta_native(spark, table, version=1, timestamp=t0)
+
+    register_delta_view(spark, table, "dv_latest")
+    register_delta_view(spark, table, "dv_v0", version=0)
+    register_delta_view(spark, table, "dv_t0", timestamp=t0)
+    assert spark.sql("SELECT COUNT(*) n FROM dv_latest").collect()[0]["n"] == 12
+    assert spark.sql("SELECT COUNT(*) n FROM dv_v0").collect()[0]["n"] == 5
+    assert spark.sql("SELECT COUNT(*) n FROM dv_t0").collect()[0]["n"] == 5
+
+
 def test_vacuum_reaps_unreferenced_files_only(spark, tmp_path):
     """VACUUM deletes exactly the files no longer referenced by the
     latest snapshot (after the retention window): the latest read is
