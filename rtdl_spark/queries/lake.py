@@ -1301,3 +1301,86 @@ def lake_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_merge",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'a'
+                  WHEN o_orderkey % 3 = 1 THEN 'b'
+                  ELSE 'c' END AS src
+      FROM orders
+    ), final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice + 100.0 ELSE o_totalprice END
+               AS o_totalprice,
+             src
+      FROM t
+      UNION ALL
+      SELECT -o_orderkey - 1, o_totalprice, 'z'
+      FROM t WHERE o_orderkey % 11 = 0
+    )
+    SELECT src, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final GROUP BY src
+    """,
+)
+def lake_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Delta MERGE INTO end-to-end (sources/delta_writer.py::
+    merge_into_delta_native): a partitioned table built from orders gets
+    one upsert — every %7==0 key's price bumped by 100 (matched →
+    update, rewriting ONLY the files containing matches) and a synthetic
+    negative-key row per %11==0 order inserted into a BRAND-NEW
+    partition 'z' (not-matched → insert, exercising dynamic partition
+    creation inside the merge). Per-partition counts and DECIMAL-exact
+    sums of the final snapshot are hash-verified against the oracle's
+    recomputation."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        merge_into_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "a")
+        .when(F.col("o_orderkey") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_deltam_", dir=shm)
+    try:
+        root = os.path.join(workdir, "dtab")
+        write_delta_native(
+            spark, o.repartition(4), root, partition_by=["src"],
+            checkpoint_interval=0,
+        )
+        updates = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+        )
+        inserts = o.filter(F.col("o_orderkey") % 11 == 0).select(
+            (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+            "o_totalprice",
+            F.lit("z").alias("src"),
+        )
+        merge_into_delta_native(
+            spark, root, updates.unionByName(inserts), on=["o_orderkey"]
+        )
+        out = (
+            read_delta_native(spark, root)
+            .groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

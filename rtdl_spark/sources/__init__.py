@@ -4,6 +4,7 @@ from rtdl_spark.sources.delta_reader import (
     read_delta_native,
 )
 from rtdl_spark.sources.delta_writer import (
+    merge_into_delta_native,
     optimize_delta_native,
     vacuum_delta_native,
     write_checkpoint_native,
@@ -28,6 +29,7 @@ __all__ = [
     "read_csv",
     "read_delta",
     "write_delta",
+    "merge_into_delta_native",
     "optimize_delta_native",
     "vacuum_delta_native",
     "write_checkpoint_native",

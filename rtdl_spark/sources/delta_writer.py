@@ -175,14 +175,22 @@ def _promote_staged(
 ) -> list[dict]:
     """Move staged parquet files into the table root (keeping their
     Hive-style relative layout) and return their add actions."""
+    staged = [
+        (p, sz)
+        for p, sz, _m in fsutil.list_files(spark, staging)
+        if p.endswith(".parquet")  # _SUCCESS and friends stay behind
+    ]
+    if not staged:
+        # a legitimately EMPTY result (e.g. a delete-only MERGE whose
+        # affected files held nothing but matches, or an empty append):
+        # no files, no adds — and no schema-inference read to blow up on
+        return []
     counts = _staged_counts(spark, staging) if with_stats else {}
     root = table_dir.rstrip("/")
     stage_prefix = staging.rstrip("/") + "/"
     adds = []
-    for path, size, _mtime in fsutil.list_files(spark, staging):
+    for path, size in staged:
         name = posixpath.basename(path)
-        if not name.endswith(".parquet"):
-            continue  # _SUCCESS and friends stay behind
         rel = path[len(stage_prefix):] if path.startswith(stage_prefix) else name
         segs = rel.split("/")
         pvals: dict[str, str | None] = {}
@@ -493,6 +501,217 @@ _CHECKPOINT_SCHEMA = StructType(
         ),
     ]
 )
+
+
+def merge_into_delta_native(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    check_duplicates: bool = True,
+) -> dict:
+    """MERGE INTO (upsert) for a native Delta table: target rows whose
+    ``on`` keys match a source row are replaced by it (``when_matched=
+    "update"``), deleted (``"delete"``) or kept (``"ignore"``); source
+    rows matching nothing are appended (``when_not_matched="insert"`` /
+    ``"ignore"``). Committed as one Delta version: remove tombstones for
+    every file containing a match + adds for the rewritten files
+    (dataChange=true — MERGE changes data, unlike OPTIMIZE).
+
+    Scale shape (same discipline as delete_by_keys): ONE identify join
+    finds the affected files; ONLY those files are read again and
+    rewritten in ONE distributed staging write (untouched files are
+    never opened twice, never rewritten); the key set is frozen with a
+    localCheckpoint so both passes see identical source rows. O(1)
+    Spark jobs regardless of affected-file count.
+
+    Per Delta MERGE semantics, multiple source rows matching one target
+    key is an error (nondeterministic which would win) — caught by one
+    cheap aggregate unless ``check_duplicates=False``. A lost commit
+    race raises; the staged files are unreferenced and vacuum-reclaimed.
+    """
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched: update|delete|ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched: insert|ignore, got {when_not_matched!r}")
+    root = table_dir.rstrip("/")
+    protocol, meta, active, current, _txns = snapshot_actions(spark, root)
+    _check_protocol(protocol)
+    _check_writer_protocol(protocol)
+    _check_no_invariants(meta)
+    if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
+        raise ValueError("table is delta.appendOnly=true; MERGE rewrites")
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    if _schema_key(source.schema.json()) != _schema_key(
+        meta["schemaString"]
+    ):
+        raise ValueError(
+            "MERGE source schema must match the table's (names/types)"
+        )
+    bad = [k for k in on if k not in schema.fieldNames()]
+    if bad:
+        raise ValueError(f"merge keys not in the table schema: {bad}")
+
+    src = source.localCheckpoint(eager=True)  # freeze against re-eval
+    if check_duplicates:
+        dups = (
+            src.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dups.count() > 0:
+            raise ValueError(
+                "MERGE source has multiple rows per key — "
+                "nondeterministic match (dedupe the source first)"
+            )
+
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    by_type = {f.name: f.dataType for f in schema.fields}
+    fp_col = "rtdl_merge_fp"
+
+    def _scan_with_fp(paths_by_key: dict) -> DataFrame | None:
+        """Active-file scan with injected partition columns AND the
+        normalized source file path."""
+        parts = []
+        for key, paths in sorted(paths_by_key.items()):
+            df = (
+                spark.read.schema(data_schema)
+                .parquet(*paths)
+                .withColumn(fp_col, F.col("_metadata.file_path"))
+                .withColumn(
+                    fp_col,
+                    F.regexp_replace(
+                        fp_col, "^[a-zA-Z0-9+.-]+://?", "/"
+                    ),
+                )
+                .withColumn(fp_col, F.regexp_replace(fp_col, "^//+", "/"))
+            )
+            for c, raw in zip(part_cols, key):
+                df = df.withColumn(
+                    c,
+                    F.lit(raw).cast(by_type[c])
+                    if raw is not None
+                    else F.lit(None).cast(by_type[c]),
+                )
+            parts.append(df)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    groups: dict[tuple, list[str]] = {}
+    path_to_add: dict[str, dict] = {}
+    for a in active.values():
+        pvals = a.get("partitionValues") or {}
+        key = tuple(pvals.get(c) for c in part_cols)
+        abs_path = posixpath.join(root, urllib.parse.unquote(a["path"]))
+        groups.setdefault(key, []).append(abs_path)
+        path_to_add[abs_path] = a
+
+    tbl = _scan_with_fp(groups)
+    keys = src.select(*on).distinct()
+    # matched="ignore" keeps matched rows as they are — no file needs
+    # rewriting, so the identify pass is skipped entirely
+    if tbl is not None and when_matched != "ignore":
+        affected = sorted(
+            r[fp_col]
+            for r in tbl.join(keys, on, "left_semi")
+            .select(fp_col)
+            .distinct()
+            .collect()
+        )
+    else:
+        affected = []
+
+    # rewrite plan: survivors of affected files + matched updates + inserts
+    pieces = []
+    col_order = [f.name for f in schema.fields]
+    if affected:
+        agroups: dict[tuple, list[str]] = {}
+        for p in affected:
+            a = path_to_add[p]
+            pvals = a.get("partitionValues") or {}
+            agroups.setdefault(
+                tuple(pvals.get(c) for c in part_cols), []
+            ).append(p)
+        arows = _scan_with_fp(agroups).drop(fp_col)
+        pieces.append(arows.join(keys, on, "left_anti"))
+        if when_matched == "update":
+            pieces.append(
+                src.join(
+                    arows.select(*on).distinct(), on, "left_semi"
+                ).select(*col_order)
+            )
+    if when_not_matched == "insert":
+        if tbl is not None:
+            pieces.append(
+                src.join(tbl.select(*on).distinct(), on, "left_anti")
+                .select(*col_order)
+            )
+        else:
+            pieces.append(src.select(*col_order))
+    if not pieces:
+        return {"version": None, "files_rewritten": 0, "files_added": 0}
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+
+    staging = posixpath.join(root, f"_merge-{uuid.uuid4().hex[:12]}")
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    try:
+        adds = _promote_staged(spark, root, staging, part_cols, True)
+    finally:
+        fsutil.delete(spark, staging)
+
+    ts = _now_ms()
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "MERGE",
+                "operationParameters": {
+                    "predicate": json.dumps(on),
+                    "matched": when_matched,
+                    "notMatched": when_not_matched,
+                },
+                "engineInfo": "rtdl-spark native-delta-writer/1",
+            }
+        }
+    ]
+    for p in affected:
+        a = path_to_add[p]
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                    "extendedFileMetadata": True,
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds)
+    if not _try_commit(spark, root, current + 1, actions):
+        raise DeltaConcurrentWriteError(
+            "concurrent commit during MERGE — re-run (the staged files "
+            "are unreferenced and reclaimable by vacuum)"
+        )
+    return {
+        "version": current + 1,
+        "files_rewritten": len(affected),
+        "files_added": len(adds),
+    }
 
 
 def optimize_delta_native(

@@ -524,6 +524,103 @@ def test_timestamp_time_travel_and_delta_view(spark, tmp_path):
     assert spark.sql("SELECT COUNT(*) n FROM dv_t0").collect()[0]["n"] == 5
 
 
+def test_merge_into_update_insert_delete(spark, tmp_path):
+    """MERGE INTO semantics on a partitioned table: matched rows are
+    replaced (or deleted), unmatched source rows are inserted, files
+    WITHOUT matches are never rewritten (their add entries survive
+    identically), and the commit is removes+adds with dataChange=true."""
+    from rtdl_spark.sources.delta_writer import merge_into_delta_native
+
+    table = str(tmp_path / "m1")
+    base = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_delta_native(
+        spark, base, table, partition_by=["p"], checkpoint_interval=0
+    )
+    _, _, active0, _, _ = snapshot_actions(spark, table)
+
+    # update ids 0..9 (v -> -1), insert ids 100..104
+    srcu = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("p"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    srci = spark.range(100, 105).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    njobs0 = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    res = merge_into_delta_native(
+        spark, table, srcu.unionByName(srci), on=["id"]
+    )
+    njobs = (
+        spark.sparkContext._jsc.sc().dagScheduler().nextJobId() - njobs0
+    )
+    # constant bound (AQE splits the fixed stages into ~18 jobs) — the
+    # point is the count does NOT grow with affected-file count
+    assert njobs <= 25, f"merge used {njobs} jobs — not O(1)"
+    assert res["version"] == 1 and res["files_rewritten"] >= 1
+
+    got = read_delta_native(spark, table)
+    assert got.count() == 105
+    assert got.filter("v = -1").count() == 10
+    assert got.filter("id >= 100").count() == 5
+    assert got.filter("id = 7").collect()[0]["v"] == -1
+    assert got.filter("id = 50").collect()[0]["v"] == 500
+
+    # files with no matches kept their original add entries (no rewrite)
+    _, _, active1, _, _ = snapshot_actions(spark, table)
+    acts = _log_actions(table, 1)
+    removed = {a["remove"]["path"] for a in acts if "remove" in a}
+    survivors = set(active0) - removed
+    assert survivors and all(
+        active1[p]["modificationTime"] == active0[p]["modificationTime"]
+        for p in survivors
+    )
+    assert all(
+        a["remove"]["dataChange"] and "add" not in a
+        for a in acts
+        if "remove" in a
+    )
+
+    # delete mode: remove ids 0..4; no inserts
+    res2 = merge_into_delta_native(
+        spark,
+        table,
+        got.filter("id < 5"),
+        on=["id"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    assert res2["version"] == 2
+    after = read_delta_native(spark, table)
+    assert after.count() == 100
+    assert after.filter("id < 5").count() == 0
+    # time travel still sees the pre-delete state
+    assert read_delta_native(spark, table, version=1).count() == 105
+
+
+def test_merge_guards(spark, tmp_path):
+    """Duplicate source keys and schema drift are refused loudly."""
+    from rtdl_spark.sources.delta_writer import merge_into_delta_native
+
+    table = str(tmp_path / "m2")
+    write_delta_native(spark, _frame(spark, 0, 10), table)
+    dup = _frame(spark, 0, 2).unionByName(_frame(spark, 0, 1))
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        merge_into_delta_native(spark, table, dup, on=["id"])
+    with pytest.raises(ValueError, match="schema"):
+        merge_into_delta_native(
+            spark, table, _frame(spark, 0, 2).drop("tag"), on=["id"]
+        )
+    with pytest.raises(ValueError, match="merge keys"):
+        merge_into_delta_native(
+            spark, table, _frame(spark, 0, 2), on=["nope"]
+        )
+
+
 def test_vacuum_reaps_unreferenced_files_only(spark, tmp_path):
     """VACUUM deletes exactly the files no longer referenced by the
     latest snapshot (after the retention window): the latest read is
