@@ -1384,3 +1384,184 @@ def lake_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_dml",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'a'
+                  WHEN o_orderkey % 3 = 1 THEN 'b'
+                  ELSE 'c' END AS src
+      FROM orders
+    ), after_delete AS (
+      SELECT * FROM t WHERE NOT (o_totalprice > 200000.0)
+    ), after_update AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN o_totalprice + 7.0 ELSE o_totalprice END
+               AS o_totalprice,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'u' ELSE src END AS src
+      FROM after_delete
+    )
+    SELECT src, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM after_update GROUP BY src
+    """,
+)
+def lake_delta_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Delta DELETE WHERE + UPDATE WHERE end-to-end
+    (sources/delta_writer.py::delete_where_delta_native /
+    update_where_delta_native): a partitioned table loses every row with
+    o_totalprice > 200000 (only match-bearing files rewritten), then
+    every %13==0 key is updated — price +7 AND src moved to the
+    brand-new partition 'u' (the SET touches the PARTITION column, so
+    rows migrate directories inside the rewrite). Final per-partition
+    counts and DECIMAL-exact sums hash-verified against the oracle's
+    two-step replay."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        update_where_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "a")
+        .when(F.col("o_orderkey") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_deltad_", dir=shm)
+    try:
+        root = os.path.join(workdir, "dtab")
+        write_delta_native(
+            spark, o.repartition(4), root, partition_by=["src"],
+            checkpoint_interval=0,
+        )
+        delete_where_delta_native(spark, root, "o_totalprice > 200000.0")
+        update_where_delta_native(
+            spark,
+            root,
+            "o_orderkey % 13 = 0",
+            {"o_totalprice": "o_totalprice + 7.0", "src": "'u'"},
+        )
+        out = (
+            read_delta_native(spark, root)
+            .groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_delta_lifecycle_full",
+    # data-invariant steps (optimize/zorder) plus the merge+delete replay:
+    # the oracle recomputes the final state directly from the fixture
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'a'
+                  WHEN o_orderkey % 3 = 1 THEN 'b'
+                  ELSE 'c' END AS src
+      FROM orders
+    ), merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice + 100.0 ELSE o_totalprice END
+               AS o_totalprice,
+             src
+      FROM t
+      UNION ALL
+      SELECT -o_orderkey - 1, o_totalprice, 'z'
+      FROM t WHERE o_orderkey % 11 = 0
+    ), final AS (
+      SELECT * FROM merged WHERE NOT (o_totalprice > 250000.0)
+    )
+    SELECT src, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final GROUP BY src
+    """,
+)
+def x_delta_lifecycle_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin (x_ prefix → headline set): the FULL native-Delta
+    lifecycle at bench scale, timed per round — partitioned CREATE +
+    second APPEND (put-if-absent commits, stats), MERGE INTO (updates +
+    new-partition inserts, match-pruned rewrite), DELETE WHERE
+    (predicate-pruned rewrite), OPTIMIZE ZORDER BY o_orderkey
+    (rank-binned curve clustering), and the final log-replay read — all
+    through sources/delta_writer.py with zero delta-spark. The oracle
+    replays merge+delete from the fixture; optimize must be invisible."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        merge_into_delta_native,
+        optimize_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "a")
+        .when(F.col("o_orderkey") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_deltax_", dir=shm)
+    try:
+        root = os.path.join(workdir, "dtab")
+        write_delta_native(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0).repartition(4),
+            root,
+            partition_by=["src"],
+            checkpoint_interval=0,
+        )
+        write_delta_native(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1).repartition(4),
+            root,
+            checkpoint_interval=0,
+        )
+        updates = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+        )
+        inserts = o.filter(F.col("o_orderkey") % 11 == 0).select(
+            (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+            "o_totalprice",
+            F.lit("z").alias("src"),
+        )
+        merge_into_delta_native(
+            spark, root, updates.unionByName(inserts), on=["o_orderkey"]
+        )
+        delete_where_delta_native(spark, root, "o_totalprice > 250000.0")
+        optimize_delta_native(
+            spark, root, target_file_bytes=64 << 20,
+            zorder_by=["o_orderkey"], zorder_curve="morton",
+        )
+        out = (
+            read_delta_native(spark, root)
+            .groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

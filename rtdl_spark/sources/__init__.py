@@ -4,8 +4,10 @@ from rtdl_spark.sources.delta_reader import (
     read_delta_native,
 )
 from rtdl_spark.sources.delta_writer import (
+    delete_where_delta_native,
     merge_into_delta_native,
     optimize_delta_native,
+    update_where_delta_native,
     vacuum_delta_native,
     write_checkpoint_native,
     write_delta_native,
@@ -29,8 +31,10 @@ __all__ = [
     "read_csv",
     "read_delta",
     "write_delta",
+    "delete_where_delta_native",
     "merge_into_delta_native",
     "optimize_delta_native",
+    "update_where_delta_native",
     "vacuum_delta_native",
     "write_checkpoint_native",
     "write_delta_native",

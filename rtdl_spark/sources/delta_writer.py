@@ -503,6 +503,220 @@ _CHECKPOINT_SCHEMA = StructType(
 )
 
 
+_FP_COL = "rtdl_delta_fp"
+
+
+def _active_scan(
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    active: dict[str, dict],
+    subset: list[str] | None = None,
+) -> tuple[DataFrame | None, dict[str, dict]]:
+    """Scan the active file set (optionally restricted to ``subset`` abs
+    paths) with partition columns injected from the log and the
+    normalized source file path as ``_FP_COL`` → (frame | None if empty,
+    {abs path: add action})."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    by_type = {f.name: f.dataType for f in schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    path_to_add: dict[str, dict] = {}
+    for a in active.values():
+        pvals = a.get("partitionValues") or {}
+        abs_path = posixpath.join(root, urllib.parse.unquote(a["path"]))
+        path_to_add[abs_path] = a
+        if subset is not None and abs_path not in set(subset):
+            continue
+        groups.setdefault(
+            tuple(pvals.get(c) for c in part_cols), []
+        ).append(abs_path)
+    parts = []
+    for key, paths in sorted(groups.items()):
+        df = (
+            spark.read.schema(data_schema)
+            .parquet(*paths)
+            .withColumn(_FP_COL, F.col("_metadata.file_path"))
+            .withColumn(
+                _FP_COL,
+                F.regexp_replace(_FP_COL, "^[a-zA-Z0-9+.-]+://?", "/"),
+            )
+            .withColumn(_FP_COL, F.regexp_replace(_FP_COL, "^//+", "/"))
+        )
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(
+                c,
+                F.lit(raw).cast(by_type[c])
+                if raw is not None
+                else F.lit(None).cast(by_type[c]),
+            )
+        parts.append(df)
+    if not parts:
+        return None, path_to_add
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, path_to_add
+
+
+def _commit_rewrite(
+    spark: SparkSession,
+    root: str,
+    current: int,
+    operation: str,
+    op_params: dict,
+    affected: list[str],
+    path_to_add: dict[str, dict],
+    adds: list[dict],
+    ts: int,
+) -> int:
+    """Commit a file rewrite (removes for ``affected`` + ``adds``) as
+    version current+1 with dataChange=true."""
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": operation,
+                "operationParameters": op_params,
+                "engineInfo": "rtdl-spark native-delta-writer/1",
+            }
+        }
+    ]
+    for p in affected:
+        a = path_to_add[p]
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                    "extendedFileMetadata": True,
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds)
+    if not _try_commit(spark, root, current + 1, actions):
+        raise DeltaConcurrentWriteError(
+            f"concurrent commit during {operation} — re-run (the staged "
+            "files are unreferenced and reclaimable by vacuum)"
+        )
+    return current + 1
+
+
+def _rewrite_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    set_exprs: dict[str, str] | None,
+    operation: str,
+) -> dict:
+    """Shared DELETE WHERE / UPDATE WHERE engine: one identify pass finds
+    the files containing predicate matches; only those are rewritten
+    (survivors kept verbatim, matched rows dropped or transformed) in
+    one distributed staging write. Rows where the predicate is NULL are
+    kept untouched (SQL WHERE semantics). O(1) Spark jobs regardless of
+    affected-file count."""
+    root = table_dir.rstrip("/")
+    protocol, meta, active, current, _txns = snapshot_actions(spark, root)
+    _check_protocol(protocol)
+    _check_writer_protocol(protocol)
+    _check_no_invariants(meta)
+    if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
+        raise ValueError(
+            f"table is delta.appendOnly=true; {operation} rewrites"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    if set_exprs:
+        bad = [c for c in set_exprs if c not in schema.fieldNames()]
+        if bad:
+            raise ValueError(f"SET columns not in the table schema: {bad}")
+
+    tbl, path_to_add = _active_scan(spark, root, meta, active)
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    if tbl is None:
+        return {"version": None, "files_rewritten": 0, "files_added": 0}
+    affected = sorted(
+        r[_FP_COL]
+        for r in tbl.filter(cond).select(_FP_COL).distinct().collect()
+    )
+    if not affected:
+        return {"version": None, "files_rewritten": 0, "files_added": 0}
+
+    arows, _ = _active_scan(spark, root, meta, active, subset=affected)
+    arows = arows.drop(_FP_COL)
+    col_order = [f.name for f in schema.fields]
+    out = arows.filter(~cond)
+    if set_exprs is not None:
+        updated = arows.filter(cond)
+        for c, e in set_exprs.items():
+            updated = updated.withColumn(
+                c, F.expr(e).cast(schema[c].dataType)
+            )
+        out = out.unionByName(updated.select(*col_order))
+
+    staging = posixpath.join(
+        root, f"_{operation.lower()}-{uuid.uuid4().hex[:12]}"
+    )
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    try:
+        adds = _promote_staged(spark, root, staging, part_cols, True)
+    finally:
+        fsutil.delete(spark, staging)
+    version = _commit_rewrite(
+        spark,
+        root,
+        current,
+        operation,
+        {"predicate": condition, "set": json.dumps(set_exprs or {})},
+        affected,
+        path_to_add,
+        adds,
+        _now_ms(),
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(affected),
+        "files_added": len(adds),
+    }
+
+
+def delete_where_delta_native(
+    spark: SparkSession, table_dir: str, condition: str
+) -> dict:
+    """DELETE FROM <table> WHERE <condition>: rows matching the SQL
+    predicate are removed by rewriting ONLY the files that contain them
+    (the delete_by_keys discipline on the Delta log — untouched files
+    keep their add entries). NULL-predicate rows are kept, per SQL."""
+    return _rewrite_where(spark, table_dir, condition, None, "DELETE")
+
+
+def update_where_delta_native(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    set_exprs: dict[str, str],
+) -> dict:
+    """UPDATE <table> SET col = expr, ... WHERE <condition>: matching
+    rows are transformed (expressions may reference any table column,
+    including changing PARTITION columns — rows then migrate directories
+    via the staged partitioned write), everything else is kept verbatim;
+    only match-bearing files are rewritten."""
+    if not set_exprs:
+        raise ValueError("UPDATE needs at least one SET column")
+    return _rewrite_where(
+        spark, table_dir, condition, set_exprs, "UPDATE"
+    )
+
+
 def merge_into_delta_native(
     spark: SparkSession,
     table_dir: str,
@@ -567,62 +781,15 @@ def merge_into_delta_native(
                 "nondeterministic match (dedupe the source first)"
             )
 
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
-    by_type = {f.name: f.dataType for f in schema.fields}
-    fp_col = "rtdl_merge_fp"
-
-    def _scan_with_fp(paths_by_key: dict) -> DataFrame | None:
-        """Active-file scan with injected partition columns AND the
-        normalized source file path."""
-        parts = []
-        for key, paths in sorted(paths_by_key.items()):
-            df = (
-                spark.read.schema(data_schema)
-                .parquet(*paths)
-                .withColumn(fp_col, F.col("_metadata.file_path"))
-                .withColumn(
-                    fp_col,
-                    F.regexp_replace(
-                        fp_col, "^[a-zA-Z0-9+.-]+://?", "/"
-                    ),
-                )
-                .withColumn(fp_col, F.regexp_replace(fp_col, "^//+", "/"))
-            )
-            for c, raw in zip(part_cols, key):
-                df = df.withColumn(
-                    c,
-                    F.lit(raw).cast(by_type[c])
-                    if raw is not None
-                    else F.lit(None).cast(by_type[c]),
-                )
-            parts.append(df)
-        if not parts:
-            return None
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    groups: dict[tuple, list[str]] = {}
-    path_to_add: dict[str, dict] = {}
-    for a in active.values():
-        pvals = a.get("partitionValues") or {}
-        key = tuple(pvals.get(c) for c in part_cols)
-        abs_path = posixpath.join(root, urllib.parse.unquote(a["path"]))
-        groups.setdefault(key, []).append(abs_path)
-        path_to_add[abs_path] = a
-
-    tbl = _scan_with_fp(groups)
+    tbl, path_to_add = _active_scan(spark, root, meta, active)
     keys = src.select(*on).distinct()
     # matched="ignore" keeps matched rows as they are — no file needs
     # rewriting, so the identify pass is skipped entirely
     if tbl is not None and when_matched != "ignore":
         affected = sorted(
-            r[fp_col]
+            r[_FP_COL]
             for r in tbl.join(keys, on, "left_semi")
-            .select(fp_col)
+            .select(_FP_COL)
             .distinct()
             .collect()
         )
@@ -633,14 +800,10 @@ def merge_into_delta_native(
     pieces = []
     col_order = [f.name for f in schema.fields]
     if affected:
-        agroups: dict[tuple, list[str]] = {}
-        for p in affected:
-            a = path_to_add[p]
-            pvals = a.get("partitionValues") or {}
-            agroups.setdefault(
-                tuple(pvals.get(c) for c in part_cols), []
-            ).append(p)
-        arows = _scan_with_fp(agroups).drop(fp_col)
+        arows, _ = _active_scan(
+            spark, root, meta, active, subset=affected
+        )
+        arows = arows.drop(_FP_COL)
         pieces.append(arows.join(keys, on, "left_anti"))
         if when_matched == "update":
             pieces.append(

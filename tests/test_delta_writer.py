@@ -602,6 +602,62 @@ def test_merge_into_update_insert_delete(spark, tmp_path):
     assert read_delta_native(spark, table, version=1).count() == 105
 
 
+def test_delete_where_and_update_where(spark, tmp_path):
+    """The DML pair on a partitioned table: DELETE WHERE rewrites only
+    match-bearing files (NULL-predicate rows kept per SQL), UPDATE WHERE
+    transforms matches — including moving rows to a DIFFERENT partition
+    when the SET touches a partition column."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        update_where_delta_native,
+    )
+
+    table = str(tmp_path / "dml1")
+    base = spark.range(0, 60).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") * 2)
+        .alias("v"),
+    )
+    write_delta_native(
+        spark, base, table, partition_by=["p"], checkpoint_interval=0
+    )
+    _, _, active0, _, _ = snapshot_actions(spark, table)
+
+    # DELETE WHERE v > 100 — NULL v rows must survive
+    res = delete_where_delta_native(spark, table, "v > 100")
+    assert res["version"] == 1 and res["files_rewritten"] >= 1
+    got = read_delta_native(spark, table)
+    assert got.filter("v > 100").count() == 0
+    assert got.filter("v IS NULL").count() == 6
+    assert got.count() == 60 - base.filter("v > 100").count()
+
+    # no-match predicate is a version-less no-op
+    res2 = delete_where_delta_native(spark, table, "v > 100000")
+    assert res2["version"] is None
+
+    # UPDATE WHERE moving rows across partitions (SET touches p)
+    res3 = update_where_delta_native(
+        spark, table, "id < 6", {"p": "9", "v": "-id"}
+    )
+    assert res3["version"] == 2
+    after = read_delta_native(spark, table)
+    moved = after.filter("p = 9")
+    assert moved.count() == 6
+    assert {r["v"] for r in moved.collect()} == {0, -1, -2, -3, -4, -5}
+    assert after.count() == got.count()
+    # the new partition directory exists on disk
+    assert os.path.isdir(os.path.join(table, "p=9"))
+    # time travel still sees both prior states
+    assert read_delta_native(spark, table, version=0).count() == 60
+
+    with pytest.raises(ValueError, match="SET columns"):
+        update_where_delta_native(spark, table, "id < 2", {"nope": "1"})
+    with pytest.raises(ValueError, match="at least one SET"):
+        update_where_delta_native(spark, table, "id < 2", {})
+
+
 def test_merge_guards(spark, tmp_path):
     """Duplicate source keys and schema drift are refused loudly."""
     from rtdl_spark.sources.delta_writer import merge_into_delta_native
