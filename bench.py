@@ -61,6 +61,12 @@ CORE_R4 = CORE_R3 + (
     "x_knn_graph_ivf_full",
 )
 
+# The exact 23-entry set of round 5 (core_r4 + the native-Delta lifecycle
+# twin) — frozen so round 6 compares one field.
+CORE_R5 = CORE_R4 + (
+    "x_delta_lifecycle_full",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -117,6 +123,7 @@ def main() -> None:
     core16 = [n for n in HEADLINE[:16] if n in timings]
     core_r3 = [n for n in CORE_R3 if n in timings]
     core_r4 = [n for n in CORE_R4 if n in timings]
+    core_r5 = [n for n in CORE_R5 if n in timings]
     print(
         json.dumps(
             {
@@ -136,6 +143,10 @@ def main() -> None:
                 ),
                 "core_r4_min_sec": round(
                     sum(timings_min[n] for n in core_r4), 4
+                ),
+                "core_r5_sec": round(sum(timings[n] for n in core_r5), 4),
+                "core_r5_min_sec": round(
+                    sum(timings_min[n] for n in core_r5), 4
                 ),
                 "load1_start": load1_start,
                 "load1_end": load1_end,
