@@ -134,6 +134,27 @@ def _schema_key(schema_json: str) -> list[tuple[str, object]]:
     return [(f["name"], f["type"]) for f in fields]
 
 
+def _merge_schemas(table_schema_json: str, df_schema) -> str:
+    """Schema evolution: table fields in their existing order, then any
+    NEW df fields appended (forced nullable — old files null-fill them).
+    A shared name with a different type is a conflict, not an evolution."""
+    t = json.loads(table_schema_json)
+    existing = {f["name"]: f for f in t.get("fields") or []}
+    for f in df_schema.jsonValue()["fields"]:
+        have = existing.get(f["name"])
+        if have is not None:
+            if have["type"] != f["type"]:
+                raise ValueError(
+                    f"mergeSchema type conflict on {f['name']!r}: table "
+                    f"{have['type']} vs frame {f['type']}"
+                )
+        else:
+            nf = dict(f)
+            nf["nullable"] = True
+            t["fields"].append(nf)
+    return json.dumps(t)
+
+
 def _unescape_hive(value: str) -> str | None:
     if value == _HIVE_NULL:
         return None
@@ -249,6 +270,7 @@ def write_delta_native(
     with_stats: bool = True,
     max_retries: int = 5,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` to a Delta table at ``table_dir`` (creating it on
     first write) and return the committed version.
@@ -259,6 +281,13 @@ def write_delta_native(
     Appends to an existing table require an identical schema (names +
     types) and partitioning; pass ``partition_by=None`` to inherit the
     table's existing partition columns.
+
+    ``merge_schema=True`` is Delta's schema evolution on append: columns
+    the table doesn't know yet are APPENDED to its metaData (a new
+    metaData action in the same commit), columns the frame lacks stay —
+    readers fill them with null for the new files, exactly how parquet
+    missing-column reads behave. A TYPE CONFLICT on a shared column name
+    is still refused (evolution adds columns, it never mutates them).
 
     ``txn=(app_id, version)`` attaches the protocol's SetTransaction
     action — the exactly-once handshake for streaming writers: if the
@@ -297,11 +326,17 @@ def write_delta_native(
         list(partition_by) if partition_by is not None else existing_parts
     )
     schema_json = df.schema.json()
+    commit_schema_json = schema_json  # what a metaData action would carry
     if meta is not None and mode == "append":
-        if _schema_key(schema_json) != _schema_key(meta["schemaString"]):
+        if merge_schema:
+            commit_schema_json = _merge_schemas(
+                meta["schemaString"], df.schema
+            )
+        elif _schema_key(schema_json) != _schema_key(meta["schemaString"]):
             raise ValueError(
                 "append schema mismatch vs the table's metaData "
-                "(names/types must match exactly; overwrite to replace)"
+                "(names/types must match exactly; overwrite to replace, "
+                "or merge_schema=True to evolve by adding columns)"
             )
         if part_cols != existing_parts:
             raise ValueError(
@@ -344,17 +379,25 @@ def write_delta_native(
             _schema_key(schema_json) != _schema_key(meta["schemaString"])
             or part_cols != list(meta.get("partitionColumns") or [])
         )
+        evolving = (
+            mode == "append"
+            and meta is not None
+            and _schema_key(commit_schema_json)
+            != _schema_key(meta["schemaString"])
+        )
         if creating:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-        if creating or replacing_meta:
+        if creating or replacing_meta or evolving:
             actions.append(
                 {
                     "metaData": {
                         "id": str(uuid.uuid4()) if creating else meta["id"],
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema_json,
+                        "schemaString": commit_schema_json
+                        if evolving
+                        else schema_json,
                         "partitionColumns": part_cols,
                         "configuration": {},
                         "createdTime": ts
@@ -406,7 +449,13 @@ def write_delta_native(
         _check_writer_protocol(protocol)
         _check_no_invariants(meta)
         if mode == "append":
-            if _schema_key(schema_json) != _schema_key(meta["schemaString"]):
+            if merge_schema:
+                commit_schema_json = _merge_schemas(
+                    meta["schemaString"], df.schema
+                )
+            elif _schema_key(schema_json) != _schema_key(
+                meta["schemaString"]
+            ):
                 raise ValueError(
                     "append schema mismatch after concurrent commit"
                 )

@@ -138,6 +138,54 @@ def test_overwrite_tombstones_and_schema_change(spark, tmp_path):
         write_delta_native(spark, _frame(spark, 0, 3), table)
 
 
+def test_merge_schema_append_evolves_columns(spark, tmp_path):
+    """Schema evolution on append: a new column is APPENDED to metaData
+    in the same commit; old files null-fill it on read; a frame missing
+    an existing column is fine (its new files null-fill); a type
+    conflict on a shared name is refused."""
+    table = str(tmp_path / "ev1")
+    write_delta_native(spark, _frame(spark, 0, 5), table)
+
+    extra = spark.range(5, 8).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("x").alias("tag"),
+        F.lit(1.5).alias("score"),  # NEW column
+    )
+    v = write_delta_native(spark, extra, table, merge_schema=True)
+    assert v == 1
+    meta = [a for a in _log_actions(table, 1) if "metaData" in a][0]
+    fields = json.loads(meta["metaData"]["schemaString"])["fields"]
+    assert [f["name"] for f in fields] == ["id", "v", "tag", "score"]
+    assert fields[-1]["nullable"] is True
+
+    got = read_delta_native(spark, table)
+    assert got.columns == ["id", "v", "tag", "score"]
+    assert got.filter("score IS NULL").count() == 5  # old files null-fill
+    assert got.filter("score = 1.5").count() == 3
+
+    # frame LACKING an existing column: its rows null-fill that column
+    narrow = spark.range(8, 10).select(
+        F.col("id"), F.lit(2.5).alias("score")
+    )
+    v2 = write_delta_native(spark, narrow, table, merge_schema=True)
+    # no metaData action: the schema did not change
+    assert not any("metaData" in a for a in _log_actions(table, v2))
+    got = read_delta_native(spark, table)
+    assert got.count() == 10
+    assert got.filter("id >= 8 AND v IS NULL").count() == 2
+
+    # type conflict refused
+    bad = spark.range(0, 1).select(
+        F.col("id"), F.lit("oops").alias("score")
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        write_delta_native(spark, bad, table, merge_schema=True)
+    # without merge_schema the drift is still a hard error
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta_native(spark, narrow, table)
+
+
 def test_append_only_table_blocks_overwrite(spark, tmp_path):
     """delta.appendOnly=true in an existing table's configuration must
     refuse overwrites (the protocol's writer requirement)."""

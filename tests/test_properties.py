@@ -673,3 +673,92 @@ def test_image_ahash_kernel_properties(payload):
         if len(payload) == n:
             ppm2 = make_ppm(shifted, 16, len(payload) // 16, 1)
             assert image_hash_bits(ppm2, "ppm", "ahash") == hv
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["append", "overwrite", "merge", "delete", "optimize", "ckpt"]
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_delta_native_stack_matches_log_model(
+    spark, tmp_path_factory, ops
+):
+    """ANY sequence of append/overwrite/MERGE/DELETE WHERE/OPTIMIZE/
+    checkpoint against the NATIVE Delta writer yields, at EVERY committed
+    version, exactly the rows a pure-Python model of the ops predicts —
+    the strongest single correctness statement about the protocol
+    implementation (covers commit ordering, tombstone replay, metaData
+    replacement, dataChange=false rewrites, checkpoint-bounded replay
+    with time travel across the checkpoint)."""
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        merge_into_delta_native,
+        optimize_delta_native,
+        write_checkpoint_native,
+        write_delta_native,
+    )
+
+    root = str(tmp_path_factory.mktemp("delta_prop")) + "/t"
+
+    def frame(pairs):
+        return spark.createDataFrame(sorted(pairs.items()), "id long, v long")
+
+    states: list[dict[int, int]] = []  # model: rows at each version
+    cur: dict[int, int] = {}
+    next_id = 0
+    exists = False
+
+    for op in ops:
+        if op == "ckpt":
+            if exists:
+                write_checkpoint_native(spark, root)
+            continue
+        if op in ("append", "overwrite"):
+            ids = {next_id: next_id * 10, next_id + 1: (next_id + 1) * 10}
+            next_id += 2
+            write_delta_native(
+                spark, frame(ids), root,
+                mode=op, checkpoint_interval=0,
+            )
+            cur = dict(ids) if op == "overwrite" else {**cur, **ids}
+            exists = True
+        elif op == "merge":
+            if not exists:
+                continue
+            upd = {k: -k for k in sorted(cur)[:1]}  # update lowest key
+            ins = {next_id: next_id * 10}
+            next_id += 1
+            res = merge_into_delta_native(
+                spark, root, frame({**upd, **ins}), on=["id"]
+            )
+            assert res["version"] is not None
+            cur = {**cur, **upd, **ins}
+        elif op == "delete":
+            if not exists:
+                continue
+            res = delete_where_delta_native(spark, root, "id % 3 = 0")
+            model_hit = any(k % 3 == 0 for k in cur)
+            assert (res["version"] is not None) == model_hit, ops
+            if not model_hit:
+                continue
+            cur = {k: v for k, v in cur.items() if k % 3 != 0}
+        elif op == "optimize":
+            if not exists:
+                continue
+            res = optimize_delta_native(spark, root, min_files=2)
+            if res["version"] is None:
+                continue  # nothing worth compacting: no commit, no state
+        states.append(dict(cur))
+
+    for ver, want in enumerate(states):
+        got = {
+            r["id"]: r["v"]
+            for r in read_delta_native(spark, root, version=ver).collect()
+        }
+        assert got == want, (ops, ver)
