@@ -357,3 +357,84 @@ def stream_exec_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "stream_exec_delta_source",
+    # the sink accumulated TWO incremental passes over a table that was
+    # OPTIMIZE-compacted between them: any offset error double-emits or
+    # drops rows and any dataChange=false mishandling re-emits the whole
+    # table — the oracle's exact counts/sums catch both
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM({DEC('value')}) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 4 = 0
+    GROUP BY event_type
+    """,
+)
+def stream_exec_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta STREAMING SOURCE executed end-to-end
+    (sources/delta_stream_source.py — a Spark-4 Python Data Source whose
+    offsets are commit versions, reading added files as Arrow batches):
+    commit 1 streams into a parquet sink; the table then receives commit
+    2 AND an OPTIMIZE rewrite; the stream restarts on its checkpoint and
+    must emit exactly the new commit — the optimize's dataChange=false
+    files re-emit nothing. The sink's aggregate is hash-verified against
+    the batch SQL over the same source rows."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_stream_source import DeltaStreamDataSource
+    from rtdl_spark.sources.delta_writer import (
+        optimize_delta_native,
+        write_delta_native,
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_dsource_", dir=shm)
+    try:
+        root = os.path.join(workdir, "dtbl")
+        out = os.path.join(workdir, "sink")
+        ckpt = os.path.join(workdir, "ckpt")
+        ev = (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 4 == 0)
+            .select("event_id", "event_type", "value")
+        )
+
+        def run_pass():
+            q = (
+                spark.readStream.format("rtdl_delta_stream")
+                .option("path", root)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+
+        write_delta_native(
+            spark, ev.filter(F.col("event_id") % 8 == 0), root,
+            checkpoint_interval=0,
+        )
+        run_pass()
+        write_delta_native(
+            spark, ev.filter(F.col("event_id") % 8 == 4), root,
+            checkpoint_interval=0,
+        )
+        optimize_delta_native(spark, root, target_file_bytes=1 << 30)
+        run_pass()
+
+        agg = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            )
+        )
+        rows = agg.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

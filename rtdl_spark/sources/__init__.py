@@ -3,6 +3,7 @@ from rtdl_spark.sources.delta_reader import (
     last_txn_version,
     read_delta_native,
 )
+from rtdl_spark.sources.delta_stream_source import DeltaStreamDataSource
 from rtdl_spark.sources.delta_writer import (
     delete_where_delta_native,
     merge_into_delta_native,
@@ -23,6 +24,7 @@ from rtdl_spark.sources.readers import (
 )
 
 __all__ = [
+    "DeltaStreamDataSource",
     "delta_available",
     "delta_history",
     "last_txn_version",

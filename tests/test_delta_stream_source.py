@@ -1,0 +1,123 @@
+"""Streaming SOURCE over native Delta tables
+(sources/delta_stream_source.py): the commit log is the offset axis —
+micro-batches are exactly the files added by new commits, OPTIMIZE's
+dataChange=false rewrites are never re-emitted, schema evolution
+null-fills, and a cleaned-up tail fails loudly."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rtdl_spark.sources.delta_stream_source import DeltaStreamDataSource
+from rtdl_spark.sources.delta_writer import (
+    optimize_delta_native,
+    write_delta_native,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(DeltaStreamDataSource)
+    return spark
+
+
+def _run_once(spark, table, out, ckpt):
+    q = (
+        spark.readStream.format("rtdl_delta_stream")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_source_tails_commits_and_skips_optimize(
+    registered, tmp_path
+):
+    """Initial snapshot, then ONLY new commits on restart; an OPTIMIZE
+    between runs re-emits nothing (dataChange=false)."""
+    spark = registered
+    table, out, ckpt = (
+        str(tmp_path / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    df = spark.range(0, 12).select(
+        "id", (F.col("id") % 3).cast("int").alias("p")
+    )
+    write_delta_native(
+        spark, df, table, partition_by=["p"], checkpoint_interval=0
+    )
+    _run_once(spark, table, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    assert dict(got.dtypes)["p"] == "int"  # partition col injected, typed
+    assert got.filter("p = 2").count() == 4
+
+    write_delta_native(
+        spark,
+        spark.range(12, 17).select(
+            "id", (F.col("id") % 3).cast("int").alias("p")
+        ),
+        table,
+        checkpoint_interval=0,
+    )
+    optimize_delta_native(spark, table, target_file_bytes=1 << 30)
+    _run_once(spark, table, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 17  # 5 new rows, ZERO re-emitted by optimize
+    assert got.distinct().count() == 17
+    assert sorted(r["id"] for r in got.collect()) == list(range(17))
+
+    # nothing new -> the next run emits nothing
+    _run_once(spark, table, out, ckpt)
+    assert spark.read.parquet(out).count() == 17
+
+
+def test_stream_source_schema_evolution_null_fills(registered, tmp_path):
+    """Files written before an evolved column appeared stream with that
+    column null-filled (the reader plans against the LATEST schema)."""
+    spark = registered
+    table = str(tmp_path / "t2")
+    write_delta_native(
+        spark, spark.range(0, 4).select("id"), table, checkpoint_interval=0
+    )
+    write_delta_native(
+        spark,
+        spark.range(4, 6).select("id", F.lit(1.5).alias("score")),
+        table,
+        merge_schema=True,
+        checkpoint_interval=0,
+    )
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    _run_once(spark, table, out, ckpt)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id", "score"}
+    assert got.filter("score IS NULL").count() == 4
+    assert got.filter("score = 1.5").count() == 2
+
+
+def test_stream_source_missing_commit_fails_loudly(registered, tmp_path):
+    """A cleaned-up tail inside the replay range is an error, never a
+    silent gap."""
+    spark = registered
+    table = str(tmp_path / "t3")
+    for i in range(3):
+        write_delta_native(
+            spark,
+            spark.range(i * 2, i * 2 + 2).select("id"),
+            table,
+            checkpoint_interval=0,
+        )
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    out, ckpt = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+    with pytest.raises(Exception, match="cleaned up|missing"):
+        _run_once(spark, table, out, ckpt)
