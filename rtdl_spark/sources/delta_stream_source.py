@@ -121,9 +121,23 @@ class _DeltaStreamReader(DataSourceStreamReader):
         if not self.table_dir:
             raise ValueError("rtdl_delta_stream requires .option('path', ...)")
         self.schema = schema
+        self.starting_version = options.get(
+            "startingVersion", options.get("startingversion")
+        )
 
     def initialOffset(self):
-        return {"version": -1}
+        """Default: replay from version 0 (full history). With
+        .option("startingVersion", N) the stream begins AT commit N;
+        "latest" streams only commits after the current tip — the option
+        a VACUUMed table needs, since its early add files no longer
+        exist (same semantics and same reason as delta-spark's)."""
+        sv = self.starting_version
+        if sv is None:
+            return {"version": -1}
+        if str(sv).lower() == "latest":
+            versions = _commit_versions(self.table_dir)
+            return {"version": versions[-1] if versions else -1}
+        return {"version": int(sv) - 1}
 
     def latestOffset(self):
         versions = _commit_versions(self.table_dir)

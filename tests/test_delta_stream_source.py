@@ -105,6 +105,63 @@ def test_stream_source_schema_evolution_null_fills(registered, tmp_path):
     assert got.filter("score = 1.5").count() == 2
 
 
+def test_stream_source_starting_version(registered, tmp_path):
+    """startingVersion=N begins AT commit N; 'latest' streams only
+    commits after the current tip — the regime a VACUUMed table needs,
+    since its early files are gone (same option as delta-spark)."""
+    spark = registered
+    table = str(tmp_path / "t4")
+    for i in range(3):
+        write_delta_native(
+            spark,
+            spark.range(i * 10, i * 10 + 10).select("id"),
+            table,
+            checkpoint_interval=0,
+        )
+
+    out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+    q = (
+        spark.readStream.format("rtdl_delta_stream")
+        .option("path", table)
+        .option("startingVersion", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out1)
+        .option("checkpointLocation", ck1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.read.parquet(out1).collect())
+    assert got == list(range(20, 30))  # only commit 2
+
+    # 'latest': nothing until a NEW commit lands
+    out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+
+    def run_latest():
+        q = (
+            spark.readStream.format("rtdl_delta_stream")
+            .option("path", table)
+            .option("startingVersion", "latest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out2)
+            .option("checkpointLocation", ck2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_latest()
+    write_delta_native(
+        spark, spark.range(100, 103).select("id"), table,
+        checkpoint_interval=0,
+    )
+    run_latest()
+    got = sorted(r["id"] for r in spark.read.parquet(out2).collect())
+    assert got == [100, 101, 102]
+
+
 def test_stream_source_missing_commit_fails_loudly(registered, tmp_path):
     """A cleaned-up tail inside the replay range is an error, never a
     silent gap."""

@@ -89,7 +89,7 @@ def main() -> None:
             f"{time.perf_counter() - t0:.1f}s"
         )
 
-        (proto, meta, active, v), _ = timed(
+        (proto, meta, active, v, _txns), _ = timed(
             f"snapshot_actions, {commits}-commit JSON tail, NO checkpoint",
             lambda: snapshot_actions(spark, table),
         )
@@ -114,6 +114,41 @@ def main() -> None:
             ),
         )
         print(f"  optimize: {res}")
+
+        # streaming source BEFORE vacuum: the full-history pass reads the
+        # original dataChange=true files (optimize's rewrites are
+        # skipped); after vacuum a from-0 replay would correctly fail on
+        # the deleted files — that regime needs startingVersion=latest
+        from rtdl_spark.sources.delta_stream_source import (
+            DeltaStreamDataSource,
+        )
+
+        spark.dataSource.register(DeltaStreamDataSource)
+        sink = os.path.join(work, "sink")
+        ckpt = os.path.join(work, "ckpt")
+
+        def stream_pass(label):
+            def go():
+                q = (
+                    spark.readStream.format("rtdl_delta_stream")
+                    .option("path", table)
+                    .load()
+                    .writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(600)
+
+            timed(label, go)
+
+        stream_pass(
+            f"stream source: full-history pass ({commits * rows_per} rows"
+            f" / {len(active)} files)"
+        )
+        print(f"  sink rows: {spark.read.parquet(sink).count()}")
+
         gone, _ = timed(
             "vacuum (retain 0)",
             lambda: vacuum_delta_native(spark, table, retain_ms=0),
@@ -123,6 +158,20 @@ def main() -> None:
             "full read after optimize+vacuum",
             lambda: read_delta_native(spark, table).count(),
         )
+
+        # incremental: one new commit; the checkpointed stream replays
+        # ONLY it (processed offsets never re-read the vacuumed files)
+        write_delta_native(
+            spark,
+            spark.range(0, rows_per).select(
+                F.col("id"), (F.col("id") % 7).cast("int").alias("p"),
+                (F.col("id") * 3).alias("v"),
+            ),
+            table,
+            checkpoint_interval=0,
+        )
+        stream_pass("stream source: ONE-commit incremental batch")
+        print(f"  sink rows: {spark.read.parquet(sink).count()}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
