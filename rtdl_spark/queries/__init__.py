@@ -45,52 +45,52 @@ CANARIES: tuple[str, ...] = (
     "multimodal_binary_stats",   # multimodal (§2C)
 )
 
-# Round-5 rotation: the 3 red-latest approx aggregates (fixed in r3,
-# re-served under the amended invariant so the ledger's only FAILs get
-# green rows), the first-ever streaming-EXECUTED entries, the newly
-# oracle-backed ML pair (kmeans exact-replay unroll + logreg exact step),
-# the never-served lake-maintenance family, the r4-new multimodal
-# image/video/audio oracles, the PQ/IVF-PQ/kNN-graph similarity bulk,
-# and one each from the smaller never-served pools.
+# Round-6 rotation: the ENTIRE never-served native-Delta family lands
+# first (the r5 verdict's top item — the stack shipped after the r5 head
+# was fixed, so none of its seven oracle-backed queries has an external
+# row yet), plus the r5-new JPEG roundtrip and the two streaming-executed
+# entries that missed the r5 head, then a round-robin spread over the
+# remaining never-served pool (join/json/lake/ml/multimodal/scalar/setop/
+# sim/source/sql/text/udaf/udf/win/x families).
 ROTATION: tuple[str, ...] = (
-    "agg_approx_count_distinct",
-    "agg_approx_percentiles",
-    "agg_freq_items",
-    "stream_exec_tumbling_counts",
-    "stream_exec_ohlc_candles",
-    "stream_exec_session_counts",
-    "ml_kmeans_embeddings",
-    "ml_logreg_exact_step",
-    "lake_delete_by_keys",
-    "lake_hll_sketch_rollup",
-    "lake_snapshot_diff",
-    "lake_incremental_rollup",
-    "lake_histogram_price",
-    "lake_footer_stats",
-    "multimodal_image_resize",
-    "multimodal_image_ahash",
-    "multimodal_video_frames",
-    "multimodal_audio_segments",
-    "multimodal_dedup_clusters",
-    "sim_pq_topk",
-    "sim_ivf_pq_topk",
-    "sim_index_ivf_pq",
-    "sim_mmr_rerank",
-    "sim_knn_graph",
-    "sim_knn_graph_ivf",
-    "sim_mutual_knn_clusters",
-    "graph_pagerank_docs",
-    "join_broadcast_nation_rollup",
-    "join_range_part_size_pairs",
-    "json_tuple_extract",
-    "scalar_pii_mask_extended",
-    "setop_intersect_nations",
-    "source_python_datasource",
-    "sql_lateral_top_order",
-    "text_quality_classifier",
-    "text_training_shards",
-    "udtf_tokenize_positions",
-    "win_time_spine_gap_fill",
+    "lake_delta_native_read",
+    "lake_delta_native_write",
+    "lake_delta_optimize",
+    "lake_delta_merge",
+    "lake_delta_dml",
+    "stream_exec_delta_sink",
+    "stream_exec_delta_source",
+    "x_delta_lifecycle_full",
+    "multimodal_image_jpeg_roundtrip",
+    "stream_exec_sliding_counts",
+    "stream_exec_dedup_within_watermark",
+    "join_theta_acctbal_dominance",
+    "json_map_keys",
+    "lake_histogram_equidepth",
+    "ml_confusion_matrix",
+    "multimodal_feature_extract",
+    "scalar_array_explode",
+    "setop_union_all_parties",
+    "sim_threshold_pairs_by_label",
+    "source_orc_roundtrip",
+    "sql_revenue_by_region",
+    "text_token_stats_by_lang",
+    "udaf_grouped_arrow_trimmed_mean",
+    "udf_pandas_cosine_probe",
+    "win_first_last_value",
+    "join_asof_tolerance_error_context",
+    "lake_skew_report",
+    "ml_per_class_prf",
+    "multimodal_wav_segments",
+    "scalar_conditional_funcs",
+    "setop_except_nations",
+    "sim_embedding_norms",
+    "source_binaryfile_scan",
+    "sql_exists_in_scalar_subqueries",
+    "text_quality_filter_summary",
+    "udf_window_pandas_mad",
+    "win_topk_partial_prune",
+    "x_allpairs_blocked_full",
 )
 
 DRIVER_HEAD: tuple[str, ...] = CANARIES + ROTATION
