@@ -127,7 +127,14 @@ def snapshot_actions(
     modificationTime, stats, partitionValues) are what the native WRITER
     and checkpointer need; the txn map is the protocol's SetTransaction
     state — how a streaming writer knows which epochs already committed;
-    plain reads use the ``snapshot_state`` projection below."""
+    plain reads use the ``snapshot_state`` projection below.
+
+    Scale note: this materializes the ACTIVE FILE SET on the driver —
+    inherent for scan planning (delta-spark's Snapshot does the same),
+    but NOT for control-plane questions. Appends / txn watermarks use
+    ``snapshot_control`` (zero per-file work); distributed maintenance
+    (vacuum) plans against ``snapshot_adds_frame`` (the checkpoint stays
+    a DataFrame; only the KB-scale JSON tail is driver-parsed)."""
     versions = _commit_versions(spark, table_dir)
     ckpt = _last_checkpoint(spark, table_dir)
     if not versions and ckpt is None:
@@ -192,9 +199,26 @@ def snapshot_actions(
                     txns[t["appId"]] = int(t["version"])
         start_after = cv
 
-    for v in versions:
-        if v <= start_after or v > target:
-            continue
+    # contiguity: the replay range must be gap-free from the checkpoint
+    # (or from 0) — a foreign table whose early commits were cleaned up
+    # would otherwise silently replay to a SMALLER active set instead of
+    # erroring (the stream source already raises loudly on a missing
+    # commit; the batch reader must too)
+    lo = start_after + 1
+    replay = [v for v in versions if lo <= v <= target]
+    if replay != list(range(lo, target + 1)):
+        have = set(replay)
+        first_missing = next(
+            v for v in range(lo, target + 1) if v not in have
+        )
+        raise ValueError(
+            f"Delta log at {table_dir} is missing commit "
+            f"{first_missing:020d}.json — replay to version {target} "
+            f"needs contiguous commits {lo}..{target} (commits were "
+            "cleaned up without a checkpoint covering them)"
+        )
+
+    for v in replay:
         cpath = posixpath.join(_log_dir(table_dir), f"{v:020d}.json")
         for action in _read_json_lines(spark, cpath):
             if "protocol" in action:

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import re
 import time
 import urllib.parse
 import uuid
@@ -81,7 +82,43 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 class DeltaConcurrentWriteError(RuntimeError):
-    """Raised when every commit attempt lost the version race."""
+    """Raised when every commit attempt lost the version race, or a
+    concurrent commit logically conflicts (metadata change / the files
+    this operation rewrote were removed by someone else)."""
+
+
+_URI_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+
+def _plain(p: str) -> str:
+    """Scheme-and-authority-less filesystem path of a possibly URI-formed
+    path — the exact form ``fsutil.list_files`` / ``_staged_counts`` /
+    ``Path.toUri().getPath()`` return. Every driver-side path COMPARISON
+    in this module happens in this form; fsutil CALLS go through
+    ``_fs_prefix``-qualified paths so a non-default FS (s3a://, hdfs://,
+    viewfs://) is still addressed on its own filesystem."""
+    if _URI_RE.match(p):
+        return urllib.parse.urlparse(p).path or "/"
+    return p
+
+
+def _fs_prefix(root: str) -> str:
+    """scheme://authority prefix of a URI-formed table root ("" for a
+    plain path) — prepend to a ``_plain`` path to address it through
+    fsutil on the root's own filesystem."""
+    plain = _plain(root)
+    if plain and root != plain and root.endswith(plain):
+        return root[: -len(plain)]
+    return ""
+
+
+def _fp_plain(col):
+    """SQL twin of ``_plain`` for ``_metadata.file_path`` values: strips
+    scheme://authority (hdfs://nn:8020/x → /x, file:///x → /x) and the
+    single-slash scheme:/ form (file:/x → /x)."""
+    c = F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    c = F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
+    return F.when(c == "", "/").otherwise(c)
 
 
 def _now_ms() -> int:
@@ -208,7 +245,11 @@ def _promote_staged(
         return []
     counts = _staged_counts(spark, staging) if with_stats else {}
     root = table_dir.rstrip("/")
-    stage_prefix = staging.rstrip("/") + "/"
+    # list_files paths are scheme-less; compare against the staging dir's
+    # plain form (a URI-formed table_dir would otherwise never prefix-match
+    # and partitioned promotes would lose their partition directories)
+    stage_prefix = _plain(staging).rstrip("/") + "/"
+    fs_prefix = _fs_prefix(root)
     adds = []
     for path, size in staged:
         name = posixpath.basename(path)
@@ -227,7 +268,7 @@ def _promote_staged(
         dest = posixpath.join(root, rel)
         if len(segs) > 1:
             fsutil.mkdirs(spark, posixpath.dirname(dest))
-        if not fsutil.rename(spark, path, dest):
+        if not fsutil.rename(spark, fs_prefix + path, dest):
             raise IOError(f"failed to move staged file {path} -> {dest}")
         add = {
             "path": urllib.parse.quote(rel, safe="/="),
@@ -562,10 +603,12 @@ def _active_scan(
     active: dict[str, dict],
     subset: list[str] | None = None,
 ) -> tuple[DataFrame | None, dict[str, dict]]:
-    """Scan the active file set (optionally restricted to ``subset`` abs
-    paths) with partition columns injected from the log and the
-    normalized source file path as ``_FP_COL`` → (frame | None if empty,
-    {abs path: add action})."""
+    """Scan the active file set (optionally restricted to ``subset``
+    plain abs paths) with partition columns injected from the log and the
+    plain source file path as ``_FP_COL`` → (frame | None if empty,
+    {plain abs path: add action}). Both the map keys and the _FP_COL
+    values are in ``_plain`` form, so collected _FP_COL values round-trip
+    as lookups/subsets regardless of the table_dir's scheme."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     data_schema = StructType(
@@ -574,11 +617,13 @@ def _active_scan(
     by_type = {f.name: f.dataType for f in schema.fields}
     groups: dict[tuple, list[str]] = {}
     path_to_add: dict[str, dict] = {}
+    subset_set = None if subset is None else set(subset)
     for a in active.values():
         pvals = a.get("partitionValues") or {}
         abs_path = posixpath.join(root, urllib.parse.unquote(a["path"]))
-        path_to_add[abs_path] = a
-        if subset is not None and abs_path not in set(subset):
+        plain = _plain(abs_path)
+        path_to_add[plain] = a
+        if subset_set is not None and plain not in subset_set:
             continue
         groups.setdefault(
             tuple(pvals.get(c) for c in part_cols), []
@@ -588,12 +633,7 @@ def _active_scan(
         df = (
             spark.read.schema(data_schema)
             .parquet(*paths)
-            .withColumn(_FP_COL, F.col("_metadata.file_path"))
-            .withColumn(
-                _FP_COL,
-                F.regexp_replace(_FP_COL, "^[a-zA-Z0-9+.-]+://?", "/"),
-            )
-            .withColumn(_FP_COL, F.regexp_replace(_FP_COL, "^//+", "/"))
+            .withColumn(_FP_COL, _fp_plain(F.col("_metadata.file_path")))
         )
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
@@ -611,50 +651,113 @@ def _active_scan(
     return out, path_to_add
 
 
+def _meta_key(meta: dict) -> tuple:
+    """The metaData facets a rewrite plan depends on — any concurrent
+    change to these invalidates the staged files."""
+    return (
+        meta.get("id"),
+        _schema_key(meta["schemaString"]),
+        tuple(meta.get("partitionColumns") or []),
+        tuple(sorted((meta.get("configuration") or {}).items())),
+    )
+
+
+def _remove_actions(
+    affected: list[str],
+    path_to_add: dict[str, dict],
+    ts: int,
+    data_change: bool = True,
+) -> list[dict]:
+    """Remove tombstones for the add actions behind the ``affected``
+    plain abs paths."""
+    out = []
+    for p in affected:
+        a = path_to_add[p]
+        out.append(
+            {
+                "path": a["path"],
+                "deletionTimestamp": ts,
+                "dataChange": data_change,
+                "extendedFileMetadata": True,
+                "partitionValues": a.get("partitionValues") or {},
+                "size": a.get("size"),
+            }
+        )
+    return out
+
+
 def _commit_rewrite(
     spark: SparkSession,
     root: str,
     current: int,
     operation: str,
     op_params: dict,
-    affected: list[str],
-    path_to_add: dict[str, dict],
+    removes: list[dict],
     adds: list[dict],
     ts: int,
+    planned_meta: dict,
+    max_retries: int = 5,
 ) -> int:
-    """Commit a file rewrite (removes for ``affected`` + ``adds``) as
-    version current+1 with dataChange=true."""
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": ts,
-                "operation": operation,
-                "operationParameters": op_params,
-                "engineInfo": "rtdl-spark native-delta-writer/1",
-            }
-        }
-    ]
-    for p in affected:
-        a = path_to_add[p]
-        actions.append(
+    """Commit a file rewrite (``removes`` tombstones + ``adds``) at the
+    next version, with BOUNDED CONFLICT RETRY on a lost commit race —
+    real Delta's OptimisticTransaction semantics rather than
+    fail-on-first-race: re-read the tip, verify the loser is still
+    logically valid against what landed, and try the next version.
+
+    A concurrent commit is COMPATIBLE iff (a) protocol still passes the
+    writer checks, (b) the metaData facets this plan depends on
+    (id/schema/partitioning/configuration) are unchanged, and (c) every
+    file this rewrite removes is STILL in the active set — i.e. the
+    interleaved commits were blind appends (or rewrites of disjoint
+    files). Anything else raises DeltaConcurrentWriteError, matching
+    delta-spark's ConcurrentAppend/ConcurrentDeleteRead exceptions
+    (the staged files are unreferenced and vacuum-reclaimable).
+
+    Documented divergence: like Delta's default WriteSerializable level,
+    a predicate rewrite (DELETE/UPDATE/MERGE) that retries over a
+    concurrent append does NOT re-apply its predicate to the concurrently
+    appended rows — they were not part of the snapshot this transaction
+    read. Strict Serializable would abort instead; callers wanting that
+    can pass max_retries=1."""
+    removed_rels = {r["path"] for r in removes}
+    for _attempt in range(max_retries):
+        actions: list[dict] = [
             {
-                "remove": {
-                    "path": a["path"],
-                    "deletionTimestamp": ts,
-                    "dataChange": True,
-                    "extendedFileMetadata": True,
-                    "partitionValues": a.get("partitionValues") or {},
-                    "size": a.get("size"),
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": operation,
+                    "operationParameters": op_params,
+                    "engineInfo": "rtdl-spark native-delta-writer/1",
                 }
             }
+        ]
+        actions.extend({"remove": r} for r in removes)
+        actions.extend({"add": a} for a in adds)
+        if _try_commit(spark, root, current + 1, actions):
+            return current + 1
+        protocol2, meta2, active2, current, _tx = snapshot_actions(
+            spark, root
         )
-    actions.extend({"add": a} for a in adds)
-    if not _try_commit(spark, root, current + 1, actions):
-        raise DeltaConcurrentWriteError(
-            f"concurrent commit during {operation} — re-run (the staged "
-            "files are unreferenced and reclaimable by vacuum)"
-        )
-    return current + 1
+        _check_protocol(protocol2)
+        _check_writer_protocol(protocol2)
+        if _meta_key(meta2) != _meta_key(planned_meta):
+            raise DeltaConcurrentWriteError(
+                f"concurrent METADATA change during {operation} — the "
+                "staged rewrite no longer matches the table (re-run; "
+                "staged files are unreferenced and vacuum-reclaimable)"
+            )
+        gone = sorted(removed_rels - set(active2))
+        if gone:
+            raise DeltaConcurrentWriteError(
+                f"concurrent commit removed files this {operation} "
+                f"rewrote ({gone[:3]}{'...' if len(gone) > 3 else ''}) — "
+                "re-run against the new snapshot (staged files are "
+                "unreferenced and vacuum-reclaimable)"
+            )
+    raise DeltaConcurrentWriteError(
+        f"lost the Delta commit race {max_retries} times during "
+        f"{operation} at {root}"
+    )
 
 
 def _rewrite_where(
@@ -720,16 +823,17 @@ def _rewrite_where(
         adds = _promote_staged(spark, root, staging, part_cols, True)
     finally:
         fsutil.delete(spark, staging)
+    ts = _now_ms()
     version = _commit_rewrite(
         spark,
         root,
         current,
         operation,
         {"predicate": condition, "set": json.dumps(set_exprs or {})},
-        affected,
-        path_to_add,
+        _remove_actions(affected, path_to_add, ts),
         adds,
-        _now_ms(),
+        ts,
+        meta,
     )
     return {
         "version": version,
@@ -855,10 +959,12 @@ def merge_into_delta_native(
         arows = arows.drop(_FP_COL)
         pieces.append(arows.join(keys, on, "left_anti"))
         if when_matched == "update":
+            # one output row PER MATCHED TARGET ROW (not per source row):
+            # Delta MERGE's UPDATE SET * preserves target cardinality, so
+            # duplicate-key target rows each become a copy of the source
+            # row rather than collapsing to one
             pieces.append(
-                src.join(
-                    arows.select(*on).distinct(), on, "left_semi"
-                ).select(*col_order)
+                arows.select(*on).join(src, on, "inner").select(*col_order)
             )
     if when_not_matched == "insert":
         if tbl is not None:
@@ -885,42 +991,23 @@ def merge_into_delta_native(
         fsutil.delete(spark, staging)
 
     ts = _now_ms()
-    actions: list[dict] = [
+    version = _commit_rewrite(
+        spark,
+        root,
+        current,
+        "MERGE",
         {
-            "commitInfo": {
-                "timestamp": ts,
-                "operation": "MERGE",
-                "operationParameters": {
-                    "predicate": json.dumps(on),
-                    "matched": when_matched,
-                    "notMatched": when_not_matched,
-                },
-                "engineInfo": "rtdl-spark native-delta-writer/1",
-            }
-        }
-    ]
-    for p in affected:
-        a = path_to_add[p]
-        actions.append(
-            {
-                "remove": {
-                    "path": a["path"],
-                    "deletionTimestamp": ts,
-                    "dataChange": True,
-                    "extendedFileMetadata": True,
-                    "partitionValues": a.get("partitionValues") or {},
-                    "size": a.get("size"),
-                }
-            }
-        )
-    actions.extend({"add": a} for a in adds)
-    if not _try_commit(spark, root, current + 1, actions):
-        raise DeltaConcurrentWriteError(
-            "concurrent commit during MERGE — re-run (the staged files "
-            "are unreferenced and reclaimable by vacuum)"
-        )
+            "predicate": json.dumps(on),
+            "matched": when_matched,
+            "notMatched": when_not_matched,
+        },
+        _remove_actions(affected, path_to_add, ts),
+        adds,
+        ts,
+        meta,
+    )
     return {
-        "version": current + 1,
+        "version": version,
         "files_rewritten": len(affected),
         "files_added": len(adds),
     }
@@ -1057,17 +1144,19 @@ def optimize_delta_native(
     # key (the per-row curve rank then picks the x-suffixed bin); plain
     # mode maps straight to the entry's single bin key
     file_rows = []
+    in_paths_set = set()
     for e in entries:
         group_key = e["bks"][0].split("x")[0] if zorder_by else e["bks"][0]
         for a in e["files"]:
-            file_rows.append(
-                (
-                    posixpath.join(root, urllib.parse.unquote(a["path"])),
-                    group_key,
-                    len(e["bks"]),
-                )
+            abs_path = posixpath.join(
+                root, urllib.parse.unquote(a["path"])
             )
-    in_paths = sorted({p for p, _g, _n in file_rows})
+            in_paths_set.add(abs_path)
+            # join key in _plain form to match the normalized fp_col —
+            # a URI-formed table_dir would otherwise match nothing and
+            # silently write empty bins
+            file_rows.append((_plain(abs_path), group_key, len(e["bks"])))
+    in_paths = sorted(in_paths_set)
     bin_map = F.broadcast(
         spark.createDataFrame(
             file_rows, f"{fp_col} string, {bin_col} string, {n_col} int"
@@ -1076,12 +1165,8 @@ def optimize_delta_native(
     src = (
         spark.read.schema(data_schema)
         .parquet(*in_paths)
-        .withColumn(fp_col, F.col("_metadata.file_path"))
         # _metadata paths are URIs; normalize to the plain-path form
-        .withColumn(
-            fp_col, F.regexp_replace(fp_col, "^[a-zA-Z0-9+.-]+://?", "/")
-        )
-        .withColumn(fp_col, F.regexp_replace(fp_col, "^//+", "/"))
+        .withColumn(fp_col, _fp_plain(F.col("_metadata.file_path")))
         .join(bin_map, fp_col)
         .drop(fp_col)
     )
@@ -1179,7 +1264,7 @@ def optimize_delta_native(
                     dest = posixpath.join(root, dest_rel)
                     if rel_dir:
                         fsutil.mkdirs(spark, posixpath.dirname(dest))
-                    if not fsutil.rename(spark, p, dest):
+                    if not fsutil.rename(spark, _fs_prefix(root) + p, dest):
                         raise IOError(f"failed to move {p} -> {dest}")
                     adds.append(
                         {
@@ -1207,28 +1292,22 @@ def optimize_delta_native(
     finally:
         fsutil.delete(spark, staging)
 
-    actions = [
+    version = _commit_rewrite(
+        spark,
+        root,
+        current,
+        "OPTIMIZE",
         {
-            "commitInfo": {
-                "timestamp": ts,
-                "operation": "OPTIMIZE",
-                "operationParameters": {
-                    "targetSize": str(target_file_bytes),
-                    "zOrderBy": json.dumps(list(zorder_by or [])),
-                },
-                "engineInfo": "rtdl-spark native-delta-writer/1",
-            }
-        }
-    ]
-    actions.extend({"remove": r} for r in removes)
-    actions.extend({"add": a} for a in adds)
-    if not _try_commit(spark, root, current + 1, actions):
-        raise DeltaConcurrentWriteError(
-            "concurrent commit during OPTIMIZE — re-run (the staged "
-            "files are unreferenced and reclaimable by vacuum)"
-        )
+            "targetSize": str(target_file_bytes),
+            "zOrderBy": json.dumps(list(zorder_by or [])),
+        },
+        removes,
+        adds,
+        ts,
+        meta,
+    )
     return {
-        "version": current + 1,
+        "version": version,
         "partitions": len({e["key"] for e in entries}),
         "files_in": len(removes),
         "files_out": len(adds),
@@ -1255,17 +1334,27 @@ def vacuum_delta_native(
     plan shape, bigger driver."""
     root = table_dir.rstrip("/")
     _, _, active, _, _ = snapshot_actions(spark, root)
+    # every comparison in _plain form: fsutil.list_files returns
+    # scheme-less paths, and a URI-formed table_dir would otherwise make
+    # the keep set match NOTHING — vacuum would reap live data files
+    plain_root = _plain(root)
+    fs_prefix = _fs_prefix(root)
     keep = {
-        posixpath.join(root, urllib.parse.unquote(p)) for p in active
+        _plain(posixpath.join(root, urllib.parse.unquote(p)))
+        for p in active
     }
-    log_prefix = _log_dir(root) + "/"
+    log_prefix = _plain(_log_dir(root)) + "/"
     cutoff = _now_ms() - retain_ms
     victims = []
     for path, _size, mtime in fsutil.list_files(spark, root):
         if path.startswith(log_prefix) or path in keep:
             continue
         name = posixpath.basename(path)
-        rel = path[len(root) + 1:] if path.startswith(root + "/") else name
+        rel = (
+            path[len(plain_root) + 1:]
+            if path.startswith(plain_root + "/")
+            else name
+        )
         if name.startswith((".", "_")) and not rel.startswith(
             ("_staging-", "_optimize-")
         ):
@@ -1275,7 +1364,7 @@ def vacuum_delta_native(
         victims.append(path)
     if not dry_run:
         for path in victims:
-            fsutil.delete(spark, path)
+            fsutil.delete(spark, fs_prefix + path)
     return sorted(victims)
 
 
@@ -1354,7 +1443,7 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
             if p.endswith(".parquet")
         )
         final = posixpath.join(log, f"{version:020d}.checkpoint.parquet")
-        if not fsutil.rename(spark, part, final):
+        if not fsutil.rename(spark, _fs_prefix(root) + part, final):
             raise IOError(f"failed to move checkpoint into place: {final}")
     finally:
         fsutil.delete(spark, tmp)

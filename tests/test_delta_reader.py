@@ -288,3 +288,28 @@ def test_delta_native_rejects_unsupported_features(spark, tmp_path):
         f.write(json.dumps({"version": 0, "size": 2, "parts": 2}))
     with pytest.raises(ValueError, match="multi-part"):
         read_delta_native(spark, t)
+
+
+def test_missing_early_commit_raises_not_silently_shrinks(spark, tmp_path):
+    """r5 ADVICE: a table whose early commits were cleaned up (no
+    checkpoint covering them) but which still carries a later metaData
+    action must RAISE on replay, naming the first missing commit — the
+    old code silently produced a smaller active set (v0's files gone)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    table = str(tmp_path / "gap")
+    write_delta_native(spark, spark.range(0, 5).select("id"), table)
+    # v1 carries its own metaData via schema evolution
+    write_delta_native(
+        spark,
+        spark.range(5, 8).select("id", F.lit(1).alias("extra")),
+        table,
+        merge_schema=True,
+    )
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="missing commit"):
+        read_delta_native(spark, table)

@@ -908,3 +908,183 @@ def test_special_chars_in_partition_values_roundtrip(spark, tmp_path):
     adds = [a["add"] for a in _log_actions(table, 0) if "add" in a]
     vals = {a["partitionValues"]["k"] for a in adds}
     assert vals == {"a b", "p%q", "x=y", None}
+
+
+def test_rewrite_retries_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """The round-5 verdict's interleaved-writers case: an append wins the
+    version race against a DELETE WHERE mid-flight; the DELETE re-reads
+    the tip, sees only a blind append (no metadata change, its removed
+    files still active) and commits at the NEXT version — BOTH writers
+    land, matching delta-spark's OptimisticTransaction conflict rules
+    (the old behavior aborted on the first lost race)."""
+    import rtdl_spark.sources.delta_writer as dw
+    from rtdl_spark.sources.delta_writer import delete_where_delta_native
+
+    table = str(tmp_path / "race_append")
+    write_delta_native(spark, _frame(spark, 0, 10).coalesce(1), table)
+
+    real = dw._try_commit
+    state = {"raced": False}
+
+    def race_once(spark_, root, version, actions):
+        if not state["raced"]:
+            state["raced"] = True  # set BEFORE the inner write recurses
+            state["append_version"] = write_delta_native(
+                spark_, _frame(spark_, 100, 105, "late").coalesce(1), root
+            )
+        return real(spark_, root, version, actions)
+
+    monkeypatch.setattr(dw, "_try_commit", race_once)
+    res = delete_where_delta_native(spark, table, "id < 3")
+    assert state["append_version"] == 1, "the racer append took v1"
+    assert res["version"] == 2, "the DELETE must retry and land at v2"
+
+    got = read_delta_native(spark, table)
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == list(range(3, 10)) + list(range(100, 105))
+    ops = [h["operation"] for h in delta_history(spark, table)]
+    assert ops == ["WRITE", "WRITE", "DELETE"]
+
+
+def test_rewrite_aborts_on_concurrent_file_removal(spark, tmp_path, monkeypatch):
+    """If the interleaved commit REWROTE the same files (here: a racing
+    DELETE over the same single-file table), the loser's staged rewrite
+    is stale — it must abort with DeltaConcurrentWriteError, never
+    resurrect the racer's deleted rows."""
+    import rtdl_spark.sources.delta_writer as dw
+    from rtdl_spark.sources.delta_writer import delete_where_delta_native
+
+    table = str(tmp_path / "race_remove")
+    write_delta_native(spark, _frame(spark, 0, 10).coalesce(1), table)
+
+    real = dw._try_commit
+    state = {"raced": False}
+
+    def race_once(spark_, root, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            delete_where_delta_native(spark_, root, "id >= 8")
+        return real(spark_, root, version, actions)
+
+    monkeypatch.setattr(dw, "_try_commit", race_once)
+    with pytest.raises(DeltaConcurrentWriteError, match="removed files"):
+        delete_where_delta_native(spark, table, "id < 3")
+    # the racer's result stands; the loser changed nothing
+    ids = sorted(r["id"] for r in read_delta_native(spark, table).collect())
+    assert ids == list(range(0, 8))
+
+
+def test_rewrite_aborts_on_concurrent_metadata_change(spark, tmp_path, monkeypatch):
+    """A concurrent schema evolution (mergeSchema append carrying a new
+    metaData) invalidates a staged rewrite plan — abort, don't commit
+    files written under the old schema."""
+    import rtdl_spark.sources.delta_writer as dw
+    from rtdl_spark.sources.delta_writer import update_where_delta_native
+
+    table = str(tmp_path / "race_meta")
+    write_delta_native(spark, _frame(spark, 0, 10).coalesce(1), table)
+
+    real = dw._try_commit
+    state = {"raced": False}
+
+    def race_once(spark_, root, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            evolved = _frame(spark_, 50, 55).withColumn(
+                "extra", F.lit(1)
+            ).coalesce(1)
+            write_delta_native(spark_, evolved, root, merge_schema=True)
+        return real(spark_, root, version, actions)
+
+    monkeypatch.setattr(dw, "_try_commit", race_once)
+    with pytest.raises(DeltaConcurrentWriteError, match="METADATA"):
+        update_where_delta_native(
+            spark, table, "id < 3", {"v": "v + 1000"}
+        )
+
+
+def test_merge_update_preserves_duplicate_target_rows(spark, tmp_path):
+    """Delta MERGE's UPDATE SET * updates EVERY matched target row —
+    duplicate-key target rows must not collapse to one (the r5 ADVICE
+    finding: the old semi-join emitted exactly one source row per key)."""
+    from rtdl_spark.sources.delta_writer import merge_into_delta_native
+
+    table = str(tmp_path / "dup_target")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (2, 20, "c")],
+        "id bigint, v bigint, tag string",
+    )
+    write_delta_native(spark, df.coalesce(1), table)
+
+    src = spark.createDataFrame([(1, 99, "new")], "id bigint, v bigint, tag string")
+    merge_into_delta_native(spark, table, src, on=["id"])
+
+    rows = sorted(
+        (r["id"], r["v"], r["tag"])
+        for r in read_delta_native(spark, table).collect()
+    )
+    assert rows == [(1, 99, "new"), (1, 99, "new"), (2, 20, "c")], (
+        "both duplicate-key target rows must become the source row"
+    )
+
+
+def test_uri_scheme_table_dir_full_lifecycle(spark, tmp_path):
+    """The r5 ADVICE medium finding: a URI-formed table_dir (file:///…)
+    must work through the whole DML/maintenance surface — every driver-
+    side path comparison now happens in scheme-less (_plain) form, and
+    vacuum must never see active files as unreferenced."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        merge_into_delta_native,
+        optimize_delta_native,
+        update_where_delta_native,
+    )
+
+    plain_root = str(tmp_path / "uri_t")
+    table = "file://" + plain_root  # tmp_path is absolute -> file:///...
+    df = spark.createDataFrame(
+        [(i, i * 2, "p%d" % (i % 2)) for i in range(20)],
+        "id bigint, v bigint, part string",
+    )
+    write_delta_native(spark, df, table, partition_by=["part"])
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(100, 0, "p0"), (101, 2, "p1")],
+            "id bigint, v bigint, part string",
+        ),
+        table,
+    )
+
+    assert delete_where_delta_native(spark, table, "id < 4")[
+        "files_rewritten"
+    ] > 0
+    update_where_delta_native(spark, table, "id = 100", {"v": "v + 7"})
+    src = spark.createDataFrame(
+        [(101, 999, "p1"), (200, 1, "p0")],
+        "id bigint, v bigint, part string",
+    )
+    merge_into_delta_native(spark, table, src, on=["id"])
+    optimize_delta_native(spark, table, min_files=1)
+
+    # vacuum must classify ACTIVE files as kept even on a URI root
+    _, _, active, _, _ = snapshot_actions(spark, table)
+    import urllib.parse as up
+
+    active_plain = {
+        os.path.join(plain_root, up.unquote(p)) for p in active
+    }
+    victims = vacuum_delta_native(spark, table, retain_ms=0, dry_run=True)
+    assert not (set(victims) & active_plain), (
+        "vacuum tried to reap live files on a URI-formed table root"
+    )
+
+    got = read_delta_native(spark, table)
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == list(range(4, 20)) + [100, 101, 200]
+    assert got.filter("id = 100").collect()[0]["v"] == 7
+    assert got.filter("id = 101").collect()[0]["v"] == 999
+    # reading through the plain path sees the identical table
+    assert sorted(
+        r["id"] for r in read_delta_native(spark, plain_root).collect()
+    ) == ids
