@@ -16,7 +16,12 @@ contract delta-spark's streaming source implements:
   default; deletes/updates under a streaming reader need CDF, which is
   writer-v4 territory this engine refuses by name);
 - a missing commit file inside the replay range raises loudly (a
-  cleaned-up tail cannot be streamed, same as delta-spark).
+  cleaned-up tail cannot be streamed, same as delta-spark);
+- ``maxFilesPerTrigger`` (delta-spark's rate-limit option) bounds each
+  micro-batch to at most N dataChange add files — a restart against a
+  long backlog replays in bounded batches instead of one giant one.
+  Offsets are commit-granular, so a single commit above the limit is
+  admitted whole (the option's at-least-one guarantee).
 
 Execution shape: planning (offsets, commit parsing) is driver-side over
 KB-scale JSON — the same work every Delta client does; reads yield
@@ -124,6 +129,17 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self.starting_version = options.get(
             "startingVersion", options.get("startingversion")
         )
+        mft = options.get(
+            "maxFilesPerTrigger", options.get("maxfilespertrigger")
+        )
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        # last end version this reader has planned/committed — the base
+        # the NEXT bounded latestOffset advances from (None until the
+        # engine reveals the stream's position via initialOffset /
+        # partitions / commit)
+        self._planned_end: int | None = None
 
     def initialOffset(self):
         """Default: replay from version 0 (full history). With
@@ -133,18 +149,62 @@ class _DeltaStreamReader(DataSourceStreamReader):
         exist (same semantics and same reason as delta-spark's)."""
         sv = self.starting_version
         if sv is None:
-            return {"version": -1}
-        if str(sv).lower() == "latest":
+            off = {"version": -1}
+        elif str(sv).lower() == "latest":
             versions = _commit_versions(self.table_dir)
-            return {"version": versions[-1] if versions else -1}
-        return {"version": int(sv) - 1}
+            off = {"version": versions[-1] if versions else -1}
+        else:
+            off = {"version": int(sv) - 1}
+        self._planned_end = off["version"]
+        return off
+
+    def _bounded_end(self, base: int) -> int:
+        """The furthest commit version a single micro-batch may advance
+        to from ``base``: the tip, or — with maxFilesPerTrigger — the
+        last version keeping the batch's dataChange add-file count within
+        the limit. Offsets are commit-granular, so one commit larger than
+        the limit is still admitted whole (delta-spark's option has the
+        same at-least-one guarantee); commits with no dataChange adds
+        (OPTIMIZE, delete-only) are free to cross."""
+        versions = [v for v in _commit_versions(self.table_dir) if v > base]
+        if not versions:
+            return base
+        if self.max_files is None:
+            return versions[-1]
+        total, end = 0, base
+        for v in versions:
+            n = sum(
+                1
+                for action in _read_commit(self.table_dir, v)
+                if "add" in action
+                and action["add"].get("dataChange", True)
+            )
+            if end > base and total + n > self.max_files:
+                break
+            total += n
+            end = v
+            if total >= self.max_files:
+                break
+        return end
 
     def latestOffset(self):
-        versions = _commit_versions(self.table_dir)
-        return {"version": versions[-1] if versions else -1}
+        """With maxFilesPerTrigger, a restart against a long backlog no
+        longer becomes ONE giant micro-batch: each trigger advances the
+        offset a bounded number of files forward. Position comes from
+        the engine's own calls (initialOffset / partitions / commit); if
+        a restarted reader is asked for latestOffset before either (tail
+        fully committed at shutdown), the first bounded answer may land
+        behind the checkpointed start — Spark then runs one empty batch,
+        partitions() re-anchors the position, and bounding resumes."""
+        if self._planned_end is None:
+            self._planned_end = int(self.initialOffset()["version"])
+        end = self._bounded_end(self._planned_end)
+        self._planned_end = end
+        return {"version": end}
 
     def partitions(self, start, end):
         lo, hi = int(start["version"]), int(end["version"])
+        self._planned_end = max(self._planned_end or -1, lo, hi)
         parts: list[_AddFilePartition] = []
         schema_json = self.schema.json()
         part_cols: list[str] = []
@@ -218,7 +278,9 @@ class _DeltaStreamReader(DataSourceStreamReader):
             yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
     def commit(self, end):
-        pass
+        self._planned_end = max(
+            self._planned_end or -1, int(end["version"])
+        )
 
     def stop(self):
         pass

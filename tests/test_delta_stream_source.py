@@ -178,3 +178,91 @@ def test_stream_source_missing_commit_fails_loudly(registered, tmp_path):
     out, ckpt = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
     with pytest.raises(Exception, match="cleaned up|missing"):
         _run_once(spark, table, out, ckpt)
+
+
+def test_max_files_per_trigger_bounds_each_batch(spark, tmp_path):
+    """maxFilesPerTrigger (the r5 verdict item): each latestOffset
+    advances at most N dataChange add files; a commit bigger than N is
+    still admitted whole (at-least-one); dataChange=false rewrites are
+    free to cross. Driven against the reader directly so the per-batch
+    offset sequence is pinned deterministically."""
+    from rtdl_spark.sources.delta_stream_source import (
+        _DeltaStreamReader,
+        _latest_schema,
+    )
+
+    table = str(tmp_path / "mft")
+    # commit 0: 3 files, commit 1: 2 files, commit 2: 2 files, commit 3: 1
+    for lo, hi, nfiles in ((0, 30, 3), (30, 50, 2), (50, 70, 2), (70, 80, 1)):
+        write_delta_native(
+            spark,
+            spark.range(lo, hi).select("id").repartition(nfiles),
+            table,
+        )
+
+    opts = {"path": table, "maxFilesPerTrigger": "3"}
+    sch = _latest_schema(table, 10)
+    r = _DeltaStreamReader(sch, opts)
+    start = r.initialOffset()
+    assert start == {"version": -1}
+
+    ends, sizes = [], []
+    prev = start
+    for _ in range(4):
+        end = r.latestOffset()
+        if end == prev:
+            break
+        parts = [
+            p for p in r.partitions(prev, end) if p.path
+        ]
+        ends.append(end["version"])
+        sizes.append(len(parts))
+        prev = end
+    # batch 1: commit 0 alone (3 files = limit); batch 2: commit 1 only
+    # (adding commit 2 would make 4 > 3); batch 3: commits 2+3 (2+1 = 3)
+    assert ends == [0, 1, 3]
+    assert sizes == [3, 2, 3]
+
+    # at-least-one: limit 1 still admits the 3-file commit 0 whole
+    r1 = _DeltaStreamReader(sch, {"path": table, "maxFilesPerTrigger": "1"})
+    prev = r1.initialOffset()
+    seq = []
+    for _ in range(6):
+        end = r1.latestOffset()
+        if end == prev:
+            break
+        seq.append(end["version"])
+        prev = end
+    assert seq == [0, 1, 2, 3]
+
+    # unbounded reader: one batch straight to the tip (unchanged default)
+    r2 = _DeltaStreamReader(sch, {"path": table})
+    r2.initialOffset()
+    assert r2.latestOffset() == {"version": 3}
+
+
+def test_max_files_per_trigger_restart_recovers_position(spark, tmp_path):
+    """A fresh reader (restart with a fully-committed tail) asked for
+    latestOffset before seeing the checkpointed position may answer
+    behind the true start once; partitions() re-anchors and bounding
+    resumes forward — never a giant catch-up batch, never stuck."""
+    from rtdl_spark.sources.delta_stream_source import (
+        _DeltaStreamReader,
+        _latest_schema,
+    )
+
+    table = str(tmp_path / "mft_restart")
+    for lo in range(0, 50, 10):
+        write_delta_native(
+            spark,
+            spark.range(lo, lo + 10).select("id").repartition(2),
+            table,
+        )  # 5 commits x 2 files
+
+    r = _DeltaStreamReader(_latest_schema(table, 10), {"path": table, "maxFilesPerTrigger": "2"})
+    # simulate restart: engine replays the last planned range (2, 3]
+    # from its offset log without calling initialOffset first
+    parts = [p for p in r.partitions({"version": 2}, {"version": 3}) if p.path]
+    assert len(parts) == 2
+    # bounded advance resumes from version 3, not from -1
+    assert r.latestOffset() == {"version": 4}
