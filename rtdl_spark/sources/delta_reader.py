@@ -118,23 +118,27 @@ def _last_checkpoint(spark: SparkSession, table_dir: str) -> dict | None:
     return json.loads(text.splitlines()[0]) if text else None
 
 
-def snapshot_actions(
-    spark: SparkSession, table_dir: str, version: int | None = None
-) -> tuple[dict, dict, dict[str, dict], int, dict[str, int]]:
-    """Replay the log up to ``version`` (latest if None) → (protocol,
-    metaData, {file path: full add action}, resolved version,
-    {appId: latest txn version}). The full add dicts (size,
-    modificationTime, stats, partitionValues) are what the native WRITER
-    and checkpointer need; the txn map is the protocol's SetTransaction
-    state — how a streaming writer knows which epochs already committed;
-    plain reads use the ``snapshot_state`` projection below.
+def _replay_core(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    adds: str = "full",
+):
+    """Shared log replay → (protocol, meta, active, target, txns,
+    ckpt_used, tail_adds, tail_removed).
 
-    Scale note: this materializes the ACTIVE FILE SET on the driver —
-    inherent for scan planning (delta-spark's Snapshot does the same),
-    but NOT for control-plane questions. Appends / txn watermarks use
-    ``snapshot_control`` (zero per-file work); distributed maintenance
-    (vacuum) plans against ``snapshot_adds_frame`` (the checkpoint stays
-    a DataFrame; only the KB-scale JSON tail is driver-parsed)."""
+    ``adds`` controls how much per-file state is materialized on the
+    driver:
+    - "full": the complete active set (checkpoint add rows collected +
+      tail replayed) — scan planning;
+    - "tail": ONLY the JSON tail's net add/remove effect (tail_adds /
+      tail_removed); the checkpoint is never collected — callers join
+      against it as a DataFrame (``snapshot_adds_frame``);
+    - "none": no per-file work at all (checkpoint reads only the
+      protocol/metaData/txn columns — parquet column pruning skips the
+      add data entirely) — the control-plane path for appends and txn
+      watermarks.
+    """
     versions = _commit_versions(spark, table_dir)
     ckpt = _last_checkpoint(spark, table_dir)
     if not versions and ckpt is None:
@@ -150,7 +154,10 @@ def snapshot_actions(
     protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
     meta: dict | None = None
     active: dict[str, dict] = {}
+    tail_adds: dict[str, dict] = {}
+    tail_removed: set[str] = set()
     txns: dict[str, int] = {}
+    ckpt_used: tuple[int, str] | None = None
     start_after = -1
     if ckpt is not None and int(ckpt["version"]) <= target:
         if int(ckpt.get("parts") or 1) != 1:
@@ -182,8 +189,8 @@ def snapshot_actions(
         if meta_rows:
             meta = meta_rows[-1].asDict(recursive=True)
             _check_metadata(meta)
-        # the planning projection — the only checkpoint data collected
-        if "add" in cols:
+        # the planning projection — collected ONLY in "full" mode
+        if adds == "full" and "add" in cols:
             for r in (
                 cdf.filter(F.col("add").isNotNull()).select("add").collect()
             ):
@@ -198,6 +205,7 @@ def snapshot_actions(
                 if t.get("appId") is not None:
                     txns[t["appId"]] = int(t["version"])
         start_after = cv
+        ckpt_used = (cv, cpath)
 
     # contiguity: the replay range must be gap-free from the checkpoint
     # (or from 0) — a foreign table whose early commits were cleaned up
@@ -235,9 +243,18 @@ def snapshot_actions(
                         "reader (use delta-spark)"
                     )
                 a["partitionValues"] = a.get("partitionValues") or {}
-                active[a["path"]] = a
+                if adds == "full":
+                    active[a["path"]] = a
+                elif adds == "tail":
+                    tail_adds[a["path"]] = a
+                    tail_removed.discard(a["path"])
             elif "remove" in action:
-                active.pop(action["remove"]["path"], None)
+                rp = action["remove"]["path"]
+                if adds == "full":
+                    active.pop(rp, None)
+                elif adds == "tail":
+                    tail_adds.pop(rp, None)
+                    tail_removed.add(rp)
             elif "txn" in action:
                 t = action["txn"]
                 if t.get("appId") is not None:
@@ -247,7 +264,118 @@ def snapshot_actions(
             f"Delta log at {table_dir} has no metaData action up to "
             f"version {target}"
         )
+    return (
+        protocol, meta, active, target, txns, ckpt_used, tail_adds,
+        tail_removed,
+    )
+
+
+def snapshot_actions(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> tuple[dict, dict, dict[str, dict], int, dict[str, int]]:
+    """Replay the log up to ``version`` (latest if None) → (protocol,
+    metaData, {file path: full add action}, resolved version,
+    {appId: latest txn version}). The full add dicts (size,
+    modificationTime, stats, partitionValues) are what the native WRITER
+    and checkpointer need; the txn map is the protocol's SetTransaction
+    state — how a streaming writer knows which epochs already committed;
+    plain reads use the ``snapshot_state`` projection below.
+
+    Scale note: this materializes the ACTIVE FILE SET on the driver —
+    inherent for scan planning (delta-spark's Snapshot does the same),
+    but NOT for control-plane questions. Appends / txn watermarks use
+    ``snapshot_control`` (zero per-file work); distributed maintenance
+    (vacuum, checkpointing) plans against ``snapshot_adds_frame`` (the
+    checkpoint stays a DataFrame; only the KB-scale JSON tail is
+    driver-parsed)."""
+    protocol, meta, active, target, txns, _c, _ta, _tr = _replay_core(
+        spark, table_dir, version, adds="full"
+    )
     return protocol, meta, active, target, txns
+
+
+def snapshot_control(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> tuple[dict, dict, int, dict[str, int]]:
+    """Control-plane snapshot → (protocol, metaData, resolved version,
+    txn map) with ZERO per-file driver state: the checkpoint parquet is
+    read only for its protocol/metaData/txn columns (column pruning
+    skips the add data), and the JSON tail's add/remove actions are
+    parsed but not retained. This is what an APPEND or a streaming
+    sink's exactly-once txn check needs — a million-file table costs the
+    same as a ten-file one."""
+    protocol, meta, _a, target, txns, _c, _ta, _tr = _replay_core(
+        spark, table_dir, version, adds="none"
+    )
+    return protocol, meta, target, txns
+
+
+_ADDS_FRAME_FIELDS = (
+    ("path", "string"),
+    ("partitionValues", "map<string,string>"),
+    ("size", "bigint"),
+    ("modificationTime", "bigint"),
+    ("stats", "string"),
+)
+
+
+def snapshot_adds_frame(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> tuple[dict, dict, DataFrame, int, dict[str, int]]:
+    """Snapshot whose ACTIVE FILE SET stays a DataFrame → (protocol,
+    metaData, adds frame, resolved version, txn map). The checkpoint's
+    add rows are never collected: the JSON tail's net effect (KB-scale)
+    is applied as a broadcast anti-join + union, so planning joins/
+    aggregations over a million-file table run distributed and the
+    driver holds O(tail) state. Columns: path (table-relative,
+    URL-encoded, exactly as in the log), partitionValues, size,
+    modificationTime, stats."""
+    protocol, meta, _a, target, txns, ckpt_used, tail_adds, tail_removed = (
+        _replay_core(spark, table_dir, version, adds="tail")
+    )
+    schema_ddl = ", ".join(f"`{n}` {t}" for n, t in _ADDS_FRAME_FIELDS)
+    tail_rows = [
+        (
+            a["path"],
+            dict(a.get("partitionValues") or {}),
+            int(a["size"]) if a.get("size") is not None else None,
+            int(a["modificationTime"])
+            if a.get("modificationTime") is not None
+            else None,
+            a.get("stats"),
+        )
+        for a in tail_adds.values()
+    ]
+    tail_df = spark.createDataFrame(tail_rows, schema_ddl)
+    if ckpt_used is None:
+        return protocol, meta, tail_df, target, txns
+
+    cdf = spark.read.parquet(ckpt_used[1])
+    if "add" not in cdf.columns:
+        return protocol, meta, tail_df, target, txns
+    sub = set(cdf.select("add.*").columns)
+    proj = [
+        (
+            F.col(f"add.{n}").cast(t)
+            if n in sub
+            else F.lit(None).cast(t)
+        ).alias(n)
+        for n, t in _ADDS_FRAME_FIELDS
+    ]
+    ckpt_adds = cdf.filter(F.col("add.path").isNotNull()).select(*proj)
+    superseded = sorted(tail_removed | set(tail_adds))
+    if superseded:
+        gone = spark.createDataFrame(
+            [(p,) for p in superseded], "`path` string"
+        )
+        ckpt_adds = ckpt_adds.join(F.broadcast(gone), "path", "left_anti")
+    return (
+        protocol,
+        meta,
+        ckpt_adds.unionByName(tail_df),
+        target,
+        txns,
+    )
 
 
 def snapshot_state(

@@ -74,6 +74,8 @@ from rtdl_spark.sources.delta_reader import (
     _last_checkpoint,
     _log_dir,
     snapshot_actions,
+    snapshot_adds_frame,
+    snapshot_control,
 )
 
 _SUPPORTED_WRITER_FEATURES = {"appendOnly", "invariants"}
@@ -348,7 +350,17 @@ def write_delta_native(
     txns: dict[str, int] = {}
     current = -1
     if _table_exists(spark, root):
-        protocol, meta, active, current, txns = snapshot_actions(spark, root)
+        # appends never need the file inventory — snapshot_control keeps
+        # the driver at O(tail) state, so a streaming sink appending to a
+        # million-file table doesn't rebuild a million-entry dict per
+        # micro-batch; only overwrite (which must tombstone every active
+        # file in its commit) pays for the full set
+        if mode == "overwrite":
+            protocol, meta, active, current, txns = snapshot_actions(
+                spark, root
+            )
+        else:
+            protocol, meta, current, txns = snapshot_control(spark, root)
         if txn is not None and txns.get(txn[0], -1) >= int(txn[1]):
             return -1  # epoch already committed: exactly-once skip
         _check_protocol(protocol)
@@ -483,7 +495,12 @@ def write_delta_native(
             return version
 
         # lost the race: re-read and re-validate against the new tip
-        protocol, meta, active, current, txns = snapshot_actions(spark, root)
+        if mode == "overwrite":
+            protocol, meta, active, current, txns = snapshot_actions(
+                spark, root
+            )
+        else:
+            protocol, meta, current, txns = snapshot_control(spark, root)
         if txn is not None and txns.get(txn[0], -1) >= int(txn[1]):
             return -1  # the concurrent writer WAS this epoch
         _check_protocol(protocol)
@@ -1328,10 +1345,11 @@ def vacuum_delta_native(
     versions whose files were vacuumed stops working — the log entries
     remain, the bytes do not.
 
-    The listing here is a driver-side recursive walk; a 100 TB table
-    with tens of millions of files would distribute the listing (read
-    the file index as a DataFrame and anti-join the active set) — same
-    plan shape, bigger driver."""
+    This is the driver-side form (victim list in memory, one FS delete
+    per file) — right for tables up to ~10^5 files. Past that, use
+    ``vacuum_delta_native_distributed``: the active set stays a
+    DataFrame (snapshot_adds_frame), the listing streams through
+    bounded driver chunks, and executors do the deleting."""
     root = table_dir.rstrip("/")
     _, _, active, _, _ = snapshot_actions(spark, root)
     # every comparison in _plain form: fsutil.list_files returns
@@ -1356,7 +1374,7 @@ def vacuum_delta_native(
             else name
         )
         if name.startswith((".", "_")) and not rel.startswith(
-            ("_staging-", "_optimize-")
+            ("_staging-", "_optimize-", "_delete-", "_update-", "_merge-")
         ):
             continue  # markers/metadata that are not ours to reap
         if mtime > cutoff:
@@ -1368,12 +1386,126 @@ def vacuum_delta_native(
     return sorted(victims)
 
 
+def vacuum_delta_native_distributed(
+    spark: SparkSession,
+    table_dir: str,
+    retain_ms: int = 7 * 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> int:
+    """VACUUM for tables whose file count dwarfs the driver: the active
+    set is planned as a DATAFRAME (snapshot_adds_frame — the checkpoint
+    is never collected), the LISTING runs through Spark's own parallel
+    file index (a binaryFile scan with the content column pruned away —
+    the JVM lists in parallel beyond the parallelPartitionDiscovery
+    threshold, no per-file py4j round trips), victims come from one
+    distributed anti-join, and the reap runs in ``foreachPartition`` on
+    the executors. Returns the victim COUNT — the victim list is never
+    materialized on the driver.
+
+    Spark's file index hides '.'/'_'-prefixed names, which is exactly
+    the hidden-marker rule the driver-side vacuum applies — except our
+    own crash leftovers under ``_staging-*`` / ``_optimize-*``, which
+    are enumerated separately (driver-side, bounded by the handful of
+    crashed operations, not by table size).
+
+    Same safety rules as the driver-side form: keeps everything the
+    latest snapshot references and everything younger than
+    ``retain_ms``. Executors address files via plain paths (local/NFS)
+    or pyarrow's filesystem for URI-schemed roots."""
+    root = table_dir.rstrip("/")
+    _, _, adds_df, _, _ = snapshot_adds_frame(spark, root)
+    plain_root = _plain(root)
+    fs_prefix = _fs_prefix(root)
+    cutoff = _now_ms() - retain_ms
+
+    # active paths in plain-abs form; add.path is URL-encoded (percent
+    # escapes only — quote() never leaves a literal '+', so url_decode's
+    # form-decoding is exact here)
+    active_paths = adds_df.select(
+        F.concat(
+            F.lit(plain_root + "/"), F.url_decode(F.col("path"))
+        ).alias("path")
+    )
+
+    # distributed listing of the visible tree (data files); hidden dirs
+    # are skipped by the index, so no _delta_log/_staging/_vacuum reads
+    files_df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(
+            _fp_plain(F.col("path")).alias("path"),
+            F.unix_millis(F.col("modificationTime")).alias("mtime"),
+        )
+    )
+
+    # crash leftovers under our own staging prefixes are invisible to
+    # the file index; list just those dirs driver-side (small)
+    orphan_rows: list[tuple[str, int]] = []
+    for name in fsutil.list_names(spark, root):
+        if name.startswith(("_staging-", "_optimize-", "_delete-",
+                            "_update-", "_merge-")):
+            for p, _s, mtime in fsutil.iter_files(
+                spark, posixpath.join(root, name)
+            ):
+                orphan_rows.append((p, mtime))
+    if orphan_rows:
+        files_df = files_df.unionByName(
+            spark.createDataFrame(
+                orphan_rows, "`path` string, `mtime` bigint"
+            )
+        )
+
+    victims_df = (
+        files_df.filter(F.col("mtime") <= F.lit(cutoff))
+        .join(active_paths, "path", "left_anti")
+        .select("path")
+    )
+    if dry_run:
+        return victims_df.count()
+    # persist so the count and the reap share one listing+join pass
+    victims_df = victims_df.persist()
+    n = victims_df.count()
+
+    def _reap(rows) -> None:
+        if fs_prefix:
+            from pyarrow.fs import FileSystem
+
+            fs, _ = FileSystem.from_uri(fs_prefix + "/")
+            for r in rows:
+                try:
+                    fs.delete_file(r["path"])
+                except FileNotFoundError:
+                    pass
+        else:
+            import os
+
+            for r in rows:
+                try:
+                    os.remove(r["path"])
+                except FileNotFoundError:
+                    pass
+
+    victims_df.foreachPartition(_reap)
+    victims_df.unpersist()
+    return n
+
+
 def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
     """Write a classic single-part parquet checkpoint of the CURRENT
     state plus ``_last_checkpoint``, bounding every subsequent reader's
-    log replay to the JSON tail. Returns the checkpointed version."""
+    log replay to the JSON tail. Returns the checkpointed version.
+
+    Scale shape: the add set flows checkpoint→checkpoint as a DATAFRAME
+    (snapshot_adds_frame — prior checkpoint scanned distributed, JSON
+    tail folded in via broadcast anti-join); only the handful of
+    protocol/metaData/txn rows are driver-built. A million-file table
+    checkpoints without ever materializing a million add actions on the
+    driver — the same division delta-spark's checkpoint job uses."""
     root = table_dir.rstrip("/")
-    protocol, meta, active, version, txns = snapshot_actions(spark, root)
+    protocol, meta, adds_df, version, txns = snapshot_adds_frame(
+        spark, root
+    )
     rows: list[tuple] = [
         (
             (
@@ -1405,26 +1537,6 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
             None,
         ),
     ]
-    for path in sorted(active):
-        a = active[path]
-        rows.append(
-            (
-                None,
-                None,
-                (
-                    a["path"],
-                    dict(a.get("partitionValues") or {}),
-                    int(a["size"]) if a.get("size") is not None else None,
-                    int(a["modificationTime"])
-                    if a.get("modificationTime") is not None
-                    else None,
-                    False,  # checkpoint adds are dataChange=false per spec
-                    a.get("stats"),
-                ),
-                None,
-                None,
-            )
-        )
     # SetTransaction state must survive checkpoint-bounded replay, or a
     # streaming writer would lose its exactly-once watermark the moment
     # the pre-checkpoint commits stop being read
@@ -1432,7 +1544,22 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
         rows.append(
             (None, None, None, None, (app_id, int(txns[app_id]), None))
         )
-    cdf = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
+    control_df = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
+    add_struct_df = adds_df.select(
+        F.struct(
+            F.col("path"),
+            F.col("partitionValues"),
+            F.col("size"),
+            F.col("modificationTime"),
+            # checkpoint adds are dataChange=false per spec
+            F.lit(False).alias("dataChange"),
+            F.col("stats"),
+        ).alias("add")
+    )
+    n_adds = add_struct_df.count()
+    cdf = control_df.unionByName(
+        add_struct_df, allowMissingColumns=True
+    )
     log = _log_dir(root)
     tmp = posixpath.join(log, f".ckpt-tmp-{uuid.uuid4().hex[:12]}")
     cdf.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1450,6 +1577,6 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
     fsutil.write_text(
         spark,
         posixpath.join(log, "_last_checkpoint"),
-        json.dumps({"version": version, "size": len(rows)}),
+        json.dumps({"version": version, "size": len(rows) + n_adds}),
     )
     return version

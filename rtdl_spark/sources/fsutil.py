@@ -70,6 +70,25 @@ def mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(p)
 
 
+def iter_files(spark: SparkSession, path: str):
+    """Streaming twin of ``list_files``: yields (absolute scheme-less
+    path, size bytes, modification time ms) one file at a time, in the
+    filesystem's own listing order — for directories too large to hold
+    as a driver list (distributed vacuum batches these into DataFrame
+    chunks instead of materializing millions of tuples)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        yield (
+            st.getPath().toUri().getPath(),
+            int(st.getLen()),
+            int(st.getModificationTime()),
+        )
+
+
 def list_files(
     spark: SparkSession, path: str
 ) -> list[tuple[str, int, int]]:
@@ -77,21 +96,7 @@ def list_files(
     bytes, modification time ms)]. Goes through fs.listFiles so the same
     walk is correct on HDFS/object stores (os.walk only sees local disk).
     Sorted by path for deterministic consumers."""
-    fs, p = _fs_path(spark, path)
-    if not fs.exists(p):
-        return []
-    out = []
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        st = it.next()
-        out.append(
-            (
-                st.getPath().toUri().getPath(),
-                int(st.getLen()),
-                int(st.getModificationTime()),
-            )
-        )
-    return sorted(out)
+    return sorted(iter_files(spark, path))
 
 
 def write_text(spark: SparkSession, path: str, text: str) -> None:

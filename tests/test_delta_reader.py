@@ -313,3 +313,104 @@ def test_missing_early_commit_raises_not_silently_shrinks(spark, tmp_path):
     os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
     with pytest.raises(ValueError, match="missing commit"):
         read_delta_native(spark, table)
+
+
+def test_snapshot_control_and_adds_frame_match_full_replay(spark, tmp_path):
+    """The three snapshot forms agree: snapshot_control returns the same
+    protocol/meta/version/txns as the full replay without building the
+    file dict; snapshot_adds_frame's DataFrame holds exactly the active
+    add set (checkpoint rows anti-joined against the tail's net effect),
+    across appends, a checkpoint, a delete rewrite and an overwrite."""
+    from pyspark.sql import functions as F
+    from rtdl_spark.sources.delta_reader import (
+        snapshot_actions,
+        snapshot_adds_frame,
+        snapshot_control,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        write_checkpoint_native,
+        write_delta_native,
+    )
+
+    table = str(tmp_path / "forms")
+    for lo in range(0, 40, 10):
+        write_delta_native(
+            spark,
+            spark.range(lo, lo + 10).select(
+                "id", (F.col("id") % 2).cast("string").alias("p")
+            ),
+            table,
+            partition_by=["p"],
+            txn=("appX", lo),
+        )
+    write_checkpoint_native(spark, table)       # checkpoint at v3
+    delete_where_delta_native(spark, table, "id < 5")   # tail rewrite
+    write_delta_native(
+        spark,
+        spark.range(100, 105).select(
+            "id", F.lit("9").alias("p")
+        ),
+        table,
+    )
+
+    protocol, meta, active, version, txns = snapshot_actions(spark, table)
+    p2, m2, v2, t2 = snapshot_control(spark, table)
+    assert (p2, v2, t2) == (protocol, version, txns)
+    assert m2["id"] == meta["id"] and m2["schemaString"] == meta["schemaString"]
+
+    p3, m3, adds_df, v3, t3 = snapshot_adds_frame(spark, table)
+    assert (p3, v3, t3) == (protocol, version, txns)
+    got = {
+        r["path"]: (r["size"], dict(r["partitionValues"] or {}))
+        for r in adds_df.collect()
+    }
+    want = {
+        p: (a.get("size"), dict(a.get("partitionValues") or {}))
+        for p, a in active.items()
+    }
+    assert got == want, "adds frame must equal the full replay's active set"
+
+
+def test_distributed_vacuum_matches_driver_vacuum(spark, tmp_path):
+    """vacuum_delta_native_distributed reaps exactly the files the
+    driver-side vacuum would (count parity on dry-run, then a real reap
+    leaves the active set intact and the table readable)."""
+    from pyspark.sql import functions as F
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        optimize_delta_native,
+        vacuum_delta_native,
+        vacuum_delta_native_distributed,
+        write_delta_native,
+    )
+
+    table = str(tmp_path / "dvac")
+    for lo in range(0, 30, 10):
+        write_delta_native(
+            spark,
+            spark.range(lo, lo + 10).select(
+                "id", (F.col("id") % 3).cast("string").alias("p")
+            ).repartition(2),
+            table,
+            partition_by=["p"],
+        )
+    delete_where_delta_native(spark, table, "id % 5 = 0")
+    optimize_delta_native(spark, table)
+
+    expected = vacuum_delta_native(spark, table, retain_ms=0, dry_run=True)
+    n_dry = vacuum_delta_native_distributed(
+        spark, table, retain_ms=0, dry_run=True
+    )
+    assert n_dry == len(expected) > 0
+
+    n = vacuum_delta_native_distributed(
+        spark, table, retain_ms=0
+    )
+    assert n == len(expected)
+    # nothing reapable remains, table reads exactly
+    assert vacuum_delta_native(spark, table, retain_ms=0, dry_run=True) == []
+    got = sorted(
+        r["id"] for r in read_delta_native(spark, table).collect()
+    )
+    assert got == [i for i in range(30) if i % 5 != 0]
