@@ -127,3 +127,169 @@ def train_phrase_merges(
         stats, "merge_idx int, left string, right string, n long"
     )
     return rules, stats_df
+
+
+# ---------------------------------------------------------------------------
+# Character-level BPE with a PURE-CATALYST merge fold (round 6).
+#
+# train_phrase_merges above mines word-level collocations with an
+# Arrow-batched pandas kernel; the functions below are the char-level
+# tokenizer-training variant designed for EXACT SQL replay: the merge
+# application is a Catalyst ``F.aggregate`` fold (no Python at all), the
+# argmax is totally ordered, and counts are integer sums — so every
+# training round unrolls into chained CTEs that DuckDB replays
+# bit-for-bit (queries/bpe.py::text_bpe_train_merges, the
+# pagerank/kmeans discipline). Scale shape: the corpus is scanned ONCE
+# (word frequencies); rounds iterate over the vocabulary-sized word
+# table with one shuffle (pair count) and one narrow fold each; the
+# chosen pair is the only driver-side datum per round.
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def word_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    split_re: str = "[^a-z]+",
+    min_len: int = 2,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(word, freq BIGINT) over the corpus — the single full scan.
+    Words are the non-empty ``split_re`` splits of (lowercased) text,
+    length >= min_len."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return (
+        df.select(F.explode(F.split(text, split_re)).alias("word"))
+        .filter(F.length("word") >= min_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def merge_pair_expr(syms, left: str, right: str):
+    """Catalyst expression: apply ONE merge rule (left, right) to a
+    symbol array with canonical leftmost-nonoverlapping semantics.
+
+    Fold state: struct(out: emitted symbols, prev: the one look-behind
+    symbol not yet emitted). Per element x:
+    - no pending        -> hold x
+    - pending==left and x==right -> emit left||right, clear pending
+    - otherwise         -> emit pending, hold x
+    finish: emit any pending."""
+    merged = left + right
+    init = F.struct(
+        F.expr("array()").cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc.prev.isNull(),
+                F.struct(acc.out.alias("out"), x.alias("prev")),
+            )
+            .when(
+                (acc.prev == F.lit(left)) & (x == F.lit(right)),
+                F.struct(
+                    F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc.out, F.array(acc.prev)).alias("out"),
+                    x.alias("prev"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc.prev.isNull(), acc.out).otherwise(
+            F.concat(acc.out, F.array(acc.prev))
+        )
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def _adjacent_pairs(words: DataFrame) -> DataFrame:
+    """(left, right, cnt) — adjacent symbol pairs weighted by word freq.
+    zip-of-slices keeps this a narrow projection + one shuffle."""
+    n = F.size("syms")
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.arrays_zip(
+                F.slice("syms", 1, n - 1).alias("l"),
+                F.slice("syms", 2, n - 1).alias("r"),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("left"), F.col("p.r").alias("right")
+    ).agg(F.sum("freq").alias("cnt"))
+
+
+def bpe_train(
+    spark: SparkSession,
+    word_freqs: DataFrame,
+    n_merges: int,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> tuple[list[dict], DataFrame]:
+    """Learn ``n_merges`` merge rules → ([{round, left, right, cnt}...],
+    final (word, freq, syms) frame — i.e. every vocab word already
+    encoded under the learned rules).
+
+    Stops early when no pair reaches ``min_pair_count``. Each round
+    collects exactly ONE row (the argmax pair); the vocab table never
+    leaves the cluster."""
+    words = word_freqs.select(
+        "word", "freq", F.split("word", "").alias("syms")
+    )
+    prev_ckpt = None
+    merges: list[dict] = []
+    for i in range(n_merges):
+        best = (
+            _adjacent_pairs(words)
+            .filter(F.col("cnt") >= min_pair_count)
+            .orderBy(
+                F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
+        merges.append(
+            {"round": i, "left": left, "right": right, "cnt": int(cnt)}
+        )
+        words = words.withColumn(
+            "syms", merge_pair_expr(F.col("syms"), left, right)
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ck = words.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                # release the prior generation's unevictable blocks
+                try:
+                    prev_ckpt._jdf.queryExecution().analyzed().rdd().unpersist(
+                        True
+                    )
+                except Exception:
+                    pass
+            prev_ckpt, words = ck, ck
+    return merges, words
+
+
+def encode_words(words: DataFrame, merges: list[dict]) -> DataFrame:
+    """Apply learned merge rules (in training order) to a (word, ...)
+    frame → adds ``syms`` (token array) and ``n_tokens``. Pure Catalyst:
+    one fold per rule, chained — no Python in the encode path."""
+    out = words.withColumn("syms", F.split("word", ""))
+    for m in merges:
+        out = out.withColumn(
+            "syms", merge_pair_expr(F.col("syms"), m["left"], m["right"])
+        )
+    return out.withColumn("n_tokens", F.size("syms"))

@@ -139,6 +139,7 @@ def all_oracles() -> dict[str, str]:
 def _import_all() -> None:
     from rtdl_spark.queries import (  # noqa: F401
         aggregates,
+        bpe,
         dedup,
         joins,
         json_schema,

@@ -438,3 +438,83 @@ def stream_exec_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "stream_exec_interval_join",
+    # batch-twin oracle of the EXECUTED stream-stream interval join
+    # (join_interval_attribution's SQL): an inner stream-stream join
+    # emits each match in the micro-batch that completes the pair, and
+    # one availableNow batch sees everything — so the streamed result
+    # must equal the batch join exactly
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join executed through the real streaming
+    engine (two file-stream sources, watermarks on both sides, the
+    time-bounded join state Spark sizes from watermark + interval —
+    streaming/jobs.py::stream_interval_join): each click paired with the
+    same user's purchases inside [ts, ts+10min]. Inner joins emit
+    matches immediately (append mode), so a single availableNow batch
+    over single-file sources is deterministic and hash-comparable to the
+    batch twin. Reference parity: the Kafka→StateFun chain's
+    event-to-event matching shape (ingester/module.yaml:22-34),
+    Spark-native."""
+    from rtdl_spark.streaming.jobs import stream_interval_join
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_ssjoin_", dir=shm)
+    name = "stream_exec_interval_join_sink"
+    # a stream-stream join opens FOUR state stores per shuffle partition;
+    # at 32 partitions the store setup dominates (~40 s of fixed overhead
+    # for a one-batch run, measured flat across sf0.01 and sf0.1). The
+    # stateful width is baked into the NEW checkpoint each call creates,
+    # so narrow it for this bounded run and restore after — on a real
+    # unbounded deployment you would size it to the key cardinality once.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ev = table(spark, sf_dir, "events")
+        src_c = os.path.join(workdir, "clicks")
+        src_p = os.path.join(workdir, "purchases")
+        ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        ).coalesce(1).write.parquet(src_c)
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        ).coalesce(1).write.parquet(src_p)
+        schema_c = spark.read.parquet(src_c).schema
+        schema_p = spark.read.parquet(src_p).schema
+        clicks = spark.readStream.schema(schema_c).parquet(src_c)
+        purchases = spark.readStream.schema(schema_p).parquet(src_p)
+        joined = stream_interval_join(
+            clicks, purchases, key="user_id", max_delay="10 minutes"
+        ).select(
+            F.col("l_event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            F.col("l_user_id").alias("user_id"),
+        )
+        spark.catalog.dropTempView(name)
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        result = spark.table(name)
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -2428,3 +2428,102 @@ def test_knn_graph_tie_heavy_emission_is_bounded(spark):
     per_src = out.groupBy("src").count().collect()
     assert all(r["count"] <= k for r in per_src)
     assert len(per_src) == n
+
+
+class TestBPE:
+    def test_merge_fold_leftmost_nonoverlapping(self, spark):
+        """Runs of a mergeable symbol pair up leftmost-first: n symbols
+        -> floor(n/2) merges, left-aligned — including the run lengths
+        (5, 6) where single-pass regex replacements get it wrong."""
+        from pyspark.sql import functions as F
+        from rtdl_spark.operators.bpe import merge_pair_expr
+
+        cases = {
+            "aa": ["aa"],
+            "aaa": ["aa", "a"],
+            "aaaa": ["aa", "aa"],
+            "aaaaa": ["aa", "aa", "a"],
+            "aaaaaa": ["aa", "aa", "aa"],
+            "baaab": ["b", "aa", "a", "b"],
+            "ab": ["a", "b"],
+            "b": ["b"],
+        }
+        df = spark.createDataFrame([(w,) for w in cases], "w string")
+        got = {
+            r["w"]: list(r["m"])
+            for r in df.select(
+                "w",
+                merge_pair_expr(F.split("w", ""), "a", "a").alias("m"),
+            ).collect()
+        }
+        assert got == cases
+
+    def test_train_and_encode_match_reference_bpe(self, spark):
+        """The distributed trainer reproduces a pure-Python canonical
+        BPE (merge choices AND final encodings) on a corpus with ties
+        and multi-char merges."""
+        from rtdl_spark.operators.bpe import (
+            bpe_train,
+            encode_words,
+            word_frequencies,
+        )
+
+        texts = [
+            ("low low low lower lowest newer newest wider wide",),
+            ("new newer newest low slow slower widest wide we",),
+            ("lowly newly er er er est est",),
+        ]
+        docs = spark.createDataFrame(texts, "text string")
+        wf = word_frequencies(docs)
+        vocab = {r["word"]: r["freq"] for r in wf.collect()}
+
+        def ref(vocab, n):
+            words = {w: list(w) for w in vocab}
+            merges = []
+            for i in range(n):
+                cnt: dict = {}
+                for w, syms in words.items():
+                    for a, b in zip(syms, syms[1:]):
+                        cnt[(a, b)] = cnt.get((a, b), 0) + vocab[w]
+                pairs = sorted(
+                    cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+                )
+                if not pairs or pairs[0][1] < 2:
+                    break
+                (a, b), c = pairs[0]
+                merges.append((i, a, b, c))
+                for w, syms in words.items():
+                    ns, j = [], 0
+                    while j < len(syms):
+                        if (
+                            j + 1 < len(syms)
+                            and syms[j] == a
+                            and syms[j + 1] == b
+                        ):
+                            ns.append(a + b)
+                            j += 2
+                        else:
+                            ns.append(syms[j])
+                            j += 1
+                    words[w] = ns
+            return merges, words
+
+        want_merges, want_words = ref(vocab, 6)
+        merges, final = bpe_train(spark, wf, 6)
+        got = [(m["round"], m["left"], m["right"], m["cnt"]) for m in merges]
+        assert got == want_merges
+        got_words = {
+            r["word"]: list(r["syms"]) for r in final.collect()
+        }
+        assert got_words == want_words
+        enc = encode_words(wf, merges)
+        got_enc = {r["word"]: list(r["syms"]) for r in enc.collect()}
+        assert got_enc == want_words
+
+    def test_train_stops_when_no_pair_reaches_min_count(self, spark):
+        from rtdl_spark.operators.bpe import bpe_train, word_frequencies
+
+        docs = spark.createDataFrame([("ab cd ef",)], "text string")
+        wf = word_frequencies(docs)
+        merges, _ = bpe_train(spark, wf, 10, min_pair_count=2)
+        assert merges == []  # every pair occurs once
