@@ -12,10 +12,12 @@ active file set, giving batch reads and version time travel over real
 Delta tables with zero non-Spark dependency.
 
 Scope (loudly enforced, never silently wrong):
-- protocol ``minReaderVersion`` 1 and 2 with column-mapping mode "none";
-  version 3 only when every ``readerFeatures`` entry is one this reader
-  actually honors. Deletion vectors, column mapping, and v2/multi-part
-  checkpoints raise with the feature name.
+- protocol ``minReaderVersion`` 1 and 2; column mapping mode "none" or
+  "name" (physical parquet names resolved back to logical at every
+  nesting level, partitionValues keys included — read-only; id-mode
+  refused by name); version 3 only when every ``readerFeatures`` entry
+  is one this reader actually honors. Deletion vectors, id-mode column
+  mapping, and v2/multi-part checkpoints raise with the feature name.
 - classic single-part ``*.checkpoint.parquet`` checkpoints are used when
   present (the JSON tail after the checkpoint is then the only per-commit
   work — exactly how Delta implementations bound log replay).
@@ -44,6 +46,7 @@ from pyspark.sql.types import StructType
 from rtdl_spark.sources import fsutil
 
 _SUPPORTED_READER_FEATURES = {
+    "columnMapping",  # name-mode read path; id-mode refused in metadata
     "timestampNtz",
     "vacuumProtocolCheck",
     "checkConstraints",  # write-time constraint, no read semantics
@@ -97,15 +100,62 @@ def _check_protocol(protocol: dict) -> None:
             )
 
 
-def _check_metadata(meta: dict) -> None:
-    mode = (meta.get("configuration") or {}).get(
+def _cm_mode(meta: dict) -> str:
+    return (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode != "none":
+
+
+def _check_metadata(meta: dict) -> None:
+    mode = _cm_mode(meta)
+    if mode not in ("none", "name"):
+        # "name" mode is READ-supported (physical names resolved from the
+        # schema metadata below); "id" mode needs parquet field-id
+        # resolution — refuse by name rather than read wrong columns
         raise ValueError(
             f"Delta column mapping mode {mode!r} unsupported by the native "
-            "reader (physical names diverge from logical names)"
+            "reader (name-mode is supported read-only; id-mode needs "
+            "delta-spark)"
         )
+
+
+def _physical_name(field_json: dict) -> str:
+    """A field's parquet-side name under column mapping: the
+    delta.columnMapping.physicalName metadata, falling back to the
+    logical name (the protocol requires the metadata when CM is on)."""
+    md = field_json.get("metadata") or {}
+    return md.get("delta.columnMapping.physicalName", field_json["name"])
+
+
+def _physical_type(type_json):
+    """Recursively rewrite a schemaString type to physical field names
+    (struct fields are renamed at every nesting level; arrays/maps
+    recurse into their element/value types)."""
+    if isinstance(type_json, dict):
+        t = type_json.get("type")
+        if t == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": _physical_name(f),
+                        "type": _physical_type(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {},
+                    }
+                    for f in type_json.get("fields") or []
+                ],
+            }
+        if t == "array":
+            out = dict(type_json)
+            out["elementType"] = _physical_type(type_json["elementType"])
+            return out
+        if t == "map":
+            out = dict(type_json)
+            out["keyType"] = _physical_type(type_json["keyType"])
+            out["valueType"] = _physical_type(type_json["valueType"])
+            return out
+    return type_json
 
 
 def _last_checkpoint(spark: SparkSession, table_dir: str) -> dict | None:
@@ -462,11 +512,38 @@ def read_delta_native(
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(spark, table_dir, timestamp)
     meta, files, _ = snapshot_state(spark, table_dir, version)
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    schema_json = json.loads(meta["schemaString"])
+    schema = StructType.fromJson(schema_json)
     part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+
+    # column mapping "name" mode: parquet files carry PHYSICAL names at
+    # every nesting level, and add.partitionValues is keyed by physical
+    # names too (PROTOCOL.md Column Mapping) — read with the physical
+    # schema, then cast back to logical (struct casts rename by position)
+    cm = _cm_mode(meta) == "name"
+    fields_json = schema_json.get("fields") or []
+    phys_of = {f["name"]: _physical_name(f) for f in fields_json}
+    if not cm:
+        phys_of = {n: n for n in phys_of}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    if cm:
+        data_schema = StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": _physical_name(f),
+                        "type": _physical_type(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {},
+                    }
+                    for f in fields_json
+                    if f["name"] not in part_cols
+                ],
+            }
+        )
+    else:
+        data_schema = StructType(data_fields)
     by_type = {f.name: f.dataType for f in schema.fields}
 
     def _abs(rel: str) -> str:
@@ -480,7 +557,7 @@ def read_delta_native(
 
     groups: dict[tuple, list[str]] = {}
     for path, pvals in files:
-        key = tuple(pvals.get(c) for c in part_cols)
+        key = tuple(pvals.get(phys_of[c]) for c in part_cols)
         groups.setdefault(key, []).append(_abs(path))
 
     parts = []
@@ -490,6 +567,11 @@ def read_delta_native(
         key=lambda kv: tuple((v is not None, v) for v in kv[0]),
     ):
         df = spark.read.schema(data_schema).parquet(*paths)
+        proj = [
+            F.col(f"`{phys_of[f.name]}`").cast(f.dataType).alias(f.name)
+            for f in data_fields
+        ]
+        df = df.select(*proj)
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
                 c,

@@ -21,7 +21,15 @@ contract delta-spark's streaming source implements:
   micro-batch to at most N dataChange add files — a restart against a
   long backlog replays in bounded batches instead of one giant one.
   Offsets are commit-granular, so a single commit above the limit is
-  admitted whole (the option's at-least-one guarantee).
+  admitted whole (the option's at-least-one guarantee). TRIGGER
+  SEMANTICS, measured on this image: with a processingTime trigger the
+  stream advances one bounded batch per tick until caught up; with
+  Trigger.AvailableNow, Spark's wrapper for sources without native
+  admission control captures latestOffset ONCE at start, so each RUN
+  processes exactly one bounded batch and stops — the checkpoint
+  advances, and repeated availableNow runs drain the backlog (pinned by
+  test). Unbounded availableNow (no option) still means one
+  full-catch-up batch, unchanged.
 
 Execution shape: planning (offsets, commit parsing) is driver-side over
 KB-scale JSON — the same work every Delta client does; reads yield
@@ -97,7 +105,18 @@ def _latest_schema(table_dir: str, upto: int) -> StructType:
             break
         for action in _read_commit(table_dir, v):
             if "metaData" in action:
-                schema_json = action["metaData"]["schemaString"]
+                meta = action["metaData"]
+                mode = (meta.get("configuration") or {}).get(
+                    "delta.columnMapping.mode", "none"
+                )
+                if mode != "none":
+                    raise ValueError(
+                        f"Delta column mapping mode {mode!r} unsupported "
+                        "by the streaming source (batch read_delta_native "
+                        "handles name-mode; streaming would read physical "
+                        "parquet names as if logical)"
+                    )
+                schema_json = meta["schemaString"]
     if schema_json is None:
         raise ValueError(f"no Delta metaData found under {table_dir}")
     return StructType.fromJson(json.loads(schema_json))

@@ -155,7 +155,19 @@ def _check_writer_protocol(protocol: dict) -> None:
 
 def _check_no_invariants(meta: dict) -> None:
     """Protocol v2 writers must ENFORCE column invariants; we don't, so a
-    table that carries any is refused rather than silently violated."""
+    table that carries any is refused rather than silently violated.
+    Column-mapped tables are likewise refused for WRITING (the native
+    reader handles name-mode read-only; writing requires physical-name
+    assignment and maxColumnId maintenance — use delta-spark)."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode != "none":
+        raise ValueError(
+            f"Delta column mapping mode {mode!r}: this native writer does "
+            "not write column-mapped tables (read-only support for "
+            "name-mode lives in the reader)"
+        )
     try:
         fields = json.loads(meta["schemaString"]).get("fields") or []
     except Exception:
@@ -176,10 +188,31 @@ def _schema_key(schema_json: str) -> list[tuple[str, object]]:
 def _merge_schemas(table_schema_json: str, df_schema) -> str:
     """Schema evolution: table fields in their existing order, then any
     NEW df fields appended (forced nullable — old files null-fill them).
-    A shared name with a different type is a conflict, not an evolution."""
+    A shared name with a different type is a conflict, not an evolution.
+
+    A frame may LACK existing columns — readers null-fill the new files —
+    but only if the lacked column is NULLABLE: dropping a non-nullable
+    column would make readers (the Arrow streaming lane enforces
+    nullability) produce nulls where the schema forbids them. Real Delta
+    rejects the same write with a NOT-NULL violation; we refuse up front
+    with the column name."""
     t = json.loads(table_schema_json)
     existing = {f["name"]: f for f in t.get("fields") or []}
-    for f in df_schema.jsonValue()["fields"]:
+    frame_fields = df_schema.jsonValue()["fields"]
+    frame_names = {f["name"] for f in frame_fields}
+    required_missing = [
+        f["name"]
+        for f in t.get("fields") or []
+        if f["name"] not in frame_names and not f.get("nullable", True)
+    ]
+    if required_missing:
+        raise ValueError(
+            f"mergeSchema append lacks NON-NULLABLE table columns "
+            f"{required_missing} — null-filling them would violate the "
+            "schema (relax the column to nullable via overwrite, or "
+            "include it in the frame)"
+        )
+    for f in frame_fields:
         have = existing.get(f["name"])
         if have is not None:
             if have["type"] != f["type"]:

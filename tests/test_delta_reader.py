@@ -277,7 +277,9 @@ def test_delta_native_rejects_unsupported_features(spark, tmp_path):
 
     t = fresh("cm")
     m = _meta(schema_json)
-    m["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    # name-mode became READ-supported in round 6 (see
+    # test_column_mapping_name_mode_read); id-mode stays refused by name
+    m["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
     _commit(t, 0, [PROTOCOL, m])
     with pytest.raises(ValueError, match="column mapping"):
         read_delta_native(spark, t)
@@ -414,3 +416,147 @@ def test_distributed_vacuum_matches_driver_vacuum(spark, tmp_path):
         r["id"] for r in read_delta_native(spark, table).collect()
     )
     assert got == [i for i in range(30) if i % 5 != 0]
+
+
+def test_column_mapping_name_mode_read(spark, tmp_path):
+    """Column mapping 'name' mode READ (a named refusal until round 6):
+    a hand-built spec-conformant table whose parquet files carry
+    physical names at both nesting levels and whose partitionValues are
+    keyed by the physical partition name — the reader resolves all of it
+    back to logical names. The writer still refuses to touch the table,
+    and the streaming source refuses by name."""
+    import json as _json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root = str(tmp_path / "cm")
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    # physical data files: top-level and nested physical names
+    pdf = spark.createDataFrame(
+        [(1, ("x", 10)), (2, ("y", 20))],
+        "`col-aaa` bigint, `col-sss` struct<`col-inn`:string, `col-jjj`:bigint>",
+    )
+    pdf.coalesce(1).write.parquet(os.path.join(root, "d"))
+    part = next(
+        f
+        for f in os.listdir(os.path.join(root, "d"))
+        if f.endswith(".parquet")
+    )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa",
+                },
+            },
+            {
+                "name": "s",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "inner",
+                            "type": "string",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 3,
+                                "delta.columnMapping.physicalName": "col-inn",
+                            },
+                        },
+                        {
+                            "name": "j",
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 4,
+                                "delta.columnMapping.physicalName": "col-jjj",
+                            },
+                        },
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-sss",
+                },
+            },
+            {
+                "name": "p",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 5,
+                    "delta.columnMapping.physicalName": "col-ppp",
+                },
+            },
+        ],
+    }
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}) + "\n")
+        f.write(_json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(
+            _json.dumps(
+                {
+                    "metaData": {
+                        "id": "cm-table",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(schema),
+                        "partitionColumns": ["p"],
+                        "configuration": {
+                            "delta.columnMapping.mode": "name",
+                            "delta.columnMapping.maxColumnId": "5",
+                        },
+                        "createdTime": 1,
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            _json.dumps(
+                {
+                    "add": {
+                        "path": "d/" + part,
+                        "partitionValues": {"col-ppp": "east"},
+                        "size": os.path.getsize(
+                            os.path.join(root, "d", part)
+                        ),
+                        "modificationTime": 1,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+
+    got = read_delta_native(spark, root)
+    assert got.columns == ["id", "s", "p"]
+    rows = sorted(
+        (r["id"], r["s"]["inner"], r["s"]["j"], r["p"])
+        for r in got.collect()
+    )
+    assert rows == [(1, "x", 10, "east"), (2, "y", 20, "east")]
+    # nested logical field names round-tripped
+    assert got.select(F.col("s.inner")).count() == 2
+
+    with pytest.raises(ValueError, match="column mapping"):
+        write_delta_native(
+            spark,
+            got.select("id", "s", "p"),
+            root,
+        )
+
+    from rtdl_spark.sources.delta_stream_source import _latest_schema
+
+    with pytest.raises(ValueError, match="column mapping"):
+        _latest_schema(root, 10)

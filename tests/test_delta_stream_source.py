@@ -266,3 +266,46 @@ def test_max_files_per_trigger_restart_recovers_position(spark, tmp_path):
     assert len(parts) == 2
     # bounded advance resumes from version 3, not from -1
     assert r.latestOffset() == {"version": 4}
+
+
+def test_max_files_per_trigger_available_now_drains_across_runs(
+    spark, tmp_path
+):
+    """Measured trigger semantics, pinned: with maxFilesPerTrigger,
+    Trigger.AvailableNow captures latestOffset once, so each RUN is one
+    bounded batch; the checkpoint advances each time and repeated runs
+    drain the whole backlog exactly once (no loss, no double-reads)."""
+    from rtdl_spark.sources.delta_stream_source import DeltaStreamDataSource
+
+    table = str(tmp_path / "mft_an")
+    for lo in range(0, 60, 10):
+        write_delta_native(
+            spark,
+            spark.range(lo, lo + 10).select("id").repartition(2),
+            table,
+        )  # 6 commits x 2 files
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    counts = []
+    for _run in range(5):
+        q = (
+            spark.readStream.format("rtdl_delta_stream")
+            .option("path", table)
+            .option("maxFilesPerTrigger", "4")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        counts.append(spark.read.parquet(sink).count())
+        if counts[-1] == 60:
+            break
+    # 12 files / 4 per run -> exactly 3 runs, 20 rows each
+    assert counts == [20, 40, 60]
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == list(range(60)), "drain must be exactly-once"

@@ -164,20 +164,26 @@ def test_merge_schema_append_evolves_columns(spark, tmp_path):
     assert got.filter("score IS NULL").count() == 5  # old files null-fill
     assert got.filter("score = 1.5").count() == 3
 
-    # frame LACKING an existing column: its rows null-fill that column
+    # frame LACKING an existing NULLABLE column (score, forced nullable
+    # by the evolution above): its rows null-fill that column. Lacking a
+    # NON-nullable column is refused — covered by
+    # test_merge_schema_refuses_dropping_non_nullable_column.
     narrow = spark.range(8, 10).select(
-        F.col("id"), F.lit(2.5).alias("score")
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("n").alias("tag")
     )
     v2 = write_delta_native(spark, narrow, table, merge_schema=True)
     # no metaData action: the schema did not change
     assert not any("metaData" in a for a in _log_actions(table, v2))
     got = read_delta_native(spark, table)
     assert got.count() == 10
-    assert got.filter("id >= 8 AND v IS NULL").count() == 2
+    assert got.filter("id >= 8 AND score IS NULL").count() == 2
 
     # type conflict refused
     bad = spark.range(0, 1).select(
-        F.col("id"), F.lit("oops").alias("score")
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("t").alias("tag"),
+        F.lit("oops").alias("score"),
     )
     with pytest.raises(ValueError, match="type conflict"):
         write_delta_native(spark, bad, table, merge_schema=True)
@@ -1088,3 +1094,31 @@ def test_uri_scheme_table_dir_full_lifecycle(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_delta_native(spark, plain_root).collect()
     ) == ids
+
+
+def test_merge_schema_refuses_dropping_non_nullable_column(spark, tmp_path):
+    """Found by the evolution x streaming soak: a mergeSchema append
+    whose frame LACKS a NON-NULLABLE table column must be refused —
+    readers null-fill missing columns, and the Arrow streaming lane
+    (correctly) rejects nulls in non-nullable fields. Lacking a NULLABLE
+    column stays legal."""
+    table = str(tmp_path / "nn")
+    # id from range is non-nullable; v is nullable (when-without-otherwise)
+    df = spark.range(0, 5).select(
+        "id", F.when(F.col("id") >= 0, F.col("id") * 2).alias("v")
+    )
+    write_delta_native(spark, df, table)
+
+    lacks_nullable = spark.range(5, 8).select(
+        "id", F.lit("x").alias("tag")
+    )
+    v = write_delta_native(spark, lacks_nullable, table, merge_schema=True)
+    assert v == 1  # dropping nullable v is fine
+
+    lacks_required = spark.range(8, 10).select(
+        F.col("id").alias("other"), F.lit("y").alias("tag")
+    )
+    with pytest.raises(ValueError, match="NON-NULLABLE.*id"):
+        write_delta_native(
+            spark, lacks_required, table, merge_schema=True
+        )
