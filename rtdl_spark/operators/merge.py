@@ -141,6 +141,46 @@ def snapshot_diff(
     )
 
 
+def delta_table_changes(
+    spark,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+    mode: str = "keyed",
+) -> DataFrame:
+    """Change feed between two NATIVE Delta versions WITHOUT the CDF
+    writer feature (writer v4, which this engine refuses by name):
+    the versions are time-travel reads, diffed.
+
+    mode="keyed" (the 100 TB path): one full-outer join on ``keys``
+    classifying added / removed / changed / unchanged — each snapshot's
+    rows move once, co-partitioned reads prune the exchange on a
+    partitioned table (snapshot_diff's plan). mode="rows": the EXACT
+    multiset diff (exceptAll both ways → insert/delete rows) — row-level
+    fidelity with no key assumption, at the cost of a full-width
+    shuffle; right for audits, wrong for a petabyte.
+
+    Honest divergence from real CDF: CDF records row changes AS WRITTEN
+    (update_preimage/postimage) from per-commit change files; a
+    version-diff cannot distinguish an update from a delete+insert of
+    the same key, and vacuumed history obviously cannot be diffed.
+    """
+    from rtdl_spark.sources.delta_reader import read_delta_native
+
+    old = read_delta_native(spark, table_dir, version=from_version)
+    new = read_delta_native(spark, table_dir, version=to_version)
+    if mode == "keyed":
+        if not keys:
+            raise ValueError("mode='keyed' needs key columns")
+        return snapshot_diff(old, new, keys)
+    if mode != "rows":
+        raise ValueError(f"mode must be keyed|rows, got {mode!r}")
+    ins = new.exceptAll(old).withColumn("change_type", F.lit("insert"))
+    dels = old.exceptAll(new).withColumn("change_type", F.lit("delete"))
+    return ins.unionByName(dels)
+
+
 def overwrite_partitions_dynamic(
     df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:

@@ -1565,3 +1565,79 @@ def x_delta_lifecycle_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_table_changes",
+    # the oracle replays the lifecycle (append, price update, delete)
+    # and classifies every key with the same full-outer-join semantics
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 32 < 8
+    ), appended AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 32 >= 8 AND o_orderkey % 32 < 12
+    ), v3 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN price + 1.0 ELSE price END
+               AS price
+      FROM (SELECT * FROM v0 UNION ALL SELECT * FROM appended)
+      WHERE NOT (o_orderkey % 7 = 0)
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.price IS NOT DISTINCT FROM n.price THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+    FROM v0 o FULL OUTER JOIN v3 n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def lake_delta_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-less change feed over a NATIVE Delta table
+    (operators/merge.py::delta_table_changes): a lifecycle of append →
+    UPDATE WHERE → DELETE WHERE, then every key classified added /
+    removed / changed / unchanged between version 0 and the tip via one
+    full-outer keyed diff (the 100 TB mode — each snapshot's rows move
+    once). Hash-verified against the oracle's lifecycle replay."""
+    from rtdl_spark.operators.merge import delta_table_changes
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        update_where_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_deltac_", dir=shm)
+    try:
+        root = os.path.join(workdir, "ctab")
+        write_delta_native(
+            spark,
+            o.filter(F.col("o_orderkey") % 32 < 8).repartition(4),
+            root,
+            checkpoint_interval=0,
+        )
+        write_delta_native(
+            spark,
+            o.filter(
+                (F.col("o_orderkey") % 32 >= 8)
+                & (F.col("o_orderkey") % 32 < 12)
+            ).repartition(2),
+            root,
+            checkpoint_interval=0,
+        )
+        update_where_delta_native(
+            spark, root, "o_orderkey % 5 = 0", {"price": "price + 1.0"}
+        )
+        delete_where_delta_native(spark, root, "o_orderkey % 7 = 0")
+        out = delta_table_changes(
+            spark, root, from_version=0, keys=["o_orderkey"]
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -108,14 +108,13 @@ def _cm_mode(meta: dict) -> str:
 
 def _check_metadata(meta: dict) -> None:
     mode = _cm_mode(meta)
-    if mode not in ("none", "name"):
-        # "name" mode is READ-supported (physical names resolved from the
-        # schema metadata below); "id" mode needs parquet field-id
-        # resolution — refuse by name rather than read wrong columns
+    if mode not in ("none", "name", "id"):
+        # "name" resolves physicalName metadata; "id" resolves through
+        # Spark's parquet field-id matching — anything else is refused
+        # by name rather than read wrong columns
         raise ValueError(
-            f"Delta column mapping mode {mode!r} unsupported by the native "
-            "reader (name-mode is supported read-only; id-mode needs "
-            "delta-spark)"
+            f"Delta column mapping mode {mode!r} unsupported by the "
+            "native reader"
         )
 
 
@@ -154,6 +153,43 @@ def _physical_type(type_json):
             out = dict(type_json)
             out["keyType"] = _physical_type(type_json["keyType"])
             out["valueType"] = _physical_type(type_json["valueType"])
+            return out
+    return type_json
+
+
+def _field_id_type(type_json):
+    """id-mode twin of ``_physical_type``: keep LOGICAL names but carry
+    ``parquet.field.id`` (from delta.columnMapping.id) so Spark's
+    field-id matcher resolves columns regardless of parquet names."""
+    if isinstance(type_json, dict):
+        t = type_json.get("type")
+        if t == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": f["name"],
+                        "type": _field_id_type(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {
+                            "parquet.field.id": int(
+                                (f.get("metadata") or {})[
+                                    "delta.columnMapping.id"
+                                ]
+                            )
+                        },
+                    }
+                    for f in type_json.get("fields") or []
+                ],
+            }
+        if t == "array":
+            out = dict(type_json)
+            out["elementType"] = _field_id_type(type_json["elementType"])
+            return out
+        if t == "map":
+            out = dict(type_json)
+            out["keyType"] = _field_id_type(type_json["keyType"])
+            out["valueType"] = _field_id_type(type_json["valueType"])
             return out
     return type_json
 
@@ -516,17 +552,22 @@ def read_delta_native(
     schema = StructType.fromJson(schema_json)
     part_cols = list(meta.get("partitionColumns") or [])
 
-    # column mapping "name" mode: parquet files carry PHYSICAL names at
-    # every nesting level, and add.partitionValues is keyed by physical
-    # names too (PROTOCOL.md Column Mapping) — read with the physical
-    # schema, then cast back to logical (struct casts rename by position)
-    cm = _cm_mode(meta) == "name"
+    # column mapping: parquet files carry PHYSICAL names at every
+    # nesting level, and add.partitionValues is keyed by physical names
+    # too (PROTOCOL.md Column Mapping). "name" mode: read with the
+    # physical schema, then cast back to logical (struct casts rename by
+    # position). "id" mode: keep logical names but attach
+    # parquet.field.id metadata and let Spark's field-id matcher resolve
+    # the columns (spark.sql.parquet.fieldId.read.enabled — left on for
+    # the session; it only affects read schemas that CARRY field ids,
+    # which ordinary frames never do).
+    cm_mode = _cm_mode(meta)
     fields_json = schema_json.get("fields") or []
     phys_of = {f["name"]: _physical_name(f) for f in fields_json}
-    if not cm:
+    if cm_mode == "none":
         phys_of = {n: n for n in phys_of}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    if cm:
+    if cm_mode == "name":
         data_schema = StructType.fromJson(
             {
                 "type": "struct",
@@ -542,8 +583,39 @@ def read_delta_native(
                 ],
             }
         )
+    elif cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        data_schema = StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": f["name"],
+                        "type": _field_id_type(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {
+                            "parquet.field.id": int(
+                                (f.get("metadata") or {})[
+                                    "delta.columnMapping.id"
+                                ]
+                            )
+                        },
+                    }
+                    for f in fields_json
+                    if f["name"] not in part_cols
+                ],
+            }
+        )
     else:
         data_schema = StructType(data_fields)
+    # partitionValues keys are physical under BOTH cm modes; the scan's
+    # column names are physical only in name mode (id mode reads under
+    # logical names via field-id matching)
+    read_col_of = (
+        phys_of
+        if cm_mode == "name"
+        else {n: n for n in phys_of}
+    )
     by_type = {f.name: f.dataType for f in schema.fields}
 
     def _abs(rel: str) -> str:
@@ -568,7 +640,7 @@ def read_delta_native(
     ):
         df = spark.read.schema(data_schema).parquet(*paths)
         proj = [
-            F.col(f"`{phys_of[f.name]}`").cast(f.dataType).alias(f.name)
+            F.col(f"`{read_col_of[f.name]}`").cast(f.dataType).alias(f.name)
             for f in data_fields
         ]
         df = df.select(*proj)

@@ -113,8 +113,8 @@ def _latest_schema(table_dir: str, upto: int) -> StructType:
                     raise ValueError(
                         f"Delta column mapping mode {mode!r} unsupported "
                         "by the streaming source (batch read_delta_native "
-                        "handles name-mode; streaming would read physical "
-                        "parquet names as if logical)"
+                        "handles name/id modes; streaming would read "
+                        "physical parquet names as if logical)"
                     )
                 schema_json = meta["schemaString"]
     if schema_json is None:

@@ -277,9 +277,9 @@ def test_delta_native_rejects_unsupported_features(spark, tmp_path):
 
     t = fresh("cm")
     m = _meta(schema_json)
-    # name-mode became READ-supported in round 6 (see
-    # test_column_mapping_name_mode_read); id-mode stays refused by name
-    m["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    # name- and id-mode became READ-supported in round 6 (see the two
+    # test_column_mapping_* tests); an unknown future mode stays refused
+    m["metaData"]["configuration"] = {"delta.columnMapping.mode": "v99"}
     _commit(t, 0, [PROTOCOL, m])
     with pytest.raises(ValueError, match="column mapping"):
         read_delta_native(spark, t)
@@ -560,3 +560,143 @@ def test_column_mapping_name_mode_read(spark, tmp_path):
 
     with pytest.raises(ValueError, match="column mapping"):
         _latest_schema(root, 10)
+
+
+def test_column_mapping_id_mode_read(spark, tmp_path):
+    """Column mapping 'id' mode READ via Spark's parquet field-id
+    matching: the parquet file's column NAMES are garbage physical
+    UUIDs, only the field ids line up with delta.columnMapping.id —
+    and the reader still resolves logical columns, nested levels and a
+    physically-keyed partition value included."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    root = str(tmp_path / "cmid")
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try:
+        w_schema = StructType(
+            [
+                StructField("col-xaa", LongType(), True, {"parquet.field.id": 1}),
+                StructField(
+                    "col-xss",
+                    StructType(
+                        [
+                            StructField(
+                                "col-xin",
+                                StringType(),
+                                True,
+                                {"parquet.field.id": 3},
+                            )
+                        ]
+                    ),
+                    True,
+                    {"parquet.field.id": 2},
+                ),
+            ]
+        )
+        pdf = spark.createDataFrame([(7, ("deep",)), (8, ("blue",))], w_schema)
+        pdf.coalesce(1).write.parquet(os.path.join(root, "d"))
+    finally:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    part = next(
+        f
+        for f in os.listdir(os.path.join(root, "d"))
+        if f.endswith(".parquet")
+    )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-xaa",
+                },
+            },
+            {
+                "name": "s",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "inner",
+                            "type": "string",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 3,
+                                "delta.columnMapping.physicalName": "col-xin",
+                            },
+                        }
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-xss",
+                },
+            },
+            {
+                "name": "p",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 4,
+                    "delta.columnMapping.physicalName": "col-xpp",
+                },
+            },
+        ],
+    }
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}) + "\n")
+        f.write(_json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(
+            _json.dumps(
+                {
+                    "metaData": {
+                        "id": "cmid-table",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(schema),
+                        "partitionColumns": ["p"],
+                        "configuration": {
+                            "delta.columnMapping.mode": "id",
+                            "delta.columnMapping.maxColumnId": "4",
+                        },
+                        "createdTime": 1,
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            _json.dumps(
+                {
+                    "add": {
+                        "path": "d/" + part,
+                        "partitionValues": {"col-xpp": "west"},
+                        "size": os.path.getsize(os.path.join(root, "d", part)),
+                        "modificationTime": 1,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+
+    got = read_delta_native(spark, root)
+    assert got.columns == ["id", "s", "p"]
+    rows = sorted(
+        (r["id"], r["s"]["inner"], r["p"]) for r in got.collect()
+    )
+    assert rows == [(7, "deep", "west"), (8, "blue", "west")]

@@ -1122,3 +1122,51 @@ def test_merge_schema_refuses_dropping_non_nullable_column(spark, tmp_path):
         write_delta_native(
             spark, lacks_required, table, merge_schema=True
         )
+
+
+def test_delta_table_changes_modes(spark, tmp_path):
+    """CDF-less change feed: keyed mode classifies add/remove/change,
+    rows mode is the exact multiset diff (a duplicated row appearing
+    once more shows up exactly once as an insert)."""
+    from rtdl_spark.operators.merge import delta_table_changes
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        update_where_delta_native,
+    )
+
+    table = str(tmp_path / "chg")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 20), (3, 30)], "k bigint, v bigint"
+    )
+    write_delta_native(spark, df.coalesce(1), table)
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(4, 40), (2, 20)], "k bigint, v bigint"),
+        table,
+    )
+    update_where_delta_native(spark, table, "k = 3", {"v": "v + 5"})
+    delete_where_delta_native(spark, table, "k = 1")
+
+    keyed = {
+        r["k"]: r["change_type"]
+        for r in delta_table_changes(
+            spark, table, 0, keys=["k"]
+        ).collect()
+    }
+    assert keyed == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    rows = sorted(
+        (r["k"], r["v"], r["change_type"])
+        for r in delta_table_changes(
+            spark, table, 0, mode="rows"
+        ).collect()
+    )
+    # k=2 gained exactly ONE more (2,20) copy -> one insert row;
+    # k=3 changed -> delete old + insert new; k=1 deleted; k=4 inserted
+    assert rows == [
+        (1, 10, "delete"),
+        (2, 20, "insert"),
+        (3, 30, "delete"),
+        (3, 35, "insert"),
+        (4, 40, "insert"),
+    ]
