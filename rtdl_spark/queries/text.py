@@ -1148,14 +1148,192 @@ def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_phrase_mining")
+_PHRASE_ORACLE = """WITH d0 AS (SELECT string_split(text, ' ') AS toks FROM documents),
+q0 AS (
+  SELECT p[1] AS ml, p[2] AS mr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_zip(toks, toks[2:])) AS p
+    FROM d0 WHERE len(toks) >= 2
+  )
+  WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+b0 AS (
+  SELECT ml, mr, n FROM q0 WHERE n >= 2
+  ORDER BY n DESC, ml ASC, mr ASC LIMIT 1
+),
+d1 AS (
+  SELECT string_split(ltrim(
+    CASE WHEN split_part(folded, '|', 2) = ''
+         THEN split_part(folded, '|', 1)
+         ELSE split_part(folded, '|', 1) || '.' ||
+              split_part(folded, '|', 2)
+    END, '.'), '.') AS toks
+  FROM (
+    SELECT list_reduce(list_prepend('|', toks),
+      (acc, x) -> CASE
+        WHEN split_part(acc, '|', 2) = ''
+          THEN split_part(acc, '|', 1) || '|' || x
+        WHEN split_part(acc, '|', 2) = b.ml AND x = b.mr
+          THEN split_part(acc, '|', 1) || '.' || b.ml || chr(30) ||
+               b.mr || '|'
+        ELSE split_part(acc, '|', 1) || '.' ||
+             split_part(acc, '|', 2) || '|' || x
+      END) AS folded
+    FROM d0, b0 b
+  )
+),
+q1 AS (
+  SELECT p[1] AS ml, p[2] AS mr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_zip(toks, toks[2:])) AS p
+    FROM d1 WHERE len(toks) >= 2
+  )
+  WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+b1 AS (
+  SELECT ml, mr, n FROM q1 WHERE n >= 2
+  ORDER BY n DESC, ml ASC, mr ASC LIMIT 1
+),
+d2 AS (
+  SELECT string_split(ltrim(
+    CASE WHEN split_part(folded, '|', 2) = ''
+         THEN split_part(folded, '|', 1)
+         ELSE split_part(folded, '|', 1) || '.' ||
+              split_part(folded, '|', 2)
+    END, '.'), '.') AS toks
+  FROM (
+    SELECT list_reduce(list_prepend('|', toks),
+      (acc, x) -> CASE
+        WHEN split_part(acc, '|', 2) = ''
+          THEN split_part(acc, '|', 1) || '|' || x
+        WHEN split_part(acc, '|', 2) = b.ml AND x = b.mr
+          THEN split_part(acc, '|', 1) || '.' || b.ml || chr(30) ||
+               b.mr || '|'
+        ELSE split_part(acc, '|', 1) || '.' ||
+             split_part(acc, '|', 2) || '|' || x
+      END) AS folded
+    FROM d1, b1 b
+  )
+),
+q2 AS (
+  SELECT p[1] AS ml, p[2] AS mr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_zip(toks, toks[2:])) AS p
+    FROM d2 WHERE len(toks) >= 2
+  )
+  WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+b2 AS (
+  SELECT ml, mr, n FROM q2 WHERE n >= 2
+  ORDER BY n DESC, ml ASC, mr ASC LIMIT 1
+),
+d3 AS (
+  SELECT string_split(ltrim(
+    CASE WHEN split_part(folded, '|', 2) = ''
+         THEN split_part(folded, '|', 1)
+         ELSE split_part(folded, '|', 1) || '.' ||
+              split_part(folded, '|', 2)
+    END, '.'), '.') AS toks
+  FROM (
+    SELECT list_reduce(list_prepend('|', toks),
+      (acc, x) -> CASE
+        WHEN split_part(acc, '|', 2) = ''
+          THEN split_part(acc, '|', 1) || '|' || x
+        WHEN split_part(acc, '|', 2) = b.ml AND x = b.mr
+          THEN split_part(acc, '|', 1) || '.' || b.ml || chr(30) ||
+               b.mr || '|'
+        ELSE split_part(acc, '|', 1) || '.' ||
+             split_part(acc, '|', 2) || '|' || x
+      END) AS folded
+    FROM d2, b2 b
+  )
+),
+q3 AS (
+  SELECT p[1] AS ml, p[2] AS mr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_zip(toks, toks[2:])) AS p
+    FROM d3 WHERE len(toks) >= 2
+  )
+  WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+b3 AS (
+  SELECT ml, mr, n FROM q3 WHERE n >= 2
+  ORDER BY n DESC, ml ASC, mr ASC LIMIT 1
+),
+d4 AS (
+  SELECT string_split(ltrim(
+    CASE WHEN split_part(folded, '|', 2) = ''
+         THEN split_part(folded, '|', 1)
+         ELSE split_part(folded, '|', 1) || '.' ||
+              split_part(folded, '|', 2)
+    END, '.'), '.') AS toks
+  FROM (
+    SELECT list_reduce(list_prepend('|', toks),
+      (acc, x) -> CASE
+        WHEN split_part(acc, '|', 2) = ''
+          THEN split_part(acc, '|', 1) || '|' || x
+        WHEN split_part(acc, '|', 2) = b.ml AND x = b.mr
+          THEN split_part(acc, '|', 1) || '.' || b.ml || chr(30) ||
+               b.mr || '|'
+        ELSE split_part(acc, '|', 1) || '.' ||
+             split_part(acc, '|', 2) || '|' || x
+      END) AS folded
+    FROM d3, b3 b
+  )
+),
+q4 AS (
+  SELECT p[1] AS ml, p[2] AS mr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_zip(toks, toks[2:])) AS p
+    FROM d4 WHERE len(toks) >= 2
+  )
+  WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+b4 AS (
+  SELECT ml, mr, n FROM q4 WHERE n >= 2
+  ORDER BY n DESC, ml ASC, mr ASC LIMIT 1
+),
+d5 AS (
+  SELECT string_split(ltrim(
+    CASE WHEN split_part(folded, '|', 2) = ''
+         THEN split_part(folded, '|', 1)
+         ELSE split_part(folded, '|', 1) || '.' ||
+              split_part(folded, '|', 2)
+    END, '.'), '.') AS toks
+  FROM (
+    SELECT list_reduce(list_prepend('|', toks),
+      (acc, x) -> CASE
+        WHEN split_part(acc, '|', 2) = ''
+          THEN split_part(acc, '|', 1) || '|' || x
+        WHEN split_part(acc, '|', 2) = b.ml AND x = b.mr
+          THEN split_part(acc, '|', 1) || '.' || b.ml || chr(30) ||
+               b.mr || '|'
+        ELSE split_part(acc, '|', 1) || '.' ||
+             split_part(acc, '|', 2) || '|' || x
+      END) AS folded
+    FROM d4, b4 b
+  )
+)
+SELECT 0 AS merge_idx, ml AS "left", mr AS "right", n FROM b0 UNION ALL SELECT 1 AS merge_idx, ml AS "left", mr AS "right", n FROM b1 UNION ALL SELECT 2 AS merge_idx, ml AS "left", mr AS "right", n FROM b2 UNION ALL SELECT 3 AS merge_idx, ml AS "left", mr AS "right", n FROM b3 UNION ALL SELECT 4 AS merge_idx, ml AS "left", mr AS "right", n FROM b4"""
+
+
+@query("text_phrase_mining", oracle=_PHRASE_ORACLE)
 def text_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative merge-rule training (operators/bpe.py — the BPE/
-    word2phrase loop): 5 rounds of count-pairs → argmax → fuse over the
-    corpus; returns the learned rules with their frequencies. No oracle:
-    the data-dependent iterative loop is non-SQL-expressible; training
-    AND application are pinned EXACTLY against a pure-Python reference in
-    tests/test_operators.py."""
+    """Iterative merge-rule training (operators/bpe.py — the word2phrase
+    loop): 5 rounds of count-pairs → argmax → fuse over the corpus;
+    returns the learned rules with their frequencies. Rows-only until
+    round 6: the char-level BPE oracle technique (the fold replayed via
+    DuckDB list_reduce with a string-encoded accumulator, rounds unrolled
+    as chained CTEs) applies verbatim at word level — re-deriving from
+    the original corpus with k rules (the operator's lineage-cutting
+    trick) equals chaining one rule per round, which is what the SQL
+    does. The documents fixture is pure [a-z ], so '.'/'|' accumulator
+    separators and the chr(30) fuse marker cannot collide."""
     from rtdl_spark.operators.bpe import train_phrase_merges
 
     d = table(spark, sf_dir, "documents")

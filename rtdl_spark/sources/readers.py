@@ -121,8 +121,10 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None) -> Da
     reader (sources/delta_reader.py — r5: the open Delta protocol needs
     nothing beyond Spark itself for basic reads), so a table the
     reference's deltawriter produced is readable on this image today.
-    The native path rejects advanced reader features (deletion vectors,
-    column mapping, v2 checkpoints) loudly rather than scanning wrong."""
+    The native path handles column mapping in BOTH name and id modes
+    (r6: physical names / parquet field-ids resolved back to logical)
+    and rejects the rest of the advanced reader features (deletion
+    vectors, v2 checkpoints) loudly rather than scanning wrong."""
     if not delta_available(spark):
         from rtdl_spark.sources.delta_reader import read_delta_native
 
