@@ -293,3 +293,96 @@ def encode_words(words: DataFrame, merges: list[dict]) -> DataFrame:
             "syms", merge_pair_expr(F.col("syms"), m["left"], m["right"])
         )
     return out.withColumn("n_tokens", F.size("syms"))
+
+
+def bpe_encode_kernel(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    split_re: str = "[^a-z]+",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Production-shaped BPE ENCODE over raw text: adds ``tokens``
+    (array<string>) and ``n_tokens`` per row.
+
+    ``encode_words`` chains one Catalyst fold per rule — exact and
+    JVM-only, but k rules become k nested expressions: right for the
+    oracle-verified small-k path, wrong for a 50k-merge production
+    vocabulary. This kernel is the scale path: the merge table is a
+    BROADCAST rule list and each Arrow batch is encoded by applying the
+    rules IN TRAINING ORDER, one leftmost-nonoverlapping pass each —
+    exactly the trainer's state semantics, so parity with
+    ``encode_words`` holds by construction (pinned by test). Per-word
+    results are memoized within a batch (natural corpora repeat words
+    heavily). Documented divergence from HF-style inference encoding:
+    tokenizers that repeatedly merge the lowest-RANK pair present can
+    RE-apply an early rule whose pair only materializes after a later
+    rule fires; an ordered sweep does not. The two agree except in that
+    pathological rule interaction.
+    """
+    import re as _re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rules = [(m["left"], m["right"]) for m in merges]
+    word_re = _re.compile(split_re)
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        for a, b in rules:
+            if len(syms) < 2:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("tokens", ArrayType(StringType())),
+            StructField("n_tokens", IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd  # noqa: F401 (module-level in callers)
+
+        cache: dict = {}
+        for pdf in batches:
+            toks = []
+            for txt in pdf[text_col]:
+                t = (txt or "")
+                if lowercase:
+                    t = t.lower()
+                words = [w for w in word_re.split(t) if len(w) >= 2]
+                enc: list[str] = []
+                for w in words:
+                    enc.extend(encode_word(w, cache))
+                toks.append(enc)
+            pdf = pdf.copy()
+            pdf["tokens"] = toks
+            pdf["n_tokens"] = [len(t) for t in toks]
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)

@@ -167,3 +167,34 @@ def text_bpe_vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("word").asc())
         .limit(15)
     )
+
+
+_DOC_TOKENS_ORACLE = _oracle_body() + f"""
+, doc_words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+  FROM documents
+)
+SELECT w.doc_id, CAST(SUM(len(s.syms)) AS INT) AS n_tokens
+FROM doc_words w JOIN s{N_ROUNDS} s USING (word)
+WHERE length(w.word) >= 2
+GROUP BY w.doc_id
+"""
+
+
+@query("text_bpe_doc_tokens", oracle=_DOC_TOKENS_ORACLE)
+def text_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION encode path (operators/bpe.py::bpe_encode_kernel —
+    broadcast rule list, Arrow-batched ordered-sweep encoding with
+    per-word memoization) token-counts every document under the 8
+    trained merges. The oracle re-derives each document's count as the
+    sum of its words' round-8 vocabulary tokenizations — any kernel
+    divergence from the trainer's state semantics flips counts."""
+    from rtdl_spark.operators.bpe import bpe_encode_kernel, bpe_train
+
+    merges, _ = bpe_train(
+        spark, _word_freqs(spark, sf_dir), N_ROUNDS, min_pair_count=MIN_PAIR
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_encode_kernel(docs, merges).select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens")
+    )

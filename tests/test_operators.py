@@ -2527,3 +2527,38 @@ class TestBPE:
         wf = word_frequencies(docs)
         merges, _ = bpe_train(spark, wf, 10, min_pair_count=2)
         assert merges == []  # every pair occurs once
+
+    def test_encode_kernel_matches_catalyst_fold_path(self, spark):
+        """The Arrow-batched encode kernel (production path for large
+        rule sets) produces the same tokenization as the pure-Catalyst
+        per-rule folds over every corpus word, and its per-doc token
+        stream is the concatenation of per-word encodings in order."""
+        from rtdl_spark.operators.bpe import (
+            bpe_encode_kernel,
+            bpe_train,
+            encode_words,
+            word_frequencies,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "low low lower lowest newer newest"),
+                (1, "wide wider widest new newer we er est"),
+            ],
+            "doc_id bigint, text string",
+        )
+        wf = word_frequencies(docs)
+        merges, _ = bpe_train(spark, wf, 6)
+
+        fold = {
+            r["word"]: list(r["syms"])
+            for r in encode_words(wf, merges).collect()
+        }
+        got = {
+            r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode_kernel(docs, merges).collect()
+        }
+        for r in docs.collect():
+            words = [w for w in r["text"].split(" ") if len(w) >= 2]
+            want = [t for w in words for t in fold[w]]
+            assert got[r["doc_id"]] == (want, len(want))
