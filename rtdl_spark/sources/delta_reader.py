@@ -483,9 +483,10 @@ def last_txn_version(
     """The latest SetTransaction version committed for ``app_id`` — the
     protocol's exactly-once handshake for streaming writers (a sink
     skips any epoch ≤ this). None if the table is empty or the app never
-    committed."""
+    committed. Control-plane read: zero per-file work (a streaming sink
+    asks this every micro-batch — it must not scale with table size)."""
     try:
-        _, _, _, _, txns = snapshot_actions(spark, table_dir)
+        _, _, _, txns = snapshot_control(spark, table_dir)
     except ValueError:
         return None
     return txns.get(app_id)
