@@ -386,3 +386,37 @@ def bpe_encode_kernel(
             yield pdf
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def bpe_vocabulary(
+    word_freqs: DataFrame, merges: list[dict]
+) -> DataFrame:
+    """The trained tokenizer's vocabulary as a frame: (token, token_id,
+    kind). Base tokens are the corpus's single characters in
+    lexicographic order (ids 0..), then one merged token per rule in
+    TRAINING ORDER — the id layout every BPE tokenizer file
+    (vocab.json) uses, deterministic and engine-replayable."""
+    spark = word_freqs.sparkSession
+    chars = (
+        word_freqs.select(
+            F.explode(F.split("word", "")).alias("token")
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    base = chars.withColumn(
+        "token_id",
+        F.row_number().over(Window.orderBy("token")) - 1,
+    ).withColumn("kind", F.lit("char"))
+    n_base = base.count()
+    merged = spark.createDataFrame(
+        [
+            (m["left"] + m["right"], n_base + m["round"], "merge")
+            for m in merges
+        ],
+        "token string, token_id int, kind string",
+    )
+    return base.select(
+        "token", F.col("token_id").cast("int").alias("token_id"), "kind"
+    ).unionByName(merged)

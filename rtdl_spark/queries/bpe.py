@@ -198,3 +198,41 @@ def text_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_kernel(docs, merges).select(
         "doc_id", F.col("n_tokens").cast("int").alias("n_tokens")
     )
+
+
+_VOCAB_ID_ORACLE = _oracle_body() + """
+, chars AS (
+  SELECT DISTINCT unnest(string_split(word, '')) AS token FROM w0
+), base AS (
+  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS INT)
+           AS token_id,
+         'char' AS kind
+  FROM chars
+), merged AS (
+  SELECT token, CAST((SELECT COUNT(*) FROM chars) + rnd AS INT)
+           AS token_id,
+         'merge' AS kind
+  FROM (
+""" + " UNION ALL ".join(
+    f"SELECT ml || mr AS token, {r} AS rnd FROM best{r}"
+    for r in range(N_ROUNDS)
+) + """
+  )
+)
+SELECT token, token_id, kind FROM base
+UNION ALL SELECT token, token_id, kind FROM merged
+"""
+
+
+@query("text_bpe_vocabulary", oracle=_VOCAB_ID_ORACLE)
+def text_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's exportable vocabulary
+    (operators/bpe.py::bpe_vocabulary): corpus characters get ids in
+    lexicographic order, merged tokens follow in training order — the
+    vocab.json id layout, hash-verified against the unrolled training
+    oracle's chosen pairs."""
+    from rtdl_spark.operators.bpe import bpe_train, bpe_vocabulary
+
+    wf = _word_freqs(spark, sf_dir)
+    merges, _ = bpe_train(spark, wf, N_ROUNDS, min_pair_count=MIN_PAIR)
+    return bpe_vocabulary(wf, merges)
