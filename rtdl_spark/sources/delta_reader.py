@@ -661,7 +661,12 @@ def read_delta_native(
 
 def delta_history(spark: SparkSession, table_dir: str) -> list[dict]:
     """Commit history from the log's commitInfo actions → [{version,
-    timestamp, operation}] oldest-first (the DESCRIBE HISTORY essentials)."""
+    timestamp, operation}] oldest-first (the DESCRIBE HISTORY
+    essentials). When a commit carries ``inCommitTimestamp`` (the ICT
+    table feature: the timestamp is part of the committed action, chosen
+    monotonically, instead of the log file's mtime-ish wall clock), it
+    takes precedence — exactly delta-spark's resolution order, so
+    timestamp time travel agrees across engines on ICT tables."""
     out = []
     for v in _commit_versions(spark, table_dir):
         cpath = posixpath.join(_log_dir(table_dir), f"{v:020d}.json")
@@ -670,10 +675,11 @@ def delta_history(spark: SparkSession, table_dir: str) -> list[dict]:
             if "commitInfo" in action:
                 info = action["commitInfo"]
                 break
+        ts = info.get("inCommitTimestamp", info.get("timestamp"))
         out.append(
             {
                 "version": v,
-                "timestamp": info.get("timestamp"),
+                "timestamp": ts,
                 "operation": info.get("operation"),
             }
         )

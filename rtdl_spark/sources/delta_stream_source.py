@@ -96,30 +96,91 @@ def _read_commit(table_dir: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def _latest_schema(table_dir: str, upto: int) -> StructType:
-    """Latest metaData.schemaString at or below ``upto`` (JSON tail only
-    — the streaming source requires the tail anyway)."""
-    schema_json = None
+def _latest_meta(table_dir: str, upto: int) -> dict:
+    """Latest metaData action at or below ``upto`` (JSON tail only —
+    the streaming source requires the tail anyway)."""
+    meta = None
     for v in _commit_versions(table_dir):
         if v > upto:
             break
         for action in _read_commit(table_dir, v):
             if "metaData" in action:
                 meta = action["metaData"]
-                mode = (meta.get("configuration") or {}).get(
-                    "delta.columnMapping.mode", "none"
-                )
-                if mode != "none":
-                    raise ValueError(
-                        f"Delta column mapping mode {mode!r} unsupported "
-                        "by the streaming source (batch read_delta_native "
-                        "handles name/id modes; streaming would read "
-                        "physical parquet names as if logical)"
-                    )
-                schema_json = meta["schemaString"]
-    if schema_json is None:
+    if meta is None:
         raise ValueError(f"no Delta metaData found under {table_dir}")
-    return StructType.fromJson(json.loads(schema_json))
+    return meta
+
+
+def _cm_info(meta: dict) -> dict:
+    """Column-mapping facts the Arrow read lane needs, JSON-safe:
+    {"mode", "phys": {logical: physicalName}} for the TOP-LEVEL fields
+    (nested struct children are resolved POSITIONALLY — the protocol
+    preserves field order between logical and physical schemas)."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("none", "name", "id"):
+        raise ValueError(
+            f"Delta column mapping mode {mode!r} unsupported by the "
+            "streaming source"
+        )
+    fields = json.loads(meta["schemaString"]).get("fields") or []
+    phys = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in fields
+    }
+    ids = {
+        f["name"]: (f.get("metadata") or {}).get("delta.columnMapping.id")
+        for f in fields
+    }
+    return {"mode": mode, "phys": phys, "ids": ids}
+
+
+def _latest_schema(table_dir: str, upto: int) -> StructType:
+    meta = _latest_meta(table_dir, upto)
+    _cm_info(meta)  # refuse unknown modes loudly at schema time
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _relabel(arr, ttype):
+    """Recursively align a physical Arrow array to the LOGICAL field
+    type: struct children are renamed/realigned positionally (schema
+    evolution may leave the file's struct SHORTER — missing children
+    null-fill), everything else casts. Lists/maps of structs under
+    column mapping are refused by name rather than mislabeled."""
+    import pyarrow as pa
+
+    if pa.types.is_struct(ttype):
+        if not pa.types.is_struct(arr.type):
+            return arr.cast(ttype)
+        kids = []
+        for i in range(ttype.num_fields):
+            tfield = ttype.field(i)
+            if i < arr.type.num_fields:
+                kids.append(_relabel(arr.field(i), tfield.type))
+            else:
+                kids.append(pa.nulls(len(arr), tfield.type))
+        mask = arr.is_null() if arr.null_count else None
+        return pa.StructArray.from_arrays(
+            kids,
+            fields=[ttype.field(i) for i in range(ttype.num_fields)],
+            mask=mask,
+        )
+    if (
+        pa.types.is_list(ttype) or pa.types.is_large_list(ttype)
+    ) and pa.types.is_struct(ttype.value_type):
+        raise ValueError(
+            "list-of-struct columns under Delta column mapping are not "
+            "supported by the streaming source (use the batch reader)"
+        )
+    if pa.types.is_map(ttype) and pa.types.is_struct(ttype.item_type):
+        raise ValueError(
+            "map-of-struct columns under Delta column mapping are not "
+            "supported by the streaming source (use the batch reader)"
+        )
+    return arr.cast(ttype)
 
 
 class _AddFilePartition(InputPartition):
@@ -129,11 +190,13 @@ class _AddFilePartition(InputPartition):
         partition_values: dict,
         schema_json: str,
         part_cols: list[str],
+        cm_json: str = "{}",
     ):
         self.path = path
         self.partition_values = partition_values
         self.schema_json = schema_json
         self.part_cols = part_cols
+        self.cm_json = cm_json
 
 
 class _DeltaStreamReader(DataSourceStreamReader):
@@ -226,16 +289,14 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._planned_end = max(self._planned_end or -1, lo, hi)
         parts: list[_AddFilePartition] = []
         schema_json = self.schema.json()
-        part_cols: list[str] = []
-        # partition columns come from the latest metaData ≤ hi
-        for v in _commit_versions(self.table_dir):
-            if v > hi:
-                break
-            for action in _read_commit(self.table_dir, v):
-                if "metaData" in action:
-                    part_cols = list(
-                        action["metaData"].get("partitionColumns") or []
-                    )
+        # partition columns + column-mapping facts from the latest
+        # metaData ≤ hi (partitionValues keys are PHYSICAL under CM)
+        if hi >= 0:
+            meta = _latest_meta(self.table_dir, hi)
+            part_cols = list(meta.get("partitionColumns") or [])
+            cm_json = json.dumps(_cm_info(meta))
+        else:
+            part_cols, cm_json = [], "{}"
         for v in range(lo + 1, hi + 1):
             for action in _read_commit(self.table_dir, v):
                 if "add" not in action:
@@ -254,11 +315,12 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         a.get("partitionValues") or {},
                         schema_json,
                         part_cols,
+                        cm_json,
                     )
                 )
         return parts or [
             # the API requires ≥1 partition; an empty range yields none
-            _AddFilePartition("", {}, schema_json, part_cols)
+            _AddFilePartition("", {}, schema_json, part_cols, cm_json)
         ]
 
     def read(self, partition: _AddFilePartition) -> Iterator:
@@ -271,14 +333,29 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
         schema = StructType.fromJson(json.loads(partition.schema_json))
         arrow_schema = to_arrow_schema(schema)
+        cm = json.loads(partition.cm_json or "{}")
+        mode = cm.get("mode", "none")
+        phys = cm.get("phys") or {}
+        ids = cm.get("ids") or {}
         pf = pq.ParquetFile(partition.path)
+        # under id-mode the file's column NAMES are irrelevant — build a
+        # field-id → physical-name map from the parquet arrow schema
+        id_to_name: dict[int, str] = {}
+        if mode == "id":
+            for f in pf.schema_arrow:
+                md = f.metadata or {}
+                fid = md.get(b"PARQUET:field_id")
+                if fid is not None:
+                    id_to_name[int(fid)] = f.name
         for batch in pf.iter_batches():
             n = batch.num_rows
             cols = []
             for field in arrow_schema:
                 name = field.name
                 if name in partition.part_cols:
-                    raw = partition.partition_values.get(name)
+                    # partitionValues keys are PHYSICAL under CM
+                    pv_key = phys.get(name, name) if mode != "none" else name
+                    raw = partition.partition_values.get(pv_key)
                     if raw is None or raw == _HIVE_NULL:
                         cols.append(pa.nulls(n, type=field.type))
                     else:
@@ -287,9 +364,16 @@ class _DeltaStreamReader(DataSourceStreamReader):
                                 field.type
                             )
                         )
-                elif name in batch.schema.names:
+                    continue
+                if mode == "name":
+                    src = phys.get(name, name)
+                elif mode == "id":
+                    src = id_to_name.get(int(ids.get(name) or -1), "")
+                else:
+                    src = name
+                if src and src in batch.schema.names:
                     cols.append(
-                        batch.column(name).cast(field.type)
+                        _relabel(batch.column(src), field.type)
                     )
                 else:
                     # schema evolution: file predates the column

@@ -556,10 +556,13 @@ def test_column_mapping_name_mode_read(spark, tmp_path):
             root,
         )
 
+    # the streaming source resolves CM too (round 6): its schema is the
+    # LOGICAL one
     from rtdl_spark.sources.delta_stream_source import _latest_schema
 
-    with pytest.raises(ValueError, match="column mapping"):
-        _latest_schema(root, 10)
+    assert [f.name for f in _latest_schema(root, 10).fields] == [
+        "id", "s", "p",
+    ]
 
 
 def test_column_mapping_id_mode_read(spark, tmp_path):
@@ -700,3 +703,49 @@ def test_column_mapping_id_mode_read(spark, tmp_path):
         (r["id"], r["s"]["inner"], r["p"]) for r in got.collect()
     )
     assert rows == [(7, "deep", "west"), (8, "blue", "west")]
+
+
+def test_in_commit_timestamps_drive_time_travel(spark, tmp_path):
+    """ICT tables: when commitInfo carries inCommitTimestamp, history
+    and timestampAsOf resolve by IT (the committed, monotonic clock) —
+    not by the plain timestamp field — matching delta-spark's order of
+    precedence."""
+    import json as _json
+    import os
+
+    from rtdl_spark.sources.delta_reader import (
+        delta_history,
+        version_at_timestamp,
+    )
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    table = str(tmp_path / "ict")
+    write_delta_native(spark, spark.range(0, 5).select("id"), table)
+    write_delta_native(spark, spark.range(5, 9).select("id"), table)
+
+    # rewrite both commitInfos: wall timestamps are deliberately WRONG
+    # (reversed); inCommitTimestamp carries the real ordering
+    for v, (wall, ict) in enumerate([(9_000_000, 1_000_000),
+                                     (8_000_000, 2_000_000)]):
+        path = os.path.join(table, "_delta_log", f"{v:020d}.json")
+        with open(path) as f:
+            actions = [_json.loads(line) for line in f if line.strip()]
+        for a in actions:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = wall
+                a["commitInfo"]["inCommitTimestamp"] = ict
+        with open(path, "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a, separators=(",", ":")) + "\n")
+        # the Hadoop local FS keeps checksum sidecars; an in-place
+        # rewrite outside the FS API invalidates them
+        crc = os.path.join(
+            os.path.dirname(path), f".{os.path.basename(path)}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    hist = delta_history(spark, table)
+    assert [h["timestamp"] for h in hist] == [1_000_000, 2_000_000]
+    assert version_at_timestamp(spark, table, 1_500_000) == 0
+    assert version_at_timestamp(spark, table, 2_000_000) == 1

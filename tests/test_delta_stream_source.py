@@ -309,3 +309,104 @@ def test_max_files_per_trigger_available_now_drains_across_runs(
     assert counts == [20, 40, 60]
     got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
     assert got == list(range(60)), "drain must be exactly-once"
+
+
+def test_stream_source_reads_column_mapped_tables(spark, tmp_path):
+    """The streaming source resolves column mapping in its Arrow lane:
+    name-mode physical columns (nested struct children realigned
+    positionally) and physically-keyed partition values come out under
+    logical names — the same hand-built spec fixture the batch reader
+    test uses, streamed end-to-end."""
+    import json as _json
+    import os
+
+    from rtdl_spark.sources.delta_stream_source import DeltaStreamDataSource
+
+    root = str(tmp_path / "cmstream")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pdf = spark.createDataFrame(
+        [(1, ("x", 10)), (2, ("y", 20))],
+        "`col-aaa` bigint, `col-sss` struct<`col-inn`:string, `col-jjj`:bigint>",
+    )
+    pdf.coalesce(1).write.parquet(os.path.join(root, "d"))
+    part = next(
+        f
+        for f in os.listdir(os.path.join(root, "d"))
+        if f.endswith(".parquet")
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id", "type": "long", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa",
+                },
+            },
+            {
+                "name": "s",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "inner", "type": "string", "nullable": True,
+                         "metadata": {
+                             "delta.columnMapping.id": 3,
+                             "delta.columnMapping.physicalName": "col-inn"}},
+                        {"name": "j", "type": "long", "nullable": True,
+                         "metadata": {
+                             "delta.columnMapping.id": 4,
+                             "delta.columnMapping.physicalName": "col-jjj"}},
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-sss",
+                },
+            },
+            {
+                "name": "p", "type": "string", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 5,
+                    "delta.columnMapping.physicalName": "col-ppp",
+                },
+            },
+        ],
+    }
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}) + "\n")
+        f.write(_json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "cms", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": ["p"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "5"},
+            "createdTime": 1}}) + "\n")
+        f.write(_json.dumps({"add": {
+            "path": "d/" + part,
+            "partitionValues": {"col-ppp": "east"},
+            "size": os.path.getsize(os.path.join(root, "d", part)),
+            "modificationTime": 1, "dataChange": True}}) + "\n")
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("rtdl_delta_stream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(sink)
+    assert got.columns == ["id", "s", "p"]
+    rows = sorted(
+        (r["id"], r["s"]["inner"], r["s"]["j"], r["p"])
+        for r in got.collect()
+    )
+    assert rows == [(1, "x", 10, "east"), (2, "y", 20, "east")]
