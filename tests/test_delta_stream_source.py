@@ -410,3 +410,76 @@ def test_stream_source_reads_column_mapped_tables(spark, tmp_path):
         for r in got.collect()
     )
     assert rows == [(1, "x", 10, "east"), (2, "y", 20, "east")]
+
+
+def test_stream_source_reads_id_mode_column_mapping(spark, tmp_path):
+    """id-mode CM through the STREAM: the parquet column names are
+    garbage; the Arrow lane maps delta.columnMapping.id to the file's
+    PARQUET:field_id metadata and still emits logical columns."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from rtdl_spark.sources.delta_stream_source import DeltaStreamDataSource
+
+    root = str(tmp_path / "cmidstream")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try:
+        w_schema = StructType(
+            [
+                StructField("junk-a", LongType(), True, {"parquet.field.id": 1}),
+                StructField("junk-b", StringType(), True, {"parquet.field.id": 2}),
+            ]
+        )
+        pdf = spark.createDataFrame([(5, "u"), (6, "v")], w_schema)
+        pdf.coalesce(1).write.parquet(os.path.join(root, "d"))
+    finally:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    part = next(
+        f for f in os.listdir(os.path.join(root, "d"))
+        if f.endswith(".parquet")
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "junk-a"}},
+            {"name": "tag", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "junk-b"}},
+        ],
+    }
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}) + "\n")
+        f.write(_json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "cmids", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 1}}) + "\n")
+        f.write(_json.dumps({"add": {
+            "path": "d/" + part, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, "d", part)),
+            "modificationTime": 1, "dataChange": True}}) + "\n")
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("rtdl_delta_stream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(sink)
+    assert got.columns == ["id", "tag"]
+    assert sorted((r["id"], r["tag"]) for r in got.collect()) == [
+        (5, "u"), (6, "v"),
+    ]
