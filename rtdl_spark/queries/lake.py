@@ -1641,3 +1641,71 @@ def lake_delta_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_restore",
+    # after RESTORE to version 1, the table's content must equal v1
+    # exactly: the initial load plus the first append, deletes undone
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 16 < 6
+    )
+    SELECT CAST(o_orderkey % 4 AS INT) AS grp, COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total
+    FROM v1 GROUP BY 1
+    """,
+)
+def lake_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native RESTORE TO VERSION (sources/delta_writer.py::
+    restore_delta_native): create → append → DELETE WHERE → restore to
+    version 1. Pure log surgery — no data rewritten, history preserved —
+    and the final per-group counts/DECIMAL sums must equal version 1's
+    content exactly (the delete fully undone)."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        restore_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_deltar_", dir=shm)
+    try:
+        root = os.path.join(workdir, "rtab")
+        write_delta_native(
+            spark,
+            o.filter(F.col("o_orderkey") % 16 < 3).repartition(3),
+            root,
+            checkpoint_interval=0,
+        )
+        write_delta_native(
+            spark,
+            o.filter(
+                (F.col("o_orderkey") % 16 >= 3)
+                & (F.col("o_orderkey") % 16 < 6)
+            ).repartition(2),
+            root,
+            checkpoint_interval=0,
+        )
+        delete_where_delta_native(spark, root, "o_orderkey % 3 = 0")
+        res = restore_delta_native(spark, root, 1)
+        assert res["version"] == 3, res
+        out = (
+            read_delta_native(spark, root)
+            .groupBy((F.col("o_orderkey") % 4).cast("int").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("price")).cast("double").alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

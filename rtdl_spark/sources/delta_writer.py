@@ -747,6 +747,7 @@ def _commit_rewrite(
     ts: int,
     planned_meta: dict,
     max_retries: int = 5,
+    extra_actions: list[dict] | None = None,
 ) -> int:
     """Commit a file rewrite (``removes`` tombstones + ``adds``) at the
     next version, with BOUNDED CONFLICT RETRY on a lost commit race —
@@ -781,6 +782,7 @@ def _commit_rewrite(
                 }
             }
         ]
+        actions.extend(extra_actions or [])
         actions.extend({"remove": r} for r in removes)
         actions.extend({"add": a} for a in adds)
         if _try_commit(spark, root, current + 1, actions):
@@ -1060,6 +1062,108 @@ def merge_into_delta_native(
         "version": version,
         "files_rewritten": len(affected),
         "files_added": len(adds),
+    }
+
+
+def restore_delta_native(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF: make the table's CURRENT
+    state equal version ``version`` again via one NEW commit — history
+    is preserved and the restore itself is time-travelable, exactly
+    delta-spark's RESTORE semantics. The commit removes every file
+    active now but not at the target version, re-adds every file active
+    then but not now (their original stats/partitionValues come from
+    the target snapshot's add actions), and re-emits the target
+    version's metaData when schema/partitioning/configuration drifted.
+
+    Pure log surgery: ZERO data is read or rewritten — cost is O(set
+    difference) driver bookkeeping plus one put-if-absent commit (with
+    the rewrite path's bounded conflict retry). Re-added files must
+    still EXIST: a vacuum that reaped the old version makes it
+    unrestorable, and this raises naming the first missing file rather
+    than committing a log that points at nothing (delta-spark's
+    ignoreMissingFiles escape hatch is deliberately not offered).
+
+    Returns {"version", "files_added", "files_removed",
+    "metadata_restored"}. Restoring to the current state commits
+    nothing and returns version None."""
+    root = table_dir.rstrip("/")
+    protocol, meta, active_now, current, _tx = snapshot_actions(
+        spark, root
+    )
+    _check_protocol(protocol)
+    _check_writer_protocol(protocol)
+    _check_no_invariants(meta)
+    if int(version) == current:
+        return {
+            "version": None,
+            "files_added": 0,
+            "files_removed": 0,
+            "metadata_restored": False,
+        }
+    _, meta_v, active_v, _, _ = snapshot_actions(
+        spark, root, version=int(version)
+    )
+
+    to_remove = sorted(set(active_now) - set(active_v))
+    to_add = sorted(set(active_v) - set(active_now))
+    fs_prefix = _fs_prefix(root)
+    for rel in to_add:
+        abs_plain = _plain(
+            posixpath.join(root, urllib.parse.unquote(rel))
+        )
+        if not fsutil.exists(spark, fs_prefix + abs_plain):
+            raise ValueError(
+                f"cannot RESTORE to version {version}: data file "
+                f"{rel!r} no longer exists (vacuumed) — the target "
+                "version is gone"
+            )
+
+    meta_changed = (
+        _schema_key(meta_v["schemaString"])
+        != _schema_key(meta["schemaString"])
+        or list(meta_v.get("partitionColumns") or [])
+        != list(meta.get("partitionColumns") or [])
+        or dict(meta_v.get("configuration") or {})
+        != dict(meta.get("configuration") or {})
+    )
+    ts = _now_ms()
+    extra = (
+        [{"metaData": {**meta_v, "id": meta["id"]}}] if meta_changed else []
+    )
+    removes = [
+        {
+            "path": rel,
+            "deletionTimestamp": ts,
+            "dataChange": True,
+            "extendedFileMetadata": True,
+            "partitionValues": active_now[rel].get("partitionValues")
+            or {},
+            "size": active_now[rel].get("size"),
+        }
+        for rel in to_remove
+    ]
+    adds = [dict(active_v[rel], modificationTime=ts) for rel in to_add]
+    new_version = _commit_rewrite(
+        spark,
+        root,
+        current,
+        "RESTORE",
+        {"version": str(int(version))},
+        removes,
+        adds,
+        ts,
+        meta,
+        extra_actions=extra,
+    )
+    return {
+        "version": new_version,
+        "files_added": len(to_add),
+        "files_removed": len(to_remove),
+        "metadata_restored": meta_changed,
     }
 
 

@@ -1170,3 +1170,53 @@ def test_delta_table_changes_modes(spark, tmp_path):
         (3, 35, "insert"),
         (4, 40, "insert"),
     ]
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE: the current state becomes version V again via one NEW
+    commit — pure log surgery (no data rewritten), history preserved,
+    schema drift rolled back, and a vacuumed target refuses by file
+    name."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        restore_delta_native,
+        vacuum_delta_native,
+    )
+
+    table = str(tmp_path / "rst")
+    write_delta_native(spark, _frame(spark, 0, 10).coalesce(1), table)
+    write_delta_native(spark, _frame(spark, 10, 15).coalesce(1), table)
+    delete_where_delta_native(spark, table, "id < 4")      # v2
+    write_delta_native(                                    # v3: +score
+        spark,
+        _frame(spark, 20, 22).withColumn("score", F.lit(1.0)).coalesce(1),
+        table,
+        merge_schema=True,
+    )
+
+    res = restore_delta_native(spark, table, 1)
+    assert res["version"] == 4
+    assert res["files_added"] > 0 and res["files_removed"] > 0
+    assert res["metadata_restored"] is True  # score column rolled back
+
+    got = read_delta_native(spark, table)
+    assert got.columns == ["id", "v", "tag"]
+    assert sorted(r["id"] for r in got.collect()) == list(range(15))
+    # history preserved; the restore itself is time-travelable
+    assert [h["version"] for h in delta_history(spark, table)] == list(
+        range(5)
+    )
+    assert read_delta_native(spark, table, version=3).count() == 13
+
+    # no-op restore to the current tip
+    assert restore_delta_native(spark, table, 4)["version"] is None
+
+    # idempotent content: restoring v4 -> v1 state again equals itself
+    res2 = restore_delta_native(spark, table, 1)
+    assert res2["files_added"] == 0 and res2["files_removed"] == 0
+
+    # vacuumed target refuses by name: drop to v... delete files of v3
+    delete_where_delta_native(spark, table, "id >= 10")    # drops v1 files
+    vacuum_delta_native(spark, table, retain_ms=0)
+    with pytest.raises(ValueError, match="no longer exists"):
+        restore_delta_native(spark, table, 1)
