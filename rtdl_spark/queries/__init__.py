@@ -45,52 +45,52 @@ CANARIES: tuple[str, ...] = (
     "multimodal_binary_stats",   # multimodal (§2C)
 )
 
-# Round-6 rotation: the ENTIRE never-served native-Delta family lands
-# first (the r5 verdict's top item — the stack shipped after the r5 head
-# was fixed, so none of its seven oracle-backed queries has an external
-# row yet), plus the r5-new JPEG roundtrip and the two streaming-executed
-# entries that missed the r5 head, then a round-robin spread over the
-# remaining never-served pool (join/json/lake/ml/multimodal/scalar/setop/
-# sim/source/sql/text/udaf/udf/win/x families).
+# Round-7 rotation (r6 verdict item 1): the r6-new surface with no
+# external row yet leads — table_changes, RESTORE, the stream-stream
+# interval join, the whole BPE tokenizer family and the upgraded
+# phrase-mining oracle — then a round-robin spread over the remaining
+# never-served pool (join/json/lake/ml/multimodal/scalar/setop/sim/sql/
+# text/win/x families). 65-name pool at rotation time -> ~2 rounds to
+# full external coverage.
 ROTATION: tuple[str, ...] = (
-    "lake_delta_native_read",
-    "lake_delta_native_write",
-    "lake_delta_optimize",
-    "lake_delta_merge",
-    "lake_delta_dml",
-    "stream_exec_delta_sink",
-    "stream_exec_delta_source",
-    "x_delta_lifecycle_full",
-    "multimodal_image_jpeg_roundtrip",
-    "stream_exec_sliding_counts",
-    "stream_exec_dedup_within_watermark",
-    "join_theta_acctbal_dominance",
-    "json_map_keys",
-    "lake_histogram_equidepth",
-    "ml_confusion_matrix",
-    "multimodal_feature_extract",
-    "scalar_array_explode",
-    "setop_union_all_parties",
-    "sim_threshold_pairs_by_label",
-    "source_orc_roundtrip",
-    "sql_revenue_by_region",
-    "text_token_stats_by_lang",
-    "udaf_grouped_arrow_trimmed_mean",
-    "udf_pandas_cosine_probe",
-    "win_first_last_value",
-    "join_asof_tolerance_error_context",
-    "lake_skew_report",
-    "ml_per_class_prf",
-    "multimodal_wav_segments",
-    "scalar_conditional_funcs",
-    "setop_except_nations",
-    "sim_embedding_norms",
-    "source_binaryfile_scan",
-    "sql_exists_in_scalar_subqueries",
-    "text_quality_filter_summary",
-    "udf_window_pandas_mad",
-    "win_topk_partial_prune",
-    "x_allpairs_blocked_full",
+    "lake_delta_table_changes",
+    "lake_delta_restore",
+    "lake_delta_dv_read",
+    "lake_delta_cm_write",
+    "lake_delta_ict_history",
+    "stream_exec_interval_join",
+    "text_bpe_train_merges",
+    "text_bpe_vocab_tokens",
+    "text_bpe_doc_tokens",
+    "text_bpe_vocabulary",
+    "text_phrase_mining",
+    "join_hint_shuffle_hash",
+    "json_roundtrip_stats",
+    "lake_outlier_report",
+    "ml_calibration_bins",
+    "multimodal_image_png_ahash",
+    "scalar_url_parse",
+    "setop_distinct_pairs",
+    "sim_rp_lsh_topk",
+    "sql_pipe_syntax",
+    "win_nth_value_ignore_nulls",
+    "x_knn_graph_full",
+    "join_temporal_validity",
+    "lake_constraint_audit",
+    "ml_calibration_ece",
+    "scalar_bitwise_funcs",
+    "sim_quantization_error",
+    "sql_parameterized",
+    "win_time_range_frame",
+    "x_knn_graph_ivf_full",
+    "join_inequality_bnl",
+    "ml_chi2_keywords",
+    "sim_quantized_topk",
+    "sql_collation_compare",
+    "win_session_paths",
+    "x_image_ahash_full",
+    "ml_pr_curve_quality",
+    "sim_semantic_dedup",
 )
 
 DRIVER_HEAD: tuple[str, ...] = CANARIES + ROTATION

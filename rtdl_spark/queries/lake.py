@@ -1709,3 +1709,386 @@ def lake_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_dv_read",
+    # the DV deletes rows by PHYSICAL POSITION in a file written sorted
+    # by o_orderkey, so the oracle reconstructs the same positions with
+    # ROW_NUMBER() and applies the identical delete rule; v0 (pre-DV)
+    # must still see every row
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT 0 AS v, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM t
+    UNION ALL
+    SELECT 1 AS v, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM t
+    WHERE NOT (idx % 7 = 0 OR (idx >= 10 AND idx < 40))
+    """,
+)
+def lake_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTOR read (sources/dv.py + delta_reader, r7 — the last
+    reader-side refusal in the native Delta stack): a spec-shaped DV
+    table is staged — one sorted data file, then a remove+add commit
+    attaching a storageType-"u" DV (base85 UUID path, CRC-checked
+    framing, 64-bit RoaringBitmapArray with both a periodic scatter and
+    a contiguous run of deleted positions) under
+    minReaderVersion 3 / readerFeatures ["deletionVectors"].  Version 0
+    reads all rows; the tip drops exactly the bitmap's positions via
+    the _metadata.row_index anti-filter.  Counts + DECIMAL totals at
+    both versions, hash-verified against the ROW_NUMBER() oracle."""
+    import json as _json
+
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.dv import write_dv_file
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_dv_", dir=shm)
+    try:
+        root = os.path.join(workdir, "dvtab")
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log)
+        stage = os.path.join(workdir, "stage")
+        # ONE file, physically sorted by o_orderkey: row index i is the
+        # i-th smallest key — the bridge between DV positions and SQL
+        (
+            o.coalesce(1)
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), os.path.join(root, "f.parquet"))
+        n_rows = o.count()
+        deleted = [
+            i for i in range(n_rows) if i % 7 == 0 or 10 <= i < 40
+        ]
+        _, _, (desc,) = write_dv_file(root, [deleted])
+
+        add = {
+            "path": "f.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, "f.parquet")),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+        }
+        meta = {
+            "metaData": {
+                "id": "rtdl-delta-dv-read",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "o_orderkey", "type": "long",
+                             "nullable": True, "metadata": {}},
+                            {"name": "o_totalprice", "type": "double",
+                             "nullable": True, "metadata": {}},
+                        ],
+                    }
+                ),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        }
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for act in (
+                {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+                {"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"]}},
+                meta,
+                {"add": add},
+            ):
+                f.write(_json.dumps(act) + "\n")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+            for act in (
+                {"commitInfo": {"timestamp": 2, "operation": "DELETE"}},
+                {"remove": {"path": "f.parquet", "deletionTimestamp": 2,
+                            "dataChange": True}},
+                {"add": {**add, "deletionVector": desc}},
+            ):
+                f.write(_json.dumps(act) + "\n")
+
+        def snap(version: int) -> DataFrame:
+            return (
+                read_delta_native(spark, root, version=version)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(dec("o_totalprice")).cast("double").alias("total"),
+                )
+                .select(F.lit(version).alias("v"), "n", "total")
+            )
+
+        out = snap(0).unionByName(snap(1))
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_cm_write",
+    # the table's LOGICAL content after create(v0, k%3=0 subset) +
+    # native append(v1, rest) + DELETE WHERE k%7=0 (v2) is a pure rule
+    # over orders — but Spark must produce it by writing PHYSICAL
+    # column names/field ids and reading them back through the mapping
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             CAST(o_orderkey % 2 AS VARCHAR) AS seg
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT seg, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM t WHERE k % 7 <> 0
+    GROUP BY seg
+    """,
+)
+def lake_delta_cm_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPED table WRITES (r7, sources/delta_writer.py): a
+    name-mode CM table is staged per the protocol (physical names
+    col-kk/col-pp/col-ss, physically-keyed partitionValues,
+    minWriterVersion 5), then the native writer APPENDS (files staged
+    under physical names + parquet field ids at every level; logical
+    schema validated first) and runs DELETE WHERE through the CM scan
+    (predicate on LOGICAL names, rewrite re-staged physically). Final
+    per-segment counts + DECIMAL totals read back via the CM batch
+    reader, hash-verified."""
+    import json as _json
+
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        write_delta_native,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            (F.col("o_orderkey") % 2).cast("string").alias("seg"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_cmw_", dir=shm)
+    try:
+        root = os.path.join(workdir, "cmtab")
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log)
+        # v0: one physical file per seg for the k%3=0 subset, written
+        # under PHYSICAL names (what a real CM writer leaves on disk)
+        init = o.filter(F.col("k") % 3 == 0)
+        adds = []
+        for seg in ("0", "1"):
+            stage = os.path.join(workdir, f"stage_{seg}")
+            (
+                init.filter(F.col("seg") == seg)
+                .select(
+                    F.col("k").alias("col-kk"),
+                    F.col("price").alias("col-pp"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = next(
+                p for p in os.listdir(stage) if p.endswith(".parquet")
+            )
+            name = f"col-ss={seg}/init.parquet"
+            os.makedirs(os.path.join(root, f"col-ss={seg}"))
+            shutil.move(
+                os.path.join(stage, part), os.path.join(root, name)
+            )
+            adds.append(
+                {
+                    "add": {
+                        "path": name,
+                        "partitionValues": {"col-ss": seg},
+                        "size": os.path.getsize(os.path.join(root, name)),
+                        "modificationTime": 1700000000000,
+                        "dataChange": True,
+                    }
+                }
+            )
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-kk"}},
+                {"name": "price", "type": "double", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-pp"}},
+                {"name": "seg", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 3,
+                              "delta.columnMapping.physicalName": "col-ss"}},
+            ],
+        }
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for act in (
+                {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+                {"protocol": {"minReaderVersion": 2,
+                              "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "rtdl-cm-write",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(schema),
+                    "partitionColumns": ["seg"],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3"},
+                    "createdTime": 1}},
+                *adds,
+            ):
+                f.write(_json.dumps(act) + "\n")
+
+        # v1: native CM append of the remaining rows (physical staging)
+        write_delta_native(
+            spark,
+            o.filter(F.col("k") % 3 != 0),
+            root,
+            checkpoint_interval=0,
+        )
+        # v2: DELETE WHERE through the CM scan, logical predicate
+        delete_where_delta_native(spark, root, "k % 7 = 0")
+
+        out = (
+            read_delta_native(spark, root)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("price")).cast("double").alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_ict_history",
+    # ICT determinism: v0 is staged with inCommitTimestamp pinned to the
+    # constant 9999999999999 — FAR ahead of any wall clock this decade —
+    # so the writer's monotonicity rule (strictly greater than the
+    # previous commit's ICT) forces v1/v2 to EXACTLY +1/+2; row counts
+    # per version are pure rules over orders
+    oracle="""
+    WITH t AS (SELECT o_orderkey AS k FROM orders
+               WHERE o_orderkey % 4 = 0)
+    SELECT 0 AS version, 0 AS ict_offset,
+           (SELECT COUNT(*) FROM t WHERE k % 2 = 0) AS n_rows
+    UNION ALL
+    SELECT 1, 1, (SELECT COUNT(*) FROM t)
+    UNION ALL
+    SELECT 2, 2, (SELECT COUNT(*) FROM t WHERE k % 3 <> 0)
+    """,
+)
+def lake_delta_ict_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-COMMIT TIMESTAMP writes (r7): on a table with
+    delta.enableInCommitTimestamps=true, every commit this writer makes
+    carries a MONOTONIC inCommitTimestamp — pinned deterministic here by
+    staging v0's ICT far in the future, so the append (v1) and DELETE
+    (v2) must stamp exactly prev+1/prev+2 (the protocol's clock-skew
+    guarantee: strictly greater than the previous commit even when the
+    wall clock lags). Output: (version, ict - base, rows at version) —
+    version row counts read back via time travel."""
+    import json as _json
+
+    from rtdl_spark.sources.delta_reader import (
+        delta_history,
+        read_delta_native,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        write_delta_native,
+    )
+
+    base_ict = 9_999_999_999_999
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_ict_", dir=shm)
+    try:
+        root = os.path.join(workdir, "icttab")
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log)
+        stage = os.path.join(workdir, "stage")
+        (
+            o.filter(F.col("k") % 2 == 0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), os.path.join(root, "f0.parquet"))
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for act in (
+                {"commitInfo": {"timestamp": 1, "operation": "WRITE",
+                                "inCommitTimestamp": base_ict}},
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                              "writerFeatures": ["inCommitTimestamp"]}},
+                {"metaData": {
+                    "id": "rtdl-ict",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps({
+                        "type": "struct",
+                        "fields": [{"name": "k", "type": "long",
+                                    "nullable": True, "metadata": {}}]}),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.enableInCommitTimestamps": "true"},
+                    "createdTime": 1}},
+                {"add": {
+                    "path": "f0.parquet", "partitionValues": {},
+                    "size": os.path.getsize(
+                        os.path.join(root, "f0.parquet")),
+                    "modificationTime": 1, "dataChange": True}},
+            ):
+                f.write(_json.dumps(act) + "\n")
+
+        write_delta_native(
+            spark, o.filter(F.col("k") % 2 != 0), root,
+            checkpoint_interval=0,
+        )  # v1
+        delete_where_delta_native(spark, root, "k % 3 = 0")  # v2
+
+        hist = {h["version"]: int(h["timestamp"])
+                for h in delta_history(spark, root)}
+        rows = [
+            (
+                v,
+                hist[v] - base_ict,
+                read_delta_native(spark, root, version=v).count(),
+            )
+            for v in (0, 1, 2)
+        ]
+        return spark.createDataFrame(
+            rows, "`version` int, `ict_offset` int, `n_rows` bigint"
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -16,8 +16,10 @@ Scope (loudly enforced, never silently wrong):
   "name" (physical parquet names resolved back to logical at every
   nesting level, partitionValues keys included — read-only; id-mode
   refused by name); version 3 only when every ``readerFeatures`` entry
-  is one this reader actually honors. Deletion vectors, id-mode column
-  mapping, and v2/multi-part checkpoints raise with the feature name.
+  is one this reader actually honors. Deletion vectors are READ
+  (sources/dv.py decodes the bitmaps; deleted positions drop via an
+  anti-filter on ``_metadata.row_index``); v2/multi-part checkpoints
+  raise with the feature name.
 - classic single-part ``*.checkpoint.parquet`` checkpoints are used when
   present (the JSON tail after the checkpoint is then the only per-commit
   work — exactly how Delta implementations bound log replay).
@@ -39,6 +41,7 @@ import json
 import posixpath
 import urllib.parse
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -52,6 +55,7 @@ _SUPPORTED_READER_FEATURES = {
     "checkConstraints",  # write-time constraint, no read semantics
     "appendOnly",
     "invariants",
+    "deletionVectors",  # sources/dv.py; filtered on _metadata.row_index
 }
 
 
@@ -314,6 +318,14 @@ def _replay_core(
 
     for v in replay:
         cpath = posixpath.join(_log_dir(table_dir), f"{v:020d}.json")
+        # Within ONE commit, removes apply BEFORE adds: a deletion-vector
+        # rewrite pairs remove(path, old DV) + add(path, new DV) for the
+        # SAME path in the same commit, and streaming the actions in file
+        # order would let a trailing remove erase the replacement add.
+        # (PROTOCOL.md Action Reconciliation keys by path+dvId; for batch
+        # active-set replay, per-commit remove-then-add over path keys is
+        # equivalent for well-formed writer output.)
+        commit_adds: list[dict] = []
         for action in _read_json_lines(spark, cpath):
             if "protocol" in action:
                 protocol = action["protocol"]
@@ -323,17 +335,8 @@ def _replay_core(
                 _check_metadata(meta)
             elif "add" in action:
                 a = action["add"]
-                if a.get("deletionVector"):
-                    raise ValueError(
-                        "Delta deletion vectors unsupported by the native "
-                        "reader (use delta-spark)"
-                    )
                 a["partitionValues"] = a.get("partitionValues") or {}
-                if adds == "full":
-                    active[a["path"]] = a
-                elif adds == "tail":
-                    tail_adds[a["path"]] = a
-                    tail_removed.discard(a["path"])
+                commit_adds.append(a)
             elif "remove" in action:
                 rp = action["remove"]["path"]
                 if adds == "full":
@@ -345,6 +348,12 @@ def _replay_core(
                 t = action["txn"]
                 if t.get("appId") is not None:
                     txns[t["appId"]] = int(t["version"])
+        for a in commit_adds:
+            if adds == "full":
+                active[a["path"]] = a
+            elif adds == "tail":
+                tail_adds[a["path"]] = a
+                tail_removed.discard(a["path"])
     if meta is None:
         raise ValueError(
             f"Delta log at {table_dir} has no metaData action up to "
@@ -396,13 +405,39 @@ def snapshot_control(
     return protocol, meta, target, txns
 
 
+_DV_STRUCT_DDL = (
+    "struct<storageType:string,pathOrInlineDv:string,offset:int,"
+    "sizeInBytes:int,cardinality:bigint>"
+)
+
 _ADDS_FRAME_FIELDS = (
     ("path", "string"),
     ("partitionValues", "map<string,string>"),
     ("size", "bigint"),
     ("modificationTime", "bigint"),
     ("stats", "string"),
+    # deletion vector descriptor — MUST flow through the adds frame, or
+    # a checkpoint written from it would drop the DVs and resurrect
+    # every DV-deleted row for checkpoint-bounded readers
+    ("deletionVector", _DV_STRUCT_DDL),
 )
+
+_DV_FIELD_ORDER = (
+    "storageType", "pathOrInlineDv", "offset", "sizeInBytes", "cardinality",
+)
+
+
+def _dv_tuple(a: dict):
+    d = a.get("deletionVector")
+    if not d:
+        return None
+    return (
+        d.get("storageType"),
+        d.get("pathOrInlineDv"),
+        int(d["offset"]) if d.get("offset") is not None else None,
+        int(d["sizeInBytes"]) if d.get("sizeInBytes") is not None else None,
+        int(d["cardinality"]) if d.get("cardinality") is not None else None,
+    )
 
 
 def snapshot_adds_frame(
@@ -429,6 +464,7 @@ def snapshot_adds_frame(
             if a.get("modificationTime") is not None
             else None,
             a.get("stats"),
+            _dv_tuple(a),
         )
         for a in tail_adds.values()
     ]
@@ -440,14 +476,45 @@ def snapshot_adds_frame(
     if "add" not in cdf.columns:
         return protocol, meta, tail_df, target, txns
     sub = set(cdf.select("add.*").columns)
-    proj = [
-        (
-            F.col(f"add.{n}").cast(t)
-            if n in sub
-            else F.lit(None).cast(t)
-        ).alias(n)
-        for n, t in _ADDS_FRAME_FIELDS
-    ]
+    _dv_types = {
+        "storageType": "string",
+        "pathOrInlineDv": "string",
+        "offset": "int",
+        "sizeInBytes": "int",
+        "cardinality": "bigint",
+    }
+    proj = []
+    for n, t in _ADDS_FRAME_FIELDS:
+        if n == "deletionVector" and n in sub:
+            # rebuilt field-by-field: a foreign checkpoint's descriptor
+            # may carry extra fields (maxRowIndex), and struct CASTs
+            # require matching arity
+            dv_sub = set(cdf.select("add.deletionVector.*").columns)
+            proj.append(
+                F.when(
+                    F.col("add.deletionVector").isNotNull(),
+                    F.struct(
+                        *[
+                            (
+                                F.col(f"add.deletionVector.{f}")
+                                if f in dv_sub
+                                else F.lit(None)
+                            )
+                            .cast(ft)
+                            .alias(f)
+                            for f, ft in _dv_types.items()
+                        ]
+                    ),
+                ).alias(n)
+            )
+        else:
+            proj.append(
+                (
+                    F.col(f"add.{n}").cast(t)
+                    if n in sub
+                    else F.lit(None).cast(t)
+                ).alias(n)
+            )
     ckpt_adds = cdf.filter(F.col("add.path").isNotNull()).select(*proj)
     superseded = sorted(tail_removed | set(tail_adds))
     if superseded:
@@ -548,7 +615,22 @@ def read_delta_native(
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(spark, table_dir, timestamp)
-    meta, files, _ = snapshot_state(spark, table_dir, version)
+    _, meta, active, _, _ = snapshot_actions(spark, table_dir, version)
+    files = sorted(
+        (p, a.get("partitionValues") or {}) for p, a in active.items()
+    )
+    # deletion vectors: descriptor per DECODED plain abs path (the form
+    # executors recover from _metadata.file_path — which Spark renders
+    # percent-escaped)
+    dv_map: dict[str, dict] = {}
+    for p, a in active.items():
+        if a.get("deletionVector"):
+            abs_p = posixpath.join(
+                table_dir.rstrip("/"), urllib.parse.unquote(p)
+            )
+            if ":" in abs_p[:10]:
+                abs_p = urllib.parse.urlparse(abs_p).path
+            dv_map[abs_p] = dict(a["deletionVector"])
     schema_json = json.loads(meta["schemaString"])
     schema = StructType.fromJson(schema_json)
     part_cols = list(meta.get("partitionColumns") or [])
@@ -628,6 +710,13 @@ def read_delta_native(
     if not files:
         return spark.createDataFrame([], schema)
 
+    def _plain_abs(abs_p: str) -> str:
+        return (
+            urllib.parse.urlparse(abs_p).path
+            if ":" in abs_p[:10]
+            else abs_p
+        )
+
     groups: dict[tuple, list[str]] = {}
     for path, pvals in files:
         key = tuple(pvals.get(phys_of[c]) for c in part_cols)
@@ -639,12 +728,40 @@ def read_delta_native(
         groups.items(),
         key=lambda kv: tuple((v is not None, v) for v in kv[0]),
     ):
-        df = spark.read.schema(data_schema).parquet(*paths)
         proj = [
             F.col(f"`{read_col_of[f.name]}`").cast(f.dataType).alias(f.name)
             for f in data_fields
         ]
-        df = df.select(*proj)
+        # deletion vectors: DV-less files take the plain path untouched;
+        # DV-carrying files read _metadata.row_index and drop deleted
+        # positions via an Arrow-batched membership test (the bitmap is
+        # loaded+cached per executor — indices never transit the driver)
+        dv_paths = [p for p in paths if _plain_abs(p) in dv_map]
+        clean = [p for p in paths if _plain_abs(p) not in dv_map]
+        subsets = []
+        if clean:
+            subsets.append(
+                spark.read.schema(data_schema).parquet(*clean).select(*proj)
+            )
+        if dv_paths:
+            keep = _dv_keep_udf(
+                table_dir,
+                {_plain_abs(p): dv_map[_plain_abs(p)] for p in dv_paths},
+            )
+            subsets.append(
+                spark.read.schema(data_schema)
+                .parquet(*dv_paths)
+                .filter(
+                    keep(
+                        F.col("_metadata.file_path"),
+                        F.col("_metadata.row_index"),
+                    )
+                )
+                .select(*proj)
+            )
+        df = subsets[0]
+        for s in subsets[1:]:
+            df = df.unionByName(s)
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
                 c,
@@ -657,6 +774,58 @@ def read_delta_native(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# executor-side cache: DV bitmaps decode once per executor per file
+# (keyed by the descriptor identity, so a replaced DV re-decodes)
+_DV_INDICES_CACHE: dict[tuple, object] = {}
+
+
+def _dv_indices_cached(table_dir: str, plain_path: str, desc: dict):
+    key = (
+        plain_path,
+        desc.get("storageType"),
+        desc.get("pathOrInlineDv"),
+        desc.get("offset"),
+    )
+    arr = _DV_INDICES_CACHE.get(key)
+    if arr is None:
+        import numpy as np
+
+        from rtdl_spark.sources.dv import deleted_row_indices_local
+
+        arr = np.asarray(
+            deleted_row_indices_local(table_dir, desc), dtype=np.int64
+        )
+        _DV_INDICES_CACHE[key] = arr
+    return arr
+
+
+def _dv_keep_udf(table_dir: str, dv_by_plain: dict[str, dict]):
+    """pandas_udf(boolean): keep(file_path, row_index) — False for rows
+    a deletion vector marks deleted. The closure ships only the KB-scale
+    descriptor map; bitmap bytes are read and decoded on the executors
+    (deleted_row_indices_local), cached per process."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def keep(fp: pd.Series, ri: pd.Series) -> pd.Series:
+        import urllib.parse as _up
+
+        import numpy as np
+
+        out = np.ones(len(fp), dtype=bool)
+        for pth in fp.unique():
+            plain = _up.unquote(_up.urlparse(pth).path)
+            desc = dv_by_plain.get(plain)
+            if desc is None:
+                continue
+            arr = _dv_indices_cached(table_dir, plain, desc)
+            mask = (fp == pth).values
+            out[mask] = ~np.isin(ri.values[mask], arr)
+        return pd.Series(out)
+
+    return keep
 
 
 def delta_history(spark: SparkSession, table_dir: str) -> list[dict]:

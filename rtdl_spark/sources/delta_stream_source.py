@@ -67,6 +67,18 @@ from pyspark.sql.types import StructType
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# MEASURED runner protocol (this Spark build, traced per-PID): the
+# FIRST engine call on the stream's reader is latestOffset — before
+# initialOffset on a fresh start (initialOffset arrives only after,
+# for batch 0's start), and with NO anchoring call at all on a restart
+# whose last batch was fully committed (a crash between the commit-log
+# write and the next offset-log write; graceful stops leave a trailing
+# uncommitted offset entry, which the engine replays via partitions()
+# first). latestOffset receives no start offset in the Python runner
+# protocol (LATEST_OFFSET_FUNC_ID carries no payload), so the reader
+# cannot tell those two cases apart — see latestOffset for the
+# consequence.
+
 
 def _log_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_delta_log")
@@ -113,9 +125,12 @@ def _latest_meta(table_dir: str, upto: int) -> dict:
 
 def _cm_info(meta: dict) -> dict:
     """Column-mapping facts the Arrow read lane needs, JSON-safe:
-    {"mode", "phys": {logical: physicalName}} for the TOP-LEVEL fields
-    (nested struct children are resolved POSITIONALLY — the protocol
-    preserves field order between logical and physical schemas)."""
+    {"mode", "fields": <schemaString fields>}. The FULL field JSON rides
+    along (physicalName / columnMapping.id metadata at every nesting
+    level) so the read lane resolves nested struct children by PHYSICAL
+    NAME (name mode) or FIELD ID (id mode) — never positionally: name
+    mode exists precisely to support DROP/RENAME COLUMN, after which old
+    files' struct children no longer line up by position."""
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
@@ -125,17 +140,39 @@ def _cm_info(meta: dict) -> dict:
             "streaming source"
         )
     fields = json.loads(meta["schemaString"]).get("fields") or []
-    phys = {
-        f["name"]: (f.get("metadata") or {}).get(
-            "delta.columnMapping.physicalName", f["name"]
-        )
-        for f in fields
-    }
-    ids = {
-        f["name"]: (f.get("metadata") or {}).get("delta.columnMapping.id")
-        for f in fields
-    }
-    return {"mode": mode, "phys": phys, "ids": ids}
+    return {"mode": mode, "fields": fields}
+
+
+def _logical_key(fjson: dict, mode: str):
+    """How a LOGICAL field addresses its column in the file: physical
+    name under name mode (falling back to the logical name — the
+    protocol requires the metadata when CM is on), columnMapping.id
+    under id mode (required — refuse rather than guess), plain name
+    otherwise."""
+    md = fjson.get("metadata") or {}
+    if mode == "id":
+        fid = md.get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"id-mode column mapping but field {fjson['name']!r} "
+                "carries no delta.columnMapping.id — refusing to guess"
+            )
+        return int(fid)
+    if mode == "name":
+        return md.get("delta.columnMapping.physicalName", fjson["name"])
+    return fjson["name"]
+
+
+def _file_key(arrow_field, mode: str):
+    """The matching key of a FILE-side arrow field: PARQUET:field_id
+    metadata under id mode (None when the file carries no id — such a
+    column can never match and is treated as dropped), the parquet
+    column name otherwise."""
+    if mode == "id":
+        md = arrow_field.metadata or {}
+        fid = md.get(b"PARQUET:field_id")
+        return int(fid) if fid is not None else None
+    return arrow_field.name
 
 
 def _latest_schema(table_dir: str, upto: int) -> StructType:
@@ -144,42 +181,104 @@ def _latest_schema(table_dir: str, upto: int) -> StructType:
     return StructType.fromJson(json.loads(meta["schemaString"]))
 
 
-def _relabel(arr, ttype):
+def _align(arr, tjson, ttype, mode: str, n: int):
     """Recursively align a physical Arrow array to the LOGICAL field
-    type: struct children are renamed/realigned positionally (schema
-    evolution may leave the file's struct SHORTER — missing children
-    null-fill), everything else casts. Lists/maps of structs under
-    column mapping are refused by name rather than mislabeled."""
+    type. ``arr`` may be None (column absent from the file — schema
+    evolution added it later): null-fill. Struct children are matched by
+    PHYSICAL NAME (name/none modes) or FIELD ID (id mode) against the
+    logical schema JSON ``tjson`` — file children matching no logical
+    child are DROPPED columns and skipped; logical children matching no
+    file child null-fill. Lists and maps recurse through their element/
+    entry arrays (offsets and validity preserved — the flattened child
+    arrays keep the parent's indexing, so realignment never moves rows).
+
+    Positional matching is deliberately absent: name-mode CM exists to
+    support DROP/RENAME COLUMN, after which old files' struct children
+    no longer line up by position — mislabeling them would silently
+    attribute one field's values to another."""
     import pyarrow as pa
 
+    if arr is None:
+        return pa.nulls(n, ttype)
     if pa.types.is_struct(ttype):
         if not pa.types.is_struct(arr.type):
             return arr.cast(ttype)
+        kids_json = (tjson or {}).get("fields") or []
+        if len(kids_json) != ttype.num_fields:
+            raise ValueError(
+                "Delta schemaString struct does not match the logical "
+                "read schema — refusing to align struct children"
+            )
+        # flatten(): children with the parent's slice offset applied and
+        # parent nulls merged in (the mask below re-asserts parent nulls)
+        flat = arr.flatten()
+        by_key = {}
+        for i in range(arr.type.num_fields):
+            k = _file_key(arr.type.field(i), mode)
+            if k is not None:
+                by_key[k] = flat[i]
         kids = []
-        for i in range(ttype.num_fields):
-            tfield = ttype.field(i)
-            if i < arr.type.num_fields:
-                kids.append(_relabel(arr.field(i), tfield.type))
-            else:
-                kids.append(pa.nulls(len(arr), tfield.type))
+        for i, fj in enumerate(kids_json):
+            child = by_key.get(_logical_key(fj, mode))
+            kids.append(
+                _align(child, fj.get("type"), ttype.field(i).type, mode,
+                       len(arr))
+            )
         mask = arr.is_null() if arr.null_count else None
         return pa.StructArray.from_arrays(
             kids,
             fields=[ttype.field(i) for i in range(ttype.num_fields)],
             mask=mask,
         )
-    if (
-        pa.types.is_list(ttype) or pa.types.is_large_list(ttype)
-    ) and pa.types.is_struct(ttype.value_type):
-        raise ValueError(
-            "list-of-struct columns under Delta column mapping are not "
-            "supported by the streaming source (use the batch reader)"
+    if pa.types.is_list(ttype) or pa.types.is_large_list(ttype):
+        if not (
+            pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+        ):
+            return arr.cast(ttype)
+        ejson = (tjson or {}).get("elementType")
+        values = _align(
+            arr.values, ejson, ttype.value_type, mode, len(arr.values)
         )
-    if pa.types.is_map(ttype) and pa.types.is_struct(ttype.item_type):
-        raise ValueError(
-            "map-of-struct columns under Delta column mapping are not "
-            "supported by the streaming source (use the batch reader)"
+        cls = (
+            pa.LargeListArray
+            if pa.types.is_large_list(ttype)
+            else pa.ListArray
         )
+        offsets = arr.offsets
+        if pa.types.is_large_list(ttype) != pa.types.is_large_list(arr.type):
+            offsets = offsets.cast(
+                pa.int64() if pa.types.is_large_list(ttype) else pa.int32()
+            )
+        return cls.from_arrays(
+            offsets, values,
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    if pa.types.is_map(ttype):
+        if not pa.types.is_map(arr.type):
+            return arr.cast(ttype)
+        kjson = (tjson or {}).get("keyType")
+        vjson = (tjson or {}).get("valueType")
+        keys = _align(arr.keys, kjson, ttype.key_type, mode, len(arr.keys))
+        items = _align(
+            arr.items, vjson, ttype.item_type, mode, len(arr.items)
+        )
+        offsets = arr.offsets
+        if arr.null_count:
+            # MapArray.from_arrays has no mask kwarg: encode validity as
+            # NULL OFFSETS instead (pyarrow fills them from the next
+            # valid offset — exact for parquet-sourced arrays, whose
+            # null slots always carry empty ranges)
+            import pyarrow.compute as pc
+
+            full_mask = pa.concat_arrays(
+                [arr.is_null(), pa.array([False])]
+            )
+            offsets = pc.if_else(
+                full_mask,
+                pa.nulls(len(offsets), offsets.type),
+                offsets,
+            )
+        return pa.MapArray.from_arrays(offsets, keys, items).cast(ttype)
     return arr.cast(ttype)
 
 
@@ -228,17 +327,28 @@ class _DeltaStreamReader(DataSourceStreamReader):
         .option("startingVersion", N) the stream begins AT commit N;
         "latest" streams only commits after the current tip — the option
         a VACUUMed table needs, since its early add files no longer
-        exist (same semantics and same reason as delta-spark's)."""
-        sv = self.starting_version
-        if sv is None:
-            off = {"version": -1}
-        elif str(sv).lower() == "latest":
-            versions = _commit_versions(self.table_dir)
-            off = {"version": versions[-1] if versions else -1}
-        else:
-            off = {"version": int(sv) - 1}
+        exist (same semantics and same reason as delta-spark's).
+
+        The engine calls this ONLY when the query's offset log is empty
+        (a genuinely fresh start) — and, measured against this Spark
+        build's runner, possibly on a DIFFERENT reader instance in the
+        same process than the one latestOffset lands on. The
+        process-level _FRESH_START set records the call so latestOffset
+        can tell a fresh start (position = initial offset, bounding is
+        safe) from a crash-shaped restart (position unknown, bounding
+        could regress)."""
+        off = {"version": self._initial_version()}
         self._planned_end = off["version"]
         return off
+
+    def _initial_version(self) -> int:
+        sv = self.starting_version
+        if sv is None:
+            return -1
+        if str(sv).lower() == "latest":
+            versions = _commit_versions(self.table_dir)
+            return versions[-1] if versions else -1
+        return int(sv) - 1
 
     def _bounded_end(self, base: int) -> int:
         """The furthest commit version a single micro-batch may advance
@@ -273,13 +383,37 @@ class _DeltaStreamReader(DataSourceStreamReader):
         """With maxFilesPerTrigger, a restart against a long backlog no
         longer becomes ONE giant micro-batch: each trigger advances the
         offset a bounded number of files forward. Position comes from
-        the engine's own calls (initialOffset / partitions / commit); if
-        a restarted reader is asked for latestOffset before either (tail
-        fully committed at shutdown), the first bounded answer may land
-        behind the checkpointed start — Spark then runs one empty batch,
-        partitions() re-anchors the position, and bounding resumes."""
+        the engine's own calls (initialOffset / partitions / commit).
+
+        NEVER emit an offset below a position already implied by the
+        engine: a restarted reader whose last batch was fully committed
+        (a crash between the commit-log write and the next offset-log
+        write) is asked for latestOffset BEFORE any anchoring call —
+        _planned_end is None and the checkpointed position is unknown
+        here. Bounding from initialOffset would then return an offset
+        BEHIND the checkpointed start, which Spark writes into its
+        offset log and uses as the NEXT batch's start — replaying
+        already-delivered commits (duplicate delivery). The unanchored
+        answer is therefore the UNBOUNDED tip: the tip is ≥ every
+        position the engine can hold, so it is the only answer that
+        can never regress; bounding resumes once partitions()/commit()
+        anchors the position.
+
+        Known cost, inherent to the Python runner protocol: a FRESH
+        start is indistinguishable from that crash-shaped restart (the
+        first engine call is latestOffset in both — see the module
+        note), so the initial-snapshot batch of a brand-new query is
+        NOT bounded by maxFilesPerTrigger; every later batch is.
+        delta-spark can bound batch 0 because its engine-side
+        latestOffset(start, limit) RECEIVES the start; this API does
+        not — correctness (no duplicate delivery) wins over first-batch
+        admission control."""
         if self._planned_end is None:
-            self._planned_end = int(self.initialOffset()["version"])
+            base = self._initial_version()
+            versions = _commit_versions(self.table_dir)
+            end = max(versions[-1] if versions else base, base)
+            self._planned_end = end
+            return {"version": end}
         end = self._bounded_end(self._planned_end)
         self._planned_end = end
         return {"version": end}
@@ -304,6 +438,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 a = action["add"]
                 if not a.get("dataChange", True):
                     continue  # OPTIMIZE rewrites: already emitted rows
+                if a.get("deletionVector"):
+                    raise ValueError(
+                        "Delta deletion vectors unsupported by the "
+                        "streaming source — a DV add rewrites visibility "
+                        "of already-emitted rows (read the table in "
+                        "batch via read_delta_native instead)"
+                    )
                 import urllib.parse
 
                 parts.append(
@@ -335,26 +476,30 @@ class _DeltaStreamReader(DataSourceStreamReader):
         arrow_schema = to_arrow_schema(schema)
         cm = json.loads(partition.cm_json or "{}")
         mode = cm.get("mode", "none")
-        phys = cm.get("phys") or {}
-        ids = cm.get("ids") or {}
+        fj_by_name = {f["name"]: f for f in cm.get("fields") or []}
         pf = pq.ParquetFile(partition.path)
-        # under id-mode the file's column NAMES are irrelevant — build a
-        # field-id → physical-name map from the parquet arrow schema
-        id_to_name: dict[int, str] = {}
-        if mode == "id":
-            for f in pf.schema_arrow:
-                md = f.metadata or {}
-                fid = md.get(b"PARQUET:field_id")
-                if fid is not None:
-                    id_to_name[int(fid)] = f.name
+        # top-level file fields by matching key (parquet name, or
+        # PARQUET:field_id under id mode — id-less file columns can
+        # never match and are treated as dropped)
+        idx_by_key: dict = {}
+        for i, f in enumerate(pf.schema_arrow):
+            k = _file_key(f, mode)
+            if k is not None:
+                idx_by_key[k] = f.name
         for batch in pf.iter_batches():
             n = batch.num_rows
             cols = []
             for field in arrow_schema:
                 name = field.name
+                fj = fj_by_name.get(name)
                 if name in partition.part_cols:
-                    # partitionValues keys are PHYSICAL under CM
-                    pv_key = phys.get(name, name) if mode != "none" else name
+                    # partitionValues keys are PHYSICAL under BOTH CM
+                    # modes (PROTOCOL.md Column Mapping)
+                    pv_key = name
+                    if mode != "none" and fj is not None:
+                        pv_key = (fj.get("metadata") or {}).get(
+                            "delta.columnMapping.physicalName", name
+                        )
                     raw = partition.partition_values.get(pv_key)
                     if raw is None or raw == _HIVE_NULL:
                         cols.append(pa.nulls(n, type=field.type))
@@ -365,19 +510,22 @@ class _DeltaStreamReader(DataSourceStreamReader):
                             )
                         )
                     continue
-                if mode == "name":
-                    src = phys.get(name, name)
-                elif mode == "id":
-                    src = id_to_name.get(int(ids.get(name) or -1), "")
-                else:
-                    src = name
-                if src and src in batch.schema.names:
-                    cols.append(
-                        _relabel(batch.column(src), field.type)
+                src_key = _logical_key(fj, mode) if fj is not None else name
+                src = idx_by_key.get(src_key)
+                arr = (
+                    batch.column(src)
+                    if src is not None and src in batch.schema.names
+                    else None  # schema evolution: file predates the column
+                )
+                cols.append(
+                    _align(
+                        arr,
+                        fj.get("type") if fj is not None else None,
+                        field.type,
+                        mode,
+                        n,
                     )
-                else:
-                    # schema evolution: file predates the column
-                    cols.append(pa.nulls(n, type=field.type))
+                )
             yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
     def commit(self, end):

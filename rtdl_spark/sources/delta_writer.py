@@ -70,15 +70,33 @@ from pyspark.sql.types import (
 from rtdl_spark.sources import fsutil
 from rtdl_spark.sources.delta_reader import (
     _check_protocol,
+    _cm_mode,
     _commit_versions,
+    _field_id_type,
     _last_checkpoint,
     _log_dir,
+    _physical_name,
+    _physical_type,
+    _read_json_lines,
     snapshot_actions,
     snapshot_adds_frame,
     snapshot_control,
 )
 
-_SUPPORTED_WRITER_FEATURES = {"appendOnly", "invariants"}
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    # appends never interact with deletion vectors; every REWRITE path
+    # (DELETE/UPDATE/MERGE/OPTIMIZE) refuses a table whose active set
+    # carries one (_check_no_active_dvs) — rewriting through the plain
+    # scan would resurrect the DV-deleted rows
+    "deletionVectors",
+    # column mapping: appends + DELETE/UPDATE stage the physical layout
+    "columnMapping",
+    # in-commit timestamps: every commit stamps a monotonic
+    # inCommitTimestamp when delta.enableInCommitTimestamps is set
+    "inCommitTimestamp",
+}
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -115,28 +133,85 @@ def _fs_prefix(root: str) -> str:
 
 
 def _fp_plain(col):
-    """SQL twin of ``_plain`` for ``_metadata.file_path`` values: strips
+    """SQL twin of ``_plain`` for file-path columns: strips
     scheme://authority (hdfs://nn:8020/x → /x, file:///x → /x) and the
-    single-slash scheme:/ form (file:/x → /x)."""
+    single-slash scheme:/ form (file:/x → /x). No decoding — the
+    caller picks the form (see ``_fp_decoded``)."""
     c = F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
     c = F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
     return F.when(c == "", "/").otherwise(c)
+
+
+def _fp_decoded(col):
+    """Plain DECODED (on-disk) form of a ``_metadata.file_path`` value.
+    Spark renders _metadata.file_path PERCENT-ESCAPED (measured: an
+    on-disk ``p=a%25b`` Hive dir appears as ``p=a%2525b``, a space as
+    %20, a literal '+' stays '+'), while the log's add.path decodes to
+    the on-disk name — every comparison between the two must happen in
+    the decoded form or files with escapable characters silently match
+    NOTHING (empty OPTIMIZE bins, rewrites that drop the files they
+    meant to keep). url_decode is URLDecoder.decode, whose form-decode
+    would turn a literal '+' into a space — pre-escaping '+' keeps the
+    decode percent-only; try_url_decode + coalesce keeps a malformed
+    %-sequence verbatim instead of failing the job."""
+    c = _fp_plain(col)
+    return F.coalesce(
+        F.try_url_decode(F.replace(c, F.lit("+"), F.lit("%2B"))), c
+    )
 
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _ict_value(
+    spark: SparkSession, root: str, current: int, meta: dict, ts: int
+) -> int | None:
+    """inCommitTimestamp for the NEXT commit of a table whose config
+    sets delta.enableInCommitTimestamps — the ICT writer feature: the
+    timestamp is part of the committed action (immune to log-file mtime
+    drift) and MONOTONIC, so it must be strictly greater than the
+    previous commit's ICT even when the wall clock lags (clock skew
+    across writers). None when the table doesn't enable ICT."""
+    if (meta.get("configuration") or {}).get(
+        "delta.enableInCommitTimestamps"
+    ) != "true":
+        return None
+    prev = 0
+    if current >= 0:
+        cpath = posixpath.join(_log_dir(root), f"{current:020d}.json")
+        try:
+            for action in _read_json_lines(spark, cpath):
+                if "commitInfo" in action:
+                    info = action["commitInfo"]
+                    prev = int(
+                        info.get(
+                            "inCommitTimestamp", info.get("timestamp") or 0
+                        )
+                    )
+                    break
+        except Exception:
+            prev = 0  # tail cleaned up: fall back to the wall clock
+    return max(ts, prev + 1)
+
+
 def _check_writer_protocol(protocol: dict) -> None:
     """Refuse tables whose protocol demands writer behavior we do not
-    implement — writing anyway is exactly how logs get corrupted."""
+    implement — writing anyway is exactly how logs get corrupted.
+
+    minWriterVersion 5 (column mapping) is accepted: appends and
+    DELETE/UPDATE rewrites handle CM tables (r7) — but v5 subsumes the
+    v3/v4 duties (CHECK constraints, CDF, generated columns), so
+    ``_check_no_invariants`` refuses BY NAME any table whose metadata
+    actually carries those (constraints config, enableChangeDataFeed,
+    generation expressions). v3/v4/v6 stay refused wholesale."""
     v = int(protocol.get("minWriterVersion", 1))
-    if v in (3, 4, 5, 6):
+    if v in (3, 4, 6):
         raise ValueError(
             f"Delta minWriterVersion {v} requires writer behavior "
-            "(CHECK constraints / generated columns / CDF / column "
-            "mapping / identity columns) this native writer does not "
-            "implement — use delta-spark"
+            "(CHECK constraints / generated columns / CDF / identity "
+            "columns) this native writer does not implement — use "
+            "delta-spark"
         )
     if v == 7:
         unsupported = set(protocol.get("writerFeatures") or ()) - (
@@ -154,35 +229,192 @@ def _check_writer_protocol(protocol: dict) -> None:
 
 
 def _check_no_invariants(meta: dict) -> None:
-    """Protocol v2 writers must ENFORCE column invariants; we don't, so a
-    table that carries any is refused rather than silently violated.
-    Column-mapped tables are likewise refused for WRITING (the native
-    reader handles name-mode read-only; writing requires physical-name
-    assignment and maxColumnId maintenance — use delta-spark)."""
-    mode = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
+    """Refuse metadata-carried writer DUTIES we do not implement:
+    column invariants (protocol v2 writers must enforce them), CHECK
+    constraints (delta.constraints.*), change data feed
+    (delta.enableChangeDataFeed — writers must emit change files), and
+    generated columns (delta.generationExpression metadata). A table
+    that merely ENABLES column mapping is no longer refused here —
+    appends/DELETE/UPDATE handle CM; ops that don't (MERGE/OPTIMIZE/
+    overwrite/evolution) refuse at their own entry points."""
+    conf = meta.get("configuration") or {}
+    constraints = sorted(
+        k for k in conf if k.startswith("delta.constraints.")
     )
-    if mode != "none":
+    if constraints:
         raise ValueError(
-            f"Delta column mapping mode {mode!r}: this native writer does "
-            "not write column-mapped tables (read-only support for "
-            "name-mode lives in the reader)"
+            f"table carries CHECK constraints {constraints}; this native "
+            "writer does not enforce them — use delta-spark"
+        )
+    if conf.get("delta.enableChangeDataFeed") == "true":
+        raise ValueError(
+            "table has delta.enableChangeDataFeed=true; this native "
+            "writer does not emit change data files — use delta-spark"
         )
     try:
         fields = json.loads(meta["schemaString"]).get("fields") or []
     except Exception:
         return
     for f in fields:
-        if "delta.invariants" in (f.get("metadata") or {}):
+        md = f.get("metadata") or {}
+        if "delta.invariants" in md:
             raise ValueError(
                 f"column {f.get('name')!r} carries a Delta invariant; this "
                 "native writer does not enforce invariants — use delta-spark"
             )
+        if "delta.generationExpression" in md:
+            raise ValueError(
+                f"column {f.get('name')!r} is a GENERATED column; this "
+                "native writer does not compute generation expressions — "
+                "use delta-spark"
+            )
+
+
+def _check_cm_supported(meta: dict, operation: str) -> str:
+    """Per-op column-mapping gate → the mode. Ops that rewrite THROUGH
+    the logical scan and re-stage (append, DELETE, UPDATE) handle CM;
+    everything else refuses by name at its entry point."""
+    mode = _cm_mode(meta)
+    if mode not in ("none", "name", "id"):
+        raise ValueError(
+            f"Delta column mapping mode {mode!r} unsupported by the "
+            "native writer"
+        )
+    return mode
+
+
+def _refuse_cm(meta: dict, operation: str) -> None:
+    mode = _cm_mode(meta)
+    if mode != "none":
+        raise ValueError(
+            f"{operation} on a column-mapped table (mode {mode!r}) is "
+            "not supported by this native writer (appends and DELETE/"
+            "UPDATE WHERE are; use delta-spark for the rest)"
+        )
+
+
+def _physical_fieldid_field(field_json: dict) -> dict:
+    """schemaString field → physical WRITE field: physicalName at every
+    nesting level plus ``parquet.field.id`` metadata from
+    delta.columnMapping.id, so files this writer stages resolve under
+    BOTH name-mode (physical names) and id-mode (field ids) readers —
+    exactly the file layout delta-spark produces for CM tables."""
+    md = field_json.get("metadata") or {}
+    fid = md.get("delta.columnMapping.id")
+    if fid is None:
+        raise ValueError(
+            f"column-mapped table field {field_json.get('name')!r} "
+            "carries no delta.columnMapping.id — refusing to write"
+        )
+    return {
+        "name": _physical_name(field_json),
+        "type": _physical_fieldid_type(field_json["type"]),
+        "nullable": field_json.get("nullable", True),
+        "metadata": {"parquet.field.id": int(fid)},
+    }
+
+
+def _physical_fieldid_type(type_json):
+    if isinstance(type_json, dict):
+        t = type_json.get("type")
+        if t == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    _physical_fieldid_field(f)
+                    for f in type_json.get("fields") or []
+                ],
+            }
+        if t == "array":
+            out = dict(type_json)
+            out["elementType"] = _physical_fieldid_type(
+                type_json["elementType"]
+            )
+            return out
+        if t == "map":
+            out = dict(type_json)
+            out["keyType"] = _physical_fieldid_type(type_json["keyType"])
+            out["valueType"] = _physical_fieldid_type(type_json["valueType"])
+            return out
+    return type_json
+
+
+def _to_physical(spark: SparkSession, df: DataFrame, meta: dict) -> DataFrame:
+    """Rename a LOGICAL-schema frame to the table's PHYSICAL write
+    layout: physical column names at every nesting level (cast renames
+    struct children positionally — safe, both sides come from the same
+    schemaString order) plus parquet field ids attached via ``.to``
+    (field-id metadata rides only on schema, not through alias). The
+    session's fieldId.write conf is flipped on so the ids actually
+    reach the parquet footers."""
+    fields_json = json.loads(meta["schemaString"]).get("fields") or []
+    from pyspark.sql.types import StructType as _St
+
+    pschema = _St.fromJson(
+        {
+            "type": "struct",
+            "fields": [_physical_fieldid_field(f) for f in fields_json],
+        }
+    )
+    cols = []
+    for f, pf in zip(fields_json, pschema.fields):
+        cols.append(F.col(f"`{f['name']}`").cast(pf.dataType).alias(pf.name))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    return df.select(*cols).to(pschema)
+
+
+def _check_no_active_dvs(active: dict[str, dict], operation: str) -> None:
+    """Rewrite guard: DELETE/UPDATE/MERGE/OPTIMIZE plan against the
+    plain parquet scan, which does NOT apply deletion vectors — running
+    them on a DV-carrying table would resurrect the deleted rows into
+    the rewritten files. Refused by name (the reader handles DV tables;
+    rewriting them needs delta-spark until this writer maintains DVs)."""
+    carriers = sorted(
+        p for p, a in active.items() if a.get("deletionVector")
+    )
+    if carriers:
+        raise ValueError(
+            f"{operation} on a table with active deletion vectors is not "
+            f"supported by this native writer ({len(carriers)} files "
+            f"carry DVs, e.g. {carriers[0]!r}) — the rewrite would "
+            "resurrect DV-deleted rows; use delta-spark"
+        )
+
+
+def _type_key(t):
+    """Structural identity of a schemaString type: nested field METADATA
+    is stripped (a column-mapped table's nested fields carry
+    delta.columnMapping.* there, and a frame's carry nothing — same
+    type, different annotation), names/types/containment survive."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return (
+                "struct",
+                tuple(
+                    (f["name"], _type_key(f["type"]))
+                    for f in t.get("fields") or []
+                ),
+            )
+        if k == "array":
+            return (
+                "array",
+                _type_key(t["elementType"]),
+                bool(t.get("containsNull", True)),
+            )
+        if k == "map":
+            return (
+                "map",
+                _type_key(t["keyType"]),
+                _type_key(t["valueType"]),
+                bool(t.get("valueContainsNull", True)),
+            )
+    return t
 
 
 def _schema_key(schema_json: str) -> list[tuple[str, object]]:
     fields = json.loads(schema_json).get("fields") or []
-    return [(f["name"], f["type"]) for f in fields]
+    return [(f["name"], _type_key(f["type"])) for f in fields]
 
 
 def _merge_schemas(table_schema_json: str, df_schema) -> str:
@@ -212,6 +444,12 @@ def _merge_schemas(table_schema_json: str, df_schema) -> str:
             "schema (relax the column to nullable via overwrite, or "
             "include it in the frame)"
         )
+    # Delta resolves column names CASE-INSENSITIVELY: a frame column
+    # differing from an existing one only by case is the SAME column
+    # spelled wrong, and appending it as a new field would create a
+    # duplicate real Delta refuses (DELTA_DUPLICATE_COLUMNS) — match
+    # that refusal rather than silently forking the column
+    lower_existing = {n.lower(): n for n in existing}
     for f in frame_fields:
         have = existing.get(f["name"])
         if have is not None:
@@ -220,11 +458,65 @@ def _merge_schemas(table_schema_json: str, df_schema) -> str:
                     f"mergeSchema type conflict on {f['name']!r}: table "
                     f"{have['type']} vs frame {f['type']}"
                 )
+        elif f["name"].lower() in lower_existing:
+            raise ValueError(
+                f"mergeSchema column {f['name']!r} differs only by CASE "
+                f"from existing column "
+                f"{lower_existing[f['name'].lower()]!r} — Delta resolves "
+                "names case-insensitively (rename the frame column)"
+            )
         else:
             nf = dict(f)
             nf["nullable"] = True
             t["fields"].append(nf)
     return json.dumps(t)
+
+
+def _enforce_not_null(df: DataFrame, table_schema_json: str) -> DataFrame:
+    """Runtime NOT-NULL enforcement on append (protocol: writers must
+    enforce the schema's nullability — real Delta raises
+    DELTA_NOT_NULL_CONSTRAINT_VIOLATED).  Only columns the TABLE
+    declares non-nullable while the FRAME cannot prove non-null
+    (frame-nullable) get the check: assert_true rides inside the
+    projection, so it costs one null test per row per such column and
+    no extra job — the write itself fails loudly on the first
+    violating row.  Top-level columns only (nested non-nullable fields
+    are the schema-matrix test's documented out-of-scope)."""
+    table_nn = {
+        f["name"]
+        for f in json.loads(table_schema_json).get("fields") or []
+        if not f.get("nullable", True)
+    }
+    frame_nullable = {f.name for f in df.schema.fields if f.nullable}
+    checked = sorted(table_nn & frame_nullable & set(df.columns))
+    if not checked:
+        return df
+    cols = []
+    for c in df.columns:
+        if c in checked:
+            # raise_error IS the null-branch value (cast to the column
+            # type): non-foldable, so it survives Catalyst even when
+            # the column is a literal NULL — the assert_true-in-
+            # condition form gets constant-folded away there (CASE WHEN
+            # cond THEN NULL END collapses to NULL, side effect and
+            # all), silently skipping the check
+            cols.append(
+                F.when(
+                    F.col(c).isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"NOT NULL constraint violated: column "
+                            f"'{c}' is non-nullable in the Delta table "
+                            "schema"
+                        )
+                    ).cast(df.schema[c].dataType),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
 
 
 def _unescape_hive(value: str) -> str | None:
@@ -255,7 +547,12 @@ def _staged_counts(
     )
     out = {}
     for r in counts:
-        out[urllib.parse.urlparse(r["fp"]).path] = int(r["count"])
+        # _metadata.file_path is percent-escaped; the staged listing
+        # (fsutil) is the on-disk form — decode to match (unquote is
+        # percent-only: a literal '+' stays itself)
+        out[
+            urllib.parse.unquote(urllib.parse.urlparse(r["fp"]).path)
+        ] = int(r["count"])
     return out
 
 
@@ -399,6 +696,19 @@ def write_delta_native(
         _check_protocol(protocol)
         _check_writer_protocol(protocol)
         _check_no_invariants(meta)
+        cm = _check_cm_supported(meta, "WRITE")
+        if cm != "none":
+            # appends rename to the physical layout below; the ops that
+            # would have to MAINTAIN the mapping refuse by name
+            if mode == "overwrite":
+                _refuse_cm(meta, "overwrite")
+            if merge_schema:
+                raise ValueError(
+                    "mergeSchema on a column-mapped table is not "
+                    "supported by this native writer (new columns need "
+                    "fresh columnMapping ids / maxColumnId maintenance "
+                    "— use delta-spark)"
+                )
         if mode == "overwrite" and (
             (meta.get("configuration") or {}).get("delta.appendOnly")
             == "true"
@@ -434,19 +744,49 @@ def write_delta_native(
     if missing:
         raise ValueError(f"partition columns absent from frame: {missing}")
 
+    if meta is not None and mode == "append":
+        # appends into an existing table must honor the TABLE's
+        # nullability (the plain-append schema key compares names+types
+        # only; a frame-nullable column can still target a non-nullable
+        # table column) — the merged schema keeps table nullability for
+        # existing fields and forces new ones nullable
+        df = _enforce_not_null(
+            df,
+            commit_schema_json if merge_schema else meta["schemaString"],
+        )
+
+    # column mapping: the frame is validated in LOGICAL terms above,
+    # then staged in the table's PHYSICAL layout (physical names +
+    # parquet field ids at every nesting level); partition dirs and
+    # partitionValues keys are physical, per the protocol
+    df_write, stage_part_cols = df, part_cols
+    cm_staged = _cm_mode(meta) if meta is not None else "none"
+    if meta is not None and mode == "append" and cm_staged != "none":
+        fields_json = json.loads(meta["schemaString"]).get("fields") or []
+        phys_of = {f["name"]: _physical_name(f) for f in fields_json}
+        df_write = _to_physical(spark, df, meta)
+        stage_part_cols = [phys_of[c] for c in part_cols]
+
     staging = posixpath.join(root, f"_staging-{uuid.uuid4().hex[:12]}")
-    writer = df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
+    writer = df_write.write.mode("overwrite")
+    if stage_part_cols:
+        writer = writer.partitionBy(*stage_part_cols)
     writer.parquet(staging)
     try:
-        adds = _promote_staged(spark, root, staging, part_cols, with_stats)
+        adds = _promote_staged(
+            spark, root, staging, stage_part_cols, with_stats
+        )
     finally:
         fsutil.delete(spark, staging)
 
     ts = _now_ms()
     for _attempt in range(max_retries):
         version = current + 1
+        ict = (
+            _ict_value(spark, root, current, meta, ts)
+            if meta is not None
+            else None
+        )
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -457,6 +797,11 @@ def write_delta_native(
                         "partitionBy": json.dumps(part_cols),
                     },
                     "engineInfo": "rtdl-spark native-delta-writer/1",
+                    **(
+                        {"inCommitTimestamp": ict}
+                        if ict is not None
+                        else {}
+                    ),
                 }
             }
         ]
@@ -540,6 +885,11 @@ def write_delta_native(
         _check_writer_protocol(protocol)
         _check_no_invariants(meta)
         if mode == "append":
+            if _cm_mode(meta) != cm_staged:
+                raise DeltaConcurrentWriteError(
+                    "concurrent COLUMN MAPPING change during append — "
+                    "the staged files no longer match the table layout"
+                )
             if merge_schema:
                 commit_schema_json = _merge_schemas(
                     meta["schemaString"], df.schema
@@ -616,6 +966,23 @@ _CHECKPOINT_SCHEMA = StructType(
                     StructField("modificationTime", LongType()),
                     StructField("dataChange", BooleanType()),
                     StructField("stats", StringType()),
+                    # descriptor preserved verbatim: dropping it from a
+                    # checkpoint would resurrect DV-deleted rows for
+                    # checkpoint-bounded readers
+                    StructField(
+                        "deletionVector",
+                        StructType(
+                            [
+                                StructField("storageType", StringType()),
+                                StructField(
+                                    "pathOrInlineDv", StringType()
+                                ),
+                                StructField("offset", IntegerType()),
+                                StructField("sizeInBytes", IntegerType()),
+                                StructField("cardinality", LongType()),
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -658,12 +1025,66 @@ def _active_scan(
     plain source file path as ``_FP_COL`` → (frame | None if empty,
     {plain abs path: add action}). Both the map keys and the _FP_COL
     values are in ``_plain`` form, so collected _FP_COL values round-trip
-    as lookups/subsets regardless of the table_dir's scheme."""
+    as lookups/subsets regardless of the table_dir's scheme.
+
+    Column mapping: files carry PHYSICAL names (name mode) / field ids
+    (id mode) and partitionValues are physically keyed — resolved back
+    to LOGICAL columns exactly like the batch reader, so DELETE/UPDATE
+    predicates and SET expressions run against logical names."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+    cm = _cm_mode(meta)
+    fields_json = json.loads(meta["schemaString"]).get("fields") or []
+    phys_of = {
+        f["name"]: (_physical_name(f) if cm != "none" else f["name"])
+        for f in fields_json
+    }
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_fields_json = [
+        f for f in fields_json if f["name"] not in part_cols
+    ]
+    if cm == "name":
+        data_schema = StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": _physical_name(f),
+                        "type": _physical_type(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {},
+                    }
+                    for f in data_fields_json
+                ],
+            }
+        )
+        read_col_of = phys_of
+    elif cm == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        data_schema = StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": f["name"],
+                        "type": _field_id_type(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {
+                            "parquet.field.id": int(
+                                (f.get("metadata") or {})[
+                                    "delta.columnMapping.id"
+                                ]
+                            )
+                        },
+                    }
+                    for f in data_fields_json
+                ],
+            }
+        )
+        read_col_of = {n: n for n in phys_of}
+    else:
+        data_schema = StructType(data_fields)
+        read_col_of = {n: n for n in phys_of}
     by_type = {f.name: f.dataType for f in schema.fields}
     groups: dict[tuple, list[str]] = {}
     path_to_add: dict[str, dict] = {}
@@ -676,15 +1097,19 @@ def _active_scan(
         if subset_set is not None and plain not in subset_set:
             continue
         groups.setdefault(
-            tuple(pvals.get(c) for c in part_cols), []
+            # partitionValues keys are PHYSICAL under CM
+            tuple(pvals.get(phys_of[c]) for c in part_cols), []
         ).append(abs_path)
     parts = []
     for key, paths in sorted(groups.items()):
-        df = (
-            spark.read.schema(data_schema)
-            .parquet(*paths)
-            .withColumn(_FP_COL, _fp_plain(F.col("_metadata.file_path")))
-        )
+        df = spark.read.schema(data_schema).parquet(*paths)
+        proj = [
+            F.col(f"`{read_col_of[f.name]}`")
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in data_fields
+        ] + [_fp_decoded(F.col("_metadata.file_path")).alias(_FP_COL)]
+        df = df.select(*proj)
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
                 c,
@@ -772,6 +1197,7 @@ def _commit_rewrite(
     can pass max_retries=1."""
     removed_rels = {r["path"] for r in removes}
     for _attempt in range(max_retries):
+        ict = _ict_value(spark, root, current, planned_meta, ts)
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -779,6 +1205,11 @@ def _commit_rewrite(
                     "operation": operation,
                     "operationParameters": op_params,
                     "engineInfo": "rtdl-spark native-delta-writer/1",
+                    **(
+                        {"inCommitTimestamp": ict}
+                        if ict is not None
+                        else {}
+                    ),
                 }
             }
         ]
@@ -830,6 +1261,7 @@ def _rewrite_where(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
+    _check_no_active_dvs(active, operation)
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
         raise ValueError(
             f"table is delta.appendOnly=true; {operation} rewrites"
@@ -864,15 +1296,26 @@ def _rewrite_where(
             )
         out = out.unionByName(updated.select(*col_order))
 
+    out = _enforce_not_null(out, meta["schemaString"])
+    # column mapping: the rewrite is computed in LOGICAL terms, staged
+    # back in the table's PHYSICAL layout (names + field ids)
+    stage_part_cols = part_cols
+    if _cm_mode(meta) != "none":
+        fields_json = json.loads(meta["schemaString"]).get("fields") or []
+        phys_of = {f["name"]: _physical_name(f) for f in fields_json}
+        out = _to_physical(spark, out, meta)
+        stage_part_cols = [phys_of[c] for c in part_cols]
     staging = posixpath.join(
         root, f"_{operation.lower()}-{uuid.uuid4().hex[:12]}"
     )
     writer = out.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
+    if stage_part_cols:
+        writer = writer.partitionBy(*stage_part_cols)
     writer.parquet(staging)
     try:
-        adds = _promote_staged(spark, root, staging, part_cols, True)
+        adds = _promote_staged(
+            spark, root, staging, stage_part_cols, True
+        )
     finally:
         fsutil.delete(spark, staging)
     ts = _now_ms()
@@ -960,6 +1403,8 @@ def merge_into_delta_native(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
+    _refuse_cm(meta, "MERGE")
+    _check_no_active_dvs(active, "MERGE")
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
         raise ValueError("table is delta.appendOnly=true; MERGE rewrites")
 
@@ -1032,6 +1477,7 @@ def merge_into_delta_native(
     for p in pieces[1:]:
         out = out.unionByName(p)
 
+    out = _enforce_not_null(out, meta["schemaString"])
     staging = posixpath.join(root, f"_merge-{uuid.uuid4().hex[:12]}")
     writer = out.write.mode("overwrite")
     if part_cols:
@@ -1121,6 +1567,19 @@ def restore_delta_native(
                 f"{rel!r} no longer exists (vacuumed) — the target "
                 "version is gone"
             )
+        dv = active_v[rel].get("deletionVector")
+        if dv and dv.get("storageType") != "i":
+            from rtdl_spark.sources.dv import dv_absolute_path
+
+            dv_abs = dv_absolute_path(root, dv)
+            if not fsutil.exists(
+                spark, fs_prefix + _plain(dv_abs)
+            ) and not fsutil.exists(spark, dv_abs):
+                raise ValueError(
+                    f"cannot RESTORE to version {version}: deletion "
+                    f"vector file for {rel!r} no longer exists "
+                    "(vacuumed) — the target version is gone"
+                )
 
     meta_changed = (
         _schema_key(meta_v["schemaString"])
@@ -1146,7 +1605,16 @@ def restore_delta_native(
         }
         for rel in to_remove
     ]
-    adds = [dict(active_v[rel], modificationTime=ts) for rel in to_add]
+    # dataChange FORCED true: adds sourced from a checkpoint carry
+    # dataChange=false (the spec requires checkpoints to write them
+    # that way), and copying that verbatim would make the restored rows
+    # invisible to streaming readers (they skip dataChange=false adds).
+    # delta-spark's RESTORE likewise commits AddFiles with
+    # dataChange=true.
+    adds = [
+        dict(active_v[rel], modificationTime=ts, dataChange=True)
+        for rel in to_add
+    ]
     new_version = _commit_rewrite(
         spark,
         root,
@@ -1213,6 +1681,8 @@ def optimize_delta_native(
     protocol, meta, active, current, _txns = snapshot_actions(spark, root)
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
+    _refuse_cm(meta, "OPTIMIZE")
+    _check_no_active_dvs(active, "OPTIMIZE")
     part_cols = list(meta.get("partitionColumns") or [])
 
     groups: dict[tuple, list[dict]] = {}
@@ -1319,8 +1789,8 @@ def optimize_delta_native(
     src = (
         spark.read.schema(data_schema)
         .parquet(*in_paths)
-        # _metadata paths are URIs; normalize to the plain-path form
-        .withColumn(fp_col, _fp_plain(F.col("_metadata.file_path")))
+        # _metadata paths are percent-escaped URIs; compare decoded
+        .withColumn(fp_col, _fp_decoded(F.col("_metadata.file_path")))
         .join(bin_map, fp_col)
         .drop(fp_col)
     )
@@ -1498,6 +1968,15 @@ def vacuum_delta_native(
         _plain(posixpath.join(root, urllib.parse.unquote(p)))
         for p in active
     }
+    # deletion vector files referenced by the active set are LIVE —
+    # reaping one leaves the log pointing at a missing bitmap (the
+    # reader then refuses the table)
+    for a in active.values():
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") != "i":
+            from rtdl_spark.sources.dv import dv_absolute_path
+
+            keep.add(_plain(dv_absolute_path(root, dv)))
     log_prefix = _plain(_log_dir(root)) + "/"
     cutoff = _now_ms() - retain_ms
     victims = []
@@ -1555,13 +2034,67 @@ def vacuum_delta_native_distributed(
     fs_prefix = _fs_prefix(root)
     cutoff = _now_ms() - retain_ms
 
-    # active paths in plain-abs form; add.path is URL-encoded (percent
-    # escapes only — quote() never leaves a literal '+', so url_decode's
-    # form-decoding is exact here)
+    # Path-form hazard (r6 ADVICE, data-loss class): add.path is
+    # URL-ENCODED per the protocol, so the active side must decode it
+    # to reach the on-disk form — but the LISTING side's form is a
+    # Hadoop rendering choice (this build's binaryFile path is the raw
+    # on-disk name, scheme aside — measured with '%'/':'/space/'+' in
+    # partition values; other builds/filesystems percent-escape). A
+    # single-form comparison reaps LIVE files whenever the two
+    # renderings disagree. So a file is a victim only if it matches the
+    # active set in NEITHER form (raw and decoded) — safety-biased: the
+    # pathological orphan whose decoded name collides with a live file
+    # is kept, never the reverse.
+    #
+    # url_decode is URLDecoder.decode, which form-decodes a literal '+'
+    # into a space — pre-escaping '+' to %2B first makes the decode
+    # percent-only (a no-op on add.path, where quote() never leaves a
+    # literal '+'); try_url_decode + coalesce keeps a raw name with a
+    # malformed %-sequence as-is instead of erroring the whole job.
+    def _decoded(col):
+        return F.coalesce(
+            F.try_url_decode(F.replace(col, F.lit("+"), F.lit("%2B"))),
+            col,
+        )
+
+    # active paths in plain-abs DECODED (on-disk) form
     active_paths = adds_df.select(
         F.concat(
-            F.lit(plain_root + "/"), F.url_decode(F.col("path"))
+            F.lit(plain_root + "/"), _decoded(F.col("path"))
         ).alias("path")
+    )
+    # deletion vector files referenced by active adds are live too —
+    # resolve descriptor -> abs path executor-side (arrow-batched; the
+    # base85 UUID decode has no SQL equivalent)
+    dv_rows = adds_df.filter(F.col("deletionVector").isNotNull()).filter(
+        F.col("deletionVector.storageType") != F.lit("i")
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dv_path(st, p):  # noqa: ANN001 — pandas Series in/out
+        import pandas as pd
+
+        from rtdl_spark.sources.dv import dv_absolute_path
+
+        return pd.Series(
+            [
+                _plain(
+                    dv_absolute_path(
+                        root, {"storageType": s, "pathOrInlineDv": v}
+                    )
+                )
+                for s, v in zip(st, p)
+            ]
+        )
+
+    active_paths = active_paths.unionByName(
+        dv_rows.select(
+            _dv_path(
+                F.col("deletionVector.storageType"),
+                F.col("deletionVector.pathOrInlineDv"),
+            ).alias("path")
+        )
     )
 
     # distributed listing of the visible tree (data files); hidden dirs
@@ -1595,7 +2128,16 @@ def vacuum_delta_native_distributed(
 
     victims_df = (
         files_df.filter(F.col("mtime") <= F.lit(cutoff))
+        # form 1: the listing's own rendering
         .join(active_paths, "path", "left_anti")
+        # form 2: its decoded rendering (escaping builds) — keep on
+        # EITHER match; only a both-forms miss is reapable
+        .withColumn("path_decoded", _decoded(F.col("path")))
+        .join(
+            active_paths.withColumnRenamed("path", "path_decoded"),
+            "path_decoded",
+            "left_anti",
+        )
         .select("path")
     )
     if dry_run:
@@ -1605,21 +2147,30 @@ def vacuum_delta_native_distributed(
     n = victims_df.count()
 
     def _reap(rows) -> None:
+        # the listing path is tried verbatim first; a FileNotFoundError
+        # falls back to its percent-decoded form (escaping Hadoop
+        # renderings) — unquote is percent-only, '+' stays itself
+        import urllib.parse as _up
+
         if fs_prefix:
             from pyarrow.fs import FileSystem
 
             fs, _ = FileSystem.from_uri(fs_prefix + "/")
-            for r in rows:
-                try:
-                    fs.delete_file(r["path"])
-                except FileNotFoundError:
-                    pass
+
+            def _rm(p):
+                fs.delete_file(p)
         else:
             import os
 
-            for r in rows:
+            def _rm(p):
+                os.remove(p)
+
+        for r in rows:
+            try:
+                _rm(r["path"])
+            except FileNotFoundError:
                 try:
-                    os.remove(r["path"])
+                    _rm(_up.unquote(r["path"]))
                 except FileNotFoundError:
                     pass
 
@@ -1691,6 +2242,7 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
             # checkpoint adds are dataChange=false per spec
             F.lit(False).alias("dataChange"),
             F.col("stats"),
+            F.col("deletionVector"),
         ).alias("add")
     )
     n_adds = add_struct_df.count()

@@ -137,3 +137,16 @@ def read_text(spark: SparkSession, path: str) -> str:
     finally:
         stream.close()
     return bytes(data).decode("utf-8")
+
+
+def read_bytes(spark: SparkSession, path: str) -> bytes:
+    """Read a small binary control/sidecar file's full contents through
+    the Hadoop FS (deletion vector files live beside the data files and
+    are KB-to-MB scale)."""
+    fs, p = _fs_path(spark, path)
+    stream = fs.open(p)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data)

@@ -239,9 +239,9 @@ def test_delta_native_checkpoint_replay(spark, tmp_path):
 
 
 def test_delta_native_rejects_unsupported_features(spark, tmp_path):
-    """Protocol gating is loud: newer reader versions, deletion vectors,
-    column mapping and multi-part checkpoints all raise with the feature
-    named — never a silently wrong scan."""
+    """Protocol gating is loud: newer reader versions, unknown reader
+    features, unknown column-mapping modes and multi-part checkpoints
+    all raise with the feature named — never a silently wrong scan."""
     schema_json = json.dumps(
         {
             "type": "struct",
@@ -263,16 +263,18 @@ def test_delta_native_rejects_unsupported_features(spark, tmp_path):
     with pytest.raises(ValueError, match="minReaderVersion 4"):
         read_delta_native(spark, t)
 
-    t = fresh("dv")
+    # deletionVectors became READ-supported in round 7 (tests/test_dv.py);
+    # an UNKNOWN future reader feature still refuses by name
+    t = fresh("future_feature")
     _commit(
         t, 0,
         [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["deletionVectors"]}},
+                          "readerFeatures": ["v2Checkpoint"]}},
             _meta(schema_json),
         ],
     )
-    with pytest.raises(ValueError, match="deletionVectors"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         read_delta_native(spark, t)
 
     t = fresh("cm")
@@ -423,8 +425,8 @@ def test_column_mapping_name_mode_read(spark, tmp_path):
     a hand-built spec-conformant table whose parquet files carry
     physical names at both nesting levels and whose partitionValues are
     keyed by the physical partition name — the reader resolves all of it
-    back to logical names. The writer still refuses to touch the table,
-    and the streaming source refuses by name."""
+    back to logical names. (Since r7 the writer APPENDS to CM tables —
+    covered in test_delta_writer.py::test_cm_table_append_and_delete.)"""
     import json as _json
     import os
 
@@ -549,11 +551,15 @@ def test_column_mapping_name_mode_read(spark, tmp_path):
     # nested logical field names round-tripped
     assert got.select(F.col("s.inner")).count() == 2
 
-    with pytest.raises(ValueError, match="column mapping"):
+    # r7: APPENDS to CM tables are supported (physical staging —
+    # test_delta_writer.py::test_cm_table_append_and_delete); ops that
+    # would have to MAINTAIN the mapping still refuse by name
+    with pytest.raises(ValueError, match="column-mapped"):
         write_delta_native(
             spark,
             got.select("id", "s", "p"),
             root,
+            mode="overwrite",
         )
 
     # the streaming source resolves CM too (round 6): its schema is the

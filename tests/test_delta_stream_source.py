@@ -242,10 +242,9 @@ def test_max_files_per_trigger_bounds_each_batch(spark, tmp_path):
 
 
 def test_max_files_per_trigger_restart_recovers_position(spark, tmp_path):
-    """A fresh reader (restart with a fully-committed tail) asked for
-    latestOffset before seeing the checkpointed position may answer
-    behind the true start once; partitions() re-anchors and bounding
-    resumes forward — never a giant catch-up batch, never stuck."""
+    """A fresh reader (restart) whose first engine call is partitions()
+    (the offset-log replay path) anchors the position there and bounded
+    advance resumes FORWARD from it — never from -1."""
     from rtdl_spark.sources.delta_stream_source import (
         _DeltaStreamReader,
         _latest_schema,
@@ -273,23 +272,23 @@ def test_max_files_per_trigger_available_now_drains_across_runs(
 ):
     """Measured trigger semantics, pinned: with maxFilesPerTrigger,
     Trigger.AvailableNow captures latestOffset once, so each RUN is one
-    bounded batch; the checkpoint advances each time and repeated runs
-    drain the whole backlog exactly once (no loss, no double-reads)."""
+    batch. A brand-new query's FIRST batch is unbounded (the Python
+    runner asks latestOffset before any anchoring call, and a bounded
+    unanchored answer could regress behind a crash-restart's
+    checkpointed position — correctness wins; see latestOffset); every
+    graceful restart re-anchors via the replayed trailing offset entry,
+    so later runs ARE bounded and drain the backlog exactly once."""
     from rtdl_spark.sources.delta_stream_source import DeltaStreamDataSource
 
     table = str(tmp_path / "mft_an")
-    for lo in range(0, 60, 10):
-        write_delta_native(
-            spark,
-            spark.range(lo, lo + 10).select("id").repartition(2),
-            table,
-        )  # 6 commits x 2 files
+    write_delta_native(
+        spark, spark.range(0, 10).select("id").repartition(2), table
+    )  # commit 0: 2 files
     spark.dataSource.register(DeltaStreamDataSource)
     sink = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
 
-    counts = []
-    for _run in range(5):
+    def run_once():
         q = (
             spark.readStream.format("rtdl_delta_stream")
             .option("path", table)
@@ -302,11 +301,24 @@ def test_max_files_per_trigger_available_now_drains_across_runs(
             .start()
         )
         q.awaitTermination(300)
-        counts.append(spark.read.parquet(sink).count())
+        return spark.read.parquet(sink).count()
+
+    assert run_once() == 10  # fresh: one (here small) snapshot batch
+
+    # backlog lands while the query is down: 5 commits x 2 files
+    for lo in range(10, 60, 10):
+        write_delta_native(
+            spark,
+            spark.range(lo, lo + 10).select("id").repartition(2),
+            table,
+        )
+    counts = []
+    for _run in range(5):
+        counts.append(run_once())
         if counts[-1] == 60:
             break
-    # 12 files / 4 per run -> exactly 3 runs, 20 rows each
-    assert counts == [20, 40, 60]
+    # anchored restarts advance ≤4 files (= 2 commits = 20 rows) per run
+    assert counts == [30, 50, 60]
     got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
     assert got == list(range(60)), "drain must be exactly-once"
 
@@ -483,3 +495,292 @@ def test_stream_source_reads_id_mode_column_mapping(spark, tmp_path):
     assert sorted((r["id"], r["tag"]) for r in got.collect()) == [
         (5, "u"), (6, "v"),
     ]
+
+
+def test_latest_offset_first_restart_never_regresses(spark, tmp_path):
+    """r6 ADVICE: a restarted reader whose last batch was FULLY
+    committed can be asked latestOffset() before any anchoring call
+    (initialOffset / partitions / commit). Bounding from initialOffset
+    would answer BEHIND the checkpointed position — Spark writes that
+    regressed offset into its offset log and uses it as the NEXT
+    batch's start, replaying already-delivered commits. The first
+    answer with an unknown position must therefore be the UNBOUNDED
+    tip (one catch-up batch, never a regression); bounding resumes
+    once the position is anchored."""
+    from rtdl_spark.sources.delta_stream_source import (
+        _DeltaStreamReader,
+        _latest_schema,
+    )
+
+    table = str(tmp_path / "mft_lof")
+    for lo in range(0, 50, 10):
+        write_delta_native(
+            spark,
+            spark.range(lo, lo + 10).select("id").repartition(2),
+            table,
+        )  # 5 commits (versions 0..4) x 2 files
+
+    # simulated prior run: checkpointed position is version 3
+    sch = _latest_schema(table, 10)
+    r = _DeltaStreamReader(sch, {"path": table, "maxFilesPerTrigger": "2"})
+    off = r.latestOffset()  # latestOffset()-FIRST path
+    assert off == {"version": 4}, (
+        "unknown position must answer the unbounded tip, not a bounded "
+        "offset from -1 (which would regress behind the checkpoint)"
+    )
+    # the engine then plans (3, 4] from its own offset log; subsequent
+    # answers are bounded and never move backward
+    parts = [p for p in r.partitions({"version": 3}, off) if p.path]
+    assert len(parts) == 2
+    assert r.latestOffset() == {"version": 4}
+
+    # startingVersion="latest" with an unknown position also answers
+    # the tip (not beyond), still no regression
+    r2 = _DeltaStreamReader(
+        sch,
+        {"path": table, "maxFilesPerTrigger": "1",
+         "startingVersion": "latest"},
+    )
+    assert r2.latestOffset() == {"version": 4}
+
+
+def test_stream_cm_nested_struct_resolved_by_physical_name(
+    registered, tmp_path
+):
+    """r6 ADVICE: under name-mode CM the file's struct children may be
+    REORDERED or DROPPED relative to the logical schema (that is what
+    DROP/RENAME COLUMN leaves behind) — positional alignment would
+    silently attribute one child's values to another. The Arrow lane
+    must match nested children by PHYSICAL NAME: reordered children
+    land under the right logical names, a child the file lacks
+    null-fills, and a file child the schema dropped is ignored."""
+    spark = registered
+    root = str(tmp_path / "cmnest")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    # file struct children in REVERSE order vs the logical schema, plus
+    # a dropped child `col-old` the logical schema no longer has; the
+    # logical schema also has a NEW child (col-kk) the file predates
+    pdf = spark.createDataFrame(
+        [(1, (10, "x", 7)), (2, (20, "y", 8))],
+        "`col-aaa` bigint, `col-sss` struct<`col-jjj`:bigint, "
+        "`col-inn`:string, `col-old`:bigint>",
+    )
+    pdf.coalesce(1).write.parquet(os.path.join(root, "d"))
+    part = next(
+        f for f in os.listdir(os.path.join(root, "d"))
+        if f.endswith(".parquet")
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "s",
+             "type": {"type": "struct", "fields": [
+                 {"name": "inner", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-inn"}},
+                 {"name": "j", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-jjj"}},
+                 {"name": "k", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 6,
+                               "delta.columnMapping.physicalName": "col-kk"}},
+             ]},
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-sss"}},
+        ],
+    }
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}) + "\n")
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cmn", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "6"},
+            "createdTime": 1}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "d/" + part, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, "d", part)),
+            "modificationTime": 1, "dataChange": True}}) + "\n")
+
+    sink = str(tmp_path / "sink")
+    _run_once(spark, root, sink, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(sink)
+    assert got.columns == ["id", "s"]
+    rows = sorted(
+        (r["id"], r["s"]["inner"], r["s"]["j"], r["s"]["k"])
+        for r in got.collect()
+    )
+    assert rows == [(1, "x", 10, None), (2, "y", 20, None)], (
+        "nested children must resolve by physical name — positional "
+        "alignment would put col-jjj's longs under `inner`"
+    )
+
+
+def test_stream_cm_list_and_map_of_struct(registered, tmp_path):
+    """list-of-struct and map-of-struct under name-mode CM stream
+    correctly (the r6 refusal is lifted): element/value struct children
+    resolve by physical name at every level, list/map offsets and
+    null slots survive the realignment."""
+    spark = registered
+    root = str(tmp_path / "cmlist")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pdf = spark.createDataFrame(
+        [
+            (1, [(10, "a"), (11, "b")], {"k1": (100,)}),
+            (2, None, None),
+            (3, [], {}),
+            (4, [(40, "d")], {"k4": (400,), "k5": (500,)}),
+        ],
+        "`col-aaa` bigint, "
+        "`col-lst` array<struct<`col-pp`:bigint, `col-qq`:string>>, "
+        "`col-map` map<string, struct<`col-vv`:bigint>>",
+    )
+    pdf.coalesce(1).write.parquet(os.path.join(root, "d"))
+    part = next(
+        f for f in os.listdir(os.path.join(root, "d"))
+        if f.endswith(".parquet")
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "lst",
+             "type": {"type": "array", "containsNull": True,
+                      "elementType": {"type": "struct", "fields": [
+                          # logical order REVERSED vs the file
+                          {"name": "q", "type": "string", "nullable": True,
+                           "metadata": {"delta.columnMapping.id": 4,
+                                        "delta.columnMapping.physicalName": "col-qq"}},
+                          {"name": "p", "type": "long", "nullable": True,
+                           "metadata": {"delta.columnMapping.id": 3,
+                                        "delta.columnMapping.physicalName": "col-pp"}},
+                      ]}},
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-lst"}},
+            {"name": "m",
+             "type": {"type": "map", "keyType": "string",
+                      "valueContainsNull": True,
+                      "valueType": {"type": "struct", "fields": [
+                          {"name": "v", "type": "long", "nullable": True,
+                           "metadata": {"delta.columnMapping.id": 6,
+                                        "delta.columnMapping.physicalName": "col-vv"}},
+                      ]}},
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 5,
+                          "delta.columnMapping.physicalName": "col-map"}},
+        ],
+    }
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}) + "\n")
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cml", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "6"},
+            "createdTime": 1}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "d/" + part, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, "d", part)),
+            "modificationTime": 1, "dataChange": True}}) + "\n")
+
+    sink = str(tmp_path / "sink")
+    _run_once(spark, root, sink, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(sink)
+    assert got.columns == ["id", "lst", "m"]
+    by_id = {r["id"]: r for r in got.collect()}
+    r1 = by_id[1]
+    assert [(e["q"], e["p"]) for e in r1["lst"]] == [("a", 10), ("b", 11)]
+    assert r1["m"]["k1"]["v"] == 100
+    assert by_id[2]["lst"] is None and by_id[2]["m"] is None
+    assert by_id[3]["lst"] == [] and dict(by_id[3]["m"]) == {}
+    r4 = by_id[4]
+    assert [(e["q"], e["p"]) for e in r4["lst"]] == [("d", 40)]
+    assert sorted((k, v["v"]) for k, v in r4["m"].items()) == [
+        ("k4", 400), ("k5", 500),
+    ]
+
+
+def test_stream_cm_id_mode_nested_field_ids(registered, tmp_path):
+    """id-mode CM with NESTED struct children: parquet names are
+    garbage at every level; the Arrow lane matches nested children by
+    PARQUET:field_id against delta.columnMapping.id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = registered
+    root = str(tmp_path / "cmidnest")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "d"))
+    fschema = pa.schema([
+        pa.field("junk-a", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("junk-s", pa.struct([
+            # file order reversed vs logical; ids are the truth
+            pa.field("junk-j", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"4"}),
+            pa.field("junk-i", pa.string(),
+                     metadata={b"PARQUET:field_id": b"3"}),
+        ]), metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    tab = pa.table(
+        {
+            "junk-a": pa.array([1, 2]),
+            "junk-s": pa.array(
+                [{"junk-j": 10, "junk-i": "x"},
+                 {"junk-j": 20, "junk-i": "y"}],
+                type=fschema.field("junk-s").type,
+            ),
+        },
+        schema=fschema,
+    )
+    pq.write_table(tab, os.path.join(root, "d", "f.parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "junk-a"}},
+            {"name": "s",
+             "type": {"type": "struct", "fields": [
+                 {"name": "inner", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "junk-i"}},
+                 {"name": "j", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "junk-j"}},
+             ]},
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "junk-s"}},
+        ],
+    }
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}) + "\n")
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cmidn", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "4"},
+            "createdTime": 1}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "d/f.parquet", "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, "d", "f.parquet")),
+            "modificationTime": 1, "dataChange": True}}) + "\n")
+
+    sink = str(tmp_path / "sink")
+    _run_once(spark, root, sink, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(sink)
+    rows = sorted(
+        (r["id"], r["s"]["inner"], r["s"]["j"]) for r in got.collect()
+    )
+    assert rows == [(1, "x", 10), (2, "y", 20)]

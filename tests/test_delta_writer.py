@@ -214,7 +214,9 @@ def test_append_only_table_blocks_overwrite(spark, tmp_path):
 
 def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
     """Tables demanding writer behavior we don't implement are refused
-    loudly: minWriterVersion 5 (column mapping) and column invariants."""
+    loudly: minWriterVersion 4 (CDF/generated columns), metadata-carried
+    duties under the now-accepted v5 (CHECK constraints), and column
+    invariants."""
     table = str(tmp_path / "t5")
     write_delta_native(spark, _frame(spark, 0, 5), table)
     with open(
@@ -222,12 +224,45 @@ def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
     ) as f:
         f.write(
             json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="minWriterVersion 4"):
+        write_delta_native(spark, _frame(spark, 5, 8), table)
+
+    # v5 is accepted ONLY when the metadata carries none of the v3/v4
+    # duties — a CHECK constraint refuses by name
+    table5 = str(tmp_path / "t5b")
+    write_delta_native(spark, _frame(spark, 0, 5), table5)
+    with open(
+        os.path.join(table5, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(
+            json.dumps(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 5}}
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="minWriterVersion 5"):
-        write_delta_native(spark, _frame(spark, 5, 8), table)
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "c",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _frame(spark, 0, 1).schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {
+                            "delta.constraints.posid": "id > 0"
+                        },
+                        "createdTime": 1,
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        write_delta_native(spark, _frame(spark, 5, 8), table5)
 
     table2 = str(tmp_path / "t6")
     write_delta_native(spark, _frame(spark, 0, 5), table2)
@@ -1220,3 +1255,572 @@ def test_restore_to_version(spark, tmp_path):
     vacuum_delta_native(spark, table, retain_ms=0)
     with pytest.raises(ValueError, match="no longer exists"):
         restore_delta_native(spark, table, 1)
+
+
+def test_restore_readds_checkpoint_adds_with_datachange_true(
+    spark, tmp_path
+):
+    """r6 ADVICE: adds sourced from a CHECKPOINT carry dataChange=false
+    (the spec requires checkpoints to write them that way); RESTORE
+    must not copy that verbatim — streaming readers skip
+    dataChange=false adds, so the restored rows would be silently
+    invisible downstream. delta-spark's RESTORE commits its re-adds
+    with dataChange=true; ours must too."""
+    from rtdl_spark.sources.delta_stream_source import _DeltaStreamReader
+    from rtdl_spark.sources.delta_writer import (
+        restore_delta_native,
+        write_checkpoint_native,
+    )
+
+    table = str(tmp_path / "rstdc")
+    write_delta_native(spark, _frame(spark, 0, 8).coalesce(1), table)  # v0
+    write_checkpoint_native(spark, table)  # checkpoint AT v0
+    write_delta_native(  # v1: overwrite removes v0's file
+        spark, _frame(spark, 100, 104, "y").coalesce(1), table,
+        mode="overwrite",
+    )
+    res = restore_delta_native(spark, table, 0)  # v2 re-adds v0's file
+    assert res["version"] == 2 and res["files_added"] == 1
+
+    adds = [a["add"] for a in _log_actions(table, 2) if "add" in a]
+    assert adds and all(a["dataChange"] is True for a in adds), (
+        "RESTORE re-adds must be dataChange=true even when sourced "
+        "from a checkpoint's dataChange=false add rows"
+    )
+    # the consequence, checked where it bites: the streaming source
+    # EMITS the restore commit's files (it skips dataChange=false)
+    r = _DeltaStreamReader(
+        read_delta_native(spark, table).schema, {"path": table}
+    )
+    parts = [
+        p
+        for p in r.partitions({"version": 1}, {"version": 2})
+        if p.path
+    ]
+    assert len(parts) == 1, "restored file must be visible to the stream"
+
+
+def test_distributed_vacuum_escapable_characters_zero_victims(
+    spark, tmp_path
+):
+    """r6 ADVICE (data-loss class): Hadoop's Path.toString PERCENT-
+    ESCAPES reserved characters in the binaryFile listing while
+    add.path is url-decoded — an undecoded comparison mismatches any
+    live file whose path carries '%', ':', space or '+' (Hive-escaped
+    partition values do), sending LIVE data files to the reaper. Both
+    sides now normalize through one decoder: a fresh table with
+    escapable partition values has ZERO victims, and reap parity with
+    the driver-side vacuum holds after a real rewrite."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        vacuum_delta_native,
+        vacuum_delta_native_distributed,
+    )
+
+    table = str(tmp_path / "vesc")
+    vals = ["a%b", "a:b", "a b", "a+b", "a=b", "100%"]
+    df = spark.range(0, 12).select(
+        "id",
+        F.element_at(
+            F.array(*[F.lit(v) for v in vals]),
+            (F.col("id") % 6 + 1).cast("int"),
+        ).alias("p"),
+    )
+    write_delta_native(spark, df, table, partition_by=["p"])
+
+    # every file is live: NOTHING may be a victim
+    assert (
+        vacuum_delta_native_distributed(
+            spark, table, retain_ms=0, dry_run=True
+        )
+        == 0
+    ), "live files with escapable path characters became vacuum victims"
+
+    # the same form mismatch infected every _metadata.file_path
+    # comparison: DELETE's identify->rewrite subset and OPTIMIZE's
+    # file->bin map matched NOTHING on escapable names (empty bins,
+    # dropped rewrites) — both must round-trip content exactly
+    delete_where_delta_native(spark, table, "id % 2 = 0")
+    got = sorted(r["id"] for r in read_delta_native(spark, table).collect())
+    assert got == [i for i in range(12) if i % 2 == 1]
+
+    from rtdl_spark.sources.delta_writer import optimize_delta_native
+
+    res = optimize_delta_native(spark, table, target_file_bytes=1 << 30)
+    assert res["version"] is not None and res["files_out"] > 0
+    got = sorted(r["id"] for r in read_delta_native(spark, table).collect())
+    assert got == [i for i in range(12) if i % 2 == 1], (
+        "OPTIMIZE must not lose rows in escapable partitions"
+    )
+
+    # orphans from both rewrites; distributed reap == driver-side plan
+    expected = vacuum_delta_native(spark, table, retain_ms=0, dry_run=True)
+    assert len(expected) > 0
+    n = vacuum_delta_native_distributed(spark, table, retain_ms=0)
+    assert n == len(expected)
+    assert vacuum_delta_native(spark, table, retain_ms=0, dry_run=True) == []
+    got = sorted(r["id"] for r in read_delta_native(spark, table).collect())
+    assert got == [i for i in range(12) if i % 2 == 1]
+
+
+def test_append_schema_compatibility_matrix(spark, tmp_path):
+    """r6 verdict item 3: the full append-compatibility matrix —
+    {missing, extra, retyped, renamed, case-collision, null-into-
+    non-nullable} × {nullable, non-nullable} × {data, partition}
+    columns, for plain and mergeSchema appends. Every cell is either
+    accepted-and-readable or refused BY NAME, with real Delta's
+    behavior as the oracle for which is which. Nested non-nullable
+    fields are documented out-of-scope (top-level enforcement)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def mk(tag):
+        t = str(tmp_path / f"mx_{tag}")
+        base = spark.createDataFrame(
+            [(1, "a", 10, "p1"), (2, "b", 20, "p1")],
+            StructType([
+                StructField("id", LongType(), False),       # non-nullable
+                StructField("tag", StringType(), True),
+                StructField("v", LongType(), True),
+                StructField("p", StringType(), True),
+            ]),
+        )
+        write_delta_native(spark, base, t, partition_by=["p"])
+        return t
+
+    def frame(schema, rows):
+        return spark.createDataFrame(rows, schema)
+
+    S = StructField
+
+    # --- plain append, exact schema: accepted
+    t = mk("ok")
+    write_delta_native(
+        spark,
+        frame(
+            StructType([S("id", LongType(), False), S("tag", StringType()),
+                        S("v", LongType()), S("p", StringType())]),
+            [(3, "c", 30, "p2")],
+        ),
+        t,
+    )
+    assert read_delta_native(spark, t).count() == 3
+
+    # --- missing NULLABLE data column: plain refused, mergeSchema ok
+    fm = frame(
+        StructType([S("id", LongType(), False), S("tag", StringType()),
+                    S("p", StringType())]),
+        [(4, "d", "p2")],
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta_native(spark, fm, t)
+    write_delta_native(spark, fm, t, merge_schema=True)
+    got = read_delta_native(spark, t).filter("id = 4").collect()
+    assert got[0]["v"] is None  # null-filled
+
+    # --- missing NON-NULLABLE column: refused by name even w/ merge
+    fnn = frame(
+        StructType([S("tag", StringType()), S("v", LongType()),
+                    S("p", StringType())]),
+        [("e", 50, "p2")],
+    )
+    with pytest.raises(ValueError, match="NON-NULLABLE.*id"):
+        write_delta_native(spark, fnn, t, merge_schema=True)
+
+    # --- missing PARTITION column: refused by name
+    fp = frame(
+        StructType([S("id", LongType(), False), S("tag", StringType()),
+                    S("v", LongType())]),
+        [(6, "f", 60)],
+    )
+    with pytest.raises(ValueError, match="partition columns absent"):
+        write_delta_native(spark, fp, t, merge_schema=True)
+
+    # --- extra column: plain refused; mergeSchema appends it NULLABLE
+    t2 = mk("extra")
+    fx = frame(
+        StructType([S("id", LongType(), False), S("tag", StringType()),
+                    S("v", LongType()), S("p", StringType()),
+                    S("score", LongType(), False)]),  # frame says NOT NULL
+        [(3, "c", 30, "p2", 99)],
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta_native(spark, fx, t2)
+    write_delta_native(spark, fx, t2, merge_schema=True)
+    got = read_delta_native(spark, t2)
+    import json as _json
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    _, meta2, _, _, _ = snapshot_actions(spark, t2)
+    evolved = {
+        f["name"]: f for f in _json.loads(meta2["schemaString"])["fields"]
+    }
+    assert evolved["score"]["nullable"] is True, (
+        "evolved columns must be FORCED nullable (old files null-fill)"
+    )
+    assert got.filter("score IS NULL").count() == 2
+    assert got.filter("score = 99").count() == 1
+
+    # --- retyped column: refused by name (both modes)
+    t3 = mk("retype")
+    fr = frame(
+        StructType([S("id", LongType(), False), S("tag", LongType()),
+                    S("v", LongType()), S("p", StringType())]),
+        [(3, 7, 30, "p2")],
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta_native(spark, fr, t3)
+    with pytest.raises(ValueError, match="type conflict.*tag"):
+        write_delta_native(spark, fr, t3, merge_schema=True)
+
+    # --- renamed nullable column (drop old + add new): mergeSchema
+    # accepts as evolution (rename is undetectable — delta-spark too)
+    t4 = mk("rename")
+    frn = frame(
+        StructType([S("id", LongType(), False), S("tag2", StringType()),
+                    S("v", LongType()), S("p", StringType())]),
+        [(3, "c", 30, "p2")],
+    )
+    write_delta_native(spark, frn, t4, merge_schema=True)
+    got = read_delta_native(spark, t4)
+    assert got.filter("tag IS NULL").count() == 1
+    assert got.filter("tag2 IS NULL").count() == 2
+
+    # --- CASE collision: a frame column differing only by case is the
+    # same column, not a new one — refused by name (Delta resolves
+    # names case-insensitively)
+    t5 = mk("case")
+    fc = frame(
+        StructType([S("id", LongType(), False), S("TAG", StringType()),
+                    S("v", LongType()), S("p", StringType())]),
+        [(3, "c", 30, "p2")],
+    )
+    with pytest.raises(ValueError, match="CASE"):
+        write_delta_native(spark, fc, t5, merge_schema=True)
+
+    # --- NULL into a NON-NULLABLE column: the write itself must fail
+    # (real Delta: DELTA_NOT_NULL_CONSTRAINT_VIOLATED), never commit
+    t6 = mk("nn")
+    fnull = frame(
+        StructType([S("id", LongType(), True), S("tag", StringType()),
+                    S("v", LongType()), S("p", StringType())]),
+        [(None, "x", 70, "p2"), (7, "y", 71, "p2")],
+    )
+    with pytest.raises(Exception, match="NOT NULL"):
+        write_delta_native(spark, fnull, t6)
+    # nothing committed, table content unchanged
+    assert read_delta_native(spark, t6).count() == 2
+
+    # same frame with NO nulls in the data: accepted (the check is a
+    # runtime row test, not a nullability-flag comparison)
+    fok = frame(
+        StructType([S("id", LongType(), True), S("tag", StringType()),
+                    S("v", LongType()), S("p", StringType())]),
+        [(8, "z", 80, "p2")],
+    )
+    write_delta_native(spark, fok, t6)
+    assert read_delta_native(spark, t6).count() == 3
+
+    # --- UPDATE SET null into non-nullable: refused at rewrite time
+    from rtdl_spark.sources.delta_writer import update_where_delta_native
+
+    with pytest.raises(Exception, match="NOT NULL"):
+        update_where_delta_native(
+            spark, t6, "v = 80", {"id": "CAST(NULL AS BIGINT)"}
+        )
+    got = sorted(r["id"] for r in read_delta_native(spark, t6).collect())
+    assert got == [1, 2, 8]
+
+
+def _mk_cm_table(spark, tmp_path, mode):
+    """Spec-shaped column-mapped table (same fixture family as the
+    reader conformance tests): logical (id, s{inner,j}, p) with physical
+    names col-aaa / col-sss{col-inn,col-jjj} / col-ppp, partitioned by
+    p, one initial file."""
+    root = str(tmp_path / f"cmw_{mode}")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    # the initial file mimics a real CM writer: physical names AND
+    # parquet field ids at every level (id-mode readers resolve by id)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fschema = pa.schema([
+        pa.field("col-aaa", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("col-sss", pa.struct([
+            pa.field("col-inn", pa.string(),
+                     metadata={b"PARQUET:field_id": b"3"}),
+            pa.field("col-jjj", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"4"}),
+        ]), metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    tab = pa.table(
+        {
+            "col-aaa": pa.array([1, 2]),
+            "col-sss": pa.array(
+                [{"col-inn": "x", "col-jjj": 10},
+                 {"col-inn": "y", "col-jjj": 20}],
+                type=fschema.field("col-sss").type,
+            ),
+        },
+        schema=fschema,
+    )
+    os.makedirs(os.path.join(root, "d"))
+    pq.write_table(tab, os.path.join(root, "d", "init.parquet"))
+    part = next(
+        f for f in os.listdir(os.path.join(root, "d"))
+        if f.endswith(".parquet")
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "s",
+             "type": {"type": "struct", "fields": [
+                 {"name": "inner", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-inn"}},
+                 {"name": "j", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-jjj"}},
+             ]},
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-sss"}},
+            {"name": "p", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 5,
+                          "delta.columnMapping.physicalName": "col-ppp"}},
+        ],
+    }
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}) + "\n")
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": f"cmw-{mode}", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["p"],
+            "configuration": {"delta.columnMapping.mode": mode,
+                              "delta.columnMapping.maxColumnId": "5"},
+            "createdTime": 1}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "d/" + part,
+            "partitionValues": {"col-ppp": "east"},
+            "size": os.path.getsize(os.path.join(root, "d", part)),
+            "modificationTime": 1, "dataChange": True}}) + "\n")
+    return root
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_cm_table_append_and_delete(spark, tmp_path, mode):
+    """r6 verdict item 6: WRITES to an existing column-mapped table —
+    appends stage files in the PHYSICAL layout (physical names at every
+    nesting level + parquet field ids, physically-keyed
+    partitionValues), DELETE WHERE rewrites through the logical scan
+    and re-stages physically; the native reader reads it all back under
+    logical names in BOTH modes. maxColumnId is untouched (no schema
+    change is ever committed)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from rtdl_spark.sources.delta_writer import delete_where_delta_native
+
+    root = _mk_cm_table(spark, tmp_path, mode)
+    inner = StructType([
+        StructField("inner", StringType(), True),
+        StructField("j", LongType(), True),
+    ])
+    frame = spark.createDataFrame(
+        [(3, ("z", 30), "west"), (4, ("w", 40), "east")],
+        StructType([
+            StructField("id", LongType(), True),
+            StructField("s", inner, True),
+            StructField("p", StringType(), True),
+        ]),
+    )
+    v = write_delta_native(spark, frame, root, checkpoint_interval=0)
+    assert v == 1
+
+    got = read_delta_native(spark, root)
+    rows = sorted(
+        (r["id"], r["s"]["inner"], r["s"]["j"], r["p"])
+        for r in got.collect()
+    )
+    assert rows == [
+        (1, "x", 10, "east"), (2, "y", 20, "east"),
+        (3, "z", 30, "west"), (4, "w", 40, "east"),
+    ]
+
+    # the staged files are PHYSICAL: dir name is the physical partition
+    # column; parquet footers carry physical names + field ids nested
+    import pyarrow.parquet as pq
+
+    acts = _log_actions(root, 1)
+    new_adds = [a["add"] for a in acts if "add" in a]
+    assert len(new_adds) == 2
+    for a in new_adds:
+        assert a["path"].startswith("col-ppp="), a["path"]
+        assert set(a["partitionValues"]) == {"col-ppp"}
+        import urllib.parse as up
+
+        sa = pq.ParquetFile(
+            os.path.join(root, up.unquote(a["path"]))
+        ).schema_arrow
+        names = {f.name for f in sa}
+        assert names == {"col-aaa", "col-sss"}
+        s_field = next(f for f in sa if f.name == "col-sss")
+        kids = {
+            s_field.type.field(i).name: (
+                s_field.type.field(i).metadata or {}
+            ).get(b"PARQUET:field_id")
+            for i in range(s_field.type.num_fields)
+        }
+        assert kids == {b"col-inn": b"3", b"col-jjj": b"4"} or kids == {
+            "col-inn": b"3", "col-jjj": b"4",
+        }
+
+    # metaData untouched: no new metaData action, maxColumnId preserved
+    assert not any("metaData" in a for a in acts)
+
+    # DELETE WHERE through the CM scan (predicate on LOGICAL names)
+    res = delete_where_delta_native(spark, root, "s.j >= 30 AND p = 'east'")
+    assert res["version"] == 2 and res["files_rewritten"] >= 1
+    rows = sorted(
+        (r["id"], r["s"]["j"], r["p"])
+        for r in read_delta_native(spark, root).collect()
+    )
+    assert rows == [(1, 10, "east"), (2, 20, "east"), (3, 30, "west")]
+
+    # schema evolution / MERGE / OPTIMIZE / overwrite stay refused by name
+    from rtdl_spark.sources.delta_writer import (
+        merge_into_delta_native,
+        optimize_delta_native,
+    )
+
+    wide = frame.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="mergeSchema on a column-mapped"):
+        write_delta_native(spark, wide, root, merge_schema=True)
+    with pytest.raises(ValueError, match="column-mapped"):
+        write_delta_native(spark, frame, root, mode="overwrite")
+    with pytest.raises(ValueError, match="MERGE on a column-mapped"):
+        merge_into_delta_native(spark, root, frame, on=["id"])
+    with pytest.raises(ValueError, match="OPTIMIZE on a column-mapped"):
+        optimize_delta_native(spark, root)
+
+
+def test_cm_append_streams_back_logically(spark, tmp_path):
+    """Cross-lane check: files our CM append stages are resolved by the
+    STREAMING source too (physical struct children by name)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from rtdl_spark.sources.delta_stream_source import DeltaStreamDataSource
+
+    root = _mk_cm_table(spark, tmp_path, "name")
+    inner = StructType([
+        StructField("inner", StringType(), True),
+        StructField("j", LongType(), True),
+    ])
+    frame = spark.createDataFrame(
+        [(5, ("q", 50), "north")],
+        StructType([
+            StructField("id", LongType(), True),
+            StructField("s", inner, True),
+            StructField("p", StringType(), True),
+        ]),
+    )
+    write_delta_native(spark, frame, root, checkpoint_interval=0)
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = str(tmp_path / "cmsink")
+    q = (
+        spark.readStream.format("rtdl_delta_stream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "cmckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["id"], r["s"]["inner"], r["s"]["j"], r["p"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert rows == [
+        (1, "x", 10, "east"), (2, "y", 20, "east"), (5, "q", 50, "north"),
+    ]
+
+
+def test_in_commit_timestamp_writes(spark, tmp_path):
+    """r6 verdict item 7: when delta.enableInCommitTimestamps is set,
+    every commit this writer makes carries a MONOTONIC
+    inCommitTimestamp — strictly greater than the previous commit's
+    even when the wall clock lags behind it (the protocol's clock-skew
+    guarantee) — and timestamp time travel resolves through the ICT."""
+    from rtdl_spark.sources.delta_reader import delta_history
+    from rtdl_spark.sources.delta_writer import delete_where_delta_native
+
+    root = str(tmp_path / "ict")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    df = spark.range(0, 4).select(F.col("id"))
+    df.coalesce(1).write.parquet(os.path.join(root, "d"))
+    part = next(
+        f for f in os.listdir(os.path.join(root, "d"))
+        if f.endswith(".parquet")
+    )
+    far_future = 9_999_999_999_999  # the prev ICT is AHEAD of the clock
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 1, "operation": "WRITE",
+            "inCommitTimestamp": far_future}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["inCommitTimestamp"]}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "ict", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [],
+            "configuration": {"delta.enableInCommitTimestamps": "true"},
+            "createdTime": 1}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "d/" + part, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, "d", part)),
+            "modificationTime": 1, "dataChange": True}}) + "\n")
+
+    # append (WRITE path) then DELETE (rewrite path): both must stamp
+    write_delta_native(
+        spark, spark.range(10, 12).select("id"), root, checkpoint_interval=0
+    )
+    delete_where_delta_native(spark, root, "id = 0")
+
+    icts = []
+    for v in (0, 1, 2):
+        acts = _log_actions(root, v)
+        info = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+        assert "inCommitTimestamp" in info, f"commit {v} missing ICT"
+        icts.append(int(info["inCommitTimestamp"]))
+    assert icts[0] == far_future
+    assert icts[1] == far_future + 1, (
+        "ICT must be STRICTLY greater than the previous commit's even "
+        "when the wall clock is behind it"
+    )
+    assert icts[2] == far_future + 2
+
+    # history resolves through ICT (reader preference already in place)
+    hist = delta_history(spark, root)
+    assert [h["timestamp"] for h in hist] == icts
