@@ -2092,3 +2092,192 @@ def lake_delta_ict_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_dv_delete",
+    # after the DV delete, the table's logical content is a pure rule
+    # over orders; v<target> content (pre-delete) must be intact — the
+    # data files are never rewritten, only masked
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 6 = 0
+    )
+    SELECT 'after' AS phase, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM t WHERE k % 30 <> 0
+    UNION ALL
+    SELECT 'before', COUNT(*),
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+    FROM t
+    """,
+)
+def lake_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR DELETE (r7, delta_writer.py::
+    delete_where_delta_dv): on a DV-enabled table, DELETE WHERE writes
+    roaring bitmaps of the matched physical row positions — ZERO data
+    bytes rewritten (asserted: every add keeps its original path and
+    size) — and the bitmaps are built and written ON THE EXECUTORS
+    (applyInPandas per file). Post-delete content and the untouched
+    pre-delete snapshot (time travel) both hash-verified."""
+    import json as _json
+
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_dv,
+        write_delta_native,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 6 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_dvd_", dir=shm)
+    try:
+        root = os.path.join(workdir, "dvdel")
+        write_delta_native(
+            spark, o.repartition(4), root, checkpoint_interval=0
+        )
+        # table-owner enablement: protocol feature + config in one commit
+        _, meta, _, current, _ = snapshot_actions(spark, root)
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{current + 1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                **meta,
+                "configuration": {
+                    "delta.enableDeletionVectors": "true"}}}) + "\n")
+
+        _, _, active0, v_before, _ = snapshot_actions(spark, root)
+        sizes0 = {p: a["size"] for p, a in active0.items()}
+        delete_where_delta_dv(spark, root, "k % 30 = 0")
+        _, _, active1, _, _ = snapshot_actions(spark, root)
+        assert {p: a["size"] for p, a in active1.items()} == sizes0, (
+            "DV delete must not rewrite any data file"
+        )
+
+        def agg(df, phase):
+            return df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("price")).cast("double").alias("total"),
+            ).select(F.lit(phase).alias("phase"), "n", "total")
+
+        out = agg(read_delta_native(spark, root), "after").unionByName(
+            agg(read_delta_native(spark, root, version=v_before), "before")
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_dv_update",
+    # masked-old + appended-new must equal a plain SQL UPDATE over the
+    # orders-derived rule; the pre-update snapshot stays intact
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 9 = 0
+    ), u AS (
+      SELECT k,
+             CASE WHEN k % 45 = 0 THEN price * 2 ELSE price END AS price
+      FROM t
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(CASE WHEN price <> (SELECT MIN(price) FROM t WHERE
+                 t.k = u.k) THEN 1 END) AS n_changed
+    FROM u
+    """,
+)
+def lake_delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR UPDATE (r7, delta_writer.py::
+    update_where_delta_dv): matched rows' old versions are masked via
+    executor-written bitmaps (original files untouched — asserted by
+    size) and the new versions are appended, in ONE commit. Content
+    equals the SQL UPDATE; cardinality preserved."""
+    import json as _json
+
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        update_where_delta_dv,
+        write_delta_native,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_dvu_", dir=shm)
+    try:
+        root = os.path.join(workdir, "dvup")
+        write_delta_native(
+            spark, o.repartition(3), root, checkpoint_interval=0
+        )
+        _, meta, _, current, _ = snapshot_actions(spark, root)
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{current + 1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                **meta,
+                "configuration": {
+                    "delta.enableDeletionVectors": "true"}}}) + "\n")
+
+        _, _, active0, _, _ = snapshot_actions(spark, root)
+        sizes0 = {p: a["size"] for p, a in active0.items()}
+        update_where_delta_dv(
+            spark, root, "k % 45 = 0", {"price": "price * 2"}
+        )
+        _, _, active1, _, _ = snapshot_actions(spark, root)
+        for p, a in active1.items():
+            if p in sizes0:
+                assert a["size"] == sizes0[p], (
+                    "DV update must not rewrite pre-existing files"
+                )
+
+        after = read_delta_native(spark, root)
+        base = o.withColumnRenamed("price", "price0")
+        out = (
+            after.join(base, "k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("price")).cast("double").alias("total"),
+                F.count(
+                    F.when(F.col("price") != F.col("price0"), 1)
+                ).alias("n_changed"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

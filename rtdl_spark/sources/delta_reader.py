@@ -18,10 +18,11 @@ Scope (loudly enforced, never silently wrong):
   refused by name); version 3 only when every ``readerFeatures`` entry
   is one this reader actually honors. Deletion vectors are READ
   (sources/dv.py decodes the bitmaps; deleted positions drop via an
-  anti-filter on ``_metadata.row_index``); v2/multi-part checkpoints
-  raise with the feature name.
-- classic single-part ``*.checkpoint.parquet`` checkpoints are used when
-  present (the JSON tail after the checkpoint is then the only per-commit
+  anti-filter on ``_metadata.row_index``); multi-part CLASSIC
+  checkpoints are read (all parts scanned as one frame); v2/UUID
+  checkpoints raise with the feature name.
+- classic ``*.checkpoint.parquet`` checkpoints (single- or multi-part)
+  are used when present (the JSON tail after the checkpoint is then the only per-commit
   work — exactly how Delta implementations bound log replay).
 
 Scale shape: the log tail is KBs of JSON (driver-parsed, like every Delta
@@ -198,6 +199,37 @@ def _field_id_type(type_json):
     return type_json
 
 
+def _checkpoint_paths(
+    spark: SparkSession, table_dir: str, ckpt: dict
+) -> list[str]:
+    """Resolve a _last_checkpoint entry to its parquet part paths.
+    Classic single-part: {v}.checkpoint.parquet. Multi-part classic
+    ("parts": N): {v}.checkpoint.{i:010d}.{N:010d}.parquet for
+    i in 1..N — all parts together hold one snapshot's actions, so the
+    reader scans them as ONE DataFrame. A missing part refuses by name
+    (scanning a subset would silently shrink the active set)."""
+    cv = int(ckpt["version"])
+    n = int(ckpt.get("parts") or 1)
+    log = _log_dir(table_dir)
+    if n == 1:
+        return [posixpath.join(log, f"{cv:020d}.checkpoint.parquet")]
+    paths = [
+        posixpath.join(
+            log, f"{cv:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+        )
+        for i in range(1, n + 1)
+    ]
+    missing = [p for p in paths if not fsutil.exists(spark, p)]
+    if missing:
+        raise ValueError(
+            f"multi-part Delta checkpoint {cv} is missing "
+            f"{len(missing)}/{n} parts (first: "
+            f"{posixpath.basename(missing[0])!r}) — refusing a partial "
+            "snapshot"
+        )
+    return paths
+
+
 def _last_checkpoint(spark: SparkSession, table_dir: str) -> dict | None:
     path = posixpath.join(_log_dir(table_dir), "_last_checkpoint")
     if not fsutil.exists(spark, path):
@@ -247,19 +279,13 @@ def _replay_core(
     tail_adds: dict[str, dict] = {}
     tail_removed: set[str] = set()
     txns: dict[str, int] = {}
-    ckpt_used: tuple[int, str] | None = None
+    ckpt_used: tuple[int, list[str]] | None = None
     start_after = -1
     if ckpt is not None and int(ckpt["version"]) <= target:
-        if int(ckpt.get("parts") or 1) != 1:
-            raise ValueError(
-                "multi-part Delta checkpoints unsupported by the native "
-                "reader (use delta-spark)"
-            )
         cv = int(ckpt["version"])
-        cpath = posixpath.join(
-            _log_dir(table_dir), f"{cv:020d}.checkpoint.parquet"
-        )
-        cdf = spark.read.parquet(cpath)
+        cpaths = _checkpoint_paths(spark, table_dir, ckpt)
+        cpath = cpaths  # list; every consumer scans the parts as one
+        cdf = spark.read.parquet(*cpaths)
         cols = set(cdf.columns)
         proto_rows = (
             cdf.filter(F.col("protocol").isNotNull())
@@ -472,7 +498,7 @@ def snapshot_adds_frame(
     if ckpt_used is None:
         return protocol, meta, tail_df, target, txns
 
-    cdf = spark.read.parquet(ckpt_used[1])
+    cdf = spark.read.parquet(*ckpt_used[1])
     if "add" not in cdf.columns:
         return protocol, meta, tail_df, target, txns
     sub = set(cdf.select("add.*").columns)

@@ -316,6 +316,23 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
+
+        def _flag(*names):
+            for n in names:
+                v = options.get(n)
+                if v is not None:
+                    return str(v).lower() == "true"
+            return False
+
+        # delta-spark's change-commit posture: a commit that REMOVES
+        # data (DELETE/UPDATE/MERGE/RESTORE rewrites) breaks the
+        # append-only stream contract — fail by default,
+        # skipChangeCommits drops the commit entirely, ignoreChanges
+        # re-emits its rewritten files (documented duplicates)
+        self.skip_change_commits = _flag(
+            "skipChangeCommits", "skipchangecommits"
+        )
+        self.ignore_changes = _flag("ignoreChanges", "ignorechanges")
         # last end version this reader has planned/committed — the base
         # the NEXT bounded latestOffset advances from (None until the
         # engine reveals the stream's position via initialOffset /
@@ -329,14 +346,10 @@ class _DeltaStreamReader(DataSourceStreamReader):
         a VACUUMed table needs, since its early add files no longer
         exist (same semantics and same reason as delta-spark's).
 
-        The engine calls this ONLY when the query's offset log is empty
-        (a genuinely fresh start) — and, measured against this Spark
-        build's runner, possibly on a DIFFERENT reader instance in the
-        same process than the one latestOffset lands on. The
-        process-level _FRESH_START set records the call so latestOffset
-        can tell a fresh start (position = initial offset, bounding is
-        safe) from a crash-shaped restart (position unknown, bounding
-        could regress)."""
+        The engine calls this only when the query's offset log is empty
+        (fresh start) — and AFTER the first latestOffset, per the
+        measured runner order (see the module note), which is why
+        latestOffset cannot rely on it for anchoring."""
         off = {"version": self._initial_version()}
         self._planned_end = off["version"]
         return off
@@ -432,12 +445,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
         else:
             part_cols, cm_json = [], "{}"
         for v in range(lo + 1, hi + 1):
-            for action in _read_commit(self.table_dir, v):
-                if "add" not in action:
-                    continue
-                a = action["add"]
-                if not a.get("dataChange", True):
-                    continue  # OPTIMIZE rewrites: already emitted rows
+            actions = _read_commit(self.table_dir, v)
+            commit_adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            for a in commit_adds:
                 if a.get("deletionVector"):
                     raise ValueError(
                         "Delta deletion vectors unsupported by the "
@@ -445,6 +459,28 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         "of already-emitted rows (read the table in "
                         "batch via read_delta_native instead)"
                     )
+            # change commit: data was REMOVED (DELETE/UPDATE/MERGE/
+            # RESTORE) — already-emitted rows can no longer be retracted
+            # downstream. delta-spark's posture, mirrored: fail loudly
+            # by default; skipChangeCommits drops the commit;
+            # ignoreChanges re-emits the rewritten files (duplicates,
+            # the caller asked for them)
+            if any(
+                "remove" in a and a["remove"].get("dataChange", True)
+                for a in actions
+            ):
+                if self.skip_change_commits:
+                    continue
+                if not self.ignore_changes:
+                    raise ValueError(
+                        f"Delta commit {v} changes existing data "
+                        "(dataChange remove) — a streaming source cannot "
+                        "retract already-emitted rows. Set option "
+                        "skipChangeCommits=true to drop such commits, or "
+                        "ignoreChanges=true to re-emit their rewritten "
+                        "files (at-least-once duplicates)"
+                    )
+            for a in commit_adds:
                 import urllib.parse
 
                 parts.append(

@@ -1011,6 +1011,7 @@ _CHECKPOINT_SCHEMA = StructType(
 
 
 _FP_COL = "rtdl_delta_fp"
+_RI_COL = "rtdl_delta_ri"
 
 
 def _active_scan(
@@ -1019,6 +1020,7 @@ def _active_scan(
     meta: dict,
     active: dict[str, dict],
     subset: list[str] | None = None,
+    with_row_index: bool = False,
 ) -> tuple[DataFrame | None, dict[str, dict]]:
     """Scan the active file set (optionally restricted to ``subset``
     plain abs paths) with partition columns injected from the log and the
@@ -1109,6 +1111,8 @@ def _active_scan(
             .alias(f.name)
             for f in data_fields
         ] + [_fp_decoded(F.col("_metadata.file_path")).alias(_FP_COL)]
+        if with_row_index:
+            proj.append(F.col("_metadata.row_index").alias(_RI_COL))
         df = df.select(*proj)
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
@@ -1343,8 +1347,389 @@ def delete_where_delta_native(
     """DELETE FROM <table> WHERE <condition>: rows matching the SQL
     predicate are removed by rewriting ONLY the files that contain them
     (the delete_by_keys discipline on the Delta log — untouched files
-    keep their add entries). NULL-predicate rows are kept, per SQL."""
+    keep their add entries). NULL-predicate rows are kept, per SQL.
+
+    For SELECTIVE deletes from huge files, ``delete_where_delta_dv``
+    marks rows via deletion vectors instead — zero data bytes
+    rewritten."""
     return _rewrite_where(spark, table_dir, condition, None, "DELETE")
+
+
+def _write_dvs_for(
+    spark: SparkSession,
+    root: str,
+    matched,
+    path_to_add: dict[str, dict],
+) -> list:
+    """Shared DV-mask engine for delete_where_delta_dv /
+    update_where_delta_dv: a (fp, ri) frame of matched physical row
+    positions -> one DV .bin per file, BUILT AND WRITTEN ON AN EXECUTOR
+    (applyInPandas per file), merged with the file's EXISTING DV when it
+    carries one. Only the per-file descriptor rows (fp, enc, offset,
+    size, cardinality, new_rows) return to the driver."""
+    import pandas as pd  # noqa: F401 — annotations below
+
+    # existing descriptors ride to the executors for the merge case
+    dv_old = {
+        p: dict(a["deletionVector"])
+        for p, a in path_to_add.items()
+        if a.get("deletionVector")
+    }
+    plain_root = _plain(root)
+    fs_prefix = _fs_prefix(root)
+    table_root = root  # closure: executors resolve old DVs against it
+
+    def _write_group(pdf):
+        import struct as _struct
+        import uuid as _uuid
+        import zlib as _zlib
+
+        import pandas as pd
+
+        from rtdl_spark.sources.dv import (
+            base85_encode,
+            deleted_row_indices_local,
+            serialize_rbm_array,
+        )
+
+        fp = pdf["fp"].iloc[0]
+        idx = set(int(i) for i in pdf["ri"])
+        n_new = len(idx)
+        old = dv_old.get(fp)
+        if old is not None:
+            prior = set(deleted_row_indices_local(table_root, old))
+            n_new = len(idx - prior)
+            idx |= prior
+        data = serialize_rbm_array(sorted(idx))
+        u = _uuid.uuid4()
+        name = f"deletion_vector_{u}.bin"
+        blob = bytearray([1])  # format version
+        offset = len(blob)
+        blob += _struct.pack(">i", len(data))
+        blob += data
+        blob += _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF)
+        dest = plain_root + "/" + name
+        if fs_prefix:
+            from pyarrow.fs import FileSystem
+
+            fs, _ = FileSystem.from_uri(
+                fs_prefix.replace("s3a://", "s3://", 1) + "/"
+            )
+            with fs.open_output_stream(dest) as f:
+                f.write(bytes(blob))
+        else:
+            with open(dest, "wb") as f:
+                f.write(bytes(blob))
+        return pd.DataFrame(
+            [
+                {
+                    "fp": fp,
+                    "enc": base85_encode(u.bytes),
+                    "offset": offset,
+                    "size": len(data),
+                    "cardinality": len(idx),
+                    "new_rows": n_new,
+                }
+            ]
+        )
+
+    return (
+        matched.groupBy("fp")
+        .applyInPandas(
+            _write_group,
+            "fp string, enc string, offset int, size int, "
+            "cardinality bigint, new_rows bigint",
+        )
+        .collect()
+    )
+
+
+def delete_where_delta_dv(
+    spark: SparkSession, table_dir: str, condition: str
+) -> dict:
+    """DELETE FROM <table> WHERE <condition> via DELETION VECTORS:
+    matched rows are marked deleted by writing a roaring bitmap of
+    their physical row positions beside the data — ZERO data bytes are
+    rewritten, so deleting a handful of rows from terabytes of files
+    costs one scan plus KB-scale bitmap writes (the reason the DV
+    writer feature exists; delta-spark's DELETE does the same under
+    delta.enableDeletionVectors).
+
+    Scale shape: the identify scan emits (file, row_index) for matches;
+    each file's bitmap is BUILT AND WRITTEN ON AN EXECUTOR
+    (applyInPandas per file — one DV .bin per file, merged with the
+    file's EXISTING DV if it carries one), and only the per-file
+    descriptor rows return to the driver for the commit. Intended for
+    the selective regime: a group's matched row indices materialize in
+    one task, so bulk deletes (most of a file) should use the rewrite
+    path instead — a file whose every row ends up deleted commits a
+    plain remove (detected via stats.numRecords) rather than a
+    fully-masked add.
+
+    Requirements, checked loudly: the table's configuration sets
+    delta.enableDeletionVectors=true AND its protocol already carries
+    the deletionVectors reader+writer features (no silent protocol
+    upgrade — enabling DVs is a table-owner decision); not
+    column-mapped; not appendOnly. Commits remove+add of the SAME path
+    (the add carries the new descriptor, dataChange=true, stats kept —
+    numRecords stays the PHYSICAL count per the spec). Readers
+    (sources/delta_reader.py) subtract the bitmap; the streaming
+    source refuses DV adds loudly.
+
+    Returns {"version", "files_marked", "files_removed",
+    "rows_deleted"} (rows_deleted counts NEWLY deleted positions)."""
+    import pandas as pd
+
+    root = table_dir.rstrip("/")
+    protocol, meta, active, current, _txns = snapshot_actions(spark, root)
+    _check_protocol(protocol)
+    _check_writer_protocol(protocol)
+    _check_no_invariants(meta)
+    _refuse_cm(meta, "DV DELETE")
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.appendOnly") == "true":
+        raise ValueError("table is delta.appendOnly=true; DELETE rewrites")
+    if conf.get("delta.enableDeletionVectors") != "true":
+        raise ValueError(
+            "DV DELETE needs delta.enableDeletionVectors=true in the "
+            "table configuration (use delete_where_delta_native for the "
+            "rewrite path)"
+        )
+    rf = set(protocol.get("readerFeatures") or ())
+    wf = set(protocol.get("writerFeatures") or ())
+    if "deletionVectors" not in rf or "deletionVectors" not in wf:
+        raise ValueError(
+            "DV DELETE needs the deletionVectors reader AND writer "
+            "features in the table protocol — this writer does not "
+            "silently upgrade protocols"
+        )
+
+    tbl, path_to_add = _active_scan(
+        spark, root, meta, active, with_row_index=True
+    )
+    if tbl is None:
+        return {
+            "version": None, "files_marked": 0, "files_removed": 0,
+            "rows_deleted": 0,
+        }
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    matched = tbl.filter(cond).select(
+        F.col(_FP_COL).alias("fp"), F.col(_RI_COL).alias("ri")
+    )
+    desc_rows = _write_dvs_for(spark, root, matched, path_to_add)
+    if not desc_rows:
+        return {
+            "version": None, "files_marked": 0, "files_removed": 0,
+            "rows_deleted": 0,
+        }
+
+    ts = _now_ms()
+    removes, adds = [], []
+    n_marked = n_removed = n_rows = 0
+    affected = []
+    for r in desc_rows:
+        a = path_to_add[r["fp"]]
+        affected.append(r["fp"])
+        n_rows += int(r["new_rows"])
+        # full-file deletion: every physical row masked -> plain remove
+        num_records = None
+        if a.get("stats"):
+            try:
+                num_records = json.loads(a["stats"]).get("numRecords")
+            except Exception:
+                num_records = None
+        if num_records is not None and int(r["cardinality"]) >= int(
+            num_records
+        ):
+            n_removed += 1
+            continue  # the freshly written DV file is vacuum-reclaimable
+        n_marked += 1
+        adds.append(
+            {
+                **{k: v for k, v in a.items() if k != "deletionVector"},
+                "modificationTime": ts,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": r["enc"],
+                    "offset": int(r["offset"]),
+                    "sizeInBytes": int(r["size"]),
+                    "cardinality": int(r["cardinality"]),
+                },
+            }
+        )
+    removes = _remove_actions(affected, path_to_add, ts)
+    version = _commit_rewrite(
+        spark,
+        root,
+        current,
+        "DELETE",
+        {"predicate": condition, "deletionVectors": "true"},
+        removes,
+        adds,
+        ts,
+        meta,
+    )
+    return {
+        "version": version,
+        "files_marked": n_marked,
+        "files_removed": n_removed,
+        "rows_deleted": n_rows,
+    }
+
+
+def update_where_delta_dv(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    set_exprs: dict[str, str],
+) -> dict:
+    """UPDATE ... SET ... WHERE via DELETION VECTORS: the matched rows'
+    OLD versions are masked with bitmaps (zero bytes of the existing
+    files rewritten — delete_where_delta_dv's machinery) and their NEW
+    versions are appended as fresh files, all in ONE commit — exactly
+    how delta-spark's UPDATE behaves under delta.enableDeletionVectors.
+    The selective-update scale path: updating k rows in N TB of files
+    writes k rows plus KB-scale bitmaps.
+
+    Same requirements as delete_where_delta_dv (DV config + protocol
+    features, not column-mapped, not appendOnly); NULL predicates keep
+    rows, SET expressions may reference any column INCLUDING partition
+    columns (updated rows then migrate directories via the staged
+    write). Returns {"version", "files_marked", "files_removed",
+    "files_added", "rows_updated"}."""
+    import pandas as pd  # noqa: F401 — applyInPandas path below
+
+    if not set_exprs:
+        raise ValueError("UPDATE needs at least one SET column")
+    root = table_dir.rstrip("/")
+    protocol, meta, active, current, _txns = snapshot_actions(spark, root)
+    _check_protocol(protocol)
+    _check_writer_protocol(protocol)
+    _check_no_invariants(meta)
+    _refuse_cm(meta, "DV UPDATE")
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.appendOnly") == "true":
+        raise ValueError("table is delta.appendOnly=true; UPDATE rewrites")
+    if conf.get("delta.enableDeletionVectors") != "true":
+        raise ValueError(
+            "DV UPDATE needs delta.enableDeletionVectors=true in the "
+            "table configuration (use update_where_delta_native for the "
+            "rewrite path)"
+        )
+    if "deletionVectors" not in set(
+        protocol.get("readerFeatures") or ()
+    ) or "deletionVectors" not in set(protocol.get("writerFeatures") or ()):
+        raise ValueError(
+            "DV UPDATE needs the deletionVectors reader AND writer "
+            "features in the table protocol — this writer does not "
+            "silently upgrade protocols"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    bad = [c for c in set_exprs if c not in schema.fieldNames()]
+    if bad:
+        raise ValueError(f"SET columns not in the table schema: {bad}")
+
+    tbl, path_to_add = _active_scan(
+        spark, root, meta, active, with_row_index=True
+    )
+    if tbl is None:
+        return {
+            "version": None, "files_marked": 0, "files_removed": 0,
+            "files_added": 0, "rows_updated": 0,
+        }
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    col_order = [f.name for f in schema.fields]
+
+    # pass 1: the updated rows, staged as NEW files (localCheckpoint
+    # freezes the matched set so the DV pass masks exactly these rows)
+    updated = tbl.filter(cond).localCheckpoint(eager=True)
+    n_rows = updated.count()
+    if n_rows == 0:
+        return {
+            "version": None, "files_marked": 0, "files_removed": 0,
+            "files_added": 0, "rows_updated": 0,
+        }
+    new_rows = updated
+    for c, e in set_exprs.items():
+        new_rows = new_rows.withColumn(c, F.expr(e).cast(schema[c].dataType))
+    new_rows = _enforce_not_null(
+        new_rows.select(*col_order), meta["schemaString"]
+    )
+    staging = posixpath.join(root, f"_update-{uuid.uuid4().hex[:12]}")
+    writer = new_rows.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    try:
+        adds = _promote_staged(spark, root, staging, part_cols, True)
+    finally:
+        fsutil.delete(spark, staging)
+
+    # pass 2: mask the old versions via per-file executor-written DVs
+    masked = _write_dvs_for(
+        spark,
+        root,
+        updated.select(
+            F.col(_FP_COL).alias("fp"), F.col(_RI_COL).alias("ri")
+        ),
+        path_to_add,
+    )
+    ts = _now_ms()
+    n_marked = n_removed = 0
+    affected = []
+    for r in masked:
+        a = path_to_add[r["fp"]]
+        affected.append(r["fp"])
+        num_records = None
+        if a.get("stats"):
+            try:
+                num_records = json.loads(a["stats"]).get("numRecords")
+            except Exception:
+                num_records = None
+        if num_records is not None and int(r["cardinality"]) >= int(
+            num_records
+        ):
+            n_removed += 1
+            continue
+        n_marked += 1
+        adds.append(
+            {
+                **{k: v for k, v in a.items() if k != "deletionVector"},
+                "modificationTime": ts,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": r["enc"],
+                    "offset": int(r["offset"]),
+                    "sizeInBytes": int(r["size"]),
+                    "cardinality": int(r["cardinality"]),
+                },
+            }
+        )
+    version = _commit_rewrite(
+        spark,
+        root,
+        current,
+        "UPDATE",
+        {
+            "predicate": condition,
+            "set": json.dumps(set_exprs),
+            "deletionVectors": "true",
+        },
+        _remove_actions(affected, path_to_add, ts),
+        adds,
+        ts,
+        meta,
+    )
+    return {
+        "version": version,
+        "files_marked": n_marked,
+        "files_removed": n_removed,
+        "files_added": len(adds) - n_marked,
+        "rows_updated": n_rows,
+    }
 
 
 def update_where_delta_native(
@@ -2259,7 +2644,12 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
             if p.endswith(".parquet")
         )
         final = posixpath.join(log, f"{version:020d}.checkpoint.parquet")
-        if not fsutil.rename(spark, _fs_prefix(root) + part, final):
+        if fsutil.exists(spark, final):
+            # idempotent: a checkpoint for this version already exists
+            # (same snapshot — commits are immutable), keep it; rename
+            # onto an existing path fails on local/HDFS
+            pass
+        elif not fsutil.rename(spark, _fs_prefix(root) + part, final):
             raise IOError(f"failed to move checkpoint into place: {final}")
     finally:
         fsutil.delete(spark, tmp)

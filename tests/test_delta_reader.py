@@ -755,3 +755,80 @@ def test_in_commit_timestamps_drive_time_travel(spark, tmp_path):
     assert [h["timestamp"] for h in hist] == [1_000_000, 2_000_000]
     assert version_at_timestamp(spark, table, 1_500_000) == 0
     assert version_at_timestamp(spark, table, 2_000_000) == 1
+
+
+def test_multipart_classic_checkpoint_read(spark, tmp_path):
+    """Multi-part CLASSIC checkpoints (a named refusal until r7): all
+    parts are scanned as ONE frame — protocol/meta from whichever part
+    holds them, the add set unioned across parts; replay is bounded to
+    the JSON tail exactly as with single-part. A missing part refuses
+    by name (a partial snapshot would silently shrink the table)."""
+    import json as _json
+
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    table = str(tmp_path / "mp")
+    write_delta_native(
+        spark,
+        spark.range(0, 20).select("id").repartition(4),
+        table,
+        checkpoint_interval=0,
+    )
+    write_delta_native(
+        spark,
+        spark.range(20, 30).select("id").repartition(2),
+        table,
+        checkpoint_interval=0,
+    )
+    # hand-roll a 2-part checkpoint at version 1: split the single-part
+    # content produced by the native checkpointer
+    from rtdl_spark.sources.delta_writer import write_checkpoint_native
+
+    v = write_checkpoint_native(spark, table)
+    assert v == 1
+    log = os.path.join(table, "_delta_log")
+    single = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+    cdf = spark.read.parquet(single)
+    rows = cdf.collect()
+    half = len(rows) // 2
+    schema = cdf.schema
+    p1 = os.path.join(log, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    p2 = os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    for dst, chunk in ((p1, rows[:half]), (p2, rows[half:])):
+        tmp_dir = str(tmp_path / ("w" + os.path.basename(dst)[:8]))
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_dir)
+        part = next(
+            f for f in os.listdir(tmp_dir) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmp_dir, part), dst)
+    os.remove(single)
+    # Hadoop's LocalFS keeps .crc sidecars for files IT wrote; rewriting
+    # them with plain open() must drop the stale sidecar or reads fail
+    for crc in ("._last_checkpoint.crc",
+                f".{v:020d}.checkpoint.parquet.crc"):
+        try:
+            os.remove(os.path.join(log, crc))
+        except FileNotFoundError:
+            pass
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(_json.dumps({"version": v, "size": len(rows), "parts": 2}))
+    # bound replay to the checkpoint: drop the covered JSON commits
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+
+    got = sorted(r["id"] for r in read_delta_native(spark, table).collect())
+    assert got == list(range(30))
+
+    # appends on top of a multi-part checkpoint replay correctly too
+    write_delta_native(
+        spark, spark.range(30, 33).select("id"), table,
+        checkpoint_interval=0,
+    )
+    assert read_delta_native(spark, table).count() == 33
+
+    # missing part: loud refusal, never a partial snapshot
+    os.remove(p2)
+    with pytest.raises(ValueError, match="missing 1/2 parts"):
+        read_delta_native(spark, table)

@@ -784,3 +784,51 @@ def test_stream_cm_id_mode_nested_field_ids(registered, tmp_path):
         (r["id"], r["s"]["inner"], r["s"]["j"]) for r in got.collect()
     )
     assert rows == [(1, "x", 10), (2, "y", 20)]
+
+
+def test_change_commits_fail_skip_or_reemit(spark, tmp_path):
+    """delta-spark's change-commit posture, mirrored: a commit that
+    REMOVES data (DELETE rewrite) fails the stream BY DEFAULT (already-
+    emitted rows cannot be retracted); skipChangeCommits drops the
+    commit entirely; ignoreChanges re-emits its rewritten files
+    (documented at-least-once duplicates). OPTIMIZE (dataChange=false
+    removes) stays transparent under the default."""
+    from rtdl_spark.sources.delta_stream_source import (
+        _DeltaStreamReader,
+        _latest_schema,
+    )
+    from rtdl_spark.sources.delta_writer import delete_where_delta_native
+
+    table = str(tmp_path / "chg")
+    write_delta_native(
+        spark, spark.range(0, 10).select("id").coalesce(1), table,
+        checkpoint_interval=0,
+    )
+    write_delta_native(
+        spark, spark.range(10, 20).select("id").coalesce(1), table,
+        checkpoint_interval=0,
+    )
+    optimize_delta_native(spark, table, target_file_bytes=1 << 30)  # v2
+    delete_where_delta_native(spark, table, "id % 2 = 0")           # v3
+
+    sch = _latest_schema(table, 10)
+
+    # default: the OPTIMIZE commit passes silently, the DELETE raises
+    r = _DeltaStreamReader(sch, {"path": table})
+    parts = [p for p in r.partitions({"version": 1}, {"version": 2}) if p.path]
+    assert parts == []  # dataChange=false rewrite: nothing re-emitted
+    with pytest.raises(ValueError, match="changes existing data"):
+        r.partitions({"version": 2}, {"version": 3})
+
+    # skipChangeCommits: the DELETE commit is dropped entirely
+    r2 = _DeltaStreamReader(
+        sch, {"path": table, "skipChangeCommits": "true"}
+    )
+    parts = [p for p in r2.partitions({"version": 2}, {"version": 3}) if p.path]
+    assert parts == []
+
+    # ignoreChanges: the rewritten file IS re-emitted (duplicates are
+    # the caller's explicit choice)
+    r3 = _DeltaStreamReader(sch, {"path": table, "ignoreChanges": "true"})
+    parts = [p for p in r3.partitions({"version": 2}, {"version": 3}) if p.path]
+    assert len(parts) == 1

@@ -1288,9 +1288,13 @@ def test_restore_readds_checkpoint_adds_with_datachange_true(
         "from a checkpoint's dataChange=false add rows"
     )
     # the consequence, checked where it bites: the streaming source
-    # EMITS the restore commit's files (it skips dataChange=false)
+    # EMITS the restore commit's files (it skips dataChange=false adds;
+    # RESTORE is a change commit, so the caller opts in via
+    # ignoreChanges — without the dataChange fix the files would be
+    # invisible even then)
     r = _DeltaStreamReader(
-        read_delta_native(spark, table).schema, {"path": table}
+        read_delta_native(spark, table).schema,
+        {"path": table, "ignoreChanges": "true"},
     )
     parts = [
         p

@@ -326,3 +326,246 @@ def test_dv_vacuum_keeps_referenced_dv_files(spark, tmp_path):
     assert n == 1
     assert not os.path.exists(orphan)
     assert os.path.exists(os.path.join(root, dv_files[0]))
+
+
+def _dv_enabled_table(spark, tmp_path, nfiles=3, n=30):
+    """Native-written table upgraded to the DV feature: create via
+    write_delta_native, then flip the protocol + config the way a table
+    owner would (protocol action + metaData config in one commit)."""
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root = str(tmp_path / "dvw")
+    spark_df = (
+        spark.range(0, n)
+        .select("id", (F.col("id") % 3).cast("string").alias("p"))
+        .repartition(nfiles)
+    )
+    write_delta_native(
+        spark, spark_df, root, partition_by=["p"], checkpoint_interval=0
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, root)
+    with open(
+        os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "appendOnly",
+                               "invariants"]}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta,
+            "configuration": {"delta.enableDeletionVectors": "true"}}})
+            + "\n")
+    return root
+
+
+def test_dv_delete_marks_rows_without_rewriting(spark, tmp_path):
+    """DV-writing DELETE (r7): matched rows vanish from reads while the
+    DATA FILES ARE UNTOUCHED (zero rewrite — the add actions keep their
+    original paths and sizes); a second DV delete on the same file
+    MERGES with the existing bitmap; predicates matching nothing
+    commit nothing."""
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import delete_where_delta_dv
+
+    root = _dv_enabled_table(spark, tmp_path)
+    files_before = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for f in os.listdir(root)
+        for f in [f] if f.endswith(".parquet") or "=" in f
+    }
+    _, _, active0, _, _ = snapshot_actions(spark, root)
+    sizes0 = {p: a["size"] for p, a in active0.items()}
+
+    res = delete_where_delta_dv(spark, root, "id % 5 = 0")
+    assert res["version"] is not None
+    assert res["rows_deleted"] == 6  # ids 0,5,10,15,20,25
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(30) if i % 5 != 0]
+
+    # same paths, same sizes: no data file was rewritten
+    _, _, active1, _, _ = snapshot_actions(spark, root)
+    assert {p: a["size"] for p, a in active1.items()} == sizes0
+    marked = [a for a in active1.values() if a.get("deletionVector")]
+    assert len(marked) == res["files_marked"] >= 1
+    for a in marked:
+        assert a["deletionVector"]["storageType"] == "u"
+
+    # second delete MERGES: ids 0..30 %5==0 already gone; now %2==0
+    res2 = delete_where_delta_dv(spark, root, "id % 2 = 0")
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(30) if i % 5 != 0 and i % 2 != 0]
+    # newly deleted = evens that weren't already multiples of 5
+    assert res2["rows_deleted"] == len(
+        [i for i in range(30) if i % 2 == 0 and i % 5 != 0]
+    )
+
+    # time travel: pre-delete snapshot still shows everything
+    assert read_delta_native(spark, root, version=1).count() == 30
+
+    # no matches -> no commit
+    res3 = delete_where_delta_dv(spark, root, "id = 99999")
+    assert res3["version"] is None
+
+
+def test_dv_delete_full_file_commits_plain_remove(spark, tmp_path):
+    """A file whose EVERY physical row is deleted commits a plain
+    remove (no fully-masked add lingers), detected via stats
+    numRecords."""
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import delete_where_delta_dv
+
+    root = _dv_enabled_table(spark, tmp_path)
+    # partition p=0 holds ids % 3 == 0; delete ALL of them
+    res = delete_where_delta_dv(spark, root, "p = '0'")
+    assert res["files_removed"] >= 1 and res["files_marked"] == 0
+    _, _, active, _, _ = snapshot_actions(spark, root)
+    assert not any(a.get("partitionValues", {}).get("p") == "0"
+                   for a in active.values())
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(30) if i % 3 != 0]
+
+
+def test_dv_delete_requires_enablement_and_protocol(spark, tmp_path):
+    """Loud requirements: config off -> refuse; feature missing from the
+    protocol -> refuse (no silent protocol upgrade)."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_dv,
+        write_delta_native,
+    )
+
+    root = str(tmp_path / "plain")
+    write_delta_native(spark, spark.range(5).select("id"), root)
+    with pytest.raises(ValueError, match="enableDeletionVectors"):
+        delete_where_delta_dv(spark, root, "id = 1")
+
+    # config on but protocol lacks the feature
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    _, meta, _, current, _ = snapshot_actions(spark, root)
+    with open(
+        os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 2,
+                                           "operation": "SET"}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta,
+            "configuration": {"delta.enableDeletionVectors": "true"}}})
+            + "\n")
+    with pytest.raises(ValueError, match="protocol"):
+        delete_where_delta_dv(spark, root, "id = 1")
+
+
+def test_dv_delete_then_vacuum_and_rewrite_guard(spark, tmp_path):
+    """After a DV delete: vacuum keeps the live DV file and reaps a
+    SUPERSEDED one (second delete replaces the descriptor); the plain
+    rewrite ops still refuse the now-DV-carrying table by name."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_dv,
+        delete_where_delta_native,
+        vacuum_delta_native,
+        vacuum_delta_native_distributed,
+    )
+
+    root = _dv_enabled_table(spark, tmp_path, nfiles=1)  # 1 file per p
+    delete_where_delta_dv(spark, root, "id = 1")
+    dv_files = [f for f in os.listdir(root)
+                if f.startswith("deletion_vector_")]
+    assert len(dv_files) == 1
+    assert vacuum_delta_native(spark, root, retain_ms=0, dry_run=True) == []
+
+    delete_where_delta_dv(spark, root, "id = 4")  # same partition file
+    dv_files2 = sorted(
+        f for f in os.listdir(root) if f.startswith("deletion_vector_")
+    )
+    # old descriptor superseded: exactly one of the two is reapable
+    n = vacuum_delta_native_distributed(spark, root, retain_ms=0)
+    assert n == 1
+    left = [f for f in os.listdir(root)
+            if f.startswith("deletion_vector_")]
+    assert len(left) == 1 and left[0] in dv_files2
+
+    from rtdl_spark.sources.delta_reader import read_delta_native
+
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(30) if i not in (1, 4)]
+
+    with pytest.raises(ValueError, match="deletion vectors"):
+        delete_where_delta_native(spark, root, "id = 2")
+
+
+def test_dv_update_masks_old_and_appends_new(spark, tmp_path):
+    """DV-writing UPDATE (r7): matched rows' old versions are masked
+    via bitmaps (original files untouched) and the new versions land as
+    appended files — ONE commit; reads see exactly the updated content;
+    partition-column updates migrate rows across directories."""
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import update_where_delta_dv
+
+    root = _dv_enabled_table(spark, tmp_path, nfiles=1)
+    _, _, active0, _, _ = snapshot_actions(spark, root)
+    sizes0 = {p: a["size"] for p, a in active0.items()}
+
+    res = update_where_delta_dv(
+        spark, root, "id % 10 = 3", {"id": "id + 1000"}
+    )
+    assert res["version"] is not None
+    assert res["rows_updated"] == 3  # ids 3, 13, 23
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == sorted(
+        [i for i in range(30) if i % 10 != 3] + [1003, 1013, 1023]
+    )
+
+    # the pre-existing files were never rewritten
+    _, _, active1, _, _ = snapshot_actions(spark, root)
+    for p, a in active1.items():
+        if p in sizes0:
+            assert a["size"] == sizes0[p]
+    assert any(a.get("deletionVector") for a in active1.values())
+
+    # partition-column update migrates rows (p is the partition col)
+    res2 = update_where_delta_dv(spark, root, "id = 1003", {"p": "'9'"})
+    got = read_delta_native(spark, root).filter("id = 1003").collect()
+    assert [r["p"] for r in got] == ["9"]
+
+    # no matches -> no commit; NULL predicate keeps rows
+    assert update_where_delta_dv(
+        spark, root, "id = -1", {"id": "id"}
+    )["version"] is None
+
+
+def test_dv_update_not_null_and_requirements(spark, tmp_path):
+    """DV UPDATE enforces NOT NULL on the appended new versions and has
+    the same loud requirements as DV DELETE."""
+    from rtdl_spark.sources.delta_writer import (
+        update_where_delta_dv,
+        write_delta_native,
+    )
+
+    root = str(tmp_path / "plainu")
+    write_delta_native(spark, spark.range(5).select("id"), root)
+    with pytest.raises(ValueError, match="enableDeletionVectors"):
+        update_where_delta_dv(spark, root, "id = 1", {"id": "id + 1"})
+
+    root2 = _dv_enabled_table(spark, tmp_path, nfiles=1)
+    # the base table's id column is NON-nullable (spark.range)
+    with pytest.raises(Exception, match="NOT NULL"):
+        update_where_delta_dv(
+            spark, root2, "id = 1", {"id": "CAST(NULL AS BIGINT)"}
+        )
+    from rtdl_spark.sources.delta_reader import read_delta_native
+
+    got = sorted(r["id"] for r in read_delta_native(spark, root2).collect())
+    assert got == list(range(30)), "failed UPDATE must commit nothing"
