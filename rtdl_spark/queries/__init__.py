@@ -58,6 +58,7 @@ ROTATION: tuple[str, ...] = (
     "lake_delta_dv_read",
     "lake_delta_cm_write",
     "lake_delta_ict_history",
+    "lake_delta_cdf",
     "stream_exec_interval_join",
     "text_bpe_train_merges",
     "text_bpe_vocab_tokens",
@@ -85,7 +86,6 @@ ROTATION: tuple[str, ...] = (
     "x_knn_graph_ivf_full",
     "join_inequality_bnl",
     "ml_chi2_keywords",
-    "sim_quantized_topk",
     "sql_collation_compare",
     "win_session_paths",
     "x_image_ahash_full",

@@ -2281,3 +2281,108 @@ def lake_delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_cdf",
+    # the change feed decomposes per version into pure rules over
+    # orders: v0/v2 inserts (initial load + append), v3 deletes
+    # (k%7=0), v4 update pre/post images (k%11=0 among survivors)
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 = 0
+    )
+    SELECT 0 AS version, 'insert' AS change_type, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM t WHERE k % 3 = 0
+    UNION ALL
+    SELECT 2, 'insert', COUNT(*),
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+    FROM t WHERE k % 3 <> 0
+    UNION ALL
+    SELECT 3, 'delete', COUNT(*),
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+    FROM t WHERE k % 7 = 0
+    UNION ALL
+    SELECT 4, 'update_preimage', COUNT(*),
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+    FROM t WHERE k % 7 <> 0 AND k % 11 = 0
+    UNION ALL
+    SELECT 4, 'update_postimage', COUNT(*),
+           CAST(SUM(CAST(price * 2 AS DECIMAL(18,2))) AS DOUBLE)
+    FROM t WHERE k % 7 <> 0 AND k % 11 = 0
+    """,
+)
+def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED, write + read (r7): on a CDF-enabled table,
+    DELETE/UPDATE WHERE emit _change_data files + cdc actions (a
+    partial-file rewrite is NOT derivable from add/remove — the
+    survivors would read as inserts), appends stay derivable, and
+    read_table_changes_cdf reconstructs the full change history —
+    inserts, deletes, update pre/post images — per commit. Counts +
+    DECIMAL totals per (version, change_type), hash-verified."""
+    import json as _json
+
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import (
+        read_table_changes_cdf,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        update_where_delta_native,
+        write_delta_native,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_cdf_", dir=shm)
+    try:
+        root = os.path.join(workdir, "cdftab")
+        write_delta_native(  # v0
+            spark, o.filter(F.col("k") % 3 == 0).repartition(2), root,
+            checkpoint_interval=0,
+        )
+        _, meta, _, current, _ = snapshot_actions(spark, root)
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{current + 1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "SET TBLPROPERTIES"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                **meta,
+                "configuration": {
+                    "delta.enableChangeDataFeed": "true"}}}) + "\n")
+        write_delta_native(  # v2
+            spark, o.filter(F.col("k") % 3 != 0).repartition(2), root,
+            checkpoint_interval=0,
+        )
+        delete_where_delta_native(spark, root, "k % 7 = 0")        # v3
+        update_where_delta_native(                                 # v4
+            spark, root, "k % 11 = 0", {"price": "price * 2"}
+        )
+
+        ch = read_table_changes_cdf(spark, root, 0, 4)
+        out = (
+            ch.groupBy(
+                F.col("_commit_version").cast("int").alias("version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("price")).cast("double").alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -879,3 +879,183 @@ def delta_history(spark: SparkSession, table_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+def read_table_changes_cdf(
+    spark: SparkSession,
+    table_dir: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED read (table_changes semantics over the commit
+    range [starting_version, ending_version]): commits carrying ``cdc``
+    actions are described EXCLUSIVELY by their ``_change_data`` files
+    (which hold the ``_change_type`` column — update_preimage/
+    update_postimage/delete); commits without cdc actions derive their
+    changes per the spec — dataChange adds are ``insert`` rows,
+    dataChange removes are ``delete`` rows read from the removed file
+    (which must still exist; a vacuumed range refuses loudly). Output:
+    the table's columns + _change_type, _commit_version,
+    _commit_timestamp (in-commit timestamp preferred).
+
+    Rows are read with the LATEST schema in range (the usual CDF
+    simplification); column-mapped tables are refused by name."""
+    root = table_dir.rstrip("/")
+    versions = _commit_versions(spark, root)
+    if ending_version is None:
+        ending_version = max(versions) if versions else 0
+    want = [
+        v for v in versions
+        if starting_version <= v <= int(ending_version)
+    ]
+    missing = set(
+        range(int(starting_version), int(ending_version) + 1)
+    ) - set(want)
+    if missing:
+        raise ValueError(
+            f"CDF range {starting_version}..{ending_version} is missing "
+            f"commit {min(missing)} (cleaned up) — change history for "
+            "that range is gone"
+        )
+    _, meta, _, _, _ = snapshot_actions(spark, root, int(ending_version))
+    if _cm_mode(meta) != "none":
+        raise ValueError(
+            "CDF reads on column-mapped tables are not supported by the "
+            "native reader — use delta-spark"
+        )
+    schema_json = json.loads(meta["schemaString"])
+    schema = StructType.fromJson(schema_json)
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    by_type = {f.name: f.dataType for f in schema.fields}
+    ts_of = {
+        h["version"]: h["timestamp"] for h in delta_history(spark, root)
+    }
+
+    def _abs(rel: str) -> str:
+        return posixpath.join(root, urllib.parse.unquote(rel))
+
+    out_cols = [f.name for f in schema.fields] + [
+        "_change_type", "_commit_version", "_commit_timestamp",
+    ]
+    pieces: list[DataFrame] = []
+
+    def _scan(files, change_type_from_file: bool, change_type: str | None,
+              version: int):
+        """files: [(abs path, partitionValues)] -> one frame per pvals
+        group with partition cols injected and the CDF metadata cols."""
+        groups: dict[tuple, list[str]] = {}
+        for p, pv in files:
+            groups.setdefault(
+                tuple(pv.get(c) for c in part_cols), []
+            ).append(p)
+        read_fields = list(data_fields)
+        read_schema = StructType(read_fields)
+        if change_type_from_file:
+            from pyspark.sql.types import StringType, StructField
+
+            read_schema = StructType(
+                read_fields + [StructField("_change_type", StringType())]
+            )
+        for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is not None, v) for v in kv[0]),
+        ):
+            df = spark.read.schema(read_schema).parquet(*paths)
+            if not change_type_from_file:
+                df = df.withColumn("_change_type", F.lit(change_type))
+            for c, raw in zip(part_cols, key):
+                df = df.withColumn(
+                    c,
+                    F.lit(raw).cast(by_type[c])
+                    if raw is not None
+                    else F.lit(None).cast(by_type[c]),
+                )
+            ts = ts_of.get(version)
+            pieces.append(
+                df.withColumn("_commit_version", F.lit(version))
+                .withColumn(
+                    "_commit_timestamp",
+                    (F.lit(ts) / 1000.0).cast("timestamp")
+                    if ts is not None
+                    else F.lit(None).cast("timestamp"),
+                )
+                .select(*out_cols)
+            )
+
+    for v in want:
+        cpath = posixpath.join(_log_dir(root), f"{v:020d}.json")
+        actions = _read_json_lines(spark, cpath)
+        cdc = [a["cdc"] for a in actions if "cdc" in a]
+        if cdc:
+            _scan(
+                [(_abs(c["path"]), c.get("partitionValues") or {})
+                 for c in cdc],
+                change_type_from_file=True,
+                change_type=None,
+                version=v,
+            )
+            continue
+        adds = [
+            a["add"] for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"] for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        for a in adds:
+            if a.get("deletionVector"):
+                raise ValueError(
+                    "CDF derivation over a deletion-vector commit is "
+                    "not supported by the native reader (the commit "
+                    "carries no cdc actions) — use delta-spark"
+                )
+        if adds:
+            _scan(
+                [(_abs(a["path"]), a.get("partitionValues") or {})
+                 for a in adds],
+                change_type_from_file=False,
+                change_type="insert",
+                version=v,
+            )
+        if removes:
+            gone = [
+                r["path"] for r in removes
+                if not fsutil.exists(spark, _abs(r["path"]))
+            ]
+            if gone:
+                raise ValueError(
+                    f"CDF derivation needs removed file {gone[0]!r} "
+                    f"(commit {v}), which no longer exists (vacuumed) — "
+                    "change history for this range is gone"
+                )
+            _scan(
+                [(_abs(r["path"]), r.get("partitionValues") or {})
+                 for r in removes],
+                change_type_from_file=False,
+                change_type="delete",
+                version=v,
+            )
+
+    if not pieces:
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            TimestampType,
+        )
+
+        empty_schema = StructType(
+            list(schema.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", IntegerType()),
+                StructField("_commit_timestamp", TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

@@ -96,6 +96,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # in-commit timestamps: every commit stamps a monotonic
     # inCommitTimestamp when delta.enableInCommitTimestamps is set
     "inCommitTimestamp",
+    # change data feed: appends/overwrites are derivable per spec;
+    # DELETE/UPDATE WHERE emit _change_data files + cdc actions; ops
+    # without CDC support refuse CDF tables by name
+    "changeDataFeed",
 }
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -199,19 +203,21 @@ def _check_writer_protocol(protocol: dict) -> None:
     """Refuse tables whose protocol demands writer behavior we do not
     implement — writing anyway is exactly how logs get corrupted.
 
-    minWriterVersion 5 (column mapping) is accepted: appends and
-    DELETE/UPDATE rewrites handle CM tables (r7) — but v5 subsumes the
-    v3/v4 duties (CHECK constraints, CDF, generated columns), so
+    minWriterVersion 4 (CDF + generated columns) and 5 (column
+    mapping) are accepted: appends and DELETE/UPDATE rewrites handle
+    both (r7 — CDC files are emitted when enableChangeDataFeed is set)
+    — but those versions subsume OTHER duties, so
     ``_check_no_invariants`` refuses BY NAME any table whose metadata
-    actually carries those (constraints config, enableChangeDataFeed,
-    generation expressions). v3/v4/v6 stay refused wholesale."""
+    actually carries them (CHECK-constraint config, generation
+    expressions), and ops without CDC support (MERGE, DV ops, RESTORE)
+    refuse CDF tables at their own entry points. v3/v6 stay refused
+    wholesale."""
     v = int(protocol.get("minWriterVersion", 1))
-    if v in (3, 4, 6):
+    if v in (3, 6):
         raise ValueError(
             f"Delta minWriterVersion {v} requires writer behavior "
-            "(CHECK constraints / generated columns / CDF / identity "
-            "columns) this native writer does not implement — use "
-            "delta-spark"
+            "(CHECK constraints / identity columns) this native writer "
+            "does not implement — use delta-spark"
         )
     if v == 7:
         unsupported = set(protocol.get("writerFeatures") or ()) - (
@@ -246,11 +252,6 @@ def _check_no_invariants(meta: dict) -> None:
             f"table carries CHECK constraints {constraints}; this native "
             "writer does not enforce them — use delta-spark"
         )
-    if conf.get("delta.enableChangeDataFeed") == "true":
-        raise ValueError(
-            "table has delta.enableChangeDataFeed=true; this native "
-            "writer does not emit change data files — use delta-spark"
-        )
     try:
         fields = json.loads(meta["schemaString"]).get("fields") or []
     except Exception:
@@ -281,6 +282,25 @@ def _check_cm_supported(meta: dict, operation: str) -> str:
             "native writer"
         )
     return mode
+
+
+def _cdf_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"
+
+
+def _refuse_cdf(meta: dict, operation: str) -> None:
+    """Ops whose change rows this writer cannot yet derive refuse CDF
+    tables by name — committing without the cdc actions would make CDF
+    readers derive WRONG changes from the add/remove actions."""
+    if _cdf_enabled(meta):
+        raise ValueError(
+            f"{operation} on a table with delta.enableChangeDataFeed="
+            "true is not supported by this native writer (appends, "
+            "overwrite, DELETE WHERE and UPDATE WHERE are; use "
+            "delta-spark for the rest)"
+        )
 
 
 def _refuse_cm(meta: dict, operation: str) -> None:
@@ -562,9 +582,13 @@ def _promote_staged(
     staging: str,
     part_cols: list[str],
     with_stats: bool,
+    dest_prefix: str = "",
 ) -> list[dict]:
     """Move staged parquet files into the table root (keeping their
-    Hive-style relative layout) and return their add actions."""
+    Hive-style relative layout) and return their add actions.
+    ``dest_prefix`` relocates the files under a subdirectory of the
+    root (the change-data-feed writer promotes into ``_change_data/``,
+    which Spark's file index hides from plain scans)."""
     staged = [
         (p, sz)
         for p, sz, _m in fsutil.list_files(spark, staging)
@@ -597,6 +621,9 @@ def _promote_staged(
                 f"staged file {rel!r} does not carry the partition "
                 f"columns {part_cols} (got {sorted(pvals)})"
             )
+        if dest_prefix:
+            rel = posixpath.join(dest_prefix, rel)
+            segs = rel.split("/")
         dest = posixpath.join(root, rel)
         if len(segs) > 1:
             fsutil.mkdirs(spark, posixpath.dirname(dest))
@@ -1301,6 +1328,65 @@ def _rewrite_where(
         out = out.unionByName(updated.select(*col_order))
 
     out = _enforce_not_null(out, meta["schemaString"])
+
+    # change data feed: a partial-file rewrite is NOT derivable from
+    # add/remove actions (the rewritten survivors would read as
+    # inserts), so the commit must carry cdc actions describing exactly
+    # the changed rows — delete preimages, update pre+post images
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(meta):
+        if _cm_mode(meta) != "none":
+            raise ValueError(
+                f"{operation} with BOTH column mapping and change data "
+                "feed enabled is not supported by this native writer — "
+                "use delta-spark"
+            )
+        matched_rows = arows.filter(cond)
+        if set_exprs is None:
+            changes = matched_rows.withColumn(
+                "_change_type", F.lit("delete")
+            )
+        else:
+            post = matched_rows
+            for c, e in set_exprs.items():
+                post = post.withColumn(
+                    c, F.expr(e).cast(schema[c].dataType)
+                )
+            changes = matched_rows.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                post.select(*col_order).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        cdc_stage = posixpath.join(
+            root, f"_staging-cdc-{uuid.uuid4().hex[:12]}"
+        )
+        w = changes.select(*col_order, "_change_type").write.mode(
+            "overwrite"
+        )
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(cdc_stage)
+        try:
+            cdc_adds = _promote_staged(
+                spark, root, cdc_stage, part_cols, False,
+                dest_prefix="_change_data",
+            )
+        finally:
+            fsutil.delete(spark, cdc_stage)
+        cdc_actions = [
+            {
+                "cdc": {
+                    "path": a["path"],
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a["size"],
+                    "dataChange": False,
+                }
+            }
+            for a in cdc_adds
+        ]
+
     # column mapping: the rewrite is computed in LOGICAL terms, staged
     # back in the table's PHYSICAL layout (names + field ids)
     stage_part_cols = part_cols
@@ -1333,11 +1419,13 @@ def _rewrite_where(
         adds,
         ts,
         meta,
+        extra_actions=cdc_actions,
     )
     return {
         "version": version,
         "files_rewritten": len(affected),
         "files_added": len(adds),
+        "cdc_files": len(cdc_actions),
     }
 
 
@@ -1485,6 +1573,7 @@ def delete_where_delta_dv(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
+    _refuse_cdf(meta, "DV DELETE")
     _refuse_cm(meta, "DV DELETE")
     conf = meta.get("configuration") or {}
     if conf.get("delta.appendOnly") == "true":
@@ -1607,6 +1696,7 @@ def update_where_delta_dv(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
+    _refuse_cdf(meta, "DV UPDATE")
     _refuse_cm(meta, "DV UPDATE")
     conf = meta.get("configuration") or {}
     if conf.get("delta.appendOnly") == "true":
@@ -1788,6 +1878,7 @@ def merge_into_delta_native(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
+    _refuse_cdf(meta, "MERGE")
     _refuse_cm(meta, "MERGE")
     _check_no_active_dvs(active, "MERGE")
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
@@ -1928,6 +2019,7 @@ def restore_delta_native(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
+    _refuse_cdf(meta, "RESTORE")
     if int(version) == current:
         return {
             "version": None,
@@ -2659,3 +2751,75 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
         json.dumps({"version": version, "size": len(rows) + n_adds}),
     )
     return version
+
+
+def cleanup_delta_log_native(
+    spark: SparkSession,
+    table_dir: str,
+    retain_ms: int = 30 * 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> list[str]:
+    """Log retention cleanup (delta.logRetentionDuration semantics,
+    default 30 days): delete JSON commits and superseded checkpoint
+    files STRICTLY BELOW the latest checkpoint whose content is older
+    than ``retain_ms`` — the checkpoint then carries the whole history
+    those commits held, so current reads are unaffected; time travel to
+    cleaned versions stops working (exactly delta-spark's behavior —
+    and this reader already refuses a gappy replay loudly rather than
+    reconstructing a silently smaller snapshot).
+
+    Age comes from the commit's own timestamp (inCommitTimestamp when
+    present, else commitInfo.timestamp, else the file mtime), so a
+    freshly-copied table does not lose history to mtime drift. A table
+    without a checkpoint cleans nothing. Returns the deleted (or
+    deletable, dry_run) log file names."""
+    root = table_dir.rstrip("/")
+    ckpt = _last_checkpoint(spark, root)
+    if ckpt is None:
+        return []
+    cv = int(ckpt["version"])
+    cutoff = _now_ms() - retain_ms
+    log = _log_dir(root)
+    fs_prefix = _fs_prefix(root)
+    victims: list[str] = []
+    for name in sorted(fsutil.list_names(spark, log)):
+        stem, _dot, rest = name.partition(".")
+        if not stem.isdigit():
+            continue
+        v = int(stem)
+        if v >= cv:
+            continue  # at/after the checkpoint: always kept
+        if rest == "json":
+            ts = None
+            try:
+                for action in _read_json_lines(
+                    spark, posixpath.join(log, name)
+                ):
+                    if "commitInfo" in action:
+                        info = action["commitInfo"]
+                        ts = info.get(
+                            "inCommitTimestamp", info.get("timestamp")
+                        )
+                        break
+            except Exception:
+                ts = None
+            if ts is None:
+                ts = next(
+                    (
+                        m
+                        for p, _s, m in fsutil.list_files(spark, log)
+                        if p.endswith("/" + name)
+                    ),
+                    None,
+                )
+            if ts is not None and int(ts) <= cutoff:
+                victims.append(name)
+        elif rest.startswith("checkpoint"):
+            # superseded checkpoint parts below the latest checkpoint
+            victims.append(name)
+    if not dry_run:
+        for name in victims:
+            fsutil.delete(
+                spark, fs_prefix + _plain(posixpath.join(log, name))
+            )
+    return victims

@@ -214,9 +214,9 @@ def test_append_only_table_blocks_overwrite(spark, tmp_path):
 
 def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
     """Tables demanding writer behavior we don't implement are refused
-    loudly: minWriterVersion 4 (CDF/generated columns), metadata-carried
-    duties under the now-accepted v5 (CHECK constraints), and column
-    invariants."""
+    loudly: minWriterVersion 3 (CHECK constraints) and 6 (identity
+    columns); metadata-carried duties under the now-accepted v4/v5
+    (CHECK-constraint config, generated columns); column invariants."""
     table = str(tmp_path / "t5")
     write_delta_native(spark, _frame(spark, 0, 5), table)
     with open(
@@ -224,11 +224,11 @@ def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
     ) as f:
         f.write(
             json.dumps(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="minWriterVersion 4"):
+    with pytest.raises(ValueError, match="minWriterVersion 6"):
         write_delta_native(spark, _frame(spark, 5, 8), table)
 
     # v5 is accepted ONLY when the metadata carries none of the v3/v4
@@ -1828,3 +1828,51 @@ def test_in_commit_timestamp_writes(spark, tmp_path):
     # history resolves through ICT (reader preference already in place)
     hist = delta_history(spark, root)
     assert [h["timestamp"] for h in hist] == icts
+
+
+def test_cleanup_delta_log_bounds_history(spark, tmp_path):
+    """Log retention cleanup: commits below the checkpoint AND older
+    than the retention window are deleted (age from the commit's OWN
+    timestamp, ICT preferred); current reads are untouched, time travel
+    to a cleaned version refuses loudly, young commits survive."""
+    from rtdl_spark.sources.delta_writer import (
+        cleanup_delta_log_native,
+        write_checkpoint_native,
+    )
+
+    table = str(tmp_path / "logc")
+    for lo in (0, 5, 10):
+        write_delta_native(
+            spark,
+            spark.range(lo, lo + 5).select("id").coalesce(1),
+            table,
+            checkpoint_interval=0,
+        )
+    write_checkpoint_native(spark, table)  # checkpoint at v2
+
+    # retention window still open: nothing deletable
+    assert cleanup_delta_log_native(
+        spark, table, retain_ms=3600_000, dry_run=True
+    ) == []
+
+    victims = cleanup_delta_log_native(spark, table, retain_ms=0)
+    assert f"{0:020d}.json" in victims and f"{1:020d}.json" in victims
+    assert f"{2:020d}.json" not in victims  # the checkpointed tip stays
+
+    got = sorted(r["id"] for r in read_delta_native(spark, table).collect())
+    assert got == list(range(15))
+    with pytest.raises(ValueError, match="missing commit"):
+        read_delta_native(spark, table, version=0)
+
+    # appends continue normally after cleanup
+    write_delta_native(
+        spark, spark.range(15, 18).select("id"), table,
+        checkpoint_interval=0,
+    )
+    assert read_delta_native(spark, table).count() == 18
+
+    # a later checkpoint supersedes the old one's files
+    write_checkpoint_native(spark, table)  # at v3
+    victims2 = cleanup_delta_log_native(spark, table, retain_ms=0)
+    assert f"{2:020d}.checkpoint.parquet" in victims2
+    assert read_delta_native(spark, table).count() == 18
