@@ -2386,3 +2386,88 @@ def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_generated_cols",
+    # the generated column is OMITTED by every append; the table's
+    # content must equal computing it from the generation expression
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT CAST(k % 4 AS INT) AS bucket, COUNT(*) AS n,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM t GROUP BY 1
+    """,
+)
+def lake_delta_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns (r7, delta_writer.py::_complete_generated /
+    _enforce_constraints): a table whose ``bucket`` column carries
+    delta.generationExpression is appended by frames that OMIT the
+    column — the writer computes it per the expression (and validates
+    it when provided; mismatches refuse loudly, covered by tests).
+    Per-bucket counts and key ranges hash-verified."""
+    import json as _json
+
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_gen_", dir=shm)
+    try:
+        root = os.path.join(workdir, "gentab")
+        write_delta_native(  # v0: seeds the schema incl. bucket
+            spark,
+            o.filter(F.col("k") % 3 == 0).withColumn(
+                "bucket", (F.col("k") % 4).cast("int")
+            ),
+            root,
+            checkpoint_interval=0,
+        )
+        _, meta, _, current, _ = snapshot_actions(spark, root)
+        schema = _json.loads(meta["schemaString"])
+        for f in schema["fields"]:
+            if f["name"] == "bucket":
+                f["metadata"] = {
+                    "delta.generationExpression": "CAST(k % 4 AS INT)"
+                }
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{current + 1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "SET"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                **meta, "schemaString": _json.dumps(schema)}}) + "\n")
+
+        # appends OMIT bucket: the writer computes it
+        write_delta_native(
+            spark, o.filter(F.col("k") % 3 == 1), root,
+            checkpoint_interval=0,
+        )
+        write_delta_native(
+            spark, o.filter(F.col("k") % 3 == 2), root,
+            checkpoint_interval=0,
+        )
+        out = (
+            read_delta_native(spark, root)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

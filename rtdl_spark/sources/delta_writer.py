@@ -100,6 +100,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # DELETE/UPDATE WHERE emit _change_data files + cdc actions; ops
     # without CDC support refuse CDF tables by name
     "changeDataFeed",
+    # CHECK constraints are ENFORCED on every row-producing write
+    "checkConstraints",
+    # generated columns: omitted -> computed, provided -> validated
+    "generatedColumns",
 }
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -203,21 +207,19 @@ def _check_writer_protocol(protocol: dict) -> None:
     """Refuse tables whose protocol demands writer behavior we do not
     implement — writing anyway is exactly how logs get corrupted.
 
-    minWriterVersion 4 (CDF + generated columns) and 5 (column
-    mapping) are accepted: appends and DELETE/UPDATE rewrites handle
-    both (r7 — CDC files are emitted when enableChangeDataFeed is set)
-    — but those versions subsume OTHER duties, so
-    ``_check_no_invariants`` refuses BY NAME any table whose metadata
-    actually carries them (CHECK-constraint config, generation
-    expressions), and ops without CDC support (MERGE, DV ops, RESTORE)
-    refuse CDF tables at their own entry points. v3/v6 stay refused
+    minWriterVersion 3 (CHECK constraints — ENFORCED at write,
+    _enforce_constraints), 4 (CDF + generated columns — CDC files
+    emitted, generation expressions computed/validated) and 5 (column
+    mapping) are accepted; legacy column invariants and ops without
+    CDC support (MERGE, DV ops, RESTORE on CDF tables) refuse by name
+    at their own gates. Only v6 (identity columns) stays refused
     wholesale."""
     v = int(protocol.get("minWriterVersion", 1))
-    if v in (3, 6):
+    if v == 6:
         raise ValueError(
             f"Delta minWriterVersion {v} requires writer behavior "
-            "(CHECK constraints / identity columns) this native writer "
-            "does not implement — use delta-spark"
+            "(identity columns) this native writer does not implement — "
+            "use delta-spark"
         )
     if v == 7:
         unsupported = set(protocol.get("writerFeatures") or ()) - (
@@ -236,22 +238,12 @@ def _check_writer_protocol(protocol: dict) -> None:
 
 def _check_no_invariants(meta: dict) -> None:
     """Refuse metadata-carried writer DUTIES we do not implement:
-    column invariants (protocol v2 writers must enforce them), CHECK
-    constraints (delta.constraints.*), change data feed
-    (delta.enableChangeDataFeed — writers must emit change files), and
-    generated columns (delta.generationExpression metadata). A table
-    that merely ENABLES column mapping is no longer refused here —
-    appends/DELETE/UPDATE handle CM; ops that don't (MERGE/OPTIMIZE/
-    overwrite/evolution) refuse at their own entry points."""
-    conf = meta.get("configuration") or {}
-    constraints = sorted(
-        k for k in conf if k.startswith("delta.constraints.")
-    )
-    if constraints:
-        raise ValueError(
-            f"table carries CHECK constraints {constraints}; this native "
-            "writer does not enforce them — use delta-spark"
-        )
+    column invariants (protocol v2 writers must enforce them — the
+    LEGACY delta.invariants JSON form; modern CHECK constraints ARE
+    enforced, see _enforce_constraints). CHECK constraints, generated
+    columns and change data feed are no longer refused here — every
+    row-producing write path enforces/computes/emits them; ops that
+    can't refuse at their own entry points."""
     try:
         fields = json.loads(meta["schemaString"]).get("fields") or []
     except Exception:
@@ -263,12 +255,96 @@ def _check_no_invariants(meta: dict) -> None:
                 f"column {f.get('name')!r} carries a Delta invariant; this "
                 "native writer does not enforce invariants — use delta-spark"
             )
+
+
+def _table_constraints(meta: dict) -> dict[str, str]:
+    """CHECK constraints from the table configuration:
+    {name: SQL expression} (delta.constraints.<name> keys)."""
+    conf = meta.get("configuration") or {}
+    return {
+        k[len("delta.constraints."):]: v
+        for k, v in conf.items()
+        if k.startswith("delta.constraints.")
+    }
+
+
+def _generated_cols(meta: dict) -> dict[str, str]:
+    """GENERATED columns: {column: generation expression} from
+    delta.generationExpression field metadata."""
+    out = {}
+    try:
+        fields = json.loads(meta["schemaString"]).get("fields") or []
+    except Exception:
+        return out
+    for f in fields:
+        md = f.get("metadata") or {}
         if "delta.generationExpression" in md:
-            raise ValueError(
-                f"column {f.get('name')!r} is a GENERATED column; this "
-                "native writer does not compute generation expressions — "
-                "use delta-spark"
+            out[f["name"]] = md["delta.generationExpression"]
+    return out
+
+
+def _enforce_constraints(df: DataFrame, meta: dict) -> DataFrame:
+    """Runtime CHECK-constraint + generated-column enforcement on every
+    row-producing write (the protocol: writers MUST enforce both — real
+    Delta raises DELTA_VIOLATE_CONSTRAINT / DeltaInvariantViolation).
+    SQL CHECK semantics: a row violates only when the expression is
+    FALSE (NULL passes). A provided generated column must EQUAL its
+    expression (null-safe); computing omitted generated columns happens
+    earlier, in _complete_generated. The checks ride the first column's
+    projection with raise_error as the violation value — non-foldable,
+    so they survive Catalyst even on literal inputs (the
+    _enforce_not_null lesson)."""
+    constraints = _table_constraints(meta)
+    gen = {
+        c: e for c, e in _generated_cols(meta).items() if c in df.columns
+    }
+    if not constraints and not gen:
+        return df
+    checks = []  # (condition that means VIOLATION, message)
+    for name, expr in sorted(constraints.items()):
+        checks.append(
+            (
+                F.expr(expr) == F.lit(False),
+                f"CHECK constraint {name} ({expr}) violated",
             )
+        )
+    for c, e in sorted(gen.items()):
+        checks.append(
+            (
+                ~F.col(c).eqNullSafe(
+                    F.expr(e).cast(df.schema[c].dataType)
+                ),
+                f"generated column {c!r} does not match its generation "
+                f"expression ({e})",
+            )
+        )
+    first = df.columns[0]
+    guard = F.col(first)
+    for cond, msg in checks:
+        guard = F.when(
+            F.coalesce(cond, F.lit(False)),
+            F.raise_error(F.lit(msg)).cast(df.schema[first].dataType),
+        ).otherwise(guard)
+    return df.select(
+        guard.alias(first), *[F.col(c) for c in df.columns[1:]]
+    )
+
+
+def _complete_generated(df: DataFrame, meta: dict) -> DataFrame:
+    """Compute OMITTED generated columns from their expressions (what
+    delta-spark does when the writer leaves them out), returning the
+    frame in the TABLE's column order so the plain-append schema check
+    passes."""
+    gen = _generated_cols(meta)
+    missing = [c for c in gen if c not in df.columns]
+    if not missing:
+        return df
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    for c in missing:
+        df = df.withColumn(c, F.expr(gen[c]).cast(schema[c].dataType))
+    order = [f.name for f in schema.fields if f.name in df.columns]
+    extra = [c for c in df.columns if c not in order]
+    return df.select(*order, *extra)
 
 
 def _check_cm_supported(meta: dict, operation: str) -> str:
@@ -748,6 +824,10 @@ def write_delta_native(
     part_cols = (
         list(partition_by) if partition_by is not None else existing_parts
     )
+    if meta is not None and mode == "append":
+        # omitted GENERATED columns are computed before the schema
+        # check (delta-spark's writer does the same)
+        df = _complete_generated(df, meta)
     schema_json = df.schema.json()
     commit_schema_json = schema_json  # what a metaData action would carry
     if meta is not None and mode == "append":
@@ -781,6 +861,7 @@ def write_delta_native(
             df,
             commit_schema_json if merge_schema else meta["schemaString"],
         )
+        df = _enforce_constraints(df, meta)
 
     # column mapping: the frame is validated in LOGICAL terms above,
     # then staged in the table's PHYSICAL layout (physical names +
@@ -1328,6 +1409,7 @@ def _rewrite_where(
         out = out.unionByName(updated.select(*col_order))
 
     out = _enforce_not_null(out, meta["schemaString"])
+    out = _enforce_constraints(out, meta)
 
     # change data feed: a partial-file rewrite is NOT derivable from
     # add/remove actions (the rewritten survivors would read as
@@ -1747,6 +1829,7 @@ def update_where_delta_dv(
     new_rows = _enforce_not_null(
         new_rows.select(*col_order), meta["schemaString"]
     )
+    new_rows = _enforce_constraints(new_rows, meta)
     staging = posixpath.join(root, f"_update-{uuid.uuid4().hex[:12]}")
     writer = new_rows.write.mode("overwrite")
     if part_cols:
@@ -1878,7 +1961,6 @@ def merge_into_delta_native(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
-    _refuse_cdf(meta, "MERGE")
     _refuse_cm(meta, "MERGE")
     _check_no_active_dvs(active, "MERGE")
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
@@ -1939,21 +2021,88 @@ def merge_into_delta_native(
             pieces.append(
                 arows.select(*on).join(src, on, "inner").select(*col_order)
             )
+    ins_df = None
     if when_not_matched == "insert":
         if tbl is not None:
-            pieces.append(
-                src.join(tbl.select(*on).distinct(), on, "left_anti")
-                .select(*col_order)
-            )
+            ins_df = src.join(
+                tbl.select(*on).distinct(), on, "left_anti"
+            ).select(*col_order)
         else:
-            pieces.append(src.select(*col_order))
+            ins_df = src.select(*col_order)
+        pieces.append(ins_df)
     if not pieces:
         return {"version": None, "files_rewritten": 0, "files_added": 0}
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
 
+    # change data feed: MERGE's change rows — matched targets as
+    # update pre/post images (or deletes), unmatched source rows as
+    # inserts; a commit carrying cdc actions is described by them
+    # EXCLUSIVELY, so every produced change is included
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(meta):
+        change_frames = []
+        if affected and when_matched != "ignore":
+            matched_target = arows.join(keys, on, "left_semi")
+            if when_matched == "update":
+                change_frames.append(
+                    matched_target.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                )
+                change_frames.append(
+                    arows.select(*on)
+                    .join(src, on, "inner")
+                    .select(*col_order)
+                    .withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            else:  # delete
+                change_frames.append(
+                    matched_target.withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+        if ins_df is not None:
+            change_frames.append(
+                ins_df.withColumn("_change_type", F.lit("insert"))
+            )
+        if change_frames:
+            changes = change_frames[0]
+            for cf in change_frames[1:]:
+                changes = changes.unionByName(cf)
+            cdc_stage = posixpath.join(
+                root, f"_staging-cdc-{uuid.uuid4().hex[:12]}"
+            )
+            w = changes.select(*col_order, "_change_type").write.mode(
+                "overwrite"
+            )
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(cdc_stage)
+            try:
+                cdc_adds = _promote_staged(
+                    spark, root, cdc_stage, part_cols, False,
+                    dest_prefix="_change_data",
+                )
+            finally:
+                fsutil.delete(spark, cdc_stage)
+            cdc_actions = [
+                {
+                    "cdc": {
+                        "path": a["path"],
+                        "partitionValues": a.get("partitionValues") or {},
+                        "size": a["size"],
+                        "dataChange": False,
+                    }
+                }
+                for a in cdc_adds
+            ]
+
     out = _enforce_not_null(out, meta["schemaString"])
+    out = _enforce_constraints(out, meta)
     staging = posixpath.join(root, f"_merge-{uuid.uuid4().hex[:12]}")
     writer = out.write.mode("overwrite")
     if part_cols:
@@ -1979,6 +2128,7 @@ def merge_into_delta_native(
         adds,
         ts,
         meta,
+        extra_actions=cdc_actions,
     )
     return {
         "version": version,

@@ -115,21 +115,48 @@ def test_cdf_derives_inserts_and_full_deletes(spark, tmp_path):
     assert r0["_commit_timestamp"] is not None
 
 
-def test_cdf_refusals(spark, tmp_path):
-    """Ops whose change rows we cannot derive refuse CDF tables by
-    name; a cleaned-up range refuses; derivation over a removed file
-    that was vacuumed refuses."""
-    from rtdl_spark.sources.delta_writer import (
-        merge_into_delta_native,
-        restore_delta_native,
-    )
+def test_cdf_merge_emits_full_change_set(spark, tmp_path):
+    """MERGE on a CDF table describes matched targets as update
+    pre/post images and unmatched source rows as inserts — all in the
+    commit's cdc files."""
+    from rtdl_spark.sources.delta_writer import merge_into_delta_native
 
     root = _cdf_table(spark, tmp_path)
-    src = spark.range(0, 2).select(
-        "id", (F.col("id") % 2).cast("string").alias("p")
+    src = spark.createDataFrame(
+        [(2, "0"), (3, "1"), (100, "0")], "id long, p string"
     )
-    with pytest.raises(ValueError, match="ChangeDataFeed"):
-        merge_into_delta_native(spark, root, src, on=["id"])
+    res = merge_into_delta_native(spark, root, src, on=["id"])  # v2
+    assert res["version"] == 2
+    ch = read_table_changes_cdf(spark, root, 2, 2)
+    rows = sorted(
+        (r["_change_type"], r["id"]) for r in ch.collect()
+    )
+    assert rows == [
+        ("insert", 100),
+        ("update_postimage", 2), ("update_postimage", 3),
+        ("update_preimage", 2), ("update_preimage", 3),
+    ]
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == sorted(list(range(20)) + [100])
+
+    # when_matched=delete: matched targets appear as delete rows
+    src2 = spark.createDataFrame([(7, "1")], "id long, p string")
+    merge_into_delta_native(
+        spark, root, src2, on=["id"],
+        when_matched="delete", when_not_matched="ignore",
+    )  # v3
+    ch3 = read_table_changes_cdf(spark, root, 3, 3)
+    assert sorted((r["_change_type"], r["id"]) for r in ch3.collect()) == [
+        ("delete", 7)
+    ]
+
+
+def test_cdf_refusals(spark, tmp_path):
+    """Ops whose change rows we cannot derive refuse CDF tables by
+    name; a cleaned-up range refuses."""
+    from rtdl_spark.sources.delta_writer import restore_delta_native
+
+    root = _cdf_table(spark, tmp_path)
     with pytest.raises(ValueError, match="ChangeDataFeed"):
         restore_delta_native(spark, root, 0)
 

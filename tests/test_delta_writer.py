@@ -214,9 +214,9 @@ def test_append_only_table_blocks_overwrite(spark, tmp_path):
 
 def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
     """Tables demanding writer behavior we don't implement are refused
-    loudly: minWriterVersion 3 (CHECK constraints) and 6 (identity
-    columns); metadata-carried duties under the now-accepted v4/v5
-    (CHECK-constraint config, generated columns); column invariants."""
+    loudly: minWriterVersion 6 (identity columns) and legacy column
+    invariants. CHECK constraints are no longer refused — they are
+    ENFORCED (violations fail the write; passing rows commit)."""
     table = str(tmp_path / "t5")
     write_delta_native(spark, _frame(spark, 0, 5), table)
     with open(
@@ -231,10 +231,10 @@ def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="minWriterVersion 6"):
         write_delta_native(spark, _frame(spark, 5, 8), table)
 
-    # v5 is accepted ONLY when the metadata carries none of the v3/v4
-    # duties — a CHECK constraint refuses by name
+    # v5 with a CHECK constraint: accepted AND enforced — a passing
+    # frame commits, a violating one fails the write
     table5 = str(tmp_path / "t5b")
-    write_delta_native(spark, _frame(spark, 0, 5), table5)
+    write_delta_native(spark, _frame(spark, 1, 5), table5)
     with open(
         os.path.join(table5, "_delta_log", f"{1:020d}.json"), "w"
     ) as f:
@@ -261,8 +261,9 @@ def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="CHECK constraints"):
-        write_delta_native(spark, _frame(spark, 5, 8), table5)
+    write_delta_native(spark, _frame(spark, 5, 8), table5)  # 5..7 pass
+    with pytest.raises(Exception, match="CHECK constraint posid"):
+        write_delta_native(spark, _frame(spark, 0, 2), table5)  # id=0
 
     table2 = str(tmp_path / "t6")
     write_delta_native(spark, _frame(spark, 0, 5), table2)
@@ -1876,3 +1877,116 @@ def test_cleanup_delta_log_bounds_history(spark, tmp_path):
     victims2 = cleanup_delta_log_native(spark, table, retain_ms=0)
     assert f"{2:020d}.checkpoint.parquet" in victims2
     assert read_delta_native(spark, table).count() == 18
+
+
+def test_check_constraints_enforced(spark, tmp_path):
+    """CHECK constraints (a wholesale refusal until r7) are ENFORCED:
+    a violating append/UPDATE fails loudly and commits nothing; passing
+    rows flow; NULL constraint results pass (SQL CHECK semantics)."""
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_writer import update_where_delta_native
+
+    table = str(tmp_path / "chk")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(1, 6)], "id long, v long"
+        ),
+        table,
+        checkpoint_interval=0,
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, table)
+    with open(
+        os.path.join(table, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "ADD CONSTRAINT"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 3}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta,
+            "configuration": {"delta.constraints.posv": "v > 0"}}})
+            + "\n")
+
+    # passing append
+    write_delta_native(
+        spark,
+        spark.range(6, 8).select("id", (F.col("id") * 2).alias("v")),
+        table,
+        checkpoint_interval=0,
+    )
+    assert read_delta_native(spark, table).count() == 7
+
+    # violating append: loud, nothing committed
+    bad = spark.createDataFrame([(8, 0), (9, 18)], "id long, v long")
+    with pytest.raises(Exception, match="CHECK constraint posv"):
+        write_delta_native(spark, bad, table, checkpoint_interval=0)
+    assert read_delta_native(spark, table).count() == 7
+
+    # NULL constraint result passes (SQL CHECK)
+    nulls = spark.createDataFrame(
+        [(30, None)], "id long, v long"
+    )
+    write_delta_native(spark, nulls, table, checkpoint_interval=0)
+    assert read_delta_native(spark, table).count() == 8
+
+    # UPDATE driving a row into violation: refused at rewrite time
+    with pytest.raises(Exception, match="CHECK constraint posv"):
+        update_where_delta_native(spark, table, "id = 6", {"v": "-1"})
+    got = sorted(r["id"] for r in read_delta_native(spark, table).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 30]
+
+
+def test_generated_columns_computed_and_validated(spark, tmp_path):
+    """GENERATED columns (a wholesale refusal until r7): a frame that
+    OMITS the column gets it computed from the generation expression; a
+    frame that PROVIDES it is validated (mismatch refuses loudly,
+    null-safe equality)."""
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    table = str(tmp_path / "gen")
+    write_delta_native(
+        spark,
+        spark.range(1, 4).select(
+            "id", (F.col("id") % 3).cast("int").alias("bucket")
+        ),
+        table,
+        checkpoint_interval=0,
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, table)
+    schema = json.loads(meta["schemaString"])
+    for f in schema["fields"]:
+        if f["name"] == "bucket":
+            f["metadata"] = {
+                "delta.generationExpression": "CAST(id % 3 AS INT)"
+            }
+    with open(
+        os.path.join(table, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "SET"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta, "schemaString": json.dumps(schema)}}) + "\n")
+
+    # omitted -> computed
+    write_delta_native(
+        spark, spark.range(10, 13).select("id"), table,
+        checkpoint_interval=0,
+    )
+    got = {
+        r["id"]: r["bucket"]
+        for r in read_delta_native(spark, table).collect()
+    }
+    assert got[10] == 1 and got[11] == 2 and got[12] == 0
+
+    # provided and CORRECT -> accepted
+    ok = spark.createDataFrame([(20, 2)], "id long, bucket int")
+    write_delta_native(spark, ok, table, checkpoint_interval=0)
+
+    # provided and WRONG -> loud refusal, nothing committed
+    bad = spark.createDataFrame([(21, 5)], "id long, bucket int")
+    with pytest.raises(Exception, match="generated column 'bucket'"):
+        write_delta_native(spark, bad, table, checkpoint_interval=0)
+    assert read_delta_native(spark, table).count() == 7
