@@ -99,9 +99,10 @@ def _check_protocol(protocol: dict) -> None:
         if unsupported:
             raise ValueError(
                 "Delta table requires reader features this native reader "
-                f"does not implement: {sorted(unsupported)} (deletion "
-                "vectors / column mapping / v2 checkpoints need the real "
-                "delta-spark package)"
+                f"does not implement: {sorted(unsupported)} (e.g. "
+                "v2Checkpoint / typeWidening need the real delta-spark "
+                "package; deletion vectors and column mapping ARE "
+                "supported)"
             )
 
 

@@ -2932,6 +2932,7 @@ def cleanup_delta_log_native(
     log = _log_dir(root)
     fs_prefix = _fs_prefix(root)
     victims: list[str] = []
+    cdc_victims: list[str] = []
     for name in sorted(fsutil.list_names(spark, log)):
         stem, _dot, rest = name.partition(".")
         if not stem.isdigit():
@@ -2941,16 +2942,23 @@ def cleanup_delta_log_native(
             continue  # at/after the checkpoint: always kept
         if rest == "json":
             ts = None
+            cdc_paths: list[str] = []
             try:
                 for action in _read_json_lines(
                     spark, posixpath.join(log, name)
                 ):
-                    if "commitInfo" in action:
+                    if "commitInfo" in action and ts is None:
                         info = action["commitInfo"]
                         ts = info.get(
                             "inCommitTimestamp", info.get("timestamp")
                         )
-                        break
+                    elif "cdc" in action:
+                        # the commit's change-data files die with it:
+                        # once the JSON is gone, its CDF history is
+                        # unreadable anyway (and _change_data is hidden
+                        # from vacuum's file index — this is the only
+                        # reclamation point)
+                        cdc_paths.append(action["cdc"]["path"])
             except Exception:
                 ts = None
             if ts is None:
@@ -2964,6 +2972,7 @@ def cleanup_delta_log_native(
                 )
             if ts is not None and int(ts) <= cutoff:
                 victims.append(name)
+                cdc_victims.extend(cdc_paths)
         elif rest.startswith("checkpoint"):
             # superseded checkpoint parts below the latest checkpoint
             victims.append(name)
@@ -2972,4 +2981,12 @@ def cleanup_delta_log_native(
             fsutil.delete(
                 spark, fs_prefix + _plain(posixpath.join(log, name))
             )
-    return victims
+        for rel in cdc_victims:
+            fsutil.delete(
+                spark,
+                fs_prefix
+                + _plain(
+                    posixpath.join(root, urllib.parse.unquote(rel))
+                ),
+            )
+    return victims + sorted(cdc_victims)

@@ -192,3 +192,40 @@ def test_cdf_appends_still_work_and_plain_tables_untouched(
     res = delete_where_delta_native(spark, plain, "id = 1")
     assert res["cdc_files"] == 0
     assert not os.path.isdir(os.path.join(plain, "_change_data"))
+
+
+def test_log_cleanup_reaps_orphaned_cdc_files(spark, tmp_path):
+    """cleanup_delta_log_native is CDC's reclamation point (_change_data
+    is hidden from vacuum's file index): when a commit's JSON is
+    cleaned, its change-data files go with it; younger commits keep
+    theirs and their CDF stays readable."""
+    from rtdl_spark.sources.delta_writer import (
+        cleanup_delta_log_native,
+        write_checkpoint_native,
+    )
+
+    root = _cdf_table(spark, tmp_path)
+    delete_where_delta_native(spark, root, "id = 2")   # v2: cdc files
+    delete_where_delta_native(spark, root, "id = 4")   # v3: cdc files
+    write_checkpoint_native(spark, root)               # checkpoint at v3
+    def _n_cdc():
+        return sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(os.path.join(root, "_change_data"))
+        )
+
+    n_cdc_before = _n_cdc()
+    assert n_cdc_before >= 2
+
+    victims = cleanup_delta_log_native(spark, root, retain_ms=0)
+    # commits 0..2 cleaned; their cdc files reaped with them
+    assert f"{2:020d}.json" in victims
+    assert any(v.startswith("_change_data/") for v in victims)
+    n_cdc_after = _n_cdc()
+    assert n_cdc_after < n_cdc_before
+
+    # v3 (the checkpointed tip) keeps its change data and stays readable
+    ch = read_table_changes_cdf(spark, root, 3, 3)
+    assert sorted((r["_change_type"], r["id"]) for r in ch.collect()) == [
+        ("delete", 4)
+    ]
