@@ -57,6 +57,12 @@ _SUPPORTED_READER_FEATURES = {
     "appendOnly",
     "invariants",
     "deletionVectors",  # sources/dv.py; filtered on _metadata.row_index
+    # type widening: files written under the NARROWER type read through
+    # the latest (wider) schema — Spark's parquet reader upcasts
+    # int->long/double/decimal and float->double natively (pinned by
+    # test); a widening Spark cannot read fails loudly, never wrongly
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 

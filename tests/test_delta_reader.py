@@ -832,3 +832,51 @@ def test_multipart_classic_checkpoint_read(spark, tmp_path):
     os.remove(p2)
     with pytest.raises(ValueError, match="missing 1/2 parts"):
         read_delta_native(spark, table)
+
+
+def test_type_widening_reads(spark, tmp_path):
+    """typeWidening reader feature: a table whose column was WIDENED
+    (int -> long here) keeps its old narrow-typed files; the reader
+    scans everything under the latest (wider) schema — Spark's parquet
+    reader upcasts natively. Old and new files both come back as the
+    wide type with exact values."""
+    table = str(tmp_path / "tw")
+    os.makedirs(table)
+    int_schema = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "id", "type": "integer", "nullable": True,
+             "metadata": {}}]}
+    )
+    long_schema = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}}]}
+    )
+    a0 = _data_file(
+        spark,
+        spark.createDataFrame([(1,), (2,)], "id int"),
+        table, "f0.parquet",
+    )
+    _commit(
+        table, 0,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["typeWidening"],
+                       "writerFeatures": ["typeWidening"]}},
+         _meta(int_schema), a0],
+    )
+    # widening commit: new metaData with the wider type + a long file
+    a1 = _data_file(
+        spark,
+        spark.createDataFrame([(3_000_000_000,)], "id long"),
+        table, "f1.parquet",
+    )
+    m = _meta(long_schema)
+    _commit(table, 1, [m, a1])
+
+    got = read_delta_native(spark, table)
+    assert dict(got.dtypes)["id"] == "bigint"
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3_000_000_000]
+    # pre-widening snapshot still reads under its own (narrow) schema
+    got0 = read_delta_native(spark, table, version=0)
+    assert dict(got0.dtypes)["id"] == "int"
+    assert sorted(r["id"] for r in got0.collect()) == [1, 2]
