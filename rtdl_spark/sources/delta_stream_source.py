@@ -328,11 +328,14 @@ class _DeltaStreamReader(DataSourceStreamReader):
         # data (DELETE/UPDATE/MERGE/RESTORE rewrites) breaks the
         # append-only stream contract — fail by default,
         # skipChangeCommits drops the commit entirely, ignoreChanges
-        # re-emits its rewritten files (documented duplicates)
+        # re-emits its rewritten files (documented duplicates),
+        # ignoreDeletes tolerates DELETE-ONLY commits (removes without
+        # adds — partition drops) while still failing on rewrites
         self.skip_change_commits = _flag(
             "skipChangeCommits", "skipchangecommits"
         )
         self.ignore_changes = _flag("ignoreChanges", "ignorechanges")
+        self.ignore_deletes = _flag("ignoreDeletes", "ignoredeletes")
         # last end version this reader has planned/committed — the base
         # the NEXT bounded latestOffset advances from (None until the
         # engine reveals the stream's position via initialOffset /
@@ -471,14 +474,17 @@ class _DeltaStreamReader(DataSourceStreamReader):
             ):
                 if self.skip_change_commits:
                     continue
+                if self.ignore_deletes and not commit_adds:
+                    continue  # delete-only commit (partition drop)
                 if not self.ignore_changes:
                     raise ValueError(
                         f"Delta commit {v} changes existing data "
                         "(dataChange remove) — a streaming source cannot "
                         "retract already-emitted rows. Set option "
-                        "skipChangeCommits=true to drop such commits, or "
-                        "ignoreChanges=true to re-emit their rewritten "
-                        "files (at-least-once duplicates)"
+                        "skipChangeCommits=true to drop such commits, "
+                        "ignoreDeletes=true to tolerate delete-only "
+                        "commits, or ignoreChanges=true to re-emit "
+                        "rewritten files (at-least-once duplicates)"
                     )
             for a in commit_adds:
                 import urllib.parse

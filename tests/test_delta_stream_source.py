@@ -832,3 +832,36 @@ def test_change_commits_fail_skip_or_reemit(spark, tmp_path):
     r3 = _DeltaStreamReader(sch, {"path": table, "ignoreChanges": "true"})
     parts = [p for p in r3.partitions({"version": 2}, {"version": 3}) if p.path]
     assert len(parts) == 1
+
+
+def test_ignore_deletes_tolerates_delete_only_commits(spark, tmp_path):
+    """ignoreDeletes (delta-spark parity): a DELETE-ONLY commit (all
+    matched rows filled whole files — removes without adds, the
+    partition-drop shape) passes silently under the option; a REWRITE
+    commit (removes + adds) still fails — that one needs
+    ignoreChanges/skipChangeCommits."""
+    from rtdl_spark.sources.delta_stream_source import (
+        _DeltaStreamReader,
+        _latest_schema,
+    )
+    from rtdl_spark.sources.delta_writer import delete_where_delta_native
+
+    table = str(tmp_path / "igd")
+    df = spark.range(0, 12).select(
+        "id", (F.col("id") % 3).cast("string").alias("p")
+    )
+    write_delta_native(
+        spark, df.repartition(1), table, partition_by=["p"],
+        checkpoint_interval=0,
+    )
+    # v1: delete a WHOLE partition -> removes only, no adds
+    delete_where_delta_native(spark, table, "p = '0'")
+    # v2: partial delete -> rewrite (remove + add)
+    delete_where_delta_native(spark, table, "id = 1")
+
+    sch = _latest_schema(table, 10)
+    r = _DeltaStreamReader(sch, {"path": table, "ignoreDeletes": "true"})
+    parts = [p for p in r.partitions({"version": 0}, {"version": 1}) if p.path]
+    assert parts == []  # tolerated, nothing re-emitted
+    with pytest.raises(ValueError, match="changes existing data"):
+        r.partitions({"version": 1}, {"version": 2})
