@@ -2471,3 +2471,92 @@ def lake_delta_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+@query(
+    "lake_delta_identity",
+    # the identity values are a pure function of the ROW COUNT (the
+    # start/step lattice, contiguous after the watermark) — the pairing
+    # row->value is partition-dependent, so the oracle verifies the
+    # (rank, value) SET, which is deterministic
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 6 = 0
+    ),
+    r AS (SELECT ROW_NUMBER() OVER () AS rn FROM t)
+    SELECT rn, CAST(100 + 3 * (rn - 1) AS BIGINT) AS rid FROM r
+    """,
+)
+def lake_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY columns (r7, delta_writer.py::_apply_identity): a table
+    whose ``rid`` column carries delta.identity.* metadata (writer
+    version 6) is appended by frames that OMIT the column — the writer
+    GENERATES values from the start/step lattice contiguous after the
+    high watermark and advances the watermark via a metaData action in
+    the SAME commit. Two appends prove the chain continues across
+    commits; (rank, value) pairs hash-verified.
+
+    Scale shape: generation is the zipWithIndex two-pass (freeze, one
+    tiny per-partition count aggregate, narrow mapInPandas) — no global
+    sort, no single-partition funnel."""
+    import json as _json
+
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 6 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_ident_", dir=shm)
+    try:
+        root = os.path.join(workdir, "idtab")
+        write_delta_native(  # v0: schema seed (k only), zero rows
+            spark, o.limit(0), root, checkpoint_interval=0
+        )
+        _, meta, _, current, _ = snapshot_actions(spark, root)
+        schema = _json.loads(meta["schemaString"])
+        schema["fields"].insert(0, {
+            "name": "rid", "type": "long", "nullable": True,
+            "metadata": {
+                "delta.identity.start": 100,
+                "delta.identity.step": 3,
+                "delta.identity.allowExplicitInsert": False,
+            },
+        })
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{current + 1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "ADD COLUMN"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 6}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                **meta, "schemaString": _json.dumps(schema)}}) + "\n")
+
+        # two appends OMIT rid — generated; the second continues the
+        # watermark chain committed by the first
+        write_delta_native(
+            spark, o.filter(F.col("k") % 2 == 0).repartition(3),
+            root, checkpoint_interval=0,
+        )
+        write_delta_native(
+            spark, o.filter(F.col("k") % 2 != 0).repartition(2),
+            root, checkpoint_interval=0,
+        )
+        from pyspark.sql import Window
+
+        out = read_delta_native(spark, root).select(
+            F.row_number()
+            .over(Window.orderBy("rid"))
+            .cast("long")
+            .alias("rn"),
+            F.col("rid"),
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -63,6 +63,10 @@ _SUPPORTED_READER_FEATURES = {
     # test); a widening Spark cannot read fails loudly, never wrongly
     "typeWidening",
     "typeWidening-preview",
+    # V2 (UUID-named) checkpoints: top-level file validated via its
+    # checkpointMetadata action, file actions read from the _sidecars/
+    # parquet files (or inline); missing sidecars refuse by name
+    "v2Checkpoint",
 }
 
 
@@ -105,10 +109,9 @@ def _check_protocol(protocol: dict) -> None:
         if unsupported:
             raise ValueError(
                 "Delta table requires reader features this native reader "
-                f"does not implement: {sorted(unsupported)} (e.g. "
-                "v2Checkpoint / typeWidening need the real delta-spark "
-                "package; deletion vectors and column mapping ARE "
-                "supported)"
+                f"does not implement: {sorted(unsupported)} (deletion "
+                "vectors, column mapping, v2 checkpoints and type "
+                "widening ARE supported)"
             )
 
 
@@ -206,35 +209,149 @@ def _field_id_type(type_json):
     return type_json
 
 
-def _checkpoint_paths(
+def _checkpoint_layout(
     spark: SparkSession, table_dir: str, ckpt: dict
-) -> list[str]:
-    """Resolve a _last_checkpoint entry to its parquet part paths.
-    Classic single-part: {v}.checkpoint.parquet. Multi-part classic
-    ("parts": N): {v}.checkpoint.{i:010d}.{N:010d}.parquet for
-    i in 1..N — all parts together hold one snapshot's actions, so the
-    reader scans them as ONE DataFrame. A missing part refuses by name
-    (scanning a subset would silently shrink the active set)."""
+) -> dict:
+    """Resolve a _last_checkpoint entry to the files holding the
+    snapshot's actions, across all three published checkpoint layouts:
+
+    - classic single-part: {v}.checkpoint.parquet
+    - multi-part classic ("parts": N):
+      {v}.checkpoint.{i:010d}.{N:010d}.parquet for i in 1..N — scanned
+      together as ONE DataFrame; a missing part refuses by name
+      (a subset would silently shrink the active set)
+    - V2 ("UUID-named"): {v}.checkpoint.<unique>.{parquet|json} found
+      by LISTING the log dir when the classic names are absent. The
+      top-level file must carry exactly one checkpointMetadata action
+      whose version matches (validated by the caller); its file actions
+      live either inline (parquet top-level) or in sidecar parquet
+      files under _delta_log/_sidecars/ referenced by sidecar actions.
+
+    Returns {"kind": "classic"|"v2", "control_paths": [parquet paths
+    holding protocol/metaData/txn rows] | None, "control_json":
+    [actions] | None (v2 json top-level), "top_path": str | None}.
+    Sidecar resolution happens in the caller (it needs the parsed
+    top-level actions)."""
     cv = int(ckpt["version"])
     n = int(ckpt.get("parts") or 1)
     log = _log_dir(table_dir)
-    if n == 1:
-        return [posixpath.join(log, f"{cv:020d}.checkpoint.parquet")]
-    paths = [
-        posixpath.join(
-            log, f"{cv:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+    if n > 1:
+        paths = [
+            posixpath.join(
+                log, f"{cv:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+            )
+            for i in range(1, n + 1)
+        ]
+        missing = [p for p in paths if not fsutil.exists(spark, p)]
+        if missing:
+            raise ValueError(
+                f"multi-part Delta checkpoint {cv} is missing "
+                f"{len(missing)}/{n} parts (first: "
+                f"{posixpath.basename(missing[0])!r}) — refusing a "
+                "partial snapshot"
+            )
+        return {"kind": "classic", "control_paths": paths,
+                "control_json": None, "top_path": None}
+    classic = posixpath.join(log, f"{cv:020d}.checkpoint.parquet")
+    if fsutil.exists(spark, classic):
+        return {"kind": "classic", "control_paths": [classic],
+                "control_json": None, "top_path": None}
+    # V2 discovery: {v}.checkpoint.<unique>.{parquet|json} in the log
+    prefix = f"{cv:020d}.checkpoint."
+    cands = sorted(
+        nm
+        for nm in fsutil.list_names(spark, log)
+        if nm.startswith(prefix)
+        and nm.rsplit(".", 1)[-1] in ("parquet", "json")
+        # exclude multi-part names ({i:010d}.{N:010d}.parquet)
+        and not (
+            nm.endswith(".parquet")
+            and nm[len(prefix):-len(".parquet")].replace(".", "").isdigit()
+            and "." in nm[len(prefix):-len(".parquet")]
         )
-        for i in range(1, n + 1)
-    ]
-    missing = [p for p in paths if not fsutil.exists(spark, p)]
-    if missing:
+    )
+    if not cands:
         raise ValueError(
-            f"multi-part Delta checkpoint {cv} is missing "
-            f"{len(missing)}/{n} parts (first: "
-            f"{posixpath.basename(missing[0])!r}) — refusing a partial "
-            "snapshot"
+            f"_last_checkpoint names version {cv} but no checkpoint "
+            f"file exists for it under {log} (classic, multi-part and "
+            "V2 layouts all probed)"
         )
-    return paths
+    top = posixpath.join(log, cands[-1])  # any complete one works
+    if top.endswith(".json"):
+        return {"kind": "v2", "control_paths": None,
+                "control_json": _read_json_lines(spark, top),
+                "top_path": top}
+    return {"kind": "v2", "control_paths": [top],
+            "control_json": None, "top_path": top}
+
+
+def _v2_sidecar_paths(
+    spark: SparkSession, table_dir: str, layout: dict
+) -> tuple[list[str], bool]:
+    """(add-action parquet paths, had_sidecars) for a V2 checkpoint:
+    validate the checkpointMetadata action and resolve sidecar actions
+    to files under _delta_log/_sidecars/ (each must exist — a missing
+    sidecar is a partial snapshot, refused by name). With no sidecars
+    the file actions are inline in the parquet top-level; a JSON
+    top-level without sidecars is refused (inline adds in JSON are not
+    a layout this reader trusts itself to reconstruct)."""
+    log = _log_dir(table_dir)
+    if layout["control_json"] is not None:
+        actions = layout["control_json"]
+        cms = [a["checkpointMetadata"]
+               for a in actions if "checkpointMetadata" in a]
+        sidecars = [a["sidecar"] for a in actions if "sidecar" in a]
+    else:
+        cdf = spark.read.parquet(*layout["control_paths"])
+        cols = set(cdf.columns)
+        cms = (
+            [r.asDict(recursive=True) for r in
+             cdf.filter(F.col("checkpointMetadata").isNotNull())
+             .select("checkpointMetadata.*").collect()]
+            if "checkpointMetadata" in cols else []
+        )
+        sidecars = (
+            [r.asDict(recursive=True) for r in
+             cdf.filter(F.col("sidecar").isNotNull())
+             .select("sidecar.*").collect()]
+            if "sidecar" in cols else []
+        )
+    if len(cms) != 1:
+        raise ValueError(
+            f"V2 checkpoint {posixpath.basename(layout['top_path'])!r} "
+            f"must carry exactly one checkpointMetadata action, found "
+            f"{len(cms)} — refusing a malformed snapshot"
+        )
+    cv = int(posixpath.basename(layout["top_path"]).split(".", 1)[0])
+    cmv = cms[0].get("version")
+    if cmv is None or int(cmv) != cv:
+        raise ValueError(
+            f"V2 checkpoint file for version {cv} carries "
+            f"checkpointMetadata.version={cmv!r} — refusing a "
+            "mislabeled snapshot"
+        )
+    if sidecars:
+        paths = []
+        for s in sidecars:
+            p = s["path"]
+            ap = (
+                p
+                if "://" in p or p.startswith("/")
+                else posixpath.join(log, "_sidecars", p)
+            )
+            if not fsutil.exists(spark, ap):
+                raise ValueError(
+                    f"V2 checkpoint sidecar {p!r} is missing — "
+                    "refusing a partial snapshot"
+                )
+            paths.append(ap)
+        return paths, True
+    if layout["control_json"] is not None:
+        raise ValueError(
+            "V2 JSON checkpoint without sidecar actions is not "
+            "supported by this native reader — use delta-spark"
+        )
+    return list(layout["control_paths"]), False
 
 
 def _last_checkpoint(spark: SparkSession, table_dir: str) -> dict | None:
@@ -290,45 +407,70 @@ def _replay_core(
     start_after = -1
     if ckpt is not None and int(ckpt["version"]) <= target:
         cv = int(ckpt["version"])
-        cpaths = _checkpoint_paths(spark, table_dir, ckpt)
-        cpath = cpaths  # list; every consumer scans the parts as one
-        cdf = spark.read.parquet(*cpaths)
-        cols = set(cdf.columns)
-        proto_rows = (
-            cdf.filter(F.col("protocol").isNotNull())
-            .select("protocol.*").collect()
-            if "protocol" in cols
-            else []
-        )
-        for r in proto_rows:
-            protocol = r.asDict(recursive=True)
-            _check_protocol(protocol)
-        meta_rows = (
-            cdf.filter(F.col("metaData").isNotNull())
-            .select("metaData.*").collect()
-            if "metaData" in cols
-            else []
-        )
-        if meta_rows:
-            meta = meta_rows[-1].asDict(recursive=True)
-            _check_metadata(meta)
+        layout = _checkpoint_layout(spark, table_dir, ckpt)
+        if layout["kind"] == "v2":
+            add_paths, _ = _v2_sidecar_paths(spark, table_dir, layout)
+        else:
+            add_paths = list(layout["control_paths"])
+        # control rows (protocol/metaData/txn) come from the TOP-LEVEL
+        # file: classic parts, a parquet V2 top, or the parsed JSON V2
+        # top (V2 sidecars hold file actions only, per the spec)
+        if layout["control_json"] is not None:
+            for action in layout["control_json"]:
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                    _check_protocol(protocol)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                    _check_metadata(meta)
+                elif "txn" in action:
+                    t = action["txn"]
+                    if t.get("appId") is not None:
+                        txns[t["appId"]] = int(t["version"])
+        else:
+            cdf = spark.read.parquet(*layout["control_paths"])
+            cols = set(cdf.columns)
+            proto_rows = (
+                cdf.filter(F.col("protocol").isNotNull())
+                .select("protocol.*").collect()
+                if "protocol" in cols
+                else []
+            )
+            for r in proto_rows:
+                protocol = r.asDict(recursive=True)
+                _check_protocol(protocol)
+            meta_rows = (
+                cdf.filter(F.col("metaData").isNotNull())
+                .select("metaData.*").collect()
+                if "metaData" in cols
+                else []
+            )
+            if meta_rows:
+                meta = meta_rows[-1].asDict(recursive=True)
+                _check_metadata(meta)
+            if "txn" in cols:
+                for r in (
+                    cdf.filter(F.col("txn").isNotNull())
+                    .select("txn").collect()
+                ):
+                    t = r["txn"].asDict(recursive=True)
+                    if t.get("appId") is not None:
+                        txns[t["appId"]] = int(t["version"])
         # the planning projection — collected ONLY in "full" mode
-        if adds == "full" and "add" in cols:
-            for r in (
-                cdf.filter(F.col("add").isNotNull()).select("add").collect()
-            ):
-                a = r["add"].asDict(recursive=True)
-                a["partitionValues"] = dict(a.get("partitionValues") or {})
-                active[a["path"]] = a
-        if "txn" in cols:
-            for r in (
-                cdf.filter(F.col("txn").isNotNull()).select("txn").collect()
-            ):
-                t = r["txn"].asDict(recursive=True)
-                if t.get("appId") is not None:
-                    txns[t["appId"]] = int(t["version"])
+        if adds == "full":
+            adf = spark.read.parquet(*add_paths)
+            if "add" in adf.columns:
+                for r in (
+                    adf.filter(F.col("add").isNotNull())
+                    .select("add").collect()
+                ):
+                    a = r["add"].asDict(recursive=True)
+                    a["partitionValues"] = dict(
+                        a.get("partitionValues") or {}
+                    )
+                    active[a["path"]] = a
         start_after = cv
-        ckpt_used = (cv, cpath)
+        ckpt_used = (cv, add_paths)
 
     # contiguity: the replay range must be gap-free from the checkpoint
     # (or from 0) — a foreign table whose early commits were cleaned up
@@ -906,7 +1048,9 @@ def read_table_changes_cdf(
     _commit_timestamp (in-commit timestamp preferred).
 
     Rows are read with the LATEST schema in range (the usual CDF
-    simplification); column-mapped tables are refused by name."""
+    simplification); column-mapped tables resolve physical names /
+    field ids exactly like the batch reader (``_change_type`` itself
+    is stored unmapped, per real Delta's change-file layout)."""
     root = table_dir.rstrip("/")
     versions = _commit_versions(spark, root)
     if ending_version is None:
@@ -925,15 +1069,61 @@ def read_table_changes_cdf(
             "that range is gone"
         )
     _, meta, _, _, _ = snapshot_actions(spark, root, int(ending_version))
-    if _cm_mode(meta) != "none":
-        raise ValueError(
-            "CDF reads on column-mapped tables are not supported by the "
-            "native reader — use delta-spark"
-        )
     schema_json = json.loads(meta["schemaString"])
     schema = StructType.fromJson(schema_json)
     part_cols = list(meta.get("partitionColumns") or [])
+    fields_json = schema_json.get("fields") or []
+    cm = _cm_mode(meta)
+    # column mapping: change/data files carry PHYSICAL names (name
+    # mode) / parquet field ids (id mode) and partitionValues are
+    # physically keyed — resolved like the batch reader's scan;
+    # _change_type itself is stored unmapped under its literal name
+    phys_of = {
+        f["name"]: (_physical_name(f) if cm != "none" else f["name"])
+        for f in fields_json
+    }
     data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_fields_json = [
+        f for f in fields_json if f["name"] not in part_cols
+    ]
+    if cm == "name":
+        base_read_fields = [
+            {
+                "name": _physical_name(f),
+                "type": _physical_type(f["type"]),
+                "nullable": f.get("nullable", True),
+                "metadata": {},
+            }
+            for f in data_fields_json
+        ]
+        read_col_of = phys_of
+    elif cm == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        base_read_fields = [
+            {
+                "name": f["name"],
+                "type": _field_id_type(f["type"]),
+                "nullable": f.get("nullable", True),
+                "metadata": {
+                    "parquet.field.id": int(
+                        (f.get("metadata") or {})["delta.columnMapping.id"]
+                    )
+                },
+            }
+            for f in data_fields_json
+        ]
+        read_col_of = {n: n for n in phys_of}
+    else:
+        base_read_fields = [
+            {
+                "name": f["name"],
+                "type": f["type"],
+                "nullable": f.get("nullable", True),
+                "metadata": {},
+            }
+            for f in data_fields_json
+        ]
+        read_col_of = {n: n for n in phys_of}
     by_type = {f.name: f.dataType for f in schema.fields}
     ts_of = {
         h["version"]: h["timestamp"] for h in delta_history(spark, root)
@@ -954,23 +1144,36 @@ def read_table_changes_cdf(
         groups: dict[tuple, list[str]] = {}
         for p, pv in files:
             groups.setdefault(
-                tuple(pv.get(c) for c in part_cols), []
+                tuple(pv.get(phys_of[c]) for c in part_cols), []
             ).append(p)
-        read_fields = list(data_fields)
-        read_schema = StructType(read_fields)
+        read_fields = list(base_read_fields)
         if change_type_from_file:
-            from pyspark.sql.types import StringType, StructField
-
-            read_schema = StructType(
-                read_fields + [StructField("_change_type", StringType())]
-            )
+            read_fields = read_fields + [
+                {
+                    "name": "_change_type",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ]
+        read_schema = StructType.fromJson(
+            {"type": "struct", "fields": read_fields}
+        )
+        proj = [
+            F.col(f"`{read_col_of[f.name]}`").cast(f.dataType).alias(f.name)
+            for f in data_fields
+        ]
         for key, paths in sorted(
             groups.items(),
             key=lambda kv: tuple((v is not None, v) for v in kv[0]),
         ):
             df = spark.read.schema(read_schema).parquet(*paths)
-            if not change_type_from_file:
-                df = df.withColumn("_change_type", F.lit(change_type))
+            if change_type_from_file:
+                df = df.select(*proj, F.col("_change_type"))
+            else:
+                df = df.select(*proj).withColumn(
+                    "_change_type", F.lit(change_type)
+                )
             for c, raw in zip(part_cols, key):
                 df = df.withColumn(
                     c,
@@ -1027,6 +1230,15 @@ def read_table_changes_cdf(
                 version=v,
             )
         if removes:
+            for r in removes:
+                if r.get("deletionVector"):
+                    raise ValueError(
+                        "CDF derivation over a deletion-vector commit "
+                        "is not supported by the native reader (the "
+                        "removed file's masked rows were never visible "
+                        "— deriving the full file as deletes would "
+                        "over-report) — use delta-spark"
+                    )
             gone = [
                 r["path"] for r in removes
                 if not fsutil.exists(spark, _abs(r["path"]))

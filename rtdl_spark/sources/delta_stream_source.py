@@ -13,8 +13,12 @@ contract delta-spark's streaming source implements:
   SKIPPED — the flag exists in the protocol precisely so streaming
   readers don't re-emit rewritten rows;
 - remove tombstones are ignored (appends-only streaming, like Delta's
-  default; deletes/updates under a streaming reader need CDF, which is
-  writer-v4 territory this engine refuses by name);
+  default); a commit with dataChange removes fails the stream by
+  default, with skipChangeCommits / ignoreDeletes / ignoreChanges as
+  the delta-spark-parity escapes; an EMITTED add that carries a
+  deletion vector (ignoreChanges re-emission, RESTORE re-add) yields
+  its VISIBLE rows — the DV mask is applied worker-side on the
+  physical row index as batches stream through the Arrow lane;
 - a missing commit file inside the replay range raises loudly (a
   cleaned-up tail cannot be streamed, same as delta-spark);
 - ``maxFilesPerTrigger`` (delta-spark's rate-limit option) bounds each
@@ -290,12 +294,19 @@ class _AddFilePartition(InputPartition):
         schema_json: str,
         part_cols: list[str],
         cm_json: str = "{}",
+        dv_json: str = "null",
+        table_dir: str = "",
     ):
         self.path = path
         self.partition_values = partition_values
         self.schema_json = schema_json
         self.part_cols = part_cols
         self.cm_json = cm_json
+        # deletion-vector descriptor (JSON or "null"): emitted rows are
+        # the file MINUS the mask, applied worker-side on the physical
+        # row index while batches stream through the Arrow lane
+        self.dv_json = dv_json
+        self.table_dir = table_dir
 
 
 class _DeltaStreamReader(DataSourceStreamReader):
@@ -454,14 +465,6 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 for a in actions
                 if "add" in a and a["add"].get("dataChange", True)
             ]
-            for a in commit_adds:
-                if a.get("deletionVector"):
-                    raise ValueError(
-                        "Delta deletion vectors unsupported by the "
-                        "streaming source — a DV add rewrites visibility "
-                        "of already-emitted rows (read the table in "
-                        "batch via read_delta_native instead)"
-                    )
             # change commit: data was REMOVED (DELETE/UPDATE/MERGE/
             # RESTORE) — already-emitted rows can no longer be retracted
             # downstream. delta-spark's posture, mirrored: fail loudly
@@ -499,6 +502,11 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         schema_json,
                         part_cols,
                         cm_json,
+                        # a DV-carrying add (re-emitted under
+                        # ignoreChanges, or a RESTORE re-add) yields its
+                        # VISIBLE rows — the mask applies at read time
+                        json.dumps(a.get("deletionVector")),
+                        self.table_dir,
                     )
                 )
         return parts or [
@@ -520,6 +528,21 @@ class _DeltaStreamReader(DataSourceStreamReader):
         mode = cm.get("mode", "none")
         fj_by_name = {f["name"]: f for f in cm.get("fields") or []}
         pf = pq.ParquetFile(partition.path)
+        # deletion vector: deleted PHYSICAL row positions, subtracted
+        # while batches stream through (iter_batches yields row groups
+        # in file order, so the running offset IS the physical index)
+        dv_desc = json.loads(partition.dv_json or "null")
+        dv_idx = None
+        if dv_desc:
+            import numpy as np
+
+            from rtdl_spark.sources.dv import deleted_row_indices_local
+
+            dv_idx = np.asarray(
+                deleted_row_indices_local(partition.table_dir, dv_desc),
+                dtype="int64",
+            )
+        row_off = 0
         # top-level file fields by matching key (parquet name, or
         # PARQUET:field_id under id mode — id-less file columns can
         # never match and are treated as dropped)
@@ -529,6 +552,16 @@ class _DeltaStreamReader(DataSourceStreamReader):
             if k is not None:
                 idx_by_key[k] = f.name
         for batch in pf.iter_batches():
+            if dv_idx is not None:
+                import numpy as np
+
+                phys = row_off + np.arange(batch.num_rows, dtype="int64")
+                row_off += batch.num_rows
+                keep = ~np.isin(phys, dv_idx)
+                if not keep.all():
+                    batch = batch.filter(pa.array(keep))
+                    if batch.num_rows == 0:
+                        continue
             n = batch.num_rows
             cols = []
             for field in arrow_schema:

@@ -54,6 +54,8 @@ import time
 import urllib.parse
 import uuid
 
+import pandas as pd  # module-level: pandas_udf resolves stringified
+# type hints against MODULE globals under future-annotations (NOTES trap)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -104,6 +106,10 @@ _SUPPORTED_WRITER_FEATURES = {
     "checkConstraints",
     # generated columns: omitted -> computed, provided -> validated
     "generatedColumns",
+    # identity columns: omitted -> generated from the start/step
+    # lattice with the high watermark advanced in the SAME commit;
+    # GENERATED ALWAYS refuses explicit values; UPDATE/MERGE refuse
+    "identityColumns",
 }
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -209,18 +215,13 @@ def _check_writer_protocol(protocol: dict) -> None:
 
     minWriterVersion 3 (CHECK constraints — ENFORCED at write,
     _enforce_constraints), 4 (CDF + generated columns — CDC files
-    emitted, generation expressions computed/validated) and 5 (column
-    mapping) are accepted; legacy column invariants and ops without
-    CDC support (MERGE, DV ops, RESTORE on CDF tables) refuse by name
-    at their own gates. Only v6 (identity columns) stays refused
-    wholesale."""
+    emitted, generation expressions computed/validated), 5 (column
+    mapping) and 6 (identity columns — values GENERATED on append/
+    overwrite with the high watermark advanced in the same commit) are
+    accepted; legacy column invariants and per-op gaps (MERGE/UPDATE
+    on identity tables, CM writer evolution, ...) refuse by name at
+    their own gates."""
     v = int(protocol.get("minWriterVersion", 1))
-    if v == 6:
-        raise ValueError(
-            f"Delta minWriterVersion {v} requires writer behavior "
-            "(identity columns) this native writer does not implement — "
-            "use delta-spark"
-        )
     if v == 7:
         unsupported = set(protocol.get("writerFeatures") or ()) - (
             _SUPPORTED_WRITER_FEATURES
@@ -347,6 +348,155 @@ def _complete_generated(df: DataFrame, meta: dict) -> DataFrame:
     return df.select(*order, *extra)
 
 
+def _identity_cols(meta: dict) -> dict[str, dict]:
+    """IDENTITY columns (writer version 6 / the identityColumns table
+    feature): {column: {start, step, hwm, explicit}} from the
+    delta.identity.* field-metadata keys. ``hwm`` is None until the
+    first generation commits a high watermark; ``explicit`` is the
+    spec's allowExplicitInsert (GENERATED BY DEFAULT vs ALWAYS)."""
+    out: dict[str, dict] = {}
+    try:
+        fields = json.loads(meta["schemaString"]).get("fields") or []
+    except Exception:
+        return out
+    for f in fields:
+        md = f.get("metadata") or {}
+        if (
+            "delta.identity.start" in md
+            or "delta.identity.step" in md
+            or "delta.identity.allowExplicitInsert" in md
+        ):
+            step = int(md.get("delta.identity.step", 1))
+            if step == 0:
+                raise ValueError(
+                    f"identity column {f['name']!r} has step 0 — "
+                    "corrupt table metadata"
+                )
+            if f.get("type") != "long":
+                raise ValueError(
+                    f"identity column {f['name']!r} must be type long, "
+                    f"got {f.get('type')!r}"
+                )
+            out[f["name"]] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": step,
+                "hwm": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md
+                    else None
+                ),
+                "explicit": bool(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ),
+            }
+    return out
+
+
+def _refuse_identity(meta: dict, operation: str) -> None:
+    """Ops that cannot maintain the identity duty (generating values /
+    never mutating them) refuse identity-column tables by name."""
+    if _identity_cols(meta):
+        raise ValueError(
+            f"{operation} on a table with IDENTITY columns is not "
+            "supported by this native writer (appends, overwrite, "
+            "DELETE WHERE and OPTIMIZE are) — use delta-spark"
+        )
+
+
+def _apply_identity(
+    spark: SparkSession, df: DataFrame, meta: dict
+) -> tuple[DataFrame, dict[str, int]]:
+    """Generate values for OMITTED identity columns and validate
+    provided ones (the writer duty behind minWriterVersion 6):
+
+    - a column with allowExplicitInsert=false (GENERATED ALWAYS) that
+      the frame PROVIDES refuses — real Delta rejects explicit inserts;
+    - provided values on a BY DEFAULT column pass through (per spec the
+      high watermark is not required to advance for explicit values —
+      delta-spark's ALTER ... SYNC IDENTITY exists for that);
+    - omitted columns get values from the start/step lattice CONTIGUOUS
+      after the current high watermark. Returns (frame, {col: new hwm})
+      — the commit must carry a metaData action with the new
+      highWaterMark (done by the caller in the SAME commit).
+
+    Scale shape: values are assigned with the zipWithIndex two-pass —
+    the frame is frozen (localCheckpoint), per-partition counts are one
+    tiny aggregate, and a narrow mapInPandas adds ``base + step *
+    (partition offset + local row number)``. No global sort, no single
+    partition; the only driver state is the num-partitions-sized offset
+    map."""
+    idents = _identity_cols(meta)
+    if not idents:
+        return df, {}
+    for c, d in idents.items():
+        if c in df.columns and not d["explicit"]:
+            raise ValueError(
+                f"identity column {c!r} is GENERATED ALWAYS "
+                "(allowExplicitInsert=false) — explicit values are not "
+                "allowed; omit the column and the writer generates them"
+            )
+    to_gen = [c for c in idents if c not in df.columns]
+    if not to_gen:
+        return df, {}
+
+    df = df.localCheckpoint(eager=True)  # freeze the partitioning
+    counts = {
+        r["pid"]: r["n"]
+        for r in df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    if n_total == 0:
+        # nothing to number; add typed null-free empty columns
+        for c in to_gen:
+            df = df.withColumn(c, F.lit(None).cast(LongType()))
+        return df, {}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    specs, new_hwms = {}, {}
+    for c in to_gen:
+        d = idents[c]
+        base = d["start"] if d["hwm"] is None else d["hwm"] + d["step"]
+        specs[c] = (base, d["step"])
+        new_hwms[c] = base + d["step"] * (n_total - 1)
+
+    out_fields = list(df.schema.fields) + [
+        StructField(c, LongType(), False) for c in to_gen
+    ]
+    out_schema = StructType(out_fields)
+
+    def _assign(iterator):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in iterator:
+            idx = offsets[pid] + seen + np.arange(len(pdf), dtype="int64")
+            for c, (base, step) in specs.items():
+                pdf[c] = base + step * idx
+            seen += len(pdf)
+            yield pdf
+
+    return df.mapInPandas(_assign, out_schema), new_hwms
+
+
+def _identity_schema_update(meta: dict, new_hwms: dict[str, int]) -> str:
+    """The table's schemaString with delta.identity.highWaterMark
+    advanced — patched from the TABLE's schema (never the frame's,
+    which carries no identity metadata)."""
+    sj = json.loads(meta["schemaString"])
+    for f in sj.get("fields") or []:
+        if f["name"] in new_hwms:
+            md = dict(f.get("metadata") or {})
+            md["delta.identity.highWaterMark"] = new_hwms[f["name"]]
+            f["metadata"] = md
+    return json.dumps(sj, separators=(",", ":"))
+
+
 def _check_cm_supported(meta: dict, operation: str) -> str:
     """Per-op column-mapping gate → the mode. Ops that rewrite THROUGH
     the logical scan and re-stage (append, DELETE, UPDATE) handle CM;
@@ -364,19 +514,6 @@ def _cdf_enabled(meta: dict) -> bool:
     return (meta.get("configuration") or {}).get(
         "delta.enableChangeDataFeed"
     ) == "true"
-
-
-def _refuse_cdf(meta: dict, operation: str) -> None:
-    """Ops whose change rows this writer cannot yet derive refuse CDF
-    tables by name — committing without the cdc actions would make CDF
-    readers derive WRONG changes from the add/remove actions."""
-    if _cdf_enabled(meta):
-        raise ValueError(
-            f"{operation} on a table with delta.enableChangeDataFeed="
-            "true is not supported by this native writer (appends, "
-            "overwrite, DELETE WHERE and UPDATE WHERE are; use "
-            "delta-spark for the rest)"
-        )
 
 
 def _refuse_cm(meta: dict, operation: str) -> None:
@@ -435,26 +572,72 @@ def _physical_fieldid_type(type_json):
     return type_json
 
 
-def _to_physical(spark: SparkSession, df: DataFrame, meta: dict) -> DataFrame:
+def _to_physical(
+    spark: SparkSession,
+    df: DataFrame,
+    meta: dict,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """Rename a LOGICAL-schema frame to the table's PHYSICAL write
     layout: physical column names at every nesting level (cast renames
     struct children positionally — safe, both sides come from the same
     schemaString order) plus parquet field ids attached via ``.to``
     (field-id metadata rides only on schema, not through alias). The
     session's fieldId.write conf is flipped on so the ids actually
-    reach the parquet footers."""
+    reach the parquet footers. ``extra_cols`` pass through under their
+    own names with no mapping (the CDF writer's ``_change_type`` —
+    real Delta stores it unmapped in change files too).
+
+    The physical schema is relaxed to ALL-NULLABLE before ``.to``:
+    that call exists only to attach field-id metadata, but it also
+    enforces nullability flags — and a frame that passed through
+    filter/cast is statically nullable even when its rows provably
+    aren't (NOT NULL is enforced at runtime by _enforce_not_null;
+    parquet optional-ness carries no Delta semantics, the table schema
+    lives in metaData). Without the relax, CM DELETE/UPDATE on a table
+    with any non-nullable column failed with NULLABLE_COLUMN_OR_FIELD
+    (r7 fix)."""
     fields_json = json.loads(meta["schemaString"]).get("fields") or []
     from pyspark.sql.types import StructType as _St
 
+    pfields = [_physical_fieldid_field(f) for f in fields_json]
+    extras = list(extra_cols or [])
+
+    def _relax(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {
+                    **t,
+                    "fields": [
+                        {**f, "nullable": True, "type": _relax(f["type"])}
+                        for f in t.get("fields") or []
+                    ],
+                }
+            if t.get("type") == "array":
+                return {**t, "elementType": _relax(t["elementType"])}
+            if t.get("type") == "map":
+                return {**t, "keyType": _relax(t["keyType"]),
+                        "valueType": _relax(t["valueType"])}
+        return t
+
+    pfields = [
+        {**f, "nullable": True, "type": _relax(f["type"])}
+        for f in pfields
+    ]
     pschema = _St.fromJson(
         {
             "type": "struct",
-            "fields": [_physical_fieldid_field(f) for f in fields_json],
+            "fields": pfields
+            + [
+                df.schema[c].jsonValue()
+                for c in extras
+            ],
         }
     )
     cols = []
     for f, pf in zip(fields_json, pschema.fields):
         cols.append(F.col(f"`{f['name']}`").cast(pf.dataType).alias(pf.name))
+    cols += [F.col(f"`{c}`") for c in extras]
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     return df.select(*cols).to(pschema)
 
@@ -828,6 +1011,42 @@ def write_delta_native(
         # omitted GENERATED columns are computed before the schema
         # check (delta-spark's writer does the same)
         df = _complete_generated(df, meta)
+    # IDENTITY columns: omitted -> generated (before the schema check),
+    # provided -> validated against allowExplicitInsert. An overwrite
+    # that REPLACES the schema (frame doesn't match the table modulo
+    # omitted identity columns) carries the user's own definition and
+    # skips the duty.
+    identity_hwms: dict[str, int] = {}
+    identity_based: dict[str, int] = {}
+    if meta is not None:
+        idents = _identity_cols(meta)
+        if idents:
+            tnames = [
+                f["name"]
+                for f in json.loads(meta["schemaString"]).get("fields")
+                or []
+            ]
+            frame_matches = set(df.columns) <= set(tnames) and (
+                set(tnames) - set(df.columns) <= set(idents)
+            )
+            if mode == "append" or frame_matches:
+                if merge_schema:
+                    raise ValueError(
+                        "mergeSchema on a table with IDENTITY columns "
+                        "is not supported by this native writer — use "
+                        "delta-spark"
+                    )
+                df, identity_hwms = _apply_identity(spark, df, meta)
+                # table-order the frame: the exact-schema check is
+                # order-sensitive and generation appends at the end
+                # (unknown extra columns stay — the schema check must
+                # still see and refuse them, never a silent drop)
+                order = [c for c in tnames if c in df.columns]
+                extra = [c for c in df.columns if c not in set(order)]
+                df = df.select(*order, *extra)
+                identity_based = {
+                    c: idents[c]["hwm"] for c in identity_hwms
+                }
     schema_json = df.schema.json()
     commit_schema_json = schema_json  # what a metaData action would carry
     if meta is not None and mode == "append":
@@ -928,17 +1147,38 @@ def write_delta_native(
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-        if creating or replacing_meta or evolving:
+        if creating or replacing_meta or evolving or identity_hwms:
+            if identity_hwms:
+                # patched from the TABLE's schema — the frame's carries
+                # no identity metadata and would wipe the definitions
+                meta_schema = _identity_schema_update(meta, identity_hwms)
+            elif evolving:
+                meta_schema = commit_schema_json
+            else:
+                meta_schema = schema_json
             actions.append(
                 {
                     "metaData": {
                         "id": str(uuid.uuid4()) if creating else meta["id"],
+                        # table name/description/configuration survive
+                        # schema evolution and overwrite — wiping them
+                        # would silently disable CDF/DV/appendOnly and
+                        # drop catalog identity (r7 fix; delta-spark
+                        # keeps table properties through both)
+                        **(
+                            {}
+                            if creating
+                            else {
+                                "name": meta.get("name"),
+                                "description": meta.get("description"),
+                            }
+                        ),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": commit_schema_json
-                        if evolving
-                        else schema_json,
+                        "schemaString": meta_schema,
                         "partitionColumns": part_cols,
-                        "configuration": {},
+                        "configuration": {}
+                        if creating
+                        else dict(meta.get("configuration") or {}),
                         "createdTime": ts
                         if creating
                         else meta.get("createdTime"),
@@ -992,6 +1232,15 @@ def write_delta_native(
         _check_protocol(protocol)
         _check_writer_protocol(protocol)
         _check_no_invariants(meta)
+        if identity_hwms:
+            cur_idents = _identity_cols(meta)
+            for c, based in identity_based.items():
+                if (cur_idents.get(c) or {}).get("hwm") != based:
+                    raise DeltaConcurrentWriteError(
+                        f"concurrent identity high-watermark change on "
+                        f"{c!r} — the staged values may collide with "
+                        "the concurrent writer's; re-run the write"
+                    )
         if mode == "append":
             if _cm_mode(meta) != cm_staged:
                 raise DeltaConcurrentWriteError(
@@ -1384,6 +1633,13 @@ def _rewrite_where(
         bad = [c for c in set_exprs if c not in schema.fieldNames()]
         if bad:
             raise ValueError(f"SET columns not in the table schema: {bad}")
+        id_set = sorted(set(set_exprs) & set(_identity_cols(meta)))
+        if id_set:
+            raise ValueError(
+                f"UPDATE on IDENTITY columns {id_set} is not supported "
+                "(real Delta refuses the same — identity values are "
+                "never mutated)"
+            )
 
     tbl, path_to_add = _active_scan(spark, root, meta, active)
     cond = F.coalesce(F.expr(condition), F.lit(False))
@@ -1417,12 +1673,6 @@ def _rewrite_where(
     # the changed rows — delete preimages, update pre+post images
     cdc_actions: list[dict] = []
     if _cdf_enabled(meta):
-        if _cm_mode(meta) != "none":
-            raise ValueError(
-                f"{operation} with BOTH column mapping and change data "
-                "feed enabled is not supported by this native writer — "
-                "use delta-spark"
-            )
         matched_rows = arows.filter(cond)
         if set_exprs is None:
             changes = matched_rows.withColumn(
@@ -1441,33 +1691,9 @@ def _rewrite_where(
                     "_change_type", F.lit("update_postimage")
                 )
             )
-        cdc_stage = posixpath.join(
-            root, f"_staging-cdc-{uuid.uuid4().hex[:12]}"
+        cdc_actions = _stage_cdc(
+            spark, root, changes, col_order, part_cols, meta
         )
-        w = changes.select(*col_order, "_change_type").write.mode(
-            "overwrite"
-        )
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(cdc_stage)
-        try:
-            cdc_adds = _promote_staged(
-                spark, root, cdc_stage, part_cols, False,
-                dest_prefix="_change_data",
-            )
-        finally:
-            fsutil.delete(spark, cdc_stage)
-        cdc_actions = [
-            {
-                "cdc": {
-                    "path": a["path"],
-                    "partitionValues": a.get("partitionValues") or {},
-                    "size": a["size"],
-                    "dataChange": False,
-                }
-            }
-            for a in cdc_adds
-        ]
 
     # column mapping: the rewrite is computed in LOGICAL terms, staged
     # back in the table's PHYSICAL layout (names + field ids)
@@ -1523,6 +1749,97 @@ def delete_where_delta_native(
     marks rows via deletion vectors instead — zero data bytes
     rewritten."""
     return _rewrite_where(spark, table_dir, condition, None, "DELETE")
+
+
+def _mask_prior_dvs(
+    root: str, tbl: DataFrame, path_to_add: dict[str, dict]
+) -> DataFrame:
+    """Drop rows already masked by the table's EXISTING deletion
+    vectors from an ``_active_scan`` frame. The scan reads the physical
+    files verbatim, so without this filter a DV DELETE would re-match
+    previously-deleted rows and — far worse — a DV UPDATE would
+    RESURRECT them as freshly appended "updated" rows. ``tbl`` must
+    carry ``_FP_COL`` (plain decoded path) and ``_RI_COL``; the keep
+    test is the reader's Arrow-batched bitmap membership, keyed by the
+    plain path directly (no re-decoding — _FP_COL is already the
+    decoded form, unlike _metadata.file_path)."""
+    dv_by_plain = {
+        p: dict(a["deletionVector"])
+        for p, a in path_to_add.items()
+        if a.get("deletionVector")
+    }
+    if not dv_by_plain:
+        return tbl
+    from pyspark.sql.functions import pandas_udf
+
+    from rtdl_spark.sources.delta_reader import _dv_indices_cached
+
+    @pandas_udf("boolean")
+    def keep(fp: pd.Series, ri: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.ones(len(fp), dtype=bool)
+        for pth in fp.unique():
+            desc = dv_by_plain.get(pth)
+            if desc is None:
+                continue
+            arr = _dv_indices_cached(root, pth, desc)
+            m = (fp == pth).values
+            out[m] = ~np.isin(ri.values[m], arr)
+        return pd.Series(out)
+
+    return tbl.filter(keep(F.col(_FP_COL), F.col(_RI_COL)))
+
+
+def _stage_cdc(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    col_order: list[str],
+    part_cols: list[str],
+    meta: dict | None = None,
+) -> list[dict]:
+    """Write a ``_change_type``-carrying frame as ``_change_data`` files
+    and return the commit's ``cdc`` actions (shared by the rewrite path
+    and the DV DELETE/UPDATE paths). The frame is staged partitioned
+    like the data and promoted under ``_change_data/`` — hidden from
+    plain-parquet readers and from vacuum's file index; log-retention
+    cleanup is their reclamation point. Under column mapping the change
+    files use the table's PHYSICAL layout like the data files do
+    (``_change_type`` itself stays unmapped — real Delta stores it
+    under its literal name)."""
+    sel = changes.select(*col_order, "_change_type")
+    stage_part_cols = list(part_cols)
+    if meta is not None and _cm_mode(meta) != "none":
+        fields_json = json.loads(meta["schemaString"]).get("fields") or []
+        phys_of = {f["name"]: _physical_name(f) for f in fields_json}
+        sel = _to_physical(spark, sel, meta, extra_cols=["_change_type"])
+        stage_part_cols = [phys_of[c] for c in part_cols]
+    cdc_stage = posixpath.join(
+        root, f"_staging-cdc-{uuid.uuid4().hex[:12]}"
+    )
+    w = sel.write.mode("overwrite")
+    if stage_part_cols:
+        w = w.partitionBy(*stage_part_cols)
+    w.parquet(cdc_stage)
+    try:
+        cdc_adds = _promote_staged(
+            spark, root, cdc_stage, stage_part_cols, False,
+            dest_prefix="_change_data",
+        )
+    finally:
+        fsutil.delete(spark, cdc_stage)
+    return [
+        {
+            "cdc": {
+                "path": a["path"],
+                "partitionValues": a.get("partitionValues") or {},
+                "size": a["size"],
+                "dataChange": False,
+            }
+        }
+        for a in cdc_adds
+    ]
 
 
 def _write_dvs_for(
@@ -1644,7 +1961,9 @@ def delete_where_delta_dv(
     (the add carries the new descriptor, dataChange=true, stats kept —
     numRecords stays the PHYSICAL count per the spec). Readers
     (sources/delta_reader.py) subtract the bitmap; the streaming
-    source refuses DV adds loudly.
+    source treats the commit as a change commit (fail by default,
+    skipChangeCommits/ignoreChanges escapes — an emitted DV add
+    yields its visible rows).
 
     Returns {"version", "files_marked", "files_removed",
     "rows_deleted"} (rows_deleted counts NEWLY deleted positions)."""
@@ -1655,7 +1974,6 @@ def delete_where_delta_dv(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
-    _refuse_cdf(meta, "DV DELETE")
     _refuse_cm(meta, "DV DELETE")
     conf = meta.get("configuration") or {}
     if conf.get("delta.appendOnly") == "true":
@@ -1684,7 +2002,15 @@ def delete_where_delta_dv(
             "rows_deleted": 0,
         }
     cond = F.coalesce(F.expr(condition), F.lit(False))
-    matched = tbl.filter(cond).select(
+    # previously-masked rows are NOT visible: re-matching them is
+    # harmless for the bitmap merge but would poison the CDF delete
+    # rows, so the scan subtracts existing DVs up front
+    matched_rows = _mask_prior_dvs(root, tbl, path_to_add).filter(cond)
+    cdf = _cdf_enabled(meta)
+    if cdf:
+        # two consumers (DV build + change rows) must see identical rows
+        matched_rows = matched_rows.localCheckpoint(eager=True)
+    matched = matched_rows.select(
         F.col(_FP_COL).alias("fp"), F.col(_RI_COL).alias("ri")
     )
     desc_rows = _write_dvs_for(spark, root, matched, path_to_add)
@@ -1693,6 +2019,19 @@ def delete_where_delta_dv(
             "version": None, "files_marked": 0, "files_removed": 0,
             "rows_deleted": 0,
         }
+    # change data feed: a DV attach is remove+add of the SAME path —
+    # derivation from add/remove cannot express it, so the commit must
+    # carry cdc actions holding exactly the deleted rows
+    cdc_actions: list[dict] = []
+    if cdf:
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        cdc_actions = _stage_cdc(
+            spark,
+            root,
+            matched_rows.withColumn("_change_type", F.lit("delete")),
+            [f.name for f in schema.fields],
+            list(meta.get("partitionColumns") or []),
+        )
 
     ts = _now_ms()
     removes, adds = [], []
@@ -1740,12 +2079,14 @@ def delete_where_delta_dv(
         adds,
         ts,
         meta,
+        extra_actions=cdc_actions,
     )
     return {
         "version": version,
         "files_marked": n_marked,
         "files_removed": n_removed,
         "rows_deleted": n_rows,
+        "cdc_files": len(cdc_actions),
     }
 
 
@@ -1778,7 +2119,6 @@ def update_where_delta_dv(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
-    _refuse_cdf(meta, "DV UPDATE")
     _refuse_cm(meta, "DV UPDATE")
     conf = meta.get("configuration") or {}
     if conf.get("delta.appendOnly") == "true":
@@ -1802,6 +2142,13 @@ def update_where_delta_dv(
     bad = [c for c in set_exprs if c not in schema.fieldNames()]
     if bad:
         raise ValueError(f"SET columns not in the table schema: {bad}")
+    id_set = sorted(set(set_exprs) & set(_identity_cols(meta)))
+    if id_set:
+        raise ValueError(
+            f"UPDATE on IDENTITY columns {id_set} is not supported "
+            "(real Delta refuses the same — identity values are "
+            "never mutated)"
+        )
 
     tbl, path_to_add = _active_scan(
         spark, root, meta, active, with_row_index=True
@@ -1815,8 +2162,15 @@ def update_where_delta_dv(
     col_order = [f.name for f in schema.fields]
 
     # pass 1: the updated rows, staged as NEW files (localCheckpoint
-    # freezes the matched set so the DV pass masks exactly these rows)
-    updated = tbl.filter(cond).localCheckpoint(eager=True)
+    # freezes the matched set so the DV pass masks exactly these rows).
+    # Existing DVs are subtracted FIRST: the raw scan reads physical
+    # files, and updating a previously-deleted row would RESURRECT it
+    # as a fresh append.
+    updated = (
+        _mask_prior_dvs(root, tbl, path_to_add)
+        .filter(cond)
+        .localCheckpoint(eager=True)
+    )
     n_rows = updated.count()
     if n_rows == 0:
         return {
@@ -1839,6 +2193,24 @@ def update_where_delta_dv(
         adds = _promote_staged(spark, root, staging, part_cols, True)
     finally:
         fsutil.delete(spark, staging)
+
+    # change data feed: matched rows as update pre-images, their new
+    # versions as post-images (the DV remove+add pair is not derivable)
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(meta):
+        cdc_actions = _stage_cdc(
+            spark,
+            root,
+            updated.select(*col_order)
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                new_rows.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            ),
+            col_order,
+            part_cols,
+        )
 
     # pass 2: mask the old versions via per-file executor-written DVs
     masked = _write_dvs_for(
@@ -1895,6 +2267,7 @@ def update_where_delta_dv(
         adds,
         ts,
         meta,
+        extra_actions=cdc_actions,
     )
     return {
         "version": version,
@@ -1902,6 +2275,7 @@ def update_where_delta_dv(
         "files_removed": n_removed,
         "files_added": len(adds) - n_marked,
         "rows_updated": n_rows,
+        "cdc_files": len(cdc_actions),
     }
 
 
@@ -1962,6 +2336,7 @@ def merge_into_delta_native(
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
     _refuse_cm(meta, "MERGE")
+    _refuse_identity(meta, "MERGE")
     _check_no_active_dvs(active, "MERGE")
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
         raise ValueError("table is delta.appendOnly=true; MERGE rewrites")
@@ -2073,33 +2448,9 @@ def merge_into_delta_native(
             changes = change_frames[0]
             for cf in change_frames[1:]:
                 changes = changes.unionByName(cf)
-            cdc_stage = posixpath.join(
-                root, f"_staging-cdc-{uuid.uuid4().hex[:12]}"
+            cdc_actions = _stage_cdc(
+                spark, root, changes, col_order, part_cols
             )
-            w = changes.select(*col_order, "_change_type").write.mode(
-                "overwrite"
-            )
-            if part_cols:
-                w = w.partitionBy(*part_cols)
-            w.parquet(cdc_stage)
-            try:
-                cdc_adds = _promote_staged(
-                    spark, root, cdc_stage, part_cols, False,
-                    dest_prefix="_change_data",
-                )
-            finally:
-                fsutil.delete(spark, cdc_stage)
-            cdc_actions = [
-                {
-                    "cdc": {
-                        "path": a["path"],
-                        "partitionValues": a.get("partitionValues") or {},
-                        "size": a["size"],
-                        "dataChange": False,
-                    }
-                }
-                for a in cdc_adds
-            ]
 
     out = _enforce_not_null(out, meta["schemaString"])
     out = _enforce_constraints(out, meta)
@@ -2169,7 +2520,6 @@ def restore_delta_native(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
-    _refuse_cdf(meta, "RESTORE")
     if int(version) == current:
         return {
             "version": None,
@@ -2181,8 +2531,39 @@ def restore_delta_native(
         spark, root, version=int(version)
     )
 
-    to_remove = sorted(set(active_now) - set(active_v))
-    to_add = sorted(set(active_v) - set(active_now))
+    # the diff is on (path, DELETION-VECTOR identity), not path alone:
+    # a file active in both versions whose DV changed in between (rows
+    # deleted or un-deleted via DV DELETE/UPDATE) must have its add
+    # REPLACED, or the restored table keeps the current mask and its
+    # row set is silently wrong — delta-spark's RESTORE matches files
+    # the same way. remove+add of the same path in one commit nets to
+    # the target add under the reader's per-commit remove-then-add
+    # replay (the DV-attach commit shape).
+    from rtdl_spark.sources.delta_reader import _dv_tuple
+
+    changed_dv = sorted(
+        p
+        for p in set(active_now) & set(active_v)
+        if _dv_tuple(active_now[p]) != _dv_tuple(active_v[p])
+    )
+    to_remove = sorted(set(active_now) - set(active_v)) + changed_dv
+    to_add = sorted(set(active_v) - set(active_now)) + changed_dv
+
+    # change data feed: a RESTORE commit carries no cdc actions — its
+    # changes derive from the full-file add/remove actions per spec
+    # (adds -> inserts, removes -> deletes), which is exact only while
+    # no involved file carries a DV (masked rows would over-report)
+    if _cdf_enabled(meta) and (
+        changed_dv
+        or any(active_v[p].get("deletionVector") for p in to_add)
+        or any(active_now[p].get("deletionVector") for p in to_remove)
+    ):
+        raise ValueError(
+            "RESTORE on a change-data-feed table whose restore diff "
+            "involves deletion vectors is not supported by this native "
+            "writer (the change rows are not derivable from add/remove "
+            "actions) — use delta-spark"
+        )
     fs_prefix = _fs_prefix(root)
     for rel in to_add:
         abs_plain = _plain(
@@ -2217,9 +2598,26 @@ def restore_delta_native(
         != dict(meta.get("configuration") or {})
     )
     ts = _now_ms()
-    extra = (
-        [{"metaData": {**meta_v, "id": meta["id"]}}] if meta_changed else []
-    )
+    extra = []
+    if meta_changed:
+        restored_meta = {**meta_v, "id": meta["id"]}
+        # IDENTITY high watermark never regresses: restoring the old
+        # watermark would make future generated values collide with
+        # rows written after the restore point (delta-spark's RESTORE
+        # protects the watermark the same way)
+        cur_id = _identity_cols(meta)
+        tgt_id = _identity_cols(meta_v)
+        keep = {}
+        for c, d in cur_id.items():
+            if c in tgt_id and d["hwm"] is not None:
+                t, step = tgt_id[c]["hwm"], d["step"]
+                if t is None or (step > 0) == (d["hwm"] > t) and d["hwm"] != t:
+                    keep[c] = d["hwm"]
+        if keep:
+            restored_meta["schemaString"] = _identity_schema_update(
+                {"schemaString": restored_meta["schemaString"]}, keep
+            )
+        extra = [{"metaData": restored_meta}]
     removes = [
         {
             "path": rel,

@@ -152,16 +152,144 @@ def test_cdf_merge_emits_full_change_set(spark, tmp_path):
 
 
 def test_cdf_refusals(spark, tmp_path):
-    """Ops whose change rows we cannot derive refuse CDF tables by
-    name; a cleaned-up range refuses."""
-    from rtdl_spark.sources.delta_writer import restore_delta_native
-
+    """A cleaned-up range refuses loudly."""
     root = _cdf_table(spark, tmp_path)
-    with pytest.raises(ValueError, match="ChangeDataFeed"):
-        restore_delta_native(spark, root, 0)
-
     with pytest.raises(ValueError, match="missing commit"):
         read_table_changes_cdf(spark, root, 0, 99)
+
+
+def _dv_cdf_table(spark, tmp_path, name="dvcdf"):
+    """A table with BOTH deletion vectors and change data feed enabled
+    (protocol v3/v7 with the features) — 30 rows, 3 partitions."""
+    root = str(tmp_path / name)
+    df = spark.range(0, 30).select(
+        "id", (F.col("id") % 3).cast("string").alias("p")
+    ).repartition(2)
+    write_delta_native(
+        spark, df, root, partition_by=["p"], checkpoint_interval=0
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, root)
+    with open(
+        os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "appendOnly",
+                               "invariants", "changeDataFeed"]}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta,
+            "configuration": {
+                "delta.enableDeletionVectors": "true",
+                "delta.enableChangeDataFeed": "true",
+            }}}) + "\n")
+    return root
+
+
+def test_cdf_dv_delete_emits_only_newly_deleted(spark, tmp_path):
+    """DV DELETE on a CDF table: a DV attach is remove+add of the SAME
+    path (not derivable), so the commit carries cdc actions holding
+    exactly the newly deleted rows — previously-masked rows never
+    reappear in a later commit's change set."""
+    from rtdl_spark.sources.delta_writer import delete_where_delta_dv
+
+    root = _dv_cdf_table(spark, tmp_path)
+    res = delete_where_delta_dv(spark, root, "id % 5 = 0")
+    assert res["cdc_files"] >= 1
+    ch = read_table_changes_cdf(spark, root, res["version"], res["version"])
+    assert sorted((r["id"], r["_change_type"]) for r in ch.collect()) == [
+        (i, "delete") for i in range(30) if i % 5 == 0
+    ]
+
+    # overlapping second delete: cdc holds ONLY the newly masked rows
+    res2 = delete_where_delta_dv(spark, root, "id % 2 = 0")
+    ch2 = read_table_changes_cdf(
+        spark, root, res2["version"], res2["version"]
+    )
+    assert sorted(r["id"] for r in ch2.collect()) == [
+        i for i in range(30) if i % 2 == 0 and i % 5 != 0
+    ]
+
+
+def test_cdf_dv_update_emits_pre_and_post_images(spark, tmp_path):
+    """DV UPDATE on a CDF table: matched rows as update_preimage, their
+    new versions as update_postimage — and rows already DV-deleted are
+    neither updated nor reported."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_dv,
+        update_where_delta_dv,
+    )
+
+    root = _dv_cdf_table(spark, tmp_path)
+    delete_where_delta_dv(spark, root, "id = 7")
+    res = update_where_delta_dv(spark, root, "id % 7 = 0", {"id": "id + 1000"})
+    assert res["rows_updated"] == 4  # 0,14,21,28 — NOT the deleted 7
+    ch = read_table_changes_cdf(spark, root, res["version"], res["version"])
+    assert sorted((r["id"], r["_change_type"]) for r in ch.collect()) == (
+        sorted(
+            [(i, "update_preimage") for i in (0, 14, 21, 28)]
+            + [(i + 1000, "update_postimage") for i in (0, 14, 21, 28)]
+        )
+    )
+
+
+def test_cdf_restore_derives_and_dv_diff_refuses(spark, tmp_path):
+    """RESTORE on a CDF table commits full-file adds/removes with no
+    cdc actions — the reader derives inserts/deletes per spec. A
+    restore diff involving deletion vectors refuses by name (masked
+    rows would over-report)."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_dv,
+        restore_delta_native,
+    )
+
+    root = _cdf_table(spark, tmp_path)
+    write_delta_native(                                     # v2 append
+        spark,
+        spark.range(100, 110).select("id", F.lit("0").alias("p")),
+        root,
+        checkpoint_interval=0,
+    )
+    res = restore_delta_native(spark, root, 1)              # v3 restore
+    ch = read_table_changes_cdf(spark, root, res["version"], res["version"])
+    assert sorted((r["id"], r["_change_type"]) for r in ch.collect()) == [
+        (i, "delete") for i in range(100, 110)
+    ]
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == list(range(20))
+
+    dv_root = _dv_cdf_table(spark, tmp_path)
+    r = delete_where_delta_dv(spark, dv_root, "id % 5 = 0")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        restore_delta_native(spark, dv_root, r["version"] - 1)
+
+
+def test_cdf_derivation_refuses_dv_carrying_remove(spark, tmp_path):
+    """A cdc-less commit whose REMOVE carries a deletion vector is not
+    derivable (the masked rows were never visible; reading the full
+    file as deletes would over-report) — the reader refuses by name
+    instead of returning a silently wrong change set."""
+    root = _cdf_table(spark, tmp_path)
+    _, _, active, current, _ = snapshot_actions(spark, root)
+    rel = sorted(active)[0]
+    a = active[rel]
+    with open(
+        os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 3, "operation": "DELETE"}}) + "\n")
+        f.write(json.dumps({"remove": {
+            "path": a["path"], "deletionTimestamp": 3, "dataChange": True,
+            "deletionVector": {
+                "storageType": "u", "pathOrInlineDv": "ab^-aazzz",
+                "offset": 1, "sizeInBytes": 10, "cardinality": 2,
+            }}}) + "\n")
+    with pytest.raises(ValueError, match="deletion-vector"):
+        read_table_changes_cdf(
+            spark, root, current + 1, current + 1
+        ).collect()
 
 
 def test_cdf_appends_still_work_and_plain_tables_untouched(
@@ -229,3 +357,71 @@ def test_log_cleanup_reaps_orphaned_cdc_files(spark, tmp_path):
     assert sorted((r["_change_type"], r["id"]) for r in ch.collect()) == [
         ("delete", 4)
     ]
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_cdf_on_column_mapped_table(spark, tmp_path, mode):
+    """CM x CDF (r7, was refused by name): change files stage in the
+    table's PHYSICAL layout (physical names + field ids; _change_type
+    unmapped, like real Delta) and the CDF reader resolves them back to
+    logical names in both modes — including physically-keyed partition
+    values on the change rows."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tests.test_delta_writer import _mk_cm_table
+
+    root = _mk_cm_table(spark, tmp_path, mode)
+    _, meta, _, current, _ = snapshot_actions(spark, root)
+    with open(
+        os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "SET TBLPROPERTIES"}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta,
+            "configuration": {
+                **(meta.get("configuration") or {}),
+                "delta.enableChangeDataFeed": "true",
+            }}}) + "\n")
+
+    inner = StructType([
+        StructField("inner", StringType(), True),
+        StructField("j", LongType(), True),
+    ])
+    frame = spark.createDataFrame(
+        [(3, ("z", 30), "west"), (4, ("w", 40), "east")],
+        StructType([
+            StructField("id", LongType(), True),
+            StructField("s", inner, True),
+            StructField("p", StringType(), True),
+        ]),
+    )
+    write_delta_native(spark, frame, root, checkpoint_interval=0)   # v2
+    res = delete_where_delta_native(spark, root, "id = 2")          # v3
+    assert res["cdc_files"] >= 1
+    res2 = update_where_delta_native(                               # v4
+        spark, root, "id = 3", {"id": "id + 100"}
+    )
+    assert res2["cdc_files"] >= 1
+
+    ch = read_table_changes_cdf(spark, root, 2, 4)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["p"],
+         r["s"]["inner"])
+        for r in ch.collect()
+    )
+    assert rows == [
+        (2, "insert", 3, "west", "z"),
+        (2, "insert", 4, "east", "w"),
+        (3, "delete", 2, "east", "y"),
+        (4, "update_postimage", 103, "west", "z"),
+        (4, "update_preimage", 3, "west", "z"),
+    ]
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [1, 3, 4] or got == [1, 103, 4] or sorted(got) == [1, 4, 103]
+    assert sorted(got) == [1, 4, 103]

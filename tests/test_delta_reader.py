@@ -12,6 +12,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from rtdl_spark.sources.delta_reader import (
     delta_history,
@@ -263,18 +264,19 @@ def test_delta_native_rejects_unsupported_features(spark, tmp_path):
     with pytest.raises(ValueError, match="minReaderVersion 4"):
         read_delta_native(spark, t)
 
-    # deletionVectors became READ-supported in round 7 (tests/test_dv.py);
-    # an UNKNOWN future reader feature still refuses by name
+    # deletionVectors (r7), v2Checkpoint (r7) and column mapping (r6)
+    # all became READ-supported; an UNKNOWN future reader feature still
+    # refuses by name
     t = fresh("future_feature")
     _commit(
         t, 0,
         [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["v2Checkpoint"]}},
+                          "readerFeatures": ["someFutureFeature"]}},
             _meta(schema_json),
         ],
     )
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="someFutureFeature"):
         read_delta_native(spark, t)
 
     t = fresh("cm")
@@ -880,3 +882,194 @@ def test_type_widening_reads(spark, tmp_path):
     got0 = read_delta_native(spark, table, version=0)
     assert dict(got0.dtypes)["id"] == "int"
     assert sorted(r["id"] for r in got0.collect()) == [1, 2]
+
+
+def _v2_checkpoint_fixture(spark, tmp_path, json_top=False,
+                           wrong_cm_version=False):
+    """Hand-built V2 (UUID-named) checkpoint per the published layout:
+    top-level {v}.checkpoint.<uuid>.{parquet|json} carrying exactly one
+    checkpointMetadata action + sidecar actions + protocol/metaData;
+    file actions in _delta_log/_sidecars/<uuid>.parquet. Pre-checkpoint
+    commits are DELETED so a successful read proves the snapshot came
+    through the v2 layout."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root = str(tmp_path / "v2ck")
+    write_delta_native(
+        spark,
+        spark.range(0, 10).select(
+            "id", (F.col("id") % 2).cast("string").alias("p")
+        ),
+        root, partition_by=["p"], checkpoint_interval=0,
+    )
+    write_delta_native(
+        spark,
+        spark.range(10, 20).select(
+            "id", (F.col("id") % 2).cast("string").alias("p")
+        ),
+        root, checkpoint_interval=0,
+    )
+    _, meta, active, current, _ = snapshot_actions(spark, root)
+    log = os.path.join(root, "_delta_log")
+    with open(os.path.join(log, f"{current + 1:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 5, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint", "appendOnly",
+                               "invariants"]}}) + "\n")
+    cv = current + 1
+
+    os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+    add_schema = StructType([StructField("add", StructType([
+        StructField("path", StringType()),
+        StructField("partitionValues", MapType(StringType(), StringType())),
+        StructField("size", LongType()),
+        StructField("modificationTime", LongType()),
+        StructField("dataChange", BooleanType()),
+        StructField("stats", StringType()),
+    ]))])
+    rows = [
+        ((a["path"], dict(a.get("partitionValues") or {}), int(a["size"]),
+          int(a.get("modificationTime") or 0), False, a.get("stats")),)
+        for a in active.values()
+    ]
+    sc_name = f"{_uuid.uuid4()}.parquet"
+    stage = str(tmp_path / "sc_stage")
+    spark.createDataFrame(rows, add_schema).coalesce(1).write.parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(stage, part),
+                os.path.join(log, "_sidecars", sc_name))
+    sc_size = os.path.getsize(os.path.join(log, "_sidecars", sc_name))
+
+    cm_version = cv + 1 if wrong_cm_version else cv
+    u = _uuid.uuid4()
+    if json_top:
+        top = os.path.join(log, f"{cv:020d}.checkpoint.{u}.json")
+        with open(top, "w") as f:
+            f.write(json.dumps({"checkpointMetadata": {
+                "version": cm_version, "tags": {}}}) + "\n")
+            f.write(json.dumps({"sidecar": {
+                "path": sc_name, "sizeInBytes": sc_size,
+                "modificationTime": 5}}) + "\n")
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint", "appendOnly",
+                                   "invariants"]}}) + "\n")
+            f.write(json.dumps({"metaData": meta}) + "\n")
+    else:
+        top_schema = StructType([
+            StructField("checkpointMetadata", StructType([
+                StructField("version", LongType()),
+                StructField("tags", MapType(StringType(), StringType())),
+            ])),
+            StructField("sidecar", StructType([
+                StructField("path", StringType()),
+                StructField("sizeInBytes", LongType()),
+                StructField("modificationTime", LongType()),
+            ])),
+            StructField("protocol", StructType([
+                StructField("minReaderVersion", IntegerType()),
+                StructField("minWriterVersion", IntegerType()),
+                StructField("readerFeatures", ArrayType(StringType())),
+                StructField("writerFeatures", ArrayType(StringType())),
+            ])),
+            StructField("metaData", StructType([
+                StructField("id", StringType()),
+                StructField("format", StructType([
+                    StructField("provider", StringType()),
+                    StructField("options",
+                                MapType(StringType(), StringType())),
+                ])),
+                StructField("schemaString", StringType()),
+                StructField("partitionColumns", ArrayType(StringType())),
+                StructField("configuration",
+                            MapType(StringType(), StringType())),
+                StructField("createdTime", LongType()),
+            ])),
+        ])
+        top_rows = [
+            ((cm_version, {}), None, None, None),
+            (None, (sc_name, sc_size, 5), None, None),
+            (None, None,
+             (3, 7, ["v2Checkpoint"],
+              ["v2Checkpoint", "appendOnly", "invariants"]), None),
+            (None, None, None,
+             (meta["id"], ("parquet", {}), meta["schemaString"],
+              list(meta.get("partitionColumns") or []), {},
+              meta.get("createdTime"))),
+        ]
+        stage2 = str(tmp_path / "top_stage")
+        spark.createDataFrame(top_rows, top_schema).coalesce(1) \
+            .write.parquet(stage2)
+        part = [f for f in os.listdir(stage2) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage2, part),
+                    os.path.join(log, f"{cv:020d}.checkpoint.{u}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": cv, "size": len(active) + 3}))
+    for v in range(0, cv + 1):
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    return root, sc_name
+
+
+def test_v2_checkpoint_read_parquet_top(spark, tmp_path):
+    """V2 (UUID-named) checkpoints READ (r7, was a named refusal): the
+    snapshot reconstructs through the sidecar parquet files; partition
+    values inject; a missing sidecar refuses by name (partial
+    snapshot); the WRITER still refuses the v2Checkpoint writer
+    feature."""
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root, sc_name = _v2_checkpoint_fixture(spark, tmp_path)
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == list(range(20))
+    assert read_delta_native(spark, root).filter("p = '1'").count() == 10
+
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        write_delta_native(
+            spark,
+            spark.range(20, 22).select("id", F.lit("0").alias("p")),
+            root, checkpoint_interval=0,
+        )
+
+    log = os.path.join(root, "_delta_log")
+    os.rename(os.path.join(log, "_sidecars", sc_name),
+              os.path.join(log, "_sidecars", "gone.parquet"))
+    with pytest.raises(ValueError, match="sidecar"):
+        read_delta_native(spark, root).collect()
+
+
+def test_v2_checkpoint_read_json_top_and_mislabel_refusal(
+    spark, tmp_path
+):
+    """The JSON top-level variant reads identically; a top-level file
+    whose checkpointMetadata.version doesn't match its name refuses by
+    name (mislabeled snapshot)."""
+    root, _ = _v2_checkpoint_fixture(spark, tmp_path, json_top=True)
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == list(range(20))
+
+    root2, _ = _v2_checkpoint_fixture(
+        spark, tmp_path.joinpath("b"), wrong_cm_version=True
+    )
+    with pytest.raises(ValueError, match="checkpointMetadata"):
+        read_delta_native(spark, root2).collect()

@@ -865,3 +865,83 @@ def test_ignore_deletes_tolerates_delete_only_commits(spark, tmp_path):
     assert parts == []  # tolerated, nothing re-emitted
     with pytest.raises(ValueError, match="changes existing data"):
         r.partitions({"version": 1}, {"version": 2})
+
+
+def test_dv_adds_emit_visible_rows_only(spark, tmp_path):
+    """Deletion vectors in the stream lane (r7): an EMITTED add that
+    carries a DV descriptor yields its VISIBLE rows — the mask is
+    applied worker-side on the physical row index. A DV DELETE is a
+    change commit (remove+add of the same path): fails by default;
+    under ignoreChanges the marked files re-emit WITHOUT the deleted
+    rows (the old behavior refused DV adds outright)."""
+    import json as _json
+    import os as _os
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_stream_source import (
+        DeltaStreamDataSource,
+    )
+    from rtdl_spark.sources.delta_writer import delete_where_delta_dv
+
+    root = str(tmp_path / "dvs")
+    df = spark.range(0, 30).select(
+        "id", (F.col("id") % 3).cast("string").alias("p")
+    ).repartition(2)
+    write_delta_native(
+        spark, df, root, partition_by=["p"], checkpoint_interval=0
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, root)
+    with open(
+        _os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(_json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "appendOnly",
+                               "invariants"]}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            **meta,
+            "configuration": {"delta.enableDeletionVectors": "true"}}})
+            + "\n")
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(opts=None):
+        r = spark.readStream.format("rtdl_delta_stream").option(
+            "path", root
+        )
+        for k, v in (opts or {}).items():
+            r = r.option(k, v)
+        q = (
+            r.load().writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    assert sorted(
+        r["id"] for r in spark.read.parquet(sink).collect()
+    ) == list(range(30))
+
+    res = delete_where_delta_dv(spark, root, "id % 5 = 0")
+    n_marked = res["files_marked"]
+    assert n_marked >= 1
+
+    with pytest.raises(Exception, match="changes existing data"):
+        _run()
+
+    _run({"ignoreChanges": "true"})
+    from collections import Counter
+
+    c = Counter(r["id"] for r in spark.read.parquet(sink).collect())
+    deleted = [i for i in range(30) if i % 5 == 0]
+    # the deleted rows were NEVER re-emitted (the mask applied)...
+    assert all(c[i] == 1 for i in deleted), c
+    # ...while the marked files' SURVIVORS re-emitted exactly once
+    assert sum(1 for i, n in c.items() if n == 2) > 0
+    assert all(n <= 2 for n in c.values())

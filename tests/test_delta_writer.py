@@ -214,9 +214,10 @@ def test_append_only_table_blocks_overwrite(spark, tmp_path):
 
 def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
     """Tables demanding writer behavior we don't implement are refused
-    loudly: minWriterVersion 6 (identity columns) and legacy column
-    invariants. CHECK constraints are no longer refused — they are
-    ENFORCED (violations fail the write; passing rows commit)."""
+    loudly: minWriterVersion beyond 7 and legacy column invariants.
+    CHECK constraints / generated columns / identity columns are no
+    longer refused — v3..v6 duties are ENFORCED (see test_identity.py
+    for v6). v6 without identity metadata appends fine."""
     table = str(tmp_path / "t5")
     write_delta_native(spark, _frame(spark, 0, 5), table)
     with open(
@@ -224,11 +225,11 @@ def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
     ) as f:
         f.write(
             json.dumps(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 8}}
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="minWriterVersion 6"):
+    with pytest.raises(ValueError, match="minWriterVersion 8"):
         write_delta_native(spark, _frame(spark, 5, 8), table)
 
     # v5 with a CHECK constraint: accepted AND enforced — a passing

@@ -287,11 +287,22 @@ def test_dv_writer_guards_and_append(spark, tmp_path):
     got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
     assert got == [0, 2, 3, 4, 5, 6, 7, 8, 9, 100, 101, 102]
 
+    # a DV-attach commit is a CHANGE commit for the stream (remove+add
+    # of the same path): fails by default; under ignoreChanges the DV
+    # add IS emitted with its mask applied (r7 — the old outright
+    # refusal is gone; test_delta_stream_source pins the masked rows)
     r = _DeltaStreamReader(
         read_delta_native(spark, root).schema, {"path": root}
     )
-    with pytest.raises(Exception, match="deletion vector"):
+    with pytest.raises(Exception, match="changes existing data"):
         r.partitions({"version": 0}, {"version": 1})
+    r2 = _DeltaStreamReader(
+        read_delta_native(spark, root).schema,
+        {"path": root, "ignoreChanges": "true"},
+    )
+    parts = [p for p in r2.partitions({"version": 0}, {"version": 1})
+             if p.path]
+    assert len(parts) == 1 and json.loads(parts[0].dv_json) is not None
 
 
 def test_dv_vacuum_keeps_referenced_dv_files(spark, tmp_path):
@@ -569,3 +580,52 @@ def test_dv_update_not_null_and_requirements(spark, tmp_path):
 
     got = sorted(r["id"] for r in read_delta_native(spark, root2).collect())
     assert got == list(range(30)), "failed UPDATE must commit nothing"
+
+
+def test_dv_update_does_not_resurrect_masked_rows(spark, tmp_path):
+    """REGRESSION (found r7): the active scan reads physical files, so
+    an UPDATE whose predicate matches a previously-DV-deleted row used
+    to append its 'updated' version — RESURRECTING the deleted row. The
+    scan now subtracts existing DVs first."""
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_dv,
+        update_where_delta_dv,
+    )
+
+    root = _dv_enabled_table(spark, tmp_path)
+    delete_where_delta_dv(spark, root, "id = 7")
+    res = update_where_delta_dv(spark, root, "id % 7 = 0", {"id": "id + 1000"})
+    assert res["rows_updated"] == 4  # 0,14,21,28 — NOT the deleted 7
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert 1007 not in got and 7 not in got
+    assert got == sorted(
+        [i for i in range(30) if i != 7 and i % 7 != 0]
+        + [1000, 1014, 1021, 1028]
+    )
+
+
+def test_restore_undoes_and_redoes_dv_state(spark, tmp_path):
+    """RESTORE diffs on (path, DV identity): a file whose deletion
+    vector changed between versions gets its add REPLACED, so restoring
+    across a DV DELETE brings the masked rows back — and restoring
+    forward to the deleted state masks them again."""
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_dv,
+        restore_delta_native,
+    )
+
+    root = _dv_enabled_table(spark, tmp_path)
+    res = delete_where_delta_dv(spark, root, "id % 5 = 0")
+    v_del = res["version"]
+    assert read_delta_native(spark, root).count() == 24
+
+    r = restore_delta_native(spark, root, v_del - 1)
+    assert r["files_added"] >= 1 and r["files_removed"] >= 1
+    assert read_delta_native(spark, root).count() == 30
+
+    r2 = restore_delta_native(spark, root, v_del)
+    assert read_delta_native(spark, root).count() == 24
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(30) if i % 5 != 0]

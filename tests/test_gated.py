@@ -249,3 +249,79 @@ def test_delta_dv_library_interop(spark, tmp_path):
     spark.sql(f"DELETE FROM delta.`{path}` WHERE id % 3 = 0")
     got = sorted(r["id"] for r in read_delta_native(spark, path).collect())
     assert got == [i for i in range(100) if i % 3 != 0]
+
+
+@pytest.mark.gated
+def test_v2_checkpoint_interop_with_delta_spark(spark, tmp_path):
+    """Cross-validation for the v2-checkpoint READ path (r7): have
+    delta-spark write a table with a V2 checkpoint
+    (delta.checkpointPolicy=v2) and assert our native reader
+    reconstructs the identical snapshot through the sidecars."""
+    from rtdl_spark.sources.readers import delta_available
+
+    if not delta_available(spark):
+        pytest.skip(
+            "delta-spark absent — the v2-checkpoint reader is validated "
+            "in-image by hand-built conformance fixtures "
+            "(tests/test_delta_reader.py::test_v2_checkpoint_*); this "
+            "test reads a REAL delta-spark-written v2 checkpoint when "
+            "the package ships"
+        )
+    from rtdl_spark.sources.delta_reader import read_delta_native
+
+    path = str(tmp_path / "v2interop")
+    spark.range(0, 100).write.format("delta").option(
+        "delta.checkpointPolicy", "v2"
+    ).save(path)
+    spark.sql(
+        f"ALTER TABLE delta.`{path}` SET TBLPROPERTIES "
+        "('delta.checkpointPolicy' = 'v2')"
+    )
+    for i in range(12):  # past the checkpoint interval
+        spark.range(100 + i, 101 + i).write.format("delta").mode(
+            "append"
+        ).save(path)
+    got = sorted(r["id"] for r in read_delta_native(spark, path).collect())
+    assert got == list(range(112))
+
+
+@pytest.mark.gated
+def test_identity_column_interop_with_delta_spark(spark, tmp_path):
+    """Cross-validation for identity-column writes (r7): delta-spark
+    creates a GENERATED ALWAYS AS IDENTITY table, our native writer
+    appends (generating values + advancing the watermark), delta-spark
+    reads back and can keep appending without collisions."""
+    from rtdl_spark.sources.readers import delta_available
+
+    if not delta_available(spark):
+        pytest.skip(
+            "delta-spark absent — identity generation is validated "
+            "in-image against hand-built v6 tables "
+            "(tests/test_identity.py); this test round-trips with the "
+            "real implementation when the package ships"
+        )
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    path = str(tmp_path / "idinterop")
+    spark.sql(
+        f"CREATE TABLE delta.`{path}` "
+        "(rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 "
+        "INCREMENT BY 1), k BIGINT) USING delta"
+    )
+    spark.sql(f"INSERT INTO delta.`{path}` (k) VALUES (10), (11)")
+    write_delta_native(
+        spark, spark.range(20, 23).select(F.col("id").alias("k")), path
+    )
+    rids = sorted(
+        r["rid"]
+        for r in spark.read.format("delta").load(path).collect()
+    )
+    assert len(rids) == len(set(rids)) == 5, "identity values collide"
+    spark.sql(f"INSERT INTO delta.`{path}` (k) VALUES (30)")
+    rids2 = sorted(
+        r["rid"]
+        for r in spark.read.format("delta").load(path).collect()
+    )
+    assert len(rids2) == len(set(rids2)) == 6
