@@ -518,3 +518,119 @@ def stream_exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(workdir, ignore_errors=True)
+
+@query(
+    "stream_exec_cdf_source",
+    # batch-twin of the EXECUTED readChangeFeed stream: one availableNow
+    # pass over a CDF table's full history must reconstruct exactly the
+    # change sets of every commit — creation inserts, the delete's
+    # preimages, the update's pre+post images — keyed by commit version
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 = 0
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+             COUNT(*) AS n, CAST(SUM({DEC('price')}) AS DOUBLE) AS total
+      FROM t
+      UNION ALL
+      SELECT 2, 'delete', COUNT(*), CAST(SUM({DEC('price')}) AS DOUBLE)
+      FROM t WHERE k % 7 = 0
+      UNION ALL
+      SELECT 3, 'update_preimage', COUNT(*),
+             CAST(SUM({DEC('price')}) AS DOUBLE)
+      FROM t WHERE k % 7 <> 0 AND k % 11 = 0
+      UNION ALL
+      SELECT 3, 'update_postimage', COUNT(*),
+             CAST(SUM({DEC('price * 2')}) AS DOUBLE)
+      FROM t WHERE k % 7 <> 0 AND k % 11 = 0
+    ) ORDER BY version, change_type
+    """,
+)
+def stream_exec_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The readChangeFeed STREAMING lane executed end-to-end (r7,
+    delta_stream_source.py::_plan_change_commit — delta-spark's
+    .option("readChangeFeed", "true") parity): a CDF-enabled native
+    Delta table receives a DELETE and an UPDATE (both commit cdc
+    change files); one availableNow pass streams the FULL change
+    history — creation commit derived as inserts, cdc commits read
+    from their _change_data files with _change_type/_commit_version
+    stamped in the Arrow lane. Aggregated per (version, change_type),
+    DECIMAL-exact, hash-verified.
+
+    Scale shape: planning is per-commit KB-scale JSON on the driver;
+    each change file is one InputPartition read worker-side as Arrow
+    batches — the lane a CDC-consuming training pipeline would tail."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_stream_source import DeltaStreamDataSource
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        update_where_delta_native,
+        write_delta_native,
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_cdfsrc_", dir=shm)
+    try:
+        import json as _json
+
+        root = os.path.join(workdir, "ctbl")
+        out = os.path.join(workdir, "sink")
+        ckpt = os.path.join(workdir, "ckpt")
+        o = (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 4 == 0)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+        write_delta_native(spark, o.repartition(2), root,      # v0
+                           checkpoint_interval=0)
+        _, meta, _, current, _ = snapshot_actions(spark, root)
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{current + 1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "SET TBLPROPERTIES"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                **meta,
+                "configuration": {
+                    "delta.enableChangeDataFeed": "true"}}}) + "\n")
+        delete_where_delta_native(spark, root, "k % 7 = 0")            # v2
+        update_where_delta_native(spark, root, "k % 11 = 0",
+                                  {"price": "price * 2"})              # v3
+
+        q = (
+            spark.readStream.format("rtdl_delta_stream")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+        agg = (
+            spark.read.parquet(out)
+            .groupBy(
+                F.col("_commit_version").alias("version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("price")).cast("double").alias("total"),
+            )
+            .orderBy("version", "change_type")
+        )
+        rows = agg.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

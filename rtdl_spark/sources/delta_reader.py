@@ -706,6 +706,60 @@ def snapshot_adds_frame(
     )
 
 
+def snapshot_domains(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict[str, dict]:
+    """Latest ``domainMetadata`` state per domain at ``version`` (tip
+    if None): {domain: {"domain", "configuration", "removed"}} — latest
+    action wins, ``removed=true`` tombstones included (callers filter).
+    The protocol makes preserving these a WRITER duty; this reader
+    surfaces them so the checkpoint writer can carry them forward
+    (losing them at a checkpoint would silently reset whatever system
+    the domain backs — row tracking, clustering state, ...)."""
+    root = table_dir.rstrip("/")
+    versions = _commit_versions(spark, root)
+    ckpt = _last_checkpoint(spark, root)
+    if version is not None:
+        target = int(version)
+    elif versions:
+        target = max(versions)
+    elif ckpt is not None:
+        target = int(ckpt["version"])
+    else:
+        return {}
+    domains: dict[str, dict] = {}
+    start_after = -1
+    if ckpt is not None and int(ckpt["version"]) <= target:
+        layout = _checkpoint_layout(spark, root, ckpt)
+        if layout["control_json"] is not None:
+            for a in layout["control_json"]:
+                if "domainMetadata" in a:
+                    d = a["domainMetadata"]
+                    domains[d["domain"]] = dict(d)
+        else:
+            cdf = spark.read.parquet(*layout["control_paths"])
+            if "domainMetadata" in cdf.columns:
+                for r in (
+                    cdf.filter(
+                        F.col("domainMetadata.domain").isNotNull()
+                    )
+                    .select("domainMetadata.*")
+                    .collect()
+                ):
+                    d = r.asDict(recursive=True)
+                    domains[d["domain"]] = d
+        start_after = int(ckpt["version"])
+    for v in versions:
+        if v <= start_after or v > target:
+            continue
+        cpath = posixpath.join(_log_dir(root), f"{v:020d}.json")
+        for a in _read_json_lines(spark, cpath):
+            if "domainMetadata" in a:
+                d = a["domainMetadata"]
+                domains[d["domain"]] = dict(d)
+    return domains
+
+
 def snapshot_state(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> tuple[dict, list[tuple[str, dict]], int]:

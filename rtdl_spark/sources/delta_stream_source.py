@@ -307,6 +307,10 @@ class _AddFilePartition(InputPartition):
         # row index while batches stream through the Arrow lane
         self.dv_json = dv_json
         self.table_dir = table_dir
+        # readChangeFeed facts (JSON or "null"): {"ct": change type or
+        # None when the file carries _change_type itself, "v": commit
+        # version, "ts": commit timestamp ms (ICT preferred)}
+        self.cdf_json = "null"
 
 
 class _DeltaStreamReader(DataSourceStreamReader):
@@ -347,6 +351,14 @@ class _DeltaStreamReader(DataSourceStreamReader):
         )
         self.ignore_changes = _flag("ignoreChanges", "ignorechanges")
         self.ignore_deletes = _flag("ignoreDeletes", "ignoredeletes")
+        # readChangeFeed: emit CHANGE ROWS (table columns +
+        # _change_type/_commit_version/_commit_timestamp) instead of
+        # appended data — cdc-carrying commits read their _change_data
+        # files, others derive inserts from dataChange adds and deletes
+        # from dataChange removes (the batch CDF reader's contract,
+        # delta-spark's readChangeFeed option). The change-commit
+        # fail/skip gates don't apply: emitting changes is the point.
+        self.read_changes = _flag("readChangeFeed", "readchangefeed")
         # last end version this reader has planned/committed — the base
         # the NEXT bounded latestOffset advances from (None until the
         # engine reveals the stream's position via initialOffset /
@@ -460,6 +472,11 @@ class _DeltaStreamReader(DataSourceStreamReader):
             part_cols, cm_json = [], "{}"
         for v in range(lo + 1, hi + 1):
             actions = _read_commit(self.table_dir, v)
+            if self.read_changes:
+                self._plan_change_commit(
+                    v, actions, parts, schema_json, part_cols, cm_json
+                )
+                continue
             commit_adds = [
                 a["add"]
                 for a in actions
@@ -514,6 +531,81 @@ class _DeltaStreamReader(DataSourceStreamReader):
             _AddFilePartition("", {}, schema_json, part_cols, cm_json)
         ]
 
+    def _plan_change_commit(
+        self, v, actions, parts, schema_json, part_cols, cm_json
+    ):
+        """readChangeFeed planning for ONE commit: cdc actions describe
+        it exclusively (change type read from the files); otherwise
+        dataChange adds derive as inserts and dataChange removes as
+        deletes (the removed file must still exist — a vacuumed range
+        refuses loudly, like the batch CDF reader). DV-carrying actions
+        are not derivable (masked rows would over-report) and refuse by
+        name."""
+        import urllib.parse
+
+        info = next(
+            (a["commitInfo"] for a in actions if "commitInfo" in a), {}
+        )
+        ts_ms = info.get("inCommitTimestamp", info.get("timestamp"))
+
+        def _mk(action, change_type):
+            p = _AddFilePartition(
+                os.path.join(
+                    self.table_dir,
+                    urllib.parse.unquote(action["path"]),
+                ),
+                action.get("partitionValues") or {},
+                schema_json,
+                part_cols,
+                cm_json,
+                "null",
+                self.table_dir,
+            )
+            p.cdf_json = json.dumps(
+                {"ct": change_type, "v": v, "ts": ts_ms}
+            )
+            parts.append(p)
+
+        cdc = [a["cdc"] for a in actions if "cdc" in a]
+        if cdc:
+            for c in cdc:
+                _mk(c, None)  # _change_type lives in the file
+            return
+        for a in actions:
+            if "add" in a and a["add"].get("dataChange", True):
+                if a["add"].get("deletionVector"):
+                    raise ValueError(
+                        f"readChangeFeed cannot derive commit {v}: its "
+                        "add carries a deletion vector and no cdc "
+                        "actions — use delta-spark"
+                    )
+                _mk(a["add"], "insert")
+            elif "remove" in a and a["remove"].get("dataChange", True):
+                r = a["remove"]
+                if r.get("deletionVector"):
+                    raise ValueError(
+                        f"readChangeFeed cannot derive commit {v}: its "
+                        "remove carries a deletion vector and no cdc "
+                        "actions — use delta-spark"
+                    )
+                abs_p = os.path.join(
+                    self.table_dir, urllib.parse.unquote(r["path"])
+                )
+                if not os.path.exists(abs_p):
+                    raise ValueError(
+                        f"readChangeFeed needs removed file "
+                        f"{r['path']!r} (commit {v}), which no longer "
+                        "exists (vacuumed) — change history for this "
+                        "range is gone"
+                    )
+                if part_cols and "partitionValues" not in r:
+                    raise ValueError(
+                        f"remove action in commit {v} carries no "
+                        "partitionValues — cannot attribute the "
+                        "deleted rows to a partition"
+                    )
+                _mk(r, "delete")
+
     def read(self, partition: _AddFilePartition) -> Iterator:
         if not partition.path:
             return
@@ -564,8 +656,47 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         continue
             n = batch.num_rows
             cols = []
+            cdf = json.loads(partition.cdf_json or "null")
             for field in arrow_schema:
                 name = field.name
+                if cdf is not None and name in (
+                    "_change_type", "_commit_version", "_commit_timestamp"
+                ):
+                    if name == "_change_type":
+                        if cdf["ct"] is not None:
+                            cols.append(
+                                pa.array([cdf["ct"]] * n, type=field.type)
+                            )
+                        else:
+                            # cdc files carry _change_type under its
+                            # literal, unmapped name in every CM mode
+                            if "_change_type" not in batch.schema.names:
+                                raise ValueError(
+                                    f"change-data file {partition.path!r} "
+                                    "lacks the _change_type column — "
+                                    "malformed CDF commit"
+                                )
+                            cols.append(
+                                batch.column("_change_type").cast(
+                                    field.type
+                                )
+                            )
+                    elif name == "_commit_version":
+                        cols.append(
+                            pa.array(
+                                [cdf["v"]] * n, type=pa.int64()
+                            ).cast(field.type)
+                        )
+                    else:
+                        ts = cdf.get("ts")
+                        cols.append(
+                            pa.nulls(n, type=field.type)
+                            if ts is None
+                            else pa.array(
+                                [int(ts) * 1000] * n, type=pa.int64()
+                            ).cast(field.type)
+                        )
+                    continue
                 fj = fj_by_name.get(name)
                 if name in partition.part_cols:
                     # partitionValues keys are PHYSICAL under BOTH CM
@@ -625,7 +756,29 @@ class DeltaStreamDataSource(DataSource):
             raise ValueError(
                 f"no Delta log found under {self.options.get('path')!r}"
             )
-        return _latest_schema(self.options["path"], versions[-1])
+        schema = _latest_schema(self.options["path"], versions[-1])
+        rcf = str(
+            self.options.get(
+                "readChangeFeed", self.options.get("readchangefeed", "")
+            )
+        ).lower() == "true"
+        if rcf:
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                TimestampType,
+            )
+
+            schema = StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", TimestampType()),
+                ]
+            )
+        return schema
 
     def streamReader(self, schema):
         return _DeltaStreamReader(schema, self.options)

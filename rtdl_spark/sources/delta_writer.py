@@ -110,6 +110,13 @@ _SUPPORTED_WRITER_FEATURES = {
     # lattice with the high watermark advanced in the SAME commit;
     # GENERATED ALWAYS refuses explicit values; UPDATE/MERGE refuse
     "identityColumns",
+    # domainMetadata: per-domain state is preserved through log replay
+    # AND carried into checkpoints (snapshot_domains); this writer
+    # never originates or mutates domains itself
+    "domainMetadata",
+    # timestampNtz is a TYPE, not a duty: Spark's TimestampNTZType
+    # round-trips through the parquet staging natively (pinned by test)
+    "timestampNtz",
 }
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -1360,6 +1367,19 @@ _CHECKPOINT_SCHEMA = StructType(
                     StructField("appId", StringType()),
                     StructField("version", LongType()),
                     StructField("lastUpdated", LongType()),
+                ]
+            ),
+        ),
+        # latest per-domain domainMetadata state — a checkpoint that
+        # dropped these would silently reset whatever system each
+        # domain backs once the JSON tail is cleaned up
+        StructField(
+            "domainMetadata",
+            StructType(
+                [
+                    StructField("domain", StringType()),
+                    StructField("configuration", StringType()),
+                    StructField("removed", BooleanType()),
                 ]
             ),
         ),
@@ -3229,6 +3249,7 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
             None,
             None,
             None,
+            None,
         ),
         (
             None,
@@ -3248,6 +3269,7 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
             None,
             None,
             None,
+            None,
         ),
     ]
     # SetTransaction state must survive checkpoint-bounded replay, or a
@@ -3255,7 +3277,19 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
     # the pre-checkpoint commits stop being read
     for app_id in sorted(txns):
         rows.append(
-            (None, None, None, None, (app_id, int(txns[app_id]), None))
+            (None, None, None, None,
+             (app_id, int(txns[app_id]), None), None)
+        )
+    # domainMetadata state likewise (a foreign writer's domains — row
+    # tracking, clustering — must survive the tail being cleaned up)
+    from rtdl_spark.sources.delta_reader import snapshot_domains
+
+    for dom in sorted(snapshot_domains(spark, root, version).values(),
+                      key=lambda d: d["domain"]):
+        rows.append(
+            (None, None, None, None, None,
+             (dom["domain"], dom.get("configuration"),
+              bool(dom.get("removed"))))
         )
     control_df = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
     add_struct_df = adds_df.select(

@@ -945,3 +945,143 @@ def test_dv_adds_emit_visible_rows_only(spark, tmp_path):
     # ...while the marked files' SURVIVORS re-emitted exactly once
     assert sum(1 for i, n in c.items() if n == 2) > 0
     assert all(n <= 2 for n in c.values())
+
+
+def test_read_change_feed_streams_change_rows(spark, tmp_path):
+    """readChangeFeed (r7, delta-spark parity): the stream emits CHANGE
+    ROWS — creation/appends derived as inserts, cdc commits read from
+    their _change_data files — with _change_type/_commit_version/
+    _commit_timestamp stamped; an incremental restart emits only the
+    new commits' changes."""
+    import json as _json
+    import os as _os
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_stream_source import (
+        DeltaStreamDataSource,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        update_where_delta_native,
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    root = str(tmp_path / "rcf")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 20).select(
+        "id", (F.col("id") % 2).cast("string").alias("p")
+    )
+    write_delta_native(
+        spark, df, root, partition_by=["p"], checkpoint_interval=0
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, root)
+    with open(
+        _os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(_json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "SET"}}) + "\n")
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            **meta,
+            "configuration": {"delta.enableChangeDataFeed": "true"}}})
+            + "\n")
+    delete_where_delta_native(spark, root, "id IN (3, 5)")            # v2
+    update_where_delta_native(spark, root, "id = 8", {"id": "id + 100"})
+
+    def run():
+        q = (
+            spark.readStream.format("rtdl_delta_stream")
+            .option("path", root).option("readChangeFeed", "true").load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(out)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in got.collect()
+    )
+    exp = (
+        [(0, "insert", i) for i in range(20)]
+        + [(2, "delete", 3), (2, "delete", 5)]
+        + [(3, "update_preimage", 8), (3, "update_postimage", 108)]
+    )
+    assert rows == sorted(exp)
+    assert all(r["_commit_timestamp"] is not None for r in got.collect())
+    # partition column present and typed on change rows
+    assert {r["id"]: r["p"] for r in got.collect()}[3] == "1"
+
+    # incremental: only the NEW commit's changes on restart
+    delete_where_delta_native(spark, root, "id = 10")
+    run()
+    rows2 = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(rows2) == len(exp) + 1
+    assert (4, "delete", 10) in rows2
+
+
+def test_read_change_feed_covers_dv_delete_via_cdc(spark, tmp_path):
+    """readChangeFeed x deletion vectors: a DV DELETE on a CDF table
+    commits cdc change files (test_cdf.py), so the CDF STREAM reads
+    those instead of refusing — the DV-attach commit's change rows are
+    exactly the newly deleted rows."""
+    import json as _json
+    import os as _os
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_stream_source import (
+        DeltaStreamDataSource,
+    )
+    from rtdl_spark.sources.delta_writer import delete_where_delta_dv
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    root = str(tmp_path / "rcfdv")
+    df = spark.range(0, 30).select(
+        "id", (F.col("id") % 3).cast("string").alias("p")
+    ).repartition(2)
+    write_delta_native(
+        spark, df, root, partition_by=["p"], checkpoint_interval=0
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, root)
+    with open(
+        _os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(_json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "appendOnly",
+                               "invariants", "changeDataFeed"]}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            **meta,
+            "configuration": {
+                "delta.enableDeletionVectors": "true",
+                "delta.enableChangeDataFeed": "true",
+            }}}) + "\n")
+    res = delete_where_delta_dv(spark, root, "id % 5 = 0")
+    assert res["cdc_files"] >= 1
+
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("rtdl_delta_stream")
+        .option("path", root).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    deletes = sorted(
+        r["id"] for r in got.filter("_change_type = 'delete'").collect()
+    )
+    assert deletes == [i for i in range(30) if i % 5 == 0]
+    inserts = got.filter("_change_type = 'insert'").count()
+    assert inserts == 30  # the creation commit derives as inserts

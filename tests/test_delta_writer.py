@@ -1991,3 +1991,95 @@ def test_generated_columns_computed_and_validated(spark, tmp_path):
     with pytest.raises(Exception, match="generated column 'bucket'"):
         write_delta_native(spark, bad, table, checkpoint_interval=0)
     assert read_delta_native(spark, table).count() == 7
+
+
+def test_domain_metadata_preserved_through_checkpoints(spark, tmp_path):
+    """domainMetadata (r7): a foreign writer's per-domain state — row
+    tracking, clustering — survives our appends AND our checkpoints
+    (latest action per domain wins, removed=true tombstones kept); a
+    table demanding the domainMetadata writer feature is writable."""
+    from rtdl_spark.sources.delta_reader import snapshot_domains
+    from rtdl_spark.sources.delta_writer import write_checkpoint_native
+
+    root = str(tmp_path / "dom")
+    write_delta_native(
+        spark, _frame(spark, 0, 5), root, checkpoint_interval=0
+    )
+    with open(
+        os.path.join(root, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "SET"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["domainMetadata", "appendOnly",
+                               "invariants"]}}) + "\n")
+        f.write(json.dumps({"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps({"cols": ["id"]}),
+            "removed": False}}) + "\n")
+        f.write(json.dumps({"domainMetadata": {
+            "domain": "app.custom", "configuration": "one",
+            "removed": False}}) + "\n")
+    with open(
+        os.path.join(root, "_delta_log", f"{2:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 3, "operation": "SET"}}) + "\n")
+        f.write(json.dumps({"domainMetadata": {
+            "domain": "app.custom", "configuration": "two",
+            "removed": True}}) + "\n")
+
+    # our append on the feature-carrying table is accepted
+    v = write_delta_native(spark, _frame(spark, 5, 8), root,
+                           checkpoint_interval=0)
+    assert v == 3
+
+    doms = snapshot_domains(spark, root)
+    assert doms["delta.clustering"]["removed"] is False
+    assert doms["app.custom"]["configuration"] == "two"
+    assert doms["app.custom"]["removed"] is True
+
+    # checkpoint carries the state; replay bounded by it still sees it
+    cv = write_checkpoint_native(spark, root)
+    for old in range(0, cv + 1):
+        p = os.path.join(root, "_delta_log", f"{old:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    doms2 = snapshot_domains(spark, root)
+    assert doms2 == doms
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == list(range(8))
+
+
+def test_timestamp_ntz_roundtrip(spark, tmp_path):
+    """timestampNtz (reader+writer feature): a TIMESTAMP_NTZ column
+    round-trips through the native writer and reader — it is a TYPE,
+    not a writer duty; a v7 table carrying the feature appends fine."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ntz")
+    df = spark.range(0, 4).select(
+        "id",
+        F.to_timestamp_ntz(
+            F.lit("2024-03-01 10:15:30")
+        ).alias("ts"),
+    )
+    write_delta_native(spark, df, root, checkpoint_interval=0)
+    with open(
+        os.path.join(root, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "SET"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz", "appendOnly",
+                               "invariants"]}}) + "\n")
+    write_delta_native(spark, df.withColumn("id", F.col("id") + 10),
+                       root, checkpoint_interval=0)
+    got = read_delta_native(spark, root)
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+    rows = got.collect()
+    assert len(rows) == 8
+    assert all(str(r["ts"]) == "2024-03-01 10:15:30" for r in rows)
