@@ -595,6 +595,11 @@ _ADDS_FRAME_FIELDS = (
     # a checkpoint written from it would drop the DVs and resurrect
     # every DV-deleted row for checkpoint-bounded readers
     ("deletionVector", _DV_STRUCT_DDL),
+    # row tracking: baseRowId/defaultRowCommitVersion must likewise
+    # survive the checkpoint flow, or every row's fresh id would change
+    # once the JSON tail is cleaned (the spec makes them stable)
+    ("baseRowId", "bigint"),
+    ("defaultRowCommitVersion", "bigint"),
 )
 
 _DV_FIELD_ORDER = (
@@ -640,6 +645,10 @@ def snapshot_adds_frame(
             else None,
             a.get("stats"),
             _dv_tuple(a),
+            int(a["baseRowId"]) if a.get("baseRowId") is not None else None,
+            int(a["defaultRowCommitVersion"])
+            if a.get("defaultRowCommitVersion") is not None
+            else None,
         )
         for a in tail_adds.values()
     ]

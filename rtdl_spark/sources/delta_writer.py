@@ -117,6 +117,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # timestampNtz is a TYPE, not a duty: Spark's TimestampNTZType
     # round-trips through the parquet staging natively (pinned by test)
     "timestampNtz",
+    # row tracking: APPENDS assign baseRowId/defaultRowCommitVersion
+    # and advance the delta.rowTracking high watermark in the same
+    # commit; rewrites (which must PRESERVE ids via the materialized
+    # column) refuse by name at their own gates
+    "rowTracking",
 }
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -397,6 +402,33 @@ def _identity_cols(meta: dict) -> dict[str, dict]:
                 ),
             }
     return out
+
+
+def _row_tracking_supported(protocol: dict | None) -> bool:
+    """True when the table's protocol carries the rowTracking writer
+    feature — 'supported' in spec terms, which obliges EVERY writer to
+    assign fresh base row ids on new adds and maintain the
+    delta.rowTracking high watermark (delta.enableRowTracking merely
+    marks when readers may rely on them)."""
+    if not protocol:
+        return False
+    return "rowTracking" in set(protocol.get("writerFeatures") or ())
+
+
+def _refuse_row_tracking(protocol: dict | None, operation: str) -> None:
+    """Rewriting ops refuse row-tracking tables: a rewrite must
+    PRESERVE each surviving row's id through the materialized row-id
+    column, which this writer does not produce — fresh ids on
+    rewritten survivors would silently break every downstream consumer
+    keyed on row identity. Appends (fresh rows, fresh ids) are
+    handled."""
+    if _row_tracking_supported(protocol):
+        raise ValueError(
+            f"{operation} on a table with the rowTracking writer "
+            "feature is not supported by this native writer (rewrites "
+            "must preserve row ids via the materialized column; "
+            "appends are supported) — use delta-spark"
+        )
 
 
 def _refuse_identity(meta: dict, operation: str) -> None:
@@ -1218,6 +1250,58 @@ def write_delta_native(
                         }
                     }
                 )
+        # row tracking: every new add gets a fresh, non-overlapping
+        # baseRowId range after the delta.rowTracking high watermark,
+        # stamped with THIS attempt's commit version; the same commit
+        # advances the watermark domain. Re-read per attempt — a
+        # concurrent writer may have claimed ids (unlike data, ids live
+        # only in actions, so reassignment costs nothing).
+        if adds and _row_tracking_supported(protocol):
+            from rtdl_spark.sources.delta_reader import snapshot_domains
+
+            doms = snapshot_domains(spark, root)
+            hwm = -1
+            d = doms.get("delta.rowTracking")
+            if d and not d.get("removed") and d.get("configuration"):
+                try:
+                    hwm = int(
+                        json.loads(d["configuration"])[
+                            "rowIdHighWaterMark"
+                        ]
+                    )
+                except (ValueError, KeyError, TypeError):
+                    raise ValueError(
+                        "unparseable delta.rowTracking domain "
+                        "configuration — refusing to guess the row-id "
+                        "high watermark"
+                    )
+            base = hwm + 1
+            for a in adds:
+                nr = None
+                if a.get("stats"):
+                    try:
+                        nr = json.loads(a["stats"]).get("numRecords")
+                    except Exception:
+                        nr = None
+                if nr is None:
+                    raise ValueError(
+                        "row tracking needs numRecords stats on every "
+                        "add (write with with_stats=True)"
+                    )
+                a["baseRowId"] = base
+                a["defaultRowCommitVersion"] = version
+                base += int(nr)
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": base - 1}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
         actions.extend({"add": a} for a in adds)
 
         if _try_commit(spark, root, version, actions):
@@ -1283,6 +1367,17 @@ _CHECKPOINT_SCHEMA = StructType(
                 [
                     StructField("minReaderVersion", IntegerType()),
                     StructField("minWriterVersion", IntegerType()),
+                    # v3/v7 tables carry their features HERE — a
+                    # checkpoint that drops them leaves every
+                    # feature-gated duty (DV, CM, rowTracking) silently
+                    # un-gated once the JSON tail is cleaned (r7 fix,
+                    # found by the rowTracking watermark test)
+                    StructField(
+                        "readerFeatures", ArrayType(StringType())
+                    ),
+                    StructField(
+                        "writerFeatures", ArrayType(StringType())
+                    ),
                 ]
             ),
         ),
@@ -1347,6 +1442,8 @@ _CHECKPOINT_SCHEMA = StructType(
                             ]
                         ),
                     ),
+                    StructField("baseRowId", LongType()),
+                    StructField("defaultRowCommitVersion", LongType()),
                 ]
             ),
         ),
@@ -1642,6 +1739,7 @@ def _rewrite_where(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
+    _refuse_row_tracking(protocol, operation)
     _check_no_active_dvs(active, operation)
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
         raise ValueError(
@@ -1994,6 +2092,7 @@ def delete_where_delta_dv(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
+    _refuse_row_tracking(protocol, "DV DELETE")
     _refuse_cm(meta, "DV DELETE")
     conf = meta.get("configuration") or {}
     if conf.get("delta.appendOnly") == "true":
@@ -2139,6 +2238,7 @@ def update_where_delta_dv(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
+    _refuse_row_tracking(protocol, "DV UPDATE")
     _refuse_cm(meta, "DV UPDATE")
     conf = meta.get("configuration") or {}
     if conf.get("delta.appendOnly") == "true":
@@ -2356,6 +2456,7 @@ def merge_into_delta_native(
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
     _refuse_cm(meta, "MERGE")
+    _refuse_row_tracking(protocol, "MERGE")
     _refuse_identity(meta, "MERGE")
     _check_no_active_dvs(active, "MERGE")
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
@@ -2727,6 +2828,7 @@ def optimize_delta_native(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _refuse_cm(meta, "OPTIMIZE")
+    _refuse_row_tracking(protocol, "OPTIMIZE")
     _check_no_active_dvs(active, "OPTIMIZE")
     part_cols = list(meta.get("partitionColumns") or [])
 
@@ -3244,6 +3346,12 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
             (
                 int(protocol.get("minReaderVersion", 1)),
                 int(protocol.get("minWriterVersion", 1)),
+                list(protocol["readerFeatures"])
+                if protocol.get("readerFeatures") is not None
+                else None,
+                list(protocol["writerFeatures"])
+                if protocol.get("writerFeatures") is not None
+                else None,
             ),
             None,
             None,
@@ -3302,6 +3410,8 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
             F.lit(False).alias("dataChange"),
             F.col("stats"),
             F.col("deletionVector"),
+            F.col("baseRowId"),
+            F.col("defaultRowCommitVersion"),
         ).alias("add")
     )
     n_adds = add_struct_df.count()

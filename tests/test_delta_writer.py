@@ -2083,3 +2083,138 @@ def test_timestamp_ntz_roundtrip(spark, tmp_path):
     rows = got.collect()
     assert len(rows) == 8
     assert all(str(r["ts"]) == "2024-03-01 10:15:30" for r in rows)
+
+
+def test_row_tracking_appends_assign_base_row_ids(spark, tmp_path):
+    """rowTracking (r7): appends to a feature-carrying table assign
+    fresh non-overlapping baseRowId ranges after the delta.rowTracking
+    high watermark, stamp defaultRowCommitVersion, and advance the
+    watermark domain in the SAME commit; the ids survive checkpoints;
+    rewrites (which must preserve ids) refuse by name."""
+    from rtdl_spark.sources.delta_reader import (
+        snapshot_actions,
+        snapshot_domains,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        optimize_delta_native,
+        write_checkpoint_native,
+    )
+
+    root = str(tmp_path / "rt")
+    write_delta_native(
+        spark, _frame(spark, 0, 6).coalesce(2), root, checkpoint_interval=0
+    )
+    with open(
+        os.path.join(root, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking", "domainMetadata",
+                               "appendOnly", "invariants"]}}) + "\n")
+
+    v2 = write_delta_native(
+        spark, _frame(spark, 6, 11).coalesce(2), root,
+        checkpoint_interval=0,
+    )
+    v3 = write_delta_native(
+        spark, _frame(spark, 11, 14).coalesce(1), root,
+        checkpoint_interval=0,
+    )
+
+    _, _, active, _, _ = snapshot_actions(spark, root)
+    tracked = sorted(
+        (a["baseRowId"], a["defaultRowCommitVersion"],
+         json.loads(a["stats"])["numRecords"])
+        for a in active.values()
+        if a.get("baseRowId") is not None
+    )
+    # ranges are contiguous from 0 and never overlap
+    expect_next = 0
+    for base, dcv, nr in tracked:
+        assert base == expect_next
+        expect_next = base + nr
+    assert expect_next == 8  # 5 rows in v2 + 3 rows in v3
+    assert sorted({dcv for _, dcv, _ in tracked}) == [v2, v3]
+    doms = snapshot_domains(spark, root)
+    assert json.loads(
+        doms["delta.rowTracking"]["configuration"]
+    )["rowIdHighWaterMark"] == 7
+
+    # ids survive the checkpoint flow
+    cv = write_checkpoint_native(spark, root)
+    for old in range(0, cv + 1):
+        p = os.path.join(root, "_delta_log", f"{old:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    _, _, active2, _, _ = snapshot_actions(spark, root)
+    tracked2 = sorted(
+        (a["baseRowId"], a["defaultRowCommitVersion"])
+        for a in active2.values()
+        if a.get("baseRowId") is not None
+    )
+    assert tracked2 == [(b, d) for b, d, _ in tracked]
+
+    # and another append continues after the checkpointed watermark
+    v4 = write_delta_native(
+        spark, _frame(spark, 14, 16).coalesce(1), root,
+        checkpoint_interval=0,
+    )
+    doms2 = snapshot_domains(spark, root)
+    assert json.loads(
+        doms2["delta.rowTracking"]["configuration"]
+    )["rowIdHighWaterMark"] == 9
+
+    with pytest.raises(ValueError, match="rowTracking"):
+        delete_where_delta_native(spark, root, "id = 7")
+    with pytest.raises(ValueError, match="rowTracking"):
+        optimize_delta_native(spark, root)
+
+
+def test_checkpoint_preserves_protocol_features(spark, tmp_path):
+    """REGRESSION (r7): the classic-checkpoint writer stored only
+    minReader/minWriterVersion — a checkpointed v3/v7 table LOST its
+    reader/writer features once the JSON tail was cleaned, silently
+    un-gating every feature-keyed duty (DV, CM, rowTracking) and
+    corrupting the table for other engines. Features now round-trip."""
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_writer import write_checkpoint_native
+
+    root = str(tmp_path / "feat")
+    write_delta_native(
+        spark, _frame(spark, 0, 4), root, checkpoint_interval=0
+    )
+    with open(
+        os.path.join(root, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "appendOnly",
+                               "invariants"]}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **snapshot_actions(spark, root)[1],
+            "configuration": {"delta.appendOnly": "true"}}}) + "\n")
+
+    cv = write_checkpoint_native(spark, root)
+    for old in range(0, cv + 1):
+        p = os.path.join(root, "_delta_log", f"{old:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+    protocol, meta, _, _, _ = snapshot_actions(spark, root)
+    assert set(protocol.get("readerFeatures") or ()) == {"deletionVectors"}
+    assert set(protocol.get("writerFeatures") or ()) == {
+        "deletionVectors", "appendOnly", "invariants"
+    }
+    # and the feature-keyed duty still enforces: appendOnly blocks
+    # overwrite after the tail is gone
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta_native(
+            spark, _frame(spark, 4, 6), root, mode="overwrite",
+            checkpoint_interval=0,
+        )

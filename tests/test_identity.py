@@ -219,3 +219,67 @@ def test_evolution_preserves_table_configuration(spark, tmp_path):
 
     res = delete_where_delta_native(spark, root, "id = 6")
     assert res["cdc_files"] >= 1
+
+
+def test_identity_composes_with_column_mapping(spark, tmp_path):
+    """Identity generation on a COLUMN-MAPPED table: values generate in
+    logical terms, the frame stages under physical names, and the
+    watermark metaData patch preserves the CM metadata (it patches the
+    TABLE's schemaString, never the frame's)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "idcm")
+    write_delta_native(
+        spark, spark.range(0, 6).select(F.col("id").alias("k")), root,
+        checkpoint_interval=0,
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, root)
+    sj = json.loads(meta["schemaString"])
+    sj["fields"][0]["metadata"] = {
+        "delta.columnMapping.id": 1,
+        "delta.columnMapping.physicalName": "k",
+    }
+    sj["fields"].insert(0, {
+        "name": "rid", "type": "long", "nullable": True,
+        "metadata": {
+            "delta.identity.start": 7,
+            "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": False,
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-rid-phys",
+        },
+    })
+    with open(
+        os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 7,
+            "writerFeatures": ["columnMapping", "identityColumns",
+                               "appendOnly", "invariants"]}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta, "schemaString": json.dumps(sj),
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "2"}}}) + "\n")
+
+    write_delta_native(
+        spark, spark.range(100, 103).select(F.col("id").alias("k")),
+        root, checkpoint_interval=0,
+    )
+    rids = sorted(
+        r["rid"]
+        for r in read_delta_native(spark, root).filter("k >= 100").collect()
+    )
+    assert rids == [7, 8, 9]
+    _, meta2, _, _, _ = snapshot_actions(spark, root)
+    f0 = json.loads(meta2["schemaString"])["fields"][0]
+    assert f0["metadata"]["delta.identity.highWaterMark"] == 9
+    assert f0["metadata"]["delta.columnMapping.physicalName"] == (
+        "col-rid-phys"
+    )
+    newest = max(glob.glob(root + "/*.parquet"), key=os.path.getmtime)
+    assert "col-rid-phys" in pq.ParquetFile(newest).schema_arrow.names

@@ -679,7 +679,8 @@ def test_image_ahash_kernel_properties(payload):
 @given(
     st.lists(
         st.sampled_from(
-            ["append", "overwrite", "merge", "delete", "optimize", "ckpt"]
+            ["append", "overwrite", "merge", "delete", "optimize",
+             "ckpt", "restore"]
         ),
         min_size=2,
         max_size=6,
@@ -689,17 +690,19 @@ def test_delta_native_stack_matches_log_model(
     spark, tmp_path_factory, ops
 ):
     """ANY sequence of append/overwrite/MERGE/DELETE WHERE/OPTIMIZE/
-    checkpoint against the NATIVE Delta writer yields, at EVERY committed
-    version, exactly the rows a pure-Python model of the ops predicts —
-    the strongest single correctness statement about the protocol
-    implementation (covers commit ordering, tombstone replay, metaData
-    replacement, dataChange=false rewrites, checkpoint-bounded replay
-    with time travel across the checkpoint)."""
+    checkpoint/RESTORE against the NATIVE Delta writer yields, at EVERY
+    committed version, exactly the rows a pure-Python model of the ops
+    predicts — the strongest single correctness statement about the
+    protocol implementation (covers commit ordering, tombstone replay,
+    metaData replacement, dataChange=false rewrites, checkpoint-bounded
+    replay with time travel across the checkpoint, and restore's
+    set-difference log surgery composing with all of the above)."""
     from rtdl_spark.sources.delta_reader import read_delta_native
     from rtdl_spark.sources.delta_writer import (
         delete_where_delta_native,
         merge_into_delta_native,
         optimize_delta_native,
+        restore_delta_native,
         write_checkpoint_native,
         write_delta_native,
     )
@@ -754,6 +757,13 @@ def test_delta_native_stack_matches_log_model(
             res = optimize_delta_native(spark, root, min_files=2)
             if res["version"] is None:
                 continue  # nothing worth compacting: no commit, no state
+        elif op == "restore":
+            if not exists or len(states) < 2:
+                continue
+            target = len(states) // 2  # a deterministic mid-history version
+            res = restore_delta_native(spark, root, target)
+            assert res["version"] is not None  # target < current always
+            cur = dict(states[target])
         states.append(dict(cur))
 
     for ver, want in enumerate(states):
