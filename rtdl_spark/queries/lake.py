@@ -2560,3 +2560,92 @@ def lake_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+@query(
+    "lake_delta_cm_lifecycle",
+    # the full CM lifecycle's FINAL state: create(name mode) -> append
+    # -> DELETE WHERE -> mergeSchema evolution adding `flag` -> append
+    # lacking `flag`; grouped counts + the evolved column's nullness
+    # split prove the physical-name round-trip end to end
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    final AS (
+      SELECT k, price, CASE WHEN k % 10 = 0 THEN 1 ELSE NULL END AS flag
+      FROM t WHERE k % 7 <> 0
+      UNION ALL
+      SELECT k + 1000000, price, NULL FROM t
+    )
+    SELECT CAST(k % 3 AS INT) AS grp, COUNT(*) AS n,
+           COUNT(flag) AS n_flagged,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final GROUP BY 1
+    """,
+)
+def lake_delta_cm_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPED table CREATION + EVOLUTION (r7,
+    delta_writer.py::_cm_annotate_field): the writer creates a
+    name-mode CM table (fresh ids + col-<uuid> physical names at every
+    level, protocol 2/5), appends, deletes, EVOLVES the schema via
+    mergeSchema (the new ``flag`` column gets an id above maxColumnId)
+    and appends a frame LACKING the evolved column — the native reader
+    resolves every physical name back to logical. Grouped counts +
+    nullness of the evolved column, hash-verified."""
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        write_delta_native,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_cmlc_", dir=shm)
+    try:
+        root = os.path.join(workdir, "cmtab")
+        write_delta_native(  # v0: CM creation
+            spark, o.repartition(2), root, column_mapping="name",
+            checkpoint_interval=0,
+        )
+        delete_where_delta_native(spark, root, "k % 7 = 0")    # v1
+        write_delta_native(  # v2: schema-only evolution adds `flag`
+            spark,
+            o.limit(0).withColumn("flag", F.lit(1).cast("int")),
+            root, merge_schema=True, checkpoint_interval=0,
+        )
+        # v3: flag values for k%10=0 survivors via plain UPDATE
+        from rtdl_spark.sources.delta_writer import (
+            update_where_delta_native,
+        )
+
+        update_where_delta_native(
+            spark, root, "k % 10 = 0", {"flag": "1"}
+        )
+        write_delta_native(  # v4: append LACKING flag (null-filled)
+            spark,
+            o.withColumn("k", F.col("k") + 1000000).repartition(2),
+            root, merge_schema=True, checkpoint_interval=0,
+        )
+        out = (
+            read_delta_native(spark, root)
+            .groupBy((F.col("k") % 3).cast("int").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("flag").alias("n_flagged"),
+                F.sum(F.col("price").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -133,6 +133,38 @@ def _check_metadata(meta: dict) -> None:
         )
 
 
+def _nullable_dt(dt):
+    """A type with every nested nullability flag relaxed to True —
+    the CAST TARGET form: Catalyst refuses casts that would CLAIM
+    non-nullability (struct<x NOT NULL> from a read is nullable), and
+    nullability is schema metadata here, not a runtime property the
+    cast could establish. Scalars pass through (their casts carry no
+    nullability)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+    )
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    f.name, _nullable_dt(f.dataType), True, f.metadata
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable_dt(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _nullable_dt(dt.keyType), _nullable_dt(dt.valueType), True
+        )
+    return dt
+
+
 def _physical_name(field_json: dict) -> str:
     """A field's parquet-side name under column mapping: the
     delta.columnMapping.physicalName metadata, falling back to the
@@ -967,7 +999,9 @@ def read_delta_native(
         key=lambda kv: tuple((v is not None, v) for v in kv[0]),
     ):
         proj = [
-            F.col(f"`{read_col_of[f.name]}`").cast(f.dataType).alias(f.name)
+            F.col(f"`{read_col_of[f.name]}`")
+            .cast(_nullable_dt(f.dataType))
+            .alias(f.name)
             for f in data_fields
         ]
         # deletion vectors: DV-less files take the plain path untouched;
@@ -1223,7 +1257,9 @@ def read_table_changes_cdf(
             {"type": "struct", "fields": read_fields}
         )
         proj = [
-            F.col(f"`{read_col_of[f.name]}`").cast(f.dataType).alias(f.name)
+            F.col(f"`{read_col_of[f.name]}`")
+            .cast(_nullable_dt(f.dataType))
+            .alias(f.name)
             for f in data_fields
         ]
         for key, paths in sorted(

@@ -77,6 +77,7 @@ from rtdl_spark.sources.delta_reader import (
     _field_id_type,
     _last_checkpoint,
     _log_dir,
+    _nullable_dt,
     _physical_name,
     _physical_type,
     _read_json_lines,
@@ -611,6 +612,63 @@ def _physical_fieldid_type(type_json):
     return type_json
 
 
+def _cm_annotate_type(t, next_id: int):
+    """Recursive twin of _cm_annotate_field for container types."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            fields = []
+            for f in t.get("fields") or []:
+                f2, next_id = _cm_annotate_field(f, next_id)
+                fields.append(f2)
+            return {**t, "fields": fields}, next_id
+        if t.get("type") == "array":
+            e, next_id = _cm_annotate_type(t["elementType"], next_id)
+            return {**t, "elementType": e}, next_id
+        if t.get("type") == "map":
+            k, next_id = _cm_annotate_type(t["keyType"], next_id)
+            v, next_id = _cm_annotate_type(t["valueType"], next_id)
+            return {**t, "keyType": k, "valueType": v}, next_id
+    return t, next_id
+
+
+def _cm_annotate_field(f: dict, next_id: int):
+    """Assign a fresh column-mapping identity (delta.columnMapping.id +
+    a col-<uuid> physicalName, delta-spark's convention) to a
+    schemaString field and every nested struct field, returning
+    (annotated field, next unused id)."""
+    md = dict(f.get("metadata") or {})
+    md["delta.columnMapping.id"] = next_id
+    md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+    next_id += 1
+    t, next_id = _cm_annotate_type(f["type"], next_id)
+    return {**f, "metadata": md, "type": t}, next_id
+
+
+def _merge_schemas_cm(meta: dict, df_schema) -> tuple[str, dict]:
+    """Column-mapped schema evolution: the plain merge (_merge_schemas
+    rules — type conflicts refused, dropped non-nullables refused),
+    with every NEW column given a fresh column-mapping identity above
+    the table's maxColumnId. Returns (merged schemaString, updated
+    configuration carrying the new delta.columnMapping.maxColumnId)."""
+    merged = json.loads(_merge_schemas(meta["schemaString"], df_schema))
+    conf = dict(meta.get("configuration") or {})
+    next_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
+    existing = {
+        f["name"]
+        for f in json.loads(meta["schemaString"]).get("fields") or []
+    }
+    out = []
+    for f in merged.get("fields") or []:
+        if f["name"] in existing:
+            out.append(f)
+        else:
+            f2, next_id = _cm_annotate_field(f, next_id)
+            out.append(f2)
+    merged["fields"] = out
+    conf["delta.columnMapping.maxColumnId"] = str(next_id - 1)
+    return json.dumps(merged, separators=(",", ":")), conf
+
+
 def _to_physical(
     spark: SparkSession,
     df: DataFrame,
@@ -635,8 +693,16 @@ def _to_physical(
     parquet optional-ness carries no Delta semantics, the table schema
     lives in metaData). Without the relax, CM DELETE/UPDATE on a table
     with any non-nullable column failed with NULLABLE_COLUMN_OR_FIELD
-    (r7 fix)."""
-    fields_json = json.loads(meta["schemaString"]).get("fields") or []
+    (r7 fix).
+
+    Only fields PRESENT in ``df`` are mapped (a mergeSchema-evolution
+    frame may lack existing columns — readers null-fill them)."""
+    present = set(df.columns)
+    fields_json = [
+        f
+        for f in json.loads(meta["schemaString"]).get("fields") or []
+        if f["name"] in present
+    ]
     from pyspark.sql.types import StructType as _St
 
     pfields = [_physical_fieldid_field(f) for f in fields_json]
@@ -675,7 +741,17 @@ def _to_physical(
     )
     cols = []
     for f, pf in zip(fields_json, pschema.fields):
-        cols.append(F.col(f"`{f['name']}`").cast(pf.dataType).alias(pf.name))
+        # top-level field ids ride the ALIAS metadata — .to() alone
+        # LOSES them for flat/foldable columns (measured: a
+        # withColumn(lit(...)) evolution column reached the parquet
+        # writer id-less while attribute-backed columns kept theirs;
+        # alias(metadata=) is reliable for every expression shape).
+        # .to() still attaches the NESTED ids alias cannot carry.
+        cols.append(
+            F.col(f"`{f['name']}`")
+            .cast(pf.dataType)
+            .alias(pf.name, metadata=dict(pf.metadata or {}))
+        )
     cols += [F.col(f"`{c}`") for c in extras]
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     return df.select(*cols).to(pschema)
@@ -771,7 +847,11 @@ def _merge_schemas(table_schema_json: str, df_schema) -> str:
     for f in frame_fields:
         have = existing.get(f["name"])
         if have is not None:
-            if have["type"] != f["type"]:
+            # structural comparison (_type_key strips nested field
+            # METADATA — a CM table's nested fields carry
+            # delta.columnMapping.* there; same type, different
+            # annotation is NOT a conflict)
+            if _type_key(have["type"]) != _type_key(f["type"]):
                 raise ValueError(
                     f"mergeSchema type conflict on {f['name']!r}: table "
                     f"{have['type']} vs frame {f['type']}"
@@ -969,6 +1049,7 @@ def write_delta_native(
     max_retries: int = 5,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    column_mapping: str | None = None,
 ) -> int:
     """Write ``df`` to a Delta table at ``table_dir`` (creating it on
     first write) and return the committed version.
@@ -986,6 +1067,14 @@ def write_delta_native(
     readers fill them with null for the new files, exactly how parquet
     missing-column reads behave. A TYPE CONFLICT on a shared column name
     is still refused (evolution adds columns, it never mutates them).
+
+    ``column_mapping="name"|"id"`` at TABLE CREATION writes a
+    column-mapped table: every column (at every nesting level) gets a
+    fresh delta.columnMapping.id and a col-<uuid> physicalName, the
+    metaData carries mode + maxColumnId, and the protocol the classic
+    CM versions (2/5). On an existing table the option must match the
+    table's mode (it never converts). mergeSchema evolution on CM
+    tables assigns NEW columns fresh ids above maxColumnId.
 
     ``txn=(app_id, version)`` attaches the protocol's SetTransaction
     action — the exactly-once handshake for streaming writers: if the
@@ -1023,17 +1112,17 @@ def write_delta_native(
         _check_no_invariants(meta)
         cm = _check_cm_supported(meta, "WRITE")
         if cm != "none":
-            # appends rename to the physical layout below; the ops that
-            # would have to MAINTAIN the mapping refuse by name
+            # appends (incl. mergeSchema evolution — new columns get
+            # fresh ids above maxColumnId) rename to the physical
+            # layout below; overwrite would have to REBUILD the mapping
             if mode == "overwrite":
                 _refuse_cm(meta, "overwrite")
-            if merge_schema:
-                raise ValueError(
-                    "mergeSchema on a column-mapped table is not "
-                    "supported by this native writer (new columns need "
-                    "fresh columnMapping ids / maxColumnId maintenance "
-                    "— use delta-spark)"
-                )
+        if column_mapping is not None and column_mapping != cm:
+            raise ValueError(
+                f"column_mapping={column_mapping!r} requested but the "
+                f"existing table's mode is {cm!r} — the option only "
+                "applies at table creation"
+            )
         if mode == "overwrite" and (
             (meta.get("configuration") or {}).get("delta.appendOnly")
             == "true"
@@ -1088,11 +1177,43 @@ def write_delta_native(
                 }
     schema_json = df.schema.json()
     commit_schema_json = schema_json  # what a metaData action would carry
+    commit_configuration: dict | None = None  # None = inherit/empty
+    cm_evolution_based_maxid: str | None = None
+    if meta is None and column_mapping is not None:
+        # CM table CREATION: every column (at every nesting level) gets
+        # a fresh id + col-<uuid> physical name; the first commit's
+        # metaData carries mode + maxColumnId, its protocol the classic
+        # CM versions (reader 2 / writer 5)
+        if column_mapping not in ("name", "id"):
+            raise ValueError(
+                f"column_mapping must be 'name' or 'id', got "
+                f"{column_mapping!r}"
+            )
+        fields, next_id = [], 1
+        for f in df.schema.jsonValue()["fields"]:
+            f2, next_id = _cm_annotate_field(f, next_id)
+            fields.append(f2)
+        commit_schema_json = json.dumps(
+            {"type": "struct", "fields": fields}, separators=(",", ":")
+        )
+        schema_json = commit_schema_json
+        commit_configuration = {
+            "delta.columnMapping.mode": column_mapping,
+            "delta.columnMapping.maxColumnId": str(next_id - 1),
+        }
     if meta is not None and mode == "append":
         if merge_schema:
-            commit_schema_json = _merge_schemas(
-                meta["schemaString"], df.schema
-            )
+            if _cm_mode(meta) != "none":
+                commit_schema_json, commit_configuration = (
+                    _merge_schemas_cm(meta, df.schema)
+                )
+                cm_evolution_based_maxid = (
+                    meta.get("configuration") or {}
+                ).get("delta.columnMapping.maxColumnId")
+            else:
+                commit_schema_json = _merge_schemas(
+                    meta["schemaString"], df.schema
+                )
         elif _schema_key(schema_json) != _schema_key(meta["schemaString"]):
             raise ValueError(
                 "append schema mismatch vs the table's metaData "
@@ -1124,13 +1245,35 @@ def write_delta_native(
     # column mapping: the frame is validated in LOGICAL terms above,
     # then staged in the table's PHYSICAL layout (physical names +
     # parquet field ids at every nesting level); partition dirs and
-    # partitionValues keys are physical, per the protocol
+    # partitionValues keys are physical, per the protocol. The staging
+    # schema is the COMMIT's (evolution assigns new columns their
+    # physical names; creation just assigned the whole layout).
     df_write, stage_part_cols = df, part_cols
-    cm_staged = _cm_mode(meta) if meta is not None else "none"
-    if meta is not None and mode == "append" and cm_staged != "none":
-        fields_json = json.loads(meta["schemaString"]).get("fields") or []
+    cm_staged = (
+        _cm_mode(meta) if meta is not None else (column_mapping or "none")
+    )
+    if cm_staged != "none" and (meta is None or mode == "append"):
+        # the staging schema is the one carrying CM metadata: the
+        # TABLE's for plain appends, the merged/created commit schema
+        # when this commit (re)defines it
+        stage_schema_json = (
+            commit_schema_json
+            if (meta is None or merge_schema)
+            else meta["schemaString"]
+        )
+        stage_meta = {
+            "schemaString": stage_schema_json,
+            "configuration": (
+                commit_configuration
+                if commit_configuration is not None
+                else (meta or {}).get("configuration") or {}
+            ),
+        }
+        fields_json = (
+            json.loads(stage_schema_json).get("fields") or []
+        )
         phys_of = {f["name"]: _physical_name(f) for f in fields_json}
-        df_write = _to_physical(spark, df, meta)
+        df_write = _to_physical(spark, df, stage_meta)
         stage_part_cols = [phys_of[c] for c in part_cols]
 
     staging = posixpath.join(root, f"_staging-{uuid.uuid4().hex[:12]}")
@@ -1184,7 +1327,16 @@ def write_delta_native(
         )
         if creating:
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {
+                    "protocol": (
+                        {"minReaderVersion": 2, "minWriterVersion": 5}
+                        if column_mapping is not None
+                        else {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2,
+                        }
+                    )
+                }
             )
         if creating or replacing_meta or evolving or identity_hwms:
             if identity_hwms:
@@ -1215,9 +1367,13 @@ def write_delta_native(
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": meta_schema,
                         "partitionColumns": part_cols,
-                        "configuration": {}
-                        if creating
-                        else dict(meta.get("configuration") or {}),
+                        "configuration": (
+                            dict(commit_configuration)
+                            if commit_configuration is not None
+                            else {}
+                            if creating
+                            else dict(meta.get("configuration") or {})
+                        ),
                         "createdTime": ts
                         if creating
                         else meta.get("createdTime"),
@@ -1339,9 +1495,26 @@ def write_delta_native(
                     "the staged files no longer match the table layout"
                 )
             if merge_schema:
-                commit_schema_json = _merge_schemas(
-                    meta["schemaString"], df.schema
-                )
+                if _cm_mode(meta) != "none":
+                    # the staged files carry the physical names assigned
+                    # on the FIRST attempt; if a concurrent commit moved
+                    # maxColumnId, re-annotating would change them and
+                    # silently orphan the staged columns — abort instead
+                    if (
+                        (meta.get("configuration") or {}).get(
+                            "delta.columnMapping.maxColumnId"
+                        )
+                        != cm_evolution_based_maxid
+                    ):
+                        raise DeltaConcurrentWriteError(
+                            "concurrent column-mapping schema evolution "
+                            "— the staged physical layout is stale; "
+                            "re-run the write"
+                        )
+                else:
+                    commit_schema_json = _merge_schemas(
+                        meta["schemaString"], df.schema
+                    )
             elif _schema_key(schema_json) != _schema_key(
                 meta["schemaString"]
             ):
@@ -1581,7 +1754,9 @@ def _active_scan(
         df = spark.read.schema(data_schema).parquet(*paths)
         proj = [
             F.col(f"`{read_col_of[f.name]}`")
-            .cast(f.dataType)
+            # relaxed cast target: Catalyst refuses casts that would
+            # CLAIM nested non-nullability (delta_reader._nullable_dt)
+            .cast(_nullable_dt(f.dataType))
             .alias(f.name)
             for f in data_fields
         ] + [_fp_decoded(F.col("_metadata.file_path")).alias(_FP_COL)]

@@ -1706,19 +1706,31 @@ def test_cm_table_append_and_delete(spark, tmp_path, mode):
     )
     assert rows == [(1, 10, "east"), (2, 20, "east"), (3, 30, "west")]
 
-    # schema evolution / MERGE / OPTIMIZE / overwrite stay refused by name
+    # schema EVOLUTION now works (r7: fresh id above maxColumnId —
+    # test_cm_table_creation_and_evolution covers it in depth); MERGE /
+    # OPTIMIZE / overwrite stay refused by name
     from rtdl_spark.sources.delta_writer import (
         merge_into_delta_native,
         optimize_delta_native,
     )
 
     wide = frame.withColumn("extra", F.lit(1))
-    with pytest.raises(ValueError, match="mergeSchema on a column-mapped"):
-        write_delta_native(spark, wide, root, merge_schema=True)
+    write_delta_native(spark, wide, root, merge_schema=True)
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    _, meta2, _, _, _ = snapshot_actions(spark, root)
+    ef = [
+        f for f in json.loads(meta2["schemaString"])["fields"]
+        if f["name"] == "extra"
+    ][0]
+    assert ef["metadata"]["delta.columnMapping.id"] == 6  # above maxId 5
+    assert int(
+        meta2["configuration"]["delta.columnMapping.maxColumnId"]
+    ) == 6
     with pytest.raises(ValueError, match="column-mapped"):
         write_delta_native(spark, frame, root, mode="overwrite")
     with pytest.raises(ValueError, match="MERGE on a column-mapped"):
-        merge_into_delta_native(spark, root, frame, on=["id"])
+        merge_into_delta_native(spark, root, wide, on=["id"])
     with pytest.raises(ValueError, match="OPTIMIZE on a column-mapped"):
         optimize_delta_native(spark, root)
 
@@ -2216,5 +2228,109 @@ def test_checkpoint_preserves_protocol_features(spark, tmp_path):
     with pytest.raises(ValueError, match="appendOnly"):
         write_delta_native(
             spark, _frame(spark, 4, 6), root, mode="overwrite",
+            checkpoint_interval=0,
+        )
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_cm_table_creation_and_evolution(spark, tmp_path, mode):
+    """CM table CREATION (r7, was a named refusal) and mergeSchema
+    EVOLUTION: every column at every nesting level gets a fresh
+    delta.columnMapping.id + col-<uuid> physicalName (evolution assigns
+    NEW columns ids above maxColumnId and advances it), staged files
+    carry physical names AND parquet field ids, and both CM read modes
+    resolve everything back to logical names.
+
+    Also pins the field-id regression found building this: ids
+    attached via .to() alone were LOST for flat/foldable columns (a
+    lit() evolution column reached the writer id-less) — they now ride
+    alias metadata."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_writer import delete_where_delta_native
+
+    root = str(tmp_path / f"cmc_{mode}")
+    df = spark.range(0, 10).select(
+        "id", (F.col("id") % 2).cast("string").alias("p"),
+        F.struct(
+            F.col("id").cast("string").alias("s1"),
+            (F.col("id") * 2).alias("s2"),
+        ).alias("nest"),
+    )
+    v = write_delta_native(
+        spark, df, root, partition_by=["p"], column_mapping=mode,
+        checkpoint_interval=0,
+    )
+    assert v == 0
+    _, meta, _, _, _ = snapshot_actions(spark, root)
+    conf = meta["configuration"]
+    assert conf["delta.columnMapping.mode"] == mode
+    assert int(conf["delta.columnMapping.maxColumnId"]) == 5
+    sj = json.loads(meta["schemaString"])
+    assert all(
+        "delta.columnMapping.physicalName" in f["metadata"]
+        for f in sj["fields"]
+    )
+    fp = glob.glob(root + "/*/*.parquet")[0]
+    sa = pq.ParquetFile(fp).schema_arrow
+    assert all(f.name.startswith("col-") for f in sa)
+    assert all(
+        (f.metadata or {}).get(b"PARQUET:field_id") is not None for f in sa
+    ), "staged files must carry parquet field ids"
+
+    got = read_delta_native(spark, root)
+    rows = sorted(
+        (r["id"], r["p"], r["nest"]["s1"], r["nest"]["s2"])
+        for r in got.collect()
+    )
+    assert rows[0] == (0, "0", "0", 0) and len(rows) == 10
+
+    write_delta_native(
+        spark, df.withColumn("id", F.col("id") + 10), root,
+        checkpoint_interval=0,
+    )
+    delete_where_delta_native(spark, root, "id = 3")
+    assert read_delta_native(spark, root).count() == 19
+
+    # evolution: the new LITERAL column w gets id 6 and reads back
+    write_delta_native(
+        spark,
+        df.withColumn("id", F.col("id") + 100).withColumn(
+            "w", F.lit(1.5)
+        ),
+        root, merge_schema=True, checkpoint_interval=0,
+    )
+    _, meta2, _, _, _ = snapshot_actions(spark, root)
+    assert int(
+        meta2["configuration"]["delta.columnMapping.maxColumnId"]
+    ) == 6
+    wf = [
+        f for f in json.loads(meta2["schemaString"])["fields"]
+        if f["name"] == "w"
+    ][0]
+    assert wf["metadata"]["delta.columnMapping.id"] == 6
+    assert wf["metadata"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    got = read_delta_native(spark, root)
+    assert got.filter("w IS NOT NULL").count() == 10
+    assert got.filter("w IS NULL").count() == 19
+
+    # an evolution frame LACKING w still appends; readers null-fill
+    write_delta_native(
+        spark, df.withColumn("id", F.col("id") + 200), root,
+        merge_schema=True, checkpoint_interval=0,
+    )
+    assert read_delta_native(spark, root).filter("id >= 200").count() == 10
+
+    # the option never converts an existing table
+    with pytest.raises(ValueError, match="creation"):
+        write_delta_native(
+            spark, df, root,
+            column_mapping="name" if mode == "id" else "id",
             checkpoint_interval=0,
         )
