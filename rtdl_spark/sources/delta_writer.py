@@ -539,8 +539,9 @@ def _identity_schema_update(meta: dict, new_hwms: dict[str, int]) -> str:
 
 def _check_cm_supported(meta: dict, operation: str) -> str:
     """Per-op column-mapping gate → the mode. Ops that rewrite THROUGH
-    the logical scan and re-stage (append, DELETE, UPDATE) handle CM;
-    everything else refuses by name at its entry point."""
+    the logical scan and re-stage (append incl. creation/evolution,
+    DELETE, UPDATE, MERGE) handle CM; everything else refuses by name
+    at its entry point."""
     mode = _cm_mode(meta)
     if mode not in ("none", "name", "id"):
         raise ValueError(
@@ -2630,7 +2631,7 @@ def merge_into_delta_native(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
-    _refuse_cm(meta, "MERGE")
+    _check_cm_supported(meta, "MERGE")
     _refuse_row_tracking(protocol, "MERGE")
     _refuse_identity(meta, "MERGE")
     _check_no_active_dvs(active, "MERGE")
@@ -2745,18 +2746,26 @@ def merge_into_delta_native(
             for cf in change_frames[1:]:
                 changes = changes.unionByName(cf)
             cdc_actions = _stage_cdc(
-                spark, root, changes, col_order, part_cols
+                spark, root, changes, col_order, part_cols, meta
             )
 
     out = _enforce_not_null(out, meta["schemaString"])
     out = _enforce_constraints(out, meta)
+    # column mapping: computed logically above, staged PHYSICALLY
+    # (same discipline as _rewrite_where)
+    stage_part_cols = part_cols
+    if _cm_mode(meta) != "none":
+        fields_json = json.loads(meta["schemaString"]).get("fields") or []
+        phys_of = {f["name"]: _physical_name(f) for f in fields_json}
+        out = _to_physical(spark, out, meta)
+        stage_part_cols = [phys_of[c] for c in part_cols]
     staging = posixpath.join(root, f"_merge-{uuid.uuid4().hex[:12]}")
     writer = out.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
+    if stage_part_cols:
+        writer = writer.partitionBy(*stage_part_cols)
     writer.parquet(staging)
     try:
-        adds = _promote_staged(spark, root, staging, part_cols, True)
+        adds = _promote_staged(spark, root, staging, stage_part_cols, True)
     finally:
         fsutil.delete(spark, staging)
 

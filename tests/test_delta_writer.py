@@ -1707,8 +1707,9 @@ def test_cm_table_append_and_delete(spark, tmp_path, mode):
     assert rows == [(1, 10, "east"), (2, 20, "east"), (3, 30, "west")]
 
     # schema EVOLUTION now works (r7: fresh id above maxColumnId —
-    # test_cm_table_creation_and_evolution covers it in depth); MERGE /
-    # OPTIMIZE / overwrite stay refused by name
+    # test_cm_table_creation_and_evolution covers it in depth); MERGE
+    # stages physically like the rewrite path; OPTIMIZE / overwrite
+    # stay refused by name
     from rtdl_spark.sources.delta_writer import (
         merge_into_delta_native,
         optimize_delta_native,
@@ -1727,10 +1728,20 @@ def test_cm_table_append_and_delete(spark, tmp_path, mode):
     assert int(
         meta2["configuration"]["delta.columnMapping.maxColumnId"]
     ) == 6
+    # MERGE through the CM scan: update id=1's payload + insert id=50
+    msrc = spark.createDataFrame(
+        [(1, ("XX", 99), "east", 7), (50, ("nn", 50), "west", 7)],
+        wide.schema,
+    )
+    res = merge_into_delta_native(spark, root, msrc, on=["id"])
+    assert res["version"] is not None
+    got = {
+        r["id"]: (r["s"]["inner"], r["extra"])
+        for r in read_delta_native(spark, root).collect()
+    }
+    assert got[1] == ("XX", 7) and got[50] == ("nn", 7)
     with pytest.raises(ValueError, match="column-mapped"):
         write_delta_native(spark, frame, root, mode="overwrite")
-    with pytest.raises(ValueError, match="MERGE on a column-mapped"):
-        merge_into_delta_native(spark, root, wide, on=["id"])
     with pytest.raises(ValueError, match="OPTIMIZE on a column-mapped"):
         optimize_delta_native(spark, root)
 
