@@ -613,6 +613,62 @@ def _physical_fieldid_type(type_json):
     return type_json
 
 
+def _relax_json(t):
+    """schemaString-type twin of delta_reader._nullable_dt: every
+    nested nullability flag relaxed to True (cast/`.to` targets must
+    never CLAIM non-nullability)."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return {
+                **t,
+                "fields": [
+                    {**f, "nullable": True, "type": _relax_json(f["type"])}
+                    for f in t.get("fields") or []
+                ],
+            }
+        if t.get("type") == "array":
+            return {**t, "elementType": _relax_json(t["elementType"])}
+        if t.get("type") == "map":
+            return {**t, "keyType": _relax_json(t["keyType"]),
+                    "valueType": _relax_json(t["valueType"])}
+    return t
+
+
+def _reattach_field_ids(
+    spark: SparkSession, df: DataFrame, meta: dict, keep_cols: list[str]
+) -> DataFrame:
+    """Re-attach parquet field ids to a frame whose data columns are
+    already PHYSICAL (OPTIMIZE's passthrough rewrite): top-level ids
+    ride alias metadata (the .to()-only form loses them for
+    flat/foldable columns — the r7 field-id lesson), nested ids ride
+    ``.to``. ``keep_cols`` pass through untouched (the bin column)."""
+    from pyspark.sql.types import StructType as _St
+
+    present = set(df.columns)
+    pfields = []
+    for f in json.loads(meta["schemaString"]).get("fields") or []:
+        pf = _physical_fieldid_field(f)
+        if pf["name"] in present:
+            pfields.append(
+                {**pf, "nullable": True, "type": _relax_json(pf["type"])}
+            )
+    pschema = _St.fromJson(
+        {
+            "type": "struct",
+            "fields": pfields
+            + [df.schema[c].jsonValue() for c in keep_cols],
+        }
+    )
+    cols = [
+        F.col(f"`{pf['name']}`").alias(
+            pf["name"], metadata=dict(pf.get("metadata") or {})
+        )
+        for pf in pfields
+    ] + [F.col(f"`{c}`") for c in keep_cols]
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    return df.select(*cols).to(pschema)
+
+
 def _cm_annotate_type(t, next_id: int):
     """Recursive twin of _cm_annotate_field for container types."""
     if isinstance(t, dict):
@@ -706,30 +762,11 @@ def _to_physical(
     ]
     from pyspark.sql.types import StructType as _St
 
-    pfields = [_physical_fieldid_field(f) for f in fields_json]
-    extras = list(extra_cols or [])
-
-    def _relax(t):
-        if isinstance(t, dict):
-            if t.get("type") == "struct":
-                return {
-                    **t,
-                    "fields": [
-                        {**f, "nullable": True, "type": _relax(f["type"])}
-                        for f in t.get("fields") or []
-                    ],
-                }
-            if t.get("type") == "array":
-                return {**t, "elementType": _relax(t["elementType"])}
-            if t.get("type") == "map":
-                return {**t, "keyType": _relax(t["keyType"]),
-                        "valueType": _relax(t["valueType"])}
-        return t
-
     pfields = [
-        {**f, "nullable": True, "type": _relax(f["type"])}
-        for f in pfields
+        {**f, "nullable": True, "type": _relax_json(f["type"])}
+        for f in (_physical_fieldid_field(f) for f in fields_json)
     ]
+    extras = list(extra_cols or [])
     pschema = _St.fromJson(
         {
             "type": "struct",
@@ -3011,20 +3048,42 @@ def optimize_delta_native(
     protocol, meta, active, current, _txns = snapshot_actions(spark, root)
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
-    _refuse_cm(meta, "OPTIMIZE")
+    cm = _check_cm_supported(meta, "OPTIMIZE")
     _refuse_row_tracking(protocol, "OPTIMIZE")
     _check_no_active_dvs(active, "OPTIMIZE")
     part_cols = list(meta.get("partitionColumns") or [])
+    # column mapping: OPTIMIZE is a pure PHYSICAL-layout passthrough —
+    # files are read under their physical names (data files carry them
+    # in BOTH modes), repacked, and staged back physically with field
+    # ids re-attached; nothing is ever resolved to logical names.
+    # partitionValues / dir names / `where` keys are all physical.
+    fields_json_all = json.loads(meta["schemaString"]).get("fields") or []
+    if cm != "none":
+        for f in fields_json_all:
+            if "delta.columnMapping.physicalName" not in (
+                f.get("metadata") or {}
+            ):
+                raise ValueError(
+                    f"OPTIMIZE on a column-mapped table needs "
+                    f"physicalName metadata on every field "
+                    f"({f['name']!r} lacks it) — use delta-spark"
+                )
+    phys_of_all = {
+        f["name"]: (_physical_name(f) if cm != "none" else f["name"])
+        for f in fields_json_all
+    }
+    part_keys = [phys_of_all[c] for c in part_cols]
 
     groups: dict[tuple, list[dict]] = {}
     for a in active.values():
         pvals = a.get("partitionValues") or {}
         if where is not None and any(
-            pvals.get(k) != v for k, v in where.items()
+            pvals.get(phys_of_all.get(k, k)) != v
+            for k, v in where.items()
         ):
             continue
         groups.setdefault(
-            tuple(pvals.get(c) for c in part_cols), []
+            tuple(pvals.get(c) for c in part_keys), []
         ).append(a)
 
     # driver-side planning over file metadata. Two binning modes:
@@ -3082,15 +3141,34 @@ def optimize_delta_native(
     n_bins = sum(len(e["bks"]) for e in entries)
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+    if cm != "none":
+        # physical passthrough read: files carry physical names in
+        # both CM modes; rows are never resolved to logical names
+        data_schema = StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": _physical_name(f),
+                        "type": _physical_type(f["type"]),
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                    for f in fields_json_all
+                    if f["name"] not in part_cols
+                ],
+            }
+        )
+    else:
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
     # the bin column must NOT be '_'-prefixed: it becomes a staging
     # partition directory name, and Spark's file index hides those
     bin_col, fp_col = "rtdl_opt_bin", "rtdl_opt_fp"
     z_col, n_col = "rtdl_opt_z", "rtdl_opt_n"
     reserved = {bin_col, fp_col, z_col, n_col}
-    if reserved & set(schema.fieldNames()):
+    if reserved & (set(schema.fieldNames()) | set(phys_of_all.values())):
         raise ValueError(
             f"table schema uses a reserved optimize column: "
             f"{sorted(reserved & set(schema.fieldNames()))}"
@@ -3126,7 +3204,13 @@ def optimize_delta_native(
         .drop(fp_col)
     )
     if zorder_by:
-        bad = [c for c in zorder_by if c not in data_schema.fieldNames()]
+        # callers name LOGICAL columns; the scan is physical under CM
+        zcols = [phys_of_all.get(c, c) for c in zorder_by]
+        bad = [
+            c
+            for c, pc in zip(zorder_by, zcols)
+            if pc not in data_schema.fieldNames()
+        ]
         if bad:
             raise ValueError(
                 f"zorder_by columns not in the table's data columns: {bad}"
@@ -3136,7 +3220,7 @@ def optimize_delta_native(
         from rtdl_spark.operators.zorder import zvalue
 
         _, zk = zvalue(
-            src, list(zorder_by), bits=zorder_bits, curve=zorder_curve
+            src, zcols, bits=zorder_bits, curve=zorder_curve
         )
         w = Window.partitionBy(bin_col).orderBy(z_col)
         src = (
@@ -3170,6 +3254,12 @@ def optimize_delta_native(
         )
     else:
         staged_src = src.repartition(n_bins, bin_col).drop(n_col)
+    if cm != "none":
+        # parquet field ids must ride into the repacked files, or
+        # id-mode readers would null every column of the output
+        staged_src = _reattach_field_ids(
+            spark, staged_src, meta, keep_cols=[bin_col]
+        )
     staging = posixpath.join(root, f"_optimize-{uuid.uuid4().hex[:12]}")
     (
         staged_src.write.partitionBy(bin_col)
@@ -3196,8 +3286,9 @@ def optimize_delta_native(
                     seg[0][len(bin_col) + 1:], []
                 ).append(p)
         for e in entries:
+            # partitionValues keys and dir names are PHYSICAL under CM
             pvals = dict(
-                zip(part_cols, e["key"])
+                zip(part_keys, e["key"])
             )
             rel_dir = "/".join(
                 f"{c}=" + (
@@ -3205,7 +3296,7 @@ def optimize_delta_native(
                     if v is None
                     else urllib.parse.quote(v, safe="")
                 )
-                for c, v in zip(part_cols, e["key"])
+                for c, v in zip(part_keys, e["key"])
             )
             for bk in e["bks"]:
                 for p in sorted(by_bk.get(bk, ())):

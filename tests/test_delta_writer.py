@@ -1740,10 +1740,20 @@ def test_cm_table_append_and_delete(spark, tmp_path, mode):
         for r in read_delta_native(spark, root).collect()
     }
     assert got[1] == ("XX", 7) and got[50] == ("nn", 7)
+    # OPTIMIZE on CM (r7): physical passthrough repack — row set
+    # unchanged, field ids re-attached (see
+    # test_cm_optimize_repacks_physically); overwrite stays refused
+    res_opt = optimize_delta_native(
+        spark, root, target_file_bytes=1 << 30, min_files=2
+    )
+    assert res_opt["version"] is not None
+    after = {
+        r["id"]: (r["s"]["inner"], r["extra"])
+        for r in read_delta_native(spark, root).collect()
+    }
+    assert after == got, "OPTIMIZE must not change the row set"
     with pytest.raises(ValueError, match="column-mapped"):
         write_delta_native(spark, frame, root, mode="overwrite")
-    with pytest.raises(ValueError, match="OPTIMIZE on a column-mapped"):
-        optimize_delta_native(spark, root)
 
 
 def test_cm_append_streams_back_logically(spark, tmp_path):
@@ -2345,3 +2355,60 @@ def test_cm_table_creation_and_evolution(spark, tmp_path, mode):
             column_mapping="name" if mode == "id" else "id",
             checkpoint_interval=0,
         )
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_cm_optimize_repacks_physically(spark, tmp_path, mode):
+    """OPTIMIZE on column-mapped tables (r7, was the last CM rewrite
+    refusal besides overwrite): a pure PHYSICAL-layout passthrough —
+    files read under physical names, repacked per physical partition
+    dir, parquet field ids re-attached at every nesting level (an
+    id-mode reader of the output would otherwise null every column).
+    Row set unchanged; ZORDER variant works on LOGICAL column names."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_writer import optimize_delta_native
+
+    root = str(tmp_path / f"optcm_{mode}")
+    df = spark.range(0, 40).select(
+        "id", (F.col("id") % 2).cast("string").alias("p"),
+        F.struct(F.col("id").cast("string").alias("s1")).alias("nest"),
+    )
+    write_delta_native(
+        spark, df.repartition(4), root, partition_by=["p"],
+        column_mapping=mode, checkpoint_interval=0,
+    )
+    write_delta_native(
+        spark, df.withColumn("id", F.col("id") + 100).repartition(4),
+        root, checkpoint_interval=0,
+    )
+    _, _, active0, _, _ = snapshot_actions(spark, root)
+    res = optimize_delta_native(spark, root, target_file_bytes=1 << 30)
+    assert res["version"] is not None
+    _, _, active1, _, _ = snapshot_actions(spark, root)
+    assert len(active1) < len(active0)
+
+    got = read_delta_native(spark, root)
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        list(range(40)) + list(range(100, 140))
+    )
+    assert got.filter("nest.s1 = '7'").count() == 2  # one per batch
+
+    newest = max(
+        glob.glob(root + "/*/*.parquet"), key=os.path.getmtime
+    )
+    sa = pq.ParquetFile(newest).schema_arrow
+    assert all(
+        (f.metadata or {}).get(b"PARQUET:field_id") for f in sa
+    ), "repacked files must carry field ids"
+    assert all(f.name.startswith("col-") for f in sa)
+
+    # ZORDER BY takes logical names and re-clusters without row loss
+    optimize_delta_native(
+        spark, root, zorder_by=["id"], target_file_bytes=1 << 18
+    )
+    assert read_delta_native(spark, root).count() == 80
