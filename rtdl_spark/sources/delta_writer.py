@@ -1149,12 +1149,11 @@ def write_delta_native(
         _check_writer_protocol(protocol)
         _check_no_invariants(meta)
         cm = _check_cm_supported(meta, "WRITE")
-        if cm != "none":
-            # appends (incl. mergeSchema evolution — new columns get
-            # fresh ids above maxColumnId) rename to the physical
-            # layout below; overwrite would have to REBUILD the mapping
-            if mode == "overwrite":
-                _refuse_cm(meta, "overwrite")
+        # CM appends (incl. mergeSchema evolution — new columns get
+        # fresh ids above maxColumnId) and SAME-SCHEMA overwrites
+        # rename to the physical layout below; a schema-REPLACING
+        # overwrite would have to rebuild the whole mapping and is
+        # refused after the schema comparison further down
         if column_mapping is not None and column_mapping != cm:
             raise ValueError(
                 f"column_mapping={column_mapping!r} requested but the "
@@ -1264,6 +1263,22 @@ def write_delta_native(
                 f"{existing_parts}"
             )
 
+    if (
+        meta is not None
+        and mode == "overwrite"
+        and _cm_mode(meta) != "none"
+        and (
+            _schema_key(schema_json) != _schema_key(meta["schemaString"])
+            or part_cols != existing_parts
+        )
+    ):
+        raise ValueError(
+            "schema-replacing overwrite on a column-mapped table is "
+            "not supported by this native writer (the column-mapping "
+            "identity would have to be rebuilt) — same-schema "
+            "overwrites are; use delta-spark to replace the schema"
+        )
+
     missing = [c for c in part_cols if c not in df.columns]
     if missing:
         raise ValueError(f"partition columns absent from frame: {missing}")
@@ -1290,7 +1305,7 @@ def write_delta_native(
     cm_staged = (
         _cm_mode(meta) if meta is not None else (column_mapping or "none")
     )
-    if cm_staged != "none" and (meta is None or mode == "append"):
+    if cm_staged != "none":
         # the staging schema is the one carrying CM metadata: the
         # TABLE's for plain appends, the merged/created commit schema
         # when this commit (re)defines it

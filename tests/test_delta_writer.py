@@ -2412,3 +2412,39 @@ def test_cm_optimize_repacks_physically(spark, tmp_path, mode):
         spark, root, zorder_by=["id"], target_file_bytes=1 << 18
     )
     assert read_delta_native(spark, root).count() == 80
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_cm_same_schema_overwrite(spark, tmp_path, mode):
+    """Same-schema OVERWRITE on CM tables (r7 — the final CM lift):
+    actives tombstoned, the new data staged physically, CM metadata
+    untouched, old versions still time-travelable; a schema-REPLACING
+    overwrite (which would rebuild the mapping) refuses by name."""
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    root = str(tmp_path / f"cmo_{mode}")
+    df = spark.range(0, 10).select(
+        "id", (F.col("id") % 2).cast("string").alias("p")
+    )
+    write_delta_native(
+        spark, df, root, partition_by=["p"], column_mapping=mode,
+        checkpoint_interval=0,
+    )
+    write_delta_native(
+        spark, df.withColumn("id", F.col("id") + 50), root,
+        mode="overwrite", checkpoint_interval=0,
+    )
+    assert sorted(
+        r["id"] for r in read_delta_native(spark, root).collect()
+    ) == list(range(50, 60))
+    assert read_delta_native(spark, root, version=0).count() == 10
+    _, meta, _, _, _ = snapshot_actions(spark, root)
+    assert meta["configuration"]["delta.columnMapping.mode"] == mode
+
+    with pytest.raises(ValueError, match="schema-replacing overwrite"):
+        write_delta_native(
+            spark, df.withColumn("zz", F.lit(1)), root,
+            mode="overwrite", checkpoint_interval=0,
+        )
