@@ -2371,7 +2371,12 @@ def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, "k % 11 = 0", {"price": "price * 2"}
         )
 
-        ch = read_table_changes_cdf(spark, root, 0, 4)
+        # v0 is a pure append made BEFORE CDF was enabled (v1) — strict
+        # mode refuses feed-less commits (delta-spark parity);
+        # allow_unrecorded opts into deriving it as inserts, which is
+        # exact for appends
+        ch = read_table_changes_cdf(spark, root, 0, 4,
+                                    allow_unrecorded=True)
         out = (
             ch.groupBy(
                 F.col("_commit_version").cast("int").alias("version"),

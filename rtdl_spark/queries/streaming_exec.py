@@ -609,6 +609,10 @@ def stream_exec_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.format("rtdl_delta_stream")
             .option("path", root)
             .option("readChangeFeed", "true")
+            # v0 is a pure append made BEFORE CDF was enabled (v1):
+            # strict mode refuses feed-less commits; this opt-in
+            # derives it as inserts (exact for appends)
+            .option("allowUnrecordedChanges", "true")
             .load()
             .writeStream.format("parquet")
             .option("path", out)

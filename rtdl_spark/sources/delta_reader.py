@@ -1132,6 +1132,7 @@ def read_table_changes_cdf(
     table_dir: str,
     starting_version: int = 0,
     ending_version: int | None = None,
+    allow_unrecorded: bool = False,
 ) -> DataFrame:
     """CHANGE DATA FEED read (table_changes semantics over the commit
     range [starting_version, ending_version]): commits carrying ``cdc``
@@ -1147,7 +1148,14 @@ def read_table_changes_cdf(
     Rows are read with the LATEST schema in range (the usual CDF
     simplification); column-mapped tables resolve physical names /
     field ids exactly like the batch reader (``_change_type`` itself
-    is stored unmapped, per real Delta's change-file layout)."""
+    is stored unmapped, per real Delta's change-file layout).
+
+    Commits made while delta.enableChangeDataFeed was NOT 'true'
+    recorded no cdc actions, so derivation there is untrustworthy — a
+    rewrite commit would emit every unchanged row as delete+insert.
+    Such commits REFUSE (delta-spark parity) unless
+    ``allow_unrecorded=True``, which the caller should pass only when
+    it knows the feed-less commits are pure appends / full deletes."""
     root = table_dir.rstrip("/")
     versions = _commit_versions(spark, root)
     if ending_version is None:
@@ -1292,9 +1300,25 @@ def read_table_changes_cdf(
                 .select(*out_cols)
             )
 
+    # whether delta.enableChangeDataFeed was 'true' entering the range
+    # (latest metaData <= want[0], including want[0]'s own metaData —
+    # updated per commit inside the loop before the derivation check)
+    cdf_on = False
+    if want:
+        _, m0, _, _, _ = snapshot_actions(spark, root, want[0])
+        cdf_on = (m0.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed"
+        ) == "true"
+
     for v in want:
         cpath = posixpath.join(_log_dir(root), f"{v:020d}.json")
         actions = _read_json_lines(spark, cpath)
+        if v != want[0]:
+            for a in actions:
+                if "metaData" in a:
+                    cdf_on = (
+                        a["metaData"].get("configuration") or {}
+                    ).get("delta.enableChangeDataFeed") == "true"
         cdc = [a["cdc"] for a in actions if "cdc" in a]
         if cdc:
             _scan(
@@ -1313,6 +1337,15 @@ def read_table_changes_cdf(
             a["remove"] for a in actions
             if "remove" in a and a["remove"].get("dataChange", True)
         ]
+        if (adds or removes) and not cdf_on and not allow_unrecorded:
+            raise ValueError(
+                f"CDF: commit {v} was written while "
+                "delta.enableChangeDataFeed was not 'true' — its "
+                "changes were not recorded and deriving them from "
+                "add/remove actions can over-report rewrites. Pass "
+                "allow_unrecorded=True to derive anyway (safe only "
+                "for pure appends / full-file deletes)"
+            )
         for a in adds:
             if a.get("deletionVector"):
                 raise ValueError(

@@ -359,6 +359,17 @@ class _DeltaStreamReader(DataSourceStreamReader):
         # delta-spark's readChangeFeed option). The change-commit
         # fail/skip gates don't apply: emitting changes is the point.
         self.read_changes = _flag("readChangeFeed", "readchangefeed")
+        # readChangeFeed strictness: a commit made while
+        # delta.enableChangeDataFeed was NOT 'true' recorded no cdc
+        # actions, so a rewrite commit (DELETE/UPDATE/MERGE) in that
+        # range would derive every old-file row as 'delete' and every
+        # new-file row as 'insert' — silently over-reporting unchanged
+        # rows. delta-spark refuses such ranges; so do we, unless the
+        # caller explicitly opts into derivation for the insert/
+        # full-delete commits it knows are safe
+        self.allow_unrecorded = _flag(
+            "allowUnrecordedChanges", "allowunrecordedchanges"
+        )
         # last end version this reader has planned/committed — the base
         # the NEXT bounded latestOffset advances from (None until the
         # engine reveals the stream's position via initialOffset /
@@ -470,11 +481,30 @@ class _DeltaStreamReader(DataSourceStreamReader):
             cm_json = json.dumps(_cm_info(meta))
         else:
             part_cols, cm_json = [], "{}"
+        # readChangeFeed: track whether delta.enableChangeDataFeed was
+        # 'true' at each commit (latest metaData <= v) — derivation from
+        # add/remove is only trustworthy for commits made under the
+        # feed (see allow_unrecorded above)
+        cdf_on = False
+        if self.read_changes and lo >= 0:
+            try:
+                cdf_on = (
+                    _latest_meta(self.table_dir, lo).get("configuration")
+                    or {}
+                ).get("delta.enableChangeDataFeed") == "true"
+            except ValueError:
+                cdf_on = False
         for v in range(lo + 1, hi + 1):
             actions = _read_commit(self.table_dir, v)
             if self.read_changes:
+                for a in actions:
+                    if "metaData" in a:
+                        cdf_on = (
+                            a["metaData"].get("configuration") or {}
+                        ).get("delta.enableChangeDataFeed") == "true"
                 self._plan_change_commit(
-                    v, actions, parts, schema_json, part_cols, cm_json
+                    v, actions, parts, schema_json, part_cols, cm_json,
+                    cdf_on,
                 )
                 continue
             commit_adds = [
@@ -532,7 +562,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
         ]
 
     def _plan_change_commit(
-        self, v, actions, parts, schema_json, part_cols, cm_json
+        self, v, actions, parts, schema_json, part_cols, cm_json,
+        cdf_on=True,
     ):
         """readChangeFeed planning for ONE commit: cdc actions describe
         it exclusively (change type read from the files); otherwise
@@ -540,7 +571,12 @@ class _DeltaStreamReader(DataSourceStreamReader):
         deletes (the removed file must still exist — a vacuumed range
         refuses loudly, like the batch CDF reader). DV-carrying actions
         are not derivable (masked rows would over-report) and refuse by
-        name."""
+        name. ``cdf_on`` is whether delta.enableChangeDataFeed was
+        'true' at this commit: derivation over a feed-less commit
+        refuses (delta-spark parity) unless allowUnrecordedChanges was
+        set — a rewrite commit made before CDF was enabled carries
+        dataChange remove+add and no cdc, and deriving it would emit
+        every unchanged row as delete+insert."""
         import urllib.parse
 
         info = next(
@@ -571,6 +607,19 @@ class _DeltaStreamReader(DataSourceStreamReader):
             for c in cdc:
                 _mk(c, None)  # _change_type lives in the file
             return
+        if not cdf_on and not self.allow_unrecorded and any(
+            ("add" in a and a["add"].get("dataChange", True))
+            or ("remove" in a and a["remove"].get("dataChange", True))
+            for a in actions
+        ):
+            raise ValueError(
+                f"readChangeFeed: commit {v} was written while "
+                "delta.enableChangeDataFeed was not 'true' — its "
+                "changes were not recorded and deriving them from "
+                "add/remove actions can over-report rewrites. Set "
+                "option allowUnrecordedChanges=true to derive anyway "
+                "(safe only for pure appends / full-file deletes)"
+            )
         for a in actions:
             if "add" in a and a["add"].get("dataChange", True):
                 if a["add"].get("deletionVector"):
@@ -643,6 +692,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
             k = _file_key(f, mode)
             if k is not None:
                 idx_by_key[k] = f.name
+        cdf = json.loads(partition.cdf_json or "null")
         for batch in pf.iter_batches():
             if dv_idx is not None:
                 import numpy as np
@@ -656,7 +706,6 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         continue
             n = batch.num_rows
             cols = []
-            cdf = json.loads(partition.cdf_json or "null")
             for field in arrow_schema:
                 name = field.name
                 if cdf is not None and name in (

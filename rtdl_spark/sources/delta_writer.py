@@ -1564,6 +1564,17 @@ def write_delta_native(
                             "— the staged physical layout is stale; "
                             "re-run the write"
                         )
+                    # maxColumnId is unmoved, but a concurrent
+                    # CONFIGURATION-ONLY change (enabling appendOnly,
+                    # CDF, ...) must not be reverted by replaying the
+                    # pre-race configuration: rebuild from the
+                    # refreshed meta, overlaying only this evolution's
+                    # maxColumnId (r8 ADVICE item)
+                    refreshed = dict(meta.get("configuration") or {})
+                    refreshed["delta.columnMapping.maxColumnId"] = (
+                        commit_configuration or {}
+                    )["delta.columnMapping.maxColumnId"]
+                    commit_configuration = refreshed
                 else:
                     commit_schema_json = _merge_schemas(
                         meta["schemaString"], df.schema
@@ -3183,10 +3194,13 @@ def optimize_delta_native(
     bin_col, fp_col = "rtdl_opt_bin", "rtdl_opt_fp"
     z_col, n_col = "rtdl_opt_z", "rtdl_opt_n"
     reserved = {bin_col, fp_col, z_col, n_col}
-    if reserved & (set(schema.fieldNames()) | set(phys_of_all.values())):
+    clash = reserved & (
+        set(schema.fieldNames()) | set(phys_of_all.values())
+    )
+    if clash:
         raise ValueError(
             f"table schema uses a reserved optimize column: "
-            f"{sorted(reserved & set(schema.fieldNames()))}"
+            f"{sorted(clash)}"
         )
     # one row per input file: zorder mode maps every file to its GROUP
     # key (the per-row curve rank then picks the x-suffixed bin); plain

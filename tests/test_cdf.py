@@ -104,8 +104,14 @@ def test_cdf_derives_inserts_and_full_deletes(spark, tmp_path):
     rows = sorted((r["_change_type"], r["id"]) for r in ch.collect())
     assert rows == [("insert", 100), ("insert", 101), ("insert", 102)]
 
-    # the creation commit (v0) derives as inserts of the initial load
-    ch0 = read_table_changes_cdf(spark, root, 0, 0)
+    # the creation commit (v0) predates delta.enableChangeDataFeed=true
+    # (enabled at v1): strict mode refuses it — delta-spark parity, the
+    # r8 ADVICE item (a pre-enable REWRITE would over-report unchanged
+    # rows as delete+insert, so the whole feed-less range refuses)
+    with pytest.raises(ValueError, match="not 'true'"):
+        read_table_changes_cdf(spark, root, 0, 0)
+    # explicit opt-in derives it as inserts (exact for pure appends)
+    ch0 = read_table_changes_cdf(spark, root, 0, 0, allow_unrecorded=True)
     assert sorted(r["id"] for r in ch0.collect()) == list(range(20))
     assert {r["_change_type"] for r in ch0.collect()} == {"insert"}
 

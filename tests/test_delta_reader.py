@@ -553,16 +553,22 @@ def test_column_mapping_name_mode_read(spark, tmp_path):
     # nested logical field names round-tripped
     assert got.select(F.col("s.inner")).count() == 2
 
-    # r7: APPENDS to CM tables are supported (physical staging —
-    # test_delta_writer.py::test_cm_table_append_and_delete); ops that
-    # would have to MAINTAIN the mapping still refuse by name
-    with pytest.raises(ValueError, match="column-mapped"):
-        write_delta_native(
-            spark,
-            got.select("id", "s", "p"),
-            root,
-            mode="overwrite",
-        )
+    # r7 (f559ffa): SAME-SCHEMA overwrite on a CM table is supported —
+    # the frame is restaged in the table's existing physical layout
+    # (test_delta_writer.py::test_cm_same_schema_overwrite covers the
+    # writer side; here we prove the reader round-trips it)
+    write_delta_native(
+        spark,
+        got.select("id", "s", "p"),
+        root,
+        mode="overwrite",
+    )
+    back = read_delta_native(spark, root)
+    assert back.columns == ["id", "s", "p"]
+    assert sorted(
+        (r["id"], r["s"]["inner"], r["s"]["j"], r["p"])
+        for r in back.collect()
+    ) == [(1, "x", 10, "east"), (2, "y", 20, "east")]
 
     # the streaming source resolves CM too (round 6): its schema is the
     # LOGICAL one

@@ -993,12 +993,30 @@ def test_read_change_feed_streams_change_rows(spark, tmp_path):
     def run():
         q = (
             spark.readStream.format("rtdl_delta_stream")
-            .option("path", root).option("readChangeFeed", "true").load()
+            .option("path", root).option("readChangeFeed", "true")
+            # v0 predates enableChangeDataFeed=true (v1): strict mode
+            # refuses feed-less commits; this opt-in derives the pure
+            # append as inserts
+            .option("allowUnrecordedChanges", "true").load()
             .writeStream.format("parquet").option("path", out)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True).start()
         )
         q.awaitTermination(120)
+
+    # strictness (r8 ADVICE): WITHOUT the opt-in, planning the
+    # pre-enable creation commit refuses by name (the refusal fires
+    # during planning, before any schema-dependent read)
+    from rtdl_spark.sources.delta_stream_source import (
+        _DeltaStreamReader,
+        _latest_schema,
+    )
+    strict = _DeltaStreamReader(
+        _latest_schema(root, 3),
+        {"path": root, "readChangeFeed": "true"},
+    )
+    with pytest.raises(ValueError, match="not 'true'"):
+        strict.partitions({"version": -1}, {"version": 3})
 
     run()
     got = spark.read.parquet(out)
@@ -1072,7 +1090,9 @@ def test_read_change_feed_covers_dv_delete_via_cdc(spark, tmp_path):
     out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
     q = (
         spark.readStream.format("rtdl_delta_stream")
-        .option("path", root).option("readChangeFeed", "true").load()
+        .option("path", root).option("readChangeFeed", "true")
+        .option("allowUnrecordedChanges", "true")  # v0 pre-enable append
+        .load()
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True).start()
