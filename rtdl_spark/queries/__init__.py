@@ -45,52 +45,53 @@ CANARIES: tuple[str, ...] = (
     "multimodal_binary_stats",   # multimodal (§2C)
 )
 
-# Round-7 rotation (r6 verdict item 1): the r6-new surface with no
-# external row yet leads — table_changes, RESTORE, the stream-stream
-# interval join, the whole BPE tokenizer family and the upgraded
-# phrase-mining oracle — then a round-robin spread over the remaining
-# never-served pool (join/json/lake/ml/multimodal/scalar/setop/sim/sql/
-# text/win/x families). 65-name pool at rotation time -> ~2 rounds to
-# full external coverage.
+# Round-8 rotation (r7 verdict item 2): this rotation DRAINS the
+# never-served pool — the r7-new Delta DML/identity/CM surface leads
+# (dv_delete/dv_update/generated_cols/identity/cm_lifecycle), then the
+# r8-new SYNC IDENTITY query, the readChangeFeed streaming lane, the
+# two remaining sim entries, the whole text_* tail and the last three
+# win_* entries. After this round every oracle-backed query in the
+# registry has an external correctness row (the 4 rows-only entries
+# are structurally excluded: the head must be oracle-backed).
 ROTATION: tuple[str, ...] = (
-    "lake_delta_table_changes",
-    "lake_delta_restore",
-    "lake_delta_dv_read",
-    "lake_delta_cm_write",
-    "lake_delta_ict_history",
-    "lake_delta_cdf",
-    "stream_exec_interval_join",
-    "text_bpe_train_merges",
-    "text_bpe_vocab_tokens",
-    "text_bpe_doc_tokens",
-    "text_bpe_vocabulary",
-    "text_phrase_mining",
-    "join_hint_shuffle_hash",
-    "json_roundtrip_stats",
-    "lake_outlier_report",
-    "ml_calibration_bins",
-    "multimodal_image_png_ahash",
-    "scalar_url_parse",
-    "setop_distinct_pairs",
-    "sim_rp_lsh_topk",
-    "sql_pipe_syntax",
-    "win_nth_value_ignore_nulls",
-    "x_knn_graph_full",
-    "join_temporal_validity",
-    "lake_constraint_audit",
-    "ml_calibration_ece",
-    "scalar_bitwise_funcs",
-    "sim_quantization_error",
-    "sql_parameterized",
-    "win_time_range_frame",
-    "x_knn_graph_ivf_full",
-    "join_inequality_bnl",
-    "ml_chi2_keywords",
-    "sql_collation_compare",
-    "win_session_paths",
-    "x_image_ahash_full",
-    "ml_pr_curve_quality",
-    "sim_semantic_dedup",
+    "lake_delta_dv_delete",
+    "lake_delta_dv_update",
+    "lake_delta_generated_cols",
+    "lake_delta_identity",
+    "lake_delta_cm_lifecycle",
+    "lake_delta_identity_sync",
+    "stream_exec_cdf_source",
+    "sim_quantized_topk",
+    "sim_negative_samples_within_label",
+    "text_lang_id_heuristic",
+    "text_top_bigrams",
+    "text_bpe_token_counts",
+    "text_curation_pipeline",
+    "text_stratified_sample",
+    "text_repetition_signals",
+    "text_chunking",
+    "text_mixture_sample",
+    "text_unigram_logprob",
+    "text_corpus_prep_pipeline",
+    "text_contamination_overlap",
+    "text_distinctive_terms",
+    "text_train_val_test_split",
+    "text_temperature_mixture",
+    "text_domain_policy",
+    "text_exact_k_sample",
+    "text_row_id_assignment",
+    "text_adaptive_quality_filter",
+    "text_negative_samples",
+    "text_curriculum_shards",
+    "text_vocab_coverage",
+    "text_weighted_sample",
+    "text_bigram_logprob",
+    "text_index_bm25",
+    "text_pii_audit",
+    "text_url_canonical",
+    "win_rolling_distinct_users",
+    "win_forecast_mase",
+    "win_longest_streak",
 )
 
 DRIVER_HEAD: tuple[str, ...] = CANARIES + ROTATION

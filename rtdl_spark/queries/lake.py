@@ -2567,6 +2567,125 @@ def lake_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 @query(
+    "lake_delta_identity_sync",
+    # explicit inserts never advance the watermark; SYNC IDENTITY
+    # re-derives it as the smallest start/step lattice point >= the
+    # column max, so generation after the sync continues at hwm + step.
+    # Both row sets are deterministic as (rank-by-value, value) pairs.
+    oracle="""
+    WITH e AS (
+      SELECT o_orderkey * 10 + 1 AS rid
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    g AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
+    ),
+    hwm AS (
+      SELECT 100 + 3 * CAST(CEIL((MAX(rid) - 100) / 3.0) AS BIGINT) AS h
+      FROM e
+    )
+    SELECT 'explicit' AS grp,
+           ROW_NUMBER() OVER (ORDER BY rid) AS rn,
+           CAST(rid AS BIGINT) AS rid
+    FROM e
+    UNION ALL
+    SELECT 'generated', rn, (SELECT h FROM hwm) + 3 * rn
+    FROM (SELECT ROW_NUMBER() OVER () AS rn FROM g)
+    """,
+)
+def lake_delta_identity_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNC IDENTITY (r8, delta_writer.py::sync_identity_delta_native):
+    a BY DEFAULT identity column receives EXPLICIT values (which per
+    spec never advance the high watermark), then ALTER TABLE ... SYNC
+    IDENTITY re-derives the watermark from the column data — rounded up
+    to the start/step lattice — and a subsequent OMITTED-column append
+    generates values strictly beyond every explicit one. (rank, value)
+    pairs for both row classes, hash-verified.
+
+    Scale shape: the resync is ONE distributed max aggregate plus a
+    KB-scale metadata-only commit; generation stays the zipWithIndex
+    two-pass. Reference: rtdl delegates Delta maintenance to
+    delta-spark (deltawriter/delta_writer.py:88-94)."""
+    import json as _json
+
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        sync_identity_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_idsync_", dir=shm)
+    try:
+        root = os.path.join(workdir, "idstab")
+        write_delta_native(  # v0: schema seed (k only), zero rows
+            spark, o.limit(0), root, checkpoint_interval=0
+        )
+        _, meta, _, current, _ = snapshot_actions(spark, root)
+        schema = _json.loads(meta["schemaString"])
+        schema["fields"].insert(0, {
+            "name": "rid", "type": "long", "nullable": True,
+            "metadata": {
+                "delta.identity.start": 100,
+                "delta.identity.step": 3,
+                "delta.identity.allowExplicitInsert": True,
+            },
+        })
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{current + 1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "ADD COLUMN"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 6}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                **meta, "schemaString": _json.dumps(schema)}}) + "\n")
+
+        # v2: EXPLICIT rids (allowed BY DEFAULT; watermark untouched)
+        write_delta_native(
+            spark,
+            o.filter(F.col("k") % 11 == 0).select(
+                (F.col("k") * 10 + 1).alias("rid"), "k"
+            ).repartition(2),
+            root, checkpoint_interval=0,
+        )
+        sync_identity_delta_native(spark, root)  # v3: resync watermark
+        # v4: OMITTED rid — generated beyond every explicit value
+        write_delta_native(
+            spark,
+            o.filter(
+                (F.col("k") % 13 == 0) & (F.col("k") % 11 != 0)
+            ).repartition(3),
+            root, checkpoint_interval=0,
+        )
+        from pyspark.sql import Window
+
+        t = read_delta_native(spark, root).withColumn(
+            "grp",
+            F.when(F.col("k") % 11 == 0, "explicit").otherwise(
+                "generated"
+            ),
+        )
+        out = t.select(
+            "grp",
+            F.row_number()
+            .over(Window.partitionBy("grp").orderBy("rid"))
+            .cast("long")
+            .alias("rn"),
+            F.col("rid"),
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+@query(
     "lake_delta_cm_lifecycle",
     # the full CM lifecycle's FINAL state: create(name mode) -> append
     # -> DELETE WHERE -> mergeSchema evolution adding `flag` -> append

@@ -3028,6 +3028,123 @@ def restore_delta_native(
     }
 
 
+def sync_identity_delta_native(
+    spark: SparkSession,
+    table_dir: str,
+    columns: list[str] | None = None,
+    max_retries: int = 5,
+) -> dict:
+    """ALTER TABLE ... SYNC IDENTITY: re-derive each identity column's
+    high watermark from the COLUMN DATA so future generated values
+    never collide with explicitly inserted ones (the BY DEFAULT
+    loophole: per spec, explicit inserts are not required to advance
+    the watermark — this is the resync delta-spark ships for exactly
+    that drift).
+
+    Per column: candidate = max(col) for positive step / min(col) for
+    negative step, rounded AWAY from start to the next lattice point
+    (the protocol requires highWaterMark ≡ start (mod step)), then
+    clamped to NEVER REGRESS toward start versus the existing
+    watermark — lowering it could re-issue ids of deleted rows
+    (delta-spark's default posture; its lowering escape hatch is
+    deliberately not offered). An empty / all-NULL column keeps its
+    watermark.
+
+    One metadata-only commit (operation SYNC IDENTITY) carrying the
+    patched schemaString; no data is rewritten. Scale shape: one
+    distributed min/max aggregate over the table, KB-scale driver
+    bookkeeping, put-if-absent commit with bounded retry.
+
+    Returns {"version", "high_watermarks": {col: new hwm}} — version
+    None when every watermark was already in sync.
+
+    Reference: rtdl delegates Delta maintenance to delta-spark
+    (deltawriter/delta_writer.py:88-94); semantics per the public Delta
+    protocol's Identity Columns section."""
+    from rtdl_spark.sources.delta_reader import read_delta_native
+
+    root = table_dir.rstrip("/")
+    for _attempt in range(max_retries):
+        protocol, meta, current, _txns = snapshot_control(spark, root)
+        _check_protocol(protocol)
+        _check_writer_protocol(protocol)
+        _check_no_invariants(meta)
+        idents = _identity_cols(meta)
+        if not idents:
+            raise ValueError(
+                f"table at {root} has no identity columns to sync"
+            )
+        want = list(columns) if columns is not None else sorted(idents)
+        unknown = [c for c in want if c not in idents]
+        if unknown:
+            raise ValueError(
+                f"not identity columns: {unknown} (identity columns "
+                f"here: {sorted(idents)})"
+            )
+        # one distributed aggregate: max for ascending lattices, min
+        # for descending — the only value the resync needs
+        aggs = [
+            (
+                F.max(F.col(c)) if idents[c]["step"] > 0
+                else F.min(F.col(c))
+            ).alias(c)
+            for c in want
+        ]
+        extremes = read_delta_native(spark, root).agg(*aggs).collect()[0]
+        new_hwms: dict[str, int] = {}
+        for c in want:
+            v = extremes[c]
+            if v is None:
+                continue  # empty/all-NULL: watermark keeps its value
+            start, step = idents[c]["start"], idents[c]["step"]
+            # smallest k with start + step*k beyond v (both signs):
+            # k = ceil((v - start) / step) via floor division
+            k = -((start - int(v)) // step)
+            cand = start + step * k
+            old = idents[c]["hwm"]
+            if old is not None:
+                cand = max(cand, old) if step > 0 else min(cand, old)
+            if cand != old:
+                new_hwms[c] = cand
+        if not new_hwms:
+            return {"version": None, "high_watermarks": {}}
+        ts = _now_ms()
+        ict = _ict_value(spark, root, current, meta, ts)
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "SYNC IDENTITY",
+                    "operationParameters": {
+                        "columns": json.dumps(sorted(new_hwms))
+                    },
+                    "engineInfo": "rtdl-spark native-delta-writer/1",
+                    **(
+                        {"inCommitTimestamp": ict}
+                        if ict is not None
+                        else {}
+                    ),
+                }
+            },
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": _identity_schema_update(
+                        meta, new_hwms
+                    ),
+                }
+            },
+        ]
+        if _try_commit(spark, root, current + 1, actions):
+            return {"version": current + 1, "high_watermarks": new_hwms}
+        # lost the race: the concurrent commit may have appended rows
+        # or advanced the watermark itself — recompute from the new tip
+    raise DeltaConcurrentWriteError(
+        f"lost the Delta commit race {max_retries} times during "
+        f"SYNC IDENTITY at {root}"
+    )
+
+
 def optimize_delta_native(
     spark: SparkSession,
     table_dir: str,

@@ -283,3 +283,99 @@ def test_identity_composes_with_column_mapping(spark, tmp_path):
     )
     newest = max(glob.glob(root + "/*.parquet"), key=os.path.getmtime)
     assert "col-rid-phys" in pq.ParquetFile(newest).schema_arrow.names
+
+
+def test_sync_identity_advances_watermark_past_explicit_values(
+    spark, tmp_path
+):
+    """SYNC IDENTITY (r8): explicit inserts to a BY DEFAULT column
+    never advance the watermark — the resync re-derives it from the
+    column data, rounded UP to the start/step lattice, so post-resync
+    generation never collides with explicit values."""
+    from rtdl_spark.sources.delta_reader import delta_history
+    from rtdl_spark.sources.delta_writer import sync_identity_delta_native
+
+    root = _identity_table(spark, tmp_path, explicit=True)
+    # explicit rids 150 and 155 (155 is OFF the 100+3k lattice)
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(150, 90, "0"), (155, 91, "1")], "rid long, k long, p string"
+        ),
+        root, checkpoint_interval=0,
+    )
+    res = sync_identity_delta_native(spark, root)
+    # smallest lattice point >= 155: 100 + 3*19 = 157
+    assert res["high_watermarks"] == {"rid": 157}
+    assert res["version"] is not None
+    assert delta_history(spark, root)[-1]["operation"] == "SYNC IDENTITY"
+    _, meta, _, _, _ = snapshot_actions(spark, root)
+    f0 = json.loads(meta["schemaString"])["fields"][0]
+    assert f0["metadata"]["delta.identity.highWaterMark"] == 157
+
+    # post-resync generation continues BEYOND the explicit values
+    write_delta_native(
+        spark,
+        spark.range(300, 303).select(
+            F.col("id").alias("k"), F.lit("0").alias("p")
+        ),
+        root, checkpoint_interval=0,
+    )
+    gen = sorted(
+        r["rid"]
+        for r in read_delta_native(spark, root).filter("k >= 300").collect()
+    )
+    assert gen == [160, 163, 166]
+    assert len(set(
+        r["rid"] for r in read_delta_native(spark, root)
+        .filter("rid IS NOT NULL").collect()
+    )) == read_delta_native(spark, root).filter(
+        "rid IS NOT NULL"
+    ).count(), "no collisions after resync"
+
+    # already in sync -> no commit
+    res2 = sync_identity_delta_native(spark, root)
+    assert res2 == {"version": None, "high_watermarks": {}}
+
+    # NON-REGRESSION: deleting the top rows never lowers the watermark
+    from rtdl_spark.sources.delta_writer import delete_where_delta_native
+    delete_where_delta_native(spark, root, "k >= 90")
+    res3 = sync_identity_delta_native(spark, root)
+    assert res3["version"] is None, "lowering is refused by design"
+
+
+def test_sync_identity_negative_step_and_refusals(spark, tmp_path):
+    from rtdl_spark.sources.delta_writer import sync_identity_delta_native
+
+    root = _identity_table(
+        spark, tmp_path, explicit=True, start=100, step=-3
+    )
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(50, 80, "0")], "rid long, k long, p string"),
+        root, checkpoint_interval=0,
+    )
+    res = sync_identity_delta_native(spark, root, columns=["rid"])
+    # most-positive lattice point <= 50: 100 - 3*17 = 49
+    assert res["high_watermarks"] == {"rid": 49}
+    write_delta_native(
+        spark,
+        spark.range(400, 401).select(
+            F.col("id").alias("k"), F.lit("0").alias("p")
+        ),
+        root, checkpoint_interval=0,
+    )
+    assert [
+        r["rid"]
+        for r in read_delta_native(spark, root).filter("k = 400").collect()
+    ] == [46]
+
+    with pytest.raises(ValueError, match="not identity columns"):
+        sync_identity_delta_native(spark, root, columns=["k"])
+
+    plain = str(tmp_path / "plain")
+    write_delta_native(
+        spark, spark.range(3).select("id"), plain, checkpoint_interval=0
+    )
+    with pytest.raises(ValueError, match="no identity columns"):
+        sync_identity_delta_native(spark, plain)

@@ -3,7 +3,7 @@ driver uses: import __spark_entry__, build a *plain* SparkSession (none of
 our engine confs), run entry() at sf0.001, then every queries() entry at
 sf0.01 compared against oracle_sql() via DuckDB.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -18,7 +18,13 @@ from tests.oracle import frame_tokens  # same canonicalization as pytest
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import duckdb
 
     import __spark_entry__ as e
@@ -45,6 +51,12 @@ def main() -> int:
                 f"read_parquet('{sf_dir}/{name}.parquet')")
 
     queries, oracles = e.queries(), e.oracle_sql()
+    if only is not None:
+        missing = only - set(queries)
+        if missing:
+            print(f"--only names not in registry: {sorted(missing)}")
+            return 1
+        queries = {n: q for n, q in queries.items() if n in only}
     n_pass = n_fail = 0
     for name in sorted(queries):
         t0 = time.perf_counter()
