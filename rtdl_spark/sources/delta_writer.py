@@ -726,6 +726,91 @@ def _merge_schemas_cm(meta: dict, df_schema) -> tuple[str, dict]:
     return json.dumps(merged, separators=(",", ":")), conf
 
 
+def _replace_schema_cm(meta: dict, df_schema) -> tuple[str, dict]:
+    """Schema-REPLACING overwrite on a column-mapped table (r8, the
+    last CM writer refusal): rebuild the mapping for the NEW schema —
+    columns RETAINED (matched by LOGICAL name at every struct nesting
+    level) keep their delta.columnMapping.id + physicalName so history
+    stays addressable (time travel / CDF keep resolving them), DROPPED
+    columns simply vanish from metaData (their ids are never reused:
+    maxColumnId only advances), and NEW columns get fresh identities
+    above maxColumnId — delta-spark's REPLACE-era mapping discipline.
+    Returns (new schemaString, configuration with maxColumnId
+    advanced in the SAME metaData action)."""
+    conf = dict(meta.get("configuration") or {})
+    next_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
+    old_fields = {
+        f["name"]: f
+        for f in json.loads(meta["schemaString"]).get("fields") or []
+    }
+
+    def _rebuild_type(t, old_t):
+        nonlocal next_id
+        if isinstance(t, dict) and t.get("type") == "struct":
+            old_children = {}
+            if isinstance(old_t, dict) and old_t.get("type") == "struct":
+                old_children = {
+                    c["name"]: c for c in old_t.get("fields") or []
+                }
+            return {
+                **t,
+                "fields": [
+                    _rebuild_field(c, old_children.get(c["name"]))
+                    for c in t.get("fields") or []
+                ],
+            }
+        if isinstance(t, dict) and t.get("type") == "array":
+            old_e = (
+                old_t.get("elementType")
+                if isinstance(old_t, dict) and old_t.get("type") == "array"
+                else None
+            )
+            return {**t, "elementType": _rebuild_type(t["elementType"], old_e)}
+        if isinstance(t, dict) and t.get("type") == "map":
+            old_map = (
+                old_t
+                if isinstance(old_t, dict) and old_t.get("type") == "map"
+                else {}
+            )
+            return {
+                **t,
+                "keyType": _rebuild_type(t["keyType"], old_map.get("keyType")),
+                "valueType": _rebuild_type(
+                    t["valueType"], old_map.get("valueType")
+                ),
+            }
+        return t
+
+    def _rebuild_field(f, old_f):
+        nonlocal next_id
+        omd = (old_f or {}).get("metadata") or {}
+        if "delta.columnMapping.id" in omd:
+            md = dict(f.get("metadata") or {})
+            md["delta.columnMapping.id"] = omd["delta.columnMapping.id"]
+            md["delta.columnMapping.physicalName"] = omd[
+                "delta.columnMapping.physicalName"
+            ]
+            return {
+                **f,
+                "metadata": md,
+                "type": _rebuild_type(f["type"], old_f.get("type")),
+            }
+        f2, next_id = _cm_annotate_field(f, next_id)
+        return f2
+
+    fields = [
+        _rebuild_field(f, old_fields.get(f["name"]))
+        for f in df_schema.jsonValue()["fields"]
+    ]
+    conf["delta.columnMapping.maxColumnId"] = str(next_id - 1)
+    return (
+        json.dumps(
+            {"type": "struct", "fields": fields}, separators=(",", ":")
+        ),
+        conf,
+    )
+
+
 def _to_physical(
     spark: SparkSession,
     df: DataFrame,
@@ -1152,8 +1237,9 @@ def write_delta_native(
         # CM appends (incl. mergeSchema evolution — new columns get
         # fresh ids above maxColumnId) and SAME-SCHEMA overwrites
         # rename to the physical layout below; a schema-REPLACING
-        # overwrite would have to rebuild the whole mapping and is
-        # refused after the schema comparison further down
+        # overwrite rebuilds the mapping (retained columns keep their
+        # identity, new ones get fresh ids) after the schema
+        # comparison further down (r8)
         if column_mapping is not None and column_mapping != cm:
             raise ValueError(
                 f"column_mapping={column_mapping!r} requested but the "
@@ -1263,7 +1349,10 @@ def write_delta_native(
                 f"{existing_parts}"
             )
 
-    if (
+    # schema-REPLACING overwrite on a CM table (r8): rebuild the
+    # mapping — retained columns keep id/physicalName, new ones get
+    # fresh ids above maxColumnId, advanced in the same metaData
+    cm_replace = (
         meta is not None
         and mode == "overwrite"
         and _cm_mode(meta) != "none"
@@ -1271,12 +1360,14 @@ def write_delta_native(
             _schema_key(schema_json) != _schema_key(meta["schemaString"])
             or part_cols != existing_parts
         )
-    ):
-        raise ValueError(
-            "schema-replacing overwrite on a column-mapped table is "
-            "not supported by this native writer (the column-mapping "
-            "identity would have to be rebuilt) — same-schema "
-            "overwrites are; use delta-spark to replace the schema"
+    )
+    cm_replace_based_maxid: str | None = None
+    if cm_replace:
+        commit_schema_json, commit_configuration = _replace_schema_cm(
+            meta, df.schema
+        )
+        cm_replace_based_maxid = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.maxColumnId"
         )
 
     missing = [c for c in part_cols if c not in df.columns]
@@ -1311,7 +1402,7 @@ def write_delta_native(
         # when this commit (re)defines it
         stage_schema_json = (
             commit_schema_json
-            if (meta is None or merge_schema)
+            if (meta is None or merge_schema or cm_replace)
             else meta["schemaString"]
         )
         stage_meta = {
@@ -1396,7 +1487,7 @@ def write_delta_native(
                 # patched from the TABLE's schema — the frame's carries
                 # no identity metadata and would wipe the definitions
                 meta_schema = _identity_schema_update(meta, identity_hwms)
-            elif evolving:
+            elif evolving or cm_replace:
                 meta_schema = commit_schema_json
             else:
                 meta_schema = schema_json
@@ -1541,6 +1632,21 @@ def write_delta_native(
                         f"{c!r} — the staged values may collide with "
                         "the concurrent writer's; re-run the write"
                     )
+        if cm_replace and (
+            _cm_mode(meta) != cm_staged
+            or (meta.get("configuration") or {}).get(
+                "delta.columnMapping.maxColumnId"
+            )
+            != cm_replace_based_maxid
+        ):
+            # the rebuilt mapping's fresh ids were assigned above the
+            # PRE-RACE maxColumnId; a concurrent mapping change could
+            # collide with them — abort rather than commit stale ids
+            raise DeltaConcurrentWriteError(
+                "concurrent column-mapping change during "
+                "schema-replacing overwrite — the rebuilt mapping is "
+                "stale; re-run the write"
+            )
         if mode == "append":
             if _cm_mode(meta) != cm_staged:
                 raise DeltaConcurrentWriteError(

@@ -2416,10 +2416,10 @@ def test_cm_optimize_repacks_physically(spark, tmp_path, mode):
 
 @pytest.mark.parametrize("mode", ["name", "id"])
 def test_cm_same_schema_overwrite(spark, tmp_path, mode):
-    """Same-schema OVERWRITE on CM tables (r7 — the final CM lift):
-    actives tombstoned, the new data staged physically, CM metadata
-    untouched, old versions still time-travelable; a schema-REPLACING
-    overwrite (which would rebuild the mapping) refuses by name."""
+    """Same-schema OVERWRITE on CM tables (r7): actives tombstoned, the
+    new data staged physically, CM metadata untouched, old versions
+    still time-travelable. (Schema-REPLACING overwrite is supported
+    since r8 — test_cm_schema_replacing_overwrite.)"""
     from pyspark.sql import functions as F
 
     from rtdl_spark.sources.delta_reader import snapshot_actions
@@ -2443,8 +2443,106 @@ def test_cm_same_schema_overwrite(spark, tmp_path, mode):
     _, meta, _, _, _ = snapshot_actions(spark, root)
     assert meta["configuration"]["delta.columnMapping.mode"] == mode
 
-    with pytest.raises(ValueError, match="schema-replacing overwrite"):
-        write_delta_native(
-            spark, df.withColumn("zz", F.lit(1)), root,
-            mode="overwrite", checkpoint_interval=0,
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_cm_schema_replacing_overwrite(spark, tmp_path, mode):
+    """Schema-REPLACING overwrite on CM tables (r8 — the last CM
+    writer refusal lifted): the mapping is REBUILT — retained columns
+    (matched by logical name, nested levels included) keep their
+    delta.columnMapping.id/physicalName, dropped columns vanish (ids
+    never reused), new columns get fresh ids above maxColumnId, and
+    maxColumnId advances in the same metaData. Old versions stay
+    time-travelable under their own metaData."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+
+    root = str(tmp_path / f"cmr_{mode}")
+    df = spark.range(0, 10).select(
+        "id",
+        F.struct(
+            F.col("id").cast("string").alias("inner"),
+            (F.col("id") * 2).alias("j"),
+        ).alias("s"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    write_delta_native(
+        spark, df, root, partition_by=["p"], column_mapping=mode,
+        checkpoint_interval=0,
+    )
+    _, meta0, _, _, _ = snapshot_actions(spark, root)
+    f0 = {
+        f["name"]: f
+        for f in _json.loads(meta0["schemaString"])["fields"]
+    }
+    max0 = int(meta0["configuration"]["delta.columnMapping.maxColumnId"])
+
+    # replace: drop `s.j` and `p`-partitioning, keep id + s.inner,
+    # add a brand-new column zz; also repartition by nothing
+    new = spark.range(50, 56).select(
+        "id",
+        F.struct(F.col("id").cast("string").alias("inner")).alias("s"),
+        (F.col("id") % 3).cast("long").alias("zz"),
+    )
+    write_delta_native(  # partition_by=[] drops the partitioning too
+        spark, new, root, mode="overwrite", partition_by=[],
+        checkpoint_interval=0,
+    )
+
+    back = read_delta_native(spark, root)
+    assert back.columns == ["id", "s", "zz"]
+    assert sorted(
+        (r["id"], r["s"]["inner"], r["zz"]) for r in back.collect()
+    ) == [(i, str(i), i % 3) for i in range(50, 56)]
+
+    _, meta1, _, _, _ = snapshot_actions(spark, root)
+    f1 = {
+        f["name"]: f
+        for f in _json.loads(meta1["schemaString"])["fields"]
+    }
+    max1 = int(meta1["configuration"]["delta.columnMapping.maxColumnId"])
+    # retained columns keep their identity at every level
+    for name in ("id", "s"):
+        assert (
+            f1[name]["metadata"]["delta.columnMapping.id"]
+            == f0[name]["metadata"]["delta.columnMapping.id"]
         )
+        assert (
+            f1[name]["metadata"]["delta.columnMapping.physicalName"]
+            == f0[name]["metadata"]["delta.columnMapping.physicalName"]
+        )
+    inner0 = f0["s"]["type"]["fields"][0]
+    inner1 = f1["s"]["type"]["fields"][0]
+    assert inner1["metadata"]["delta.columnMapping.id"] == (
+        inner0["metadata"]["delta.columnMapping.id"]
+    )
+    # the new column's id is fresh, above the old watermark; dropped
+    # columns are gone; maxColumnId advanced
+    assert f1["zz"]["metadata"]["delta.columnMapping.id"] > max0
+    assert "p" not in f1
+    assert len(f1["s"]["type"]["fields"]) == 1
+    assert max1 > max0
+    assert meta1["configuration"]["delta.columnMapping.mode"] == mode
+
+    # old version reads under its own metaData: old schema, old rows
+    v0 = read_delta_native(spark, root, version=0)
+    assert v0.columns == ["id", "s", "p"]
+    assert sorted((r["id"], r["s"]["j"]) for r in v0.collect()) == [
+        (i, i * 2) for i in range(10)
+    ]
+
+    # writes AFTER the replace keep working in the rebuilt layout
+    write_delta_native(
+        spark,
+        spark.range(90, 92).select(
+            "id",
+            F.struct(F.col("id").cast("string").alias("inner")).alias("s"),
+            F.lit(7).cast("long").alias("zz"),
+        ),
+        root, checkpoint_interval=0,
+    )
+    assert read_delta_native(spark, root).count() == 8
