@@ -2686,6 +2686,101 @@ def lake_delta_identity_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 @query(
+    "lake_delta_v2_checkpoint",
+    # the snapshot must survive v2-checkpoint-bounded replay: the JSON
+    # tail at/below the checkpoint is DELETED, so the grouped totals
+    # can only be right if the UUID-named top-level + sidecars carry
+    # the full pre-checkpoint state
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 9 = 0
+    ),
+    rows_all AS (
+      SELECT k, price FROM t WHERE k % 2 = 0
+      UNION ALL SELECT k, price FROM t WHERE k % 2 = 1
+      UNION ALL SELECT k + 1000000000, price FROM t WHERE k % 5 = 0
+    )
+    SELECT CAST(k % 4 AS INT) AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM rows_all GROUP BY 1
+    """,
+)
+def lake_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 (UUID-named) checkpoint WRITE + checkpoint-bounded replay
+    (r8, delta_writer.py::write_checkpoint_native layout=v2): a
+    v2Checkpoint-feature table is checkpointed into the top-level +
+    _delta_log/_sidecars/ layout, every JSON commit at/below the
+    checkpoint is deleted, an append lands on top, and the read-back
+    grouped totals prove the whole pre-checkpoint state came through
+    the sidecars. Hash-verified.
+
+    Scale shape: the add set flows into the sidecars as a DataFrame
+    (never collected); the top-level holds only KB-scale control rows.
+    Reference: rtdl delegates Delta maintenance to delta-spark
+    (deltawriter/delta_writer.py:88-94)."""
+    import glob as _glob
+    import json as _json
+
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        write_checkpoint_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 9 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_v2ck_", dir=shm)
+    try:
+        root = os.path.join(workdir, "v2tab")
+        write_delta_native(  # v0
+            spark, o.filter(F.col("k") % 2 == 0).repartition(2), root,
+            checkpoint_interval=0,
+        )
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as f:  # v1
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 5, "operation": "UPGRADE"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint", "appendOnly",
+                                   "invariants"]}}) + "\n")
+        write_delta_native(  # v2
+            spark, o.filter(F.col("k") % 2 == 1).repartition(2), root,
+            checkpoint_interval=0,
+        )
+        v = write_checkpoint_native(spark, root, layout="v2")
+        for p in _glob.glob(os.path.join(log, "*.json")):
+            if int(os.path.basename(p).split(".")[0]) <= v:
+                os.remove(p)  # replay MUST go through the v2 layout
+        write_delta_native(  # v3: lands on top of the checkpoint
+            spark,
+            o.filter(F.col("k") % 5 == 0).select(
+                (F.col("k") + 1000000000).alias("k"), "price"
+            ).repartition(2),
+            root, checkpoint_interval=0,
+        )
+        out = (
+            read_delta_native(spark, root)
+            .groupBy((F.col("k") % 4).cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("price")).cast("double").alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+@query(
     "lake_delta_cm_lifecycle",
     # the full CM lifecycle's FINAL state: create(name mode) -> append
     # -> DELETE WHERE -> mergeSchema evolution adding `flag` -> append

@@ -123,6 +123,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # commit; rewrites (which must PRESERVE ids via the materialized
     # column) refuse by name at their own gates
     "rowTracking",
+    # v2 checkpoints (r8): write_checkpoint_native emits the UUID-named
+    # top-level + _sidecars/ layout on feature-carrying tables
+    # (layout="auto" routes there); ordinary commits are unaffected
+    "v2Checkpoint",
 }
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -1820,6 +1824,43 @@ _CHECKPOINT_SCHEMA = StructType(
                     StructField("domain", StringType()),
                     StructField("configuration", StringType()),
                     StructField("removed", BooleanType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+# V2 (UUID-named) checkpoint TOP-LEVEL schema: the control plane plus
+# checkpointMetadata + sidecar actions — and NO file-action columns
+# (the spec forbids inline file actions once sidecars are present)
+_V2_TOP_SCHEMA = StructType(
+    [
+        _CHECKPOINT_SCHEMA["protocol"],
+        _CHECKPOINT_SCHEMA["metaData"],
+        _CHECKPOINT_SCHEMA["txn"],
+        _CHECKPOINT_SCHEMA["domainMetadata"],
+        StructField(
+            "checkpointMetadata",
+            StructType(
+                [
+                    StructField("version", LongType()),
+                    StructField(
+                        "tags", MapType(StringType(), StringType())
+                    ),
+                ]
+            ),
+        ),
+        StructField(
+            "sidecar",
+            StructType(
+                [
+                    StructField("path", StringType()),
+                    StructField("sizeInBytes", LongType()),
+                    StructField("modificationTime", LongType()),
+                    StructField(
+                        "tags", MapType(StringType(), StringType())
+                    ),
                 ]
             ),
         ),
@@ -3853,17 +3894,46 @@ def vacuum_delta_native_distributed(
     return n
 
 
-def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
-    """Write a classic single-part parquet checkpoint of the CURRENT
-    state plus ``_last_checkpoint``, bounding every subsequent reader's
-    log replay to the JSON tail. Returns the checkpointed version.
+def write_checkpoint_native(
+    spark: SparkSession,
+    table_dir: str,
+    layout: str = "auto",
+    sidecar_parts: int | None = None,
+) -> int:
+    """Write a parquet checkpoint of the CURRENT state plus
+    ``_last_checkpoint``, bounding every subsequent reader's log replay
+    to the JSON tail. Returns the checkpointed version.
+
+    ``layout="auto"`` (default): classic, unless the table's protocol
+    carries the v2Checkpoint feature — then V2 (delta-spark's
+    checkpointPolicy routing: a v2Checkpoint table gets v2
+    checkpoints; classic stays available explicitly as the
+    compatibility form).
+    ``layout="classic"``: single-part {v}.checkpoint.parquet.
+    ``layout="v2"`` (r8): the UUID-named V2 layout — a top-level
+    {v}.checkpoint.<uuid>.parquet carrying EXACTLY the control plane
+    (checkpointMetadata whose version matches, protocol, metaData, txn,
+    domainMetadata, and one sidecar action per file-action file; no
+    file actions inline, per spec), with the add set written to
+    _delta_log/_sidecars/<uuid>.parquet sidecar files. Requires the
+    table's protocol to carry the v2Checkpoint reader+writer feature
+    (delta-spark's checkpointPolicy=v2 gate); refuses otherwise. The
+    strict read side (delta_reader._v2_sidecar_paths: exactly one
+    checkpointMetadata, matching version, every sidecar present) is
+    the conformance oracle for what this writes.
 
     Scale shape: the add set flows checkpoint→checkpoint as a DATAFRAME
     (snapshot_adds_frame — prior checkpoint scanned distributed, JSON
     tail folded in via broadcast anti-join); only the handful of
     protocol/metaData/txn rows are driver-built. A million-file table
     checkpoints without ever materializing a million add actions on the
-    driver — the same division delta-spark's checkpoint job uses."""
+    driver — the same division delta-spark's checkpoint job uses. For
+    V2, ``sidecar_parts`` splits the add set over N sidecar files
+    (readers scan them in parallel; default 1 file)."""
+    if layout not in ("auto", "classic", "v2"):
+        raise ValueError(
+            f"layout must be auto|classic|v2, got {layout!r}"
+        )
     root = table_dir.rstrip("/")
     protocol, meta, adds_df, version, txns = snapshot_adds_frame(
         spark, root
@@ -3942,10 +4012,93 @@ def write_checkpoint_native(spark: SparkSession, table_dir: str) -> int:
         ).alias("add")
     )
     n_adds = add_struct_df.count()
+    log = _log_dir(root)
+    feats_r = set(protocol.get("readerFeatures") or [])
+    feats_w = set(protocol.get("writerFeatures") or [])
+    if layout == "auto":
+        layout = (
+            "v2"
+            if "v2Checkpoint" in feats_r and "v2Checkpoint" in feats_w
+            else "classic"
+        )
+    if layout == "v2":
+        if "v2Checkpoint" not in feats_r or "v2Checkpoint" not in feats_w:
+            raise ValueError(
+                "V2 checkpoint writes need the v2Checkpoint feature in "
+                "BOTH readerFeatures and writerFeatures (it is a "
+                "reader-writer feature) — upgrade the table's protocol "
+                "first, or write a classic checkpoint"
+            )
+        # sidecars: the FILE ACTIONS only, under _delta_log/_sidecars/
+        # (remove present-but-null so foreign readers probing both file
+        # action columns see the expected shape)
+        sidecar_df = add_struct_df.withColumn(
+            "remove",
+            F.lit(None).cast(
+                _CHECKPOINT_SCHEMA["remove"].dataType
+            ),
+        )
+        sidecar_df = (
+            sidecar_df.repartition(int(sidecar_parts))
+            if sidecar_parts
+            else sidecar_df.coalesce(1)
+        )
+        sc_dir = posixpath.join(log, "_sidecars")
+        fsutil.mkdirs(spark, sc_dir)
+        tmp = posixpath.join(log, f".ckpt-tmp-{uuid.uuid4().hex[:12]}")
+        sidecar_df.write.mode("overwrite").parquet(tmp)
+        sidecar_rows: list[tuple] = []
+        try:
+            for p, size, mtime in sorted(fsutil.list_files(spark, tmp)):
+                if not p.endswith(".parquet"):
+                    continue
+                name = f"{uuid.uuid4()}.parquet"
+                dest = posixpath.join(sc_dir, name)
+                if not fsutil.rename(spark, _fs_prefix(root) + p, dest):
+                    raise IOError(
+                        f"failed to move sidecar into place: {dest}"
+                    )
+                sidecar_rows.append((name, int(size), int(mtime)))
+        finally:
+            fsutil.delete(spark, tmp)
+        # top-level: control plane + checkpointMetadata + sidecar
+        # actions, NO file actions (the spec forbids them once
+        # sidecars are present)
+        top_rows = [
+            (r[0], r[1], r[4], r[5], None, None) for r in rows
+        ] + [
+            (None, None, None, None, (int(version), None), None)
+        ] + [
+            (None, None, None, None, None, (nm, sz, mt, None))
+            for nm, sz, mt in sidecar_rows
+        ]
+        top_df = spark.createDataFrame(top_rows, _V2_TOP_SCHEMA)
+        tmp2 = posixpath.join(log, f".ckpt-tmp-{uuid.uuid4().hex[:12]}")
+        top_df.coalesce(1).write.mode("overwrite").parquet(tmp2)
+        try:
+            part = next(
+                p
+                for p, _s, _m in fsutil.list_files(spark, tmp2)
+                if p.endswith(".parquet")
+            )
+            final = posixpath.join(
+                log, f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+            )
+            if not fsutil.rename(spark, _fs_prefix(root) + part, final):
+                raise IOError(
+                    f"failed to move checkpoint into place: {final}"
+                )
+        finally:
+            fsutil.delete(spark, tmp2)
+        fsutil.write_text(
+            spark,
+            posixpath.join(log, "_last_checkpoint"),
+            json.dumps({"version": version, "size": len(rows) + n_adds}),
+        )
+        return version
     cdf = control_df.unionByName(
         add_struct_df, allowMissingColumns=True
     )
-    log = _log_dir(root)
     tmp = posixpath.join(log, f".ckpt-tmp-{uuid.uuid4().hex[:12]}")
     cdf.coalesce(1).write.mode("overwrite").parquet(tmp)
     try:
@@ -4045,6 +4198,40 @@ def cleanup_delta_log_native(
         elif rest.startswith("checkpoint"):
             # superseded checkpoint parts below the latest checkpoint
             victims.append(name)
+    # V2 sidecar reclamation: sidecar files whose every referencing
+    # checkpoint top-level is gone (deleted above, or foreign-removed)
+    # are unreadable garbage — reap the ones older than the cutoff.
+    # The spec allows checkpoints to SHARE sidecars, so liveness is
+    # computed against every SURVIVING checkpoint's sidecar actions,
+    # never inferred from the deleted one alone.
+    sidecar_victims: list[str] = []
+    sc_dir = posixpath.join(log, "_sidecars")
+    if fsutil.exists(spark, sc_dir):
+        referenced: set[str] = set()
+        gone = set(victims)
+        for name in sorted(fsutil.list_names(spark, log)):
+            stem, _dot, rest = name.partition(".")
+            if name in gone or not (
+                stem.isdigit()
+                and rest.startswith("checkpoint.")
+                and name.endswith(".parquet")
+            ):
+                continue
+            try:
+                scdf = spark.read.parquet(posixpath.join(log, name))
+                if "sidecar" in scdf.columns:
+                    for r in (
+                        scdf.filter(F.col("sidecar.path").isNotNull())
+                        .select("sidecar.path")
+                        .collect()
+                    ):
+                        referenced.add(posixpath.basename(r["path"]))
+            except Exception:
+                continue  # unreadable foreign checkpoint: keep sidecars
+        for p, _s, mtime in fsutil.iter_files(spark, sc_dir):
+            nm = posixpath.basename(p)
+            if nm not in referenced and int(mtime) <= cutoff:
+                sidecar_victims.append(f"_sidecars/{nm}")
     if not dry_run:
         for name in victims:
             fsutil.delete(
@@ -4058,4 +4245,8 @@ def cleanup_delta_log_native(
                     posixpath.join(root, urllib.parse.unquote(rel))
                 ),
             )
-    return victims + sorted(cdc_victims)
+        for rel in sidecar_victims:
+            fsutil.delete(
+                spark, fs_prefix + _plain(posixpath.join(log, rel))
+            )
+    return victims + sorted(cdc_victims) + sorted(sidecar_victims)

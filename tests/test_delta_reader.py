@@ -1041,8 +1041,10 @@ def test_v2_checkpoint_read_parquet_top(spark, tmp_path):
     """V2 (UUID-named) checkpoints READ (r7, was a named refusal): the
     snapshot reconstructs through the sidecar parquet files; partition
     values inject; a missing sidecar refuses by name (partial
-    snapshot); the WRITER still refuses the v2Checkpoint writer
-    feature."""
+    snapshot). Since r8 the WRITER supports the v2Checkpoint feature
+    too (test_checkpoint_v2_write.py) — an ordinary append on the
+    feature-carrying table commits and replays on top of the v2
+    checkpoint."""
     from rtdl_spark.sources.delta_writer import write_delta_native
 
     root, sc_name = _v2_checkpoint_fixture(spark, tmp_path)
@@ -1050,12 +1052,14 @@ def test_v2_checkpoint_read_parquet_top(spark, tmp_path):
     assert got == list(range(20))
     assert read_delta_native(spark, root).filter("p = '1'").count() == 10
 
-    with pytest.raises(ValueError, match="v2Checkpoint"):
-        write_delta_native(
-            spark,
-            spark.range(20, 22).select("id", F.lit("0").alias("p")),
-            root, checkpoint_interval=0,
-        )
+    write_delta_native(
+        spark,
+        spark.range(20, 22).select("id", F.lit("0").alias("p")),
+        root, checkpoint_interval=0,
+    )
+    assert sorted(
+        r["id"] for r in read_delta_native(spark, root).collect()
+    ) == list(range(22))
 
     log = os.path.join(root, "_delta_log")
     os.rename(os.path.join(log, "_sidecars", sc_name),
