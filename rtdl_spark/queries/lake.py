@@ -2781,6 +2781,125 @@ def lake_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 @query(
+    "lake_delta_row_tracking",
+    # row ids are assigned in baseRowId order across appends and must
+    # SURVIVE a DELETE + UPDATE + OPTIMIZE unchanged for surviving
+    # rows; the oracle recomputes the expected (id -> row id) pairing
+    # from the append order (two appends, each a single sorted file)
+    oracle="""
+    WITH a1 AS (
+      SELECT o_orderkey AS k,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    n1 AS (SELECT COUNT(*) AS n FROM a1),
+    a2 AS (
+      SELECT o_orderkey AS k,
+             (SELECT n FROM n1)
+               + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 10 = 5
+    ),
+    survivors AS (
+      SELECT k, rid FROM a1 WHERE k % 3 <> 0
+      UNION ALL SELECT k, rid FROM a2 WHERE k % 3 <> 0
+    )
+    SELECT CAST(rid % 7 AS BIGINT) AS bucket, COUNT(*) AS n,
+           MIN(rid) AS min_rid, MAX(rid) AS max_rid,
+           COUNT(DISTINCT rid) AS distinct_rids
+    FROM survivors GROUP BY 1
+    """,
+)
+def lake_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rowTracking REWRITES (r8, delta_writer.py::_rt_materialize_cols
+    — was a named refusal): two single-file sorted appends assign
+    deterministic baseRowId ranges; a DELETE WHERE, an UPDATE WHERE
+    and an OPTIMIZE then rewrite the files, and every surviving row's
+    ROW ID must come through unchanged via the materialized row-id
+    column — verified by recomputing each row's id the spec's way
+    (materialized ?? baseRowId + row index) and hashing grouped
+    aggregates against the oracle's replay of the append order.
+
+    Scale shape: id materialization is a broadcast join of a KB-scale
+    per-file base map + one narrow coalesce; no global sort beyond the
+    test's own deterministic single-file staging."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        optimize_delta_native,
+        update_where_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_rtrk_", dir=shm)
+    try:
+        root = os.path.join(workdir, "rttab")
+        write_delta_native(  # v0: zero-row schema seed
+            spark, o.limit(0), root, checkpoint_interval=0
+        )
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as f:  # v1
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata",
+                                   "appendOnly", "invariants"]}}) + "\n")
+        # two SINGLE-FILE SORTED appends -> deterministic id order
+        write_delta_native(
+            spark,
+            o.filter(F.col("k") % 10 == 0)
+            .repartition(1).sortWithinPartitions("k"),
+            root, checkpoint_interval=0,
+        )
+        write_delta_native(
+            spark,
+            o.filter(F.col("k") % 10 == 5)
+            .repartition(1).sortWithinPartitions("k"),
+            root, checkpoint_interval=0,
+        )
+        delete_where_delta_native(spark, root, "k % 3 = 0")
+        update_where_delta_native(
+            spark, root, "k % 11 = 0", {"k": "k"}  # id-preserving touch
+        )
+        optimize_delta_native(spark, root, target_file_bytes=1 << 30)
+
+        # resolve each surviving row's id the spec's way, from the
+        # actual files + add actions
+        _, meta, active, _, _ = snapshot_actions(spark, root)
+        conf = meta.get("configuration") or {}
+        mat_id = conf["delta.rowTracking.materializedRowIdColumnName"]
+        rows = []
+        for rel, a in active.items():
+            t = _pq.read_table(os.path.join(root, rel)).to_pylist()
+            for i, r in enumerate(t):
+                rid = r.get(mat_id)
+                if rid is None:
+                    rid = int(a["baseRowId"]) + i
+                rows.append((int(r["k"]), int(rid)))
+        got = spark.createDataFrame(rows, "k bigint, rid bigint")
+        out = (
+            got.groupBy((F.col("rid") % 7).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("rid").alias("min_rid"),
+                F.max("rid").alias("max_rid"),
+                F.countDistinct("rid").alias("distinct_rids"),
+            )
+        )
+        rows2 = out.collect()
+        return spark.createDataFrame(rows2, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+@query(
     "lake_delta_cm_lifecycle",
     # the full CM lifecycle's FINAL state: create(name mode) -> append
     # -> DELETE WHERE -> mergeSchema evolution adding `flag` -> append

@@ -421,19 +421,102 @@ def _row_tracking_supported(protocol: dict | None) -> bool:
 
 
 def _refuse_row_tracking(protocol: dict | None, operation: str) -> None:
-    """Rewriting ops refuse row-tracking tables: a rewrite must
-    PRESERVE each surviving row's id through the materialized row-id
-    column, which this writer does not produce — fresh ids on
-    rewritten survivors would silently break every downstream consumer
-    keyed on row identity. Appends (fresh rows, fresh ids) are
-    handled."""
+    """Ops that cannot yet preserve row ids through a rewrite refuse
+    row-tracking tables by name (fresh ids on rewritten survivors
+    would silently break every downstream consumer keyed on row
+    identity). Since r8, appends, DELETE WHERE, UPDATE WHERE and
+    OPTIMIZE maintain the duty (materialized row-id/commit-version
+    columns — _rt_materialize_cols); MERGE and the DV DML paths still
+    refuse."""
     if _row_tracking_supported(protocol):
         raise ValueError(
             f"{operation} on a table with the rowTracking writer "
-            "feature is not supported by this native writer (rewrites "
-            "must preserve row ids via the materialized column; "
-            "appends are supported) — use delta-spark"
+            "feature is not supported by this native writer (this op "
+            "does not yet preserve row ids via the materialized "
+            "column; appends/DELETE/UPDATE/OPTIMIZE are supported) — "
+            "use delta-spark"
         )
+
+
+# delta-spark's materialized-column name prefixes (MaterializedRowId /
+# MaterializedRowCommitVersion): physical columns NOT in the table
+# schema, named in the configuration, carrying each row's identity
+# through rewrites. row id = materialized ?? (baseRowId + row index);
+# commit version = materialized ?? defaultRowCommitVersion.
+_RT_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_RT_CV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+
+def _rt_materialize_cols(meta: dict) -> tuple[str, str, dict | None]:
+    """(row-id col, commit-version col, updated meta | None): resolve
+    the table's materialized row-tracking column names, minting them
+    into the configuration (returned as an updated metaData for the
+    SAME commit) when the table has never materialized before."""
+    conf = dict(meta.get("configuration") or {})
+    mat_id, mat_cv = conf.get(_RT_ID_KEY), conf.get(_RT_CV_KEY)
+    changed = False
+    if mat_id is None:
+        mat_id = f"_row-id-col-{uuid.uuid4()}"
+        conf[_RT_ID_KEY] = mat_id
+        changed = True
+    if mat_cv is None:
+        mat_cv = f"_row-commit-version-col-{uuid.uuid4()}"
+        conf[_RT_CV_KEY] = mat_cv
+        changed = True
+    return (
+        mat_id,
+        mat_cv,
+        {**meta, "configuration": conf} if changed else None,
+    )
+
+
+def _stamp_row_tracking(
+    spark: SparkSession, root: str, adds: list[dict], version: int
+) -> dict:
+    """Assign each new add a fresh, non-overlapping baseRowId range
+    after the delta.rowTracking high watermark, stamp this commit's
+    version as defaultRowCommitVersion, and return the domainMetadata
+    action advancing the watermark (same commit). Re-run per commit
+    attempt — ids live only in actions, so reassignment after a lost
+    race costs nothing."""
+    from rtdl_spark.sources.delta_reader import snapshot_domains
+
+    doms = snapshot_domains(spark, root)
+    hwm = -1
+    d = doms.get("delta.rowTracking")
+    if d and not d.get("removed") and d.get("configuration"):
+        try:
+            hwm = int(
+                json.loads(d["configuration"])["rowIdHighWaterMark"]
+            )
+        except (ValueError, KeyError, TypeError):
+            raise ValueError(
+                "unparseable delta.rowTracking domain configuration — "
+                "refusing to guess the row-id high watermark"
+            )
+    base = hwm + 1
+    for a in adds:
+        nr = None
+        if a.get("stats"):
+            try:
+                nr = json.loads(a["stats"]).get("numRecords")
+            except Exception:
+                nr = None
+        if nr is None:
+            raise ValueError(
+                "row tracking needs numRecords stats on every add "
+                "(write with with_stats=True)"
+            )
+        a["baseRowId"] = base
+        a["defaultRowCommitVersion"] = version
+        base += int(nr)
+    return {
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": base - 1}),
+            "removed": False,
+        }
+    }
 
 
 def _refuse_identity(meta: dict, operation: str) -> None:
@@ -1142,9 +1225,12 @@ def _promote_staged(
             "dataChange": True,
         }
         if with_stats:
-            n = counts.get(path)
-            if n is not None:
-                add["stats"] = json.dumps({"numRecords": n})
+            # a staged parquet with no count row holds ZERO records
+            # (the metadata aggregation yields no group for it) — stamp
+            # 0 rather than omitting stats, so downstream duties that
+            # require numRecords (row tracking) see empty seeds as
+            # empty instead of unknown
+            add["stats"] = json.dumps({"numRecords": counts.get(path, 0)})
         adds.append(add)
     return sorted(adds, key=lambda a: a["path"])
 
@@ -1561,50 +1647,8 @@ def write_delta_native(
         # concurrent writer may have claimed ids (unlike data, ids live
         # only in actions, so reassignment costs nothing).
         if adds and _row_tracking_supported(protocol):
-            from rtdl_spark.sources.delta_reader import snapshot_domains
-
-            doms = snapshot_domains(spark, root)
-            hwm = -1
-            d = doms.get("delta.rowTracking")
-            if d and not d.get("removed") and d.get("configuration"):
-                try:
-                    hwm = int(
-                        json.loads(d["configuration"])[
-                            "rowIdHighWaterMark"
-                        ]
-                    )
-                except (ValueError, KeyError, TypeError):
-                    raise ValueError(
-                        "unparseable delta.rowTracking domain "
-                        "configuration — refusing to guess the row-id "
-                        "high watermark"
-                    )
-            base = hwm + 1
-            for a in adds:
-                nr = None
-                if a.get("stats"):
-                    try:
-                        nr = json.loads(a["stats"]).get("numRecords")
-                    except Exception:
-                        nr = None
-                if nr is None:
-                    raise ValueError(
-                        "row tracking needs numRecords stats on every "
-                        "add (write with with_stats=True)"
-                    )
-                a["baseRowId"] = base
-                a["defaultRowCommitVersion"] = version
-                base += int(nr)
             actions.append(
-                {
-                    "domainMetadata": {
-                        "domain": "delta.rowTracking",
-                        "configuration": json.dumps(
-                            {"rowIdHighWaterMark": base - 1}
-                        ),
-                        "removed": False,
-                    }
-                }
+                _stamp_row_tracking(spark, root, adds, version)
             )
         actions.extend({"add": a} for a in adds)
 
@@ -1879,6 +1923,7 @@ def _active_scan(
     active: dict[str, dict],
     subset: list[str] | None = None,
     with_row_index: bool = False,
+    extra_long_cols: list[str] | None = None,
 ) -> tuple[DataFrame | None, dict[str, dict]]:
     """Scan the active file set (optionally restricted to ``subset``
     plain abs paths) with partition columns injected from the log and the
@@ -1886,6 +1931,11 @@ def _active_scan(
     {plain abs path: add action}). Both the map keys and the _FP_COL
     values are in ``_plain`` form, so collected _FP_COL values round-trip
     as lookups/subsets regardless of the table_dir's scheme.
+
+    ``extra_long_cols``: physical LONG columns read under their literal
+    names outside any mapping (the row-tracking materialized columns —
+    files that predate them yield null, parquet missing-column
+    semantics).
 
     Column mapping: files carry PHYSICAL names (name mode) / field ids
     (id mode) and partitionValues are physically keyed — resolved back
@@ -1945,6 +1995,11 @@ def _active_scan(
     else:
         data_schema = StructType(data_fields)
         read_col_of = {n: n for n in phys_of}
+    if extra_long_cols:
+        data_schema = StructType(
+            list(data_schema.fields)
+            + [StructField(c, LongType(), True) for c in extra_long_cols]
+        )
     by_type = {f.name: f.dataType for f in schema.fields}
     groups: dict[tuple, list[str]] = {}
     path_to_add: dict[str, dict] = {}
@@ -1971,6 +2026,8 @@ def _active_scan(
             .alias(f.name)
             for f in data_fields
         ] + [_fp_decoded(F.col("_metadata.file_path")).alias(_FP_COL)]
+        if extra_long_cols:
+            proj += [F.col(f"`{c}`") for c in extra_long_cols]
         if with_row_index:
             proj.append(F.col("_metadata.row_index").alias(_RI_COL))
         df = df.select(*proj)
@@ -2037,6 +2094,7 @@ def _commit_rewrite(
     planned_meta: dict,
     max_retries: int = 5,
     extra_actions: list[dict] | None = None,
+    row_tracking: bool = False,
 ) -> int:
     """Commit a file rewrite (``removes`` tombstones + ``adds``) at the
     next version, with BOUNDED CONFLICT RETRY on a lost commit race —
@@ -2079,6 +2137,13 @@ def _commit_rewrite(
         ]
         actions.extend(extra_actions or [])
         actions.extend({"remove": r} for r in removes)
+        if row_tracking and adds:
+            # fresh baseRowId ranges for the rewritten files (the
+            # feature's per-add duty); each row's REAL id rides the
+            # materialized column the staging wrote
+            actions.append(
+                _stamp_row_tracking(spark, root, adds, current + 1)
+            )
         actions.extend({"add": a} for a in adds)
         if _try_commit(spark, root, current + 1, actions):
             return current + 1
@@ -2125,7 +2190,7 @@ def _rewrite_where(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
-    _refuse_row_tracking(protocol, operation)
+    rt = _row_tracking_supported(protocol)
     _check_no_active_dvs(active, operation)
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
         raise ValueError(
@@ -2156,9 +2221,75 @@ def _rewrite_where(
     if not affected:
         return {"version": None, "files_rewritten": 0, "files_added": 0}
 
-    arows, _ = _active_scan(spark, root, meta, active, subset=affected)
+    # row tracking (r8): each surviving row's identity rides the
+    # materialized columns into the rewritten files — row id =
+    # materialized ?? (baseRowId + physical row index), commit version
+    # = materialized ?? defaultRowCommitVersion; rows this UPDATE
+    # touches get a fresh commit version (materialized NULL → the new
+    # add's defaultRowCommitVersion), exactly the spec's resolution
+    mat_id = mat_cv = None
+    rt_meta_actions: list[dict] = []
+    if not rt:
+        arows, _ = _active_scan(
+            spark, root, meta, active, subset=affected
+        )
+    else:
+        mat_id, mat_cv, new_meta = _rt_materialize_cols(meta)
+        if new_meta is not None:
+            rt_meta_actions = [{"metaData": new_meta}]
+        arows, _ = _active_scan(
+            spark, root, meta, active, subset=affected,
+            with_row_index=True, extra_long_cols=[mat_id, mat_cv],
+        )
+        base_rows = []
+        for p in affected:
+            a = path_to_add[p]
+            if a.get("baseRowId") is None:
+                # a ZERO-ROW file carries no identities to preserve
+                # (schema seeds predating the feature); anything else
+                # was never assigned ids — refuse, don't mint
+                try:
+                    nr0 = json.loads(a.get("stats") or "{}").get(
+                        "numRecords"
+                    )
+                except Exception:
+                    nr0 = None
+                if nr0 != 0:
+                    raise ValueError(
+                        f"row tracking: file {a['path']!r} carries no "
+                        "baseRowId — its row ids were never assigned "
+                        "(foreign backfill missing); refusing a "
+                        "rewrite that would mint new identities"
+                    )
+            base_rows.append(
+                (p, int(a.get("baseRowId") or 0),
+                 a.get("defaultRowCommitVersion"))
+            )
+        base_df = F.broadcast(
+            spark.createDataFrame(
+                base_rows,
+                f"`{_FP_COL}` string, `__rt_base` bigint, "
+                "`__rt_dcv` bigint",
+            )
+        )
+        arows = (
+            arows.join(base_df, _FP_COL)
+            .withColumn(
+                mat_id,
+                F.coalesce(
+                    F.col(f"`{mat_id}`"),
+                    F.col("__rt_base") + F.col(_RI_COL),
+                ),
+            )
+            .withColumn(
+                mat_cv,
+                F.coalesce(F.col(f"`{mat_cv}`"), F.col("__rt_dcv")),
+            )
+            .drop("__rt_base", "__rt_dcv", _RI_COL)
+        )
     arows = arows.drop(_FP_COL)
     col_order = [f.name for f in schema.fields]
+    stage_cols = col_order + ([mat_id, mat_cv] if rt else [])
     out = arows.filter(~cond)
     if set_exprs is not None:
         updated = arows.filter(cond)
@@ -2166,7 +2297,13 @@ def _rewrite_where(
             updated = updated.withColumn(
                 c, F.expr(e).cast(schema[c].dataType)
             )
-        out = out.unionByName(updated.select(*col_order))
+        if rt:
+            # updated rows: id preserved, commit version goes FRESH
+            # (null materialized → the new add's default)
+            updated = updated.withColumn(
+                mat_cv, F.lit(None).cast("long")
+            )
+        out = out.unionByName(updated.select(*stage_cols))
 
     out = _enforce_not_null(out, meta["schemaString"])
     out = _enforce_constraints(out, meta)
@@ -2205,7 +2342,13 @@ def _rewrite_where(
     if _cm_mode(meta) != "none":
         fields_json = json.loads(meta["schemaString"]).get("fields") or []
         phys_of = {f["name"]: _physical_name(f) for f in fields_json}
-        out = _to_physical(spark, out, meta)
+        # materialized row-tracking columns pass through UNMAPPED —
+        # they live outside the schemaString, under their literal
+        # configuration-named identity (real Delta stores them so)
+        out = _to_physical(
+            spark, out, meta,
+            extra_cols=[mat_id, mat_cv] if rt else None,
+        )
         stage_part_cols = [phys_of[c] for c in part_cols]
     staging = posixpath.join(
         root, f"_{operation.lower()}-{uuid.uuid4().hex[:12]}"
@@ -2231,7 +2374,8 @@ def _rewrite_where(
         adds,
         ts,
         meta,
-        extra_actions=cdc_actions,
+        extra_actions=rt_meta_actions + cdc_actions,
+        row_tracking=rt,
     )
     return {
         "version": version,
@@ -3339,7 +3483,7 @@ def optimize_delta_native(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     cm = _check_cm_supported(meta, "OPTIMIZE")
-    _refuse_row_tracking(protocol, "OPTIMIZE")
+    rt = _row_tracking_supported(protocol)
     _check_no_active_dvs(active, "OPTIMIZE")
     part_cols = list(meta.get("partitionColumns") or [])
     # column mapping: OPTIMIZE is a pure PHYSICAL-layout passthrough —
@@ -3466,6 +3610,24 @@ def optimize_delta_native(
             f"table schema uses a reserved optimize column: "
             f"{sorted(clash)}"
         )
+    # row tracking (r8): OPTIMIZE preserves every row's identity AND
+    # commit version — both materialize (coalesced with the file's
+    # baseRowId + row index / defaultRowCommitVersion) into the
+    # repacked files; the new adds still get fresh baseRowId ranges
+    # (the per-add duty), which the materialized values override
+    mat_id = mat_cv = None
+    rt_meta_actions: list[dict] = []
+    if rt:
+        mat_id, mat_cv, new_meta = _rt_materialize_cols(meta)
+        if new_meta is not None:
+            rt_meta_actions = [{"metaData": new_meta}]
+        data_schema = StructType(
+            list(data_schema.fields)
+            + [
+                StructField(mat_id, LongType(), True),
+                StructField(mat_cv, LongType(), True),
+            ]
+        )
     # one row per input file: zorder mode maps every file to its GROUP
     # key (the per-row curve rank then picks the x-suffixed bin); plain
     # mode maps straight to the entry's single bin key
@@ -3478,14 +3640,41 @@ def optimize_delta_native(
                 root, urllib.parse.unquote(a["path"])
             )
             in_paths_set.add(abs_path)
+            if rt and a.get("baseRowId") is None:
+                # a ZERO-ROW file carries no identities to preserve
+                # (schema seeds predating the feature); anything else
+                # was never assigned ids — refuse, don't mint
+                try:
+                    nr0 = json.loads(a.get("stats") or "{}").get(
+                        "numRecords"
+                    )
+                except Exception:
+                    nr0 = None
+                if nr0 != 0:
+                    raise ValueError(
+                        f"row tracking: file {a['path']!r} carries no "
+                        "baseRowId — its row ids were never assigned "
+                        "(foreign backfill missing); refusing an "
+                        "OPTIMIZE that would mint new identities"
+                    )
             # join key in _plain form to match the normalized fp_col —
             # a URI-formed table_dir would otherwise match nothing and
             # silently write empty bins
-            file_rows.append((_plain(abs_path), group_key, len(e["bks"])))
+            file_rows.append(
+                (_plain(abs_path), group_key, len(e["bks"]))
+                + (
+                    (int(a.get("baseRowId") or 0),
+                     a.get("defaultRowCommitVersion"))
+                    if rt
+                    else ()
+                )
+            )
     in_paths = sorted(in_paths_set)
     bin_map = F.broadcast(
         spark.createDataFrame(
-            file_rows, f"{fp_col} string, {bin_col} string, {n_col} int"
+            file_rows,
+            f"{fp_col} string, {bin_col} string, {n_col} int"
+            + (", `__rt_base` bigint, `__rt_dcv` bigint" if rt else ""),
         )
     )
     src = (
@@ -3493,9 +3682,27 @@ def optimize_delta_native(
         .parquet(*in_paths)
         # _metadata paths are percent-escaped URIs; compare decoded
         .withColumn(fp_col, _fp_decoded(F.col("_metadata.file_path")))
+        .withColumns(
+            {_RI_COL: F.col("_metadata.row_index")} if rt else {}
+        )
         .join(bin_map, fp_col)
         .drop(fp_col)
     )
+    if rt:
+        src = (
+            src.withColumn(
+                mat_id,
+                F.coalesce(
+                    F.col(f"`{mat_id}`"),
+                    F.col("__rt_base") + F.col(_RI_COL),
+                ),
+            )
+            .withColumn(
+                mat_cv,
+                F.coalesce(F.col(f"`{mat_cv}`"), F.col("__rt_dcv")),
+            )
+            .drop("__rt_base", "__rt_dcv", _RI_COL)
+        )
     if zorder_by:
         # callers name LOGICAL columns; the scan is physical under CM
         zcols = [phys_of_all.get(c, c) for c in zorder_by]
@@ -3551,7 +3758,8 @@ def optimize_delta_native(
         # parquet field ids must ride into the repacked files, or
         # id-mode readers would null every column of the output
         staged_src = _reattach_field_ids(
-            spark, staged_src, meta, keep_cols=[bin_col]
+            spark, staged_src, meta,
+            keep_cols=[bin_col] + ([mat_id, mat_cv] if rt else []),
         )
     staging = posixpath.join(root, f"_optimize-{uuid.uuid4().hex[:12]}")
     (
@@ -3644,6 +3852,8 @@ def optimize_delta_native(
         adds,
         ts,
         meta,
+        extra_actions=rt_meta_actions,
+        row_tracking=rt,
     )
     return {
         "version": version,

@@ -1752,8 +1752,14 @@ def test_cm_table_append_and_delete(spark, tmp_path, mode):
         for r in read_delta_native(spark, root).collect()
     }
     assert after == got, "OPTIMIZE must not change the row set"
-    with pytest.raises(ValueError, match="column-mapped"):
-        write_delta_native(spark, frame, root, mode="overwrite")
+    # r8: a schema-REPLACING overwrite (frame lacks the evolved
+    # `extra` column) rebuilds the mapping instead of refusing —
+    # retained columns keep their identity
+    # (test_cm_schema_replacing_overwrite covers the metaData side)
+    write_delta_native(spark, frame, root, mode="overwrite")
+    back = read_delta_native(spark, root)
+    assert back.columns == ["id", "s", "p"]
+    assert back.count() == frame.count()
 
 
 def test_cm_append_streams_back_logically(spark, tmp_path):
@@ -2200,10 +2206,125 @@ def test_row_tracking_appends_assign_base_row_ids(spark, tmp_path):
         doms2["delta.rowTracking"]["configuration"]
     )["rowIdHighWaterMark"] == 9
 
+    # r8: DELETE/UPDATE/OPTIMIZE now PRESERVE row ids via the
+    # materialized columns (test_row_tracking_rewrites_preserve_ids);
+    # ops that still cannot (MERGE, the DV DML paths) refuse by name
+    from rtdl_spark.sources.delta_writer import merge_into_delta_native
+
     with pytest.raises(ValueError, match="rowTracking"):
-        delete_where_delta_native(spark, root, "id = 7")
-    with pytest.raises(ValueError, match="rowTracking"):
-        optimize_delta_native(spark, root)
+        merge_into_delta_native(
+            spark, root, _frame(spark, 0, 1), on=["id"]
+        )
+
+
+def _row_ids(spark, root):
+    """{id value: (row id, commit version)} resolved the spec's way:
+    materialized column if non-null, else baseRowId + row index /
+    defaultRowCommitVersion of the containing file."""
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    _, meta, active, _, _ = snapshot_actions(spark, root)
+    conf = meta.get("configuration") or {}
+    mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_cv = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    out = {}
+    import pyarrow.parquet as pq
+
+    for rel, a in active.items():
+        p = os.path.join(root, rel)
+        t = pq.read_table(p).to_pylist()
+        for i, row in enumerate(t):
+            rid = row.get(mat_id) if mat_id else None
+            if rid is None:
+                rid = a["baseRowId"] + i
+            rcv = row.get(mat_cv) if mat_cv else None
+            if rcv is None:
+                rcv = a["defaultRowCommitVersion"]
+            out[row["id"]] = (rid, rcv)
+    return out
+
+
+def test_row_tracking_rewrites_preserve_ids(spark, tmp_path):
+    """rowTracking REWRITES (r8, was a named refusal): DELETE WHERE,
+    UPDATE WHERE and OPTIMIZE carry each surviving row's identity into
+    the rewritten files via the materialized row-id/commit-version
+    columns (minted into the configuration on first need). Updated
+    rows keep their id and take the NEW commit version; moved-but-
+    untouched rows keep both."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        optimize_delta_native,
+        update_where_delta_native,
+    )
+
+    root = str(tmp_path / "rtrw")
+    write_delta_native(  # v0: schema seed, zero rows (every data file
+        spark, _frame(spark, 0, 0), root, checkpoint_interval=0
+    )  # in this table is born under the feature and carries ids)
+    with open(
+        os.path.join(root, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking", "domainMetadata",
+                               "appendOnly", "invariants"]}}) + "\n")
+    write_delta_native(  # v2: ids 0..9
+        spark, _frame(spark, 0, 10).coalesce(2), root,
+        checkpoint_interval=0,
+    )
+    before = _row_ids(spark, root)
+
+    # DELETE: survivors keep id AND commit version
+    res = delete_where_delta_native(spark, root, "id IN (2, 7)")
+    assert res["version"] is not None
+    after_del = _row_ids(spark, root)
+    assert set(after_del) == set(before) - {2, 7}
+    for k, v in after_del.items():
+        assert v == before[k], f"row {k} identity changed on DELETE"
+
+    # the materialized column names were minted into the configuration
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    _, meta, _, _, _ = snapshot_actions(spark, root)
+    conf = meta["configuration"]
+    assert conf["delta.rowTracking.materializedRowIdColumnName"]
+    assert conf["delta.rowTracking.materializedRowCommitVersionColumnName"]
+
+    # UPDATE: matched rows keep id, take the NEW commit version;
+    # untouched neighbors in the rewritten files keep both
+    vu = update_where_delta_native(
+        spark, root, "id = 4", {"v": "v + 100"}
+    )["version"]
+    after_upd = _row_ids(spark, root)
+    assert after_upd[4][0] == before[4][0], "updated row id changed"
+    assert after_upd[4][1] == vu, "updated row must take the new version"
+    for k in set(after_upd) - {4}:
+        assert after_upd[k] == after_del[k]
+
+    # OPTIMIZE: everything preserved, ids and versions alike
+    vo = optimize_delta_native(spark, root, target_file_bytes=1 << 30)
+    assert vo["version"] is not None
+    after_opt = _row_ids(spark, root)
+    assert after_opt == after_upd, "OPTIMIZE must not mint identities"
+
+    # fresh appends continue the id sequence (no reuse of rewritten
+    # files' baseRowId ranges)
+    write_delta_native(
+        spark, _frame(spark, 50, 53).coalesce(1), root,
+        checkpoint_interval=0,
+    )
+    after_app = _row_ids(spark, root)
+    new_ids = {after_app[k][0] for k in (50, 51, 52)}
+    assert len(new_ids) == 3
+    assert new_ids.isdisjoint(
+        {rid for rid, _ in after_opt.values()}
+    ), "fresh appends must never reuse live row ids"
+    # the read path never leaks the materialized columns
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    assert read_delta_native(spark, root).columns == ["id", "v", "tag"]
 
 
 def test_checkpoint_preserves_protocol_features(spark, tmp_path):
