@@ -420,24 +420,6 @@ def _row_tracking_supported(protocol: dict | None) -> bool:
     return "rowTracking" in set(protocol.get("writerFeatures") or ())
 
 
-def _refuse_row_tracking(protocol: dict | None, operation: str) -> None:
-    """Ops that cannot yet preserve row ids through a rewrite refuse
-    row-tracking tables by name (fresh ids on rewritten survivors
-    would silently break every downstream consumer keyed on row
-    identity). Since r8, appends, DELETE WHERE, UPDATE WHERE and
-    OPTIMIZE maintain the duty (materialized row-id/commit-version
-    columns — _rt_materialize_cols); MERGE and the DV DML paths still
-    refuse."""
-    if _row_tracking_supported(protocol):
-        raise ValueError(
-            f"{operation} on a table with the rowTracking writer "
-            "feature is not supported by this native writer (this op "
-            "does not yet preserve row ids via the materialized "
-            "column; appends/DELETE/UPDATE/OPTIMIZE are supported) — "
-            "use delta-spark"
-        )
-
-
 # delta-spark's materialized-column name prefixes (MaterializedRowId /
 # MaterializedRowCommitVersion): physical columns NOT in the table
 # schema, named in the configuration, carrying each row's identity
@@ -472,15 +454,20 @@ def _rt_materialize_cols(meta: dict) -> tuple[str, str, dict | None]:
 
 def _stamp_row_tracking(
     spark: SparkSession, root: str, adds: list[dict], version: int
-) -> dict:
-    """Assign each new add a fresh, non-overlapping baseRowId range
+) -> dict | None:
+    """Assign each NEW add a fresh, non-overlapping baseRowId range
     after the delta.rowTracking high watermark, stamp this commit's
     version as defaultRowCommitVersion, and return the domainMetadata
-    action advancing the watermark (same commit). Re-run per commit
-    attempt — ids live only in actions, so reassignment after a lost
-    race costs nothing."""
+    action advancing the watermark (same commit) — None when ``adds``
+    is empty. Callers pass ONLY the freshly-staged adds: re-adds of
+    existing files (a DV attach) keep their live range verbatim and
+    must never reach this function. Re-run per commit attempt — ids
+    live only in actions, so reassignment after a lost race costs
+    nothing."""
     from rtdl_spark.sources.delta_reader import snapshot_domains
 
+    if not adds:
+        return None
     doms = snapshot_domains(spark, root)
     hwm = -1
     d = doms.get("delta.rowTracking")
@@ -1647,9 +1634,9 @@ def write_delta_native(
         # concurrent writer may have claimed ids (unlike data, ids live
         # only in actions, so reassignment costs nothing).
         if adds and _row_tracking_supported(protocol):
-            actions.append(
-                _stamp_row_tracking(spark, root, adds, version)
-            )
+            dom = _stamp_row_tracking(spark, root, adds, version)
+            if dom is not None:
+                actions.append(dom)
         actions.extend({"add": a} for a in adds)
 
         if _try_commit(spark, root, version, actions):
@@ -2095,6 +2082,7 @@ def _commit_rewrite(
     max_retries: int = 5,
     extra_actions: list[dict] | None = None,
     row_tracking: bool = False,
+    rt_stamp_adds: list[dict] | None = None,
 ) -> int:
     """Commit a file rewrite (``removes`` tombstones + ``adds``) at the
     next version, with BOUNDED CONFLICT RETRY on a lost commit race —
@@ -2137,13 +2125,19 @@ def _commit_rewrite(
         ]
         actions.extend(extra_actions or [])
         actions.extend({"remove": r} for r in removes)
-        if row_tracking and adds:
-            # fresh baseRowId ranges for the rewritten files (the
+        if row_tracking:
+            # fresh baseRowId ranges for the freshly-staged files (the
             # feature's per-add duty); each row's REAL id rides the
-            # materialized column the staging wrote
-            actions.append(
-                _stamp_row_tracking(spark, root, adds, current + 1)
+            # materialized column the staging wrote. DV re-adds of
+            # existing files keep their live range: callers narrow the
+            # stamped set via rt_stamp_adds.
+            dom = _stamp_row_tracking(
+                spark, root,
+                adds if rt_stamp_adds is None else rt_stamp_adds,
+                current + 1,
             )
+            if dom is not None:
+                actions.append(dom)
         actions.extend({"add": a} for a in adds)
         if _try_commit(spark, root, current + 1, actions):
             return current + 1
@@ -2622,7 +2616,10 @@ def delete_where_delta_dv(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
-    _refuse_row_tracking(protocol, "DV DELETE")
+    # row tracking composes for free here: a DV attach re-adds the SAME
+    # file with its live baseRowId/defaultRowCommitVersion passed
+    # through verbatim (the {**a} copy below), and survivors never move
+    # — no materialization, no restamping (r8)
     _refuse_cm(meta, "DV DELETE")
     conf = meta.get("configuration") or {}
     if conf.get("delta.appendOnly") == "true":
@@ -2768,7 +2765,7 @@ def update_where_delta_dv(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
-    _refuse_row_tracking(protocol, "DV UPDATE")
+    rt = _row_tracking_supported(protocol)
     _refuse_cm(meta, "DV UPDATE")
     conf = meta.get("configuration") or {}
     if conf.get("delta.appendOnly") == "true":
@@ -2800,16 +2797,64 @@ def update_where_delta_dv(
             "never mutated)"
         )
 
+    # row tracking (r8): updated rows MOVE to new files, so their ids
+    # materialize (coalesced from the source file's baseRowId + row
+    # index); their commit version goes fresh (null materialized → the
+    # new add's default). The DV-masked re-adds keep their live range
+    # verbatim — only the new files get stamped.
+    mat_id = mat_cv = None
+    rt_meta_actions: list[dict] = []
+    if rt:
+        mat_id, mat_cv, new_meta = _rt_materialize_cols(meta)
+        if new_meta is not None:
+            rt_meta_actions = [{"metaData": new_meta}]
     tbl, path_to_add = _active_scan(
-        spark, root, meta, active, with_row_index=True
+        spark, root, meta, active, with_row_index=True,
+        extra_long_cols=[mat_id, mat_cv] if rt else None,
     )
     if tbl is None:
         return {
             "version": None, "files_marked": 0, "files_removed": 0,
             "files_added": 0, "rows_updated": 0,
         }
+    if rt:
+        base_rows = []
+        for p, a in path_to_add.items():
+            if a.get("baseRowId") is None:
+                try:
+                    nr0 = json.loads(a.get("stats") or "{}").get(
+                        "numRecords"
+                    )
+                except Exception:
+                    nr0 = None
+                if nr0 != 0:
+                    raise ValueError(
+                        f"row tracking: file {a['path']!r} carries no "
+                        "baseRowId — its row ids were never assigned "
+                        "(foreign backfill missing); refusing a DV "
+                        "UPDATE that would mint new identities"
+                    )
+            base_rows.append((p, int(a.get("baseRowId") or 0)))
+        base_df = F.broadcast(
+            spark.createDataFrame(
+                base_rows, f"`{_FP_COL}` string, `__rt_base` bigint"
+            )
+        )
+        tbl = (
+            tbl.join(base_df, _FP_COL)
+            .withColumn(
+                mat_id,
+                F.coalesce(
+                    F.col(f"`{mat_id}`"),
+                    F.col("__rt_base") + F.col(_RI_COL),
+                ),
+            )
+            .withColumn(mat_cv, F.lit(None).cast("long"))
+            .drop("__rt_base")
+        )
     cond = F.coalesce(F.expr(condition), F.lit(False))
     col_order = [f.name for f in schema.fields]
+    stage_cols = col_order + ([mat_id, mat_cv] if rt else [])
 
     # pass 1: the updated rows, staged as NEW files (localCheckpoint
     # freezes the matched set so the DV pass masks exactly these rows).
@@ -2831,7 +2876,7 @@ def update_where_delta_dv(
     for c, e in set_exprs.items():
         new_rows = new_rows.withColumn(c, F.expr(e).cast(schema[c].dataType))
     new_rows = _enforce_not_null(
-        new_rows.select(*col_order), meta["schemaString"]
+        new_rows.select(*stage_cols), meta["schemaString"]
     )
     new_rows = _enforce_constraints(new_rows, meta)
     staging = posixpath.join(root, f"_update-{uuid.uuid4().hex[:12]}")
@@ -2843,6 +2888,7 @@ def update_where_delta_dv(
         adds = _promote_staged(spark, root, staging, part_cols, True)
     finally:
         fsutil.delete(spark, staging)
+    fresh_adds = list(adds)  # the new files — the only rt-stamped adds
 
     # change data feed: matched rows as update pre-images, their new
     # versions as post-images (the DV remove+add pair is not derivable)
@@ -2854,7 +2900,7 @@ def update_where_delta_dv(
             updated.select(*col_order)
             .withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(
-                new_rows.withColumn(
+                new_rows.select(*col_order).withColumn(
                     "_change_type", F.lit("update_postimage")
                 )
             ),
@@ -2917,7 +2963,9 @@ def update_where_delta_dv(
         adds,
         ts,
         meta,
-        extra_actions=cdc_actions,
+        extra_actions=rt_meta_actions + cdc_actions,
+        row_tracking=rt,
+        rt_stamp_adds=fresh_adds,
     )
     return {
         "version": version,
@@ -2986,7 +3034,7 @@ def merge_into_delta_native(
     _check_writer_protocol(protocol)
     _check_no_invariants(meta)
     _check_cm_supported(meta, "MERGE")
-    _refuse_row_tracking(protocol, "MERGE")
+    rt = _row_tracking_supported(protocol)
     _refuse_identity(meta, "MERGE")
     _check_no_active_dvs(active, "MERGE")
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
@@ -3033,20 +3081,89 @@ def merge_into_delta_native(
     # rewrite plan: survivors of affected files + matched updates + inserts
     pieces = []
     col_order = [f.name for f in schema.fields]
+    # row tracking (r8): survivors keep id + commit version; matched
+    # UPDATES keep the TARGET row's id (per-target-row cardinality —
+    # the id rides the carried materialized column) with a fresh
+    # commit version; INSERTS are new rows (both null → the new add's
+    # fresh range / default version)
+    mat_id = mat_cv = None
+    rt_meta_actions: list[dict] = []
+    if rt:
+        mat_id, mat_cv, new_meta = _rt_materialize_cols(meta)
+        if new_meta is not None:
+            rt_meta_actions = [{"metaData": new_meta}]
+    stage_cols = col_order + ([mat_id, mat_cv] if rt else [])
     if affected:
-        arows, _ = _active_scan(
-            spark, root, meta, active, subset=affected
-        )
+        if not rt:
+            arows, _ = _active_scan(
+                spark, root, meta, active, subset=affected
+            )
+        else:
+            arows, _ = _active_scan(
+                spark, root, meta, active, subset=affected,
+                with_row_index=True,
+                extra_long_cols=[mat_id, mat_cv],
+            )
+            base_rows = []
+            for p in affected:
+                a = path_to_add[p]
+                if a.get("baseRowId") is None:
+                    try:
+                        nr0 = json.loads(a.get("stats") or "{}").get(
+                            "numRecords"
+                        )
+                    except Exception:
+                        nr0 = None
+                    if nr0 != 0:
+                        raise ValueError(
+                            f"row tracking: file {a['path']!r} carries "
+                            "no baseRowId — its row ids were never "
+                            "assigned (foreign backfill missing); "
+                            "refusing a MERGE that would mint new "
+                            "identities"
+                        )
+                base_rows.append(
+                    (p, int(a.get("baseRowId") or 0),
+                     a.get("defaultRowCommitVersion"))
+                )
+            base_df = F.broadcast(
+                spark.createDataFrame(
+                    base_rows,
+                    f"`{_FP_COL}` string, `__rt_base` bigint, "
+                    "`__rt_dcv` bigint",
+                )
+            )
+            arows = (
+                arows.join(base_df, _FP_COL)
+                .withColumn(
+                    mat_id,
+                    F.coalesce(
+                        F.col(f"`{mat_id}`"),
+                        F.col("__rt_base") + F.col(_RI_COL),
+                    ),
+                )
+                .withColumn(
+                    mat_cv,
+                    F.coalesce(F.col(f"`{mat_cv}`"), F.col("__rt_dcv")),
+                )
+                .drop("__rt_base", "__rt_dcv", _RI_COL)
+            )
         arows = arows.drop(_FP_COL)
-        pieces.append(arows.join(keys, on, "left_anti"))
+        pieces.append(
+            arows.join(keys, on, "left_anti").select(*stage_cols)
+        )
         if when_matched == "update":
             # one output row PER MATCHED TARGET ROW (not per source row):
             # Delta MERGE's UPDATE SET * preserves target cardinality, so
             # duplicate-key target rows each become a copy of the source
             # row rather than collapsing to one
-            pieces.append(
-                arows.select(*on).join(src, on, "inner").select(*col_order)
+            upd_keys = (
+                arows.select(*on, mat_id) if rt else arows.select(*on)
             )
+            upd = upd_keys.join(src, on, "inner")
+            if rt:
+                upd = upd.withColumn(mat_cv, F.lit(None).cast("long"))
+            pieces.append(upd.select(*stage_cols))
     ins_df = None
     if when_not_matched == "insert":
         if tbl is not None:
@@ -3055,7 +3172,12 @@ def merge_into_delta_native(
             ).select(*col_order)
         else:
             ins_df = src.select(*col_order)
-        pieces.append(ins_df)
+        ins_piece = ins_df
+        if rt:
+            ins_piece = ins_piece.withColumn(
+                mat_id, F.lit(None).cast("long")
+            ).withColumn(mat_cv, F.lit(None).cast("long"))
+        pieces.append(ins_piece.select(*stage_cols))
     if not pieces:
         return {"version": None, "files_rewritten": 0, "files_added": 0}
     out = pieces[0]
@@ -3070,7 +3192,9 @@ def merge_into_delta_native(
     if _cdf_enabled(meta):
         change_frames = []
         if affected and when_matched != "ignore":
-            matched_target = arows.join(keys, on, "left_semi")
+            matched_target = arows.join(keys, on, "left_semi").select(
+                *col_order
+            )
             if when_matched == "update":
                 change_frames.append(
                     matched_target.withColumn(
@@ -3111,7 +3235,10 @@ def merge_into_delta_native(
     if _cm_mode(meta) != "none":
         fields_json = json.loads(meta["schemaString"]).get("fields") or []
         phys_of = {f["name"]: _physical_name(f) for f in fields_json}
-        out = _to_physical(spark, out, meta)
+        out = _to_physical(
+            spark, out, meta,
+            extra_cols=[mat_id, mat_cv] if rt else None,
+        )
         stage_part_cols = [phys_of[c] for c in part_cols]
     staging = posixpath.join(root, f"_merge-{uuid.uuid4().hex[:12]}")
     writer = out.write.mode("overwrite")
@@ -3138,7 +3265,8 @@ def merge_into_delta_native(
         adds,
         ts,
         meta,
-        extra_actions=cdc_actions,
+        extra_actions=rt_meta_actions + cdc_actions,
+        row_tracking=rt,
     )
     return {
         "version": version,

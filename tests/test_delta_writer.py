@@ -2206,15 +2206,9 @@ def test_row_tracking_appends_assign_base_row_ids(spark, tmp_path):
         doms2["delta.rowTracking"]["configuration"]
     )["rowIdHighWaterMark"] == 9
 
-    # r8: DELETE/UPDATE/OPTIMIZE now PRESERVE row ids via the
-    # materialized columns (test_row_tracking_rewrites_preserve_ids);
-    # ops that still cannot (MERGE, the DV DML paths) refuse by name
-    from rtdl_spark.sources.delta_writer import merge_into_delta_native
-
-    with pytest.raises(ValueError, match="rowTracking"):
-        merge_into_delta_native(
-            spark, root, _frame(spark, 0, 1), on=["id"]
-        )
+    # r8: every DML path now PRESERVES row ids via the materialized
+    # columns — see test_row_tracking_rewrites_preserve_ids (DELETE/
+    # UPDATE/OPTIMIZE + MERGE) and test_row_tracking_dv_dml_preserves_ids
 
 
 def _row_ids(spark, root):
@@ -2310,6 +2304,24 @@ def test_row_tracking_rewrites_preserve_ids(spark, tmp_path):
     after_opt = _row_ids(spark, root)
     assert after_opt == after_upd, "OPTIMIZE must not mint identities"
 
+    # MERGE (r8): matched targets keep their id with a fresh commit
+    # version; inserted rows get fresh ids
+    from rtdl_spark.sources.delta_writer import merge_into_delta_native
+
+    msrc = spark.createDataFrame(
+        [(5, 5000, "m"), (40, 4000, "m")], "id long, v long, tag string"
+    )
+    vm = merge_into_delta_native(spark, root, msrc, on=["id"])["version"]
+    after_mrg = _row_ids(spark, root)
+    assert after_mrg[5][0] == after_opt[5][0], "MERGE changed a row id"
+    assert after_mrg[5][1] == vm, "updated row must take the new version"
+    assert 40 in after_mrg
+    for k in set(after_opt) - {5}:
+        assert after_mrg[k] == after_opt[k]
+    assert after_mrg[40][0] not in {
+        rid for rid, _ in after_opt.values()
+    }, "inserted row must get a FRESH id"
+
     # fresh appends continue the id sequence (no reuse of rewritten
     # files' baseRowId ranges)
     write_delta_native(
@@ -2320,7 +2332,7 @@ def test_row_tracking_rewrites_preserve_ids(spark, tmp_path):
     new_ids = {after_app[k][0] for k in (50, 51, 52)}
     assert len(new_ids) == 3
     assert new_ids.isdisjoint(
-        {rid for rid, _ in after_opt.values()}
+        {rid for rid, _ in after_mrg.values()}
     ), "fresh appends must never reuse live row ids"
     # the read path never leaks the materialized columns
     from rtdl_spark.sources.delta_reader import read_delta_native
@@ -2667,3 +2679,87 @@ def test_cm_schema_replacing_overwrite(spark, tmp_path, mode):
         root, checkpoint_interval=0,
     )
     assert read_delta_native(spark, root).count() == 8
+
+
+def test_row_tracking_dv_dml_preserves_ids(spark, tmp_path):
+    """rowTracking x deletion vectors (r8): a DV DELETE re-adds the
+    same file with its live baseRowId passed through verbatim
+    (survivors never move — ids free); a DV UPDATE moves matched rows
+    to new files with their ids MATERIALIZED and a fresh commit
+    version, while the masked re-adds keep their range unstamped."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_dv,
+        update_where_delta_dv,
+    )
+
+    root = str(tmp_path / "rtdv")
+    write_delta_native(
+        spark, _frame(spark, 0, 0), root, checkpoint_interval=0
+    )
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    _, meta0, _, _, _ = snapshot_actions(spark, root)
+    with open(
+        os.path.join(root, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "rowTracking",
+                               "domainMetadata", "appendOnly",
+                               "invariants"]}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta0,
+            "configuration": {"delta.enableDeletionVectors": "true"},
+        }}) + "\n")
+    write_delta_native(  # ids 0..9
+        spark, _frame(spark, 0, 10).coalesce(2), root,
+        checkpoint_interval=0,
+    )
+    before = _row_ids(spark, root)
+
+    res = delete_where_delta_dv(spark, root, "id IN (1, 6)")
+    assert res["version"] is not None and res["rows_deleted"] == 2
+    after_del = _row_ids(spark, root)
+    # _row_ids reads raw files; subtract the DV-masked ids
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    visible = {r["id"] for r in read_delta_native(spark, root).collect()}
+    assert visible == set(range(10)) - {1, 6}
+    for k in visible:
+        assert after_del[k] == before[k], (
+            f"row {k} identity changed on DV DELETE"
+        )
+
+    vu = update_where_delta_dv(
+        spark, root, "id = 4", {"v": "v + 1000"}
+    )["version"]
+    # the updated row moved files but kept its id with a fresh commit
+    # version; the raw scan still holds the DV-masked original, so
+    # collect ALL physical (id -> identity) pairs and look for the new
+    # one keyed by the updated value
+    import pyarrow.parquet as _pq
+
+    _, meta_u, active_u, _, _ = snapshot_actions(spark, root)
+    conf_u = meta_u["configuration"]
+    mat_id = conf_u["delta.rowTracking.materializedRowIdColumnName"]
+    mat_cv = conf_u[
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    ]
+    got4 = []
+    for rel, a in active_u.items():
+        for i, r in enumerate(
+            _pq.read_table(os.path.join(root, rel)).to_pylist()
+        ):
+            if r["id"] == 4 and r["v"] == 8 + 1000:
+                rid = r.get(mat_id)
+                rid = a["baseRowId"] + i if rid is None else rid
+                rcv = r.get(mat_cv)
+                rcv = a["defaultRowCommitVersion"] if rcv is None else rcv
+                got4.append((rid, rcv))
+    assert got4 == [(before[4][0], vu)], (
+        "DV UPDATE must materialize the moved row's id and stamp the "
+        "new commit version"
+    )
+    got = {r["id"]: r["v"] for r in read_delta_native(spark, root).collect()}
+    assert got[4] == 8 + 1000
