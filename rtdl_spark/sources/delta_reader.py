@@ -1100,6 +1100,56 @@ def _dv_keep_udf(table_dir: str, dv_by_plain: dict[str, dict]):
     return keep
 
 
+def _dv_sel_keep_udf(table_dir: str, sel_by_plain: dict[str, tuple]):
+    """pandas_udf(boolean) for CHANGE-ROW derivation over deletion
+    vectors: keep(file_path, row_index) per the file's selection spec
+    (desc_a, desc_b, op) —
+    - op "diff": keep rows IN a's mask and NOT in b's (the DV-attach
+      change set: before-mask minus after-mask = newly visible rows;
+      swapped operands = newly hidden rows);
+    - op "vis":  keep rows NOT in b's mask (a file's VISIBLE rows —
+      unpaired DV-carrying add/remove derivation).
+    Only the KB-scale descriptor map ships in the closure; bitmaps
+    decode on the executors, cached per process."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def keep(fp: pd.Series, ri: pd.Series) -> pd.Series:
+        import urllib.parse as _up
+
+        import numpy as np
+
+        out = np.zeros(len(fp), dtype=bool)
+        for pth in fp.unique():
+            plain = _up.unquote(_up.urlparse(pth).path)
+            sel = sel_by_plain.get(plain)
+            mask = (fp == pth).values
+            if sel is None:
+                out[mask] = True  # no spec: whole file passes
+                continue
+            desc_a, desc_b, op = sel
+            riv = ri.values[mask]
+            in_b = (
+                np.isin(riv, _dv_indices_cached(table_dir, plain, desc_b))
+                if desc_b
+                else np.zeros(len(riv), dtype=bool)
+            )
+            if op == "vis":
+                out[mask] = ~in_b
+            else:  # "diff"
+                in_a = (
+                    np.isin(
+                        riv, _dv_indices_cached(table_dir, plain, desc_a)
+                    )
+                    if desc_a
+                    else np.zeros(len(riv), dtype=bool)
+                )
+                out[mask] = in_a & ~in_b
+        return pd.Series(out)
+
+    return keep
+
+
 def delta_history(spark: SparkSession, table_dir: str) -> list[dict]:
     """Commit history from the log's commitInfo actions → [{version,
     timestamp, operation}] oldest-first (the DESCRIBE HISTORY
@@ -1243,9 +1293,12 @@ def read_table_changes_cdf(
     pieces: list[DataFrame] = []
 
     def _scan(files, change_type_from_file: bool, change_type: str | None,
-              version: int):
+              version: int, dv_sel: dict | None = None):
         """files: [(abs path, partitionValues)] -> one frame per pvals
-        group with partition cols injected and the CDF metadata cols."""
+        group with partition cols injected and the CDF metadata cols.
+        ``dv_sel`` maps a file's PLAIN abs path to a (desc_a, desc_b,
+        op) selection spec — rows are then filtered to the DV-derived
+        change set worker-side (_dv_sel_keep_udf)."""
         groups: dict[tuple, list[str]] = {}
         for p, pv in files:
             groups.setdefault(
@@ -1275,6 +1328,14 @@ def read_table_changes_cdf(
             key=lambda kv: tuple((v is not None, v) for v in kv[0]),
         ):
             df = spark.read.schema(read_schema).parquet(*paths)
+            if dv_sel is not None:
+                keep = _dv_sel_keep_udf(root, dv_sel)
+                df = df.filter(
+                    keep(
+                        F.col("_metadata.file_path"),
+                        F.col("_metadata.row_index"),
+                    )
+                )
             if change_type_from_file:
                 df = df.select(*proj, F.col("_change_type"))
             else:
@@ -1346,47 +1407,114 @@ def read_table_changes_cdf(
                 "allow_unrecorded=True to derive anyway (safe only "
                 "for pure appends / full-file deletes)"
             )
-        for a in adds:
-            if a.get("deletionVector"):
-                raise ValueError(
-                    "CDF derivation over a deletion-vector commit is "
-                    "not supported by the native reader (the commit "
-                    "carries no cdc actions) — use delta-spark"
+        # pair remove+add of the SAME path: a DV attach/detach commit
+        # (DV DELETE without CDF, RESTORE re-masking). The change set
+        # derives from the MASK DIFF, worker-side (r8, was a refusal):
+        #   inserts = before-mask minus after-mask (rows un-hidden)
+        #   deletes = after-mask minus before-mask (rows newly hidden)
+        # Unpaired DV-carrying actions derive their VISIBLE rows only.
+        adds_by = {a["path"]: a for a in adds}
+        removes_by = {r["path"]: r for r in removes}
+        paired = set(adds_by) & set(removes_by)
+
+        def _plain_abs(abs_p: str) -> str:
+            return (
+                urllib.parse.urlparse(abs_p).path
+                if ":" in abs_p[:10]
+                else abs_p
+            )
+
+        gone = [
+            p for p in sorted(set(removes_by) | paired)
+            if not fsutil.exists(spark, _abs(p))
+        ]
+        if gone:
+            raise ValueError(
+                f"CDF derivation needs removed file {gone[0]!r} "
+                f"(commit {v}), which no longer exists (vacuumed) — "
+                "change history for this range is gone"
+            )
+        if paired:
+            ins_sel, del_sel, pair_files = {}, {}, []
+            for rel in sorted(paired):
+                a, r = adds_by[rel], removes_by[rel]
+                dv_before = r.get("deletionVector")
+                dv_after = a.get("deletionVector")
+                if (
+                    _dv_tuple({"deletionVector": dv_before})
+                    == _dv_tuple({"deletionVector": dv_after})
+                ):
+                    continue  # same mask re-add: no visible change
+                ap = _abs(rel)
+                pair_files.append(
+                    (ap, a.get("partitionValues") or {})
                 )
-        if adds:
+                ins_sel[_plain_abs(ap)] = (dv_before, dv_after, "diff")
+                del_sel[_plain_abs(ap)] = (dv_after, dv_before, "diff")
+            if pair_files:
+                _scan(pair_files, change_type_from_file=False,
+                      change_type="insert", version=v, dv_sel=ins_sel)
+                _scan(pair_files, change_type_from_file=False,
+                      change_type="delete", version=v, dv_sel=del_sel)
+        plain_adds = [
+            a for p, a in adds_by.items()
+            if p not in paired and not a.get("deletionVector")
+        ]
+        dv_adds = [
+            a for p, a in adds_by.items()
+            if p not in paired and a.get("deletionVector")
+        ]
+        if plain_adds:
             _scan(
                 [(_abs(a["path"]), a.get("partitionValues") or {})
-                 for a in adds],
+                 for a in plain_adds],
                 change_type_from_file=False,
                 change_type="insert",
                 version=v,
             )
-        if removes:
-            for r in removes:
-                if r.get("deletionVector"):
-                    raise ValueError(
-                        "CDF derivation over a deletion-vector commit "
-                        "is not supported by the native reader (the "
-                        "removed file's masked rows were never visible "
-                        "— deriving the full file as deletes would "
-                        "over-report) — use delta-spark"
+        if dv_adds:
+            _scan(
+                [(_abs(a["path"]), a.get("partitionValues") or {})
+                 for a in dv_adds],
+                change_type_from_file=False,
+                change_type="insert",
+                version=v,
+                dv_sel={
+                    _plain_abs(_abs(a["path"])): (
+                        None, a["deletionVector"], "vis"
                     )
-            gone = [
-                r["path"] for r in removes
-                if not fsutil.exists(spark, _abs(r["path"]))
-            ]
-            if gone:
-                raise ValueError(
-                    f"CDF derivation needs removed file {gone[0]!r} "
-                    f"(commit {v}), which no longer exists (vacuumed) — "
-                    "change history for this range is gone"
-                )
+                    for a in dv_adds
+                },
+            )
+        plain_removes = [
+            r for p, r in removes_by.items()
+            if p not in paired and not r.get("deletionVector")
+        ]
+        dv_removes = [
+            r for p, r in removes_by.items()
+            if p not in paired and r.get("deletionVector")
+        ]
+        if plain_removes:
             _scan(
                 [(_abs(r["path"]), r.get("partitionValues") or {})
-                 for r in removes],
+                 for r in plain_removes],
                 change_type_from_file=False,
                 change_type="delete",
                 version=v,
+            )
+        if dv_removes:
+            _scan(
+                [(_abs(r["path"]), r.get("partitionValues") or {})
+                 for r in dv_removes],
+                change_type_from_file=False,
+                change_type="delete",
+                version=v,
+                dv_sel={
+                    _plain_abs(_abs(r["path"])): (
+                        None, r["deletionVector"], "vis"
+                    )
+                    for r in dv_removes
+                },
             )
 
     if not pieces:

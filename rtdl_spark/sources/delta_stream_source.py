@@ -311,6 +311,12 @@ class _AddFilePartition(InputPartition):
         # None when the file carries _change_type itself, "v": commit
         # version, "ts": commit timestamp ms (ICT preferred)}
         self.cdf_json = "null"
+        # readChangeFeed DV-derived selection (JSON or "null"):
+        # {"a": desc|null, "b": desc|null, "op": "diff"|"vis"} — rows
+        # are filtered to the mask-diff change set (diff: in a's mask
+        # and not in b's; vis: not in b's) instead of the plain DV
+        # subtraction
+        self.cdf_sel = "null"
 
 
 class _DeltaStreamReader(DataSourceStreamReader):
@@ -569,9 +575,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
         it exclusively (change type read from the files); otherwise
         dataChange adds derive as inserts and dataChange removes as
         deletes (the removed file must still exist — a vacuumed range
-        refuses loudly, like the batch CDF reader). DV-carrying actions
-        are not derivable (masked rows would over-report) and refuse by
-        name. ``cdf_on`` is whether delta.enableChangeDataFeed was
+        refuses loudly, like the batch CDF reader). Same-path
+        remove+add pairs (a DV attach/detach — DV DELETE without CDF,
+        RESTORE re-masking) derive from the MASK DIFF worker-side
+        (r8, was a refusal): inserts = before-mask minus after-mask,
+        deletes = after-mask minus before-mask; unpaired DV-carrying
+        actions derive their VISIBLE rows only. ``cdf_on`` is whether
+        delta.enableChangeDataFeed was
         'true' at this commit: derivation over a feed-less commit
         refuses (delta-spark parity) unless allowUnrecordedChanges was
         set — a rewrite commit made before CDF was enabled carries
@@ -584,7 +594,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         )
         ts_ms = info.get("inCommitTimestamp", info.get("timestamp"))
 
-        def _mk(action, change_type):
+        def _mk(action, change_type, sel=None):
             p = _AddFilePartition(
                 os.path.join(
                     self.table_dir,
@@ -600,6 +610,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
             p.cdf_json = json.dumps(
                 {"ct": change_type, "v": v, "ts": ts_ms}
             )
+            if sel is not None:
+                p.cdf_sel = json.dumps(sel)
             parts.append(p)
 
         cdc = [a["cdc"] for a in actions if "cdc" in a]
@@ -620,40 +632,62 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 "option allowUnrecordedChanges=true to derive anyway "
                 "(safe only for pure appends / full-file deletes)"
             )
-        for a in actions:
-            if "add" in a and a["add"].get("dataChange", True):
-                if a["add"].get("deletionVector"):
-                    raise ValueError(
-                        f"readChangeFeed cannot derive commit {v}: its "
-                        "add carries a deletion vector and no cdc "
-                        "actions — use delta-spark"
-                    )
-                _mk(a["add"], "insert")
-            elif "remove" in a and a["remove"].get("dataChange", True):
-                r = a["remove"]
-                if r.get("deletionVector"):
-                    raise ValueError(
-                        f"readChangeFeed cannot derive commit {v}: its "
-                        "remove carries a deletion vector and no cdc "
-                        "actions — use delta-spark"
-                    )
-                abs_p = os.path.join(
-                    self.table_dir, urllib.parse.unquote(r["path"])
+        adds_by = {
+            a["add"]["path"]: a["add"]
+            for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        }
+        removes_by = {
+            a["remove"]["path"]: a["remove"]
+            for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        }
+        paired = set(adds_by) & set(removes_by)
+        for rel in sorted(set(removes_by) | paired):
+            abs_p = os.path.join(
+                self.table_dir, urllib.parse.unquote(rel)
+            )
+            if not os.path.exists(abs_p):
+                raise ValueError(
+                    f"readChangeFeed needs removed file {rel!r} "
+                    f"(commit {v}), which no longer exists (vacuumed) "
+                    "— change history for this range is gone"
                 )
-                if not os.path.exists(abs_p):
-                    raise ValueError(
-                        f"readChangeFeed needs removed file "
-                        f"{r['path']!r} (commit {v}), which no longer "
-                        "exists (vacuumed) — change history for this "
-                        "range is gone"
-                    )
-                if part_cols and "partitionValues" not in r:
-                    raise ValueError(
-                        f"remove action in commit {v} carries no "
-                        "partitionValues — cannot attribute the "
-                        "deleted rows to a partition"
-                    )
-                _mk(r, "delete")
+        def _dv_key(d):
+            return (
+                (d.get("storageType"), d.get("pathOrInlineDv"),
+                 d.get("offset"))
+                if d
+                else None
+            )
+        for rel in sorted(paired):
+            a, r = adds_by[rel], removes_by[rel]
+            dv_before = r.get("deletionVector")
+            dv_after = a.get("deletionVector")
+            if _dv_key(dv_before) == _dv_key(dv_after):
+                continue  # same mask re-add: no visible change
+            _mk(a, "insert",
+                sel={"a": dv_before, "b": dv_after, "op": "diff"})
+            _mk(a, "delete",
+                sel={"a": dv_after, "b": dv_before, "op": "diff"})
+        for rel, a in sorted(adds_by.items()):
+            if rel in paired:
+                continue
+            dv = a.get("deletionVector")
+            _mk(a, "insert",
+                sel={"a": None, "b": dv, "op": "vis"} if dv else None)
+        for rel, r in sorted(removes_by.items()):
+            if rel in paired:
+                continue
+            if part_cols and "partitionValues" not in r:
+                raise ValueError(
+                    f"remove action in commit {v} carries no "
+                    "partitionValues — cannot attribute the "
+                    "deleted rows to a partition"
+                )
+            dv = r.get("deletionVector")
+            _mk(r, "delete",
+                sel={"a": None, "b": dv, "op": "vis"} if dv else None)
 
     def read(self, partition: _AddFilePartition) -> Iterator:
         if not partition.path:
@@ -683,6 +717,37 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 deleted_row_indices_local(partition.table_dir, dv_desc),
                 dtype="int64",
             )
+        # readChangeFeed DV-derived selection: rows kept are the mask
+        # DIFF (op diff: in a and not in b) or the VISIBLE set (op
+        # vis: not in b) — never combined with dv_json (a sel
+        # partition is a change-row partition)
+        sel = json.loads(getattr(partition, "cdf_sel", "null") or "null")
+        sel_a = sel_b = None
+        if sel:
+            import numpy as np
+
+            from rtdl_spark.sources.dv import deleted_row_indices_local
+
+            sel_a = (
+                np.asarray(
+                    deleted_row_indices_local(
+                        partition.table_dir, sel["a"]
+                    ),
+                    dtype="int64",
+                )
+                if sel.get("a")
+                else np.empty(0, dtype="int64")
+            )
+            sel_b = (
+                np.asarray(
+                    deleted_row_indices_local(
+                        partition.table_dir, sel["b"]
+                    ),
+                    dtype="int64",
+                )
+                if sel.get("b")
+                else np.empty(0, dtype="int64")
+            )
         row_off = 0
         # top-level file fields by matching key (parquet name, or
         # PARQUET:field_id under id mode — id-less file columns can
@@ -694,12 +759,20 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 idx_by_key[k] = f.name
         cdf = json.loads(partition.cdf_json or "null")
         for batch in pf.iter_batches():
-            if dv_idx is not None:
+            if dv_idx is not None or sel:
                 import numpy as np
 
                 phys = row_off + np.arange(batch.num_rows, dtype="int64")
                 row_off += batch.num_rows
-                keep = ~np.isin(phys, dv_idx)
+                if sel:
+                    not_in_b = ~np.isin(phys, sel_b)
+                    keep = (
+                        not_in_b
+                        if sel["op"] == "vis"
+                        else np.isin(phys, sel_a) & not_in_b
+                    )
+                else:
+                    keep = ~np.isin(phys, dv_idx)
                 if not keep.all():
                     batch = batch.filter(pa.array(keep))
                     if batch.num_rows == 0:

@@ -2052,7 +2052,10 @@ def _remove_actions(
     data_change: bool = True,
 ) -> list[dict]:
     """Remove tombstones for the add actions behind the ``affected``
-    plain abs paths."""
+    plain abs paths. A DV-carrying file's tombstone keeps the
+    descriptor (per spec — action reconciliation keys on path+dvId,
+    and the CDF reader's mask-diff derivation needs the BEFORE mask
+    from exactly here)."""
     out = []
     for p in affected:
         a = path_to_add[p]
@@ -2064,6 +2067,11 @@ def _remove_actions(
                 "extendedFileMetadata": True,
                 "partitionValues": a.get("partitionValues") or {},
                 "size": a.get("size"),
+                **(
+                    {"deletionVector": a["deletionVector"]}
+                    if a.get("deletionVector")
+                    else {}
+                ),
             }
         )
     return out
@@ -3337,20 +3345,11 @@ def restore_delta_native(
     to_add = sorted(set(active_v) - set(active_now)) + changed_dv
 
     # change data feed: a RESTORE commit carries no cdc actions — its
-    # changes derive from the full-file add/remove actions per spec
-    # (adds -> inserts, removes -> deletes), which is exact only while
-    # no involved file carries a DV (masked rows would over-report)
-    if _cdf_enabled(meta) and (
-        changed_dv
-        or any(active_v[p].get("deletionVector") for p in to_add)
-        or any(active_now[p].get("deletionVector") for p in to_remove)
-    ):
-        raise ValueError(
-            "RESTORE on a change-data-feed table whose restore diff "
-            "involves deletion vectors is not supported by this native "
-            "writer (the change rows are not derivable from add/remove "
-            "actions) — use delta-spark"
-        )
+    # changes derive from the add/remove actions per spec. Since r8
+    # the reader derives DV-involved diffs too: same-path remove+add
+    # pairs yield the MASK-DIFF change set and unpaired DV-carrying
+    # actions their VISIBLE rows (read_table_changes_cdf /
+    # _plan_change_commit), so no refusal remains here.
     fs_prefix = _fs_prefix(root)
     for rel in to_add:
         abs_plain = _plain(
@@ -3414,6 +3413,13 @@ def restore_delta_native(
             "partitionValues": active_now[rel].get("partitionValues")
             or {},
             "size": active_now[rel].get("size"),
+            # the BEFORE mask rides the tombstone (spec; the CDF
+            # reader's mask-diff derivation reads it from here)
+            **(
+                {"deletionVector": active_now[rel]["deletionVector"]}
+                if active_now[rel].get("deletionVector")
+                else {}
+            ),
         }
         for rel in to_remove
     ]

@@ -241,11 +241,11 @@ def test_cdf_dv_update_emits_pre_and_post_images(spark, tmp_path):
     )
 
 
-def test_cdf_restore_derives_and_dv_diff_refuses(spark, tmp_path):
-    """RESTORE on a CDF table commits full-file adds/removes with no
-    cdc actions — the reader derives inserts/deletes per spec. A
-    restore diff involving deletion vectors refuses by name (masked
-    rows would over-report)."""
+def test_cdf_restore_derives_including_dv_diffs(spark, tmp_path):
+    """RESTORE on a CDF table commits adds/removes with no cdc actions
+    — the reader derives inserts/deletes per spec; since r8 a restore
+    diff involving deletion vectors derives too (the un-deleted rows
+    come back as INSERTS from the mask diff — was a refusal)."""
     from rtdl_spark.sources.delta_writer import (
         delete_where_delta_dv,
         restore_delta_native,
@@ -266,36 +266,92 @@ def test_cdf_restore_derives_and_dv_diff_refuses(spark, tmp_path):
     got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
     assert got == list(range(20))
 
+    # DV-diff restore: restoring to before a DV DELETE un-masks the
+    # deleted rows; the change feed derives them as INSERTS
     dv_root = _dv_cdf_table(spark, tmp_path)
     r = delete_where_delta_dv(spark, dv_root, "id % 5 = 0")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        restore_delta_native(spark, dv_root, r["version"] - 1)
+    res2 = restore_delta_native(spark, dv_root, r["version"] - 1)
+    assert res2["version"] is not None
+    got2 = sorted(
+        r["id"] for r in read_delta_native(spark, dv_root).collect()
+    )
+    assert got2 == list(range(30)), "restore must un-delete the rows"
+    ch2 = read_table_changes_cdf(
+        spark, dv_root, res2["version"], res2["version"]
+    )
+    assert sorted(
+        (r["_change_type"], r["id"]) for r in ch2.collect()
+    ) == [("insert", i) for i in range(30) if i % 5 == 0], (
+        "the restore's change set is exactly the un-masked rows"
+    )
 
 
-def test_cdf_derivation_refuses_dv_carrying_remove(spark, tmp_path):
-    """A cdc-less commit whose REMOVE carries a deletion vector is not
-    derivable (the masked rows were never visible; reading the full
-    file as deletes would over-report) — the reader refuses by name
-    instead of returning a silently wrong change set."""
-    root = _cdf_table(spark, tmp_path)
-    _, _, active, current, _ = snapshot_actions(spark, root)
-    rel = sorted(active)[0]
-    a = active[rel]
+def test_cdf_derives_dv_attach_commits_from_mask_diff(spark, tmp_path):
+    """A cdc-less DV-attach commit (same-path remove+add — a DV DELETE
+    made while CDF was off, or a foreign writer's) derives its change
+    set from the MASK DIFF (r8, was a refusal): deletes = newly masked
+    positions only; already-masked rows never re-report. Unpaired
+    DV-carrying removes derive their VISIBLE rows only."""
+    from rtdl_spark.sources.delta_writer import delete_where_delta_dv
+
+    root = str(tmp_path / "dvderive")
+    df = spark.range(0, 20).select(
+        "id", (F.col("id") % 2).cast("string").alias("p")
+    )
+    write_delta_native(
+        spark, df, root, partition_by=["p"], checkpoint_interval=0
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, root)
     with open(
         os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
     ) as f:
         f.write(json.dumps({"commitInfo": {
-            "timestamp": 3, "operation": "DELETE"}}) + "\n")
-        f.write(json.dumps({"remove": {
-            "path": a["path"], "deletionTimestamp": 3, "dataChange": True,
-            "deletionVector": {
-                "storageType": "u", "pathOrInlineDv": "ab^-aazzz",
-                "offset": 1, "sizeInBytes": 10, "cardinality": 2,
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "appendOnly",
+                               "invariants"]}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta,
+            "configuration": {"delta.enableDeletionVectors": "true"},
+        }}) + "\n")
+    # v2+v3: DV DELETEs while CDF is OFF — no cdc actions recorded
+    r2 = delete_where_delta_dv(spark, root, "id IN (3, 5)")
+    r3 = delete_where_delta_dv(spark, root, "id IN (5, 8)")  # overlap
+    assert r2["cdc_files"] == 0 and r3["cdc_files"] == 0
+    # enable CDF afterwards
+    _, meta2, _, cur2, _ = snapshot_actions(spark, root)
+    with open(
+        os.path.join(root, "_delta_log", f"{cur2 + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 4, "operation": "SET TBLPROPERTIES"}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta2,
+            "configuration": {
+                **(meta2.get("configuration") or {}),
+                "delta.enableChangeDataFeed": "true",
             }}}) + "\n")
-    with pytest.raises(ValueError, match="deletion-vector"):
+
+    # pre-enable commits refuse without the explicit opt-in
+    with pytest.raises(ValueError, match="not 'true'"):
         read_table_changes_cdf(
-            spark, root, current + 1, current + 1
-        ).collect()
+            spark, root, r2["version"], r2["version"]
+        )
+    ch2 = read_table_changes_cdf(
+        spark, root, r2["version"], r2["version"], allow_unrecorded=True
+    )
+    assert sorted(
+        (r["_change_type"], r["id"]) for r in ch2.collect()
+    ) == [("delete", 3), ("delete", 5)]
+    # the OVERLAPPING second delete reports ONLY the newly masked row
+    ch3 = read_table_changes_cdf(
+        spark, root, r3["version"], r3["version"], allow_unrecorded=True
+    )
+    assert sorted(
+        (r["_change_type"], r["id"]) for r in ch3.collect()
+    ) == [("delete", 8)], "already-masked rows must never re-report"
 
 
 def test_cdf_appends_still_work_and_plain_tables_untouched(

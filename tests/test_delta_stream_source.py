@@ -1105,3 +1105,70 @@ def test_read_change_feed_covers_dv_delete_via_cdc(spark, tmp_path):
     assert deletes == [i for i in range(30) if i % 5 == 0]
     inserts = got.filter("_change_type = 'insert'").count()
     assert inserts == 30  # the creation commit derives as inserts
+
+
+def test_read_change_feed_derives_dv_attach_from_mask_diff(
+    spark, tmp_path
+):
+    """readChangeFeed x cdc-less DV commits (r8, was a refusal): a DV
+    DELETE made while CDF was off pairs remove+add of the same path;
+    the stream derives its change rows from the MASK DIFF — only the
+    newly masked positions emit as deletes, already-masked rows never
+    re-report (needs allowUnrecordedChanges: the commits predate the
+    feed)."""
+    import json as _json
+    import os as _os
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+    from rtdl_spark.sources.delta_stream_source import (
+        DeltaStreamDataSource,
+    )
+    from rtdl_spark.sources.delta_writer import delete_where_delta_dv
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    root = str(tmp_path / "rcfdvd")
+    df = spark.range(0, 30).select(
+        "id", (F.col("id") % 3).cast("string").alias("p")
+    ).repartition(2)
+    write_delta_native(
+        spark, df, root, partition_by=["p"], checkpoint_interval=0
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, root)
+    with open(
+        _os.path.join(root, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(_json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "appendOnly",
+                               "invariants"]}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            **meta,
+            "configuration": {"delta.enableDeletionVectors": "true"},
+        }}) + "\n")
+    # two OVERLAPPING DV DELETEs, both cdc-less (no CDF yet)
+    delete_where_delta_dv(spark, root, "id IN (3, 9)")
+    delete_where_delta_dv(spark, root, "id IN (9, 12)")
+
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("rtdl_delta_stream")
+        .option("path", root).option("readChangeFeed", "true")
+        .option("allowUnrecordedChanges", "true")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    deletes = sorted(
+        (r["_commit_version"], r["id"])
+        for r in got.filter("_change_type = 'delete'").collect()
+    )
+    assert deletes == [(2, 3), (2, 9), (3, 12)], (
+        "mask-diff only: 9 must not re-report at v3"
+    )
+    assert got.filter("_change_type = 'insert'").count() == 30
