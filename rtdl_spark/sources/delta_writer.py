@@ -254,25 +254,36 @@ def _check_writer_protocol(protocol: dict) -> None:
         )
 
 
-def _check_no_invariants(meta: dict) -> None:
-    """Refuse metadata-carried writer DUTIES we do not implement:
-    column invariants (protocol v2 writers must enforce them — the
-    LEGACY delta.invariants JSON form; modern CHECK constraints ARE
-    enforced, see _enforce_constraints). CHECK constraints, generated
-    columns and change data feed are no longer refused here — every
-    row-producing write path enforces/computes/emits them; ops that
-    can't refuse at their own entry points."""
+def _invariants(meta: dict) -> dict[str, str]:
+    """LEGACY column invariants (writer v2's delta.invariants field
+    metadata — the pre-CHECK-constraint form): {column: SQL
+    expression}. The value is a JSON string shaped
+    {"expression": {"expression": "<sql>"}}; delta-spark funnels these
+    through the same constraint machinery as CHECK, which is exactly
+    what _enforce_constraints does with this map (r8 — the last
+    in-stack writer refusal retired). A malformed invariant refuses
+    loudly rather than silently not enforcing."""
     try:
         fields = json.loads(meta["schemaString"]).get("fields") or []
     except Exception:
-        return
+        return {}
+    out: dict[str, str] = {}
     for f in fields:
         md = f.get("metadata") or {}
-        if "delta.invariants" in md:
+        if "delta.invariants" not in md:
+            continue
+        raw = md["delta.invariants"]
+        try:
+            parsed = json.loads(raw) if isinstance(raw, str) else raw
+            expr = parsed["expression"]["expression"]
+        except Exception:
             raise ValueError(
-                f"column {f.get('name')!r} carries a Delta invariant; this "
-                "native writer does not enforce invariants — use delta-spark"
+                f"column {f.get('name')!r} carries an unparseable "
+                f"delta.invariants value {raw!r} — refusing to write "
+                "without enforcing it"
             )
+        out[f["name"]] = expr
+    return out
 
 
 def _table_constraints(meta: dict) -> dict[str, str]:
@@ -313,10 +324,11 @@ def _enforce_constraints(df: DataFrame, meta: dict) -> DataFrame:
     so they survive Catalyst even on literal inputs (the
     _enforce_not_null lesson)."""
     constraints = _table_constraints(meta)
+    invariants = _invariants(meta)
     gen = {
         c: e for c, e in _generated_cols(meta).items() if c in df.columns
     }
-    if not constraints and not gen:
+    if not constraints and not gen and not invariants:
         return df
     checks = []  # (condition that means VIOLATION, message)
     for name, expr in sorted(constraints.items()):
@@ -324,6 +336,16 @@ def _enforce_constraints(df: DataFrame, meta: dict) -> DataFrame:
             (
                 F.expr(expr) == F.lit(False),
                 f"CHECK constraint {name} ({expr}) violated",
+            )
+        )
+    # legacy delta.invariants enforce through the same lane —
+    # delta-spark converts them to CHECK constraints internally, so
+    # NULL passes and FALSE violates, identically
+    for c, expr in sorted(invariants.items()):
+        checks.append(
+            (
+                F.expr(expr) == F.lit(False),
+                f"column invariant on {c!r} ({expr}) violated",
             )
         )
     for c, e in sorted(gen.items()):
@@ -1309,7 +1331,6 @@ def write_delta_native(
             return -1  # epoch already committed: exactly-once skip
         _check_protocol(protocol)
         _check_writer_protocol(protocol)
-        _check_no_invariants(meta)
         cm = _check_cm_supported(meta, "WRITE")
         # CM appends (incl. mergeSchema evolution — new columns get
         # fresh ids above maxColumnId) and SAME-SCHEMA overwrites
@@ -1461,6 +1482,18 @@ def write_delta_native(
             df,
             commit_schema_json if merge_schema else meta["schemaString"],
         )
+        df = _enforce_constraints(df, meta)
+    elif (
+        meta is not None
+        and mode == "overwrite"
+        and _schema_key(schema_json) == _schema_key(meta["schemaString"])
+    ):
+        # a SAME-SCHEMA overwrite replaces the rows of a table whose
+        # configuration (CHECK constraints) and schema metadata
+        # (invariants, nullability) survive — enforce them on the new
+        # rows exactly like an append (a schema-REPLACING overwrite
+        # defines fresh metadata; its frame is its own law)
+        df = _enforce_not_null(df, meta["schemaString"])
         df = _enforce_constraints(df, meta)
 
     # column mapping: the frame is validated in LOGICAL terms above,
@@ -1657,7 +1690,6 @@ def write_delta_native(
             return -1  # the concurrent writer WAS this epoch
         _check_protocol(protocol)
         _check_writer_protocol(protocol)
-        _check_no_invariants(meta)
         if identity_hwms:
             cur_idents = _identity_cols(meta)
             for c, based in identity_based.items():
@@ -2191,7 +2223,6 @@ def _rewrite_where(
     protocol, meta, active, current, _txns = snapshot_actions(spark, root)
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
-    _check_no_invariants(meta)
     rt = _row_tracking_supported(protocol)
     _check_no_active_dvs(active, operation)
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
@@ -2623,7 +2654,6 @@ def delete_where_delta_dv(
     protocol, meta, active, current, _txns = snapshot_actions(spark, root)
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
-    _check_no_invariants(meta)
     # row tracking composes for free here: a DV attach re-adds the SAME
     # file with its live baseRowId/defaultRowCommitVersion passed
     # through verbatim (the {**a} copy below), and survivors never move
@@ -2772,7 +2802,6 @@ def update_where_delta_dv(
     protocol, meta, active, current, _txns = snapshot_actions(spark, root)
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
-    _check_no_invariants(meta)
     rt = _row_tracking_supported(protocol)
     _refuse_cm(meta, "DV UPDATE")
     conf = meta.get("configuration") or {}
@@ -3040,7 +3069,6 @@ def merge_into_delta_native(
     protocol, meta, active, current, _txns = snapshot_actions(spark, root)
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
-    _check_no_invariants(meta)
     _check_cm_supported(meta, "MERGE")
     rt = _row_tracking_supported(protocol)
     _refuse_identity(meta, "MERGE")
@@ -3314,7 +3342,6 @@ def restore_delta_native(
     )
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
-    _check_no_invariants(meta)
     if int(version) == current:
         return {
             "version": None,
@@ -3493,7 +3520,6 @@ def sync_identity_delta_native(
         protocol, meta, current, _txns = snapshot_control(spark, root)
         _check_protocol(protocol)
         _check_writer_protocol(protocol)
-        _check_no_invariants(meta)
         idents = _identity_cols(meta)
         if not idents:
             raise ValueError(

@@ -266,41 +266,48 @@ def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
     with pytest.raises(Exception, match="CHECK constraint posid"):
         write_delta_native(spark, _frame(spark, 0, 2), table5)  # id=0
 
+    # LEGACY column invariants (writer v2's delta.invariants field
+    # metadata): since r8 ENFORCED through the CHECK-constraint lane
+    # (NULL passes, FALSE violates — delta-spark converts invariants
+    # to CHECK internally); malformed invariant JSON refuses loudly
     table2 = str(tmp_path / "t6")
-    write_delta_native(spark, _frame(spark, 0, 5), table2)
-    schema = {
-        "type": "struct",
-        "fields": [
-            {
-                "name": "id",
-                "type": "long",
-                "nullable": True,
-                "metadata": {
-                    "delta.invariants": '{"expression":{"expression":"id > 0"}}'
-                },
+    write_delta_native(spark, _frame(spark, 1, 5), table2)
+    schema = json.loads(_frame(spark, 0, 1).schema.json())
+    for f in schema["fields"]:
+        if f["name"] == "id":
+            f["metadata"] = {
+                "delta.invariants":
+                    '{"expression":{"expression":"id > 0"}}'
             }
-        ],
-    }
-    with open(
-        os.path.join(table2, "_delta_log", f"{1:020d}.json"), "w"
-    ) as f:
-        f.write(
-            json.dumps(
-                {
-                    "metaData": {
-                        "id": "x",
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": json.dumps(schema),
-                        "partitionColumns": [],
-                        "configuration": {},
-                        "createdTime": 1,
-                    }
-                }
-            )
-            + "\n"
-        )
-    with pytest.raises(ValueError, match="invariant"):
-        write_delta_native(spark, _frame(spark, 5, 8), table2)
+
+    def _set_schema(tbl, ver, sj):
+        with open(
+            os.path.join(tbl, "_delta_log", f"{ver:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"metaData": {
+                "id": "x",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(sj),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1,
+            }}) + "\n")
+
+    _set_schema(table2, 1, schema)
+    write_delta_native(spark, _frame(spark, 5, 8), table2)  # 5..7 pass
+    with pytest.raises(Exception, match="invariant"):
+        write_delta_native(spark, _frame(spark, 0, 2), table2)  # id=0
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    assert read_delta_native(spark, table2).count() == 7
+
+    # malformed invariant JSON: refuse rather than silently skip
+    bad = json.loads(json.dumps(schema))
+    for f in bad["fields"]:
+        if f["name"] == "id":
+            f["metadata"] = {"delta.invariants": "not json"}
+    _set_schema(table2, 3, bad)
+    with pytest.raises(ValueError, match="unparseable"):
+        write_delta_native(spark, _frame(spark, 9, 10), table2)
 
 
 def test_commit_race_retries_next_version(spark, tmp_path):
