@@ -529,13 +529,22 @@ def _stamp_row_tracking(
 
 
 def _refuse_identity(meta: dict, operation: str) -> None:
-    """Ops that cannot maintain the identity duty (generating values /
-    never mutating them) refuse identity-column tables by name."""
-    if _identity_cols(meta):
+    """Ops that cannot maintain the identity duty refuse by name —
+    but only for GENERATED ALWAYS columns. MERGE's full-schema source
+    necessarily PROVIDES identity values: legal as explicit inserts on
+    BY DEFAULT columns (the watermark is not required to advance;
+    SYNC IDENTITY is the resync), illegal on GENERATED ALWAYS (r8 —
+    matches delta-spark, which rejects explicit identity writes only
+    for ALWAYS)."""
+    always = sorted(
+        c for c, d in _identity_cols(meta).items() if not d["explicit"]
+    )
+    if always:
         raise ValueError(
-            f"{operation} on a table with IDENTITY columns is not "
-            "supported by this native writer (appends, overwrite, "
-            "DELETE WHERE and OPTIMIZE are) — use delta-spark"
+            f"{operation} on a table with GENERATED ALWAYS IDENTITY "
+            f"columns ({always}) is not supported by this native "
+            "writer (the source would have to provide explicit values "
+            "for them) — use delta-spark"
         )
 
 

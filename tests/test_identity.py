@@ -379,3 +379,40 @@ def test_sync_identity_negative_step_and_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no identity columns"):
         sync_identity_delta_native(spark, plain)
+
+
+def test_merge_on_by_default_identity_table(spark, tmp_path):
+    """MERGE on a BY DEFAULT identity table (r8 — was refused for any
+    identity table): the source's identity values are explicit inserts
+    (legal for allowExplicitInsert=true; watermark untouched, SYNC
+    IDENTITY is the resync); GENERATED ALWAYS still refuses."""
+    from rtdl_spark.sources.delta_writer import merge_into_delta_native
+
+    root = _identity_table(spark, tmp_path, explicit=True)
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(200, 1, "1"), (203, 2, "0")], "rid long, k long, p string"
+        ),
+        root, checkpoint_interval=0,
+    )
+    src = spark.createDataFrame(
+        [(999, 1, "1"), (555, 50, "0")], "rid long, k long, p string"
+    )
+    res = merge_into_delta_native(spark, root, src, on=["k"])
+    assert res["version"] is not None
+    got = {
+        r["k"]: r["rid"]
+        for r in read_delta_native(spark, root).filter("rid IS NOT NULL")
+        .collect()
+    }
+    assert got[1] == 999 and got[50] == 555 and got[2] == 203
+
+    always = _identity_table(spark, tmp_path, explicit=False, name="alw")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS IDENTITY"):
+        merge_into_delta_native(
+            spark, always,
+            spark.createDataFrame([(1, 5, "1")],
+                                  "rid long, k long, p string"),
+            on=["k"],
+        )
