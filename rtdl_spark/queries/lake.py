@@ -2900,6 +2900,186 @@ def lake_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 @query(
+    "lake_delta_invariants",
+    # the violating append must FAIL atomically (table content stays
+    # exactly the passing rows) and the passing appends must all land
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT CAST(k % 3 AS INT) AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           TRUE AS violation_raised
+    FROM t GROUP BY 1
+    """,
+)
+def lake_delta_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEGACY column invariants ENFORCED (r8,
+    delta_writer.py::_invariants — was the last wholesale writer
+    refusal): a table whose ``k`` column carries delta.invariants
+    metadata accepts appends that satisfy the expression and FAILS a
+    violating append atomically — the table's content afterwards is
+    exactly the passing rows, and the violation column records that
+    the write raised. Hash-verified grouped totals.
+
+    Reference: writer protocol v2's invariant duty (the published
+    Delta protocol); rtdl delegates enforcement to delta-spark
+    (deltawriter/delta_writer.py:88-94)."""
+    import json as _json
+
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_inv_", dir=shm)
+    try:
+        root = os.path.join(workdir, "invtab")
+        write_delta_native(  # v0: zero-row schema seed
+            spark, o.limit(0), root, checkpoint_interval=0
+        )
+        _, meta, _, current, _ = snapshot_actions(spark, root)
+        schema = _json.loads(meta["schemaString"])
+        for f in schema["fields"]:
+            if f["name"] == "k":
+                f["metadata"] = {
+                    "delta.invariants": _json.dumps(
+                        {"expression":
+                            {"expression": "k < 1000000000"}}
+                    )
+                }
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{current + 1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "ADD INVARIANT"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                **meta, "schemaString": _json.dumps(schema)}}) + "\n")
+
+        write_delta_native(  # v2: every row satisfies the invariant
+            spark, o.repartition(2), root, checkpoint_interval=0
+        )
+        violated = False
+        try:
+            write_delta_native(
+                spark,
+                o.select((F.col("k") + 1000000000).alias("k"), "price"),
+                root, checkpoint_interval=0,
+            )
+        except Exception:
+            violated = True
+        out = (
+            read_delta_native(spark, root)
+            .groupBy((F.col("k") % 3).cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("price")).cast("double").alias("total"),
+            )
+            .withColumn("violation_raised", F.lit(violated))
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+@query(
+    "lake_delta_cdf_dv_restore",
+    # restoring to before a DV DELETE un-masks the deleted rows; the
+    # restore commit's change feed must be EXACTLY those rows as
+    # inserts (derived from the deletion-vector mask diff — no cdc
+    # files exist for a RESTORE)
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 8 = 0
+    )
+    SELECT 'insert' AS change_type, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM t WHERE k % 5 = 0
+    """,
+)
+def lake_delta_cdf_dv_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF x deletion vectors x RESTORE (r8,
+    delta_reader.py::_dv_sel_keep_udf — was a refusal): a DV DELETE
+    masks rows with zero data rewritten; RESTORE to the pre-delete
+    version re-adds the same files with the mask dropped, and the
+    change feed derives the restore commit's changes from the MASK
+    DIFF — exactly the un-deleted rows, as inserts. Hash-verified.
+
+    Scale shape: only KB-scale DV descriptors ride the plan; bitmaps
+    decode worker-side (cached per executor) and the diff is a numpy
+    membership test in the Arrow lane."""
+    import json as _json
+
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import (
+        read_table_changes_cdf,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_dv,
+        restore_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 8 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_cdvr_", dir=shm)
+    try:
+        root = os.path.join(workdir, "cdvrtab")
+        write_delta_native(spark, o.repartition(2), root,  # v0
+                           checkpoint_interval=0)
+        _, meta, _, current, _ = snapshot_actions(spark, root)
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{current + 1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors", "appendOnly",
+                                   "invariants",
+                                   "changeDataFeed"]}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                **meta,
+                "configuration": {
+                    "delta.enableDeletionVectors": "true",
+                    "delta.enableChangeDataFeed": "true",
+                }}}) + "\n")
+        dv = delete_where_delta_dv(spark, root, "k % 5 = 0")    # v2
+        res = restore_delta_native(spark, root, dv["version"] - 1)  # v3
+        ch = read_table_changes_cdf(
+            spark, root, res["version"], res["version"]
+        )
+        out = (
+            ch.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("price")).cast("double").alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+@query(
     "lake_delta_cm_lifecycle",
     # the full CM lifecycle's FINAL state: create(name mode) -> append
     # -> DELETE WHERE -> mergeSchema evolution adding `flag` -> append
