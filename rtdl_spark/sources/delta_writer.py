@@ -127,6 +127,18 @@ _SUPPORTED_WRITER_FEATURES = {
     # top-level + _sidecars/ layout on feature-carrying tables
     # (layout="auto" routes there); ordinary commits are unaffected
     "v2Checkpoint",
+    # vacuumProtocolCheck (r8): the duty is that VACUUM validates the
+    # table protocol before deleting anything (so an engine that does
+    # not understand e.g. deletion vectors cannot reap live DV files)
+    # — both vacuum paths check reader+writer protocol at entry and
+    # keep DV files live
+    "vacuumProtocolCheck",
+    # clustered tables (r8): the writer duty is PRESERVING the
+    # delta.clustering domain metadata (held — domains survive commits
+    # and checkpoints); appends are not required to recluster.
+    # optimize_delta_native reclusters: with no explicit zorder_by it
+    # reads the clustering columns from the domain
+    "clustering",
 }
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -3645,8 +3657,6 @@ def optimize_delta_native(
     version None = nothing needed doing. A lost commit race aborts
     loudly; promoted-but-uncommitted files are unreferenced and
     reclaimed by vacuum."""
-    if zorder_by:
-        min_files = min(min_files, 1)
     root = table_dir.rstrip("/")
     protocol, meta, active, current, _txns = snapshot_actions(spark, root)
     _check_protocol(protocol)
@@ -3654,6 +3664,38 @@ def optimize_delta_native(
     cm = _check_cm_supported(meta, "OPTIMIZE")
     rt = _row_tracking_supported(protocol)
     _check_no_active_dvs(active, "OPTIMIZE")
+    # clustered tables (r8): with no explicit zorder_by, OPTIMIZE on a
+    # table carrying the delta.clustering domain RECLUSTERS by its
+    # clustering columns (delta-spark's OPTIMIZE-on-clustered-table
+    # behavior); nested clustering columns refuse by name (the
+    # physical passthrough cannot curve-rank a nested field)
+    if zorder_by is None and "clustering" in set(
+        protocol.get("writerFeatures") or ()
+    ):
+        from rtdl_spark.sources.delta_reader import snapshot_domains
+
+        d = snapshot_domains(spark, root).get("delta.clustering")
+        if d and not d.get("removed") and d.get("configuration"):
+            try:
+                paths = json.loads(d["configuration"])[
+                    "clusteringColumns"
+                ]
+            except (ValueError, KeyError, TypeError):
+                raise ValueError(
+                    "unparseable delta.clustering domain configuration "
+                    "— refusing to guess the clustering columns"
+                )
+            nested = [p for p in paths if len(p) != 1]
+            if nested:
+                raise ValueError(
+                    f"clustered table with NESTED clustering columns "
+                    f"{nested} — this OPTIMIZE only reclusters "
+                    "top-level columns; pass zorder_by explicitly"
+                )
+            if paths:
+                zorder_by = [p[0] for p in paths]
+    if zorder_by:
+        min_files = min(min_files, 1)
     part_cols = list(meta.get("partitionColumns") or [])
     # column mapping: OPTIMIZE is a pure PHYSICAL-layout passthrough —
     # files are read under their physical names (data files carry them
@@ -4052,7 +4094,12 @@ def vacuum_delta_native(
     DataFrame (snapshot_adds_frame), the listing streams through
     bounded driver chunks, and executors do the deleting."""
     root = table_dir.rstrip("/")
-    _, _, active, _, _ = snapshot_actions(spark, root)
+    protocol, _, active, _, _ = snapshot_actions(spark, root)
+    # vacuumProtocolCheck duty: validate the protocol BEFORE deleting
+    # anything — an engine that does not understand a feature (DVs,
+    # v2 checkpoints) must not get far enough to reap its live files
+    _check_protocol(protocol)
+    _check_writer_protocol(protocol)
     # every comparison in _plain form: fsutil.list_files returns
     # scheme-less paths, and a URI-formed table_dir would otherwise make
     # the keep set match NOTHING — vacuum would reap live data files
@@ -4123,7 +4170,10 @@ def vacuum_delta_native_distributed(
     ``retain_ms``. Executors address files via plain paths (local/NFS)
     or pyarrow's filesystem for URI-schemed roots."""
     root = table_dir.rstrip("/")
-    _, _, adds_df, _, _ = snapshot_adds_frame(spark, root)
+    protocol, _, adds_df, _, _ = snapshot_adds_frame(spark, root)
+    # vacuumProtocolCheck duty (see vacuum_delta_native)
+    _check_protocol(protocol)
+    _check_writer_protocol(protocol)
     plain_root = _plain(root)
     fs_prefix = _fs_prefix(root)
     cutoff = _now_ms() - retain_ms

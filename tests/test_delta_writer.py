@@ -2770,3 +2770,110 @@ def test_row_tracking_dv_dml_preserves_ids(spark, tmp_path):
     )
     got = {r["id"]: r["v"] for r in read_delta_native(spark, root).collect()}
     assert got[4] == 8 + 1000
+
+
+def test_clustered_table_accepted_and_optimize_reclusters(
+    spark, tmp_path
+):
+    """Clustered tables (r8): the clustering writer feature is
+    accepted (the duty — preserving the delta.clustering domain — is
+    held by domain preservation through commits and checkpoints), and
+    OPTIMIZE with no explicit zorder_by RECLUSTERS by the domain's
+    clustering columns; nested clustering columns refuse by name."""
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_domains,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        optimize_delta_native,
+        write_checkpoint_native,
+    )
+
+    root = str(tmp_path / "clus")
+    write_delta_native(
+        spark, _frame(spark, 0, 40).repartition(4), root,
+        checkpoint_interval=0,
+    )
+    with open(
+        os.path.join(root, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "CLUSTER BY"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["clustering", "domainMetadata",
+                               "appendOnly", "invariants"]}}) + "\n")
+        f.write(json.dumps({"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [["v"]]}
+            ),
+            "removed": False}}) + "\n")
+
+    # appends accepted; the domain survives a checkpoint
+    write_delta_native(
+        spark, _frame(spark, 40, 44), root, checkpoint_interval=0
+    )
+    cv = write_checkpoint_native(spark, root)
+    for old in range(0, cv + 1):
+        p = os.path.join(root, "_delta_log", f"{old:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    doms = snapshot_domains(spark, root)
+    assert json.loads(doms["delta.clustering"]["configuration"]) == {
+        "clusteringColumns": [["v"]]
+    }
+
+    # OPTIMIZE with no zorder_by reclusters by `v` from the domain
+    res = optimize_delta_native(spark, root, target_file_bytes=1 << 18)
+    assert res["version"] is not None
+    got = read_delta_native(spark, root)
+    assert got.count() == 44
+    assert sorted(r["id"] for r in got.collect()) == list(range(44))
+
+    # nested clustering columns refuse by name
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    _, _, _, cur, _ = snapshot_actions(spark, root)
+    with open(
+        os.path.join(root, "_delta_log", f"{cur + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 9, "operation": "CLUSTER BY"}}) + "\n")
+        f.write(json.dumps({"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [["s", "inner"]]}
+            ),
+            "removed": False}}) + "\n")
+    with pytest.raises(ValueError, match="NESTED clustering"):
+        optimize_delta_native(spark, root, min_files=1)
+
+
+def test_vacuum_protocol_check(spark, tmp_path):
+    """vacuumProtocolCheck (r8): vacuum validates the protocol BEFORE
+    deleting anything — a table demanding an unknown writer feature
+    refuses vacuum instead of reaping files it cannot understand."""
+    from rtdl_spark.sources.delta_writer import vacuum_delta_native
+
+    root = str(tmp_path / "vpc")
+    write_delta_native(
+        spark, _frame(spark, 0, 5), root, checkpoint_interval=0
+    )
+    with open(
+        os.path.join(root, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["vacuumProtocolCheck", "appendOnly",
+                               "invariants"]}}) + "\n")
+    assert vacuum_delta_native(spark, root, retain_ms=0) == []
+
+    with open(
+        os.path.join(root, "_delta_log", f"{2:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["someFutureFeature"]}}) + "\n")
+    with pytest.raises(ValueError, match="someFutureFeature"):
+        vacuum_delta_native(spark, root, retain_ms=0)
