@@ -3080,6 +3080,100 @@ def lake_delta_cdf_dv_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 @query(
+    "lake_delta_clustered_optimize",
+    # OPTIMIZE on a clustered table (no explicit zorder) must leave the
+    # CONTENT exactly unchanged while re-organizing files; the oracle
+    # is the content after the two appends
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 6 = 0
+    )
+    SELECT CAST(k % 5 AS INT) AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM t GROUP BY 1
+    """,
+)
+def lake_delta_clustered_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clustered tables (r8, delta_writer.py — the clustering writer
+    feature accepted): a table carrying the delta.clustering domain is
+    appended twice, then OPTIMIZE with NO explicit zorder_by reclusters
+    by the domain's columns (delta-spark's OPTIMIZE-on-clustered-table
+    behavior) — content hash-verified unchanged, and the domain
+    survives the commit. Grouped totals, hash-verified.
+
+    Scale shape: the recluster is the zorder lane — one distributed
+    window sort per partition group, bins as contiguous curve-rank
+    ranges; the domain metadata is KB-scale driver state."""
+    import json as _json
+
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_domains,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        optimize_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 6 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_clus_", dir=shm)
+    try:
+        root = os.path.join(workdir, "clustab")
+        write_delta_native(  # v0
+            spark, o.filter(F.col("k") % 2 == 0).repartition(3), root,
+            checkpoint_interval=0,
+        )
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as f:  # v1
+            f.write(_json.dumps({"commitInfo": {
+                "timestamp": 2, "operation": "CLUSTER BY"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["clustering", "domainMetadata",
+                                   "appendOnly", "invariants"]}}) + "\n")
+            f.write(_json.dumps({"domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": _json.dumps(
+                    {"clusteringColumns": [["k"]]}
+                ),
+                "removed": False}}) + "\n")
+        write_delta_native(  # v2
+            spark, o.filter(F.col("k") % 2 == 1).repartition(2), root,
+            checkpoint_interval=0,
+        )
+        res = optimize_delta_native(  # v3: reclusters by `k`
+            spark, root, target_file_bytes=1 << 22
+        )
+        assert res["version"] is not None
+        doms = snapshot_domains(spark, root)
+        assert not doms["delta.clustering"].get("removed")
+        out = (
+            read_delta_native(spark, root)
+            .groupBy((F.col("k") % 5).cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("price")).cast("double").alias("total"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+@query(
     "lake_delta_cm_lifecycle",
     # the full CM lifecycle's FINAL state: create(name mode) -> append
     # -> DELETE WHERE -> mergeSchema evolution adding `flag` -> append
