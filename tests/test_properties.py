@@ -675,34 +675,42 @@ def test_image_ahash_kernel_properties(payload):
             assert image_hash_bits(ppm2, "ppm", "ahash") == hv
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(
     st.lists(
         st.sampled_from(
-            ["append", "overwrite", "merge", "delete", "optimize",
-             "ckpt", "restore"]
+            ["append", "overwrite", "merge", "delete", "update",
+             "optimize", "ckpt", "restore", "upgrade"]
         ),
         min_size=2,
-        max_size=6,
+        max_size=7,
     )
 )
 def test_delta_native_stack_matches_log_model(
     spark, tmp_path_factory, ops
 ):
-    """ANY sequence of append/overwrite/MERGE/DELETE WHERE/OPTIMIZE/
-    checkpoint/RESTORE against the NATIVE Delta writer yields, at EVERY
-    committed version, exactly the rows a pure-Python model of the ops
-    predicts — the strongest single correctness statement about the
-    protocol implementation (covers commit ordering, tombstone replay,
-    metaData replacement, dataChange=false rewrites, checkpoint-bounded
-    replay with time travel across the checkpoint, and restore's
-    set-difference log surgery composing with all of the above)."""
+    """ANY sequence of append/overwrite/MERGE/DELETE WHERE/UPDATE
+    WHERE/OPTIMIZE/checkpoint/RESTORE/protocol-upgrade against the
+    NATIVE Delta writer yields, at EVERY committed version, exactly
+    the rows a pure-Python model of the ops predicts — the strongest
+    single correctness statement about the protocol implementation
+    (covers commit ordering, tombstone replay, metaData replacement,
+    dataChange=false rewrites, checkpoint-bounded replay with time
+    travel across the checkpoint, restore's set-difference log
+    surgery, and — after the 'upgrade' op lands a v3/v7
+    v2Checkpoint-feature protocol — the V2 UUID-named checkpoint
+    layout composing with all of the above (layout='auto' routes
+    there) (r8)."""
+    import json as _json
+    import os as _os
+
     from rtdl_spark.sources.delta_reader import read_delta_native
     from rtdl_spark.sources.delta_writer import (
         delete_where_delta_native,
         merge_into_delta_native,
         optimize_delta_native,
         restore_delta_native,
+        update_where_delta_native,
         write_checkpoint_native,
         write_delta_native,
     )
@@ -716,11 +724,52 @@ def test_delta_native_stack_matches_log_model(
     cur: dict[int, int] = {}
     next_id = 0
     exists = False
+    upgraded = False
 
     for op in ops:
         if op == "ckpt":
             if exists:
+                # auto layout: classic before 'upgrade', V2 after
                 write_checkpoint_native(spark, root)
+            continue
+        if op == "upgrade":
+            if not exists or upgraded:
+                continue
+            # a foreign writer lands the v2Checkpoint feature protocol
+            from rtdl_spark.sources.delta_reader import snapshot_control
+
+            _, _, current, _ = snapshot_control(spark, root)
+            with open(
+                _os.path.join(
+                    root, "_delta_log", f"{current + 1:020d}.json"
+                ),
+                "w",
+            ) as f:
+                f.write(_json.dumps({"commitInfo": {
+                    "timestamp": 5, "operation": "UPGRADE"}}) + "\n")
+                f.write(_json.dumps({"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint", "appendOnly",
+                                       "invariants",
+                                       "domainMetadata"]}}) + "\n")
+            upgraded = True
+            states.append(dict(cur))  # a commit with unchanged rows
+            continue
+        if op == "update":
+            if not exists:
+                continue
+            res = update_where_delta_native(
+                spark, root, "id % 5 = 0", {"v": "v + 1"}
+            )
+            model_hit = any(k % 5 == 0 for k in cur)
+            assert (res["version"] is not None) == model_hit, ops
+            if not model_hit:
+                continue
+            cur = {
+                k: (v + 1 if k % 5 == 0 else v) for k, v in cur.items()
+            }
+            states.append(dict(cur))
             continue
         if op in ("append", "overwrite"):
             ids = {next_id: next_id * 10, next_id + 1: (next_id + 1) * 10}
