@@ -811,7 +811,13 @@ def test_delta_native_stack_matches_log_model(
                 continue
             target = len(states) // 2  # a deterministic mid-history version
             res = restore_delta_native(spark, root, target)
-            assert res["version"] is not None  # target < current always
+            if target == len(states) - 1:
+                # restoring to the CURRENT version is a no-op by
+                # contract: no commit, no new state (surfaced by the
+                # r8 alphabet growth — ['append','append','restore'])
+                assert res["version"] is None, ops
+                continue
+            assert res["version"] is not None, ops
             cur = dict(states[target])
         states.append(dict(cur))
 
