@@ -337,6 +337,12 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
+        mbt = options.get(
+            "maxBytesPerTrigger", options.get("maxbytespertrigger")
+        )
+        self.max_bytes = int(mbt) if mbt is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
 
         def _flag(*names):
             for n in names:
@@ -408,30 +414,43 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
     def _bounded_end(self, base: int) -> int:
         """The furthest commit version a single micro-batch may advance
-        to from ``base``: the tip, or — with maxFilesPerTrigger — the
-        last version keeping the batch's dataChange add-file count within
-        the limit. Offsets are commit-granular, so one commit larger than
-        the limit is still admitted whole (delta-spark's option has the
-        same at-least-one guarantee); commits with no dataChange adds
+        to from ``base``: the tip, or — with maxFilesPerTrigger /
+        maxBytesPerTrigger (r8) — the last version keeping the batch's
+        dataChange add-file count / byte total within the limits
+        (either limit being hit stops admission, like delta-spark when
+        both are set). Offsets are commit-granular, so one commit
+        larger than a limit is still admitted whole (delta-spark's
+        at-least-one guarantee); commits with no dataChange adds
         (OPTIMIZE, delete-only) are free to cross."""
         versions = [v for v in _commit_versions(self.table_dir) if v > base]
         if not versions:
             return base
-        if self.max_files is None:
+        if self.max_files is None and self.max_bytes is None:
             return versions[-1]
-        total, end = 0, base
+        total, total_b, end = 0, 0, base
         for v in versions:
-            n = sum(
-                1
-                for action in _read_commit(self.table_dir, v)
-                if "add" in action
-                and action["add"].get("dataChange", True)
-            )
-            if end > base and total + n > self.max_files:
+            n = nb = 0
+            for action in _read_commit(self.table_dir, v):
+                if "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    n += 1
+                    nb += int(action["add"].get("size") or 0)
+            if end > base and (
+                (self.max_files is not None
+                 and total + n > self.max_files)
+                or (self.max_bytes is not None
+                    and total_b + nb > self.max_bytes)
+            ):
                 break
             total += n
+            total_b += nb
             end = v
-            if total >= self.max_files:
+            if (
+                self.max_files is not None and total >= self.max_files
+            ) or (
+                self.max_bytes is not None and total_b >= self.max_bytes
+            ):
                 break
         return end
 

@@ -1172,3 +1172,83 @@ def test_read_change_feed_derives_dv_attach_from_mask_diff(
         "mask-diff only: 9 must not re-report at v3"
     )
     assert got.filter("_change_type = 'insert'").count() == 30
+
+
+def test_max_bytes_per_trigger_bounds_each_batch(spark, tmp_path):
+    """maxBytesPerTrigger (r8, delta-spark parity): each latestOffset
+    advances while the batch's dataChange add-file BYTE total stays
+    within the limit; a commit bigger than the limit is still admitted
+    whole (at-least-one); composes with maxFilesPerTrigger — either
+    limit being hit stops admission."""
+    from rtdl_spark.sources.delta_stream_source import (
+        _DeltaStreamReader,
+        _latest_schema,
+    )
+
+    table = str(tmp_path / "mbt")
+    # 4 commits, 1 file each
+    for lo, hi in ((0, 30), (30, 60), (60, 90), (90, 120)):
+        write_delta_native(
+            spark,
+            spark.range(lo, hi).select("id").repartition(1),
+            table,
+        )
+    sizes = []
+    log = os.path.join(table, "_delta_log")
+    for v in range(4):
+        for line in open(os.path.join(log, f"{v:020d}.json")):
+            a = json.loads(line)
+            if "add" in a:
+                sizes.append(int(a["add"]["size"]))
+    assert len(sizes) == 4
+
+    # limit of two files' bytes: batches advance two commits at a time
+    # (parquet sizes differ by a few bytes commit-to-commit — take the
+    # larger pair so both two-commit batches fit exactly)
+    sch = _latest_schema(table, 10)
+    two = max(sizes[0] + sizes[1], sizes[2] + sizes[3])
+    r = _DeltaStreamReader(
+        sch,
+        {"path": table, "maxBytesPerTrigger": str(two)},
+    )
+    prev = r.initialOffset()
+    ends = []
+    for _ in range(4):
+        end = r.latestOffset()
+        if end == prev:
+            break
+        list(r.partitions(prev, end))
+        ends.append(end["version"])
+        prev = end
+    assert ends == [1, 3]
+
+    # a limit SMALLER than any single file: one commit per batch
+    # (at-least-one admission)
+    r2 = _DeltaStreamReader(
+        sch, {"path": table, "maxBytesPerTrigger": "1"}
+    )
+    prev = r2.initialOffset()
+    ends2 = []
+    for _ in range(6):
+        end = r2.latestOffset()
+        if end == prev:
+            break
+        list(r2.partitions(prev, end))
+        ends2.append(end["version"])
+        prev = end
+    assert ends2 == [0, 1, 2, 3]
+
+    # composes with maxFilesPerTrigger: the tighter limit wins
+    r3 = _DeltaStreamReader(
+        sch,
+        {"path": table, "maxFilesPerTrigger": "3",
+         "maxBytesPerTrigger": str(sizes[0])},
+    )
+    prev = r3.initialOffset()
+    end = r3.latestOffset()
+    assert end["version"] == 0  # bytes cap stops before the file cap
+
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        _DeltaStreamReader(
+            sch, {"path": table, "maxBytesPerTrigger": "0"}
+        )
