@@ -3098,18 +3098,18 @@ def lake_delta_cdf_dv_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lake_delta_clustered_optimize(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Clustered tables (r8, delta_writer.py — the clustering writer
-    feature accepted): a table carrying the delta.clustering domain is
-    appended twice, then OPTIMIZE with NO explicit zorder_by reclusters
-    by the domain's columns (delta-spark's OPTIMIZE-on-clustered-table
-    behavior) — content hash-verified unchanged, and the domain
-    survives the commit. Grouped totals, hash-verified.
+    """Clustered tables created THROUGH THE API (r9 — r8 fabricated the
+    domain by hand): write_delta_native(cluster_by=["k"]) declares the
+    clustering + domainMetadata features and the delta.clustering
+    domain in the creating commit; a second append inherits it; then
+    OPTIMIZE with NO explicit zorder_by reclusters by the domain's
+    columns (delta-spark's OPTIMIZE-on-clustered-table behavior) —
+    content hash-verified unchanged, and the domain survives the
+    commit. Grouped totals, hash-verified.
 
     Scale shape: the recluster is the zorder lane — one distributed
     window sort per partition group, bins as contiguous curve-rank
     ranges; the domain metadata is KB-scale driver state."""
-    import json as _json
-
     from rtdl_spark.queries._util import dec
     from rtdl_spark.sources.delta_reader import (
         read_delta_native,
@@ -3130,29 +3130,15 @@ def lake_delta_clustered_optimize(
     workdir = tempfile.mkdtemp(prefix="rtdl_clus_", dir=shm)
     try:
         root = os.path.join(workdir, "clustab")
-        write_delta_native(  # v0
+        write_delta_native(  # v0: creates CLUSTER BY (k)
             spark, o.filter(F.col("k") % 2 == 0).repartition(3), root,
-            checkpoint_interval=0,
+            cluster_by=["k"], checkpoint_interval=0,
         )
-        log = os.path.join(root, "_delta_log")
-        with open(os.path.join(log, f"{1:020d}.json"), "w") as f:  # v1
-            f.write(_json.dumps({"commitInfo": {
-                "timestamp": 2, "operation": "CLUSTER BY"}}) + "\n")
-            f.write(_json.dumps({"protocol": {
-                "minReaderVersion": 1, "minWriterVersion": 7,
-                "writerFeatures": ["clustering", "domainMetadata",
-                                   "appendOnly", "invariants"]}}) + "\n")
-            f.write(_json.dumps({"domainMetadata": {
-                "domain": "delta.clustering",
-                "configuration": _json.dumps(
-                    {"clusteringColumns": [["k"]]}
-                ),
-                "removed": False}}) + "\n")
-        write_delta_native(  # v2
+        write_delta_native(  # v1: plain append inherits the domain
             spark, o.filter(F.col("k") % 2 == 1).repartition(2), root,
             checkpoint_interval=0,
         )
-        res = optimize_delta_native(  # v3: reclusters by `k`
+        res = optimize_delta_native(  # v2: reclusters by `k`
             spark, root, target_file_bytes=1 << 22
         )
         assert res["version"] is not None

@@ -120,8 +120,9 @@ _SUPPORTED_WRITER_FEATURES = {
     "timestampNtz",
     # row tracking: APPENDS assign baseRowId/defaultRowCommitVersion
     # and advance the delta.rowTracking high watermark in the same
-    # commit; rewrites (which must PRESERVE ids via the materialized
-    # column) refuse by name at their own gates
+    # commit; rewrites (DELETE/UPDATE/OPTIMIZE/MERGE, both DV paths)
+    # PRESERVE ids via the materialized _row_id/_row_commit_version
+    # columns (r8 — _commit_rewrite(rt_stamp_adds=), d794572)
     "rowTracking",
     # v2 checkpoints (r8): write_checkpoint_native emits the UUID-named
     # top-level + _sidecars/ layout on feature-carrying tables
@@ -268,33 +269,70 @@ def _check_writer_protocol(protocol: dict) -> None:
 
 def _invariants(meta: dict) -> dict[str, str]:
     """LEGACY column invariants (writer v2's delta.invariants field
-    metadata — the pre-CHECK-constraint form): {column: SQL
+    metadata — the pre-CHECK-constraint form): {column path: SQL
     expression}. The value is a JSON string shaped
     {"expression": {"expression": "<sql>"}}; delta-spark funnels these
     through the same constraint machinery as CHECK, which is exactly
     what _enforce_constraints does with this map (r8 — the last
-    in-stack writer refusal retired). A malformed invariant refuses
-    loudly rather than silently not enforcing."""
+    in-stack writer refusal retired). Collection RECURSES into struct
+    fields (delta-spark's Invariants.getFromSchema walks nested
+    structs; the stored expression references the full dotted path
+    itself, so F.expr(expr) enforces it unchanged). Fields under
+    array/map ELEMENTS are out of per-element-expression reach — an
+    invariant found there refuses loudly rather than silently not
+    enforcing (delta-spark skips complex types here, but a declared
+    invariant this writer cannot enforce must not commit). A malformed
+    invariant refuses loudly for the same reason (ADVICE r8)."""
     try:
         fields = json.loads(meta["schemaString"]).get("fields") or []
     except Exception:
         return {}
     out: dict[str, str] = {}
-    for f in fields:
-        md = f.get("metadata") or {}
-        if "delta.invariants" not in md:
-            continue
-        raw = md["delta.invariants"]
-        try:
-            parsed = json.loads(raw) if isinstance(raw, str) else raw
-            expr = parsed["expression"]["expression"]
-        except Exception:
-            raise ValueError(
-                f"column {f.get('name')!r} carries an unparseable "
-                f"delta.invariants value {raw!r} — refusing to write "
-                "without enforcing it"
-            )
-        out[f["name"]] = expr
+
+    def collect(fields: list, prefix: str, in_container: bool) -> None:
+        for f in fields:
+            path = f"{prefix}{f.get('name')}"
+            md = f.get("metadata") or {}
+            if "delta.invariants" in md:
+                if in_container:
+                    raise ValueError(
+                        f"field {path!r} carries a delta.invariants "
+                        "entry inside an array/map element — this "
+                        "writer cannot enforce per-element invariants "
+                        "and refuses to write without enforcing it"
+                    )
+                raw = md["delta.invariants"]
+                try:
+                    parsed = (
+                        json.loads(raw) if isinstance(raw, str) else raw
+                    )
+                    expr = parsed["expression"]["expression"]
+                except Exception:
+                    raise ValueError(
+                        f"column {path!r} carries an unparseable "
+                        f"delta.invariants value {raw!r} — refusing to "
+                        "write without enforcing it"
+                    )
+                out[path] = expr
+            t = f.get("type")
+            # walk nested types; anything under array/map is container
+            stack = [(t, in_container)]
+            while stack:
+                t, contained = stack.pop()
+                if not isinstance(t, dict):
+                    continue
+                kind = t.get("type")
+                if kind == "struct":
+                    collect(
+                        t.get("fields") or [], f"{path}.", contained
+                    )
+                elif kind == "array":
+                    stack.append((t.get("elementType"), True))
+                elif kind == "map":
+                    stack.append((t.get("keyType"), True))
+                    stack.append((t.get("valueType"), True))
+
+    collect(fields, "", False)
     return out
 
 
@@ -1174,8 +1212,24 @@ def _table_exists(spark: SparkSession, table_dir: str) -> bool:
 def _staged_counts(
     spark: SparkSession, staging: str
 ) -> dict[str, int]:
-    """Per-file numRecords over the staged write — one metadata-backed
-    aggregation (count per _metadata.file_path), keyed by plain path."""
+    """Per-file numRecords over the staged write, keyed by plain path.
+
+    LOCAL FAST PATH (r9, measured): numRecords sits in each parquet
+    FOOTER — on a local filesystem the driver reads it with pyarrow in
+    microseconds per file, replacing a whole Spark job (scan + groupBy
+    + collect) per commit; the r8 lifecycle profile showed the
+    remaining time was job-count × fixed job latency, and this removes
+    one job from EVERY stats-bearing commit. Non-local stores keep the
+    distributed metadata aggregation (footers there would cost a
+    driver round trip per file anyway)."""
+    if fsutil._is_local(spark, staging):
+        import pyarrow.parquet as pq
+
+        return {
+            p: pq.ParquetFile(p).metadata.num_rows
+            for p, _sz, _m in fsutil.iter_files(spark, staging)
+            if p.endswith(".parquet")
+        }
     counts = (
         spark.read.parquet(staging)
         .select(F.col("_metadata.file_path").alias("fp"))
@@ -1293,6 +1347,7 @@ def write_delta_native(
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
     column_mapping: str | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` to a Delta table at ``table_dir`` (creating it on
     first write) and return the committed version.
@@ -1318,6 +1373,18 @@ def write_delta_native(
     CM versions (2/5). On an existing table the option must match the
     table's mode (it never converts). mergeSchema evolution on CM
     tables assigns NEW columns fresh ids above maxColumnId.
+
+    ``cluster_by=[cols]`` at TABLE CREATION declares a CLUSTERED table
+    (delta-spark's CLUSTER BY / liquid clustering): the first commit's
+    protocol carries the ``clustering`` + ``domainMetadata`` writer
+    features and a ``delta.clustering`` domain holding the clustering
+    columns; OPTIMIZE with no explicit zorder_by then RECLUSTERS by
+    exactly those columns. Clustering and partitioning are mutually
+    exclusive (delta-spark refuses the combination), and nested
+    clustering columns refuse at creation — the same gate OPTIMIZE
+    applies (it cannot curve-rank a nested field). On an EXISTING table
+    the option must match the table's domain verbatim (it never
+    re-clusters; that is ALTER TABLE territory).
 
     ``txn=(app_id, version)`` attaches the protocol's SetTransaction
     action — the exactly-once handshake for streaming writers: if the
@@ -1493,6 +1560,59 @@ def write_delta_native(
     if missing:
         raise ValueError(f"partition columns absent from frame: {missing}")
 
+    if cluster_by is not None:
+        cluster_by = list(cluster_by)
+        if not cluster_by:
+            raise ValueError("cluster_by must name at least one column")
+        if part_cols:
+            raise ValueError(
+                "cluster_by and partition_by are mutually exclusive — "
+                "delta-spark refuses clustering on partitioned tables"
+            )
+        absent = [c for c in cluster_by if c not in df.columns]
+        if absent:
+            raise ValueError(
+                f"clustering columns absent from frame: {absent} — "
+                "nested paths refuse too (the recluster cannot "
+                "curve-rank a nested field; the same gate OPTIMIZE "
+                "applies)"
+            )
+        complex_c = [
+            c
+            for c in cluster_by
+            if df.schema[c].dataType.typeName() in ("struct", "array", "map")
+        ]
+        if complex_c:
+            raise ValueError(
+                f"clustering columns must be atomic types: {complex_c}"
+            )
+        if meta is not None:
+            # existing table: the option must MATCH its domain verbatim
+            # (idempotent create); changing clustering is ALTER territory
+            from rtdl_spark.sources.delta_reader import snapshot_domains
+
+            d = snapshot_domains(spark, root).get("delta.clustering")
+            have: list[str] | None = None
+            if d and not d.get("removed") and d.get("configuration"):
+                try:
+                    have = [
+                        ".".join(p)
+                        for p in json.loads(d["configuration"])[
+                            "clusteringColumns"
+                        ]
+                    ]
+                except (ValueError, KeyError, TypeError):
+                    raise ValueError(
+                        "unparseable delta.clustering domain "
+                        "configuration on the existing table"
+                    )
+            if have != cluster_by:
+                raise ValueError(
+                    f"cluster_by={cluster_by} does not match the "
+                    f"existing table's clustering ({have}) — this "
+                    "writer declares clustering at creation only"
+                )
+
     if meta is not None and mode == "append":
         # appends into an existing table must honor the TABLE's
         # nullability (the plain-append schema key compares names+types
@@ -1512,10 +1632,40 @@ def write_delta_native(
         # a SAME-SCHEMA overwrite replaces the rows of a table whose
         # configuration (CHECK constraints) and schema metadata
         # (invariants, nullability) survive — enforce them on the new
-        # rows exactly like an append (a schema-REPLACING overwrite
-        # defines fresh metadata; its frame is its own law)
+        # rows exactly like an append
         df = _enforce_not_null(df, meta["schemaString"])
         df = _enforce_constraints(df, meta)
+    elif meta is not None and mode == "overwrite":
+        # schema-REPLACING overwrite: the new schemaString is the
+        # frame's own law (old invariants/nullability die with the old
+        # schema) — but delta.constraints.* live in the CONFIGURATION,
+        # which survives the overwrite, so retained CHECK constraints
+        # are enforced on the replacing frame, and a constraint whose
+        # expression no longer analyzes against the new schema REFUSES
+        # the overwrite (delta-spark refuses schema changes that
+        # invalidate constraints) rather than committing a table that
+        # declares a constraint no subsequent append could satisfy or
+        # even analyze (ADVICE r8)
+        constraints = _table_constraints(meta)
+        for name, expr in sorted(constraints.items()):
+            try:
+                df.select(F.expr(expr))
+            except Exception as e:
+                raise ValueError(
+                    f"CHECK constraint {name} ({expr}) does not "
+                    "analyze against the replacing schema (it "
+                    "references dropped/retyped columns) — drop the "
+                    "constraint first or keep the columns it needs: "
+                    f"{e}"
+                ) from e
+        if constraints:
+            df = _enforce_constraints(
+                df,
+                {
+                    "schemaString": schema_json,
+                    "configuration": meta.get("configuration") or {},
+                },
+            )
 
     # column mapping: the frame is validated in LOGICAL terms above,
     # then staged in the table's PHYSICAL layout (physical names +
@@ -1601,18 +1751,48 @@ def write_delta_native(
             != _schema_key(meta["schemaString"])
         )
         if creating:
-            actions.append(
-                {
-                    "protocol": (
-                        {"minReaderVersion": 2, "minWriterVersion": 5}
-                        if column_mapping is not None
-                        else {
-                            "minReaderVersion": 1,
-                            "minWriterVersion": 2,
+            if cluster_by is not None:
+                # clustering is a table FEATURE (writer v7); with CM the
+                # reader side moves to v3 feature form too
+                proto = (
+                    {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["columnMapping"],
+                        "writerFeatures": [
+                            "columnMapping",
+                            "clustering",
+                            "domainMetadata",
+                        ],
+                    }
+                    if column_mapping is not None
+                    else {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["clustering", "domainMetadata"],
+                    }
+                )
+            elif column_mapping is not None:
+                proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+            else:
+                proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+            actions.append({"protocol": proto})
+            if cluster_by is not None:
+                actions.append(
+                    {
+                        "domainMetadata": {
+                            "domain": "delta.clustering",
+                            "configuration": json.dumps(
+                                {
+                                    "clusteringColumns": [
+                                        [c] for c in cluster_by
+                                    ]
+                                }
+                            ),
+                            "removed": False,
                         }
-                    )
-                }
-            )
+                    }
+                )
         if creating or replacing_meta or evolving or identity_hwms:
             if identity_hwms:
                 # patched from the TABLE's schema — the frame's carries
@@ -1666,6 +1846,11 @@ def write_delta_native(
                 }
             )
         if mode == "overwrite":
+            # a DV-carrying file's tombstone keeps the descriptor, like
+            # _remove_actions: reconciliation keys on (path, dvId), so a
+            # dvId-less remove may not cancel the DV-carrying add in a
+            # spec-strict reader, and the CDF mask-diff derivation would
+            # over-report the masked rows as deletes (ADVICE r8)
             for path in sorted(active):
                 a = active[path]
                 actions.append(
@@ -1678,6 +1863,11 @@ def write_delta_native(
                             "partitionValues": a.get("partitionValues")
                             or {},
                             "size": a.get("size"),
+                            **(
+                                {"deletionVector": a["deletionVector"]}
+                                if a.get("deletionVector")
+                                else {}
+                            ),
                         }
                     }
                 )
@@ -3109,31 +3299,54 @@ def merge_into_delta_native(
     if bad:
         raise ValueError(f"merge keys not in the table schema: {bad}")
 
-    src = source.localCheckpoint(eager=True)  # freeze against re-eval
+    # freeze the source against re-evaluation; LAZY so the first action
+    # on it (the fused probe below) both materializes the checkpoint
+    # and does its own work in ONE job instead of an eager
+    # materialize-only job first (r9, measured)
+    src = source.localCheckpoint(eager=False)
+
+    tbl, path_to_add = _active_scan(spark, root, meta, active)
+    keys = src.select(*on).distinct()
+    # ONE PROBE JOB (r9, measured — the r8 profile showed lifecycle
+    # time is job-count × fixed job latency): the duplicate-source
+    # check and the affected-file identify are UNIONED into a single
+    # collect instead of two separate actions; the shared src branch
+    # materializes its checkpoint inside the same job. matched=
+    # "ignore" keeps matched rows as they are — no file needs
+    # rewriting, so the identify side is skipped entirely.
+    probes = []
     if check_duplicates:
-        dups = (
-            src.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+        probes.append(
+            src.groupBy(*on)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .select(
+                F.lit("dup").alias("__probe"),
+                F.lit(None).cast("string").alias(_FP_COL),
+            )
         )
-        if dups.count() > 0:
+    if tbl is not None and when_matched != "ignore":
+        probes.append(
+            tbl.join(keys, on, "left_semi")
+            .select(_FP_COL)
+            .distinct()
+            .select(F.lit("file").alias("__probe"), F.col(_FP_COL))
+        )
+    affected = []
+    if probes:
+        probe_df = probes[0]
+        for p in probes[1:]:
+            probe_df = probe_df.unionByName(p)
+        rows = probe_df.collect()
+        if any(r["__probe"] == "dup" for r in rows):
             raise ValueError(
                 "MERGE source has multiple rows per key — "
                 "nondeterministic match (dedupe the source first)"
             )
-
-    tbl, path_to_add = _active_scan(spark, root, meta, active)
-    keys = src.select(*on).distinct()
-    # matched="ignore" keeps matched rows as they are — no file needs
-    # rewriting, so the identify pass is skipped entirely
-    if tbl is not None and when_matched != "ignore":
         affected = sorted(
-            r[_FP_COL]
-            for r in tbl.join(keys, on, "left_semi")
-            .select(_FP_COL)
-            .distinct()
-            .collect()
+            r[_FP_COL] for r in rows if r["__probe"] == "file"
         )
-    else:
-        affected = []
 
     # rewrite plan: survivors of affected files + matched updates + inserts
     pieces = []

@@ -11,8 +11,10 @@ LOCAL FAST PATH (r8, measured): every JVM call here is a py4j round
 trip (~2-3 ms); a Delta DML lifecycle makes hundreds of them (exists/
 rename/list per staged file), which showed up as ~1.5-2 s of pure
 driver overhead in the x_delta_lifecycle_full profile. Scheme-less
-paths (absolute local paths — the only kind a local deployment
-produces) short-circuit to os/shutil with the SAME semantics:
+paths short-circuit to os/shutil with the SAME semantics — but ONLY
+when fs.defaultFS is file:// (checked once per SparkContext): a
+scheme-less path resolves against defaultFS, so on an hdfs://-default
+deployment the fast path would silently read/write the wrong store:
 - rename returns False when the destination exists (HDFS/local Hadoop
   behavior the checkpoint writer relies on);
 - *_new creates are exclusive ("x" open — atomic on POSIX, the
@@ -29,11 +31,31 @@ import shutil
 from pyspark.sql import SparkSession
 
 
-def _is_local(path: str) -> bool:
-    """True for scheme-less paths — handled with os/shutil directly.
-    A scheme (s3a://, hdfs://, file:, ...) always precedes the first
-    '/', so anything starting with '/' is a plain local path."""
-    return path.startswith("/")
+_DEFAULT_FS_IS_LOCAL: dict[int, bool] = {}
+
+
+def _is_local(spark: SparkSession, path: str) -> bool:
+    """True for scheme-less paths ON a local-defaultFS deployment —
+    handled with os/shutil directly. A scheme (s3a://, hdfs://, file:,
+    ...) always precedes the first '/', so anything starting with '/'
+    is scheme-less; but a scheme-less path resolves against
+    fs.defaultFS, which Hadoop deployments commonly point at hdfs://
+    (or another remote store). Taking the fast path there would silently
+    move Delta log/control I/O to the driver's local disk — exists()
+    lying False and exclusive-create commits landing on the wrong
+    store. So the fast path is gated on fs.defaultFS being file://,
+    checked ONCE per SparkContext (one py4j round trip, cached)."""
+    if not path.startswith("/"):
+        return False
+    key = id(spark.sparkContext)
+    cached = _DEFAULT_FS_IS_LOCAL.get(key)
+    if cached is None:
+        default_fs = spark._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+        cached = str(default_fs).startswith("file:")
+        _DEFAULT_FS_IS_LOCAL[key] = cached
+    return cached
 
 
 def _fs_path(spark: SparkSession, path: str):
@@ -43,7 +65,7 @@ def _fs_path(spark: SparkSession, path: str):
 
 
 def exists(spark: SparkSession, path: str) -> bool:
-    if _is_local(path):
+    if _is_local(spark, path):
         return os.path.exists(path)
     fs, p = _fs_path(spark, path)
     return bool(fs.exists(p))
@@ -51,7 +73,7 @@ def exists(spark: SparkSession, path: str) -> bool:
 
 def delete(spark: SparkSession, path: str) -> None:
     """Recursive delete; no error if absent."""
-    if _is_local(path):
+    if _is_local(spark, path):
         if os.path.isdir(path) and not os.path.islink(path):
             shutil.rmtree(path, ignore_errors=True)
         else:
@@ -66,7 +88,7 @@ def delete(spark: SparkSession, path: str) -> None:
 
 def list_names(spark: SparkSession, path: str) -> list[str]:
     """Child entry names of a directory; [] if it doesn't exist."""
-    if _is_local(path):
+    if _is_local(spark, path):
         try:
             return os.listdir(path)
         except (FileNotFoundError, NotADirectoryError):
@@ -80,7 +102,7 @@ def list_names(spark: SparkSession, path: str) -> list[str]:
 def touch(spark: SparkSession, path: str) -> None:
     """Create an empty file (parents auto-created), overwriting if present
     — the atomic-enough marker primitive for commit logs."""
-    if _is_local(path):
+    if _is_local(spark, path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb"):
             pass
@@ -95,7 +117,7 @@ def touch_new(spark: SparkSession, path: str) -> None:
     False) — the compare-and-set primitive: on HDFS/local the create is
     atomic, so two writers racing on the same marker get one winner and
     one error instead of a silent clobber."""
-    if _is_local(path):
+    if _is_local(spark, path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "xb"):
             pass
@@ -111,7 +133,7 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     HDFS, renaming onto an EXISTING destination fails (returns False)
     instead of clobbering — the checkpoint writer's idempotency leans
     on exactly that."""
-    if _is_local(src) and _is_local(dst):
+    if _is_local(spark, src) and _is_local(spark, dst):
         if os.path.exists(dst) or not os.path.exists(src):
             return False
         try:
@@ -126,7 +148,7 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
 
 def mkdirs(spark: SparkSession, path: str) -> None:
     """Create a directory and its parents (no error if present)."""
-    if _is_local(path):
+    if _is_local(spark, path):
         os.makedirs(path, exist_ok=True)
         return
     fs, p = _fs_path(spark, path)
@@ -139,7 +161,7 @@ def iter_files(spark: SparkSession, path: str):
     filesystem's own listing order — for directories too large to hold
     as a driver list (distributed vacuum batches these into DataFrame
     chunks instead of materializing millions of tuples)."""
-    if _is_local(path):
+    if _is_local(spark, path):
         if not os.path.exists(path):
             return
         if os.path.isfile(path):
@@ -181,7 +203,7 @@ def list_files(
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small control file's full text (overwrite), parents
     auto-created — the counterpart of read_text."""
-    if _is_local(path):
+    if _is_local(spark, path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w", encoding="utf-8") as f:
             f.write(text)
@@ -200,7 +222,7 @@ def write_text_new(spark: SparkSession, path: str, text: str) -> None:
     rule): on HDFS/local the exclusive create is atomic, so two writers
     racing on the same version file get one winner and one error, never
     an interleaved/clobbered log entry."""
-    if _is_local(path):
+    if _is_local(spark, path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "x", encoding="utf-8") as f:
             f.write(text)
@@ -219,7 +241,7 @@ def read_text(spark: SparkSession, path: str) -> str:
     paths whose name starts with '_' or '.' (that is why staging dirs use
     those prefixes), but control files like Delta's _last_checkpoint live
     at exactly such names."""
-    if _is_local(path):
+    if _is_local(spark, path):
         with open(path, encoding="utf-8") as f:
             return f.read()
     fs, p = _fs_path(spark, path)
@@ -235,7 +257,7 @@ def read_bytes(spark: SparkSession, path: str) -> bytes:
     """Read a small binary control/sidecar file's full contents through
     the Hadoop FS (deletion vector files live beside the data files and
     are KB-to-MB scale)."""
-    if _is_local(path):
+    if _is_local(spark, path):
         with open(path, "rb") as f:
             return f.read()
     fs, p = _fs_path(spark, path)

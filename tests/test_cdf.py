@@ -487,3 +487,52 @@ def test_cdf_on_column_mapped_table(spark, tmp_path, mode):
     got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
     assert got == [1, 3, 4] or got == [1, 103, 4] or sorted(got) == [1, 4, 103]
     assert sorted(got) == [1, 4, 103]
+
+
+def test_overwrite_tombstones_preserve_dv_and_cdf_derives(spark, tmp_path):
+    """Overwrite-mode remove tombstones on a DV-carrying table keep the
+    deletionVector descriptor (ADVICE r8): reconciliation keys on
+    (path, dvId), so a dvId-less remove may not cancel the DV add in a
+    spec-strict reader — and the CDF derivation would over-report the
+    DV-masked (already deleted) rows as deletes for the overwrite
+    commit. With the descriptor preserved, the unpaired-DV-remove lane
+    derives only the file's VISIBLE rows as deletes."""
+    from rtdl_spark.sources.delta_writer import delete_where_delta_dv
+
+    root = _dv_cdf_table(spark, tmp_path, name="dvow")
+    delete_where_delta_dv(spark, root, "id % 5 = 0")  # masks 0,5,...,25
+
+    new = spark.range(100, 103).select(
+        "id", (F.col("id") % 3).cast("string").alias("p")
+    )
+    v = write_delta_native(
+        spark, new, root, mode="overwrite", partition_by=["p"],
+        checkpoint_interval=0,
+    )
+
+    # the tombstones for the DV-masked files carry the descriptor
+    with open(
+        os.path.join(root, "_delta_log", f"{v:020d}.json")
+    ) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    removes = [a["remove"] for a in actions if "remove" in a]
+    assert removes, "overwrite must tombstone the replaced files"
+    assert any(r.get("deletionVector") for r in removes), (
+        "DV-masked files' tombstones must keep the deletionVector"
+    )
+
+    # CDF for the overwrite commit: deletes are exactly the rows that
+    # were VISIBLE before (ids not divisible by 5), never the masked ones
+    ch = read_table_changes_cdf(spark, root, v, v)
+    deletes = sorted(
+        r["id"] for r in ch.collect() if r["_change_type"] == "delete"
+    )
+    assert deletes == [i for i in range(30) if i % 5 != 0]
+    inserts = sorted(
+        r["id"] for r in ch.collect() if r["_change_type"] == "insert"
+    )
+    assert inserts == [100, 101, 102]
+    # and the table itself reads back as only the overwrite frame
+    assert sorted(
+        r["id"] for r in read_delta_native(spark, root).collect()
+    ) == [100, 101, 102]

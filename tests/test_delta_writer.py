@@ -309,6 +309,63 @@ def test_foreign_writer_protocol_and_invariants_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="unparseable"):
         write_delta_native(spark, _frame(spark, 9, 10), table2)
 
+    # NESTED struct invariants are collected and enforced (delta-spark
+    # walks nested structs; the stored expression references the full
+    # dotted path, so it enforces unchanged) — ADVICE r8
+    table7 = str(tmp_path / "t7nested")
+    nested = spark.sql(
+        "SELECT id, named_struct('v', id * 10) AS s FROM range(1, 4)"
+    )
+    write_delta_native(spark, nested, table7)
+    nschema = json.loads(nested.schema.json())
+    for f in nschema["fields"]:
+        if f["name"] == "s":
+            f["type"]["fields"][0]["metadata"] = {
+                "delta.invariants":
+                    '{"expression":{"expression":"s.v > 5"}}'
+            }
+    _set_schema(table7, 1, nschema)
+    write_delta_native(
+        spark,
+        spark.sql(
+            "SELECT id, named_struct('v', id * 10) AS s FROM range(4, 6)"
+        ),
+        table7,
+    )  # s.v in {40, 50} — passes
+    with pytest.raises(Exception, match="invariant on 's.v'"):
+        write_delta_native(
+            spark,
+            spark.sql(
+                "SELECT id, named_struct('v', 0L) AS s FROM range(6, 7)"
+            ),
+            table7,
+        )
+
+    # an invariant under an ARRAY element is beyond per-element
+    # expression reach: refuse loudly instead of silently not enforcing
+    table8 = str(tmp_path / "t8arr")
+    arr = spark.sql(
+        "SELECT id, array(named_struct('v', id)) AS a FROM range(1, 3)"
+    )
+    write_delta_native(spark, arr, table8)
+    aschema = json.loads(arr.schema.json())
+    for f in aschema["fields"]:
+        if f["name"] == "a":
+            f["type"]["elementType"]["fields"][0]["metadata"] = {
+                "delta.invariants":
+                    '{"expression":{"expression":"v > 0"}}'
+            }
+    _set_schema(table8, 1, aschema)
+    with pytest.raises(ValueError, match="array/map element"):
+        write_delta_native(
+            spark,
+            spark.sql(
+                "SELECT id, array(named_struct('v', id)) AS a "
+                "FROM range(3, 4)"
+            ),
+            table8,
+        )
+
 
 def test_commit_race_retries_next_version(spark, tmp_path):
     """Put-if-absent semantics: when the target version file already
@@ -2877,3 +2934,185 @@ def test_vacuum_protocol_check(spark, tmp_path):
             "writerFeatures": ["someFutureFeature"]}}) + "\n")
     with pytest.raises(ValueError, match="someFutureFeature"):
         vacuum_delta_native(spark, root, retain_ms=0)
+
+
+def test_replacing_overwrite_enforces_retained_constraints(
+    spark, tmp_path
+):
+    """A schema-REPLACING overwrite carries the old configuration —
+    including delta.constraints.* — into the committed metaData, so
+    retained CHECK constraints must be enforced on the replacing frame
+    (delta-spark enforces CHECK on every write), and a constraint whose
+    expression references a column absent from the new schema must
+    REFUSE (a committed table declaring a constraint no append can even
+    analyze is permanently wedged) — ADVICE r8."""
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    table = str(tmp_path / "repl_chk")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(1, 4)], "id long, v long"
+        ),
+        table,
+        checkpoint_interval=0,
+    )
+    _, meta, _, current, _ = snapshot_actions(spark, table)
+    with open(
+        os.path.join(table, "_delta_log", f"{current + 1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 2, "operation": "ADD CONSTRAINT"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 3}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            **meta,
+            "configuration": {"delta.constraints.posv": "v > 0"}}})
+            + "\n")
+
+    # replacing overwrite (new column set, still contains v) with a
+    # VIOLATING row: refused loudly, nothing committed
+    bad = spark.createDataFrame(
+        [(1, 0, "x")], "id long, v long, extra string"
+    )
+    with pytest.raises(Exception, match="CHECK constraint posv"):
+        write_delta_native(
+            spark, bad, table, mode="overwrite", checkpoint_interval=0
+        )
+    assert read_delta_native(spark, table).count() == 3
+
+    # replacing overwrite whose new schema DROPS v: the retained
+    # constraint could never be analyzed again — refuse
+    dropped = spark.createDataFrame([(1, "x")], "id long, extra string")
+    with pytest.raises(ValueError, match="does not analyze"):
+        write_delta_native(
+            spark, dropped, table, mode="overwrite", checkpoint_interval=0
+        )
+    assert read_delta_native(spark, table).count() == 3
+
+    # passing replacing overwrite commits, and the constraint SURVIVES
+    # into the new metaData (so the next violating append still refuses)
+    good = spark.createDataFrame(
+        [(10, 5, "y"), (11, 7, "z")], "id long, v long, extra string"
+    )
+    write_delta_native(
+        spark, good, table, mode="overwrite", checkpoint_interval=0
+    )
+    _, meta2, _, _, _ = snapshot_actions(spark, table)
+    assert (meta2.get("configuration") or {}).get(
+        "delta.constraints.posv"
+    ) == "v > 0"
+    assert read_delta_native(spark, table).count() == 2
+    with pytest.raises(Exception, match="CHECK constraint posv"):
+        write_delta_native(
+            spark,
+            spark.createDataFrame(
+                [(12, -1, "w")], "id long, v long, extra string"
+            ),
+            table,
+            checkpoint_interval=0,
+        )
+
+
+def test_cluster_by_creates_clustered_table_end_to_end(spark, tmp_path):
+    """cluster_by= at creation (r9): the creating commit carries the
+    clustering + domainMetadata writer features and the
+    delta.clustering domain; appends inherit it; OPTIMIZE with no
+    zorder_by reclusters by the declared columns; the domain survives a
+    checkpoint. Refusals: partition_by combo, absent/nested columns,
+    complex-typed columns, and a mismatching cluster_by on an existing
+    table."""
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+        snapshot_domains,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        optimize_delta_native,
+        write_checkpoint_native,
+    )
+
+    root = str(tmp_path / "clusapi")
+    v = write_delta_native(
+        spark, _frame(spark, 0, 40).repartition(4), root,
+        cluster_by=["v"], checkpoint_interval=0,
+    )
+    assert v == 0
+    protocol, _, _, _, _ = snapshot_actions(spark, root)
+    assert protocol["minWriterVersion"] == 7
+    assert set(protocol["writerFeatures"]) == {
+        "clustering", "domainMetadata"
+    }
+    doms = snapshot_domains(spark, root)
+    assert json.loads(doms["delta.clustering"]["configuration"]) == {
+        "clusteringColumns": [["v"]]
+    }
+
+    # append inherits; idempotent matching cluster_by is accepted too
+    write_delta_native(
+        spark, _frame(spark, 40, 44), root, checkpoint_interval=0
+    )
+    write_delta_native(
+        spark, _frame(spark, 44, 46), root, cluster_by=["v"],
+        checkpoint_interval=0,
+    )
+    # mismatching cluster_by on an existing table refuses
+    with pytest.raises(ValueError, match="does not match"):
+        write_delta_native(
+            spark, _frame(spark, 46, 48), root, cluster_by=["id"],
+            checkpoint_interval=0,
+        )
+
+    # the domain survives a checkpoint truncating the commit tail
+    cv = write_checkpoint_native(spark, root)
+    for old in range(0, cv + 1):
+        p = os.path.join(root, "_delta_log", f"{old:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    doms = snapshot_domains(spark, root)
+    assert json.loads(doms["delta.clustering"]["configuration"]) == {
+        "clusteringColumns": [["v"]]
+    }
+
+    # OPTIMIZE with no zorder_by reclusters by `v`; content unchanged
+    res = optimize_delta_native(spark, root, target_file_bytes=1 << 18)
+    assert res["version"] is not None
+    got = read_delta_native(spark, root)
+    assert sorted(r["id"] for r in got.collect()) == list(range(46))
+    doms = snapshot_domains(spark, root)
+    assert not doms["delta.clustering"].get("removed")
+
+    # creation-time refusals
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_delta_native(
+            spark, _frame(spark, 0, 4), str(tmp_path / "x1"),
+            cluster_by=["v"], partition_by=["id"],
+        )
+    with pytest.raises(ValueError, match="absent from frame"):
+        write_delta_native(
+            spark, _frame(spark, 0, 4), str(tmp_path / "x2"),
+            cluster_by=["s.inner"],
+        )
+    nested = spark.range(3).selectExpr(
+        "id", "named_struct('inner', id) AS s"
+    )
+    with pytest.raises(ValueError, match="atomic"):
+        write_delta_native(
+            spark, nested, str(tmp_path / "x3"), cluster_by=["s"]
+        )
+
+    # CM + clustering compose: reader v3 / writer v7 feature form
+    cmroot = str(tmp_path / "cluscm")
+    write_delta_native(
+        spark, _frame(spark, 0, 10), cmroot, cluster_by=["v"],
+        column_mapping="name", checkpoint_interval=0,
+    )
+    protocol, _, _, _, _ = snapshot_actions(spark, cmroot)
+    assert protocol["minReaderVersion"] == 3
+    assert "columnMapping" in protocol["readerFeatures"]
+    assert set(protocol["writerFeatures"]) == {
+        "columnMapping", "clustering", "domainMetadata"
+    }
+    assert read_delta_native(spark, cmroot).count() == 10
+    res = optimize_delta_native(spark, cmroot, min_files=1)
+    assert read_delta_native(spark, cmroot).count() == 10

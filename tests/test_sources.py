@@ -257,3 +257,35 @@ def test_ignore_corrupt_parquet_files(spark, tmp_path):
         assert spark.read.parquet(path).count() == 10
     finally:
         spark.conf.set(key, prev)
+
+
+def test_fsutil_local_fast_path_gated_on_default_fs(spark, tmp_path):
+    """The fsutil local fast path (os/shutil instead of py4j Hadoop
+    calls) must only engage when fs.defaultFS is file:// — a scheme-less
+    absolute path resolves AGAINST defaultFS, so on an hdfs://-default
+    deployment the fast path would silently move Delta log/control I/O
+    to the driver's local disk (ADVICE r8). The gate is checked once per
+    SparkContext and cached."""
+    from rtdl_spark.sources import fsutil
+
+    key = id(spark.sparkContext)
+    saved = fsutil._DEFAULT_FS_IS_LOCAL.pop(key, None)
+    try:
+        # this image runs with a file:// defaultFS — the probe detects it
+        assert fsutil._is_local(spark, str(tmp_path)) is True
+        assert key in fsutil._DEFAULT_FS_IS_LOCAL  # cached after one probe
+        # scheme-carrying paths never take the fast path
+        assert fsutil._is_local(spark, f"file://{tmp_path}") is False
+        assert fsutil._is_local(spark, "s3a://bucket/k") is False
+        # simulate an hdfs:// defaultFS deployment: scheme-less absolute
+        # paths must now go through the JVM Hadoop FS, not os/shutil
+        fsutil._DEFAULT_FS_IS_LOCAL[key] = False
+        assert fsutil._is_local(spark, str(tmp_path)) is False
+        # and the JVM route still works end-to-end for such paths
+        p = str(tmp_path / "gate_probe.txt")
+        fsutil.write_text(spark, p, "via-jvm")
+        assert fsutil.read_text(spark, p) == "via-jvm"
+    finally:
+        fsutil._DEFAULT_FS_IS_LOCAL.pop(key, None)
+        if saved is not None:
+            fsutil._DEFAULT_FS_IS_LOCAL[key] = saved
