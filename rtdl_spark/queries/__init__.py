@@ -45,53 +45,54 @@ CANARIES: tuple[str, ...] = (
     "multimodal_binary_stats",   # multimodal (§2C)
 )
 
-# Round-8 rotation (r7 verdict item 2): this rotation DRAINS the
-# never-served pool — the r7-new Delta DML/identity/CM surface leads
-# (dv_delete/dv_update/generated_cols/identity/cm_lifecycle), then the
-# r8-new SYNC IDENTITY query, the readChangeFeed streaming lane, the
-# two remaining sim entries, the whole text_* tail and the last three
-# win_* entries. After this round every oracle-backed query in the
-# registry has an external correctness row (the 4 rows-only entries
-# are structurally excluded: the head must be oracle-backed).
+# Round-9 rotation (r8 verdict item 1): the 5 remaining never-served
+# oracle-backed queries (the lake surface added mid-r8 after that head
+# was pinned) CLOSE external coverage — after their rows land, every
+# oracle-backed query in the registry has a driver correctness row.
+# The other 33 slots inaugurate the STALENESS-REFRESH rule: with the
+# never-served pool drained, slots refill stalest-first, and the
+# entire r2 cohort (33 queries, 6 rounds since their last external
+# row) is exactly 33 — so r9 re-serves all of it. The freshness test
+# now enforces stalest-first instead of never-served-only.
 ROTATION: tuple[str, ...] = (
-    "lake_delta_dv_delete",
-    "lake_delta_dv_update",
-    "lake_delta_generated_cols",
-    "lake_delta_identity",
-    "lake_delta_cm_lifecycle",
-    "lake_delta_identity_sync",
-    "stream_exec_cdf_source",
-    "sim_quantized_topk",
-    "sim_negative_samples_within_label",
-    "text_lang_id_heuristic",
-    "text_top_bigrams",
-    "text_bpe_token_counts",
-    "text_curation_pipeline",
-    "text_stratified_sample",
-    "text_repetition_signals",
-    "text_chunking",
-    "text_mixture_sample",
-    "text_unigram_logprob",
-    "text_corpus_prep_pipeline",
-    "text_contamination_overlap",
-    "text_distinctive_terms",
-    "text_train_val_test_split",
-    "text_temperature_mixture",
-    "text_domain_policy",
-    "text_exact_k_sample",
-    "text_row_id_assignment",
-    "text_adaptive_quality_filter",
-    "text_negative_samples",
-    "text_curriculum_shards",
-    "text_vocab_coverage",
-    "text_weighted_sample",
-    "text_bigram_logprob",
-    "text_index_bm25",
-    "text_pii_audit",
-    "text_url_canonical",
-    "win_rolling_distinct_users",
-    "win_forecast_mase",
-    "win_longest_streak",
+    "lake_delta_v2_checkpoint",
+    "lake_delta_row_tracking",
+    "lake_delta_invariants",
+    "lake_delta_cdf_dv_restore",
+    "lake_delta_clustered_optimize",
+    "agg_count_distinct_by_priority",
+    "agg_cube_status_priority",
+    "agg_having_filter",
+    "agg_statistical_moments",
+    "agg_pivot_status_by_priority",
+    "agg_distinct_sum",
+    "agg_unpivot_part_metrics",
+    "agg_regression_stats",
+    "agg_boolean_funcs",
+    "agg_listagg_ordered",
+    "agg_spearman_corr",
+    "agg_median_mode",
+    "agg_crosstab_chi2",
+    "dedup_fingerprint_groups",
+    "dedup_jaccard_bruteforce",
+    "dedup_simhash_profile",
+    "dedup_ngram_token_jaccard",
+    "dedup_embedding_cosine",
+    "text_winnow_profile",
+    "dedup_winnow_overlap_pairs",
+    "dedup_cluster_assignment",
+    "dedup_incremental_clusters",
+    "dedup_incremental_against_corpus",
+    "dedup_fuzzy_source_pairs",
+    "dedup_incremental_bloom",
+    "dedup_source_overlap_matrix",
+    "dedup_survivorship_policy",
+    "graph_triangle_count",
+    "graph_clustering_coefficients",
+    "dedup_weighted_keepers",
+    "join_left_outer_orderless",
+    "join_right_outer_nation_suppliers",
+    "join_cross_region_status",
 )
 
 DRIVER_HEAD: tuple[str, ...] = CANARIES + ROTATION

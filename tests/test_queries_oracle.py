@@ -95,22 +95,29 @@ def test_driver_head_samples_every_category():
 
 
 def test_driver_head_rotation_is_fresh():
-    """Rotation slots must be queries that have never received a driver
-    correctness row — OR whose most recent driver row was RED (the r5
-    amendment: the never-served-only rule structurally barred re-serving
-    the three r2-red approx aggregates after their r3 fix, leaving FAIL
-    as their last external word forever). Each round's served set is
-    appended to DRIVER_SERVED.json; the current ROTATION must be
-    disjoint from the union of all PRIOR rounds minus the red-latest
-    set, red-latest names MUST be back in the head, and the latest round
-    key must record the current head. This is what guarantees the
-    external hard signal eventually touches the whole registry AND that
-    no fixed failure stays externally unrefuted."""
+    """Rotation slots are drawn by PRIORITY: (1) queries whose most
+    recent driver row was RED (the r5 amendment — a fixed failure must
+    not keep FAIL as its last external word), (2) queries never served
+    at all, (3) STALENESS REFRESH (the r9 amendment, planned in r8 when
+    the never-served pool shrank below the slot count): previously-green
+    queries re-enter stalest-first — a green rotation repeat is valid
+    only if NO oracle-backed previously-served green OUTSIDE the head is
+    staler than it (ties allowed). Each round's served set is appended
+    to DRIVER_SERVED.json; red-latest names MUST be in the head, and the
+    latest round key must record the current head. Together these
+    guarantee the external hard signal touches the whole registry and
+    then keeps EVERY query's latest external row from aging out, without
+    ever repeating a fresh green while a staler one waits."""
     import glob
     import json
     import os
 
-    from rtdl_spark.queries import CANARIES, DRIVER_HEAD, ROTATION
+    from rtdl_spark.queries import (
+        CANARIES,
+        DRIVER_HEAD,
+        ROTATION,
+        all_oracles,
+    )
 
     root = os.path.join(os.path.dirname(__file__), "..")
     served = json.load(open(os.path.join(root, "DRIVER_SERVED.json")))
@@ -129,14 +136,39 @@ def test_driver_head_rotation_is_fresh():
                 for k in ("rows_match", "schema_match", "hash_match")
             )
     red_latest = {n for n, ok in verdict.items() if not ok}
-    prior = set().union(*(served[r] for r in rounds[:-1]))
-    stale = [n for n in ROTATION if n in prior and n not in red_latest]
-    assert not stale, f"rotation slots already driver-verified: {stale}"
+    prior_rounds = rounds[:-1]
+    prior = set().union(*(served[r] for r in prior_rounds))
+    # last prior round each name was served in (ordinal for comparison)
+    last: dict[str, int] = {}
+    for i, r in enumerate(prior_rounds):
+        for n in served[r]:
+            last[n] = i
+    # green repeats in the rotation must be no fresher than ANY
+    # oracle-backed green left outside the head (stalest-first rule)
+    repeats = [n for n in ROTATION if n in prior and n not in red_latest]
+    outside = [
+        n
+        for n in all_oracles()
+        if n in prior
+        and n not in DRIVER_HEAD
+        and n not in red_latest
+        and verdict.get(n) is True
+    ]
+    if repeats and outside:
+        freshest_repeat = max(last[n] for n in repeats)
+        stalest_outside = min(last[n] for n in outside)
+        assert freshest_repeat <= stalest_outside, (
+            "rotation repeats a green from round "
+            f"{prior_rounds[freshest_repeat]} while a staler green "
+            f"(from {prior_rounds[stalest_outside]}) waits outside the "
+            "head: "
+            f"{[n for n in repeats if last[n] == freshest_repeat][:5]}"
+        )
     missing_reds = red_latest - set(DRIVER_HEAD)
     assert not missing_reds, (
         f"red-latest queries must be re-served until green: {missing_reds}"
     )
-    # canaries are the only sanctioned green repeats
+    # canaries are the only rotation-exempt green repeats
     assert set(CANARIES) <= prior, (
         "canaries should be previously-verified known-good queries"
     )

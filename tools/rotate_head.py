@@ -73,6 +73,47 @@ def main() -> None:
             if by_family[fam] and len(proposal) < n_slots:
                 proposal.append(by_family[fam].pop(0))
 
+    # STALENESS REFRESH (r9 rule): once the never-served pool is
+    # smaller than the slot count, the remaining slots re-serve
+    # previously-green oracle-backed queries STALEST-FIRST (last
+    # external row longest ago). The freshness test enforces that no
+    # repeated green is fresher than any green left outside the head —
+    # so the proposal must take a whole staleness cohort before
+    # touching a fresher one (partial cohorts are fine at the tail
+    # boundary only because the test allows ties).
+    if len(proposal) < n_slots:
+        from rtdl_spark.queries import CANARIES
+
+        last: dict[str, str] = {}
+        for r in rounds:
+            for n in served[r]:
+                last[n] = r
+        greens = sorted(
+            (
+                n
+                for n in q
+                if n in o
+                and n in prior
+                and n not in CANARIES
+                and verdict.get(n) is True
+            ),
+            key=lambda n: (last[n], list(q).index(n)),
+        )
+        refresh = greens[: n_slots - len(proposal)]
+        if refresh:
+            boundary = last[refresh[-1]]
+            cohort = [n for n in greens if last[n] == boundary]
+            if len([n for n in refresh if last[n] == boundary]) < len(
+                cohort
+            ):
+                print(
+                    f"# NOTE: the {boundary} staleness cohort "
+                    f"({len(cohort)} queries) does not fit the "
+                    "remaining slots — the freshness test allows this "
+                    "tie-split; the rest of the cohort leads next round"
+                )
+            proposal.extend(refresh)
+
     nxt = f"r{int(rounds[-1][1:]) + 1}"
     print(f"# rounds served so far: {', '.join(rounds)} "
           f"({len(prior)} distinct names)")
