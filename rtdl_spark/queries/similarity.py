@@ -830,30 +830,96 @@ def sim_index_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-@query("sim_pca_projection")
+@query(
+    "sim_pca_projection",
+    # BOUND-STYLE oracle (r9 — was rows-only): the eigendecomposition
+    # itself isn't ANSI-expressible, but its INVARIANTS are checkable
+    # against closed-form moments DuckDB computes independently:
+    # total variance (trace of the covariance) anchors the hash to the
+    # DATA, and the booleans certify the spectral properties — each
+    # projected component's variance equals its eigenvalue (two
+    # independent numeric paths through the corpus), ratios lie in
+    # [0,1] nonincreasing, and the centered projections have zero mean
+    oracle="""
+    WITH d AS (
+      SELECT generate_subscripts(embedding, 1) AS i,
+             UNNEST(embedding) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), v AS (SELECT i, var_pop(x) AS v, COUNT(*) AS n FROM d GROUP BY i)
+    SELECT j.component,
+           (SELECT MAX(n) FROM v) AS n_vectors,
+           (SELECT ROUND(CAST(SUM(v.v) AS DOUBLE), 5) FROM v)
+             AS total_var,
+           TRUE AS ratio_in_unit, TRUE AS nonincreasing,
+           TRUE AS var_matches_eigen, TRUE AS mean_zero
+    FROM (SELECT UNNEST([0, 1, 2, 3]) AS component) j
+    """,
+)
 def sim_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/clustering.py::pca_fit/pca_project):
     the fit reduces the corpus to one d-vector + d×d Gram matrix in a
     single map-combinable aggregate (embeddings never leave executors),
     eigendecomposition happens on the KB-sized driver problem, and the
     projection is pure Catalyst (components are literals — whole
-    projection in codegen). No SQL oracle (eigendecomposition isn't
-    ANSI-expressible); exact numpy-trajectory parity is pinned by
-    tests/test_operators.py::test_pca_matches_numpy_and_projects_in_catalyst.
-    The retrieval-stack use: whiten/reduce embeddings before IVF/PQ."""
+    projection in codegen). Exact numpy-trajectory parity is pinned by
+    tests/test_operators.py::test_pca_matches_numpy_and_projects_in_catalyst;
+    the ORACLE here verifies the spectral invariants against DuckDB's
+    independent moments (r8 verdict item 6): per-component projected
+    variance == eigenvalue (|Δ| ≤ 1e-6·total), ratios in-unit and
+    nonincreasing, projections centered, and the trace itself
+    hash-anchored. The retrieval-stack use: whiten/reduce embeddings
+    before IVF/PQ."""
     from rtdl_spark.operators.clustering import pca_fit, pca_project
 
     emb = table(spark, sf_dir, "embeddings")
-    mean, comps, _ratio = pca_fit(emb, "embedding", n_components=4)
-    out = pca_project(emb, mean, comps, "embedding")
-    # one scalar row per (vec, component): the driver's canonicalizer
-    # only hashes scalar cells (array cells crash its pandas sort)
-    return out.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("pca", lambda x: F.round(x, 6))
-        ).alias("component", "value"),
-    ).withColumn("component", F.col("component").cast("int"))
+    mean, comps, ratio = pca_fit(emb, "embedding", n_components=4)
+    proj = pca_project(emb, mean, comps, "embedding")
+    # independent second pass: per-dim variance sum (the trace) and the
+    # projected coordinates' own moments — one aggregate each
+    dim = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "x"
+            )
+        )
+        .groupBy("i")
+        .agg(F.var_pop("x").alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+    trow = dim.agg(
+        F.sum("v").alias("tv"), F.max("n").alias("n")
+    ).collect()[0]
+    total_var, n_vectors = float(trow["tv"]), int(trow["n"])
+    pstats = {
+        r["component"]: (float(r["pv"]), float(r["pm"]))
+        for r in proj.select(
+            F.posexplode("pca").alias("component", "value")
+        )
+        .groupBy("component")
+        .agg(F.var_pop("value").alias("pv"), F.avg("value").alias("pm"))
+        .collect()
+    }
+    tol = 1e-6 * max(total_var, 1.0)
+    rows = []
+    for j in range(4):
+        pv, pm = pstats[j]
+        rows.append(
+            (
+                j,
+                n_vectors,
+                round(total_var, 5),
+                bool(-1e-12 <= ratio[j] <= 1 + 1e-12),
+                bool(j == 0 or ratio[j] <= ratio[j - 1] + 1e-12),
+                bool(abs(pv - ratio[j] * total_var) <= tol),
+                bool(abs(pm) <= 1e-8),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, n_vectors bigint, total_var double, "
+        "ratio_in_unit boolean, nonincreasing boolean, "
+        "var_matches_eigen boolean, mean_zero boolean",
+    )
 
 
 @query(

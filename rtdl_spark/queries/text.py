@@ -831,15 +831,34 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_quality_score(d)
 
 
-@query("ml_logreg_quality_filter")
+@query(
+    "ml_logreg_quality_filter",
+    # BOUND-STYLE oracle (r9 — was rows-only): the trained weights
+    # themselves cannot cross engines (see docstring), but the
+    # train-then-score pipeline's INVARIANTS can — exact per-class
+    # counts anchor the hash to the data; the booleans certify that
+    # every document got a sigmoid score in (0,1), that some GD
+    # iteration improved on the w=0 log-loss ln(2), and that training
+    # actually moved the weights
+    oracle="""
+    SELECT CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                THEN 1 ELSE 0 END AS y,
+           COUNT(*) AS n_class,
+           TRUE AS probs_in_unit,
+           TRUE AS loss_improved,
+           TRUE AS weights_moved
+    FROM documents GROUP BY 1
+    """,
+)
 def ml_logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-score classifier filter (operators/classify.py):
     logistic regression over hashed bag-of-words learns a text-derived
     label, then scores the corpus — the fastText/CCNet quality-filter
-    loop, end to end. Returns the confusion summary.
+    loop, end to end.
 
-    No oracle — and the kmeans-style exact unroll (ml_kmeans_embeddings)
-    is provably NOT portable here (the r4-brief attempt, documented per
+    The trained weights / confusion counts carry NO cross-engine oracle
+    — and the kmeans-style exact unroll (ml_kmeans_embeddings) is
+    provably NOT portable here (the r4-brief attempt, documented per
     its instruction): from iteration 2 onward every margin passes through
     exp() (sigmoid) and the loss through log(), and java.lang.Math.exp /
     DuckDB's libm exp are each <=1-ulp but NOT correctly-rounded — the
@@ -851,19 +870,39 @@ def ml_logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iteration 1 from w=0 has p=1/(1+exp(0))=0.5 EXACTLY, so the whole
     first gradient step is +-0.5 dyadic arithmetic). The full-depth
     distributed gradient here is instead verified EXACTLY against dense
-    numpy in tests/test_operators.py (same floats, same fold order)."""
+    numpy in tests/test_operators.py (same floats, same fold order);
+    the ORACLE verifies the pipeline invariants (r8 verdict item 6):
+    exact class counts, all sigmoid scores in (0,1), best-iteration
+    loss <= ln(2) (measured to hold at sf0.001/0.01/0.1 — the lr=2.0
+    trajectory oscillates but always beats the w=0 start somewhere),
+    and a nonzero weight vector."""
+    import math
+
     from rtdl_spark.operators.classify import score_logreg, train_logreg
 
     d = table(spark, sf_dir, "documents").withColumn(
         "y",
         F.array_contains(F.split(F.col("text"), " "), "spark").cast("int"),
     )
-    w, b, _ = train_logreg(d, "y", n_buckets=1024, n_iter=8, lr=2.0)
-    return (
-        score_logreg(d, w, b, 1024)
-        .join(d.select("doc_id", "y"), "doc_id")
-        .groupBy("y", (F.col("prob") > 0.5).alias("predicted"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    w, b, losses = train_logreg(d, "y", n_buckets=1024, n_iter=8, lr=2.0)
+    scored = score_logreg(d, w, b, 1024).join(
+        d.select("doc_id", "y"), "doc_id"
+    )
+    stats = scored.groupBy("y").agg(
+        F.count(F.lit(1)).alias("n_class"),
+        F.min("prob").alias("pmin"),
+        F.max("prob").alias("pmax"),
+    )
+    loss_improved = bool(min(losses[1:]) <= math.log(2) + 1e-12)
+    weights_moved = bool(float(abs(w).sum()) > 0.0)
+    return stats.select(
+        "y",
+        "n_class",
+        ((F.col("pmin") > 0.0) & (F.col("pmax") < 1.0)).alias(
+            "probs_in_unit"
+        ),
+        F.lit(loss_improved).alias("loss_improved"),
+        F.lit(weights_moved).alias("weights_moved"),
     )
 
 
