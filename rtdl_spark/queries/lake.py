@@ -3247,3 +3247,205 @@ def lake_delta_cm_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_alter_properties",
+    # lifecycle: create -> SET TBLPROPERTIES(CDF, protocol upgraded in
+    # the same commit) -> ADD CONSTRAINT (validated against existing
+    # rows) -> DELETE (cdc recorded) -> DROP CONSTRAINT -> append rows
+    # the dropped constraint would have refused. The oracle replays the
+    # surviving-row algebra; the CDF/constraint duties are asserted
+    # in-query (wrong protocol/config would raise, and the final
+    # grouped state hash-verifies the data effects).
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 6 = 0
+    ), kept AS (
+      SELECT k, price FROM base WHERE k % 5 <> 0
+      UNION ALL
+      SELECT k + 1000000, -1.0 FROM base WHERE k % 11 = 0
+    )
+    SELECT CAST(k % 4 AS INT) AS grp, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM kept GROUP BY 1
+    """,
+)
+def lake_delta_alter_properties(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALTER TABLE properties/constraints lifecycle through the native
+    API (sources/delta_alter.py, r9): SET TBLPROPERTIES enables CDF
+    with the protocol upgraded IN THE SAME COMMIT; ADD CONSTRAINT
+    validates every existing row before committing; the DELETE then
+    records cdc change files; DROP CONSTRAINT re-opens the gate and
+    rows the constraint would have refused append. Each step is a
+    metadata-only commit (plus the delete's rewrite); the final state
+    is hash-verified and the in-flight duties (cdc rows, constraint
+    refusal) are asserted inline.
+
+    Scale shape: ALTERs are O(1) driver commits; the only data work is
+    ADD CONSTRAINT's validation scan (prunes to the first violation)
+    and the delete rewrite."""
+    from rtdl_spark.sources.delta_alter import (
+        alter_add_constraint,
+        alter_drop_constraint,
+        alter_set_tblproperties,
+    )
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        read_table_changes_cdf,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        write_delta_native,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 6 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_alterp_", dir=shm)
+    try:
+        root = os.path.join(workdir, "altab")
+        write_delta_native(  # v0
+            spark, o.repartition(2), root, checkpoint_interval=0
+        )
+        res = alter_set_tblproperties(  # v1: CDF on + protocol upgrade
+            spark, root, {"delta.enableChangeDataFeed": "true"}
+        )
+        assert res["protocol_upgraded"]
+        alter_add_constraint(spark, root, "pricePos", "price > 0")  # v2
+        d = delete_where_delta_native(spark, root, "k % 5 = 0")  # v3
+        assert d["cdc_files"] >= 1  # the ALTER-enabled feed recorded it
+        ch = read_table_changes_cdf(spark, root, d["version"], d["version"])
+        assert ch.filter(F.col("_change_type") != "delete").count() == 0
+        # the constraint the ALTER added refuses violating appends ...
+        bad = o.filter(F.col("k") % 11 == 0).select(
+            (F.col("k") + 1000000).alias("k"),
+            F.lit(-1.0).alias("price"),
+        )
+        try:
+            write_delta_native(spark, bad, root, checkpoint_interval=0)
+            raise AssertionError("constraint did not refuse")
+        except Exception as e:
+            assert "pricepos" in str(e).lower()
+        alter_drop_constraint(spark, root, "pricePos")  # v4
+        write_delta_native(spark, bad, root, checkpoint_interval=0)  # v5
+        out = (
+            read_delta_native(spark, root)
+            .groupBy((F.col("k") % 4).cast("int").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("price").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_alter_schema",
+    # schema-DDL lifecycle on a table UPGRADED to column mapping:
+    # create plain -> upgrade none->name (existing files keep resolving
+    # through their on-disk names) -> ADD COLUMNS -> backfill via
+    # UPDATE -> RENAME COLUMN (metadata-only) -> append at the renamed
+    # schema -> DROP COLUMN. The oracle replays the row algebra with
+    # the final column names.
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 8 = 0
+    ), final AS (
+      SELECT k, CASE WHEN k % 3 = 0 THEN 'hot' ELSE NULL END AS seg
+      FROM base
+      UNION ALL
+      SELECT k + 1000000, 'new' FROM base WHERE k % 16 = 0
+    )
+    SELECT COALESCE(seg, 'none') AS seg, COUNT(*) AS n,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM final GROUP BY 1
+    """,
+)
+def lake_delta_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema DDL through the native ALTER API (r9): a PLAIN table is
+    UPGRADED to column-mapping 'name' mode (every existing column keeps
+    its on-disk name as physicalName, so pre-upgrade files resolve
+    untouched), then ADD COLUMNS appends a nullable column (old files
+    null-fill), UPDATE backfills it, RENAME COLUMN changes only the
+    logical name (id + physicalName stay — zero data movement), an
+    append lands at the renamed schema, and DROP COLUMN removes the
+    price column (files untouched; the dropped id is never reused).
+    Final state hash-verified.
+
+    Scale shape: every ALTER is a metadata-only commit; the upgrade
+    never rewrites files — exactly why column mapping exists."""
+    from rtdl_spark.sources.delta_alter import (
+        alter_add_columns,
+        alter_drop_column,
+        alter_rename_column,
+        alter_set_tblproperties,
+    )
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        update_where_delta_native,
+        write_delta_native,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 8 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_alters_", dir=shm)
+    try:
+        root = os.path.join(workdir, "altab")
+        write_delta_native(  # v0: plain table, no mapping
+            spark, o.repartition(2), root, checkpoint_interval=0
+        )
+        alter_set_tblproperties(  # v1: none -> name upgrade
+            spark, root, {"delta.columnMapping.mode": "name"}
+        )
+        alter_add_columns(spark, root, [("segment", "string")])  # v2
+        update_where_delta_native(  # v3: backfill the new column
+            spark, root, "k % 3 = 0", {"segment": "'hot'"}
+        )
+        alter_rename_column(spark, root, "segment", "seg")  # v4
+        write_delta_native(  # v5: append at the renamed schema
+            spark,
+            o.filter(F.col("k") % 16 == 0).select(
+                (F.col("k") + 1000000).alias("k"),
+                F.col("price"),
+                F.lit("new").alias("seg"),
+            ),
+            root,
+            checkpoint_interval=0,
+        )
+        alter_drop_column(spark, root, "price")  # v6
+        got = read_delta_native(spark, root)
+        assert got.columns == ["k", "seg"]
+        out = got.groupBy(
+            F.coalesce(F.col("seg"), F.lit("none")).alias("seg")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -824,35 +824,47 @@ def _reattach_field_ids(
     return df.select(*cols).to(pschema)
 
 
-def _cm_annotate_type(t, next_id: int):
+def _cm_annotate_type(t, next_id: int, keep_names: bool = False):
     """Recursive twin of _cm_annotate_field for container types."""
     if isinstance(t, dict):
         if t.get("type") == "struct":
             fields = []
             for f in t.get("fields") or []:
-                f2, next_id = _cm_annotate_field(f, next_id)
+                f2, next_id = _cm_annotate_field(f, next_id, keep_names)
                 fields.append(f2)
             return {**t, "fields": fields}, next_id
         if t.get("type") == "array":
-            e, next_id = _cm_annotate_type(t["elementType"], next_id)
+            e, next_id = _cm_annotate_type(
+                t["elementType"], next_id, keep_names
+            )
             return {**t, "elementType": e}, next_id
         if t.get("type") == "map":
-            k, next_id = _cm_annotate_type(t["keyType"], next_id)
-            v, next_id = _cm_annotate_type(t["valueType"], next_id)
+            k, next_id = _cm_annotate_type(
+                t["keyType"], next_id, keep_names
+            )
+            v, next_id = _cm_annotate_type(
+                t["valueType"], next_id, keep_names
+            )
             return {**t, "keyType": k, "valueType": v}, next_id
     return t, next_id
 
 
-def _cm_annotate_field(f: dict, next_id: int):
+def _cm_annotate_field(f: dict, next_id: int, keep_names: bool = False):
     """Assign a fresh column-mapping identity (delta.columnMapping.id +
     a col-<uuid> physicalName, delta-spark's convention) to a
     schemaString field and every nested struct field, returning
-    (annotated field, next unused id)."""
+    (annotated field, next unused id). ``keep_names=True`` makes the
+    physicalName the field's CURRENT name at every level — the
+    none->name UPGRADE rule for existing tables, whose already-written
+    parquet files carry exactly those column names (delta-spark's
+    upgrade does the same)."""
     md = dict(f.get("metadata") or {})
     md["delta.columnMapping.id"] = next_id
-    md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+    md["delta.columnMapping.physicalName"] = (
+        f["name"] if keep_names else f"col-{uuid.uuid4()}"
+    )
     next_id += 1
-    t, next_id = _cm_annotate_type(f["type"], next_id)
+    t, next_id = _cm_annotate_type(f["type"], next_id, keep_names)
     return {**f, "metadata": md, "type": t}, next_id
 
 
