@@ -3449,3 +3449,94 @@ def lake_delta_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_shallow_clone",
+    # clone at version, then DIVERGE both tables: delete on the clone
+    # (copy-on-write — the source keeps every row), append to the
+    # source (invisible to the clone). The oracle replays both
+    # lineages; one output row per table proves the isolation.
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), clone_rows AS (
+      SELECT k, price FROM base WHERE k % 3 <> 0
+    ), source_rows AS (
+      SELECT k, price FROM base
+      UNION ALL
+      SELECT k + 1000000, price FROM base WHERE k % 2 = 0
+    )
+    SELECT 'clone' AS tbl, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM clone_rows
+    UNION ALL
+    SELECT 'source' AS tbl, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM source_rows
+    """,
+)
+def lake_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (sources/delta_clone.py, r9): the clone's creating
+    commit references the source's files by ABSOLUTE path — zero data
+    copied — then the two tables diverge: DELETE on the clone is
+    copy-on-write (rewrites stage into the clone's root; the source
+    keeps every row and every file), an append to the source never
+    shows in the clone. Both final states hash-verified in one frame.
+
+    Scale shape: the clone commit is O(active files) driver bookkeeping
+    and one put-if-absent log write — no data job at all; the first
+    DML pays the normal rewrite cost for only the files it touches."""
+    from rtdl_spark.sources.delta_clone import clone_delta_native
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        write_delta_native,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_clone_", dir=shm)
+    try:
+        src = os.path.join(workdir, "src")
+        dst = os.path.join(workdir, "clone")
+        write_delta_native(  # src v0
+            spark, o.repartition(2), src, checkpoint_interval=0
+        )
+        res = clone_delta_native(spark, src, dst)
+        assert res["files_referenced"] > 0
+        delete_where_delta_native(spark, dst, "k % 3 = 0")  # clone only
+        write_delta_native(  # source only
+            spark,
+            o.filter(F.col("k") % 2 == 0).select(
+                (F.col("k") + 1000000).alias("k"), F.col("price")
+            ),
+            src,
+            checkpoint_interval=0,
+        )
+
+        def summary(root, name):
+            return (
+                read_delta_native(spark, root)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("price").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("total"),
+                )
+                .select(F.lit(name).alias("tbl"), "n", "total")
+            )
+
+        out = summary(dst, "clone").unionByName(summary(src, "source"))
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
