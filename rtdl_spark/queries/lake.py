@@ -3540,3 +3540,99 @@ def lake_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_create_ddl",
+    # CREATE TABLE with identity + generated + NOT NULL through the
+    # API, then a plain insert: identity values form EXACTLY the
+    # arithmetic lattice start + step*k for k=0..n-1 (which row gets
+    # which value is partition-assignment-dependent, so the oracle
+    # checks the closed-form set aggregates), the generated column is
+    # data-derived (hash-verified per group), NOT NULL held.
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), n AS (SELECT COUNT(*) AS c FROM base)
+    SELECT CAST(b.k % 3 AS INT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(b.price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           (SELECT 1000 FROM n) AS min_uid,
+           (SELECT 1000 + 7 * (c - 1) FROM n) AS max_uid,
+           (SELECT 1000 * c + 7 * (c * (c - 1) // 2) FROM n) AS sum_uid,
+           TRUE AS lattice_ok
+    FROM base b GROUP BY 1
+    """,
+)
+def lake_delta_create_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE through the native DDL API (delta_alter.py::
+    create_delta_table_native, r9): identity column (start 1000, step
+    7), a generated bucket column, and a NOT NULL price — the creating
+    commit is metadata-only; the insert flows through the append lane,
+    which GENERATES the omitted identity values on the lattice,
+    COMPUTES the omitted generated column, and enforces NOT NULL. The
+    oracle verifies the identity set's closed-form aggregates (min/max/
+    sum of the arithmetic progression — assignment order is
+    partitioning-dependent, the SET is not), the generated column's
+    data-derived grouping, and the lattice residue.
+
+    Scale shape: identity assignment is the zipWithIndex two-pass (one
+    tiny per-partition count + a narrow mapInPandas), no global sort."""
+    from rtdl_spark.sources.delta_alter import create_delta_table_native
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_createddl_", dir=shm)
+    try:
+        root = os.path.join(workdir, "ddltab")
+        create_delta_table_native(
+            spark, root,
+            "uid long, k long, price double, bucket int",
+            identity={"uid": {"start": 1000, "step": 7, "always": True}},
+            generated={"bucket": "CAST(k % 3 AS INT)"},
+            not_null=["price"],
+        )
+        write_delta_native(  # uid + bucket omitted: both computed
+            spark, o.repartition(4), root, checkpoint_interval=0
+        )
+        t = read_delta_native(spark, root)
+        out = (
+            t.groupBy(F.col("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .crossJoin(
+                t.agg(
+                    F.min("uid").alias("min_uid"),
+                    F.max("uid").alias("max_uid"),
+                    F.sum("uid").alias("sum_uid"),
+                    (
+                        F.count(F.lit(1))
+                        == F.sum(
+                            ((F.col("uid") - 1000) % 7 == 0).cast("long")
+                        )
+                    ).alias("lattice_ok"),
+                )
+            )
+            .select(
+                "bucket", "n_rows", "total", "min_uid", "max_uid",
+                "sum_uid", "lattice_ok",
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -683,3 +683,301 @@ def alter_drop_column(
         )
 
     return _commit_alter(spark, root, build)
+
+
+def create_delta_table_native(
+    spark: SparkSession,
+    table_dir: str,
+    schema,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    column_mapping: str | None = None,
+    table_properties: dict[str, str] | None = None,
+    identity: dict[str, dict] | None = None,
+    generated: dict[str, str] | None = None,
+    not_null: list[str] | None = None,
+) -> dict:
+    """CREATE TABLE (empty) with the full column-level DDL surface —
+    the missing creation half of what r7/r8 taught the APPEND lane to
+    honor (until now identity/generated/NOT NULL tables could only be
+    fabricated by hand-writing log JSON):
+
+    - ``schema``: a StructType or DDL string ("id long, v double").
+    - ``identity``: {col: {"start": 1, "step": 1, "always": True}} —
+      the column must be LONG; ``always=True`` is GENERATED ALWAYS
+      (explicit inserts refuse), False is BY DEFAULT.
+    - ``generated``: {col: SQL expression} — omitted on insert ->
+      computed, provided -> validated (the append lane's existing duty).
+    - ``not_null``: columns committed non-nullable (inserts enforce).
+    - ``table_properties``: same validation + protocol implications as
+      ``alter_set_tblproperties`` (unknown delta.* refuses; CDF/DV/ICT
+      upgrade the protocol; delta.constraints.* refuses — constraints
+      are added through alter_add_constraint, which validates rows).
+    - ``cluster_by`` / ``column_mapping`` / ``partition_by``: as in
+      write_delta_native.
+
+    The creating commit is METADATA-ONLY (delta-spark's CREATE TABLE
+    does the same; data arrives as ordinary appends, which is exactly
+    where the generation/validation machinery already lives). One
+    protocol action grants every implied capability at once (the
+    legacy->features conversion in _upgraded_protocol).
+
+    Returns {"version": 0, "protocol": <committed protocol>}."""
+    import uuid as _uuid
+
+    from pyspark.sql.types import StructType
+
+    from rtdl_spark.sources.delta_writer import _table_exists
+
+    root = table_dir.rstrip("/")
+    if _table_exists(spark, root):
+        raise ValueError(f"{root} is already a Delta table")
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    fields = json.loads(schema.json()).get("fields") or []
+    by_name = {f["name"]: f for f in fields}
+    part_cols = list(partition_by or [])
+    identity = identity or {}
+    generated = generated or {}
+    not_null = list(not_null or [])
+    table_properties = dict(table_properties or {})
+
+    for group, cols in (
+        ("partition_by", part_cols),
+        ("identity", identity),
+        ("generated", generated),
+        ("not_null", not_null),
+        ("cluster_by", cluster_by or []),
+    ):
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise ValueError(f"{group} columns not in schema: {missing}")
+    overlap = set(identity) & set(generated)
+    if overlap:
+        raise ValueError(
+            f"columns cannot be both identity and generated: "
+            f"{sorted(overlap)}"
+        )
+    if cluster_by and part_cols:
+        raise ValueError(
+            "cluster_by and partition_by are mutually exclusive — "
+            "delta-spark refuses clustering on partitioned tables"
+        )
+    for c in cluster_by or []:
+        t = by_name[c]["type"]
+        if isinstance(t, dict):
+            raise ValueError(f"clustering columns must be atomic: {c!r}")
+    for k in table_properties:
+        if k.startswith("delta.constraints."):
+            raise ValueError(
+                f"{k}: add CHECK constraints through "
+                "alter_add_constraint after creation (it validates rows)"
+            )
+        if k == "delta.enableRowTracking":
+            raise ValueError(
+                "delta.enableRowTracking at creation is not implemented "
+                "by this writer"
+            )
+        if k == "delta.columnMapping.mode":
+            raise ValueError(
+                "pass column_mapping= instead of "
+                "delta.columnMapping.mode (creation assigns the ids)"
+            )
+        if (
+            k.startswith("delta.")
+            and k not in _PLAIN_DELTA_PROPS
+            and k not in _FEATURE_DELTA_PROPS
+        ):
+            raise ValueError(
+                f"unknown delta.* property {k!r} — refusing to commit "
+                "configuration this writer does not understand"
+            )
+
+    # column-level metadata
+    for c, spec in identity.items():
+        if by_name[c]["type"] != "long":
+            raise ValueError(
+                f"identity column {c!r} must be LONG, got "
+                f"{by_name[c]['type']!r}"
+            )
+        step = int(spec.get("step", 1))
+        if step == 0:
+            raise ValueError(f"identity column {c!r}: step must be != 0")
+        md = dict(by_name[c].get("metadata") or {})
+        md["delta.identity.start"] = int(spec.get("start", 1))
+        md["delta.identity.step"] = step
+        md["delta.identity.allowExplicitInsert"] = not bool(
+            spec.get("always", True)
+        )
+        by_name[c]["metadata"] = md
+        by_name[c]["nullable"] = False
+    for c, expr in generated.items():
+        md = dict(by_name[c].get("metadata") or {})
+        md["delta.generationExpression"] = expr
+        by_name[c]["metadata"] = md
+    for c in not_null:
+        by_name[c]["nullable"] = False
+
+    conf: dict[str, str] = {
+        k: str(v) for k, v in table_properties.items()
+    }
+    if column_mapping is not None:
+        if column_mapping not in ("name", "id"):
+            raise ValueError(
+                f"column_mapping must be 'name' or 'id', got "
+                f"{column_mapping!r}"
+            )
+        annotated, next_id = [], 1
+        for f in fields:
+            f2, next_id = _cm_annotate_field(f, next_id)
+            annotated.append(f2)
+        fields = annotated
+        conf["delta.columnMapping.mode"] = column_mapping
+        conf["delta.columnMapping.maxColumnId"] = str(next_id - 1)
+
+    want_w: list[str] = []
+    want_r: list[str] = []
+    if column_mapping is not None:
+        want_w.append("columnMapping")
+        want_r.append("columnMapping")
+    if cluster_by:
+        want_w.extend(["clustering", "domainMetadata"])
+    if identity:
+        want_w.append("identityColumns")
+    if generated:
+        want_w.append("generatedColumns")
+    for k, v in table_properties.items():
+        spec = _FEATURE_DELTA_PROPS.get(k)
+        if spec and str(v).lower() == "true":
+            want_w.extend(spec[0])
+            want_r.extend(spec[1])
+    base = {"minReaderVersion": 1, "minWriterVersion": 2}
+    protocol = _upgraded_protocol(base, want_w, want_r) or base
+    if (
+        table_properties.get("delta.enableInCommitTimestamps", "")
+        .lower()
+        == "true"
+    ):
+        conf["delta.inCommitTimestampEnablementVersion"] = "0"
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(
+            _now_ms()
+        )
+
+    ts = _now_ms()
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "CREATE TABLE",
+                "operationParameters": {
+                    "partitionBy": json.dumps(part_cols),
+                    "clusterBy": json.dumps(cluster_by or []),
+                    "properties": json.dumps(table_properties),
+                },
+                "engineInfo": "rtdl-spark native-delta-writer/1",
+            }
+        },
+        {"protocol": protocol},
+        {
+            "metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                # the identity/generated/not_null patches above mutated
+                # the field dicts in place; CM annotation rebuilt them
+                # FROM those (so the metadata rode along either way)
+                "schemaString": _fields_to_schema(fields),
+                "partitionColumns": part_cols,
+                "configuration": conf,
+                "createdTime": ts,
+            }
+        },
+    ]
+    if cluster_by:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cluster_by]}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+    if not _try_commit(spark, root, 0, actions):
+        raise ValueError(
+            f"{root} gained a Delta log concurrently — create refuses "
+            "to race"
+        )
+    return {"version": 0, "protocol": protocol}
+
+
+def alter_cluster_by(
+    spark: SparkSession,
+    table_dir: str,
+    columns: list[str] | None,
+) -> dict:
+    """ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE: update (or
+    remove, with ``columns=None``) the delta.clustering domain — the
+    columns the next OPTIMIZE reclusters by. Existing files are NOT
+    rewritten (delta-spark's ALTER CLUSTER BY is the same lazy
+    contract); the protocol gains clustering+domainMetadata when the
+    table didn't have them. Partitioned tables refuse (clustering and
+    partitioning are mutually exclusive); columns must be existing,
+    top-level, atomic."""
+    root = table_dir.rstrip("/")
+
+    def build(protocol, meta, current):
+        if columns is not None:
+            if not columns:
+                raise ValueError(
+                    "CLUSTER BY needs at least one column (pass "
+                    "columns=None for CLUSTER BY NONE)"
+                )
+            if meta.get("partitionColumns"):
+                raise ValueError(
+                    "cannot cluster a partitioned table — clustering "
+                    "and partitioning are mutually exclusive"
+                )
+            fields = {f["name"]: f for f in _schema_fields(meta)}
+            missing = [c for c in columns if c not in fields]
+            if missing:
+                raise ValueError(f"no such columns: {missing}")
+            complex_c = [
+                c for c in columns if isinstance(fields[c]["type"], dict)
+            ]
+            if complex_c:
+                raise ValueError(
+                    f"clustering columns must be atomic: {complex_c}"
+                )
+        actions = []
+        upgraded = _upgraded_protocol(
+            protocol, ["clustering", "domainMetadata"]
+        )
+        if upgraded is not None:
+            if columns is None:
+                return {"version": None, "clustering": None}  # no-op
+            actions.append({"protocol": upgraded})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {
+                            "clusteringColumns": [
+                                [c] for c in (columns or [])
+                            ]
+                        }
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        return (
+            "CLUSTER BY",
+            {"clusterBy": json.dumps(columns or [])},
+            actions,
+            {"clustering": list(columns) if columns else []},
+        )
+
+    return _commit_alter(spark, root, build)

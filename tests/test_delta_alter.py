@@ -342,3 +342,179 @@ def test_drop_column_cm_only_and_id_never_reused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partition column"):
         alter_drop_column(spark, proot, "p")
+
+
+def test_create_table_identity_generated_not_null(spark, tmp_path):
+    """create_delta_table_native: the creating commit is metadata-only;
+    inserts then flow through the append lane, which GENERATES omitted
+    identity values on the start/step lattice, COMPUTES omitted
+    generated columns, validates provided ones, and enforces NOT NULL —
+    the machinery r7 built for fabricated tables now reachable from a
+    real CREATE."""
+    from rtdl_spark.sources.delta_alter import create_delta_table_native
+
+    root = str(tmp_path / "t")
+    res = create_delta_table_native(
+        spark, root,
+        "uid long, v long, bucket int, label string",
+        identity={"uid": {"start": 100, "step": 10, "always": True}},
+        generated={"bucket": "CAST(v % 3 AS INT)"},
+        not_null=["label"],
+    )
+    assert res["version"] == 0
+    protocol, meta, _, _, _ = snapshot_actions(spark, root)
+    assert protocol["minWriterVersion"] == 6  # identity (legacy form)
+    assert read_delta_native(spark, root).count() == 0  # empty create
+
+    # insert omitting uid + bucket: both get computed
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(5, "a"), (7, "b"), (9, "c")], "v long, label string"
+        ),
+        root, checkpoint_interval=0,
+    )
+    got = read_delta_native(spark, root)
+    rows = {r["v"]: r for r in got.collect()}
+    assert sorted(r["uid"] for r in rows.values()) == [100, 110, 120]
+    assert all(r["bucket"] == r["v"] % 3 for r in rows.values())
+
+    # GENERATED ALWAYS refuses explicit uid; NOT NULL refuses null label
+    with pytest.raises(Exception, match="GENERATED ALWAYS"):
+        write_delta_native(
+            spark,
+            spark.createDataFrame(
+                [(1, 2, 2, "x")],
+                "uid long, v long, bucket int, label string",
+            ),
+            root, checkpoint_interval=0,
+        )
+    with pytest.raises(Exception, match="label"):
+        write_delta_native(
+            spark,
+            spark.createDataFrame(
+                [(11, None)], "v long, label string"
+            ),
+            root, checkpoint_interval=0,
+        )
+    # a second omitted-identity insert continues past the watermark
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(13, "d")], "v long, label string"),
+        root, checkpoint_interval=0,
+    )
+    uids = sorted(
+        r["uid"] for r in read_delta_native(spark, root).collect()
+    )
+    assert uids == [100, 110, 120, 130]
+
+    # refusals at creation
+    with pytest.raises(ValueError, match="already a Delta table"):
+        create_delta_table_native(spark, root, "id long")
+    with pytest.raises(ValueError, match="must be LONG"):
+        create_delta_table_native(
+            spark, str(tmp_path / "x1"), "id int",
+            identity={"id": {}},
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        create_delta_table_native(
+            spark, str(tmp_path / "x2"), "id long", not_null=["nope"]
+        )
+    with pytest.raises(ValueError, match="alter_add_constraint"):
+        create_delta_table_native(
+            spark, str(tmp_path / "x3"), "id long",
+            table_properties={"delta.constraints.c": "id > 0"},
+        )
+
+
+def test_create_table_cm_clustered_with_properties(spark, tmp_path):
+    """CREATE with column mapping + clustering + CDF in one commit: the
+    single protocol action grants every implied capability (features
+    form), the clustering domain lands, and the whole DML lane works on
+    the result."""
+    from rtdl_spark.sources.delta_alter import create_delta_table_native
+    from rtdl_spark.sources.delta_reader import (
+        read_table_changes_cdf,
+        snapshot_domains,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        optimize_delta_native,
+    )
+
+    root = str(tmp_path / "t")
+    res = create_delta_table_native(
+        spark, root,
+        "k long, price double",
+        cluster_by=["k"],
+        column_mapping="name",
+        table_properties={"delta.enableChangeDataFeed": "true"},
+    )
+    p = res["protocol"]
+    # reader stays at legacy v2 (columnMapping's legacy level — no
+    # reader-v3-only feature was asked for); the writer needs the v7
+    # feature form because clustering only exists there
+    assert p["minReaderVersion"] == 2 and p["minWriterVersion"] == 7
+    assert {"columnMapping", "clustering", "domainMetadata",
+            "changeDataFeed"} <= set(p["writerFeatures"])
+    assert json.loads(
+        snapshot_domains(spark, root)["delta.clustering"]["configuration"]
+    ) == {"clusteringColumns": [["k"]]}
+
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("price")
+    )
+    write_delta_native(spark, df, root, checkpoint_interval=0)
+    d = delete_where_delta_native(spark, root, "k % 5 = 0")
+    assert d["cdc_files"] >= 1  # CDF was live from creation
+    ch = read_table_changes_cdf(spark, root, d["version"], d["version"])
+    assert ch.count() == 6
+    optimize_delta_native(spark, root, min_files=1)  # reclusters by k
+    assert read_delta_native(spark, root).count() == 24
+
+
+def test_alter_cluster_by_changes_optimize_axis(spark, tmp_path):
+    """ALTER CLUSTER BY re-points the next OPTIMIZE's recluster axis
+    without rewriting anything; CLUSTER BY NONE empties the domain so
+    OPTIMIZE falls back to plain bin-packing; a plain table gains the
+    features on first CLUSTER BY."""
+    from rtdl_spark.sources.delta_alter import alter_cluster_by
+    from rtdl_spark.sources.delta_reader import snapshot_domains
+    from rtdl_spark.sources.delta_writer import optimize_delta_native
+
+    root = str(tmp_path / "t")
+    write_delta_native(spark, _frame(spark, 0, 40).repartition(4), root,
+                       checkpoint_interval=0)
+    res = alter_cluster_by(spark, root, ["v"])
+    assert res["clustering"] == ["v"]
+    protocol, _, _, _, _ = snapshot_actions(spark, root)
+    assert "clustering" in protocol["writerFeatures"]
+    assert json.loads(
+        snapshot_domains(spark, root)["delta.clustering"]["configuration"]
+    ) == {"clusteringColumns": [["v"]]}
+    optimize_delta_native(spark, root, min_files=1)  # reclusters by v
+    assert read_delta_native(spark, root).count() == 40
+
+    alter_cluster_by(spark, root, ["id"])  # re-point the axis
+    assert json.loads(
+        snapshot_domains(spark, root)["delta.clustering"]["configuration"]
+    ) == {"clusteringColumns": [["id"]]}
+    alter_cluster_by(spark, root, None)  # CLUSTER BY NONE
+    assert json.loads(
+        snapshot_domains(spark, root)["delta.clustering"]["configuration"]
+    ) == {"clusteringColumns": []}
+    optimize_delta_native(spark, root, min_files=1)  # plain bin-pack
+    assert read_delta_native(spark, root).count() == 40
+
+    with pytest.raises(ValueError, match="no such columns"):
+        alter_cluster_by(spark, root, ["nope"])
+    proot = str(tmp_path / "part")
+    write_delta_native(
+        spark,
+        spark.range(4).select(
+            "id", (F.col("id") % 2).cast("string").alias("p")
+        ),
+        proot, partition_by=["p"], checkpoint_interval=0,
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        alter_cluster_by(spark, proot, ["id"])
