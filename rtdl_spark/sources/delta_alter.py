@@ -187,6 +187,13 @@ _FEATURE_DELTA_PROPS = {
         ["deletionVectors"],
     ),
     "delta.enableInCommitTimestamps": (["inCommitTimestamp"], []),
+    # CREATE-only (alter_set_tblproperties refuses it on existing
+    # tables — their active files would need a baseRowId backfill; an
+    # EMPTY table has nothing to backfill, so create allows it)
+    "delta.enableRowTracking": (
+        ["rowTracking", "domainMetadata"],
+        [],
+    ),
 }
 
 
@@ -772,11 +779,6 @@ def create_delta_table_native(
             raise ValueError(
                 f"{k}: add CHECK constraints through "
                 "alter_add_constraint after creation (it validates rows)"
-            )
-        if k == "delta.enableRowTracking":
-            raise ValueError(
-                "delta.enableRowTracking at creation is not implemented "
-                "by this writer"
             )
         if k == "delta.columnMapping.mode":
             raise ValueError(

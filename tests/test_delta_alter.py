@@ -518,3 +518,51 @@ def test_alter_cluster_by_changes_optimize_axis(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mutually exclusive"):
         alter_cluster_by(spark, proot, ["id"])
+
+
+def test_create_with_row_tracking_assigns_and_preserves_ids(
+    spark, tmp_path
+):
+    """delta.enableRowTracking is allowed at CREATE (an empty table has
+    no files to backfill — the reason alter_set_tblproperties refuses
+    it on existing tables): appends stamp fresh baseRowId ranges and
+    advance the watermark; a DELETE preserves surviving rows' ids via
+    the materialized column machinery."""
+    from rtdl_spark.sources.delta_alter import create_delta_table_native
+    from rtdl_spark.sources.delta_reader import snapshot_domains
+    from rtdl_spark.sources.delta_writer import delete_where_delta_native
+
+    root = str(tmp_path / "t")
+    res = create_delta_table_native(
+        spark, root, "id long, v long",
+        table_properties={"delta.enableRowTracking": "true"},
+    )
+    assert {"rowTracking", "domainMetadata"} <= set(
+        res["protocol"]["writerFeatures"]
+    )
+    write_delta_native(spark, _frame(spark, 0, 10).repartition(2),
+                       root, checkpoint_interval=0)
+    _, _, active, _, _ = snapshot_actions(spark, root)
+    bases = sorted(a["baseRowId"] for a in active.values())
+    assert bases[0] == 0  # fresh table: ids start at the bottom
+    doms = snapshot_domains(spark, root)
+    hwm = json.loads(doms["delta.rowTracking"]["configuration"])
+    assert int(hwm["rowIdHighWaterMark"]) >= 9
+
+    # second append continues past the watermark; NON-EMPTY files get
+    # disjoint id ranges (empty files legally share a zero-width base)
+    write_delta_native(spark, _frame(spark, 10, 15), root,
+                       checkpoint_interval=0)
+    _, _, active, _, _ = snapshot_actions(spark, root)
+    ranges = sorted(
+        (a["baseRowId"],
+         a["baseRowId"] + json.loads(a["stats"])["numRecords"])
+        for a in active.values()
+        if json.loads(a["stats"])["numRecords"] > 0
+    )
+    for (s1, e1), (s2, _e2) in zip(ranges, ranges[1:]):
+        assert e1 <= s2, f"overlapping row-id ranges: {ranges}"
+
+    # DELETE preserves surviving ids (materialized column lane)
+    delete_where_delta_native(spark, root, "id % 2 = 0")
+    assert read_delta_native(spark, root).count() == 7

@@ -210,3 +210,37 @@ def test_clone_carries_domains_and_checkpoints(spark, tmp_path):
     dst2 = str(tmp_path / "dst2")
     clone_delta_native(spark, dst, dst2)
     assert read_delta_native(spark, dst2).count() == 40
+
+
+def test_streaming_from_a_shallow_clone(spark, tmp_path):
+    """The Delta streaming source resolves the clone's absolute-path
+    adds (os.path.join with an absolute operand IS the absolute path):
+    an availableNow run over a fresh clone emits exactly the referenced
+    rows, and a post-clone append to the SOURCE emits nothing."""
+    from rtdl_spark.sources.delta_stream_source import (
+        DeltaStreamDataSource,
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_delta_native(spark, _frame(spark, 0, 12).repartition(2), src,
+                       checkpoint_interval=0)
+    clone_delta_native(spark, src, dst)
+    write_delta_native(spark, _frame(spark, 100, 105), src,
+                       checkpoint_interval=0)  # source-only append
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("rtdl_delta_stream")
+        .option("path", dst)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(r["id"] for r in got.collect()) == list(range(12))
