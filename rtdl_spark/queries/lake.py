@@ -3636,3 +3636,80 @@ def lake_delta_create_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_data_skipping",
+    # selective predicate over a range-partitioned native table: the
+    # oracle replays the filtered algebra; the in-query assertions pin
+    # that files were actually PRUNED from stats (not just filtered)
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT CAST(k % 5 AS INT) AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM base WHERE k >= (SELECT (MAX(k) * 4) // 5 FROM base)
+    GROUP BY 1
+    """,
+)
+def lake_delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING (r9): writes harvest per-file minValues/maxValues/
+    nullCount from the parquet footers into the add-action stats (zero
+    extra Spark jobs — the footer is already on the driver's disk);
+    read_delta_native(where=...) then prunes every file whose stats
+    prove no row can match BEFORE any scan task launches, and still
+    applies the full predicate to the survivors. Here the table is
+    range-partitioned on k, so the top-quintile key predicate opens only
+    the top range files — asserted via data_skipping_report, content hash-verified.
+
+    Scale shape: THE 100 TB read lever — a selective predicate over a
+    clustered column turns a full-table scan into a handful of file
+    opens; the pruning itself is O(files) driver arithmetic over
+    KB-scale stats."""
+    from rtdl_spark.sources.delta_reader import (
+        data_skipping_report,
+        read_delta_native,
+    )
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_skip_", dir=shm)
+    try:
+        root = os.path.join(workdir, "skiptab")
+        write_delta_native(
+            spark, o.repartitionByRange(8, "k"), root,
+            checkpoint_interval=0,
+        )
+        # data-relative threshold (top ~20% of the key range) with
+        # exact integer arithmetic, identical in the oracle
+        thr = (o.agg(F.max("k")).collect()[0][0] * 4) // 5
+        rep = data_skipping_report(spark, root, f"k >= {thr}")
+        assert rep["pruned"] > 0, rep  # stats really skipped files
+        assert rep["total"] == rep["kept"] + rep["pruned"]
+        out = (
+            read_delta_native(spark, root, where=f"k >= {thr}")
+            .groupBy((F.col("k") % 5).cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("price").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import re
 import urllib.parse
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
@@ -874,13 +875,23 @@ def read_delta_native(
     table_dir: str,
     version: int | None = None,
     timestamp=None,
+    where: str | None = None,
 ) -> DataFrame:
     """Read a Delta table (optionally as of ``version`` or of a commit
     ``timestamp``) via log replay + one plain parquet scan per
     partition-value group. Partition columns come from the log's
     partitionValues (the protocol's source of truth — Delta does NOT
     require Hive-style paths), cast to the schema types; an empty active
-    set returns an empty frame with the full schema."""
+    set returns an empty frame with the full schema.
+
+    ``where`` enables DATA SKIPPING (r9): files whose add-action stats
+    (minValues/maxValues/nullCount, harvested from parquet footers at
+    write time) or partitionValues prove no row can match are never
+    opened — and the full predicate is still applied to the scanned
+    rows, so the result is exactly ``read(...).filter(where)`` minus
+    the I/O. At 100 TB this is THE planning lever: a selective
+    predicate over a clustered/sorted column turns a full-table scan
+    into a handful of file opens."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
@@ -889,6 +900,10 @@ def read_delta_native(
     files = sorted(
         (p, a.get("partitionValues") or {}) for p, a in active.items()
     )
+    if where is not None:
+        files, _n_pruned = _prune_files_by_stats(
+            files, active, meta, where
+        )
     # deletion vectors: descriptor per DECODED plain abs path (the form
     # executors recover from _metadata.file_path — which Spark renders
     # percent-escaped)
@@ -1045,6 +1060,10 @@ def read_delta_native(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if where is not None:
+        # pruning only PROVED non-matches away; the surviving files
+        # still hold non-matching rows — the full predicate is the truth
+        out = out.filter(F.expr(where))
     return out
 
 
@@ -1538,3 +1557,210 @@ def read_table_changes_cdf(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- data skipping (r9): stat-based file pruning --------------------
+
+_SKIP_CMP_RE = re.compile(
+    r"^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*"
+    r"(==|=|<=|>=|<>|!=|<|>)\s*(.+?)\s*$"
+)
+_SKIP_LIT_RE = re.compile(
+    r"^(?:(?P<num>[-+]?\d+(?:\.\d+)?)"
+    r"|'(?P<sq>[^']*)'"
+    r"|\"(?P<dq>[^\"]*)\""
+    r"|(?:DATE|date)\s*'(?P<date>[^']*)'"
+    r"|(?:TIMESTAMP|timestamp)\s*'(?P<ts>[^']*)')$"
+)
+
+
+def _skip_conjuncts(where: str) -> list[str]:
+    """Top-level AND-split of a predicate (depth-0, outside quotes).
+    An OR anywhere at depth 0 disables pruning entirely (every
+    conjunct this returns must independently hold for matching rows)."""
+    parts, buf, depth, q = [], [], 0, None
+    i, n = 0, len(where)
+    upper = where.upper()
+    while i < n:
+        ch = where[i]
+        if q:
+            if ch == q:
+                q = None
+            buf.append(ch)
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and q is None
+            and upper.startswith(" AND ", i)
+        ):
+            parts.append("".join(buf))
+            buf = []
+            i += 5
+            continue
+        if depth == 0 and q is None and upper.startswith(" OR ", i):
+            return []  # top-level OR: no safe conjunct decomposition
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _skip_typed(raw_value, delta_type):
+    """Coerce a parsed literal or a JSON stats bound to a comparable
+    python value for ``delta_type``; None = not comparable (unknown
+    type, non-ASCII string, parse failure) — the conjunct then cannot
+    prune."""
+    import datetime
+
+    try:
+        if delta_type in ("byte", "short", "integer", "long"):
+            return int(raw_value)
+        if delta_type in ("float", "double"):
+            return float(raw_value)
+        if delta_type == "string":
+            s = str(raw_value)
+            return s if s.isascii() else None
+        if delta_type == "date":
+            return datetime.date.fromisoformat(str(raw_value))
+        if delta_type in ("timestamp", "timestamp_ntz"):
+            s = str(raw_value).replace(" ", "T").rstrip("Z")
+            return datetime.datetime.fromisoformat(s)
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def _skip_excludes(op: str, lo, hi, lit) -> bool:
+    """True when NO value in [lo, hi] can satisfy ``value op lit``."""
+    if op in ("=", "=="):
+        return lit < lo or lit > hi
+    if op == "<":
+        return lo >= lit
+    if op == "<=":
+        return lo > lit
+    if op == ">":
+        return hi <= lit
+    if op == ">=":
+        return hi < lit
+    if op in ("!=", "<>"):
+        return lo == hi == lit
+    return False
+
+
+def _prune_files_by_stats(
+    files: list[tuple[str, dict]],
+    active: dict[str, dict],
+    meta: dict,
+    where: str,
+) -> tuple[list[tuple[str, dict]], int]:
+    """Data skipping: drop files whose add-action stats (minValues /
+    maxValues / nullCount, written by this engine's footer harvest) or
+    partitionValues PROVE no row can satisfy ``where``. Conservative by
+    construction — only conjuncts of the form ``col OP literal`` over
+    top-level columns prune; anything else (ORs, functions, IS NULL,
+    unparseable literals, missing stats, non-ASCII strings) keeps the
+    file. The caller still applies the FULL predicate to the scanned
+    rows; pruning is purely an I/O saver, exactly delta-spark's
+    DataSkippingReader contract."""
+    conjuncts = _skip_conjuncts(where)
+    parsed = []
+    fields_json = json.loads(meta["schemaString"]).get("fields") or []
+    type_of = {
+        f["name"]: f["type"]
+        for f in fields_json
+        if isinstance(f["type"], str)
+    }
+    phys = {f["name"]: _physical_name(f) for f in fields_json}
+    if _cm_mode(meta) == "none":
+        phys = {n: n for n in phys}
+    part_cols = set(meta.get("partitionColumns") or [])
+    for c in conjuncts:
+        m = _SKIP_CMP_RE.match(c)
+        if not m:
+            continue
+        col, op, rhs = m.group(1), m.group(2), m.group(3)
+        lm = _SKIP_LIT_RE.match(rhs)
+        if not lm or col not in type_of:
+            continue
+        raw = next(v for v in lm.groups() if v is not None)
+        lit = _skip_typed(raw, type_of[col])
+        if lit is None:
+            continue
+        parsed.append((col, op, lit))
+    if not parsed:
+        return files, 0
+
+    kept = []
+    pruned = 0
+    for path, pvals in files:
+        a = active[path]
+        try:
+            stats = json.loads(a.get("stats") or "{}")
+        except Exception:
+            stats = {}
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        nulls = stats.get("nullCount") or {}
+        nrec = stats.get("numRecords")
+        drop = False
+        for col, op, lit in parsed:
+            t = type_of[col]
+            p = phys[col]
+            if col in part_cols:
+                if p not in pvals:
+                    continue
+                v = pvals.get(p)
+                if v is None:
+                    drop = True  # null partition: comparisons are false
+                    break
+                v = _skip_typed(v, t)
+                if v is None:
+                    continue
+                if _skip_excludes(op, v, v, lit):
+                    drop = True
+                    break
+                continue
+            if (
+                nrec is not None
+                and nulls.get(p) is not None
+                and int(nulls[p]) == int(nrec)
+                and int(nrec) > 0
+            ):
+                drop = True  # every value null: comparisons are false
+                break
+            lo = _skip_typed(mins[p], t) if p in mins else None
+            hi = _skip_typed(maxs[p], t) if p in maxs else None
+            if lo is None or hi is None:
+                continue
+            if _skip_excludes(op, lo, hi, lit):
+                drop = True
+                break
+        if drop:
+            pruned += 1
+        else:
+            kept.append((path, pvals))
+    return kept, pruned
+
+
+def data_skipping_report(
+    spark: SparkSession,
+    table_dir: str,
+    where: str,
+    version: int | None = None,
+) -> dict:
+    """What data skipping would do for ``where``: {"total", "kept",
+    "pruned"} file counts — the observability hook the tests and plan
+    audits use (read_delta_native(where=...) applies the same logic)."""
+    _, meta, active, _, _ = snapshot_actions(spark, table_dir, version)
+    files = sorted(
+        (p, a.get("partitionValues") or {}) for p, a in active.items()
+    )
+    kept, pruned = _prune_files_by_stats(files, active, meta, where)
+    return {"total": len(files), "kept": len(kept), "pruned": pruned}
