@@ -1572,6 +1572,13 @@ _SKIP_LIT_RE = re.compile(
     r"|(?:DATE|date)\s*'(?P<date>[^']*)'"
     r"|(?:TIMESTAMP|timestamp)\s*'(?P<ts>[^']*)')$"
 )
+_SKIP_IN_RE = re.compile(
+    r"^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(?:IN|in)\s*\(([^()]*)\)\s*$"
+)
+_SKIP_LIKE_RE = re.compile(
+    r"^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(?:LIKE|like)\s*"
+    r"'(?P<prefix>[^'%_\\]*)%'\s*$"
+)
 
 
 def _skip_conjuncts(where: str) -> list[str]:
@@ -1683,17 +1690,50 @@ def _prune_files_by_stats(
     part_cols = set(meta.get("partitionColumns") or [])
     for c in conjuncts:
         m = _SKIP_CMP_RE.match(c)
-        if not m:
+        if m:
+            col, op, rhs = m.group(1), m.group(2), m.group(3)
+            lm = _SKIP_LIT_RE.match(rhs)
+            if not lm or col not in type_of:
+                continue
+            raw = next(v for v in lm.groups() if v is not None)
+            lit = _skip_typed(raw, type_of[col])
+            if lit is None:
+                continue
+            parsed.append((col, op, lit))
             continue
-        col, op, rhs = m.group(1), m.group(2), m.group(3)
-        lm = _SKIP_LIT_RE.match(rhs)
-        if not lm or col not in type_of:
+        m = _SKIP_IN_RE.match(c)
+        if m and m.group(1) in type_of:
+            col = m.group(1)
+            lits = []
+            ok = True
+            for item in m.group(2).split(","):
+                lm = _SKIP_LIT_RE.match(item.strip())
+                lit = (
+                    _skip_typed(
+                        next(v for v in lm.groups() if v is not None),
+                        type_of[col],
+                    )
+                    if lm
+                    else None
+                )
+                if lit is None:
+                    ok = False  # one unusable element disables the IN
+                    break
+                lits.append(lit)
+            if ok and lits:
+                parsed.append((col, "in", lits))
             continue
-        raw = next(v for v in lm.groups() if v is not None)
-        lit = _skip_typed(raw, type_of[col])
-        if lit is None:
-            continue
-        parsed.append((col, op, lit))
+        m = _SKIP_LIKE_RE.match(c)
+        if (
+            m
+            and m.group(1) in type_of
+            and type_of[m.group(1)] == "string"
+        ):
+            prefix = m.group("prefix")
+            if prefix and prefix.isascii():
+                # matching strings lie in [prefix, prefix-with-last-
+                # char-incremented) — the standard prefix interval
+                parsed.append((m.group(1), "like", prefix))
     if not parsed:
         return files, 0
 
@@ -1723,7 +1763,15 @@ def _prune_files_by_stats(
                 v = _skip_typed(v, t)
                 if v is None:
                     continue
-                if _skip_excludes(op, v, v, lit):
+                if op == "in":
+                    if all(_skip_excludes("=", v, v, x) for x in lit):
+                        drop = True
+                        break
+                elif op == "like":
+                    if not str(v).startswith(lit):
+                        drop = True
+                        break
+                elif _skip_excludes(op, v, v, lit):
                     drop = True
                     break
                 continue
@@ -1739,7 +1787,16 @@ def _prune_files_by_stats(
             hi = _skip_typed(maxs[p], t) if p in maxs else None
             if lo is None or hi is None:
                 continue
-            if _skip_excludes(op, lo, hi, lit):
+            if op == "in":
+                if all(_skip_excludes("=", lo, hi, x) for x in lit):
+                    drop = True
+                    break
+            elif op == "like":
+                nxt = lit[:-1] + chr(ord(lit[-1]) + 1)
+                if hi < lit or lo >= nxt:
+                    drop = True
+                    break
+            elif _skip_excludes(op, lo, hi, lit):
                 drop = True
                 break
         if drop:
@@ -1764,3 +1821,83 @@ def data_skipping_report(
     )
     kept, pruned = _prune_files_by_stats(files, active, meta, where)
     return {"total": len(files), "kept": len(kept), "pruned": pruned}
+
+
+def _prune_files_by_key_ranges(
+    files: list[tuple[str, dict]],
+    active: dict[str, dict],
+    meta: dict,
+    ranges: dict[str, tuple],
+) -> tuple[list[tuple[str, dict]], int]:
+    """Equality-join candidate pruning (MERGE, r9): keep only files
+    whose per-column stats ranges INTERSECT the source key range for
+    EVERY join column — a necessary condition for containing any
+    matching key. ``ranges``: {logical col: (lo, hi)} with python-typed
+    bounds (the collected source min/max). Missing stats keep the file
+    (conservative); an all-null key column in a file can match nothing
+    and prunes."""
+    fields_json = json.loads(meta["schemaString"]).get("fields") or []
+    type_of = {
+        f["name"]: f["type"]
+        for f in fields_json
+        if isinstance(f["type"], str)
+    }
+    phys = {f["name"]: _physical_name(f) for f in fields_json}
+    if _cm_mode(meta) == "none":
+        phys = {n: n for n in phys}
+    part_cols = set(meta.get("partitionColumns") or [])
+    typed: dict[str, tuple] = {}
+    for col, (lo, hi) in ranges.items():
+        if col not in type_of or lo is None or hi is None:
+            continue
+        t = type_of[col]
+        tlo, thi = _skip_typed(lo, t), _skip_typed(hi, t)
+        if tlo is not None and thi is not None:
+            typed[col] = (tlo, thi)
+    if not typed:
+        return files, 0
+    kept, pruned = [], 0
+    for path, pvals in files:
+        a = active[path]
+        try:
+            stats = json.loads(a.get("stats") or "{}")
+        except Exception:
+            stats = {}
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        nulls = stats.get("nullCount") or {}
+        nrec = stats.get("numRecords")
+        drop = False
+        for col, (lo, hi) in typed.items():
+            t = type_of[col]
+            p = phys[col]
+            if col in part_cols:
+                v = pvals.get(p) if p in pvals else None
+                if p in pvals and v is None:
+                    drop = True  # null partition value joins nothing
+                    break
+                v = _skip_typed(v, t) if v is not None else None
+                if v is not None and (v < lo or v > hi):
+                    drop = True
+                    break
+                continue
+            if (
+                nrec is not None
+                and nulls.get(p) is not None
+                and int(nulls[p]) == int(nrec)
+                and int(nrec) > 0
+            ):
+                drop = True  # every key null: equality matches nothing
+                break
+            flo = _skip_typed(mins[p], t) if p in mins else None
+            fhi = _skip_typed(maxs[p], t) if p in maxs else None
+            if flo is None or fhi is None:
+                continue
+            if fhi < lo or flo > hi:
+                drop = True
+                break
+        if drop:
+            pruned += 1
+        else:
+            kept.append((path, pvals))
+    return kept, pruned

@@ -3441,7 +3441,39 @@ def merge_into_delta_native(
     # materialize-only job first (r9, measured)
     src = source.localCheckpoint(eager=False)
 
-    tbl, path_to_add = _active_scan(spark, root, meta, active)
+    # key-range candidate pruning (r9, delta-spark's two-phase MERGE):
+    # one tiny aggregate over the frozen source yields per-key min/max;
+    # target files whose stats exclude the WHOLE source range can hold
+    # no matching key — and the insert dedup stays correct on the
+    # pruned scan, because a target key equal to a source key lies
+    # inside the source range by definition, hence in a kept file.
+    # Gated on table size: small tables would pay the extra job for
+    # nothing (the pruning's value grows with file count).
+    merge_scan = active
+    if len(active) >= 16 and when_matched != "ignore":
+        from rtdl_spark.sources.delta_reader import (
+            _prune_files_by_key_ranges,
+        )
+
+        b = src.agg(
+            *[F.min(F.col(k)).alias(f"__lo_{i}") for i, k in enumerate(on)],
+            *[F.max(F.col(k)).alias(f"__hi_{i}") for i, k in enumerate(on)],
+        ).collect()[0]
+        ranges = {
+            k: (b[f"__lo_{i}"], b[f"__hi_{i}"]) for i, k in enumerate(on)
+        }
+        kept, _np = _prune_files_by_key_ranges(
+            sorted(
+                (p, a.get("partitionValues") or {})
+                for p, a in active.items()
+            ),
+            active,
+            meta,
+            ranges,
+        )
+        merge_scan = {p: active[p] for p, _pv in kept}
+
+    tbl, path_to_add = _active_scan(spark, root, meta, merge_scan)
     keys = src.select(*on).distinct()
     # ONE PROBE JOB (r9, measured — the r8 profile showed lifecycle
     # time is job-count × fixed job latency): the duplicate-source

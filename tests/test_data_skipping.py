@@ -182,3 +182,98 @@ def test_dml_identify_scans_prune(spark, tmp_path):
     assert got.filter("id >= 950").agg(
         F.sum(F.col("v") - F.col("id") * 2)
     ).collect()[0][0] == 50
+
+
+def test_merge_key_range_pruning(spark, tmp_path):
+    """MERGE prunes its identify/insert-dedup scan to files whose key
+    stats intersect the source key range (two-phase merge): narrow
+    upserts touch only the matching range's files, disjoint-range
+    sources insert everything without scanning any target file, and
+    results always equal the unpruned semantics."""
+    from rtdl_spark.sources.delta_writer import merge_into_delta_native
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 2000).select(
+        "id", (F.col("id") * 2).alias("v")
+    ).repartitionByRange(20, "id")
+    write_delta_native(spark, df, root, checkpoint_interval=0)
+
+    # narrow upsert: updates 2 keys, inserts 1 — only ~1 file rewritten
+    upd = spark.createDataFrame(
+        [(100, -1), (101, -2), (5000, 1)], "id long, v long"
+    )
+    res = merge_into_delta_native(spark, root, upd, on=["id"])
+    assert res["files_rewritten"] <= 2
+    got = read_delta_native(spark, root)
+    assert got.count() == 2001
+    assert got.filter("id = 100").collect()[0]["v"] == -1
+    assert got.filter("id = 5000").collect()[0]["v"] == 1
+    assert got.filter("id = 300").collect()[0]["v"] == 600
+
+    # fully-disjoint source range: zero files rewritten, pure insert
+    ins = spark.range(9000, 9010).select(
+        "id", F.lit(0).cast("long").alias("v")
+    )
+    res2 = merge_into_delta_native(spark, root, ins, on=["id"])
+    assert res2["files_rewritten"] == 0
+    assert read_delta_native(spark, root).count() == 2011
+
+
+def test_skipping_improves_after_clustering(spark, tmp_path):
+    """The clustering ↔ skipping composition that matters at 100 TB:
+    on randomly-laid-out files a selective predicate prunes nothing
+    (every file's range spans the domain); after OPTIMIZE reclusters by
+    the column, file ranges tighten and the same predicate prunes most
+    of the table — stats are harvested from the rewritten files'
+    footers automatically."""
+    from rtdl_spark.sources.delta_writer import (
+        optimize_delta_native,
+        write_delta_native,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 16000).select(
+        # hash-scatter v so every pre-cluster file spans the domain
+        (F.hash(F.col("id")) % 16000).alias("v"), "id"
+    ).repartition(8)
+    write_delta_native(spark, df, root, cluster_by=["v"],
+                       checkpoint_interval=0)
+    before = data_skipping_report(spark, root, "v >= 14000")
+    assert before["pruned"] == 0  # scattered layout: nothing provable
+
+    optimize_delta_native(spark, root, target_file_bytes=1 << 14,
+                          min_files=1)  # reclusters by the domain's v
+    after = data_skipping_report(spark, root, "v >= 14000")
+    assert after["total"] >= 4
+    assert after["pruned"] >= after["total"] // 2, after
+    got = read_delta_native(spark, root, where="v >= 14000")
+    want = read_delta_native(spark, root).filter("v >= 14000")
+    assert got.count() == want.count()
+
+
+def test_in_list_and_like_prefix_pruning(spark, tmp_path):
+    """IN-lists prune when every element misses a file's range; LIKE
+    'prefix%' prunes via the standard prefix interval [prefix,
+    prefix+1). Wildcards beyond the single trailing %, non-ASCII
+    prefixes, and unusable IN elements conservatively keep."""
+    root = str(tmp_path / "t")
+    _range_table(spark, root, n=1000, files=10)
+    full = read_delta_native(spark, root)
+
+    rep = data_skipping_report(spark, root, "id IN (3, 5, 907)")
+    assert rep["pruned"] >= 7
+    got = read_delta_native(spark, root, where="id IN (3, 5, 907)")
+    assert sorted(r["id"] for r in got.collect()) == [3, 5, 907]
+
+    rep = data_skipping_report(spark, root, "s LIKE 'k09%'")
+    assert rep["pruned"] >= 8
+    got = read_delta_native(spark, root, where="s LIKE 'k09%'")
+    want = full.filter("s LIKE 'k09%'")
+    assert got.count() == want.count() == 100
+
+    # conservative keeps: inner wildcard, non-ASCII, expression in IN
+    for where in ("s LIKE 'k%9'", "s LIKE 'ké%'", "id IN (1, 2+3)"):
+        rep = data_skipping_report(spark, root, where)
+        assert rep["pruned"] == 0, where
+        got = read_delta_native(spark, root, where=where)
+        assert got.count() == full.filter(where).count(), where
