@@ -3713,3 +3713,91 @@ def lake_delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_sql_surface",
+    # the full lifecycle driven by SQL STRINGS (delta_sql): CREATE with
+    # generated column + CDF property, insert, ADD CONSTRAINT, DELETE,
+    # UPDATE, OPTIMIZE ZORDER — the oracle replays the row algebra
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), after_delete AS (
+      SELECT k, price FROM base WHERE k % 4 <> 0
+    ), final AS (
+      SELECT k,
+             CASE WHEN k % 6 = 0 THEN price + 1000 ELSE price END AS price
+      FROM after_delete
+    )
+    SELECT CAST(k % 3 AS INT) AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final GROUP BY 1
+    """,
+)
+def lake_delta_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-TEXT surface (sources/delta_sql.py, r9): the statements a
+    delta-spark user types — CREATE TABLE (generated column +
+    TBLPROPERTIES), ALTER TABLE ADD CONSTRAINT, DELETE FROM, UPDATE,
+    OPTIMIZE ZORDER BY, DESCRIBE DETAIL — each parsed and routed to the
+    native implementation; the reference funnels exactly these strings
+    to delta-spark (deltawriter/delta_writer.py:88). Final grouped
+    state hash-verified; the CDF property set at CREATE is proven live
+    by the DELETE's cdc files."""
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_sql import delta_sql
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_sql_", dir=shm)
+    try:
+        root = os.path.join(workdir, "sqltab")
+        delta_sql(spark, f"""
+            CREATE TABLE delta.`{root}` (
+              k BIGINT NOT NULL,
+              price DOUBLE,
+              bucket INT GENERATED ALWAYS AS (CAST(k % 3 AS INT))
+            ) USING DELTA
+            TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')
+        """)
+        write_delta_native(spark, o.repartition(2), root,
+                           checkpoint_interval=0)
+        delta_sql(
+            spark,
+            f"ALTER TABLE delta.`{root}` ADD CONSTRAINT posk CHECK (k >= 0)",
+        )
+        d = delta_sql(spark, f"DELETE FROM delta.`{root}` WHERE k % 4 = 0")
+        assert d["cdc_files"] >= 1  # CREATE's CDF property is live
+        delta_sql(
+            spark,
+            f"UPDATE delta.`{root}` SET price = price + 1000 "
+            f"WHERE k % 6 = 0",
+        )
+        delta_sql(spark, f"OPTIMIZE delta.`{root}` ZORDER BY (k)")
+        detail = delta_sql(
+            spark, f"DESCRIBE DETAIL delta.`{root}`"
+        ).collect()[0]
+        assert detail["numFiles"] >= 1
+        out = (
+            read_delta_native(spark, root)
+            .groupBy(F.col("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("price").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

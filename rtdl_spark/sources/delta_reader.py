@@ -1901,3 +1901,53 @@ def _prune_files_by_key_ranges(
         else:
             kept.append((path, pvals))
     return kept, pruned
+
+
+def describe_detail(spark: SparkSession, table_dir: str) -> dict:
+    """DESCRIBE DETAIL for a native Delta table — the metadata summary
+    delta-spark returns as a one-row frame, as a plain dict: format,
+    id, name, description, location, createdAt, lastModified (latest
+    commit's timestamp, ICT-preferring), partitionColumns,
+    clusteringColumns (from the delta.clustering domain), numFiles,
+    sizeInBytes (active set), properties, minReaderVersion,
+    minWriterVersion, tableFeatures (reader ∪ writer feature lists)."""
+    root = table_dir.rstrip("/")
+    protocol, meta, active, version, _txns = snapshot_actions(
+        spark, root
+    )
+    hist = delta_history(spark, root)
+    clustering: list[str] = []
+    d = snapshot_domains(spark, root).get("delta.clustering")
+    if d and not d.get("removed") and d.get("configuration"):
+        try:
+            clustering = [
+                ".".join(p)
+                for p in json.loads(d["configuration"])[
+                    "clusteringColumns"
+                ]
+            ]
+        except (ValueError, KeyError, TypeError):
+            clustering = []
+    return {
+        "format": (meta.get("format") or {}).get("provider", "parquet"),
+        "id": meta.get("id"),
+        "name": meta.get("name"),
+        "description": meta.get("description"),
+        "location": root,
+        "createdAt": meta.get("createdTime"),
+        "lastModified": hist[-1]["timestamp"] if hist else None,
+        "version": version,
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "clusteringColumns": clustering,
+        "numFiles": len(active),
+        "sizeInBytes": sum(
+            int(a.get("size") or 0) for a in active.values()
+        ),
+        "properties": dict(meta.get("configuration") or {}),
+        "minReaderVersion": int(protocol.get("minReaderVersion", 1)),
+        "minWriterVersion": int(protocol.get("minWriterVersion", 1)),
+        "tableFeatures": sorted(
+            set(protocol.get("readerFeatures") or ())
+            | set(protocol.get("writerFeatures") or ())
+        ),
+    }

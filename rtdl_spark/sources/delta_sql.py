@@ -1,0 +1,552 @@
+"""SQL-text front end for the native Delta surface (r9).
+
+``delta_sql(spark, "ALTER TABLE delta.`/path/t` ADD CONSTRAINT ...")``
+parses the practical Delta SQL dialect (the statements delta-spark
+registers as Spark SQL extensions — unavailable in this image, since
+the package isn't on the classpath) and routes each to the native
+implementation. Reference users drive their lake almost entirely
+through these strings (rtdl itself funnels SQL to Dremio/delta-spark —
+deltawriter/delta_writer.py:88-94), so the text surface is part of
+"could switch without rewriting".
+
+Table references use delta-spark's path form: ``delta.`<path>```.
+Parsing is deliberately conservative: anything outside the recognized
+grammar raises with the native API to call instead — never a silent
+partial parse.
+
+Supported statements (each maps 1:1 onto a tested native API):
+CREATE TABLE (column DDL incl. NOT NULL / GENERATED ALWAYS AS (expr) /
+GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY [(START WITH n INCREMENT BY
+m)], PARTITIONED BY, CLUSTER BY, TBLPROPERTIES) · CREATE TABLE ...
+SHALLOW CLONE [VERSION AS OF] · ALTER TABLE SET/UNSET TBLPROPERTIES ·
+ADD CONSTRAINT ... CHECK · DROP CONSTRAINT · ADD COLUMN(S) · RENAME
+COLUMN · DROP COLUMN · CLUSTER BY (...) | NONE · ALTER COLUMN ... SYNC
+IDENTITY · DELETE FROM ... WHERE · UPDATE ... SET ... WHERE · MERGE
+INTO ... USING · OPTIMIZE [WHERE] [ZORDER BY] · VACUUM [RETAIN n
+HOURS] · RESTORE TABLE ... TO VERSION AS OF · DESCRIBE HISTORY ·
+DESCRIBE DETAIL.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TBL = r"delta\.`(?P<path>[^`]+)`"
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren-depth 0 outside quotes."""
+    parts, buf, depth, q = [], [], 0, None
+    for ch in text:
+        if q:
+            if ch == q:
+                q = None
+            buf.append(ch)
+            continue
+        if ch in ("'", '"', "`"):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _unquote_ident(s: str) -> str:
+    s = s.strip()
+    return s[1:-1] if s.startswith("`") and s.endswith("`") else s
+
+
+_COLDEF_RE = re.compile(
+    r"^(?P<name>`[^`]+`|\w+)\s+(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_IDENTITY_RE = re.compile(
+    r"^GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?",
+    re.IGNORECASE,
+)
+_GENERATED_RE = re.compile(
+    r"^GENERATED\s+ALWAYS\s+AS\s*\((?P<expr>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_SPARK_TYPE = {
+    "bigint": "long", "long": "long", "int": "integer",
+    "integer": "integer", "smallint": "short", "tinyint": "byte",
+    "double": "double", "float": "float", "real": "float",
+    "string": "string", "varchar": "string", "boolean": "boolean",
+    "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz", "binary": "binary",
+}
+
+
+def _delta_type(t: str) -> str:
+    base = t.strip().lower()
+    m = re.match(r"^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", base)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if base in _SPARK_TYPE:
+        return _SPARK_TYPE[base]
+    raise ValueError(f"unsupported column type in CREATE TABLE: {t!r}")
+
+
+def _parse_props(text: str) -> dict[str, str]:
+    props: dict[str, str] = {}
+    for item in _split_top(text):
+        m = re.match(
+            r"^\s*(?:'([^']+)'|\"([^\"]+)\"|([\w.]+))\s*=\s*"
+            r"(?:'([^']*)'|\"([^\"]*)\"|(\S+))\s*$",
+            item,
+        )
+        if not m:
+            raise ValueError(f"unparseable TBLPROPERTIES entry: {item!r}")
+        k = m.group(1) or m.group(2) or m.group(3)
+        v = next(g for g in m.groups()[3:] if g is not None)
+        props[k] = v
+    return props
+
+
+def _balanced(text: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at ``open_idx`` (quote-aware)."""
+    depth, q = 0, None
+    for i in range(open_idx, len(text)):
+        ch = text[i]
+        if q:
+            if ch == q:
+                q = None
+            continue
+        if ch in ("'", '"', "`"):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in statement")
+
+
+def _create(spark: SparkSession, sql: str):
+    from rtdl_spark.sources.delta_alter import create_delta_table_native
+
+    m = re.match(
+        rf"^\s*CREATE\s+TABLE\s+{_TBL}\s*(?=\()",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "unparseable CREATE TABLE — expected CREATE TABLE "
+            "delta.`/path` (col TYPE ..., ...) [USING DELTA] "
+            "[PARTITIONED BY (...)] [CLUSTER BY (...)] "
+            "[TBLPROPERTIES (...)]"
+        )
+    path = m.group("path")
+    open_idx = m.end()
+    close_idx = _balanced(sql, open_idx)
+    cols_text = sql[open_idx + 1 : close_idx]
+    tail = sql[close_idx + 1 :].strip()
+    tail = re.sub(r"^USING\s+DELTA\s*", "", tail, flags=re.IGNORECASE)
+    fields, identity, generated, not_null = [], {}, {}, []
+    for coldef in _split_top(cols_text):
+        cm = _COLDEF_RE.match(coldef)
+        if not cm:
+            raise ValueError(f"unparseable column definition: {coldef!r}")
+        name = _unquote_ident(cm.group("name"))
+        dtype = _delta_type(cm.group("type"))
+        rest = cm.group("rest").strip()
+        im = _IDENTITY_RE.match(rest)
+        gm = _GENERATED_RE.match(rest)
+        if im:
+            identity[name] = {
+                "start": int(im.group(2) or 1),
+                "step": int(im.group(3) or 1),
+                "always": im.group(1).upper() == "ALWAYS",
+            }
+            rest = rest[im.end():].strip()
+        elif gm:
+            generated[name] = gm.group("expr").strip()
+            rest = ""
+        if re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE):
+            not_null.append(name)
+            rest = re.sub(
+                r"\bNOT\s+NULL\b", "", rest, flags=re.IGNORECASE
+            ).strip()
+        if rest:
+            raise ValueError(
+                f"unsupported column-definition clause {rest!r} on "
+                f"{name!r}"
+            )
+        fields.append(f"`{name}` {dtype}")
+    opts = {
+        "partition_by": None, "cluster_by": None,
+        "table_properties": None,
+    }
+    tm = re.search(
+        r"PARTITIONED\s+BY\s*\(([^)]*)\)", tail, re.IGNORECASE
+    )
+    if tm:
+        opts["partition_by"] = [
+            _unquote_ident(c) for c in _split_top(tm.group(1))
+        ]
+    tm = re.search(r"CLUSTER\s+BY\s*\(([^)]*)\)", tail, re.IGNORECASE)
+    if tm:
+        opts["cluster_by"] = [
+            _unquote_ident(c) for c in _split_top(tm.group(1))
+        ]
+    tm = re.search(
+        r"TBLPROPERTIES\s*\((.*)\)\s*$", tail, re.IGNORECASE | re.DOTALL
+    )
+    if tm:
+        opts["table_properties"] = _parse_props(tm.group(1))
+    leftover = tail
+    for pat in (
+        r"PARTITIONED\s+BY\s*\([^)]*\)",
+        r"CLUSTER\s+BY\s*\([^)]*\)",
+        r"TBLPROPERTIES\s*\(.*\)",
+    ):
+        leftover = re.sub(pat, "", leftover, flags=re.IGNORECASE | re.DOTALL)
+    if leftover.strip():
+        raise ValueError(
+            f"unsupported CREATE TABLE clause: {leftover.strip()!r}"
+        )
+    return create_delta_table_native(
+        spark, path, ", ".join(fields),
+        identity=identity or None,
+        generated=generated or None,
+        not_null=not_null or None,
+        **opts,
+    )
+
+
+def delta_sql(spark: SparkSession, sql: str):
+    """Execute one Delta SQL statement against path tables
+    (``delta.`<path>```). Returns what the underlying native API
+    returns (a result dict), or a DataFrame for DESCRIBE statements.
+    Unrecognized syntax raises naming the native API to use."""
+    from rtdl_spark.sources import delta_alter as A
+    from rtdl_spark.sources import delta_reader as R
+    from rtdl_spark.sources import delta_writer as W
+
+    s = sql.strip().rstrip(";").strip()
+
+    m = re.match(
+        rf"^CREATE\s+TABLE\s+{_TBL}\s+SHALLOW\s+CLONE\s+"
+        rf"delta\.`(?P<src>[^`]+)`"
+        rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from rtdl_spark.sources.delta_clone import clone_delta_native
+
+        return clone_delta_native(
+            spark, m.group("src"), m.group("path"),
+            version=int(m.group("v")) if m.group("v") else None,
+        )
+
+    if re.match(r"^CREATE\s+TABLE\b", s, re.IGNORECASE):
+        return _create(spark, s)
+
+    m = re.match(
+        rf"^ALTER\s+TABLE\s+{_TBL}\s+(?P<rest>.*)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        path, rest = m.group("path"), m.group("rest").strip()
+        am = re.match(
+            r"^SET\s+TBLPROPERTIES\s*\((?P<props>.*)\)$",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if am:
+            return A.alter_set_tblproperties(
+                spark, path, _parse_props(am.group("props"))
+            )
+        am = re.match(
+            r"^UNSET\s+TBLPROPERTIES\s*(?P<ife>IF\s+EXISTS\s*)?"
+            r"\((?P<keys>.*)\)$",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if am:
+            keys = [
+                _unquote_ident(k.strip().strip("'\""))
+                for k in _split_top(am.group("keys"))
+            ]
+            return A.alter_unset_tblproperties(
+                spark, path, keys, if_exists=bool(am.group("ife"))
+            )
+        am = re.match(
+            r"^ADD\s+CONSTRAINT\s+(?P<name>\w+)\s+CHECK\s*"
+            r"\((?P<expr>.*)\)$",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if am:
+            return A.alter_add_constraint(
+                spark, path, am.group("name"), am.group("expr").strip()
+            )
+        am = re.match(
+            r"^DROP\s+CONSTRAINT\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)$",
+            rest, re.IGNORECASE,
+        )
+        if am:
+            return A.alter_drop_constraint(
+                spark, path, am.group("name"),
+                if_exists=bool(am.group("ife")),
+            )
+        am = re.match(
+            r"^ADD\s+COLUMNS?\s*\((?P<cols>.*)\)$",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if am:
+            cols = []
+            for coldef in _split_top(am.group("cols")):
+                cm = _COLDEF_RE.match(coldef)
+                if not cm or cm.group("rest").strip():
+                    raise ValueError(
+                        f"ADD COLUMNS takes plain `name TYPE` entries, "
+                        f"got {coldef!r}"
+                    )
+                cols.append(
+                    (
+                        _unquote_ident(cm.group("name")),
+                        _delta_type(cm.group("type")),
+                    )
+                )
+            return A.alter_add_columns(spark, path, cols)
+        am = re.match(
+            r"^RENAME\s+COLUMN\s+(?P<old>`[^`]+`|\w+)\s+TO\s+"
+            r"(?P<new>`[^`]+`|\w+)$",
+            rest, re.IGNORECASE,
+        )
+        if am:
+            return A.alter_rename_column(
+                spark, path,
+                _unquote_ident(am.group("old")),
+                _unquote_ident(am.group("new")),
+            )
+        am = re.match(
+            r"^DROP\s+COLUMN\s+(?P<col>`[^`]+`|\w+)$", rest, re.IGNORECASE
+        )
+        if am:
+            return A.alter_drop_column(
+                spark, path, _unquote_ident(am.group("col"))
+            )
+        am = re.match(
+            r"^CLUSTER\s+BY\s+NONE$", rest, re.IGNORECASE
+        )
+        if am:
+            return A.alter_cluster_by(spark, path, None)
+        am = re.match(
+            r"^CLUSTER\s+BY\s*\((?P<cols>[^)]*)\)$", rest, re.IGNORECASE
+        )
+        if am:
+            return A.alter_cluster_by(
+                spark, path,
+                [_unquote_ident(c) for c in _split_top(am.group("cols"))],
+            )
+        am = re.match(
+            r"^ALTER\s+COLUMN\s+(?P<col>`[^`]+`|\w+)\s+SYNC\s+IDENTITY$",
+            rest, re.IGNORECASE,
+        )
+        if am:
+            return W.sync_identity_delta_native(
+                spark, path, columns=[_unquote_ident(am.group("col"))]
+            )
+        raise ValueError(
+            f"unsupported ALTER TABLE clause {rest!r} — see "
+            "rtdl_spark.sources.delta_alter for the native APIs"
+        )
+
+    m = re.match(
+        rf"^DELETE\s+FROM\s+{_TBL}\s+WHERE\s+(?P<cond>.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return W.delete_where_delta_native(
+            spark, m.group("path"), m.group("cond").strip()
+        )
+
+    m = re.match(
+        rf"^UPDATE\s+{_TBL}\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<cond>.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        sets = {}
+        for item in _split_top(m.group("sets")):
+            em = re.match(
+                r"^(`[^`]+`|\w+)\s*=\s*(.+)$", item, re.DOTALL
+            )
+            if not em:
+                raise ValueError(f"unparseable SET clause: {item!r}")
+            sets[_unquote_ident(em.group(1))] = em.group(2).strip()
+        return W.update_where_delta_native(
+            spark, m.group("path"), m.group("cond").strip(), sets
+        )
+
+    m = re.match(
+        rf"^MERGE\s+INTO\s+{_TBL}\s+(?:AS\s+)?(?P<talias>\w+)\s+"
+        rf"USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|[\w.]+)\s+"
+        rf"(?:AS\s+)?(?P<salias>\w+)\s+ON\s+(?P<on>.+?)\s+"
+        rf"(?P<clauses>WHEN\s+.*)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        talias, salias = m.group("talias"), m.group("salias")
+        on_cols = []
+        for conj in re.split(
+            r"\s+AND\s+", m.group("on"), flags=re.IGNORECASE
+        ):
+            em = re.match(
+                rf"^\s*{talias}\.(`[^`]+`|\w+)\s*=\s*"
+                rf"{salias}\.(`[^`]+`|\w+)\s*$",
+                conj, re.IGNORECASE,
+            )
+            if not em or _unquote_ident(em.group(1)) != _unquote_ident(
+                em.group(2)
+            ):
+                raise ValueError(
+                    "MERGE ON must be a conjunction of t.col = s.col "
+                    "equalities on the SAME column names (the native "
+                    "merge keys on shared names) — got "
+                    f"{conj.strip()!r}"
+                )
+            on_cols.append(_unquote_ident(em.group(1)))
+        clauses = m.group("clauses").strip()
+        when_matched, when_not_matched = "ignore", "ignore"
+        for w in re.finditer(
+            r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
+            r"(UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+            clauses, re.IGNORECASE,
+        ):
+            action = re.sub(r"\s+", " ", w.group(2).upper())
+            if w.group(1):
+                when_not_matched = "insert" if action == "INSERT *" else None
+            else:
+                when_matched = (
+                    "update" if action == "UPDATE SET *" else "delete"
+                )
+        residue = re.sub(
+            r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
+            r"(UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+            "", clauses, flags=re.IGNORECASE,
+        ).strip()
+        if residue or when_not_matched is None:
+            raise ValueError(
+                "MERGE supports WHEN MATCHED THEN UPDATE SET * | "
+                "DELETE and WHEN NOT MATCHED THEN INSERT * — for "
+                "conditional/column-level clauses call "
+                "merge_into_delta_native directly"
+            )
+        src_text = m.group("src")
+        source = (
+            spark.sql(src_text[1:-1])
+            if src_text.startswith("(")
+            else spark.table(src_text)
+        )
+        return W.merge_into_delta_native(
+            spark, m.group("path"), source, on=on_cols,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+        )
+
+    m = re.match(
+        rf"^OPTIMIZE\s+{_TBL}"
+        rf"(?:\s+WHERE\s+(?P<where>.+?))?"
+        rf"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\))?$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        kwargs: dict = {}
+        if m.group("z"):
+            kwargs["zorder_by"] = [
+                _unquote_ident(c) for c in _split_top(m.group("z"))
+            ]
+        if m.group("where"):
+            where: dict[str, str] = {}
+            for conj in re.split(
+                r"\s+AND\s+", m.group("where"), flags=re.IGNORECASE
+            ):
+                em = re.match(
+                    r"^\s*(`[^`]+`|\w+)\s*=\s*'?([^']*?)'?\s*$", conj
+                )
+                if not em:
+                    raise ValueError(
+                        "OPTIMIZE WHERE takes partition equality "
+                        f"conjuncts, got {conj.strip()!r}"
+                    )
+                where[_unquote_ident(em.group(1))] = em.group(2)
+            kwargs["where"] = where
+        return W.optimize_delta_native(spark, m.group("path"), **kwargs)
+
+    m = re.match(
+        rf"^VACUUM\s+{_TBL}(?:\s+RETAIN\s+(?P<h>\d+)\s+HOURS)?$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        kwargs = {}
+        if m.group("h"):
+            kwargs["retain_ms"] = int(m.group("h")) * 3600 * 1000
+        return W.vacuum_delta_native(spark, m.group("path"), **kwargs)
+
+    m = re.match(
+        rf"^RESTORE\s+TABLE\s+{_TBL}\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        return W.restore_delta_native(
+            spark, m.group("path"), int(m.group(2))
+        )
+
+    m = re.match(
+        rf"^DESCRIBE\s+HISTORY\s+{_TBL}$", s, re.IGNORECASE
+    )
+    if m:
+        hist = R.delta_history(spark, m.group("path"))
+        return spark.createDataFrame(
+            [(h["version"], h["timestamp"], h["operation"]) for h in hist],
+            "version long, timestamp long, operation string",
+        )
+
+    m = re.match(rf"^DESCRIBE\s+DETAIL\s+{_TBL}$", s, re.IGNORECASE)
+    if m:
+        d = R.describe_detail(spark, m.group("path"))
+        import json as _json
+
+        return spark.createDataFrame(
+            [
+                (
+                    d["format"], d["id"], d["location"],
+                    d["createdAt"], d["lastModified"], d["version"],
+                    d["numFiles"], d["sizeInBytes"],
+                    _json.dumps(d["partitionColumns"]),
+                    _json.dumps(d["clusteringColumns"]),
+                    _json.dumps(d["properties"], sort_keys=True),
+                    d["minReaderVersion"], d["minWriterVersion"],
+                    _json.dumps(d["tableFeatures"]),
+                )
+            ],
+            "format string, id string, location string, createdAt long, "
+            "lastModified long, version long, numFiles long, "
+            "sizeInBytes long, partitionColumns string, "
+            "clusteringColumns string, properties string, "
+            "minReaderVersion int, minWriterVersion int, "
+            "tableFeatures string",
+        )
+
+    raise ValueError(
+        f"unrecognized Delta SQL statement: {s[:80]!r}... — supported: "
+        "CREATE TABLE [SHALLOW CLONE], ALTER TABLE (TBLPROPERTIES / "
+        "CONSTRAINT / COLUMNS / CLUSTER BY / SYNC IDENTITY), DELETE "
+        "FROM, UPDATE, MERGE INTO, OPTIMIZE, VACUUM, RESTORE TABLE, "
+        "DESCRIBE HISTORY|DETAIL; plain SELECTs go through "
+        "read_delta_native / the session catalog"
+    )
