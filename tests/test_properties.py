@@ -827,3 +827,77 @@ def test_delta_native_stack_matches_log_model(
             for r in read_delta_native(spark, root, version=ver).collect()
         }
         assert got == want, (ops, ver)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.data(),
+)
+def test_skip_excludes_never_prunes_a_satisfying_value(data):
+    """Soundness of the data-skipping interval logic for ANY (range,
+    op, literal): whenever _skip_excludes says a file's [lo, hi] can be
+    pruned, NO value in the range satisfies `value op lit` — checked
+    against brute force over the range endpoints, the literal and its
+    neighbors (the only places satisfaction can change for these
+    operators). Completeness is NOT required (keeping extra files is
+    always safe); soundness is what keeps results exact."""
+    from rtdl_spark.sources.delta_reader import _skip_excludes
+
+    lo = data.draw(st.integers(-50, 50))
+    hi = data.draw(st.integers(lo, 51))
+    lit = data.draw(st.integers(-55, 55))
+    op = data.draw(
+        st.sampled_from(["=", "==", "<", "<=", ">", ">=", "!=", "<>"])
+    )
+    candidates = {
+        v for v in (lo, hi, lit - 1, lit, lit + 1) if lo <= v <= hi
+    }
+
+    def sat(v):
+        if op in ("=", "=="):
+            return v == lit
+        if op == "<":
+            return v < lit
+        if op == "<=":
+            return v <= lit
+        if op == ">":
+            return v > lit
+        if op == ">=":
+            return v >= lit
+        return v != lit
+
+    if _skip_excludes(op, lo, hi, lit):
+        assert not any(sat(v) for v in candidates), (op, lo, hi, lit)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_skip_conjunct_split_preserves_and_semantics(data):
+    """_skip_conjuncts: every returned piece must be a top-level AND
+    conjunct — splitting never crosses parens or quotes, and any
+    top-level OR disables decomposition (returns []). Verified by
+    recombining the pieces with AND and checking the token stream
+    matches the original minus the separators."""
+    from rtdl_spark.sources.delta_reader import _skip_conjuncts
+
+    atoms = data.draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "a = 1",
+                    "b < 'x AND y'",
+                    "(c = 2 OR d = 3)",
+                    "f(x, 'p AND q') >= 7",
+                    "s LIKE 'k%'",
+                ]
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    joiner = data.draw(st.sampled_from([" AND ", " and ", " AnD "]))
+    where = joiner.join(atoms)
+    parts = _skip_conjuncts(where)
+    assert parts == [a.strip() for a in atoms], (where, parts)
+    # a top-level OR anywhere disables conjunct pruning entirely
+    assert _skip_conjuncts(where + " OR a = 9") == []
