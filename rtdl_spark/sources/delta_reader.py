@@ -1585,9 +1585,14 @@ def _skip_conjuncts(where: str) -> list[str]:
     """Top-level AND-split of a predicate (depth-0, outside quotes).
     An OR anywhere at depth 0 disables pruning entirely (every
     conjunct this returns must independently hold for matching rows)."""
+    if "\\" in where:
+        # backslash semantics depend on spark.sql.parser.escapedStringLiterals
+        # (escape vs literal); a mis-tracked quote would mis-split into a
+        # parseable-but-WRONG conjunct and prune matching files — pruning
+        # is optional, so refuse the whole predicate instead of guessing
+        return []
     parts, buf, depth, q = [], [], 0, None
     i, n = 0, len(where)
-    upper = where.upper()
     while i < n:
         ch = where[i]
         if q:
@@ -1602,16 +1607,22 @@ def _skip_conjuncts(where: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
+        # case-fold PER SLICE: pre-uppercasing the whole predicate can
+        # CHANGE ITS LENGTH ('ß' -> 'SS') and misalign index checks
         if (
             depth == 0
             and q is None
-            and upper.startswith(" AND ", i)
+            and where[i : i + 5].upper() == " AND "
         ):
             parts.append("".join(buf))
             buf = []
             i += 5
             continue
-        if depth == 0 and q is None and upper.startswith(" OR ", i):
+        if (
+            depth == 0
+            and q is None
+            and where[i : i + 4].upper() == " OR "
+        ):
             return []  # top-level OR: no safe conjunct decomposition
         buf.append(ch)
         i += 1
@@ -1638,26 +1649,41 @@ def _skip_typed(raw_value, delta_type):
             return datetime.date.fromisoformat(str(raw_value))
         if delta_type in ("timestamp", "timestamp_ntz"):
             s = str(raw_value).replace(" ", "T").rstrip("Z")
-            return datetime.datetime.fromisoformat(s)
+            dt = datetime.datetime.fromisoformat(s)
+            if dt.tzinfo is not None:
+                # stats written by another engine (or a pre-fix build of
+                # this one) may carry tz-aware bounds; predicate literals
+                # parse naive — normalize to naive UTC so they compare
+                dt = dt.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return dt
     except (ValueError, TypeError):
         return None
     return None
 
 
 def _skip_excludes(op: str, lo, hi, lit) -> bool:
-    """True when NO value in [lo, hi] can satisfy ``value op lit``."""
-    if op in ("=", "=="):
-        return lit < lo or lit > hi
-    if op == "<":
-        return lo >= lit
-    if op == "<=":
-        return lo > lit
-    if op == ">":
-        return hi <= lit
-    if op == ">=":
-        return hi < lit
-    if op in ("!=", "<>"):
-        return lo == hi == lit
+    """True when NO value in [lo, hi] can satisfy ``value op lit``.
+    Incomparable operands (TypeError) never prune — stats in a table
+    log can come from ANY engine, so arbitrary bound shapes must
+    degrade to keep-the-file, not crash the read (defense in depth
+    behind _skip_typed's normalization)."""
+    try:
+        if op in ("=", "=="):
+            return lit < lo or lit > hi
+        if op == "<":
+            return lo >= lit
+        if op == "<=":
+            return lo > lit
+        if op == ">":
+            return hi <= lit
+        if op == ">=":
+            return hi < lit
+        if op in ("!=", "<>"):
+            return lo == hi == lit
+    except TypeError:
+        return False
     return False
 
 
@@ -1793,7 +1819,11 @@ def _prune_files_by_stats(
                     break
             elif op == "like":
                 nxt = lit[:-1] + chr(ord(lit[-1]) + 1)
-                if hi < lit or lo >= nxt:
+                try:
+                    out_of_range = hi < lit or lo >= nxt
+                except TypeError:
+                    out_of_range = False  # foreign-engine stats: keep
+                if out_of_range:
                     drop = True
                     break
             elif _skip_excludes(op, lo, hi, lit):
@@ -1877,7 +1907,11 @@ def _prune_files_by_key_ranges(
                     drop = True  # null partition value joins nothing
                     break
                 v = _skip_typed(v, t) if v is not None else None
-                if v is not None and (v < lo or v > hi):
+                try:
+                    outside = v is not None and (v < lo or v > hi)
+                except TypeError:
+                    outside = False  # incomparable: keep (conservative)
+                if outside:
                     drop = True
                     break
                 continue
@@ -1893,7 +1927,11 @@ def _prune_files_by_key_ranges(
             fhi = _skip_typed(maxs[p], t) if p in maxs else None
             if flo is None or fhi is None:
                 continue
-            if fhi < lo or flo > hi:
+            try:
+                disjoint = fhi < lo or flo > hi
+            except TypeError:
+                disjoint = False  # incomparable: keep (conservative)
+            if disjoint:
                 drop = True
                 break
         if drop:
