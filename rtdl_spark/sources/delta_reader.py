@@ -902,7 +902,8 @@ def read_delta_native(
     )
     if where is not None:
         files, _n_pruned = _prune_files_by_stats(
-            files, active, meta, where
+            files, active, meta, where,
+            ts_prune_ok=_session_tz_is_utc(spark),
         )
     # deletion vectors: descriptor per DECODED plain abs path (the form
     # executors recover from _metadata.file_path — which Spark renders
@@ -1630,6 +1631,49 @@ def _skip_conjuncts(where: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _session_tz_is_utc(spark: SparkSession) -> bool:
+    """True when spark.sql.session.timeZone denotes UTC (offset 0,
+    no DST). Timestamp PRUNING soundness needs it: add-action stats
+    bounds are UTC instants while naive predicate literals are
+    session-tz WALL times — under a non-UTC session the two frames
+    differ by the offset and comparing them can prune files holding
+    matching rows (reproduced: 6 rows lost under Asia/Kolkata).
+    timestamp_ntz has no frame, so it always prunes."""
+    import datetime as dtm
+
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        return False
+    if tz in ("UTC", "Etc/UTC", "GMT", "GMT0", "Etc/GMT", "Z",
+              "Greenwich", "Universal", "Zulu", "+00:00"):
+        return True
+    try:
+        import zoneinfo
+
+        z = zoneinfo.ZoneInfo(tz)
+        return all(
+            z.utcoffset(dtm.datetime(y, m, 1)) == dtm.timedelta(0)
+            for y in (2020, 2021)
+            for m in (1, 7)  # both DST phases
+        )
+    except Exception:
+        return False
+
+
+def _driver_tz_is_utc() -> bool:
+    """True when the DRIVER process runs in UTC — plain collect()
+    renders timestamps as naive wall times in the driver's OS zone
+    (TimestampType.fromInternal), so MERGE's collected key ranges only
+    compare soundly against UTC stats bounds when that zone is UTC."""
+    import time
+
+    try:
+        return time.timezone == 0 and time.altzone == 0
+    except Exception:
+        return False
+
+
 def _skip_typed(raw_value, delta_type):
     """Coerce a parsed literal or a JSON stats bound to a comparable
     python value for ``delta_type``; None = not comparable (unknown
@@ -1692,6 +1736,7 @@ def _prune_files_by_stats(
     active: dict[str, dict],
     meta: dict,
     where: str,
+    ts_prune_ok: bool = True,
 ) -> tuple[list[tuple[str, dict]], int]:
     """Data skipping: drop files whose add-action stats (minValues /
     maxValues / nullCount, written by this engine's footer harvest) or
@@ -1710,6 +1755,13 @@ def _prune_files_by_stats(
         for f in fields_json
         if isinstance(f["type"], str)
     }
+    if not ts_prune_ok:
+        # non-UTC session: naive timestamp literals are in a different
+        # frame than the UTC stats bounds — timestamp conjuncts must
+        # not prune (timestamp_ntz is frame-free and stays prunable)
+        type_of = {
+            n: t for n, t in type_of.items() if t != "timestamp"
+        }
     phys = {f["name"]: _physical_name(f) for f in fields_json}
     if _cm_mode(meta) == "none":
         phys = {n: n for n in phys}
@@ -1849,7 +1901,10 @@ def data_skipping_report(
     files = sorted(
         (p, a.get("partitionValues") or {}) for p, a in active.items()
     )
-    kept, pruned = _prune_files_by_stats(files, active, meta, where)
+    kept, pruned = _prune_files_by_stats(
+        files, active, meta, where,
+        ts_prune_ok=_session_tz_is_utc(spark),
+    )
     return {"total": len(files), "kept": len(kept), "pruned": pruned}
 
 
@@ -1858,6 +1913,7 @@ def _prune_files_by_key_ranges(
     active: dict[str, dict],
     meta: dict,
     ranges: dict[str, tuple],
+    ts_prune_ok: bool = True,
 ) -> tuple[list[tuple[str, dict]], int]:
     """Equality-join candidate pruning (MERGE, r9): keep only files
     whose per-column stats ranges INTERSECT the source key range for
@@ -1872,6 +1928,12 @@ def _prune_files_by_key_ranges(
         for f in fields_json
         if isinstance(f["type"], str)
     }
+    if not ts_prune_ok:
+        # collected source ranges are driver-local wall times; the UTC
+        # stats bounds live in another frame — keep timestamp keys out
+        type_of = {
+            n: t for n, t in type_of.items() if t != "timestamp"
+        }
     phys = {f["name"]: _physical_name(f) for f in fields_json}
     if _cm_mode(meta) == "none":
         phys = {n: n for n in phys}

@@ -81,6 +81,8 @@ from rtdl_spark.sources.delta_reader import (
     _physical_name,
     _physical_type,
     _read_json_lines,
+    _driver_tz_is_utc,
+    _session_tz_is_utc,
     snapshot_actions,
     snapshot_adds_frame,
     snapshot_control,
@@ -2626,7 +2628,10 @@ def _commit_rewrite(
 
 
 def _skip_candidates(
-    active: dict[str, dict], meta: dict, condition: str
+    active: dict[str, dict],
+    meta: dict,
+    condition: str,
+    ts_prune_ok: bool = True,
 ) -> dict[str, dict]:
     """The subset of the active file set whose stats/partitionValues do
     NOT prove the predicate unsatisfiable (data skipping, r9) — the
@@ -2640,6 +2645,7 @@ def _skip_candidates(
         active,
         meta,
         condition,
+        ts_prune_ok=ts_prune_ok,
     )
     return {p: active[p] for p, _pv in cand}
 
@@ -2686,7 +2692,7 @@ def _rewrite_where(
     # Pruning feeds only the candidate set; the rewrite still keys on
     # the actual matches, so a conservative keep costs nothing, and
     # affected ⊆ candidates so the pruned map is complete.
-    candidates = _skip_candidates(active, meta, condition)
+    candidates = _skip_candidates(active, meta, condition, ts_prune_ok=_session_tz_is_utc(spark))
     tbl, path_to_add = _active_scan(spark, root, meta, candidates)
     cond = F.coalesce(F.expr(condition), F.lit(False))
     if tbl is None:
@@ -3122,7 +3128,7 @@ def delete_where_delta_dv(
         )
 
     tbl, path_to_add = _active_scan(
-        spark, root, meta, _skip_candidates(active, meta, condition),
+        spark, root, meta, _skip_candidates(active, meta, condition, ts_prune_ok=_session_tz_is_utc(spark)),
         with_row_index=True,
     )
     if tbl is None:
@@ -3291,7 +3297,7 @@ def update_where_delta_dv(
         if new_meta is not None:
             rt_meta_actions = [{"metaData": new_meta}]
     tbl, path_to_add = _active_scan(
-        spark, root, meta, _skip_candidates(active, meta, condition),
+        spark, root, meta, _skip_candidates(active, meta, condition, ts_prune_ok=_session_tz_is_utc(spark)),
         with_row_index=True,
         extra_long_cols=[mat_id, mat_cv] if rt else None,
     )
@@ -3576,6 +3582,11 @@ def merge_into_delta_native(
             active,
             meta,
             ranges,
+            # collected source bounds are rendered in the DRIVER's OS
+            # zone (plain collect), stats bounds are UTC — timestamp
+            # keys only prune when both frames are UTC
+            ts_prune_ok=_session_tz_is_utc(spark)
+            and _driver_tz_is_utc(),
         )
         merge_scan = {p: active[p] for p, _pv in kept}
 
