@@ -3801,3 +3801,137 @@ def lake_delta_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_merge_clauses",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'a'
+                  WHEN o_orderkey % 3 = 1 THEN 'b'
+                  ELSE 'c' END AS src
+      FROM orders
+    ), s AS (
+      -- matched half: doubled price for %4==0 keys, halved otherwise
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice * 0.5 END
+               AS o_totalprice,
+             'x' AS src
+      FROM t WHERE o_orderkey % 2 = 0
+      UNION ALL
+      -- unmatched half: brand-new negative keys
+      SELECT -o_orderkey - 1, o_totalprice, 'x'
+      FROM t WHERE o_orderkey % 13 = 0
+    ), matched AS (
+      SELECT t.o_orderkey AS k, t.o_totalprice AS tp, t.src AS tsrc,
+             s.o_totalprice AS sp
+      FROM t JOIN s ON t.o_orderkey = s.o_orderkey
+    ), resolved AS (
+      -- first-true-clause-wins, exactly the engine's order
+      SELECT k, tp, tsrc, sp,
+             CASE WHEN sp > tp THEN 0
+                  WHEN tsrc = 'b' THEN 1 END AS clause
+      FROM matched
+    ), final AS (
+      SELECT o_orderkey, o_totalprice, src FROM t
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+      UNION ALL
+      SELECT k, tp, tsrc FROM resolved WHERE clause IS NULL
+      UNION ALL
+      SELECT k, sp + tp, tsrc FROM resolved WHERE clause = 0
+      UNION ALL
+      SELECT s.o_orderkey, s.o_totalprice, 'z' FROM s
+      WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM t)
+        AND s.o_totalprice < 100000.0
+    )
+    SELECT src, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final GROUP BY src
+    """,
+)
+def lake_delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / column-level MERGE clauses end-to-end (r10,
+    sources/delta_writer.py::merge_into_delta_native list form;
+    reference: /root/reference/deltawriter/delta_writer.py:88 funnels
+    user MERGE through delta-spark's clause engine): matched rows are
+    claimed by the FIRST true clause — an arithmetic column-level
+    UPDATE SET (s+t) when the source price beats the target's, a DELETE
+    of partition-'b' rows otherwise, survival when neither holds — and
+    unmatched source rows insert under a condition into partition 'z'
+    via INSERT (cols) VALUES (exprs). The oracle recomputes the exact
+    clause resolution in plain SQL; per-partition counts + DECIMAL
+    sums are hash-verified."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import (
+        merge_into_delta_native,
+        write_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "a")
+        .when(F.col("o_orderkey") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_deltamc_", dir=shm)
+    try:
+        root = os.path.join(workdir, "dtab")
+        write_delta_native(
+            spark, o.repartition(4), root, partition_by=["src"],
+            checkpoint_interval=0,
+        )
+        src = (
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .select(
+                "o_orderkey",
+                F.when(
+                    F.col("o_orderkey") % 4 == 0,
+                    F.col("o_totalprice") * 2,
+                )
+                .otherwise(F.col("o_totalprice") * 0.5)
+                .alias("o_totalprice"),
+                F.lit("x").alias("src"),
+            )
+            .unionByName(
+                o.filter(F.col("o_orderkey") % 13 == 0).select(
+                    (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+                    "o_totalprice",
+                    F.lit("x").alias("src"),
+                )
+            )
+        )
+        merge_into_delta_native(
+            spark, root, src, on=["o_orderkey"],
+            when_matched=[
+                {"action": "update",
+                 "condition": "s.o_totalprice > t.o_totalprice",
+                 "set": {"o_totalprice":
+                         "s.o_totalprice + t.o_totalprice"}},
+                {"action": "delete", "condition": "t.src = 'b'"},
+            ],
+            when_not_matched=[
+                {"action": "insert",
+                 "condition": "s.o_totalprice < 100000.0",
+                 "values": {"o_orderkey": "s.o_orderkey",
+                            "o_totalprice": "s.o_totalprice",
+                            "src": "'z'"}},
+            ],
+        )
+        out = (
+            read_delta_native(spark, root)
+            .groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

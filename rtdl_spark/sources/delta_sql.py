@@ -420,31 +420,105 @@ def delta_sql(spark: SparkSession, sql: str):
                     f"{conj.strip()!r}"
                 )
             on_cols.append(_unquote_ident(em.group(1)))
-        clauses = m.group("clauses").strip()
-        when_matched, when_not_matched = "ignore", "ignore"
-        for w in re.finditer(
-            r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
-            r"(UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
-            clauses, re.IGNORECASE,
-        ):
-            action = re.sub(r"\s+", " ", w.group(2).upper())
-            if w.group(1):
-                when_not_matched = "insert" if action == "INSERT *" else None
-            else:
-                when_matched = (
-                    "update" if action == "UPDATE SET *" else "delete"
+        clauses_text = m.group("clauses").strip()
+        # full clause grammar (r10): WHEN MATCHED [AND cond] THEN
+        # UPDATE SET (*|assignments) | DELETE, and WHEN NOT MATCHED
+        # [AND cond] THEN INSERT (*|(cols) VALUES (exprs)) — clause
+        # ORDER is semantic (first condition that holds wins)
+        clause_re = re.compile(
+            r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+            r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+            r"(?P<act>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)"
+            r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
+            re.IGNORECASE | re.DOTALL,
+        )
+        matched_cl: list[dict] = []
+        not_matched_cl: list[dict] = []
+        consumed = 0
+        for w in clause_re.finditer(clauses_text):
+            consumed += 1
+            cond = w.group("cond").strip() if w.group("cond") else None
+            act = w.group("act").strip()
+            act_u = re.sub(r"\s+", " ", act.upper())
+            if w.group("not"):
+                im = re.match(
+                    r"^INSERT\s*(?:\*|\((?P<cols>[^)]*)\)\s*VALUES"
+                    r"\s*\((?P<vals>.*)\))$",
+                    act, re.IGNORECASE | re.DOTALL,
                 )
-        residue = re.sub(
-            r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
-            r"(UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
-            "", clauses, flags=re.IGNORECASE,
-        ).strip()
-        if residue or when_not_matched is None:
+                if not im:
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports INSERT * or "
+                        f"INSERT (cols) VALUES (exprs) — got {act!r}"
+                    )
+                if im.group("cols") is None:
+                    values = None
+                else:
+                    cols = [
+                        _unquote_ident(c.strip())
+                        for c in _split_top(im.group("cols"))
+                    ]
+                    exprs = [
+                        e.strip() for e in _split_top(im.group("vals"))
+                    ]
+                    if len(cols) != len(exprs):
+                        raise ValueError(
+                            "INSERT column list and VALUES list have "
+                            f"different lengths: {cols} vs {exprs}"
+                        )
+                    values = dict(zip(cols, exprs))
+                not_matched_cl.append(
+                    {"action": "insert", "condition": cond,
+                     "values": values}
+                )
+            elif act_u == "DELETE":
+                matched_cl.append(
+                    {"action": "delete", "condition": cond, "set": None}
+                )
+            else:
+                um = re.match(
+                    r"^UPDATE\s+SET\s+(?P<sets>.+)$",
+                    act, re.IGNORECASE | re.DOTALL,
+                )
+                if not um:
+                    raise ValueError(
+                        "WHEN MATCHED supports UPDATE SET ... or "
+                        f"DELETE — got {act!r}"
+                    )
+                sets_text = um.group("sets").strip()
+                if sets_text == "*":
+                    sets = None
+                else:
+                    sets = {}
+                    for item in _split_top(sets_text):
+                        em = re.match(
+                            r"^(`[^`]+`|[\w.]+)\s*=\s*(.+)$",
+                            item, re.DOTALL,
+                        )
+                        if not em:
+                            raise ValueError(
+                                f"unparseable SET clause: {item!r}"
+                            )
+                        col = _unquote_ident(em.group(1))
+                        # tolerate t.col = ... qualification
+                        if col.lower().startswith(talias.lower() + "."):
+                            col = col[len(talias) + 1:]
+                        sets[col] = em.group(2).strip()
+                matched_cl.append(
+                    {"action": "update", "condition": cond, "set": sets}
+                )
+        n_when = len(
+            re.findall(
+                r"\bWHEN\s+(?:NOT\s+)?MATCHED\b",
+                clauses_text, re.IGNORECASE,
+            )
+        )
+        if consumed == 0 or consumed != n_when:
             raise ValueError(
-                "MERGE supports WHEN MATCHED THEN UPDATE SET * | "
-                "DELETE and WHEN NOT MATCHED THEN INSERT * — for "
-                "conditional/column-level clauses call "
-                "merge_into_delta_native directly"
+                "could not parse every WHEN clause of the MERGE — "
+                "supported: WHEN MATCHED [AND cond] THEN UPDATE SET "
+                "(*|col = expr, ...) | DELETE, WHEN NOT MATCHED "
+                "[AND cond] THEN INSERT (*|(cols) VALUES (exprs))"
             )
         src_text = m.group("src")
         source = (
@@ -454,8 +528,9 @@ def delta_sql(spark: SparkSession, sql: str):
         )
         return W.merge_into_delta_native(
             spark, m.group("path"), source, on=on_cols,
-            when_matched=when_matched,
-            when_not_matched=when_not_matched,
+            when_matched=matched_cl or "ignore",
+            when_not_matched=not_matched_cl or "ignore",
+            aliases=(talias, salias),
         )
 
     m = re.match(

@@ -1230,6 +1230,10 @@ _SKIP_STATS_MAX_COLS = 32  # delta.dataSkippingNumIndexedCols default
 # the identify-scan I/O it can save (tests lower it to pin the path)
 _MERGE_PRUNE_MIN_BYTES = 32 * 2**20
 
+# clause-resolution tag column for conditional MERGE (r10) — named to
+# never collide with user data columns
+_MERGE_CLAUSE_COL = "__delta_merge_clause__"
+
 
 def _stat_json_value(v):
     """A parquet footer min/max as a Delta-stats JSON value, or None
@@ -3484,14 +3488,104 @@ def update_where_delta_native(
     )
 
 
+def _normalize_merge_clauses(
+    when_matched,
+    when_not_matched,
+    field_names: list[str],
+    meta: dict,
+) -> tuple[list[dict], list[dict]]:
+    """Canonicalize the two MERGE clause arguments to ordered clause
+    lists. Legacy string forms map to a single unconditional clause
+    ("update" → UPDATE SET *, "delete", "insert", "ignore" → []).
+    List form (delta-spark's conditional clauses):
+      matched:     {"action": "update"|"delete", "condition": sql|None,
+                    "set": {col: sql}|None}   # set None = UPDATE SET *
+      not_matched: {"action": "insert", "condition": sql|None,
+                    "values": {col: sql}|None} # values None = INSERT *
+    Delta's rule: every clause but the last needs a condition (a later
+    clause after an unconditional one is unreachable)."""
+    def _norm(arg, kind):
+        if isinstance(arg, str):
+            if kind == "matched":
+                if arg not in ("update", "delete", "ignore"):
+                    raise ValueError(
+                        f"when_matched: update|delete|ignore|[clauses], "
+                        f"got {arg!r}"
+                    )
+                return (
+                    [] if arg == "ignore"
+                    else [{"action": arg, "condition": None, "set": None}]
+                )
+            if arg not in ("insert", "ignore"):
+                raise ValueError(
+                    f"when_not_matched: insert|ignore|[clauses], got {arg!r}"
+                )
+            return (
+                [] if arg == "ignore"
+                else [{"action": "insert", "condition": None,
+                       "values": None}]
+            )
+        clauses = []
+        for i, c in enumerate(list(arg)):
+            action = c.get("action")
+            ok_actions = (
+                ("update", "delete") if kind == "matched" else ("insert",)
+            )
+            if action not in ok_actions:
+                raise ValueError(
+                    f"when_{kind} clause #{i}: action must be one of "
+                    f"{ok_actions}, got {action!r}"
+                )
+            cond = c.get("condition")
+            if cond is not None and not str(cond).strip():
+                cond = None
+            exprs_key = "set" if kind == "matched" else "values"
+            exprs = c.get(exprs_key)
+            if exprs is not None:
+                if action == "delete":
+                    raise ValueError(
+                        f"when_matched clause #{i}: DELETE takes no SET"
+                    )
+                bad = [k for k in exprs if k not in field_names]
+                if bad:
+                    raise ValueError(
+                        f"when_{kind} clause #{i}: columns not in the "
+                        f"table schema: {bad}"
+                    )
+                id_cols = sorted(set(exprs) & set(_identity_cols(meta)))
+                if id_cols:
+                    raise ValueError(
+                        f"when_{kind} clause #{i}: IDENTITY columns "
+                        f"{id_cols} cannot be assigned (real Delta "
+                        "refuses the same)"
+                    )
+                exprs = {k: str(v) for k, v in exprs.items()}
+            clauses.append(
+                {"action": action, "condition": cond, exprs_key: exprs}
+            )
+        for i, c in enumerate(clauses[:-1]):
+            if c["condition"] is None:
+                raise ValueError(
+                    f"when_{kind} clause #{i} has no condition but is "
+                    "not last — later clauses would be unreachable "
+                    "(Delta enforces the same)"
+                )
+        return clauses
+
+    return _norm(when_matched, "matched"), _norm(
+        when_not_matched, "not_matched"
+    )
+
+
 def merge_into_delta_native(
     spark: SparkSession,
     table_dir: str,
     source: DataFrame,
     on: list[str],
-    when_matched: str = "update",
-    when_not_matched: str = "insert",
+    when_matched="update",
+    when_not_matched="insert",
     check_duplicates: bool = True,
+    aliases: tuple[str, str] = ("t", "s"),
 ) -> dict:
     """MERGE INTO (upsert) for a native Delta table: target rows whose
     ``on`` keys match a source row are replaced by it (``when_matched=
@@ -3500,6 +3594,30 @@ def merge_into_delta_native(
     ``"ignore"``). Committed as one Delta version: remove tombstones for
     every file containing a match + adds for the rewritten files
     (dataChange=true — MERGE changes data, unlike OPTIMIZE).
+
+    CONDITIONAL / COLUMN-LEVEL CLAUSES (r10, delta-spark's full clause
+    model — /root/reference/deltawriter/delta_writer.py:88 funnels user
+    MERGE through that engine): pass lists of clause dicts instead of
+    the strings. Matched clauses evaluate IN ORDER per matched row —
+    the first whose condition holds applies; a matched row claiming no
+    clause survives unchanged. Conditions and SET/VALUES expressions
+    are SQL over the aliased sides (default ``t`` = target, ``s`` =
+    source; override with ``aliases`` when your SQL text used others):
+
+        when_matched=[
+          {"action": "update", "condition": "s.v > t.v",
+           "set": {"v": "s.v", "n": "t.n + 1"}},
+          {"action": "delete", "condition": "s.v IS NULL"},
+        ],
+        when_not_matched=[
+          {"action": "insert", "condition": "s.v > 0",
+           "values": {"id": "s.id", "v": "s.v"}},   # omitted cols NULL
+        ]
+
+    ``set``/``values`` of None means UPDATE SET * / INSERT * (the whole
+    source row). Every clause except the last must carry a condition.
+    NOT NULL, CHECK constraints and generated-column equality are
+    enforced on the rewritten rows exactly as for appends.
 
     Scale shape (same discipline as delete_by_keys): ONE identify join
     finds the affected files; ONLY those files are read again and
@@ -3513,10 +3631,6 @@ def merge_into_delta_native(
     cheap aggregate unless ``check_duplicates=False``. A lost commit
     race raises; the staged files are unreferenced and vacuum-reclaimed.
     """
-    if when_matched not in ("update", "delete", "ignore"):
-        raise ValueError(f"when_matched: update|delete|ignore, got {when_matched!r}")
-    if when_not_matched not in ("insert", "ignore"):
-        raise ValueError(f"when_not_matched: insert|ignore, got {when_not_matched!r}")
     root = table_dir.rstrip("/")
     protocol, meta, active, current, _txns = snapshot_actions(spark, root)
     _check_protocol(protocol)
@@ -3539,6 +3653,29 @@ def merge_into_delta_native(
     bad = [k for k in on if k not in schema.fieldNames()]
     if bad:
         raise ValueError(f"merge keys not in the table schema: {bad}")
+    m_clauses, nm_clauses = _normalize_merge_clauses(
+        when_matched, when_not_matched, schema.fieldNames(), meta
+    )
+    t_alias, s_alias = aliases
+    if t_alias == s_alias:
+        raise ValueError("MERGE aliases must differ")
+    # the legacy single-unconditional-SET-* shape keeps its narrow plan
+    # (only keys [+ row-id] from the target cross the update join)
+    legacy_update = m_clauses == [
+        {"action": "update", "condition": None, "set": None}
+    ]
+    legacy_insert_all = nm_clauses == [
+        {"action": "insert", "condition": None, "values": None}
+    ]
+    # anything conditional or column-level goes through the paired plan
+    generic_matched = bool(m_clauses) and not (
+        len(m_clauses) == 1
+        and m_clauses[0]["condition"] is None
+        and m_clauses[0]["set"] is None
+    )
+
+    def _q(alias: str, col: str):
+        return F.col(f"{alias}.`{col}`")
 
     # freeze the source against re-evaluation; LAZY so the first action
     # on it (the fused probe below) both materializes the checkpoint
@@ -3559,10 +3696,7 @@ def merge_into_delta_native(
     # job. The add actions already carry sizes, so the gate is free.
     merge_scan = active
     active_bytes = sum(int(a.get("size") or 0) for a in active.values())
-    if (
-        active_bytes >= _MERGE_PRUNE_MIN_BYTES
-        and when_matched != "ignore"
-    ):
+    if active_bytes >= _MERGE_PRUNE_MIN_BYTES and m_clauses:
         from rtdl_spark.sources.delta_reader import (
             _prune_files_by_key_ranges,
         )
@@ -3611,7 +3745,7 @@ def merge_into_delta_native(
                 F.lit(None).cast("string").alias(_FP_COL),
             )
         )
-    if tbl is not None and when_matched != "ignore":
+    if tbl is not None and m_clauses:
         probes.append(
             tbl.join(keys, on, "left_semi")
             .select(_FP_COL)
@@ -3707,7 +3841,66 @@ def merge_into_delta_native(
         pieces.append(
             arows.join(keys, on, "left_anti").select(*stage_cols)
         )
-        if when_matched == "update":
+        if generic_matched:
+            # conditional / column-level clauses: pair every matched
+            # target row with ITS source row (source keys are unique —
+            # the duplicate probe guarantees it — so cardinality stays
+            # per-target-row), tag each pair with the FIRST clause
+            # whose condition holds, then emit per-clause projections.
+            # Rows claiming no clause survive unchanged; delete-clause
+            # rows are dropped by emitting nothing for them.
+            ta = arows.alias(t_alias)
+            sa = src.alias(s_alias)
+            jc = None
+            for k in on:
+                e = _q(t_alias, k) == _q(s_alias, k)
+                jc = e if jc is None else (jc & e)
+            clause_col = None
+            for i, c in enumerate(m_clauses):
+                cnd = (
+                    F.expr(c["condition"])
+                    if c["condition"] is not None
+                    else F.lit(True)
+                )
+                clause_col = (
+                    F.when(cnd, F.lit(i))
+                    if clause_col is None
+                    else clause_col.when(cnd, F.lit(i))
+                )
+            paired = ta.join(sa, jc, "inner").withColumn(
+                _MERGE_CLAUSE_COL, clause_col
+            )
+            t_stage_proj = [
+                _q(t_alias, c).alias(c) for c in stage_cols
+            ]
+            pieces.append(
+                paired.filter(F.col(_MERGE_CLAUSE_COL).isNull())
+                .select(*t_stage_proj)
+            )
+            for i, c in enumerate(m_clauses):
+                if c["action"] != "update":
+                    continue
+                proj = []
+                for col in col_order:
+                    if c["set"] is None:
+                        proj.append(_q(s_alias, col).alias(col))
+                    elif col in c["set"]:
+                        proj.append(
+                            F.expr(c["set"][col])
+                            .cast(schema[col].dataType)
+                            .alias(col)
+                        )
+                    else:
+                        proj.append(_q(t_alias, col).alias(col))
+                if rt:
+                    # target row keeps its identity; fresh commit version
+                    proj.append(_q(t_alias, mat_id).alias(mat_id))
+                    proj.append(F.lit(None).cast("long").alias(mat_cv))
+                pieces.append(
+                    paired.filter(F.col(_MERGE_CLAUSE_COL) == i)
+                    .select(*proj)
+                )
+        elif legacy_update:
             # one output row PER MATCHED TARGET ROW (not per source row):
             # Delta MERGE's UPDATE SET * preserves target cardinality, so
             # duplicate-key target rows each become a copy of the source
@@ -3719,14 +3912,55 @@ def merge_into_delta_native(
             if rt:
                 upd = upd.withColumn(mat_cv, F.lit(None).cast("long"))
             pieces.append(upd.select(*stage_cols))
+        # legacy unconditional delete: matched rows simply don't reappear
     ins_df = None
-    if when_not_matched == "insert":
-        if tbl is not None:
-            ins_df = src.join(
-                tbl.select(*on).distinct(), on, "left_anti"
-            ).select(*col_order)
+    if nm_clauses:
+        base = (
+            src.join(tbl.select(*on).distinct(), on, "left_anti")
+            if tbl is not None
+            else src
+        ).select(*col_order)
+        if legacy_insert_all:
+            ins_df = base
         else:
-            ins_df = src.select(*col_order)
+            sa2 = base.alias(s_alias)
+            clause_col = None
+            for i, c in enumerate(nm_clauses):
+                cnd = (
+                    F.expr(c["condition"])
+                    if c["condition"] is not None
+                    else F.lit(True)
+                )
+                clause_col = (
+                    F.when(cnd, F.lit(i))
+                    if clause_col is None
+                    else clause_col.when(cnd, F.lit(i))
+                )
+            tagged = sa2.withColumn(_MERGE_CLAUSE_COL, clause_col)
+            ins_parts = []
+            for i, c in enumerate(nm_clauses):
+                if c["values"] is None:
+                    proj = [_q(s_alias, col).alias(col) for col in col_order]
+                else:
+                    proj = [
+                        F.expr(c["values"][col])
+                        .cast(schema[col].dataType)
+                        .alias(col)
+                        if col in c["values"]
+                        # INSERT (cols) VALUES (...): omitted columns
+                        # are NULL (NOT NULL enforcement still applies)
+                        else F.lit(None)
+                        .cast(schema[col].dataType)
+                        .alias(col)
+                        for col in col_order
+                    ]
+                ins_parts.append(
+                    tagged.filter(F.col(_MERGE_CLAUSE_COL) == i)
+                    .select(*proj)
+                )
+            ins_df = ins_parts[0]
+            for p in ins_parts[1:]:
+                ins_df = ins_df.unionByName(p)
         ins_piece = ins_df
         if rt:
             ins_piece = ins_piece.withColumn(
@@ -3746,11 +3980,56 @@ def merge_into_delta_native(
     cdc_actions: list[dict] = []
     if _cdf_enabled(meta):
         change_frames = []
-        if affected and when_matched != "ignore":
+        if affected and generic_matched:
+            # per-clause change rows: only rows a clause CLAIMED appear
+            # (an unclaimed matched row changed nothing)
+            t_chg_proj = [_q(t_alias, c).alias(c) for c in col_order]
+            upd_idx = [
+                i for i, c in enumerate(m_clauses)
+                if c["action"] == "update"
+            ]
+            del_idx = [
+                i for i, c in enumerate(m_clauses)
+                if c["action"] == "delete"
+            ]
+            if upd_idx:
+                change_frames.append(
+                    paired.filter(F.col(_MERGE_CLAUSE_COL).isin(upd_idx))
+                    .select(*t_chg_proj)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                )
+                for i in upd_idx:
+                    c = m_clauses[i]
+                    proj = []
+                    for col in col_order:
+                        if c["set"] is None:
+                            proj.append(_q(s_alias, col).alias(col))
+                        elif col in c["set"]:
+                            proj.append(
+                                F.expr(c["set"][col])
+                                .cast(schema[col].dataType)
+                                .alias(col)
+                            )
+                        else:
+                            proj.append(_q(t_alias, col).alias(col))
+                    change_frames.append(
+                        paired.filter(F.col(_MERGE_CLAUSE_COL) == i)
+                        .select(*proj)
+                        .withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+            if del_idx:
+                change_frames.append(
+                    paired.filter(F.col(_MERGE_CLAUSE_COL).isin(del_idx))
+                    .select(*t_chg_proj)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+        elif affected and m_clauses:
             matched_target = arows.join(keys, on, "left_semi").select(
                 *col_order
             )
-            if when_matched == "update":
+            if legacy_update:
                 change_frames.append(
                     matched_target.withColumn(
                         "_change_type", F.lit("update_preimage")
@@ -3764,7 +4043,7 @@ def merge_into_delta_native(
                         "_change_type", F.lit("update_postimage")
                     )
                 )
-            else:  # delete
+            else:  # legacy unconditional delete
                 change_frames.append(
                     matched_target.withColumn(
                         "_change_type", F.lit("delete")
@@ -3813,8 +4092,16 @@ def merge_into_delta_native(
         "MERGE",
         {
             "predicate": json.dumps(on),
-            "matched": when_matched,
-            "notMatched": when_not_matched,
+            "matched": (
+                when_matched
+                if isinstance(when_matched, str)
+                else json.dumps(m_clauses)
+            ),
+            "notMatched": (
+                when_not_matched
+                if isinstance(when_not_matched, str)
+                else json.dumps(nm_clauses)
+            ),
         },
         _remove_actions(affected, path_to_add, ts),
         adds,
