@@ -703,6 +703,8 @@ def create_delta_table_native(
     identity: dict[str, dict] | None = None,
     generated: dict[str, str] | None = None,
     not_null: list[str] | None = None,
+    comment: str | None = None,
+    or_replace: bool = False,
 ) -> dict:
     """CREATE TABLE (empty) with the full column-level DDL surface —
     the missing creation half of what r7/r8 taught the APPEND lane to
@@ -729,7 +731,15 @@ def create_delta_table_native(
     protocol action grants every implied capability at once (the
     legacy->features conversion in _upgraded_protocol).
 
-    Returns {"version": 0, "protocol": <committed protocol>}."""
+    ``or_replace=True`` (CREATE OR REPLACE TABLE, r10): when the table
+    already exists, commit a REPLACE TABLE version instead of refusing —
+    new schema/partitioning/configuration, remove tombstones for every
+    active file (DV descriptors preserved on the tombstones), table id
+    and history PRESERVED (the replace itself is time-travelable), and
+    the protocol only ever UPGRADED (never downgraded) to what the new
+    properties imply.
+
+    Returns {"version": n, "protocol": <committed protocol>}."""
     import uuid as _uuid
 
     from pyspark.sql.types import StructType
@@ -737,8 +747,13 @@ def create_delta_table_native(
     from rtdl_spark.sources.delta_writer import _table_exists
 
     root = table_dir.rstrip("/")
+    replacing = None  # (current_version, existing protocol/meta/active)
     if _table_exists(spark, root):
-        raise ValueError(f"{root} is already a Delta table")
+        if not or_replace:
+            raise ValueError(f"{root} is already a Delta table")
+        from rtdl_spark.sources.delta_reader import snapshot_actions
+
+        replacing = snapshot_actions(spark, root)
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     fields = json.loads(schema.json()).get("fields") or []
@@ -853,36 +868,65 @@ def create_delta_table_native(
         if spec and str(v).lower() == "true":
             want_w.extend(spec[0])
             want_r.extend(spec[1])
-    base = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if replacing is not None:
+        # protocols only ever upgrade: the replace keeps every existing
+        # capability and adds what the new properties imply
+        base = dict(replacing[0])
+    else:
+        base = {"minReaderVersion": 1, "minWriterVersion": 2}
     protocol = _upgraded_protocol(base, want_w, want_r) or base
+    commit_version = (replacing[3] + 1) if replacing is not None else 0
     if (
         table_properties.get("delta.enableInCommitTimestamps", "")
         .lower()
         == "true"
     ):
-        conf["delta.inCommitTimestampEnablementVersion"] = "0"
+        conf["delta.inCommitTimestampEnablementVersion"] = str(
+            commit_version
+        )
         conf["delta.inCommitTimestampEnablementTimestamp"] = str(
             _now_ms()
         )
 
     ts = _now_ms()
+    operation = (
+        "REPLACE TABLE" if replacing is not None else "CREATE TABLE"
+    )
+    # an ICT-enabled EXISTING table needs a monotonic inCommitTimestamp
+    # on the replace commit too
+    ict = (
+        _ict_value(spark, root, replacing[3], replacing[1], ts)
+        if replacing is not None
+        else None
+    )
     actions: list[dict] = [
         {
             "commitInfo": {
                 "timestamp": ts,
-                "operation": "CREATE TABLE",
+                "operation": operation,
                 "operationParameters": {
                     "partitionBy": json.dumps(part_cols),
                     "clusterBy": json.dumps(cluster_by or []),
                     "properties": json.dumps(table_properties),
                 },
                 "engineInfo": "rtdl-spark native-delta-writer/1",
+                **(
+                    {"inCommitTimestamp": ict}
+                    if ict is not None
+                    else {}
+                ),
             }
         },
         {"protocol": protocol},
         {
             "metaData": {
-                "id": str(_uuid.uuid4()),
+                # REPLACE keeps the table's identity and creation time
+                # (the table persists; only its definition is replaced)
+                "id": (
+                    replacing[1]["id"]
+                    if replacing is not None
+                    else str(_uuid.uuid4())
+                ),
                 "format": {"provider": "parquet", "options": {}},
                 # the identity/generated/not_null patches above mutated
                 # the field dicts in place; CM annotation rebuilt them
@@ -890,10 +934,23 @@ def create_delta_table_native(
                 "schemaString": _fields_to_schema(fields),
                 "partitionColumns": part_cols,
                 "configuration": conf,
-                "createdTime": ts,
+                "createdTime": (
+                    replacing[1].get("createdTime", ts)
+                    if replacing is not None
+                    else ts
+                ),
+                **({"description": comment} if comment else {}),
             }
         },
     ]
+    if replacing is not None:
+        from rtdl_spark.sources.delta_writer import _remove_actions
+
+        active = replacing[2]
+        actions.extend(
+            {"remove": r}
+            for r in _remove_actions(sorted(active), active, ts)
+        )
     if cluster_by:
         actions.append(
             {
@@ -906,12 +963,29 @@ def create_delta_table_native(
                 }
             }
         )
-    if not _try_commit(spark, root, 0, actions):
+    elif replacing is not None:
+        # replacing a clustered table with an unclustered definition:
+        # drop the stale clustering domain in the same commit
+        from rtdl_spark.sources.delta_reader import snapshot_domains
+
+        d = snapshot_domains(spark, root).get("delta.clustering")
+        if d and not d.get("removed"):
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": d.get("configuration") or "{}",
+                        "removed": True,
+                    }
+                }
+            )
+    if not _try_commit(spark, root, commit_version, actions):
         raise ValueError(
-            f"{root} gained a Delta log concurrently — create refuses "
-            "to race"
+            f"{root} changed concurrently — "
+            + ("replace" if replacing is not None else "create")
+            + " refuses to race"
         )
-    return {"version": 0, "protocol": protocol}
+    return {"version": commit_version, "protocol": protocol}
 
 
 def alter_cluster_by(

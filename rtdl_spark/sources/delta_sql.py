@@ -15,16 +15,19 @@ grammar raises with the native API to call instead — never a silent
 partial parse.
 
 Supported statements (each maps 1:1 onto a tested native API):
-CREATE TABLE (column DDL incl. NOT NULL / GENERATED ALWAYS AS (expr) /
-GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY [(START WITH n INCREMENT BY
-m)], PARTITIONED BY, CLUSTER BY, TBLPROPERTIES) · CREATE TABLE ...
-SHALLOW CLONE [VERSION AS OF] · ALTER TABLE SET/UNSET TBLPROPERTIES ·
-ADD CONSTRAINT ... CHECK · DROP CONSTRAINT · ADD COLUMN(S) · RENAME
-COLUMN · DROP COLUMN · CLUSTER BY (...) | NONE · ALTER COLUMN ... SYNC
-IDENTITY · DELETE FROM ... WHERE · UPDATE ... SET ... WHERE · MERGE
-INTO ... USING · OPTIMIZE [WHERE] [ZORDER BY] · VACUUM [RETAIN n
-HOURS] · RESTORE TABLE ... TO VERSION AS OF · DESCRIBE HISTORY ·
-DESCRIBE DETAIL.
+CREATE [OR REPLACE] TABLE [IF NOT EXISTS] (column DDL incl. NOT NULL /
+GENERATED ALWAYS AS (expr) / GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY
+[(START WITH n INCREMENT BY m)] / COMMENT '...', PARTITIONED BY,
+CLUSTER BY, COMMENT, TBLPROPERTIES) · CREATE TABLE ... SHALLOW CLONE
+[VERSION AS OF] · ALTER TABLE SET/UNSET TBLPROPERTIES · ADD CONSTRAINT
+... CHECK · DROP CONSTRAINT · ADD COLUMN(S) · RENAME COLUMN · DROP
+COLUMN · CLUSTER BY (...) | NONE · ALTER COLUMN ... SYNC IDENTITY ·
+DELETE FROM ... WHERE · UPDATE ... SET ... WHERE · MERGE INTO ...
+USING (incl. conditional WHEN MATCHED [AND cond] THEN UPDATE SET col =
+expr / DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES
+(exprs), r10) · OPTIMIZE [WHERE] [ZORDER BY] · VACUUM [RETAIN n HOURS]
+[DRY RUN] · RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF · DESCRIBE
+HISTORY · DESCRIBE DETAIL.
 """
 
 from __future__ import annotations
@@ -140,24 +143,37 @@ def _create(spark: SparkSession, sql: str):
     from rtdl_spark.sources.delta_alter import create_delta_table_native
 
     m = re.match(
-        rf"^\s*CREATE\s+TABLE\s+{_TBL}\s*(?=\()",
+        rf"^\s*CREATE\s+(?P<rep>OR\s+REPLACE\s+)?TABLE\s+"
+        rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?{_TBL}\s*(?=\()",
         sql,
         re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError(
-            "unparseable CREATE TABLE — expected CREATE TABLE "
-            "delta.`/path` (col TYPE ..., ...) [USING DELTA] "
-            "[PARTITIONED BY (...)] [CLUSTER BY (...)] "
-            "[TBLPROPERTIES (...)]"
+            "unparseable CREATE TABLE — expected CREATE [OR REPLACE] "
+            "TABLE [IF NOT EXISTS] delta.`/path` (col TYPE ..., ...) "
+            "[USING DELTA] [PARTITIONED BY (...)] [CLUSTER BY (...)] "
+            "[COMMENT '...'] [TBLPROPERTIES (...)]"
+        )
+    or_replace = bool(m.group("rep"))
+    if_not_exists = bool(m.group("ine"))
+    if or_replace and if_not_exists:
+        raise ValueError(
+            "OR REPLACE and IF NOT EXISTS are mutually exclusive"
         )
     path = m.group("path")
+    if if_not_exists:
+        from rtdl_spark.sources.delta_writer import _table_exists
+
+        if _table_exists(spark, path.rstrip("/")):
+            return {"version": None, "created": False}
     open_idx = m.end()
     close_idx = _balanced(sql, open_idx)
     cols_text = sql[open_idx + 1 : close_idx]
     tail = sql[close_idx + 1 :].strip()
     tail = re.sub(r"^USING\s+DELTA\s*", "", tail, flags=re.IGNORECASE)
     fields, identity, generated, not_null = [], {}, {}, []
+    col_comments: dict[str, str] = {}
     for coldef in _split_top(cols_text):
         cm = _COLDEF_RE.match(coldef)
         if not cm:
@@ -165,6 +181,13 @@ def _create(spark: SparkSession, sql: str):
         name = _unquote_ident(cm.group("name"))
         dtype = _delta_type(cm.group("type"))
         rest = cm.group("rest").strip()
+        # COMMENT can trail any other column clause — strip it first
+        cmt = re.search(
+            r"\bCOMMENT\s+'((?:[^']|'')*)'", rest, re.IGNORECASE
+        )
+        if cmt:
+            col_comments[name] = cmt.group(1).replace("''", "'")
+            rest = (rest[: cmt.start()] + rest[cmt.end():]).strip()
         im = _IDENTITY_RE.match(rest)
         gm = _GENERATED_RE.match(rest)
         if im:
@@ -187,7 +210,7 @@ def _create(spark: SparkSession, sql: str):
                 f"unsupported column-definition clause {rest!r} on "
                 f"{name!r}"
             )
-        fields.append(f"`{name}` {dtype}")
+        fields.append((name, dtype))
     opts = {
         "partition_by": None, "cluster_by": None,
         "table_properties": None,
@@ -209,10 +232,17 @@ def _create(spark: SparkSession, sql: str):
     )
     if tm:
         opts["table_properties"] = _parse_props(tm.group(1))
+    table_comment = None
+    tm = re.search(
+        r"\bCOMMENT\s+'((?:[^']|'')*)'", tail, re.IGNORECASE
+    )
+    if tm:
+        table_comment = tm.group(1).replace("''", "'")
     leftover = tail
     for pat in (
         r"PARTITIONED\s+BY\s*\([^)]*\)",
         r"CLUSTER\s+BY\s*\([^)]*\)",
+        r"COMMENT\s+'(?:[^']|'')*'",
         r"TBLPROPERTIES\s*\(.*\)",
     ):
         leftover = re.sub(pat, "", leftover, flags=re.IGNORECASE | re.DOTALL)
@@ -220,11 +250,35 @@ def _create(spark: SparkSession, sql: str):
         raise ValueError(
             f"unsupported CREATE TABLE clause: {leftover.strip()!r}"
         )
+    # build the schema as a StructType so column COMMENTs ride the
+    # field metadata into the committed schemaString
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": n,
+                    "type": t,
+                    "nullable": True,
+                    "metadata": (
+                        {"comment": col_comments[n]}
+                        if n in col_comments
+                        else {}
+                    ),
+                }
+                for n, t in fields
+            ],
+        }
+    )
     return create_delta_table_native(
-        spark, path, ", ".join(fields),
+        spark, path, schema,
         identity=identity or None,
         generated=generated or None,
         not_null=not_null or None,
+        comment=table_comment,
+        or_replace=or_replace,
         **opts,
     )
 
@@ -254,7 +308,9 @@ def delta_sql(spark: SparkSession, sql: str):
             version=int(m.group("v")) if m.group("v") else None,
         )
 
-    if re.match(r"^CREATE\s+TABLE\b", s, re.IGNORECASE):
+    if re.match(
+        r"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\b", s, re.IGNORECASE
+    ):
         return _create(spark, s)
 
     m = re.match(
@@ -563,23 +619,39 @@ def delta_sql(spark: SparkSession, sql: str):
         return W.optimize_delta_native(spark, m.group("path"), **kwargs)
 
     m = re.match(
-        rf"^VACUUM\s+{_TBL}(?:\s+RETAIN\s+(?P<h>\d+)\s+HOURS)?$",
+        rf"^VACUUM\s+{_TBL}(?:\s+RETAIN\s+(?P<h>\d+)\s+HOURS)?"
+        rf"(?:\s+(?P<dry>DRY\s+RUN))?$",
         s, re.IGNORECASE,
     )
     if m:
         kwargs = {}
         if m.group("h"):
             kwargs["retain_ms"] = int(m.group("h")) * 3600 * 1000
+        if m.group("dry"):
+            # delta-spark's VACUUM DRY RUN returns the deletable paths
+            # as a one-column frame without deleting anything
+            victims = W.vacuum_delta_native(
+                spark, m.group("path"), dry_run=True, **kwargs
+            )
+            return spark.createDataFrame(
+                [(p,) for p in victims], "path string"
+            )
         return W.vacuum_delta_native(spark, m.group("path"), **kwargs)
 
     m = re.match(
-        rf"^RESTORE\s+TABLE\s+{_TBL}\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+        rf"^RESTORE\s+TABLE\s+{_TBL}\s+TO\s+"
+        rf"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+        rf"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')$",
         s, re.IGNORECASE,
     )
     if m:
-        return W.restore_delta_native(
-            spark, m.group("path"), int(m.group(2))
-        )
+        if m.group("v") is not None:
+            target = int(m.group("v"))
+        else:
+            target = R.version_at_timestamp(
+                spark, m.group("path"), m.group("ts")
+            )
+        return W.restore_delta_native(spark, m.group("path"), target)
 
     m = re.match(
         rf"^DESCRIBE\s+HISTORY\s+{_TBL}$", s, re.IGNORECASE

@@ -143,13 +143,156 @@ def test_sql_refusals_name_the_native_api(spark, tmp_path):
         delta_sql(spark, f"SELECT * FROM delta.`{p}`")
     with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
         delta_sql(spark, f"ALTER TABLE delta.`{p}` FROB THE KNOB")
-    with pytest.raises(ValueError, match="merge_into_delta_native"):
+    # column-level SET became a supported clause in r10 — the refusal
+    # now only fires on genuinely unparseable clause bodies
+    with pytest.raises(ValueError, match="WHEN clause"):
         delta_sql(spark, f"""
             MERGE INTO delta.`{p}` t USING x s ON t.id = s.id
-            WHEN MATCHED THEN UPDATE SET v = s.v + 1
+            WHEN MATCHED THEN FROB THE ROW
         """)
     with pytest.raises(ValueError, match="t.col = s.col"):
         delta_sql(spark, f"""
             MERGE INTO delta.`{p}` t USING x s ON t.id = s.other
             WHEN MATCHED THEN UPDATE SET *
         """)
+
+
+def test_vacuum_dry_run_sql(spark, tmp_path):
+    """VACUUM ... DRY RUN returns the deletable paths as a one-column
+    frame and deletes NOTHING (r10 grammar growth)."""
+    import os
+
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        write_delta_native,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100).select("id").repartition(4)
+    write_delta_native(spark, df, root, checkpoint_interval=0)
+    delete_where_delta_native(spark, root, "id < 100")  # all files dead
+    out = delta_sql(
+        spark, f"VACUUM delta.`{root}` RETAIN 0 HOURS DRY RUN"
+    )
+    victims = [r["path"] for r in out.collect()]
+    assert len(victims) >= 1
+    for p in victims:
+        assert os.path.exists(p), "DRY RUN must not delete"
+    # and the non-dry form actually deletes them
+    deleted = delta_sql(spark, f"VACUUM delta.`{root}` RETAIN 0 HOURS")
+    assert sorted(deleted) == sorted(victims)
+    for p in victims:
+        assert not os.path.exists(p)
+
+
+def test_restore_timestamp_as_of_sql(spark, tmp_path):
+    """RESTORE ... TO TIMESTAMP AS OF resolves through the same
+    timestamp rule as read-side time travel (last version at-or-before,
+    UTC) and restores that version."""
+    import json
+    import os
+    import time
+
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root = str(tmp_path / "t")
+    write_delta_native(
+        spark, spark.range(0, 5).select("id"), root, checkpoint_interval=0
+    )
+    write_delta_native(
+        spark, spark.range(5, 9).select("id"), root, checkpoint_interval=0
+    )
+    # pin distinct commit timestamps so the cutoff is unambiguous
+    log = os.path.join(root, "_delta_log")
+    for v, ts in ((0, 1_700_000_000_000), (1, 1_700_000_600_000)):
+        p = os.path.join(log, f"{v:020d}.json")
+        lines = []
+        for line in open(p):
+            a = json.loads(line)
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+            lines.append(json.dumps(a))
+        open(p, "w").write("\n".join(lines) + "\n")
+    # a wall time between the two commits -> restore to v0
+    cut = time.strftime(
+        "%Y-%m-%d %H:%M:%S", time.gmtime(1_700_000_300)
+    )
+    res = delta_sql(
+        spark,
+        f"RESTORE TABLE delta.`{root}` TO TIMESTAMP AS OF '{cut}'",
+    )
+    assert res["version"] is not None
+    assert read_delta_native(spark, root).count() == 5
+
+
+def test_create_or_replace_and_comments_sql(spark, tmp_path):
+    """CREATE OR REPLACE commits a REPLACE TABLE version: new schema/
+    properties, all prior files removed, table id + history preserved,
+    old data still time-travelable; COMMENT clauses land in the field
+    metadata and metaData.description; IF NOT EXISTS no-ops on an
+    existing table."""
+    import json as _json
+
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root = str(tmp_path / "t")
+    delta_sql(spark, f"""
+        CREATE TABLE delta.`{root}` (
+            id BIGINT NOT NULL COMMENT 'the key',
+            v DOUBLE
+        ) USING DELTA COMMENT 'first definition'
+    """)
+    _, meta0, _, _, _ = snapshot_actions(spark, root)
+    assert meta0.get("description") == "first definition"
+    f_id = next(
+        f for f in _json.loads(meta0["schemaString"])["fields"]
+        if f["name"] == "id"
+    )
+    assert f_id["metadata"]["comment"] == "the key"
+    assert f_id["nullable"] is False
+    write_delta_native(
+        spark,
+        spark.range(0, 7).select(
+            "id", (F.col("id") * 1.0).alias("v")
+        ),
+        root, checkpoint_interval=0,
+    )
+    # IF NOT EXISTS: no-op
+    res = delta_sql(spark, f"""
+        CREATE TABLE IF NOT EXISTS delta.`{root}` (x BIGINT)
+    """)
+    assert res == {"version": None, "created": False}
+    # OR REPLACE: new definition, empty table, history intact
+    res = delta_sql(spark, f"""
+        CREATE OR REPLACE TABLE delta.`{root}` (
+            k BIGINT,
+            label STRING
+        ) USING DELTA COMMENT 'second definition'
+        TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')
+    """)
+    assert res["version"] == 2
+    _, meta2, active2, v2, _ = snapshot_actions(spark, root)
+    assert v2 == 2
+    assert active2 == {}
+    assert meta2["id"] == meta0["id"], "REPLACE must keep the table id"
+    assert meta2.get("description") == "second definition"
+    assert meta2["configuration"]["delta.enableChangeDataFeed"] == "true"
+    assert read_delta_native(spark, root).count() == 0
+    assert [
+        f["name"]
+        for f in _json.loads(meta2["schemaString"])["fields"]
+    ] == ["k", "label"]
+    # the pre-replace snapshot is still readable by version
+    assert read_delta_native(spark, root, version=1).count() == 7
+    # and the new definition accepts appends
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, label string"),
+        root, checkpoint_interval=0,
+    )
+    assert read_delta_native(spark, root).count() == 1
