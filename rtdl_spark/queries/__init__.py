@@ -45,54 +45,53 @@ CANARIES: tuple[str, ...] = (
     "multimodal_binary_stats",   # multimodal (§2C)
 )
 
-# Round-9 rotation (r8 verdict item 1): the 5 remaining never-served
-# oracle-backed queries (the lake surface added mid-r8 after that head
-# was pinned) CLOSE external coverage — after their rows land, every
-# oracle-backed query in the registry has a driver correctness row.
-# The other 33 slots inaugurate the STALENESS-REFRESH rule: with the
-# never-served pool drained, slots refill stalest-first, and the
-# entire r2 cohort (33 queries, 6 rounds since their last external
-# row) is exactly 33 — so r9 re-serves all of it. The freshness test
-# now enforces stalest-first instead of never-served-only.
+# Round-10 rotation (r9 verdict item 3): the 9 never-served
+# oracle-backed queries lead — 6 lake surfaces added mid-r9 after that
+# head was pinned, the two ML entries whose bound-style oracles arrived
+# mid-r9 (sim_pca_projection, ml_logreg_quality_filter), and the
+# r10-new lake_delta_merge_clauses. The remaining 29 slots continue
+# staleness-first: the r3 cohort (38 queries, stalest greens) is
+# bigger than the space, so its first 29 serve now and the tail leads
+# r11 (the freshness test's tie-split sanctions exactly this).
 ROTATION: tuple[str, ...] = (
-    "lake_delta_v2_checkpoint",
-    "lake_delta_row_tracking",
-    "lake_delta_invariants",
-    "lake_delta_cdf_dv_restore",
-    "lake_delta_clustered_optimize",
-    "agg_count_distinct_by_priority",
-    "agg_cube_status_priority",
-    "agg_having_filter",
-    "agg_statistical_moments",
-    "agg_pivot_status_by_priority",
-    "agg_distinct_sum",
-    "agg_unpivot_part_metrics",
-    "agg_regression_stats",
-    "agg_boolean_funcs",
-    "agg_listagg_ordered",
-    "agg_spearman_corr",
-    "agg_median_mode",
-    "agg_crosstab_chi2",
-    "dedup_fingerprint_groups",
-    "dedup_jaccard_bruteforce",
-    "dedup_simhash_profile",
-    "dedup_ngram_token_jaccard",
-    "dedup_embedding_cosine",
-    "text_winnow_profile",
-    "dedup_winnow_overlap_pairs",
-    "dedup_cluster_assignment",
-    "dedup_incremental_clusters",
-    "dedup_incremental_against_corpus",
-    "dedup_fuzzy_source_pairs",
-    "dedup_incremental_bloom",
-    "dedup_source_overlap_matrix",
-    "dedup_survivorship_policy",
-    "graph_triangle_count",
-    "graph_clustering_coefficients",
-    "dedup_weighted_keepers",
-    "join_left_outer_orderless",
-    "join_right_outer_nation_suppliers",
-    "join_cross_region_status",
+    "lake_delta_alter_properties",
+    "ml_logreg_quality_filter",
+    "sim_pca_projection",
+    "lake_delta_alter_schema",
+    "lake_delta_shallow_clone",
+    "lake_delta_create_ddl",
+    "lake_delta_data_skipping",
+    "lake_delta_sql_surface",
+    "lake_delta_merge_clauses",
+    "agg_rollup_flag_status",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_weighted_median",
+    "dedup_exact_by_source",
+    "dedup_span_exact",
+    "graph_kcore_docs",
+    "dedup_er_pipeline",
+    "join_full_outer_nation_presence",
+    "join_semi_customers_with_f_orders",
+    "join_anti_parts_never_ordered",
+    "join_asof_last_order",
+    "join_interval_attribution",
+    "setop_union_by_name_drift",
+    "json_variant_extract",
+    "lake_profile_orders",
+    "source_csv_roundtrip",
+    "lake_versioned_diff",
+    "scalar_pii_mask",
+    "scalar_partition_buckets",
+    "message_type_resolution",
+    "sim_allpairs_blocked",
+    "sim_hybrid_rrf",
+    "sql_recursive_cte",
+    "text_decontaminate",
+    "text_bm25_search",
+    "text_sequence_packing",
+    "multimodal_phash_near_dup",
+    "ml_auc_rank_sum",
 )
 
 DRIVER_HEAD: tuple[str, ...] = CANARIES + ROTATION

@@ -121,7 +121,11 @@ def test_driver_head_rotation_is_fresh():
 
     root = os.path.join(os.path.dirname(__file__), "..")
     served = json.load(open(os.path.join(root, "DRIVER_SERVED.json")))
-    rounds = sorted(k for k in served if k.startswith("r"))
+    # numeric sort: lexicographic breaks at r10 ("r10" < "r9")
+    rounds = sorted(
+        (k for k in served if k.startswith("r")),
+        key=lambda k: int(k[1:]),
+    )
     assert rounds, "DRIVER_SERVED.json has no round entries"
     latest = rounds[-1]
     assert served[latest] == list(DRIVER_HEAD), (

@@ -34,7 +34,11 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     served_path = os.path.join(root, "DRIVER_SERVED.json")
     served = json.load(open(served_path))
-    rounds = sorted(k for k in served if k.startswith("r"))
+    # numeric sort: lexicographic breaks at r10 ("r10" < "r9")
+    rounds = sorted(
+        (k for k in served if k.startswith("r")),
+        key=lambda k: int(k[1:]),
+    )
     prior = set().union(*(served[r] for r in rounds))
 
     # r5 amendment: a name whose LATEST committed CORRECTNESS row is red
