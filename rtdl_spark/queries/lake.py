@@ -3835,8 +3835,11 @@ def lake_delta_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN tsrc = 'b' THEN 1 END AS clause
       FROM matched
     ), final AS (
+      -- unmatched target rows: the by-source DELETE claims expensive
+      -- 'c' rows; everything else survives
       SELECT o_orderkey, o_totalprice, src FROM t
       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+        AND NOT (src = 'c' AND o_totalprice > 300000.0)
       UNION ALL
       SELECT k, tp, tsrc FROM resolved WHERE clause IS NULL
       UNION ALL
@@ -3860,7 +3863,9 @@ def lake_delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     UPDATE SET (s+t) when the source price beats the target's, a DELETE
     of partition-'b' rows otherwise, survival when neither holds — and
     unmatched source rows insert under a condition into partition 'z'
-    via INSERT (cols) VALUES (exprs). The oracle recomputes the exact
+    via INSERT (cols) VALUES (exprs), and a NOT MATCHED BY SOURCE
+    clause deletes expensive partition-'c' rows the source no longer
+    carries (r10 third clause family). The oracle recomputes the exact
     clause resolution in plain SQL; per-partition counts + DECIMAL
     sums are hash-verified."""
     from rtdl_spark.queries._util import dec
@@ -3921,6 +3926,11 @@ def lake_delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "values": {"o_orderkey": "s.o_orderkey",
                             "o_totalprice": "s.o_totalprice",
                             "src": "'z'"}},
+            ],
+            when_not_matched_by_source=[
+                {"action": "delete",
+                 "condition":
+                     "t.src = 'c' AND t.o_totalprice > 300000.0"},
             ],
         )
         out = (

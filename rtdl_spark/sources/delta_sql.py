@@ -483,6 +483,7 @@ def delta_sql(spark: SparkSession, sql: str):
         # ORDER is semantic (first condition that holds wins)
         clause_re = re.compile(
             r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+            r"(?P<bysrc>\s+BY\s+SOURCE)?"
             r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
             r"(?P<act>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)"
             r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
@@ -490,12 +491,51 @@ def delta_sql(spark: SparkSession, sql: str):
         )
         matched_cl: list[dict] = []
         not_matched_cl: list[dict] = []
+        by_source_cl: list[dict] = []
         consumed = 0
         for w in clause_re.finditer(clauses_text):
             consumed += 1
             cond = w.group("cond").strip() if w.group("cond") else None
             act = w.group("act").strip()
             act_u = re.sub(r"\s+", " ", act.upper())
+            if w.group("not") and w.group("bysrc"):
+                # WHEN NOT MATCHED BY SOURCE: UPDATE SET ... | DELETE
+                # over target-only rows
+                if act_u == "DELETE":
+                    by_source_cl.append(
+                        {"action": "delete", "condition": cond,
+                         "set": None}
+                    )
+                    continue
+                um = re.match(
+                    r"^UPDATE\s+SET\s+(?P<sets>.+)$",
+                    act, re.IGNORECASE | re.DOTALL,
+                )
+                if not um or um.group("sets").strip() == "*":
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports UPDATE "
+                        "SET col = expr, ... (no *) or DELETE — got "
+                        f"{act!r}"
+                    )
+                sets = {}
+                for item in _split_top(um.group("sets").strip()):
+                    em = re.match(
+                        r"^(`[^`]+`|[\w.]+)\s*=\s*(.+)$",
+                        item, re.DOTALL,
+                    )
+                    if not em:
+                        raise ValueError(
+                            f"unparseable SET clause: {item!r}"
+                        )
+                    col = _unquote_ident(em.group(1))
+                    if col.lower().startswith(talias.lower() + "."):
+                        col = col[len(talias) + 1:]
+                    sets[col] = em.group(2).strip()
+                by_source_cl.append(
+                    {"action": "update", "condition": cond,
+                     "set": sets}
+                )
+                continue
             if w.group("not"):
                 im = re.match(
                     r"^INSERT\s*(?:\*|\((?P<cols>[^)]*)\)\s*VALUES"
@@ -574,7 +614,9 @@ def delta_sql(spark: SparkSession, sql: str):
                 "could not parse every WHEN clause of the MERGE — "
                 "supported: WHEN MATCHED [AND cond] THEN UPDATE SET "
                 "(*|col = expr, ...) | DELETE, WHEN NOT MATCHED "
-                "[AND cond] THEN INSERT (*|(cols) VALUES (exprs))"
+                "[AND cond] THEN INSERT (*|(cols) VALUES (exprs)), "
+                "WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE "
+                "SET col = expr, ... | DELETE"
             )
         src_text = m.group("src")
         source = (
@@ -586,6 +628,7 @@ def delta_sql(spark: SparkSession, sql: str):
             spark, m.group("path"), source, on=on_cols,
             when_matched=matched_cl or "ignore",
             when_not_matched=not_matched_cl or "ignore",
+            when_not_matched_by_source=by_source_cl or None,
             aliases=(talias, salias),
         )
 

@@ -3493,8 +3493,9 @@ def _normalize_merge_clauses(
     when_not_matched,
     field_names: list[str],
     meta: dict,
-) -> tuple[list[dict], list[dict]]:
-    """Canonicalize the two MERGE clause arguments to ordered clause
+    when_not_matched_by_source=None,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Canonicalize the three MERGE clause arguments to ordered clause
     lists. Legacy string forms map to a single unconditional clause
     ("update" → UPDATE SET *, "delete", "insert", "ignore" → []).
     List form (delta-spark's conditional clauses):
@@ -3502,6 +3503,10 @@ def _normalize_merge_clauses(
                     "set": {col: sql}|None}   # set None = UPDATE SET *
       not_matched: {"action": "insert", "condition": sql|None,
                     "values": {col: sql}|None} # values None = INSERT *
+      not_matched_by_source: {"action": "update"|"delete",
+                    "condition": sql|None, "set": {col: sql}}
+                    # target-only rows; UPDATE needs an explicit SET
+                    # (there is no source row to take * from)
     Delta's rule: every clause but the last needs a condition (a later
     clause after an unconditional one is unreachable)."""
     def _norm(arg, kind):
@@ -3516,6 +3521,11 @@ def _normalize_merge_clauses(
                     [] if arg == "ignore"
                     else [{"action": arg, "condition": None, "set": None}]
                 )
+            if kind == "not_matched_by_source":
+                raise ValueError(
+                    "when_not_matched_by_source takes a clause list "
+                    "(there is no legacy string form)"
+                )
             if arg not in ("insert", "ignore"):
                 raise ValueError(
                     f"when_not_matched: insert|ignore|[clauses], got {arg!r}"
@@ -3529,7 +3539,9 @@ def _normalize_merge_clauses(
         for i, c in enumerate(list(arg)):
             action = c.get("action")
             ok_actions = (
-                ("update", "delete") if kind == "matched" else ("insert",)
+                ("update", "delete")
+                if kind in ("matched", "not_matched_by_source")
+                else ("insert",)
             )
             if action not in ok_actions:
                 raise ValueError(
@@ -3539,12 +3551,24 @@ def _normalize_merge_clauses(
             cond = c.get("condition")
             if cond is not None and not str(cond).strip():
                 cond = None
-            exprs_key = "set" if kind == "matched" else "values"
+            exprs_key = (
+                "values" if kind == "not_matched" else "set"
+            )
             exprs = c.get(exprs_key)
+            if (
+                kind == "not_matched_by_source"
+                and action == "update"
+                and not exprs
+            ):
+                raise ValueError(
+                    f"when_not_matched_by_source clause #{i}: UPDATE "
+                    "needs an explicit SET — there is no source row to "
+                    "take * from"
+                )
             if exprs is not None:
                 if action == "delete":
                     raise ValueError(
-                        f"when_matched clause #{i}: DELETE takes no SET"
+                        f"when_{kind} clause #{i}: DELETE takes no SET"
                     )
                 bad = [k for k in exprs if k not in field_names]
                 if bad:
@@ -3572,8 +3596,12 @@ def _normalize_merge_clauses(
                 )
         return clauses
 
-    return _norm(when_matched, "matched"), _norm(
-        when_not_matched, "not_matched"
+    return (
+        _norm(when_matched, "matched"),
+        _norm(when_not_matched, "not_matched"),
+        _norm(when_not_matched_by_source or [], "not_matched_by_source")
+        if not isinstance(when_not_matched_by_source, str)
+        else _norm(when_not_matched_by_source, "not_matched_by_source"),
     )
 
 
@@ -3586,6 +3614,7 @@ def merge_into_delta_native(
     when_not_matched="insert",
     check_duplicates: bool = True,
     aliases: tuple[str, str] = ("t", "s"),
+    when_not_matched_by_source=None,
 ) -> dict:
     """MERGE INTO (upsert) for a native Delta table: target rows whose
     ``on`` keys match a source row are replaced by it (``when_matched=
@@ -3618,6 +3647,16 @@ def merge_into_delta_native(
     source row). Every clause except the last must carry a condition.
     NOT NULL, CHECK constraints and generated-column equality are
     enforced on the rewritten rows exactly as for appends.
+
+    WHEN NOT MATCHED BY SOURCE (``when_not_matched_by_source=[...]``,
+    delta-spark's third clause family): clauses over TARGET rows with
+    no source-key match — ``{"action": "update", "condition": sql|None,
+    "set": {col: sql}}`` (SET required; expressions/conditions may
+    reference only the target alias) or ``{"action": "delete", ...}``.
+    First-true-wins per row; unclaimed rows survive. Because the
+    affected rows are OUTSIDE the source key range, their identify
+    probe scans the full active set and the two-phase key-range
+    pruning is disabled for the whole statement.
 
     Scale shape (same discipline as delete_by_keys): ONE identify join
     finds the affected files; ONLY those files are read again and
@@ -3653,8 +3692,9 @@ def merge_into_delta_native(
     bad = [k for k in on if k not in schema.fieldNames()]
     if bad:
         raise ValueError(f"merge keys not in the table schema: {bad}")
-    m_clauses, nm_clauses = _normalize_merge_clauses(
-        when_matched, when_not_matched, schema.fieldNames(), meta
+    m_clauses, nm_clauses, bs_clauses = _normalize_merge_clauses(
+        when_matched, when_not_matched, schema.fieldNames(), meta,
+        when_not_matched_by_source,
     )
     t_alias, s_alias = aliases
     if t_alias == s_alias:
@@ -3696,7 +3736,13 @@ def merge_into_delta_native(
     # job. The add actions already carry sizes, so the gate is free.
     merge_scan = active
     active_bytes = sum(int(a.get("size") or 0) for a in active.values())
-    if active_bytes >= _MERGE_PRUNE_MIN_BYTES and m_clauses:
+    # by-source clauses touch rows OUTSIDE the source key range, so the
+    # range pruning is invalid for this statement
+    if (
+        active_bytes >= _MERGE_PRUNE_MIN_BYTES
+        and m_clauses
+        and not bs_clauses
+    ):
         from rtdl_spark.sources.delta_reader import (
             _prune_files_by_key_ranges,
         )
@@ -3752,6 +3798,26 @@ def merge_into_delta_native(
             .distinct()
             .select(F.lit("file").alias("__probe"), F.col(_FP_COL))
         )
+    if tbl is not None and bs_clauses:
+        # by-source identify: files holding any UNMATCHED row a clause
+        # would claim (OR of the conditions; an unconditional clause
+        # claims every unmatched row). Rides the same single probe job.
+        bs_cond = None
+        for c in bs_clauses:
+            e = (
+                F.expr(c["condition"])
+                if c["condition"] is not None
+                else F.lit(True)
+            )
+            bs_cond = e if bs_cond is None else (bs_cond | e)
+        probes.append(
+            tbl.alias(t_alias)
+            .join(keys, on, "left_anti")
+            .filter(bs_cond)
+            .select(_FP_COL)
+            .distinct()
+            .select(F.lit("file").alias("__probe"), F.col(_FP_COL))
+        )
     affected = []
     if probes:
         probe_df = probes[0]
@@ -3764,7 +3830,9 @@ def merge_into_delta_native(
                 "nondeterministic match (dedupe the source first)"
             )
         affected = sorted(
-            r[_FP_COL] for r in rows if r["__probe"] == "file"
+            # set: the match probe and the by-source probe can both
+            # name the same file
+            {r[_FP_COL] for r in rows if r["__probe"] == "file"}
         )
 
     # rewrite plan: survivors of affected files + matched updates + inserts
@@ -3838,9 +3906,51 @@ def merge_into_delta_native(
                 .drop("__rt_base", "__rt_dcv", _RI_COL)
             )
         arows = arows.drop(_FP_COL)
-        pieces.append(
-            arows.join(keys, on, "left_anti").select(*stage_cols)
-        )
+        unmatched = arows.join(keys, on, "left_anti")
+        if not bs_clauses:
+            pieces.append(unmatched.select(*stage_cols))
+        else:
+            # NOT MATCHED BY SOURCE: route unmatched target rows
+            # through the clause chain — claimed updates project SET
+            # exprs, claimed deletes vanish, unclaimed rows survive
+            ua = unmatched.alias(t_alias)
+            bs_col = None
+            for i, c in enumerate(bs_clauses):
+                cnd = (
+                    F.expr(c["condition"])
+                    if c["condition"] is not None
+                    else F.lit(True)
+                )
+                bs_col = (
+                    F.when(cnd, F.lit(i))
+                    if bs_col is None
+                    else bs_col.when(cnd, F.lit(i))
+                )
+            tagged_u = ua.withColumn(_MERGE_CLAUSE_COL, bs_col)
+            pieces.append(
+                tagged_u.filter(F.col(_MERGE_CLAUSE_COL).isNull())
+                .select(*[_q(t_alias, c).alias(c) for c in stage_cols])
+            )
+            for i, c in enumerate(bs_clauses):
+                if c["action"] != "update":
+                    continue
+                proj = []
+                for col in col_order:
+                    if col in (c["set"] or {}):
+                        proj.append(
+                            F.expr(c["set"][col])
+                            .cast(schema[col].dataType)
+                            .alias(col)
+                        )
+                    else:
+                        proj.append(_q(t_alias, col).alias(col))
+                if rt:
+                    proj.append(_q(t_alias, mat_id).alias(mat_id))
+                    proj.append(F.lit(None).cast("long").alias(mat_cv))
+                pieces.append(
+                    tagged_u.filter(F.col(_MERGE_CLAUSE_COL) == i)
+                    .select(*proj)
+                )
         if generic_matched:
             # conditional / column-level clauses: pair every matched
             # target row with ITS source row (source keys are unique —
@@ -4049,6 +4159,45 @@ def merge_into_delta_native(
                         "_change_type", F.lit("delete")
                     )
                 )
+        if affected and bs_clauses:
+            t_chg_proj2 = [_q(t_alias, c).alias(c) for c in col_order]
+            bs_upd = [
+                i for i, c in enumerate(bs_clauses)
+                if c["action"] == "update"
+            ]
+            bs_del = [
+                i for i, c in enumerate(bs_clauses)
+                if c["action"] == "delete"
+            ]
+            if bs_upd:
+                change_frames.append(
+                    tagged_u.filter(F.col(_MERGE_CLAUSE_COL).isin(bs_upd))
+                    .select(*t_chg_proj2)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                )
+                for i in bs_upd:
+                    c = bs_clauses[i]
+                    proj = [
+                        F.expr(c["set"][col])
+                        .cast(schema[col].dataType)
+                        .alias(col)
+                        if col in (c["set"] or {})
+                        else _q(t_alias, col).alias(col)
+                        for col in col_order
+                    ]
+                    change_frames.append(
+                        tagged_u.filter(F.col(_MERGE_CLAUSE_COL) == i)
+                        .select(*proj)
+                        .withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+            if bs_del:
+                change_frames.append(
+                    tagged_u.filter(F.col(_MERGE_CLAUSE_COL).isin(bs_del))
+                    .select(*t_chg_proj2)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
         if ins_df is not None:
             change_frames.append(
                 ins_df.withColumn("_change_type", F.lit("insert"))
@@ -4101,6 +4250,11 @@ def merge_into_delta_native(
                 when_not_matched
                 if isinstance(when_not_matched, str)
                 else json.dumps(nm_clauses)
+            ),
+            **(
+                {"notMatchedBySource": json.dumps(bs_clauses)}
+                if bs_clauses
+                else {}
             ),
         },
         _remove_actions(affected, path_to_add, ts),

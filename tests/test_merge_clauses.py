@@ -347,3 +347,129 @@ def test_partial_insert_null_hits_not_null_enforcement(spark, tmp_path):
                  "values": {"id": "s.id"}},  # v omitted -> NULL -> raise
             ],
         )
+
+
+def test_not_matched_by_source_clauses(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE (delta-spark's third clause family):
+    target rows with no source match are claimed first-true-wins —
+    delete or column-level update (target-only expressions); unclaimed
+    rows survive. The SCD-style sync shape."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d"),
+         (5, 50, "e")],
+        "id long, v long, tag string",
+    )
+    write_delta_native(spark, df, root, checkpoint_interval=0)
+    src = spark.createDataFrame(
+        [(1, 100, "A")], "id long, v long, tag string"
+    )
+    res = merge_into_delta_native(
+        spark, root, src, on=["id"],
+        when_matched="update",
+        when_not_matched="insert",
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.v < 25"},
+            {"action": "update", "condition": "t.v < 45",
+             "set": {"tag": "concat(t.tag, '-stale')"}},
+        ],
+    )
+    assert res["version"] == 1
+    rows = sorted(
+        (r["id"], r["v"], r["tag"])
+        for r in read_delta_native(spark, root).collect()
+    )
+    assert rows == [(1, 100, "A"), (3, 30, "c-stale"),
+                    (4, 40, "d-stale"), (5, 50, "e")]
+
+
+def test_by_source_only_statement_and_full_scan_identify(spark, tmp_path):
+    """A MERGE with ONLY by-source clauses (no matched/insert) still
+    identifies and rewrites the right files — including files with NO
+    key match at all (the identify must scan the full active set, so
+    key-range pruning is off)."""
+    import rtdl_spark.sources.delta_writer as dw
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") * 2).alias("v")
+    ).repartitionByRange(10, "id")
+    write_delta_native(spark, df, root, checkpoint_interval=0)
+    # source covers only ids 0..9; rows 90+ live in a file with no
+    # key match whatsoever and must STILL be deleted
+    src = spark.range(0, 10).select("id", (F.col("id") * 2).alias("v"))
+    res = merge_into_delta_native(
+        spark, root, src, on=["id"],
+        when_matched="ignore",
+        when_not_matched="ignore",
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.id >= 90"},
+        ],
+    )
+    assert res["files_pruned"] == 0  # range pruning disabled
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == list(range(0, 90))
+
+
+def test_by_source_cdf_and_sql_text(spark, tmp_path):
+    """SQL grammar: WHEN NOT MATCHED BY SOURCE routes; CDF emits
+    pre/post for by-source updates and deletes for by-source deletes."""
+    from rtdl_spark.sources.delta_alter import alter_set_tblproperties
+    from rtdl_spark.sources.delta_reader import read_table_changes_cdf
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "id long, v long, tag string",
+    )
+    write_delta_native(spark, df, root, checkpoint_interval=0)
+    alter_set_tblproperties(
+        spark, root, {"delta.enableChangeDataFeed": "true"}
+    )
+    spark.createDataFrame(
+        [(1, 99, "z")], "id long, v long, tag string"
+    ).createOrReplaceTempView("bs_src_r10")
+    delta_sql(spark, f"""
+        MERGE INTO delta.`{root}` AS t
+        USING bs_src_r10 AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE AND t.v < 25 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1000
+    """)
+    rows = sorted(
+        (r["id"], r["v"])
+        for r in read_delta_native(spark, root).collect()
+    )
+    assert rows == [(1, 99), (3, 1030)]
+    ch = sorted(
+        (r["_change_type"], r["id"], r["v"])
+        for r in read_table_changes_cdf(spark, root, 2, 2).collect()
+    )
+    assert ch == [
+        ("delete", 2, 20),
+        ("update_postimage", 1, 99),
+        ("update_postimage", 3, 1030),
+        ("update_preimage", 1, 10),
+        ("update_preimage", 3, 30),
+    ]
+
+
+def test_by_source_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _base(spark, root)
+    src = _src(spark)
+    with pytest.raises(ValueError, match="explicit SET"):
+        merge_into_delta_native(
+            spark, root, src, on=["id"],
+            when_not_matched_by_source=[
+                {"action": "update", "condition": None, "set": None},
+            ],
+        )
+    with pytest.raises(ValueError, match="action"):
+        merge_into_delta_native(
+            spark, root, src, on=["id"],
+            when_not_matched_by_source=[
+                {"action": "insert", "condition": None},
+            ],
+        )
