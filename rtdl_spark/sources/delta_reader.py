@@ -38,6 +38,7 @@ instead whenever it is on the classpath (sources/readers.py gates).
 
 from __future__ import annotations
 
+import datetime as _dtm
 import json
 import posixpath
 import re
@@ -903,7 +904,7 @@ def read_delta_native(
     if where is not None:
         files, _n_pruned = _prune_files_by_stats(
             files, active, meta, where,
-            ts_prune_ok=_session_tz_is_utc(spark),
+            literal_tz=_session_zone(spark),
         )
     # deletion vectors: descriptor per DECODED plain abs path (the form
     # executors recover from _metadata.file_path — which Spark renders
@@ -1631,47 +1632,47 @@ def _skip_conjuncts(where: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _session_tz_is_utc(spark: SparkSession) -> bool:
-    """True when spark.sql.session.timeZone denotes UTC (offset 0,
-    no DST). Timestamp PRUNING soundness needs it: add-action stats
-    bounds are UTC instants while naive predicate literals are
-    session-tz WALL times — under a non-UTC session the two frames
-    differ by the offset and comparing them can prune files holding
-    matching rows (reproduced: 6 rows lost under Asia/Kolkata).
-    timestamp_ntz has no frame, so it always prunes."""
+def _zone_of(name: str):
+    """tzinfo for a Spark/Java zone id (IANA name, UTC aliases, or a
+    fixed offset like '+05:30' / 'GMT+05:30'), or None when it cannot
+    be resolved — the caller then refuses to prune timestamp conjuncts
+    (conservative keep)."""
     import datetime as dtm
 
-    try:
-        tz = spark.conf.get("spark.sql.session.timeZone")
-    except Exception:
-        return False
-    if tz in ("UTC", "Etc/UTC", "GMT", "GMT0", "Etc/GMT", "Z",
-              "Greenwich", "Universal", "Zulu", "+00:00"):
-        return True
+    if name in ("UTC", "Etc/UTC", "GMT", "GMT0", "Etc/GMT", "Z",
+                "Greenwich", "Universal", "Zulu", "+00:00"):
+        return dtm.timezone.utc
+    m = re.match(r"^(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})?$", name)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = dtm.timedelta(
+            hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+        )
+        return dtm.timezone(sign * delta)
     try:
         import zoneinfo
 
-        z = zoneinfo.ZoneInfo(tz)
-        return all(
-            z.utcoffset(dtm.datetime(y, m, 1)) == dtm.timedelta(0)
-            for y in (2020, 2021)
-            for m in (1, 7)  # both DST phases
-        )
+        return zoneinfo.ZoneInfo(name)
     except Exception:
-        return False
+        return None
 
 
-def _driver_tz_is_utc() -> bool:
-    """True when the DRIVER process runs in UTC — plain collect()
-    renders timestamps as naive wall times in the driver's OS zone
-    (TimestampType.fromInternal), so MERGE's collected key ranges only
-    compare soundly against UTC stats bounds when that zone is UTC."""
-    import time
-
+def _session_zone(spark: SparkSession):
+    """tzinfo of spark.sql.session.timeZone (None if unresolvable).
+    Timestamp PRUNING soundness needs it: add-action stats bounds are
+    UTC instants while naive predicate literals are session-tz WALL
+    times — under a non-UTC session the raw frames differ by the zone
+    offset and a naive comparison pruned files holding matching rows
+    (reproduced: 6 rows lost under Asia/Kolkata). Literals are
+    therefore CONVERTED to UTC through this zone before any bound
+    comparison; zoneinfo's fold-0 resolution matches java.time's for
+    both DST gap and overlap wall times, so the conversion agrees with
+    what Catalyst does to the same literal. timestamp_ntz is
+    frame-free and never converts."""
     try:
-        return time.timezone == 0 and time.altzone == 0
+        return _zone_of(spark.conf.get("spark.sql.session.timeZone"))
     except Exception:
-        return False
+        return None
 
 
 def _skip_typed(raw_value, delta_type):
@@ -1707,6 +1708,36 @@ def _skip_typed(raw_value, delta_type):
     return None
 
 
+def _skip_typed_literal(raw_value, delta_type, literal_tz):
+    """A PREDICATE literal as a comparable value in the stats bounds'
+    frame. For ``timestamp`` (tz-sensitive), naive literals are wall
+    times in the session zone — convert to naive UTC to match the
+    bounds; explicit offsets / trailing Z are already absolute. A None
+    ``literal_tz`` (unresolvable session zone) refuses: the conjunct
+    then cannot prune. Every other type delegates to _skip_typed."""
+    if delta_type != "timestamp":
+        return _skip_typed(raw_value, delta_type)
+    s = str(raw_value).replace(" ", "T")
+    already_utc = s.endswith("Z")
+    if already_utc:
+        s = s.rstrip("Z")
+    try:
+        dt = _dtm.datetime.fromisoformat(s)
+    except (ValueError, TypeError):
+        return None
+    if dt.tzinfo is not None:
+        return dt.astimezone(_dtm.timezone.utc).replace(tzinfo=None)
+    if already_utc:
+        return dt
+    if literal_tz is None:
+        return None
+    return (
+        dt.replace(tzinfo=literal_tz)
+        .astimezone(_dtm.timezone.utc)
+        .replace(tzinfo=None)
+    )
+
+
 def _skip_excludes(op: str, lo, hi, lit) -> bool:
     """True when NO value in [lo, hi] can satisfy ``value op lit``.
     Incomparable operands (TypeError) never prune — stats in a table
@@ -1736,7 +1767,7 @@ def _prune_files_by_stats(
     active: dict[str, dict],
     meta: dict,
     where: str,
-    ts_prune_ok: bool = True,
+    literal_tz=_dtm.timezone.utc,
 ) -> tuple[list[tuple[str, dict]], int]:
     """Data skipping: drop files whose add-action stats (minValues /
     maxValues / nullCount, written by this engine's footer harvest) or
@@ -1755,13 +1786,6 @@ def _prune_files_by_stats(
         for f in fields_json
         if isinstance(f["type"], str)
     }
-    if not ts_prune_ok:
-        # non-UTC session: naive timestamp literals are in a different
-        # frame than the UTC stats bounds — timestamp conjuncts must
-        # not prune (timestamp_ntz is frame-free and stays prunable)
-        type_of = {
-            n: t for n, t in type_of.items() if t != "timestamp"
-        }
     phys = {f["name"]: _physical_name(f) for f in fields_json}
     if _cm_mode(meta) == "none":
         phys = {n: n for n in phys}
@@ -1774,7 +1798,7 @@ def _prune_files_by_stats(
             if not lm or col not in type_of:
                 continue
             raw = next(v for v in lm.groups() if v is not None)
-            lit = _skip_typed(raw, type_of[col])
+            lit = _skip_typed_literal(raw, type_of[col], literal_tz)
             if lit is None:
                 continue
             parsed.append((col, op, lit))
@@ -1787,9 +1811,10 @@ def _prune_files_by_stats(
             for item in m.group(2).split(","):
                 lm = _SKIP_LIT_RE.match(item.strip())
                 lit = (
-                    _skip_typed(
+                    _skip_typed_literal(
                         next(v for v in lm.groups() if v is not None),
                         type_of[col],
+                        literal_tz,
                     )
                     if lm
                     else None
@@ -1832,6 +1857,10 @@ def _prune_files_by_stats(
             t = type_of[col]
             p = phys[col]
             if col in part_cols:
+                if t == "timestamp":
+                    # partition VALUES are wall times in the WRITER's
+                    # session zone — unknowable here; never prune
+                    continue
                 if p not in pvals:
                     continue
                 v = pvals.get(p)
@@ -1903,7 +1932,7 @@ def data_skipping_report(
     )
     kept, pruned = _prune_files_by_stats(
         files, active, meta, where,
-        ts_prune_ok=_session_tz_is_utc(spark),
+        literal_tz=_session_zone(spark),
     )
     return {"total": len(files), "kept": len(kept), "pruned": pruned}
 
@@ -1913,7 +1942,6 @@ def _prune_files_by_key_ranges(
     active: dict[str, dict],
     meta: dict,
     ranges: dict[str, tuple],
-    ts_prune_ok: bool = True,
 ) -> tuple[list[tuple[str, dict]], int]:
     """Equality-join candidate pruning (MERGE, r9): keep only files
     whose per-column stats ranges INTERSECT the source key range for
@@ -1928,12 +1956,6 @@ def _prune_files_by_key_ranges(
         for f in fields_json
         if isinstance(f["type"], str)
     }
-    if not ts_prune_ok:
-        # collected source ranges are driver-local wall times; the UTC
-        # stats bounds live in another frame — keep timestamp keys out
-        type_of = {
-            n: t for n, t in type_of.items() if t != "timestamp"
-        }
     phys = {f["name"]: _physical_name(f) for f in fields_json}
     if _cm_mode(meta) == "none":
         phys = {n: n for n in phys}
@@ -1943,7 +1965,26 @@ def _prune_files_by_key_ranges(
         if col not in type_of or lo is None or hi is None:
             continue
         t = type_of[col]
-        tlo, thi = _skip_typed(lo, t), _skip_typed(hi, t)
+        if t == "timestamp":
+            # collected bounds are naive wall times in the DRIVER's OS
+            # zone (plain collect renders via fromtimestamp); naive
+            # .astimezone applies the local rules FOR THAT DATE, so
+            # this lands on the exact UTC instant the key denotes
+            try:
+                tlo = (
+                    _skip_typed(lo, t)
+                    .astimezone(_dtm.timezone.utc)
+                    .replace(tzinfo=None)
+                )
+                thi = (
+                    _skip_typed(hi, t)
+                    .astimezone(_dtm.timezone.utc)
+                    .replace(tzinfo=None)
+                )
+            except (AttributeError, OverflowError, OSError, ValueError):
+                continue  # unconvertible: this key never prunes
+        else:
+            tlo, thi = _skip_typed(lo, t), _skip_typed(hi, t)
         if tlo is not None and thi is not None:
             typed[col] = (tlo, thi)
     if not typed:
@@ -1964,6 +2005,9 @@ def _prune_files_by_key_ranges(
             t = type_of[col]
             p = phys[col]
             if col in part_cols:
+                if t == "timestamp":
+                    # writer-frame wall times: never prune on these
+                    continue
                 v = pvals.get(p) if p in pvals else None
                 if p in pvals and v is None:
                     drop = True  # null partition value joins nothing

@@ -81,8 +81,7 @@ from rtdl_spark.sources.delta_reader import (
     _physical_name,
     _physical_type,
     _read_json_lines,
-    _driver_tz_is_utc,
-    _session_tz_is_utc,
+    _session_zone,
     snapshot_actions,
     snapshot_adds_frame,
     snapshot_control,
@@ -2635,7 +2634,7 @@ def _skip_candidates(
     active: dict[str, dict],
     meta: dict,
     condition: str,
-    ts_prune_ok: bool = True,
+    literal_tz=None,
 ) -> dict[str, dict]:
     """The subset of the active file set whose stats/partitionValues do
     NOT prove the predicate unsatisfiable (data skipping, r9) — the
@@ -2649,7 +2648,7 @@ def _skip_candidates(
         active,
         meta,
         condition,
-        ts_prune_ok=ts_prune_ok,
+        literal_tz=literal_tz,
     )
     return {p: active[p] for p, _pv in cand}
 
@@ -2696,7 +2695,7 @@ def _rewrite_where(
     # Pruning feeds only the candidate set; the rewrite still keys on
     # the actual matches, so a conservative keep costs nothing, and
     # affected ⊆ candidates so the pruned map is complete.
-    candidates = _skip_candidates(active, meta, condition, ts_prune_ok=_session_tz_is_utc(spark))
+    candidates = _skip_candidates(active, meta, condition, literal_tz=_session_zone(spark))
     tbl, path_to_add = _active_scan(spark, root, meta, candidates)
     cond = F.coalesce(F.expr(condition), F.lit(False))
     if tbl is None:
@@ -3132,7 +3131,7 @@ def delete_where_delta_dv(
         )
 
     tbl, path_to_add = _active_scan(
-        spark, root, meta, _skip_candidates(active, meta, condition, ts_prune_ok=_session_tz_is_utc(spark)),
+        spark, root, meta, _skip_candidates(active, meta, condition, literal_tz=_session_zone(spark)),
         with_row_index=True,
     )
     if tbl is None:
@@ -3301,7 +3300,7 @@ def update_where_delta_dv(
         if new_meta is not None:
             rt_meta_actions = [{"metaData": new_meta}]
     tbl, path_to_add = _active_scan(
-        spark, root, meta, _skip_candidates(active, meta, condition, ts_prune_ok=_session_tz_is_utc(spark)),
+        spark, root, meta, _skip_candidates(active, meta, condition, literal_tz=_session_zone(spark)),
         with_row_index=True,
         extra_long_cols=[mat_id, mat_cv] if rt else None,
     )
@@ -3762,11 +3761,6 @@ def merge_into_delta_native(
             active,
             meta,
             ranges,
-            # collected source bounds are rendered in the DRIVER's OS
-            # zone (plain collect), stats bounds are UTC — timestamp
-            # keys only prune when both frames are UTC
-            ts_prune_ok=_session_tz_is_utc(spark)
-            and _driver_tz_is_utc(),
         )
         merge_scan = {p: active[p] for p, _pv in kept}
 
