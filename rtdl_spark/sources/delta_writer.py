@@ -91,9 +91,9 @@ _SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "invariants",
     # appends never interact with deletion vectors; every REWRITE path
-    # (DELETE/UPDATE/MERGE/OPTIMIZE) refuses a table whose active set
-    # carries one (_check_no_active_dvs) — rewriting through the plain
-    # scan would resurrect the DV-deleted rows
+    # (DELETE/UPDATE/MERGE/OPTIMIZE) scans DV-carrying files through
+    # the reader's bitmap filter (r10, _active_scan dv_by_plain) so
+    # masked rows never resurrect — the rewrite materializes the mask
     "deletionVectors",
     # column mapping: appends + DELETE/UPDATE stage the physical layout
     "columnMapping",
@@ -1046,24 +1046,6 @@ def _to_physical(
     cols += [F.col(f"`{c}`") for c in extras]
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     return df.select(*cols).to(pschema)
-
-
-def _check_no_active_dvs(active: dict[str, dict], operation: str) -> None:
-    """Rewrite guard: DELETE/UPDATE/MERGE/OPTIMIZE plan against the
-    plain parquet scan, which does NOT apply deletion vectors — running
-    them on a DV-carrying table would resurrect the deleted rows into
-    the rewritten files. Refused by name (the reader handles DV tables;
-    rewriting them needs delta-spark until this writer maintains DVs)."""
-    carriers = sorted(
-        p for p, a in active.items() if a.get("deletionVector")
-    )
-    if carriers:
-        raise ValueError(
-            f"{operation} on a table with active deletion vectors is not "
-            f"supported by this native writer ({len(carriers)} files "
-            f"carry DVs, e.g. {carriers[0]!r}) — the rewrite would "
-            "resurrect DV-deleted rows; use delta-spark"
-        )
 
 
 def _type_key(t):
@@ -2359,6 +2341,19 @@ _FP_COL = "rtdl_delta_fp"
 _RI_COL = "rtdl_delta_ri"
 
 
+def _dv_map_of(root: str, active: dict[str, dict]) -> dict[str, dict]:
+    """{plain abs path: deletionVector descriptor} for the active files
+    that carry one — the map the DV-aware scans key their row masks on."""
+    out: dict[str, dict] = {}
+    for a in active.values():
+        if a.get("deletionVector"):
+            abs_p = posixpath.join(
+                root.rstrip("/"), urllib.parse.unquote(a["path"])
+            )
+            out[_plain(abs_p)] = dict(a["deletionVector"])
+    return out
+
+
 def _active_scan(
     spark: SparkSession,
     root: str,
@@ -2367,6 +2362,7 @@ def _active_scan(
     subset: list[str] | None = None,
     with_row_index: bool = False,
     extra_long_cols: list[str] | None = None,
+    dv_by_plain: dict[str, dict] | None = None,
 ) -> tuple[DataFrame | None, dict[str, dict]]:
     """Scan the active file set (optionally restricted to ``subset``
     plain abs paths) with partition columns injected from the log and the
@@ -2383,7 +2379,14 @@ def _active_scan(
     Column mapping: files carry PHYSICAL names (name mode) / field ids
     (id mode) and partitionValues are physically keyed — resolved back
     to LOGICAL columns exactly like the batch reader, so DELETE/UPDATE
-    predicates and SET expressions run against logical names."""
+    predicates and SET expressions run against logical names.
+
+    ``dv_by_plain`` (r10): {plain abs path: deletionVector descriptor}
+    — DV-carrying files drop their masked rows via the reader's
+    Arrow-batched membership test (bitmaps decoded+cached per
+    executor), so rewrites over the scan CANNOT resurrect DV-deleted
+    rows; the rewritten output then simply carries no DV (the mask is
+    materialized). DV-less files keep the untouched fast path."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     cm = _cm_mode(meta)
@@ -2460,7 +2463,6 @@ def _active_scan(
         ).append(abs_path)
     parts = []
     for key, paths in sorted(groups.items()):
-        df = spark.read.schema(data_schema).parquet(*paths)
         proj = [
             F.col(f"`{read_col_of[f.name]}`")
             # relaxed cast target: Catalyst refuses casts that would
@@ -2473,7 +2475,38 @@ def _active_scan(
             proj += [F.col(f"`{c}`") for c in extra_long_cols]
         if with_row_index:
             proj.append(F.col("_metadata.row_index").alias(_RI_COL))
-        df = df.select(*proj)
+        dv_paths = [
+            p for p in paths if dv_by_plain and _plain(p) in dv_by_plain
+        ]
+        clean = [p for p in paths if p not in set(dv_paths)]
+        subsets = []
+        if clean:
+            subsets.append(
+                spark.read.schema(data_schema)
+                .parquet(*clean)
+                .select(*proj)
+            )
+        if dv_paths:
+            from rtdl_spark.sources.delta_reader import _dv_keep_udf
+
+            keep = _dv_keep_udf(
+                root,
+                {_plain(p): dv_by_plain[_plain(p)] for p in dv_paths},
+            )
+            subsets.append(
+                spark.read.schema(data_schema)
+                .parquet(*dv_paths)
+                .filter(
+                    keep(
+                        F.col("_metadata.file_path"),
+                        F.col("_metadata.row_index"),
+                    )
+                )
+                .select(*proj)
+            )
+        df = subsets[0]
+        for sub in subsets[1:]:
+            df = df.unionByName(sub)
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
                 c,
@@ -2671,7 +2704,9 @@ def _rewrite_where(
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     rt = _row_tracking_supported(protocol)
-    _check_no_active_dvs(active, operation)
+    # r10: DV-carrying tables rewrite through the DV-aware scan —
+    # masked rows never resurrect; affected files materialize the mask
+    dv_by_plain = _dv_map_of(root, active)
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
         raise ValueError(
             f"table is delta.appendOnly=true; {operation} rewrites"
@@ -2696,7 +2731,9 @@ def _rewrite_where(
     # the actual matches, so a conservative keep costs nothing, and
     # affected ⊆ candidates so the pruned map is complete.
     candidates = _skip_candidates(active, meta, condition, literal_tz=_session_zone(spark))
-    tbl, path_to_add = _active_scan(spark, root, meta, candidates)
+    tbl, path_to_add = _active_scan(
+        spark, root, meta, candidates, dv_by_plain=dv_by_plain
+    )
     cond = F.coalesce(F.expr(condition), F.lit(False))
     if tbl is None:
         return {"version": None, "files_rewritten": 0, "files_added": 0}
@@ -2717,7 +2754,8 @@ def _rewrite_where(
     rt_meta_actions: list[dict] = []
     if not rt:
         arows, _ = _active_scan(
-            spark, root, meta, active, subset=affected
+            spark, root, meta, active, subset=affected,
+            dv_by_plain=dv_by_plain,
         )
     else:
         mat_id, mat_cv, new_meta = _rt_materialize_cols(meta)
@@ -2726,6 +2764,7 @@ def _rewrite_where(
         arows, _ = _active_scan(
             spark, root, meta, active, subset=affected,
             with_row_index=True, extra_long_cols=[mat_id, mat_cv],
+            dv_by_plain=dv_by_plain,
         )
         base_rows = []
         for p in affected:
@@ -3676,7 +3715,9 @@ def merge_into_delta_native(
     _check_cm_supported(meta, "MERGE")
     rt = _row_tracking_supported(protocol)
     _refuse_identity(meta, "MERGE")
-    _check_no_active_dvs(active, "MERGE")
+    # r10: DV-carrying tables merge through the DV-aware scan — masked
+    # rows never resurrect; rewritten files materialize the mask
+    dv_by_plain = _dv_map_of(root, active)
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
         raise ValueError("table is delta.appendOnly=true; MERGE rewrites")
 
@@ -3764,7 +3805,9 @@ def merge_into_delta_native(
         )
         merge_scan = {p: active[p] for p, _pv in kept}
 
-    tbl, path_to_add = _active_scan(spark, root, meta, merge_scan)
+    tbl, path_to_add = _active_scan(
+        spark, root, meta, merge_scan, dv_by_plain=dv_by_plain
+    )
     keys = src.select(*on).distinct()
     # ONE PROBE JOB (r9, measured — the r8 profile showed lifecycle
     # time is job-count × fixed job latency): the duplicate-source
@@ -3847,13 +3890,15 @@ def merge_into_delta_native(
     if affected:
         if not rt:
             arows, _ = _active_scan(
-                spark, root, meta, active, subset=affected
+                spark, root, meta, active, subset=affected,
+                dv_by_plain=dv_by_plain,
             )
         else:
             arows, _ = _active_scan(
                 spark, root, meta, active, subset=affected,
                 with_row_index=True,
                 extra_long_cols=[mat_id, mat_cv],
+                dv_by_plain=dv_by_plain,
             )
             base_rows = []
             for p in affected:
@@ -4597,7 +4642,11 @@ def optimize_delta_native(
     _check_writer_protocol(protocol)
     cm = _check_cm_supported(meta, "OPTIMIZE")
     rt = _row_tracking_supported(protocol)
-    _check_no_active_dvs(active, "OPTIMIZE")
+    # r10: DV-carrying inputs compact through the DV-aware filter —
+    # the rewrite PURGES the masks (delta-spark's REORG ... APPLY
+    # (PURGE) shape): output files carry no DV, removes keep the
+    # descriptors, and the orphaned DV files become vacuum-reclaimable
+    dv_by_plain = _dv_map_of(root, active)
     # clustered tables (r8): with no explicit zorder_by, OPTIMIZE on a
     # table carrying the delta.clustering domain RECLUSTERS by its
     # clustering columns (delta-spark's OPTIMIZE-on-clustered-table
@@ -4822,9 +4871,24 @@ def optimize_delta_native(
             + (", `__rt_base` bigint, `__rt_dcv` bigint" if rt else ""),
         )
     )
+    src = spark.read.schema(data_schema).parquet(*in_paths)
+    in_dv = {
+        _plain(p): dv_by_plain[_plain(p)]
+        for p in in_paths
+        if _plain(p) in dv_by_plain
+    }
+    if in_dv:
+        from rtdl_spark.sources.delta_reader import _dv_keep_udf
+
+        keep = _dv_keep_udf(root, in_dv)
+        src = src.filter(
+            keep(
+                F.col("_metadata.file_path"),
+                F.col("_metadata.row_index"),
+            )
+        )
     src = (
-        spark.read.schema(data_schema)
-        .parquet(*in_paths)
+        src
         # _metadata paths are percent-escaped URIs; compare decoded
         .withColumn(fp_col, _fp_decoded(F.col("_metadata.file_path")))
         .withColumns(

@@ -259,33 +259,37 @@ def test_dv_checkpoint_preserves_descriptors(spark, tmp_path):
     assert got == [i for i in range(10) if i not in deleted]
 
 
-def test_dv_writer_guards_and_append(spark, tmp_path):
-    """Rewrite ops refuse a DV-carrying table BY NAME (they would
-    resurrect deleted rows); appends are safe and allowed; the
-    streaming source refuses DV adds."""
+def test_dv_writer_rewrites_and_append(spark, tmp_path):
+    """r10: rewrite ops WORK on a DV-carrying table — the DV-aware scan
+    drops masked rows, so rewrites materialize the mask instead of
+    resurrecting deleted rows (the old by-name refusal is gone);
+    appends are safe as before; the streaming source still treats DV
+    attach as a change commit."""
     from rtdl_spark.sources.delta_reader import read_delta_native
     from rtdl_spark.sources.delta_stream_source import _DeltaStreamReader
     from rtdl_spark.sources.delta_writer import (
         delete_where_delta_native,
-        merge_into_delta_native,
-        optimize_delta_native,
         write_delta_native,
     )
 
     root = _dv_table(spark, tmp_path, [1])
-    with pytest.raises(ValueError, match="deletion vectors"):
-        delete_where_delta_native(spark, root, "id > 100")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        optimize_delta_native(spark, root)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        merge_into_delta_native(
-            spark, root, spark.range(1).select("id"), on=["id"]
-        )
+    # DELETE on the DV table: id=1 is ALREADY masked and must not
+    # resurrect; id=3 goes now — the rewritten file carries no DV
+    res = delete_where_delta_native(spark, root, "id = 3")
+    assert res["files_rewritten"] == 1
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [0, 2, 4, 5, 6, 7, 8, 9]
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    _, _, active, _, _ = snapshot_actions(spark, root)
+    assert all(not a.get("deletionVector") for a in active.values()), (
+        "the rewrite must materialize the mask, not carry the DV"
+    )
 
     v = write_delta_native(spark, spark.range(100, 103).select("id"), root)
-    assert v == 2
+    assert v == 3
     got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
-    assert got == [0, 2, 3, 4, 5, 6, 7, 8, 9, 100, 101, 102]
+    assert got == [0, 2, 4, 5, 6, 7, 8, 9, 100, 101, 102]
 
     # a DV-attach commit is a CHANGE commit for the stream (remove+add
     # of the same path): fails by default; under ignoreChanges the DV
@@ -510,8 +514,12 @@ def test_dv_delete_then_vacuum_and_rewrite_guard(spark, tmp_path):
     got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
     assert got == [i for i in range(30) if i not in (1, 4)]
 
-    with pytest.raises(ValueError, match="deletion vectors"):
-        delete_where_delta_native(spark, root, "id = 2")
+    # r10: the rewrite path WORKS on the DV table now (the old by-name
+    # refusal is gone) — masked rows stay gone, id=2 goes too
+    res = delete_where_delta_native(spark, root, "id = 2")
+    assert res["version"] is not None
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(30) if i not in (1, 2, 4)]
 
 
 def test_dv_update_masks_old_and_appends_new(spark, tmp_path):
@@ -629,3 +637,90 @@ def test_restore_undoes_and_redoes_dv_state(spark, tmp_path):
     assert read_delta_native(spark, root).count() == 24
     got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
     assert got == [i for i in range(30) if i % 5 != 0]
+
+
+def test_merge_on_dv_table_and_optimize_purge(spark, tmp_path):
+    """r10 DV rewrites, end to end: MERGE on a DV-carrying table
+    updates/inserts against the VISIBLE rows only (masked rows neither
+    match nor resurrect), and OPTIMIZE compacts through the mask —
+    PURGING the DVs (delta-spark's REORG APPLY (PURGE) shape): the new
+    active set carries no descriptors and the orphaned DV file becomes
+    vacuum-reclaimable."""
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_writer import (
+        merge_into_delta_native,
+        optimize_delta_native,
+        vacuum_delta_native,
+    )
+
+    root = _dv_table(spark, tmp_path, [1, 4])  # ids 1 and 4 masked
+    src = spark.createDataFrame(
+        [(1,), (2,), (50,)], "id long"
+    ).select("id")
+    # id=1 is DV-deleted: it matches NOTHING (the row is logically
+    # gone) and with insert enabled it comes back as a fresh INSERT —
+    # exactly delta-spark semantics
+    res = merge_into_delta_native(
+        spark, root, src, on=["id"],
+        when_matched="update", when_not_matched="insert",
+    )
+    assert res["version"] == 2
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [0, 1, 2, 3, 5, 6, 7, 8, 9, 50]
+
+    # conditional by-source delete composes with the DV scan
+    src2 = spark.createDataFrame([(0,)], "id long")
+    merge_into_delta_native(
+        spark, root, src2, on=["id"],
+        when_matched="ignore", when_not_matched="ignore",
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.id >= 50"},
+        ],
+    )
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+
+    # OPTIMIZE purges any remaining DVs (none left on this table after
+    # the merges rewrote the carrier — build a fresh one to prove it)
+    root2 = _dv_table(spark, tmp_path / "second", [0, 2])
+    dv_files = [
+        f for f in os.listdir(root2)
+        if f.startswith("deletion_vector_")
+    ]
+    assert len(dv_files) == 1
+    # two files so compaction has something to bin
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    write_delta_native(
+        spark, spark.range(20, 25).select("id").coalesce(1), root2,
+        checkpoint_interval=0,
+    )
+    res = optimize_delta_native(spark, root2, min_files=2)
+    assert res["version"] is not None
+    _, _, active, _, _ = snapshot_actions(spark, root2)
+    assert all(not a.get("deletionVector") for a in active.values())
+    got = sorted(r["id"] for r in read_delta_native(spark, root2).collect())
+    assert got == [1, 3, 4, 5, 6, 7, 8, 9, 20, 21, 22, 23, 24]
+    # the DV file is now unreferenced -> reclaimable
+    victims = vacuum_delta_native(spark, root2, retain_ms=0, dry_run=True)
+    assert any(os.path.basename(v).startswith("deletion_vector_")
+               for v in victims), victims
+
+
+def test_update_where_on_dv_table(spark, tmp_path):
+    """UPDATE WHERE on a DV table transforms only VISIBLE matches and
+    materializes the mask in the rewritten file."""
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import update_where_delta_native
+
+    root = _dv_table(spark, tmp_path, [2, 3])
+    res = update_where_delta_native(
+        spark, root, "id >= 2 AND id <= 5", {"id": "id + 100"}
+    )
+    assert res["files_rewritten"] == 1
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    # 2,3 were masked (gone); 4,5 updated; others intact
+    assert got == [0, 1, 6, 7, 8, 9, 104, 105]

@@ -473,3 +473,52 @@ def test_by_source_validation(spark, tmp_path):
                 {"action": "insert", "condition": None},
             ],
         )
+
+
+def test_conditional_clauses_on_column_mapped_table(spark, tmp_path):
+    """The generic clause path composes with column mapping: logical
+    names in conditions/SET, physical staging (the stager's existing
+    duty) — incl. a by-source clause."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "id long, v long, tag string",
+    )
+    write_delta_native(
+        spark, df, root, column_mapping="name", checkpoint_interval=0
+    )
+    src = spark.createDataFrame(
+        [(1, 100, "A"), (9, 90, "I")], "id long, v long, tag string"
+    )
+    merge_into_delta_native(
+        spark, root, src, on=["id"],
+        when_matched=[
+            {"action": "update", "condition": "s.v > t.v",
+             "set": {"v": "s.v + t.v"}},
+        ],
+        when_not_matched=[
+            {"action": "insert", "condition": "s.v < 1000",
+             "values": None},
+        ],
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.tag = 'b'"},
+        ],
+    )
+    rows = sorted(
+        (r["id"], r["v"], r["tag"])
+        for r in read_delta_native(spark, root).collect()
+    )
+    assert rows == [(1, 110, "a"), (3, 30, "c"), (9, 90, "I")]
+    # physical file columns actually carry mapped names
+    import json as _json
+
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    _, meta, active, _, _ = snapshot_actions(spark, root)
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = next(iter(active))
+    names = pq.ParquetFile(os.path.join(root, p)).schema_arrow.names
+    assert all(n.startswith("col-") for n in names), names
