@@ -633,6 +633,15 @@ def delta_sql(spark: SparkSession, sql: str):
         )
 
     m = re.match(
+        rf"^REORG\s+TABLE\s+{_TBL}\s+APPLY\s*\(\s*PURGE\s*\)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        return W.optimize_delta_native(
+            spark, m.group("path"), purge_only=True
+        )
+
+    m = re.match(
         rf"^OPTIMIZE\s+{_TBL}"
         rf"(?:\s+WHERE\s+(?P<where>.+?))?"
         rf"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\))?$",

@@ -4605,6 +4605,7 @@ def optimize_delta_native(
     zorder_by: list[str] | None = None,
     zorder_curve: str = "hilbert",
     zorder_bits: int = 8,
+    purge_only: bool = False,
 ) -> dict:
     """OPTIMIZE: bin-pack each partition's small files into
     ~``target_file_bytes`` files and commit the swap as ONE Delta commit
@@ -4632,6 +4633,13 @@ def optimize_delta_native(
     required ordering — no extra exchange); min_files drops to 1 when
     z-ordering, since re-clustering a single file is useful work.
 
+    ``purge_only=True`` is REORG TABLE ... APPLY (PURGE): ONLY files
+    carrying deletion vectors (or dropped-by-mask rows) are rewritten —
+    each such file 1:1 with its mask materialized (min_files is
+    irrelevant; a lone DV file still purges), everything else is left
+    exactly in place. After the commit the active set is DV-free and
+    the orphaned DV files are vacuum-reclaimable.
+
     Returns {"version", "partitions", "files_in", "files_out"};
     version None = nothing needed doing. A lost commit race aborts
     loudly; promoted-but-uncommitted files are unreferenced and
@@ -4647,6 +4655,20 @@ def optimize_delta_native(
     # (PURGE) shape): output files carry no DV, removes keep the
     # descriptors, and the orphaned DV files become vacuum-reclaimable
     dv_by_plain = _dv_map_of(root, active)
+    if purge_only:
+        # REORG PURGE: consider ONLY the DV carriers, rewrite each
+        # unconditionally (bin-packing may still coalesce several into
+        # one output file, which delta-spark's purge also permits)
+        active = {
+            p: a for p, a in active.items() if a.get("deletionVector")
+        }
+        if not active:
+            return {
+                "version": None, "partitions": 0,
+                "files_in": 0, "files_out": 0,
+            }
+        min_files = 1
+        zorder_by = None
     # clustered tables (r8): with no explicit zorder_by, OPTIMIZE on a
     # table carrying the delta.clustering domain RECLUSTERS by its
     # clustering columns (delta-spark's OPTIMIZE-on-clustered-table
@@ -4753,7 +4775,9 @@ def optimize_delta_native(
             if not placed:
                 part_bins.append([a])
                 sizes.append(size)
-        if len(part_bins) < len(packable):  # strictly fewer files out
+        # strictly fewer files out — except PURGE, where rewriting a
+        # file 1:1 to materialize its mask IS the useful work
+        if purge_only or len(part_bins) < len(packable):
             for j, files in enumerate(part_bins):
                 entries.append(
                     {

@@ -724,3 +724,36 @@ def test_update_where_on_dv_table(spark, tmp_path):
     got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
     # 2,3 were masked (gone); 4,5 updated; others intact
     assert got == [0, 1, 6, 7, 8, 9, 104, 105]
+
+
+def test_reorg_purge_statement(spark, tmp_path):
+    """REORG TABLE ... APPLY (PURGE): only DV carriers are rewritten
+    (1:1, masks materialized); clean files keep their add entries
+    byte-identical; a DV-free table is a no-op."""
+    from rtdl_spark.sources.delta_reader import (
+        read_delta_native,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_sql import delta_sql
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root = _dv_table(spark, tmp_path, [1, 3])
+    write_delta_native(
+        spark, spark.range(100, 105).select("id").coalesce(1), root,
+        checkpoint_interval=0,
+    )
+    _, _, before, _, _ = snapshot_actions(spark, root)
+    clean_paths = {
+        p for p, a in before.items() if not a.get("deletionVector")
+    }
+    res = delta_sql(spark, f"REORG TABLE delta.`{root}` APPLY (PURGE)")
+    assert res["version"] is not None
+    assert res["files_in"] == 1  # only the DV carrier
+    _, _, after, _, _ = snapshot_actions(spark, root)
+    assert all(not a.get("deletionVector") for a in after.values())
+    assert clean_paths <= set(after), "clean files must be untouched"
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [0, 2, 4, 5, 6, 7, 8, 9, 100, 101, 102, 103, 104]
+    # DV-free table: no-op
+    res2 = delta_sql(spark, f"REORG TABLE delta.`{root}` APPLY (PURGE)")
+    assert res2["version"] is None
