@@ -360,6 +360,97 @@ def stream_exec_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_exec_delta_upsert",
+    # the upsert sink ran through a WIPED-and-replayed checkpoint: a
+    # txn-watermark failure would re-apply the MERGE (doubling nothing
+    # here, but adding a commit) — n_commits pins exactly one data
+    # commit after the creating one; the aggregate pins the upsert
+    # semantics (matched keys take value+1000, the rest survive)
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 6 = 0
+    ), s AS (
+      SELECT event_id, event_type, value + 1000 AS value FROM events
+      WHERE event_id % 4 = 0
+    ), final AS (
+      SELECT * FROM base
+      WHERE event_id NOT IN (SELECT event_id FROM s)
+      UNION ALL SELECT * FROM s
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM({DEC('value')}) AS DOUBLE) AS total_value,
+           CAST(2 AS INT) AS n_commits
+    FROM final GROUP BY event_type
+    """,
+)
+def stream_exec_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming UPSERT sink executed end-to-end (r10,
+    streaming/jobs.py::stream_upsert_to_delta — foreachBatch + native
+    MERGE with per-epoch SetTransaction): a Delta table seeded from
+    events is upserted by a real readStream (matched keys take
+    value+1000 via MERGE update, new keys insert), then the streaming
+    checkpoint is WIPED and the whole stream re-delivered — the
+    table's txn watermark must skip the replayed epoch (n_commits
+    pins it; doubled applications would also break the sums)."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import (
+        delta_history,
+        read_delta_native,
+    )
+    from rtdl_spark.sources.delta_writer import write_delta_native
+    from rtdl_spark.streaming import stream_upsert_to_delta
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_dups_", dir=shm)
+    try:
+        src = os.path.join(workdir, "src")
+        root = os.path.join(workdir, "dtbl")
+        ckpt = os.path.join(workdir, "ckpt")
+        base = (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 6 == 0)
+            .select("event_id", "event_type", "value")
+        )
+        write_delta_native(
+            spark, base.repartition(4), root, checkpoint_interval=0
+        )
+        upd = (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 4 == 0)
+            .select(
+                "event_id", "event_type",
+                (F.col("value") + 1000).alias("value"),
+            )
+        )
+        upd.coalesce(1).write.json(src)
+        schema = "event_id long, event_type string, value double"
+
+        for _attempt in range(2):  # second pass = forced re-delivery
+            q = stream_upsert_to_delta(
+                spark, src, schema, root, ckpt,
+                app_id="dups-oracle", on=["event_id"],
+            )
+            q.awaitTermination(600)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+        n_commits = len(delta_history(spark, root))
+        out = (
+            read_delta_native(spark, root)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            )
+            .withColumn("n_commits", F.lit(n_commits).cast("int"))
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "stream_exec_delta_source",
     # the sink accumulated TWO incremental passes over a table that was
     # OPTIMIZE-compacted between them: any offset error double-emits or

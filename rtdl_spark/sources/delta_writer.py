@@ -3653,6 +3653,7 @@ def merge_into_delta_native(
     check_duplicates: bool = True,
     aliases: tuple[str, str] = ("t", "s"),
     when_not_matched_by_source=None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """MERGE INTO (upsert) for a native Delta table: target rows whose
     ``on`` keys match a source row are replaced by it (``when_matched=
@@ -3709,7 +3710,14 @@ def merge_into_delta_native(
     race raises; the staged files are unreferenced and vacuum-reclaimed.
     """
     root = table_dir.rstrip("/")
-    protocol, meta, active, current, _txns = snapshot_actions(spark, root)
+    protocol, meta, active, current, txns = snapshot_actions(spark, root)
+    if txn is not None and txns.get(txn[0], -1) >= int(txn[1]):
+        # SetTransaction idempotency (the streaming upsert sink's
+        # exactly-once guarantee): this epoch already committed
+        return {
+            "version": None, "files_rewritten": 0, "files_added": 0,
+            "skipped_txn": True,
+        }
     _check_protocol(protocol)
     _check_writer_protocol(protocol)
     _check_cm_supported(meta, "MERGE")
@@ -4300,7 +4308,15 @@ def merge_into_delta_native(
         adds,
         ts,
         meta,
-        extra_actions=rt_meta_actions + cdc_actions,
+        extra_actions=rt_meta_actions + cdc_actions + (
+            [{"txn": {
+                "appId": txn[0],
+                "version": int(txn[1]),
+                "lastUpdated": ts,
+            }}]
+            if txn is not None
+            else []
+        ),
         row_tracking=rt,
     )
     return {

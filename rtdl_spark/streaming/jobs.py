@@ -26,7 +26,7 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf resolves its (string,
 # under future-annotations) type hints against module globals, so a
 # function-local `import pandas as pd` breaks @pandas_udf inference
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -538,6 +538,71 @@ def stream_to_delta_table(
             table_root,
             mode="append",
             partition_by=partition_by,
+            txn=(app_id, int(epoch_id)),
+        )
+
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_upsert_to_delta(
+    spark,
+    source_dir: str,
+    schema,
+    table_root: str,
+    checkpoint_dir: str,
+    app_id: str,
+    on: list[str],
+    transform=None,
+    trigger_once: bool = True,
+    when_matched="update",
+    when_not_matched="insert",
+    when_not_matched_by_source=None,
+) -> StreamingQuery:
+    """Continuous exactly-once UPSERTS into a native Delta table — the
+    foreachBatch + MERGE pattern every delta-spark streaming-CDC
+    pipeline uses (reference: deltawriter/delta_writer.py:88 funnels
+    exactly this shape), on the same SetTransaction idempotency rail as
+    ``stream_to_delta_table``: each micro-batch's MERGE commit carries
+    ``(app_id, epoch_id)``, and a re-delivered epoch is skipped inside
+    the writer, so a batch can never double-apply even if the sink
+    crashes between the Delta commit and the streaming checkpoint.
+    Batches are deduped on ``on`` keeping the LAST row per key (source
+    files list in name order, so later rows supersede earlier ones
+    within a batch — the usual CDC convention). The full r10 clause
+    model passes through (conditional/column-level matched clauses,
+    conditional inserts, NOT MATCHED BY SOURCE)."""
+    from rtdl_spark.sources.delta_writer import merge_into_delta_native
+
+    raw = spark.readStream.schema(schema).json(source_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        # last-write-wins per key within the batch (MERGE refuses
+        # duplicate source keys — nondeterministic otherwise)
+        w = Window.partitionBy(*on).orderBy(
+            F.col("_src_order").desc()
+        )
+        deduped = (
+            out.withColumn(
+                "_src_order", F.monotonically_increasing_id()
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_src_order", "_rn")
+        )
+        merge_into_delta_native(
+            deduped.sparkSession,
+            table_root,
+            deduped,
+            on=on,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            when_not_matched_by_source=when_not_matched_by_source,
             txn=(app_id, int(epoch_id)),
         )
 

@@ -3116,3 +3116,60 @@ def test_cluster_by_creates_clustered_table_end_to_end(spark, tmp_path):
     assert read_delta_native(spark, cmroot).count() == 10
     res = optimize_delta_native(spark, cmroot, min_files=1)
     assert read_delta_native(spark, cmroot).count() == 10
+
+
+def test_stream_upsert_to_delta_exactly_once(spark, tmp_path):
+    """The foreachBatch+MERGE upsert sink (r10): per-epoch MERGE commits
+    carry txn actions; duplicate keys within a batch collapse
+    last-write-wins; wiping the streaming checkpoint re-delivers every
+    epoch and the table's txn watermark skips them all — counts and
+    values unchanged."""
+    import json as _json
+    import shutil
+
+    from rtdl_spark.streaming import stream_upsert_to_delta
+
+    src = tmp_path / "usrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "uckpt")
+    root = str(tmp_path / "utbl")
+    schema = "k long, v long"
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], schema),
+        root, checkpoint_interval=0,
+    )
+
+    def wave(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # k=1 updated (twice in-batch -> last wins), k=5 inserted
+    wave("w1.json", [{"k": 1, "v": 101}, {"k": 1, "v": 111},
+                     {"k": 5, "v": 50}])
+    q = stream_upsert_to_delta(
+        spark, str(src), schema, root, ckpt, app_id="upsA", on=["k"]
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in read_delta_native(spark, root).collect()}
+    assert got == {1: 111, 2: 20, 5: 50}
+
+    wave("w2.json", [{"k": 2, "v": 222}])
+    q = stream_upsert_to_delta(
+        spark, str(src), schema, root, ckpt, app_id="upsA", on=["k"]
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in read_delta_native(spark, root).collect()}
+    assert got == {1: 111, 2: 222, 5: 50}
+
+    # full re-delivery: every epoch skipped by the txn watermark
+    shutil.rmtree(ckpt)
+    q = stream_upsert_to_delta(
+        spark, str(src), schema, root, ckpt, app_id="upsA", on=["k"]
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in read_delta_native(spark, root).collect()}
+    assert got == {1: 111, 2: 222, 5: 50}, (
+        "re-delivered epochs must be skipped by the txn watermark"
+    )
