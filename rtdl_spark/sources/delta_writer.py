@@ -3654,6 +3654,7 @@ def merge_into_delta_native(
     aliases: tuple[str, str] = ("t", "s"),
     when_not_matched_by_source=None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """MERGE INTO (upsert) for a native Delta table: target rows whose
     ``on`` keys match a source row are replaced by it (``when_matched=
@@ -3686,6 +3687,14 @@ def merge_into_delta_native(
     source row). Every clause except the last must carry a condition.
     NOT NULL, CHECK constraints and generated-column equality are
     enforced on the rewritten rows exactly as for appends.
+
+    SCHEMA EVOLUTION (``merge_schema=True``, delta-spark's
+    ``withSchemaEvolution``): NEW source columns are appended to the
+    table schema in the same commit (nullable — old files null-fill);
+    source-LACKED columns are NULL for inserts while matched SET *
+    keeps the target's value for them (delta semantics); type
+    conflicts and dropped NON-NULLABLE columns refuse. CM tables
+    refuse (evolve via a mergeSchema append first).
 
     WHEN NOT MATCHED BY SOURCE (``when_not_matched_by_source=[...]``,
     delta-spark's third clause family): clauses over TARGET rows with
@@ -3729,17 +3738,48 @@ def merge_into_delta_native(
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
         raise ValueError("table is delta.appendOnly=true; MERGE rewrites")
 
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
+    commit_meta = meta  # what conflict-retry validates against the tip
+    evolved_meta_actions: list[dict] = []
+    src_cols = set(source.columns)
     if _schema_key(source.schema.json()) != _schema_key(
         meta["schemaString"]
     ):
-        raise ValueError(
-            "MERGE source schema must match the table's (names/types)"
-        )
+        if not merge_schema:
+            raise ValueError(
+                "MERGE source schema must match the table's "
+                "(names/types) — pass merge_schema=True to evolve "
+                "(delta-spark's withSchemaEvolution)"
+            )
+        if _cm_mode(meta) != "none":
+            raise ValueError(
+                "merge_schema on a column-mapped table is not "
+                "supported by MERGE (evolve via a mergeSchema append "
+                "first)"
+            )
+        evolved = _merge_schemas(meta["schemaString"], source.schema)
+        if _schema_key(evolved) != _schema_key(meta["schemaString"]):
+            # plan against the EVOLVED schema; the commit ships the new
+            # metaData action while conflict-retry still validates the
+            # SNAPSHOT meta (the rt_meta_actions pattern)
+            meta = {**meta, "schemaString": evolved}
+            evolved_meta_actions = [{"metaData": meta}]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
     bad = [k for k in on if k not in schema.fieldNames()]
     if bad:
         raise ValueError(f"merge keys not in the table schema: {bad}")
+    if merge_schema:
+        # align the source to the evolved schema: lacked columns are
+        # NULL for inserts; matched SET * keeps the TARGET's value for
+        # them (delta semantics — see the src_cols gates below)
+        source = source.select(
+            *[
+                F.col(f"`{f.name}`")
+                if f.name in src_cols
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
     m_clauses, nm_clauses, bs_clauses = _normalize_merge_clauses(
         when_matched, when_not_matched, schema.fieldNames(), meta,
         when_not_matched_by_source,
@@ -3748,18 +3788,24 @@ def merge_into_delta_native(
     if t_alias == s_alias:
         raise ValueError("MERGE aliases must differ")
     # the legacy single-unconditional-SET-* shape keeps its narrow plan
-    # (only keys [+ row-id] from the target cross the update join)
-    legacy_update = m_clauses == [
+    # (only keys [+ row-id] from the target cross the update join) —
+    # but ONLY when the source covers every table column: with schema
+    # evolution a lacked column must keep the TARGET's value, which the
+    # narrow source-only projection cannot express
+    src_covers_all = set(schema.fieldNames()) <= src_cols
+    legacy_update = src_covers_all and m_clauses == [
         {"action": "update", "condition": None, "set": None}
     ]
     legacy_insert_all = nm_clauses == [
         {"action": "insert", "condition": None, "values": None}
     ]
-    # anything conditional or column-level goes through the paired plan
+    # anything conditional / column-level / evolution-lacking goes
+    # through the paired plan
     generic_matched = bool(m_clauses) and not (
         len(m_clauses) == 1
         and m_clauses[0]["condition"] is None
         and m_clauses[0]["set"] is None
+        and (m_clauses[0]["action"] != "update" or src_covers_all)
     )
 
     def _q(alias: str, col: str):
@@ -4040,7 +4086,14 @@ def merge_into_delta_native(
                 proj = []
                 for col in col_order:
                     if c["set"] is None:
-                        proj.append(_q(s_alias, col).alias(col))
+                        # SET *: source columns; a column the ORIGINAL
+                        # source lacked (schema evolution) keeps the
+                        # target's value, per delta semantics
+                        proj.append(
+                            _q(s_alias, col).alias(col)
+                            if col in src_cols
+                            else _q(t_alias, col).alias(col)
+                        )
                     elif col in c["set"]:
                         proj.append(
                             F.expr(c["set"][col])
@@ -4160,7 +4213,11 @@ def merge_into_delta_native(
                     proj = []
                     for col in col_order:
                         if c["set"] is None:
-                            proj.append(_q(s_alias, col).alias(col))
+                            proj.append(
+                                _q(s_alias, col).alias(col)
+                                if col in src_cols
+                                else _q(t_alias, col).alias(col)
+                            )
                         elif col in c["set"]:
                             proj.append(
                                 F.expr(c["set"][col])
@@ -4307,8 +4364,12 @@ def merge_into_delta_native(
         _remove_actions(affected, path_to_add, ts),
         adds,
         ts,
-        meta,
-        extra_actions=rt_meta_actions + cdc_actions + (
+        commit_meta,
+        # rt's minted metaData is built FROM the evolved meta, so it
+        # already carries the new schema — never ship two metaData
+        # actions in one commit
+        extra_actions=(rt_meta_actions or evolved_meta_actions)
+        + cdc_actions + (
             [{"txn": {
                 "appId": txn[0],
                 "version": int(txn[1]),

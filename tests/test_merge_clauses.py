@@ -522,3 +522,84 @@ def test_conditional_clauses_on_column_mapped_table(spark, tmp_path):
     p = next(iter(active))
     names = pq.ParquetFile(os.path.join(root, p)).schema_arrow.names
     assert all(n.startswith("col-") for n in names), names
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True (withSchemaEvolution): a source with a NEW
+    column evolves the table schema in the MERGE commit — old rows
+    null-fill it, updated rows take the source value, inserts carry it;
+    a source LACKING a column leaves target values alone on SET * and
+    inserts NULL; without the flag the mismatch refuses."""
+    from rtdl_spark.sources.delta_reader import snapshot_actions
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, v long"
+    )
+    write_delta_native(spark, df, root, checkpoint_interval=0)
+    src = spark.createDataFrame(
+        [(1, 100, "x"), (9, 90, "y")], "id long, v long, tag string"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        merge_into_delta_native(spark, root, src, on=["id"])
+    res = merge_into_delta_native(
+        spark, root, src, on=["id"], merge_schema=True
+    )
+    assert res["version"] == 1
+    _, meta, _, _, _ = snapshot_actions(spark, root)
+    names = [
+        f["name"]
+        for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    assert names == ["id", "v", "tag"]
+    rows = sorted(
+        (r["id"], r["v"], r["tag"])
+        for r in read_delta_native(spark, root).collect()
+    )
+    assert rows == [(1, 100, "x"), (2, 20, None), (3, 30, None),
+                    (9, 90, "y")]
+
+    # now a source LACKING 'tag': SET * keeps target tags; the insert
+    # gets NULL
+    src2 = spark.createDataFrame([(1, 111), (7, 70)], "id long, v long")
+    merge_into_delta_native(
+        spark, root, src2, on=["id"], merge_schema=True
+    )
+    rows = {
+        r["id"]: (r["v"], r["tag"])
+        for r in read_delta_native(spark, root).collect()
+    }
+    assert rows[1] == (111, "x"), "lacked column must keep target value"
+    assert rows[7] == (70, None)
+    assert rows[2] == (20, None)
+
+    # evolution composes with conditional clauses
+    src3 = spark.createDataFrame(
+        [(2, 222, "z", True), (8, 80, "w", False)],
+        "id long, v long, tag string, flag boolean",
+    )
+    merge_into_delta_native(
+        spark, root, src3, on=["id"], merge_schema=True,
+        when_matched=[
+            {"action": "update", "condition": "s.flag",
+             "set": {"v": "s.v", "flag": "s.flag"}},
+        ],
+        when_not_matched=[
+            {"action": "insert", "condition": "NOT s.flag",
+             "values": None},
+        ],
+    )
+    rows = {
+        r["id"]: (r["v"], r["tag"], r["flag"])
+        for r in read_delta_native(spark, root).collect()
+    }
+    assert rows[2] == (222, None, True)
+    assert rows[8] == (80, "w", False)
+    assert rows[1] == (111, "x", None)
+
+    # type conflict refuses
+    bad = spark.createDataFrame([(1, "oops")], "id long, v string")
+    with pytest.raises(ValueError, match="type conflict"):
+        merge_into_delta_native(
+            spark, root, bad, on=["id"], merge_schema=True
+        )
