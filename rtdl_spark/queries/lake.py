@@ -3945,3 +3945,83 @@ def lake_delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "lake_delta_convert",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'a'
+                  WHEN o_orderkey % 3 = 1 THEN 'b'
+                  ELSE 'c' END AS src
+      FROM orders
+    ), after_delete AS (
+      SELECT * FROM t WHERE src <> 'b'
+    ), after_update AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN o_totalprice + 50.0 ELSE o_totalprice END
+               AS o_totalprice,
+             src
+      FROM after_delete
+    )
+    SELECT src, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM after_update GROUP BY src
+    """,
+)
+def lake_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA end-to-end (r10, sources/delta_writer.py::
+    convert_to_delta_native via the SQL front end): a plain Hive-
+    partitioned parquet directory — the shape rtdl's own ingester
+    produces (/root/reference/ingester/ingester.go:1182-1485) — is
+    converted IN PLACE (zero data copied; adds reference the existing
+    files, footer stats ride in), then exercised as a full Delta
+    citizen: partition DELETE + conditional UPDATE run on the converted
+    log. The oracle recomputes the whole pipeline in plain SQL;
+    per-partition counts + DECIMAL sums are hash-verified."""
+    from rtdl_spark.queries._util import dec
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_sql import delta_sql
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        update_where_delta_native,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "a")
+        .when(F.col("o_orderkey") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="rtdl_deltacv_", dir=shm)
+    try:
+        root = os.path.join(workdir, "plainp")
+        o.repartition(4).write.partitionBy("src").parquet(root)
+        res = delta_sql(
+            spark,
+            f"CONVERT TO DELTA parquet.`{root}` "
+            "PARTITIONED BY (src string)",
+        )
+        assert res["version"] == 0 and res["files"] >= 3
+        delete_where_delta_native(spark, root, "src = 'b'")
+        update_where_delta_native(
+            spark, root, "o_orderkey % 5 = 0",
+            {"o_totalprice": "o_totalprice + 50.0"},
+        )
+        out = (
+            read_delta_native(spark, root)
+            .groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            )
+        )
+        rows = out.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -633,6 +633,17 @@ def delta_sql(spark: SparkSession, sql: str):
         )
 
     m = re.match(
+        r"^CONVERT\s+TO\s+DELTA\s+parquet\.`(?P<path>[^`]+)`"
+        r"(?:\s+PARTITIONED\s+BY\s*\((?P<ps>[^)]*)\))?$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        return W.convert_to_delta_native(
+            spark, m.group("path"),
+            partition_schema=m.group("ps"),
+        )
+
+    m = re.match(
         rf"^REORG\s+TABLE\s+{_TBL}\s+APPLY\s*\(\s*PURGE\s*\)$",
         s, re.IGNORECASE,
     )

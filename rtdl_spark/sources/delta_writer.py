@@ -1440,6 +1440,133 @@ def _staged_counts(
     return out
 
 
+def convert_to_delta_native(
+    spark: SparkSession,
+    table_dir: str,
+    partition_schema: str | None = None,
+) -> dict:
+    """CONVERT TO DELTA: turn an existing plain-parquet directory into
+    a native Delta table IN PLACE — zero data copied; the creating
+    commit's adds reference the files where they already sit. This is
+    the migration path for the reference's own output (rtdl's ingester
+    writes plain partitioned parquet — ingester/ingester.go:1182-1485 —
+    and delta-spark's ``CONVERT TO DELTA parquet.`...``` is how users
+    upgrade such a directory).
+
+    ``partition_schema`` ("day string, region string") is REQUIRED when
+    the directory is Hive-partitioned (delta-spark's PARTITIONED BY
+    clause — partition types are not recoverable from the paths alone)
+    and must name exactly the partition directories found. Per-file
+    stats are harvested from the parquet footers through the same lane
+    as ordinary writes (driver-side on local FS, executor-side on
+    object stores), so the converted table data-skips immediately.
+
+    Returns {"version": 0, "files": n}. Refuses an existing Delta
+    table, an empty directory, and partition-layout mismatches."""
+    import uuid as _uuid
+
+    root = table_dir.rstrip("/")
+    if _table_exists(spark, root):
+        raise ValueError(f"{root} is already a Delta table")
+    plain_root = _plain(root)
+    files = [
+        (p, sz, m)
+        for p, sz, m in fsutil.list_files(spark, root)
+        if p.endswith(".parquet")
+        and not any(
+            seg.startswith(("_", "."))
+            for seg in p[len(plain_root) + 1:].split("/")
+        )
+    ]
+    if not files:
+        raise ValueError(
+            f"CONVERT TO DELTA found no parquet files under {root}"
+        )
+    part_fields: list = []
+    if partition_schema is not None:
+        part_fields = list(
+            StructType.fromDDL(partition_schema).fields
+        )
+    part_cols = [f.name for f in part_fields]
+
+    counts = _staged_counts(spark, root)
+    adds = []
+    for path, size, mtime in files:
+        rel = path[len(plain_root) + 1:]
+        pvals: dict[str, str | None] = {}
+        for seg in rel.split("/")[:-1]:
+            col, eq, raw = seg.partition("=")
+            if eq:
+                pvals[col] = _unescape_hive(raw)
+        if sorted(pvals) != sorted(part_cols):
+            raise ValueError(
+                f"file {rel!r} carries partition directories "
+                f"{sorted(pvals)} but PARTITIONED BY declares "
+                f"{sorted(part_cols)} — CONVERT needs the exact layout"
+            )
+        add = {
+            "path": urllib.parse.quote(rel, safe="/="),
+            "partitionValues": {c: pvals[c] for c in part_cols},
+            "size": size,
+            "modificationTime": mtime,
+            "dataChange": True,
+            "stats": json.dumps(counts.get(path, {"numRecords": 0})),
+        }
+        adds.append(add)
+
+    # data schema from the files themselves (partition dirs carry no
+    # column data); partition columns appended with their DECLARED types
+    sample_schema = (
+        # join against the ORIGINAL (possibly schemeful) root — the
+        # listing is scheme-less
+        spark.read.parquet(
+            posixpath.join(root, files[0][0][len(plain_root) + 1:])
+        ).schema
+        if part_cols
+        else spark.read.parquet(root).schema
+    )
+    overlap = set(sample_schema.fieldNames()) & set(part_cols)
+    if overlap:
+        raise ValueError(
+            f"partition columns {sorted(overlap)} also exist as data "
+            "columns in the parquet files"
+        )
+    full_schema = StructType(
+        list(sample_schema.fields) + part_fields
+    )
+    ts = _now_ms()
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "numFiles": len(adds),
+                    "partitionedBy": json.dumps(part_cols),
+                },
+                "engineInfo": "rtdl-spark native-delta-writer/1",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": full_schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": ts,
+            }
+        },
+    ] + [{"add": a} for a in sorted(adds, key=lambda a: a["path"])]
+    if not _try_commit(spark, root, 0, actions):
+        raise ValueError(
+            f"{root} gained a Delta log concurrently — convert refuses "
+            "to race"
+        )
+    return {"version": 0, "files": len(adds)}
+
+
 def _promote_staged(
     spark: SparkSession,
     table_dir: str,

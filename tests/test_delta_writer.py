@@ -3173,3 +3173,76 @@ def test_stream_upsert_to_delta_exactly_once(spark, tmp_path):
     assert got == {1: 111, 2: 222, 5: 50}, (
         "re-delivered epochs must be skipped by the txn watermark"
     )
+
+
+def test_convert_to_delta_native(spark, tmp_path):
+    """CONVERT TO DELTA (r10): a plain Hive-partitioned parquet dir
+    becomes a native Delta table IN PLACE — adds reference the files
+    where they sit (zero copy), partition types come from PARTITIONED
+    BY, footer stats ride in so the converted table data-skips, and the
+    whole DML surface works on it afterwards."""
+    from rtdl_spark.sources.delta_reader import (
+        data_skipping_report,
+        snapshot_actions,
+    )
+    from rtdl_spark.sources.delta_sql import delta_sql
+    from rtdl_spark.sources.delta_writer import (
+        convert_to_delta_native,
+        delete_where_delta_native,
+    )
+
+    root = str(tmp_path / "plainp")
+    df = spark.range(0, 400).select(
+        "id",
+        (F.col("id") % 4).cast("string").alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+    df.write.partitionBy("part").parquet(root)
+
+    # partitioned layout without PARTITIONED BY refuses
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        convert_to_delta_native(spark, root)
+    res = delta_sql(
+        spark,
+        f"CONVERT TO DELTA parquet.`{root}` PARTITIONED BY (part string)",
+    )
+    assert res["version"] == 0 and res["files"] >= 4
+    _, meta, active, _, _ = snapshot_actions(spark, root)
+    assert meta["partitionColumns"] == ["part"]
+    for a in active.values():
+        st = json.loads(a["stats"])
+        assert st["numRecords"] > 0
+        assert "id" in st.get("minValues", {}), "footer stats must ride"
+    got = read_delta_native(spark, root)
+    assert got.count() == 400
+    assert got.filter("part = '2'").count() == 100
+    # stats prune immediately
+    assert data_skipping_report(spark, root, "id = 7")["pruned"] >= 1
+    # the converted table is a full citizen: DML works
+    delete_where_delta_native(spark, root, "part = '3'")
+    assert read_delta_native(spark, root).count() == 300
+    # double convert refuses
+    with pytest.raises(ValueError, match="already a Delta table"):
+        convert_to_delta_native(spark, root)
+
+
+def test_convert_to_delta_unpartitioned_and_escapes(spark, tmp_path):
+    from rtdl_spark.sources.delta_writer import convert_to_delta_native
+
+    root = str(tmp_path / "plain2")
+    spark.range(0, 50).select("id").repartition(3).write.parquet(root)
+    res = convert_to_delta_native(spark, root)
+    assert res["files"] == 3
+    assert read_delta_native(spark, root).count() == 50
+
+    # Hive-escaped partition values round-trip
+    root2 = str(tmp_path / "plain3")
+    spark.createDataFrame(
+        [(1, "a b"), (2, "p%q"), (3, "x=y")], "id long, k string"
+    ).write.partitionBy("k").parquet(root2)
+    convert_to_delta_native(spark, root2, partition_schema="k string")
+    got = sorted(
+        (r["id"], r["k"])
+        for r in read_delta_native(spark, root2).collect()
+    )
+    assert got == [(1, "a b"), (2, "p%q"), (3, "x=y")]
