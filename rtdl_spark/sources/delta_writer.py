@@ -4233,10 +4233,23 @@ def merge_into_delta_native(
                     # target row keeps its identity; fresh commit version
                     proj.append(_q(t_alias, mat_id).alias(mat_id))
                     proj.append(F.lit(None).cast("long").alias(mat_cv))
-                pieces.append(
-                    paired.filter(F.col(_MERGE_CLAUSE_COL) == i)
-                    .select(*proj)
-                )
+                upd_part = paired.filter(
+                    F.col(_MERGE_CLAUSE_COL) == i
+                ).select(*proj)
+                if c["set"] is not None:
+                    # generated columns omitted from SET recompute from
+                    # the FINAL row (delta-spark's behavior; keeping the
+                    # target's value would go stale when a referenced
+                    # column changed and trip enforcement)
+                    for gc, ge in _generated_cols(meta).items():
+                        if gc not in c["set"]:
+                            upd_part = upd_part.withColumn(
+                                gc,
+                                F.expr(ge).cast(schema[gc].dataType),
+                            )
+                pieces.append(upd_part.select(*(
+                    col_order + ([mat_id, mat_cv] if rt else [])
+                )))
         elif legacy_update:
             # one output row PER MATCHED TARGET ROW (not per source row):
             # Delta MERGE's UPDATE SET * preserves target cardinality, so
@@ -4291,10 +4304,25 @@ def merge_into_delta_native(
                         .alias(col)
                         for col in col_order
                     ]
-                ins_parts.append(
-                    tagged.filter(F.col(_MERGE_CLAUSE_COL) == i)
-                    .select(*proj)
+                ins_part = tagged.filter(
+                    F.col(_MERGE_CLAUSE_COL) == i
+                ).select(*proj)
+                omitted = (
+                    # INSERT (cols) VALUES: anything not assigned;
+                    # INSERT *: anything the ORIGINAL source lacked
+                    # (schema evolution)
+                    (lambda assigned: [
+                        gc for gc in _generated_cols(meta)
+                        if gc not in assigned
+                    ])(c["values"] if c["values"] is not None else src_cols)
                 )
+                for gc in omitted:
+                    ins_part = ins_part.withColumn(
+                        gc,
+                        F.expr(_generated_cols(meta)[gc])
+                        .cast(schema[gc].dataType),
+                    )
+                ins_parts.append(ins_part.select(*col_order))
             ins_df = ins_parts[0]
             for p in ins_parts[1:]:
                 ins_df = ins_df.unionByName(p)

@@ -603,3 +603,40 @@ def test_merge_schema_evolution(spark, tmp_path):
         merge_into_delta_native(
             spark, root, bad, on=["id"], merge_schema=True
         )
+
+
+def test_generated_columns_computed_in_clause_paths(spark, tmp_path):
+    """Generated columns omitted from clause SET/VALUES are COMPUTED
+    from the final row (delta-spark's behavior) instead of going NULL
+    or stale — including when an UPDATE changes a referenced column."""
+    from rtdl_spark.sources.delta_alter import create_delta_table_native
+
+    root = str(tmp_path / "t")
+    create_delta_table_native(
+        spark, root, "id long, v long, v2 long",
+        generated={"v2": "v * 2"},
+    )
+    seed = spark.createDataFrame(
+        [(1, 10, 20), (2, 20, 40)], "id long, v long, v2 long"
+    )
+    write_delta_native(spark, seed, root, checkpoint_interval=0)
+    src = spark.createDataFrame(
+        [(1, 100, 200), (5, 50, 100)], "id long, v long, v2 long"
+    )
+    merge_into_delta_native(
+        spark, root, src, on=["id"],
+        when_matched=[
+            # v2 omitted from SET: must recompute from the NEW v
+            {"action": "update", "condition": None, "set": {"v": "s.v"}},
+        ],
+        when_not_matched=[
+            # v2 omitted from VALUES: must compute, not NULL
+            {"action": "insert", "condition": None,
+             "values": {"id": "s.id", "v": "s.v"}},
+        ],
+    )
+    rows = sorted(
+        (r["id"], r["v"], r["v2"])
+        for r in read_delta_native(spark, root).collect()
+    )
+    assert rows == [(1, 100, 200), (2, 20, 40), (5, 50, 100)]
