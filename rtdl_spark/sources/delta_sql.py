@@ -26,8 +26,12 @@ DELETE FROM ... WHERE · UPDATE ... SET ... WHERE · MERGE INTO ...
 USING (incl. conditional WHEN MATCHED [AND cond] THEN UPDATE SET col =
 expr / DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES
 (exprs), r10) · OPTIMIZE [WHERE] [ZORDER BY] · VACUUM [RETAIN n HOURS]
-[DRY RUN] · RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF · DESCRIBE
-HISTORY · DESCRIBE DETAIL.
+[DRY RUN] · REORG TABLE ... APPLY (PURGE) · CONVERT TO DELTA
+parquet.`...` [PARTITIONED BY] · RESTORE TABLE ... TO
+VERSION|TIMESTAMP AS OF · DESCRIBE HISTORY · DESCRIBE DETAIL · SHOW
+TBLPROPERTIES · SELECT/WITH over delta.`path` references (incl.
+VERSION/TIMESTAMP AS OF time travel — rewritten to native-reader temp
+views and executed by Spark SQL).
 """
 
 from __future__ import annotations
@@ -720,11 +724,33 @@ def delta_sql(spark: SparkSession, sql: str):
         rf"^DESCRIBE\s+HISTORY\s+{_TBL}$", s, re.IGNORECASE
     )
     if m:
+        import json as _json
+
         hist = R.delta_history(spark, m.group("path"))
         return spark.createDataFrame(
-            [(h["version"], h["timestamp"], h["operation"]) for h in hist],
-            "version long, timestamp long, operation string",
+            [
+                (
+                    h["version"], h["timestamp"], h["operation"],
+                    _json.dumps(h.get("operationParameters") or {},
+                                sort_keys=True),
+                )
+                for h in hist
+            ],
+            "version long, timestamp long, operation string, "
+            "operationParameters string",
         )
+
+    m = re.match(
+        rf"^SHOW\s+TBLPROPERTIES\s+{_TBL}$", s, re.IGNORECASE
+    )
+    if m:
+        from rtdl_spark.sources.delta_reader import snapshot_actions
+
+        _, meta, _, _, _ = snapshot_actions(spark, m.group("path"))
+        props = sorted((meta.get("configuration") or {}).items())
+        return spark.createDataFrame(
+            props or [("", "")], "key string, value string"
+        ).filter("key <> ''")
 
     m = re.match(rf"^DESCRIBE\s+DETAIL\s+{_TBL}$", s, re.IGNORECASE)
     if m:
@@ -751,6 +777,39 @@ def delta_sql(spark: SparkSession, sql: str):
             "minReaderVersion int, minWriterVersion int, "
             "tableFeatures string",
         )
+
+    if re.match(r"^(SELECT|WITH)\b", s, re.IGNORECASE):
+        # plain SELECT/WITH: substitute every delta.`path` [VERSION AS
+        # OF n | TIMESTAMP AS OF '...'] reference with a temp view over
+        # the native reader (time travel included) and hand the
+        # rewritten text to Spark SQL — the read half of "a delta-spark
+        # user could paste their SQL"
+        import uuid as _uuid
+
+        ref = re.compile(
+            r"delta\.`([^`]+)`"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+            r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
+            re.IGNORECASE,
+        )
+
+        def _sub(m2):
+            path, v, tstr = m2.group(1), m2.group(2), m2.group(3)
+            name = f"delta_sql_view_{_uuid.uuid4().hex[:10]}"
+            R.read_delta_native(
+                spark, path,
+                version=int(v) if v is not None else None,
+                timestamp=tstr,
+            ).createOrReplaceTempView(name)
+            return name
+
+        rewritten, n = ref.subn(_sub, s)
+        if n == 0:
+            raise ValueError(
+                "SELECT carries no delta.`<path>` reference — run it "
+                "through spark.sql directly"
+            )
+        return spark.sql(rewritten)
 
     raise ValueError(
         f"unrecognized Delta SQL statement: {s[:80]!r}... — supported: "

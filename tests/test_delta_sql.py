@@ -139,8 +139,12 @@ def test_sql_refusals_name_the_native_api(spark, tmp_path):
     write_delta_native(
         spark, spark.range(3).select("id"), p, checkpoint_interval=0
     )
+    # SELECT over delta.`path` refs became supported in r10 — the
+    # refusal now fires only when no delta reference appears
+    with pytest.raises(ValueError, match="no delta"):
+        delta_sql(spark, "SELECT 1 AS one")
     with pytest.raises(ValueError, match="unrecognized Delta SQL"):
-        delta_sql(spark, f"SELECT * FROM delta.`{p}`")
+        delta_sql(spark, f"TRUNCATE TABLE delta.`{p}`")
     with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
         delta_sql(spark, f"ALTER TABLE delta.`{p}` FROB THE KNOB")
     # column-level SET became a supported clause in r10 — the refusal
@@ -296,3 +300,57 @@ def test_create_or_replace_and_comments_sql(spark, tmp_path):
         root, checkpoint_interval=0,
     )
     assert read_delta_native(spark, root).count() == 1
+
+
+def test_select_show_and_history_params(spark, tmp_path):
+    """r10 read-side grammar: SELECT/WITH over delta.`path` references
+    (incl. time travel) execute through native-reader temp views; SHOW
+    TBLPROPERTIES lists the configuration; DESCRIBE HISTORY carries
+    operationParameters."""
+    import json as _json
+
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root = str(tmp_path / "t")
+    write_delta_native(
+        spark, spark.range(0, 10).select("id"), root, checkpoint_interval=0
+    )
+    write_delta_native(
+        spark, spark.range(10, 15).select("id"), root, checkpoint_interval=0
+    )
+    got = delta_sql(
+        spark, f"SELECT COUNT(*) AS n FROM delta.`{root}`"
+    ).collect()[0]["n"]
+    assert got == 15
+    got0 = delta_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM delta.`{root}` VERSION AS OF 0",
+    ).collect()[0]["n"]
+    assert got0 == 10
+    # a join of two refs (same table twice) rewrites both
+    j = delta_sql(spark, f"""
+        WITH a AS (SELECT id FROM delta.`{root}` VERSION AS OF 0)
+        SELECT COUNT(*) AS n
+        FROM a JOIN delta.`{root}` b ON a.id = b.id
+    """).collect()[0]["n"]
+    assert j == 10
+
+    from rtdl_spark.sources.delta_alter import alter_set_tblproperties
+
+    alter_set_tblproperties(spark, root, {"delta.appendOnly": "false"})
+    props = {
+        r["key"]: r["value"]
+        for r in delta_sql(
+            spark, f"SHOW TBLPROPERTIES delta.`{root}`"
+        ).collect()
+    }
+    assert props.get("delta.appendOnly") == "false"
+
+    hist = delta_sql(
+        spark, f"DESCRIBE HISTORY delta.`{root}`"
+    ).collect()
+    assert hist[0]["version"] == 0
+    assert all("operationParameters" in r.asDict() for r in hist)
+    assert isinstance(
+        _json.loads(hist[-1]["operationParameters"]), dict
+    )
