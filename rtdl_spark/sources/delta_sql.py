@@ -427,12 +427,14 @@ def delta_sql(spark: SparkSession, sql: str):
         )
 
     m = re.match(
-        rf"^DELETE\s+FROM\s+{_TBL}\s+WHERE\s+(?P<cond>.+)$",
+        rf"^DELETE\s+FROM\s+{_TBL}(?:\s+WHERE\s+(?P<cond>.+))?$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
+        # no WHERE = delete everything (delta-spark's DELETE FROM t)
         return W.delete_where_delta_native(
-            spark, m.group("path"), m.group("cond").strip()
+            spark, m.group("path"),
+            m.group("cond").strip() if m.group("cond") else "true",
         )
 
     m = re.match(

@@ -354,3 +354,17 @@ def test_select_show_and_history_params(spark, tmp_path):
     assert isinstance(
         _json.loads(hist[-1]["operationParameters"]), dict
     )
+
+
+def test_delete_without_where_removes_everything(spark, tmp_path):
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root = str(tmp_path / "t")
+    write_delta_native(
+        spark, spark.range(0, 9).select("id"), root, checkpoint_interval=0
+    )
+    res = delta_sql(spark, f"DELETE FROM delta.`{root}`")
+    assert res["version"] is not None
+    assert read_delta_native(spark, root).count() == 0
+    # history intact: the pre-delete version still reads
+    assert read_delta_native(spark, root, version=0).count() == 9
