@@ -287,6 +287,34 @@ def _create(spark: SparkSession, sql: str):
     )
 
 
+def _rewrite_delta_refs(spark: SparkSession, text: str):
+    """Replace every ``delta.`path``` reference (with optional VERSION
+    AS OF / TIMESTAMP AS OF time travel) in a SQL text with a temp view
+    over the native reader; returns (rewritten text, n substituted)."""
+    import uuid as _uuid
+
+    from rtdl_spark.sources import delta_reader as R
+
+    ref = re.compile(
+        r"delta\.`([^`]+)`"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+        r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
+        re.IGNORECASE,
+    )
+
+    def _sub(m2):
+        path, v, tstr = m2.group(1), m2.group(2), m2.group(3)
+        name = f"delta_sql_view_{_uuid.uuid4().hex[:10]}"
+        R.read_delta_native(
+            spark, path,
+            version=int(v) if v is not None else None,
+            timestamp=tstr,
+        ).createOrReplaceTempView(name)
+        return name
+
+    return ref.subn(_sub, text)
+
+
 def delta_sql(spark: SparkSession, sql: str):
     """Execute one Delta SQL statement against path tables
     (``delta.`<path>```). Returns what the underlying native API
@@ -425,6 +453,67 @@ def delta_sql(spark: SparkSession, sql: str):
             f"unsupported ALTER TABLE clause {rest!r} — see "
             "rtdl_spark.sources.delta_alter for the native APIs"
         )
+
+    m = re.match(
+        rf"^INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?{_TBL}"
+        rf"\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+        rf"(?P<body>(?:VALUES|SELECT|WITH)\b.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        # INSERT INTO / INSERT OVERWRITE: build the rows with Spark SQL
+        # (delta.`path` refs in a SELECT source rewrite to native-reader
+        # views), align positionally to the target columns, and append/
+        # overwrite through the native writer — generated/identity
+        # columns omitted via an explicit column list are computed by
+        # the append lane as usual
+        from rtdl_spark.sources.delta_reader import snapshot_actions
+
+        import json as _json
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        body = m.group("body").strip()
+        if re.match(r"^VALUES\b", body, re.IGNORECASE):
+            src_df = spark.sql(f"SELECT * FROM {body}")
+        else:
+            rewritten, _n = _rewrite_delta_refs(spark, body)
+            src_df = spark.sql(rewritten)
+        _, meta, _, _, _ = snapshot_actions(spark, m.group("path"))
+        schema = StructType.fromJson(_json.loads(meta["schemaString"]))
+        if m.group("cols"):
+            targets = [
+                _unquote_ident(c) for c in _split_top(m.group("cols"))
+            ]
+            bad = [c for c in targets if c not in schema.fieldNames()]
+            if bad:
+                raise ValueError(
+                    f"INSERT column(s) not in the table schema: {bad}"
+                )
+        else:
+            targets = schema.fieldNames()
+        if len(src_df.columns) != len(targets):
+            raise ValueError(
+                f"INSERT arity mismatch: {len(src_df.columns)} "
+                f"value column(s) for {len(targets)} target column(s) "
+                f"{targets}"
+            )
+        by_name = {f.name: f for f in schema.fields}
+        aligned = src_df.select(
+            *[
+                F.col(f"`{src_df.columns[i]}`")
+                .cast(by_name[t].dataType)
+                .alias(t)
+                for i, t in enumerate(targets)
+            ]
+        )
+        version = W.write_delta_native(
+            spark, aligned, m.group("path"),
+            mode="append" if m.group("mode").upper() == "INTO"
+            else "overwrite",
+        )
+        return {"version": version, "rows": None}
 
     m = re.match(
         rf"^DELETE\s+FROM\s+{_TBL}(?:\s+WHERE\s+(?P<cond>.+))?$",
@@ -786,26 +875,7 @@ def delta_sql(spark: SparkSession, sql: str):
         # the native reader (time travel included) and hand the
         # rewritten text to Spark SQL — the read half of "a delta-spark
         # user could paste their SQL"
-        import uuid as _uuid
-
-        ref = re.compile(
-            r"delta\.`([^`]+)`"
-            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
-            r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
-            re.IGNORECASE,
-        )
-
-        def _sub(m2):
-            path, v, tstr = m2.group(1), m2.group(2), m2.group(3)
-            name = f"delta_sql_view_{_uuid.uuid4().hex[:10]}"
-            R.read_delta_native(
-                spark, path,
-                version=int(v) if v is not None else None,
-                timestamp=tstr,
-            ).createOrReplaceTempView(name)
-            return name
-
-        rewritten, n = ref.subn(_sub, s)
+        rewritten, n = _rewrite_delta_refs(spark, s)
         if n == 0:
             raise ValueError(
                 "SELECT carries no delta.`<path>` reference — run it "

@@ -368,3 +368,64 @@ def test_delete_without_where_removes_everything(spark, tmp_path):
     assert read_delta_native(spark, root).count() == 0
     # history intact: the pre-delete version still reads
     assert read_delta_native(spark, root, version=0).count() == 9
+
+
+def test_insert_into_and_overwrite_sql(spark, tmp_path):
+    """INSERT INTO (VALUES / column list / SELECT from another delta
+    ref) and INSERT OVERWRITE route to the native writer; omitted
+    generated/identity columns via an explicit column list are computed
+    by the append lane."""
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root = str(tmp_path / "t")
+    delta_sql(spark, f"""
+        CREATE TABLE delta.`{root}` (
+            uid BIGINT GENERATED ALWAYS AS IDENTITY,
+            k BIGINT NOT NULL,
+            v DOUBLE
+        ) USING DELTA
+    """)
+    delta_sql(spark, f"""
+        INSERT INTO delta.`{root}` (k, v) VALUES (1, 1.5), (2, 2.5)
+    """)
+    got = read_delta_native(spark, root)
+    assert got.count() == 2
+    assert sorted(r["uid"] for r in got.collect()) == [1, 2]
+
+    # INSERT ... SELECT from another delta table
+    other = str(tmp_path / "o")
+    write_delta_native(
+        spark,
+        spark.range(10, 13).select(
+            "id", (F.col("id") * 1.0).alias("x")
+        ),
+        other, checkpoint_interval=0,
+    )
+    delta_sql(spark, f"""
+        INSERT INTO delta.`{root}` (k, v)
+        SELECT id, x FROM delta.`{other}` WHERE id <> 11
+    """)
+    assert read_delta_native(spark, root).count() == 4
+    ks = sorted(r["k"] for r in read_delta_native(spark, root).collect())
+    assert ks == [1, 2, 10, 12]
+
+    # INSERT OVERWRITE replaces content (full-width positional)
+    plain = str(tmp_path / "p")
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(1, 10.0)], "k long, v double"),
+        plain, checkpoint_interval=0,
+    )
+    delta_sql(spark, f"""
+        INSERT OVERWRITE delta.`{plain}` VALUES (7, 70.0), (8, 80.0)
+    """)
+    rows = sorted(
+        (r["k"], r["v"])
+        for r in read_delta_native(spark, plain).collect()
+    )
+    assert rows == [(7, 70.0), (8, 80.0)]
+    assert read_delta_native(spark, plain, version=0).count() == 1
+
+    # arity mismatch refuses
+    with pytest.raises(ValueError, match="arity"):
+        delta_sql(spark, f"INSERT INTO delta.`{plain}` VALUES (1)")
