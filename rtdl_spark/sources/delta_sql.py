@@ -527,7 +527,8 @@ def delta_sql(spark: SparkSession, sql: str):
         )
 
     m = re.match(
-        rf"^UPDATE\s+{_TBL}\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<cond>.+)$",
+        rf"^UPDATE\s+{_TBL}\s+SET\s+(?P<sets>.+?)"
+        rf"(?:\s+WHERE\s+(?P<cond>.+))?$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
@@ -540,7 +541,10 @@ def delta_sql(spark: SparkSession, sql: str):
                 raise ValueError(f"unparseable SET clause: {item!r}")
             sets[_unquote_ident(em.group(1))] = em.group(2).strip()
         return W.update_where_delta_native(
-            spark, m.group("path"), m.group("cond").strip(), sets
+            spark, m.group("path"),
+            # no WHERE = update every row (delta-spark parity)
+            m.group("cond").strip() if m.group("cond") else "true",
+            sets,
         )
 
     m = re.match(

@@ -429,3 +429,16 @@ def test_insert_into_and_overwrite_sql(spark, tmp_path):
     # arity mismatch refuses
     with pytest.raises(ValueError, match="arity"):
         delta_sql(spark, f"INSERT INTO delta.`{plain}` VALUES (1)")
+
+
+def test_update_without_where_touches_every_row(spark, tmp_path):
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    root = str(tmp_path / "t")
+    write_delta_native(
+        spark,
+        spark.range(0, 6).select("id", (F.col("id") * 2).alias("v")),
+        root, checkpoint_interval=0,
+    )
+    delta_sql(spark, f"UPDATE delta.`{root}` SET v = v + 1000")
+    assert read_delta_native(spark, root).filter("v < 1000").count() == 0
