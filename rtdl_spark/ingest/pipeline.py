@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rtdl_spark.catalog import register_lake_table
@@ -195,12 +195,12 @@ class IngestJob:
         return env.filter(~is_ctrl | is_ctrl.isNull()), env.filter(is_ctrl)
 
     # -- A5: routing -------------------------------------------------------
-    def route(self, env: DataFrame) -> list[tuple[StreamConfig, DataFrame]]:
-        """Per active config, the rows it owns. alt-id match takes
+    def _route_conds(self) -> list[tuple[StreamConfig, Column]]:
+        """Per active config, the ownership predicate. alt-id match takes
         precedence over stream-id match across *all* configs."""
         configs = self.registry.get_all_active()
         alt_ids = [c.stream_alt_id for c in configs if c.stream_alt_id]
-        routed = []
+        conds = []
         for cfg in configs:
             by_alt = (
                 (F.col("stream_alt_id") == cfg.stream_alt_id)
@@ -211,8 +211,12 @@ class IngestJob:
                 ~F.col("stream_alt_id").isin(alt_ids)
                 | F.col("stream_alt_id").isNull()
             )
-            routed.append((cfg, env.filter(by_alt | by_id)))
-        return routed
+            conds.append((cfg, by_alt | by_id))
+        return conds
+
+    def route(self, env: DataFrame) -> list[tuple[StreamConfig, DataFrame]]:
+        """Per active config, the rows it owns (see _route_conds)."""
+        return [(cfg, env.filter(c)) for cfg, c in self._route_conds()]
 
     # -- A7 + A9: table + bucket columns ----------------------------------
     def resolve_columns(self, df: DataFrame, cfg: StreamConfig) -> DataFrame:
@@ -342,12 +346,45 @@ class IngestJob:
         env = self.envelope(raw).persist()
         self.last_metrics: dict | None = None
         try:
+            # ONE probe job (r10; guide §1.2/§2.4 — the r9 shape spent a
+            # job materializing the cache for the control check, then one
+            # MORE job per stream asking "did anything route here?"): a
+            # single aggregation over the just-persisted envelope yields
+            # the control count AND every stream's routed count, so empty
+            # streams are skipped from driver arithmetic. Routed counts
+            # are computed with the PRE-reload configs, so when control
+            # messages ARE present the batch falls back to the reload +
+            # per-stream-probe path (rare by construction — control
+            # messages are administrative).
+            is_ctrl = F.col("message_type") == CONTROL_MESSAGE_TYPE
+            not_ctrl = ~is_ctrl | is_ctrl.isNull()
+            conds = self._route_conds()
+            probe = env.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(is_ctrl.cast("long")).alias("__ctrl"),
+                *[
+                    F.sum((not_ctrl & c).cast("long")).alias(f"__s{i}")
+                    for i, (_cfg, c) in enumerate(conds)
+                ],
+            ).collect()[0]
+            n_input = int(probe["__n"])
+            n_control = int(probe["__ctrl"] or 0)
             data, ctrl = self.split_control(env)
-            if ctrl.limit(1).count() > 0:
+            routed_n: dict[str, int] | None = None
+            if n_control > 0:
                 self.registry.reload()
+                conds = self._route_conds()  # configs may have changed
+            else:
+                routed_n = {
+                    cfg.stream_id: int(probe[f"__s{i}"] or 0)
+                    for i, (cfg, _c) in enumerate(conds)
+                }
             written: dict[str, str] = {}
             stream_counts: dict[str, int] = {}
-            for cfg, rows in self.route(data):
+            for cfg, cond in conds:
+                if routed_n is not None and routed_n[cfg.stream_id] == 0:
+                    continue
+                rows = data.filter(cond)
                 resolved = self.resolve_columns(rows, cfg)
                 # Flatten the payload before the chain so transforms (e.g.
                 # PII masking) see the real data columns, and the lake
@@ -365,7 +402,13 @@ class IngestJob:
                     *lineage,
                 )
                 chained = self.apply_chain(cfg, flat)
-                if chained.limit(1).count() == 0:
+                # only a chain TRANSFORM can empty a routed stream; the
+                # probe already proved routed rows exist, so the plain
+                # 'ingester' chain skips the emptiness job entirely
+                may_empty = routed_n is None or any(
+                    fn != "ingester" for fn in cfg.function_chain()
+                )
+                if may_empty and chained.limit(1).count() == 0:
                     continue
                 obs = None
                 if collect_metrics:
@@ -377,8 +420,6 @@ class IngestJob:
                 if obs is not None:
                     stream_counts[cfg.stream_id] = obs.get["n_rows"]
             if collect_metrics:
-                n_input = env.count()
-                n_control = ctrl.count()
                 self.last_metrics = {
                     "n_input": n_input,
                     "n_control": n_control,

@@ -34,6 +34,7 @@ def _scaled_cols(
     cols: list[str],
     bits: int,
     scaling: str,
+    bounds: dict[str, tuple[float | None, float | None]] | None = None,
 ) -> list[Column]:
     """Normalize each column to a ``bits``-bit long (shared by both
     curves). NULLs map to bucket 0 (they cluster together — the useful
@@ -47,7 +48,15 @@ def _scaled_cols(
       Right for skewed columns, where uniform scaling collapses most rows
       into a few buckets and the curve degenerates to a sort on the other
       columns. Costs one approxQuantile pass per column and 2^bits
-      comparisons per row, so pair it with modest ``bits``."""
+      comparisons per row, so pair it with modest ``bits``.
+
+    ``bounds`` (uniform scaling only): precomputed {col: (min, max)}
+    bounds — when the caller already KNOWS the value range (e.g. from a
+    Delta table's per-file stats), the driver agg job is skipped
+    entirely. Bounds may be wider than the data (clamping keeps every
+    row in [0, top]); a (None, None) entry means the column has no
+    usable range and scales to the constant 0 bucket, exactly like the
+    agg path on an all-null column."""
     if scaling not in ("uniform", "quantile"):
         raise ValueError("scaling must be 'uniform' or 'quantile'")
     top = (1 << bits) - 1
@@ -70,12 +79,22 @@ def _scaled_cols(
                 )
             )
     else:
-        bounds = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
-        ).collect()[0]
+        if bounds is not None and set(bounds) >= set(cols):
+            known = bounds
+        else:
+            row = df.agg(
+                *[
+                    F.min(F.col(c).cast("double")).alias(f"mn_{c}")
+                    for c in cols
+                ],
+                *[
+                    F.max(F.col(c).cast("double")).alias(f"mx_{c}")
+                    for c in cols
+                ],
+            ).collect()[0]
+            known = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
         for c in cols:
-            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            mn, mx = known[c]
             if mn is None or mx is None or mx <= mn:
                 scaled.append(F.lit(0).cast("long"))
                 continue
@@ -97,6 +116,7 @@ def zvalue(
     bits: int = 8,
     scaling: str = "uniform",
     curve: str = "morton",
+    bounds: dict[str, tuple[float | None, float | None]] | None = None,
 ) -> tuple[DataFrame, Column]:
     """Return (df, zcol): the space-filling-curve key of ``cols``
     normalized to ``bits``-bit integers (see _scaled_cols for scaling).
@@ -108,8 +128,11 @@ def zvalue(
       (functions/hilbert_np.py). Unit-step locality → tighter per-file
       bounding boxes than Morton's power-of-two jumps, i.e. better footer
       skipping for the same layout cost; the kernel runs only at
-      layout-write time, never in the query path."""
-    scaled = _scaled_cols(df, cols, bits, scaling)
+      layout-write time, never in the query path.
+
+    ``bounds``: optional precomputed per-column (min, max) for uniform
+    scaling — skips the bounds agg job (see _scaled_cols)."""
+    scaled = _scaled_cols(df, cols, bits, scaling, bounds=bounds)
     if curve == "hilbert":
         from rtdl_spark.functions.hilbert_np import hilbert_key
 

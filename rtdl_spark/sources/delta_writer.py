@@ -1363,6 +1363,47 @@ def _harvest_footer_stats_task(uris):
             yield uri, None
 
 
+def _target_file_bytes(meta: dict | None, default: int = 128 << 20) -> int:
+    """The table's delta.targetFileSize (bytes, or a kb/mb/gb-suffixed
+    string — delta-spark accepts both) with a 128 MiB default — the
+    guide §6 output-file sweet spot, scale-independent because it is a
+    PER-FILE size, not a partition count."""
+    raw = ((meta or {}).get("configuration") or {}).get(
+        "delta.targetFileSize"
+    )
+    if raw is None:
+        return default
+    s = str(raw).strip().lower()
+    try:
+        mult = 1
+        for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20),
+                          ("gb", 1 << 30), ("b", 1)):
+            if s.endswith(suffix):
+                s, mult = s[: -len(suffix)], m
+                break
+        n = int(float(s) * mult)
+        return n if n > 0 else default
+    except ValueError:
+        return default
+
+
+def _sized_for_rewrite(
+    out: DataFrame, rewrite_bytes: int, meta: dict | None
+) -> DataFrame:
+    """Right-size a rewrite's staging write: coalesce to ~one write
+    task per delta.targetFileSize of rewritten input bytes (guide §6 —
+    output files in the 128 MB–1 GB range; guide §2.2 — fewer, larger
+    map tasks). ``coalesce`` is a narrow dependency, so no shuffle is
+    added: at bench scale a 10 MB rewrite stops emitting 28 near-empty
+    files (and paying 28 footer harvests + renames + add actions per
+    commit), while at 100 TB the computed count is in the thousands and
+    coalesce is a no-op against the scan's natural parallelism."""
+    if rewrite_bytes <= 0:
+        return out
+    n = max(1, -(-rewrite_bytes // _target_file_bytes(meta)))
+    return out.coalesce(n)
+
+
 def _staged_counts(
     spark: SparkSession, staging: str
 ) -> dict[str, dict]:
@@ -2942,20 +2983,40 @@ def _rewrite_where(
     arows = arows.drop(_FP_COL)
     col_order = [f.name for f in schema.fields]
     stage_cols = col_order + ([mat_id, mat_cv] if rt else [])
-    out = arows.filter(~cond)
-    if set_exprs is not None:
-        updated = arows.filter(cond)
+    if set_exprs is None:
+        out = arows.filter(~cond)
+    else:
+        # r10 (guide §2.4/§8): UPDATE used to scan the affected files
+        # TWICE — survivors filtered one way, updated rows the other,
+        # unioned. One conditional projection does both in a single
+        # pass. The match flag is materialized FIRST so SET expressions
+        # never shift it, then each SET applies as
+        # when(flag, expr).otherwise(old) — later SETs referencing an
+        # earlier SET column see its updated value exactly as the
+        # sequential withColumn chain they replace did.
+        flag = "__delta_update_match__"
+        if flag in arows.columns:
+            raise ValueError(
+                f"table schema uses the reserved column {flag!r}"
+            )
+        out = arows.withColumn(flag, cond)
         for c, e in set_exprs.items():
-            updated = updated.withColumn(
-                c, F.expr(e).cast(schema[c].dataType)
+            out = out.withColumn(
+                c,
+                F.when(
+                    F.col(flag), F.expr(e).cast(schema[c].dataType)
+                ).otherwise(F.col(c)),
             )
         if rt:
             # updated rows: id preserved, commit version goes FRESH
             # (null materialized → the new add's default)
-            updated = updated.withColumn(
-                mat_cv, F.lit(None).cast("long")
+            out = out.withColumn(
+                mat_cv,
+                F.when(
+                    F.col(flag), F.lit(None).cast("long")
+                ).otherwise(F.col(mat_cv)),
             )
-        out = out.unionByName(updated.select(*stage_cols))
+        out = out.select(*stage_cols)
 
     out = _enforce_not_null(out, meta["schemaString"])
     out = _enforce_constraints(out, meta)
@@ -3002,6 +3063,11 @@ def _rewrite_where(
             extra_cols=[mat_id, mat_cv] if rt else None,
         )
         stage_part_cols = [phys_of[c] for c in part_cols]
+    out = _sized_for_rewrite(
+        out,
+        sum(int(path_to_add[p].get("size") or 0) for p in affected),
+        meta,
+    )
     staging = posixpath.join(
         root, f"_{operation.lower()}-{uuid.uuid4().hex[:12]}"
     )
@@ -3989,7 +4055,14 @@ def merge_into_delta_native(
     tbl, path_to_add = _active_scan(
         spark, root, meta, merge_scan, dv_by_plain=dv_by_plain
     )
-    keys = src.select(*on).distinct()
+    # ONE aggregation serves both probe consumers (r10; guide §2.4:
+    # two operations keyed the same way share one exchange): the
+    # per-key source counts feed the duplicate check AND, projected to
+    # the keys, the identify semi-join — the dup probe's own groupBy
+    # shuffle of the source (a second scan + exchange in the r9 shape)
+    # collapses into this one.
+    kc = src.groupBy(*on).agg(F.count(F.lit(1)).alias("__delta_key_n__"))
+    keys = kc.select(*on)
     # ONE PROBE JOB (r9, measured — the r8 profile showed lifecycle
     # time is job-count × fixed job latency): the duplicate-source
     # check and the affected-file identify are UNIONED into a single
@@ -4000,9 +4073,7 @@ def merge_into_delta_native(
     probes = []
     if check_duplicates:
         probes.append(
-            src.groupBy(*on)
-            .count()
-            .filter(F.col("count") > 1)
+            kc.filter(F.col("__delta_key_n__") > 1)
             .limit(1)
             .select(
                 F.lit("dup").alias("__probe"),
@@ -4126,10 +4197,48 @@ def merge_into_delta_native(
                 .drop("__rt_base", "__rt_dcv", _RI_COL)
             )
         arows = arows.drop(_FP_COL)
-        unmatched = arows.join(keys, on, "left_anti")
-        if not bs_clauses:
+        fused_legacy = (
+            legacy_update and not bs_clauses and not generic_matched
+        )
+        if fused_legacy:
+            # r10 (guide §2.4/§8): the unconditional UPDATE SET * shape
+            # used to scan the affected files TWICE — an anti-join for
+            # survivors plus an inner join for matched rows, unioned.
+            # One left join yields both from a single pass: a matched
+            # target row takes the source's values (per-target-row
+            # cardinality — source keys are unique by the dup probe),
+            # an unmatched one keeps its own. Null-key target rows
+            # match nothing under SQL equality, exactly like the
+            # anti-join they replace.
+            mark = "__delta_merge_matched__"
+            sa = src.withColumn(mark, F.lit(True)).alias(s_alias)
+            ta = arows.alias(t_alias)
+            jc = None
+            for k in on:
+                e = _q(t_alias, k) == _q(s_alias, k)
+                jc = e if jc is None else (jc & e)
+            matched = F.col(mark).isNotNull()
+            proj = [
+                F.when(matched, _q(s_alias, c))
+                .otherwise(_q(t_alias, c))
+                .alias(c)
+                for c in col_order
+            ]
+            if rt:
+                # matched rows keep their identity, commit version goes
+                # fresh (null materialized → the new add's default)
+                proj.append(_q(t_alias, mat_id).alias(mat_id))
+                proj.append(
+                    F.when(matched, F.lit(None).cast("long"))
+                    .otherwise(_q(t_alias, mat_cv))
+                    .alias(mat_cv)
+                )
+            pieces.append(ta.join(sa, jc, "left_outer").select(*proj))
+        elif not bs_clauses:
+            unmatched = arows.join(keys, on, "left_anti")
             pieces.append(unmatched.select(*stage_cols))
         else:
+            unmatched = arows.join(keys, on, "left_anti")
             # NOT MATCHED BY SOURCE: route unmatched target rows
             # through the clause chain — claimed updates project SET
             # exprs, claimed deletes vanish, unclaimed rows survive
@@ -4170,6 +4279,18 @@ def merge_into_delta_native(
                 pieces.append(
                     tagged_u.filter(F.col(_MERGE_CLAUSE_COL) == i)
                     .select(*proj)
+                )
+            if not m_clauses:
+                # when_matched="ignore" + by-source clauses: a file the
+                # by-source probe flags can ALSO hold source-matched
+                # rows ("ignore" means they survive unchanged) — the
+                # rewrite must re-emit them or they silently vanish
+                # with the removed file. Latent in r9 too, where the
+                # file layout merely made it unlikely; surfaced when
+                # r10's rewrite sizing started packing matched and
+                # unmatched keys into one file.
+                pieces.append(
+                    arows.join(keys, on, "left_semi").select(*stage_cols)
                 )
         if generic_matched:
             # conditional / column-level clauses: pair every matched
@@ -4250,7 +4371,7 @@ def merge_into_delta_native(
                 pieces.append(upd_part.select(*(
                     col_order + ([mat_id, mat_cv] if rt else [])
                 )))
-        elif legacy_update:
+        elif legacy_update and not fused_legacy:
             # one output row PER MATCHED TARGET ROW (not per source row):
             # Delta MERGE's UPDATE SET * preserves target cardinality, so
             # duplicate-key target rows each become a copy of the source
@@ -4265,11 +4386,24 @@ def merge_into_delta_native(
         # legacy unconditional delete: matched rows simply don't reappear
     ins_df = None
     if nm_clauses:
-        base = (
-            src.join(tbl.select(*on).distinct(), on, "left_anti")
-            if tbl is not None
-            else src
-        ).select(*col_order)
+        # r10 (guide §2.3: shuffle/scan fewer bytes): when the identify
+        # probe ran, every source key present ANYWHERE in the target
+        # lives in an affected file (that is what made the file
+        # affected), so the insert anti-join needs only the
+        # affected-file keys — not a second full scan of the table; no
+        # affected files means NO source key matches and the anti-join
+        # vanishes entirely.
+        if tbl is None:
+            base = src
+        elif m_clauses:
+            base = (
+                src.join(arows.select(*on), on, "left_anti")
+                if affected
+                else src
+            )
+        else:
+            base = src.join(tbl.select(*on).distinct(), on, "left_anti")
+        base = base.select(*col_order)
         if legacy_insert_all:
             ins_df = base
         else:
@@ -4482,6 +4616,16 @@ def merge_into_delta_native(
             extra_cols=[mat_id, mat_cv] if rt else None,
         )
         stage_part_cols = [phys_of[c] for c in part_cols]
+    if affected:
+        # rewritten files dominate the staged bytes (inserts ride along);
+        # insert-only merges keep the source's own parallelism
+        out = _sized_for_rewrite(
+            out,
+            sum(
+                int(path_to_add[p].get("size") or 0) for p in affected
+            ),
+            meta,
+        )
     staging = posixpath.join(root, f"_merge-{uuid.uuid4().hex[:12]}")
     writer = out.write.mode("overwrite")
     if stage_part_cols:
@@ -4826,6 +4970,58 @@ def sync_identity_delta_native(
         f"lost the Delta commit race {max_retries} times during "
         f"SYNC IDENTITY at {root}"
     )
+
+
+_ZORDER_STAT_TYPES = {
+    "byte", "short", "integer", "long", "float", "double",
+}
+
+
+def _zorder_bounds_from_stats(
+    entries: list[dict], data_schema, zcols: list[str]
+) -> dict[str, tuple[float | None, float | None]] | None:
+    """Per-column (min, max) over the files OPTIMIZE is about to
+    rewrite, derived from their add-action stats — the same numbers the
+    bounds agg job would compute, read from the KB-scale log instead of
+    a full scan of the selected files (r10; guide §1/§5: the cheapest
+    job is the one not run). Numeric columns only (exactly where
+    ``cast(col as double)`` is well-defined under ANSI); any file
+    lacking a usable min/max for any column falls the whole call back
+    to the agg (None). A file whose nullCount proves the column is
+    all-null contributes nothing, like the agg's null-ignoring MIN/MAX.
+    DV-carrying files keep their full-file stats, so bounds can be
+    wider than the visible rows — clamping makes wide bounds safe."""
+    by_name = {f.name: f.dataType.typeName() for f in data_schema.fields}
+    if any(by_name.get(c) not in _ZORDER_STAT_TYPES for c in zcols):
+        return None
+    out: dict[str, tuple[float | None, float | None]] = {}
+    for c in zcols:
+        lo = hi = None
+        for e in entries:
+            for a in e["files"]:
+                try:
+                    st = json.loads(a.get("stats") or "")
+                except (ValueError, TypeError):
+                    return None
+                mins = st.get("minValues") or {}
+                maxs = st.get("maxValues") or {}
+                if c in mins and c in maxs:
+                    try:
+                        fmn, fmx = float(mins[c]), float(maxs[c])
+                    except (TypeError, ValueError):
+                        return None
+                    lo = fmn if lo is None else min(lo, fmn)
+                    hi = fmx if hi is None else max(hi, fmx)
+                    continue
+                nulls = st.get("nullCount") or {}
+                if (
+                    st.get("numRecords") == 0
+                    or nulls.get(c) == st.get("numRecords")
+                ):
+                    continue  # provably no non-null values in this file
+                return None  # stats can't bound this file: use the agg
+        out[c] = (lo, hi)
+    return out
 
 
 def optimize_delta_native(
@@ -5184,32 +5380,49 @@ def optimize_delta_native(
 
         from rtdl_spark.operators.zorder import zvalue
 
+        # r10 (guide §1.2: remove jobs/passes before tuning anything):
+        # the uniform-scaling bounds are MIN/MAX over the selected
+        # files' rows — numbers the table log already carries per file.
+        # When every selected file has usable stats the bounds agg job
+        # (a full scan of the rewrite set) is skipped outright.
+        zb = _zorder_bounds_from_stats(entries, data_schema, zcols)
         _, zk = zvalue(
-            src, zcols, bits=zorder_bits, curve=zorder_curve
+            src, zcols, bits=zorder_bits, curve=zorder_curve, bounds=zb
         )
-        w = Window.partitionBy(bin_col).orderBy(z_col)
-        src = (
-            src.withColumn(z_col, zk)
-            # contiguous curve-rank ranges: row's bin = its percent-rank
-            # bucket within the partition group
-            .withColumn(
-                bin_col,
-                F.concat(
-                    F.col(bin_col),
-                    F.lit("x"),
-                    F.lpad(
-                        F.least(
-                            F.floor(
-                                F.percent_rank().over(w) * F.col(n_col)
-                            ).cast("int"),
-                            F.col(n_col) - 1,
-                        ).cast("string"),
-                        4,
-                        "0",
-                    ),
-                ),
+        src = src.withColumn(z_col, zk)
+        if all(len(e["bks"]) == 1 for e in entries):
+            # every partition group packs into ONE output file, so the
+            # percent-rank bucket is identically 0 — the window (a full
+            # shuffle + sort of the rewrite set) is dead weight; the
+            # required z-ordering lands in sortWithinPartitions below
+            # (r10; guide §2.4: remove shuffles outright)
+            src = src.withColumn(
+                bin_col, F.concat(F.col(bin_col), F.lit("x0000"))
             )
-        )
+        else:
+            w = Window.partitionBy(bin_col).orderBy(z_col)
+            src = (
+                src
+                # contiguous curve-rank ranges: row's bin = its
+                # percent-rank bucket within the partition group
+                .withColumn(
+                    bin_col,
+                    F.concat(
+                        F.col(bin_col),
+                        F.lit("x"),
+                        F.lpad(
+                            F.least(
+                                F.floor(
+                                    F.percent_rank().over(w) * F.col(n_col)
+                                ).cast("int"),
+                                F.col(n_col) - 1,
+                            ).cast("string"),
+                            4,
+                            "0",
+                        ),
+                    ),
+                )
+            )
         staged_src = (
             src.repartition(n_bins, bin_col)
             # lead with the bin column: the writer's required ordering on

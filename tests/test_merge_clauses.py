@@ -640,3 +640,34 @@ def test_generated_columns_computed_in_clause_paths(spark, tmp_path):
         for r in read_delta_native(spark, root).collect()
     )
     assert rows == [(1, 100, 200), (2, 20, 40), (5, 50, 100)]
+
+
+def test_matched_ignore_with_by_source_same_file(spark, tmp_path):
+    """when_matched="ignore" + by-source clauses, with a source-MATCHED
+    key and a by-source-CLAIMED key deliberately packed into the SAME
+    file: the matched row must survive the file's rewrite unchanged.
+    Regression for a layout-dependent row loss (the by-source rewrite
+    re-emitted only UNMATCHED rows, so a matched row sharing a flagged
+    file silently vanished — latent in r9, exposed when r10's rewrite
+    sizing started coalescing staged files)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (50, 500, "z"), (2, 20, "b")],
+        "id long, v long, tag string",
+    ).coalesce(1)  # ONE file holds matched (1), claimed (50), plain (2)
+    write_delta_native(spark, df, root, checkpoint_interval=0)
+    src = spark.createDataFrame([(1, 999, "S")], "id long, v long, tag string")
+    merge_into_delta_native(
+        spark, root, src, on=["id"],
+        when_matched="ignore", when_not_matched="ignore",
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.id >= 50"},
+        ],
+    )
+    rows = sorted(
+        (r["id"], r["v"], r["tag"])
+        for r in read_delta_native(spark, root).collect()
+    )
+    # 50 deleted by the clause; 1 (matched, ignored) and 2 (unclaimed)
+    # survive with their ORIGINAL values
+    assert rows == [(1, 10, "a"), (2, 20, "b")]
