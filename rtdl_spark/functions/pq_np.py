@@ -100,7 +100,12 @@ def pq_encode(vec: Column, codebooks: np.ndarray) -> Column:
             out = [next(it) if ok else None for ok in valid]
         return pd.Series(out)
 
-    return _enc(vec)
+    # non-deterministic marking (guide §4.4): callers filter on the
+    # encoded column (codes IS NOT NULL), and the optimizer otherwise
+    # pushes that filter below the projection and evaluates the UDF
+    # TWICE per row (two ArrowEvalPython nodes in the r9 plans). The
+    # function is pure; the marking only tells Catalyst not to clone it.
+    return _enc.asNondeterministic()(vec)
 
 
 def pq_lut(query: np.ndarray, codebooks: np.ndarray) -> list[list[float]]:

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rtdl_spark.functions.localdf import local_df
+
 from rtdl_spark.functions.pq_np import adc_score, pq_codebooks, pq_encode
 from rtdl_spark.operators.similarity import (
     _pq_probe_rows,
@@ -78,7 +80,7 @@ def build_ivf_pq_index(
         "cell_id", F.col(vec_col).cast("array<double>").alias("vec")
     ).write.mode("overwrite").parquet(f"{path}/meta_centroids")
     mm, kk, sub = books.shape
-    spark.createDataFrame(
+    local_df(spark, 
         [
             (j, c, [float(x) for x in books[j][c]])
             for j in range(mm)
@@ -161,7 +163,7 @@ def query_ivf_pq_index(
     q_rows = queries.select(id_col, vec_col).collect()
     probes = _pq_probe_rows(q_rows, cent_rows, books, nprobe, id_col, vec_col)
     probe_df = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             probes, "query_id long, cell_id int, _lut array<array<double>>"
         )
     )

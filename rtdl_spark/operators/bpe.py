@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rtdl_spark.functions.localdf import local_df
+
 SEP = "\x1e"  # fuse marker: merged pair "a<SEP>b" is one token
 
 
@@ -123,7 +125,7 @@ def train_phrase_merges(
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
         rules.append((a, b))
         stats.append((k, a, b, n))
-    stats_df = docs.sparkSession.createDataFrame(
+    stats_df = local_df(docs.sparkSession, 
         stats, "merge_idx int, left string, right string, n long"
     )
     return rules, stats_df
@@ -410,7 +412,7 @@ def bpe_vocabulary(
         F.row_number().over(Window.orderBy("token")) - 1,
     ).withColumn("kind", F.lit("char"))
     n_base = base.count()
-    merged = spark.createDataFrame(
+    merged = local_df(spark, 
         [
             (m["left"] + m["right"], n_base + m["round"], "merge")
             for m in merges

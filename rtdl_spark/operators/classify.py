@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rtdl_spark.functions.localdf import local_df
+
 from rtdl_spark.functions.text import token_hash, tokens
 
 
@@ -99,7 +101,7 @@ def train_logreg(
             # (Catalyst re-analyzes the whole expression tree); the join
             # keeps the plan constant-size regardless of n_buckets
             wdf = F.broadcast(
-                spark.createDataFrame(
+                local_df(spark, 
                     [
                         (i, float(w[i]))
                         for i in range(n_buckets)
@@ -171,7 +173,7 @@ def score_logreg(
     with."""
     spark = docs.sparkSession
     wdf = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             [(i, float(weights[i])) for i in range(len(weights))],
             "_b int, _w double",
         )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rtdl_spark.functions.localdf import local_df
+
 from rtdl_spark.functions.vectors import to_double
 
 
@@ -96,7 +98,7 @@ def kmeans(
 
     def cent_frame():
         return F.broadcast(
-            spark.createDataFrame(centroids, "cell_id int, _c array<double>")
+            local_df(spark, centroids, "cell_id int, _c array<double>")
         )
 
     def _dim_sum(i: int):

@@ -18,8 +18,12 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from rtdl_spark.functions.localdf import local_df
 
 from rtdl_spark.functions.vectors import cosine, dot, l2_norm, to_double
 
@@ -80,29 +84,105 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign every corpus vector to its highest-cosine centroid (broadcast
-    argmax). Output: id, vec, cell."""
-    cent = F.broadcast(
-        centroids.select(
-            F.col("cell_id"), F.col(vec_col).alias("cent_vec")
+    """Assign every corpus vector to its highest-cosine centroid. Output:
+    id, vec, cell.
+
+    Pure-projection argmax (r10; guide §2.4 — remove shuffles outright):
+    coarse centroids are tiny by construction (they ARE the coarse
+    quantizer), so they ride into the plan as literals and the whole
+    assignment is one codegen map over the corpus — zero shuffles, zero
+    row multiplication. The r9 shape joined the corpus against a
+    broadcast of the centroids (corpus × n_cells rows) and window-ranked
+    the pairs, which shuffled the entire corpus by id; at 100 TB that
+    shuffle moves every vector once per assignment for no reason.
+
+    Tie semantics are unchanged: score = round(cosine, 6) descending,
+    ties to the LOWEST cell — expressed as max of struct(score,
+    -cell_id), whose lexicographic ordering puts a NULL score (zero-norm
+    or null vectors) below every real score, exactly where the window's
+    DESC NULLS LAST put it; all-null rows fall to the lowest cell id,
+    as before. cosine() widens components to double before multiplying,
+    so literal float64 centroids score bit-identically to the joined
+    column they replace."""
+    rows = sorted(
+        centroids.select("cell_id", vec_col).collect(),
+        key=lambda r: r["cell_id"],
+    )
+    base = corpus.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    )
+    if not rows:
+        return base.withColumn("cell_id", F.lit(None).cast("int")).filter(
+            F.lit(False)
         )
-    )
-    scored = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-    ).join(cent)
-    w = Window.partitionBy("_id").orderBy(
-        F.desc(F.round(cosine(F.col("_vec"), F.col("cent_vec")), 6)),
-        F.asc("cell_id"),
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_vec").alias(vec_col),
-            "cell_id",
+    if len(rows) == 1:
+        return base.withColumn(
+            "cell_id", F.lit(int(rows[0]["cell_id"])).cast("int")
         )
+    # ONE parsed SQL expression, not K Column-built cosine trees: the
+    # centroid table rides in as a literal array<struct> (constant-folds
+    # to a single Literal node), so analysis/optimization cost does not
+    # scale with n_cells × dim — the Column-API construction of the same
+    # argmax measured ~4 s of Catalyst time PER QUERY at 8×64. Fold
+    # order matches functions/vectors exactly (left-fold double
+    # accumulators; centroid norms precomputed in float64 here, the same
+    # arithmetic Spark's l2_norm performs on the literal).
+    def _d(x) -> str:
+        if x is None:
+            return "CAST(NULL AS DOUBLE)"
+        v = float(x)
+        if v != v or v in (float("inf"), float("-inf")):
+            return f"CAST('{v}' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    def _norm(vec) -> float | None:
+        acc = 0.0
+        for x in vec:
+            if x is None:
+                return None
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    cents = []
+    for r in rows:
+        vec, cid = r[vec_col], int(r["cell_id"])
+        if vec is None or len(vec) == 0:
+            cents.append(
+                f"named_struct('c', {cid}, 'n', CAST(NULL AS DOUBLE), "
+                "'v', CAST(NULL AS ARRAY<DOUBLE>))"
+            )
+            continue
+        n = _norm(vec)
+        cents.append(
+            f"named_struct('c', {cid}, 'n', {_d(n)}, "
+            f"'v', array({', '.join(_d(x) for x in vec)}))"
+        )
+    emb = f"`{vec_col.replace('`', '``')}`"
+    nv = (
+        f"sqrt(aggregate({emb}, CAST(0.0 AS DOUBLE), "
+        "(acc, e) -> acc + CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))"
     )
+    score = (
+        f"ROUND(CASE WHEN {nv} * x.n > 0 THEN "
+        f"aggregate(zip_with({emb}, x.v, "
+        "(e, b) -> CAST(e AS DOUBLE) * b), CAST(0.0 AS DOUBLE), "
+        f"(acc, y) -> acc + y) / ({nv} * x.n) END, 6)"
+    )
+    # argmax with the window's exact tie rule: iterate cells in
+    # ascending id order, replace only on a STRICTLY higher score (NULL
+    # scores never replace; an all-NULL row keeps the lowest cell,
+    # where DESC NULLS LAST ranking put it)
+    expr = (
+        "aggregate("
+        f"transform(array({', '.join(cents)}), "
+        f"x -> named_struct('s', {score}, 'c', x.c)), "
+        "CAST(NULL AS STRUCT<s: DOUBLE, c: INT>), "
+        "(acc, x) -> CASE WHEN acc IS NULL THEN x "
+        "WHEN x.s IS NOT NULL AND (acc.s IS NULL OR x.s > acc.s) "
+        "THEN x ELSE acc END, "
+        "acc -> acc.c)"
+    )
+    return base.withColumn("cell_id", F.expr(expr).cast("int"))
 
 
 def _greedy_seed_rows(
@@ -179,7 +259,7 @@ def seed_centroids(
     """
     if method == "kmeanspp":
         seeds = _greedy_seed_rows(corpus, n, id_col, vec_col, sample_cap)
-        return corpus.sparkSession.createDataFrame(
+        return local_df(corpus.sparkSession, 
             [(i + 1, v) for i, (_, v) in enumerate(seeds)],
             f"cell_id int, {vec_col} array<double>",
         )
@@ -468,7 +548,7 @@ def pq_topk(
     )
     q_rows = queries.select(id_col, vec_col).collect()
     lut_df = F.broadcast(
-        corpus.sparkSession.createDataFrame(
+        local_df(corpus.sparkSession, 
             [(r[id_col], pq_lut(list(r[vec_col]), books)) for r in q_rows],
             "query_id long, _lut array<array<double>>",
         )
@@ -580,7 +660,7 @@ def ivf_pq_topk(
             {"cell_id": i + 1, vec_col: r[vec_col]}
             for i, r in enumerate(sample_rows[:n_cells])
         ]
-        centroids = corpus.sparkSession.createDataFrame(
+        centroids = local_df(corpus.sparkSession, 
             [(c["cell_id"], list(c[vec_col])) for c in cent_rows],
             f"cell_id int, {vec_col} array<double>",
         )
@@ -604,7 +684,7 @@ def ivf_pq_topk(
     q_rows = queries.select(id_col, vec_col).collect()
     probes = _pq_probe_rows(q_rows, cent_rows, books, nprobe, id_col, vec_col)
     probe_df = F.broadcast(
-        corpus.sparkSession.createDataFrame(
+        local_df(corpus.sparkSession, 
             probes, "query_id long, cell_id int, _lut array<array<double>>"
         )
     )
@@ -852,7 +932,7 @@ def mmr_rerank(
         for rank, i in enumerate(selected, 1):
             out.append((qid, i, float(rel[i]), rank))
 
-    return corpus.sparkSession.createDataFrame(
+    return local_df(corpus.sparkSession, 
         out, "query_id long, neighbor_id long, relevance double, "
         "mmr_rank int"
     )

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rtdl_spark.functions.localdf import local_df
+
 from rtdl_spark.functions.text import tokens
 
 _K1 = 1.2
@@ -86,7 +88,7 @@ def query_inverted_index(
     buckets = list(
         {
             r.b
-            for r in spark.createDataFrame(
+            for r in local_df(spark, 
                 [(t,) for t in terms], "term string"
             )
             .select(

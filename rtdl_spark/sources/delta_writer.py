@@ -69,6 +69,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from rtdl_spark.functions.localdf import local_df
 from rtdl_spark.sources import fsutil
 from rtdl_spark.sources.delta_reader import (
     _check_protocol,
@@ -2959,7 +2960,7 @@ def _rewrite_where(
                  a.get("defaultRowCommitVersion"))
             )
         base_df = F.broadcast(
-            spark.createDataFrame(
+            local_df(spark, 
                 base_rows,
                 f"`{_FP_COL}` string, `__rt_base` bigint, "
                 "`__rt_dcv` bigint",
@@ -3560,7 +3561,7 @@ def update_where_delta_dv(
                     )
             base_rows.append((p, int(a.get("baseRowId") or 0)))
         base_df = F.broadcast(
-            spark.createDataFrame(
+            local_df(spark, 
                 base_rows, f"`{_FP_COL}` string, `__rt_base` bigint"
             )
         )
@@ -4062,7 +4063,13 @@ def merge_into_delta_native(
     # shuffle of the source (a second scan + exchange in the r9 shape)
     # collapses into this one.
     kc = src.groupBy(*on).agg(F.count(F.lit(1)).alias("__delta_key_n__"))
-    keys = kc.select(*on)
+    # the filter is a tautology (a group's count is always >= 1); it is
+    # here so column pruning cannot narrow this branch's partial
+    # aggregate to keys-only — pruned, the two probe branches' exchanges
+    # stop being canonically equal and Spark computes the source
+    # aggregation twice instead of reusing one exchange (observed: two
+    # concurrent source scans in the probe job)
+    keys = kc.filter(F.col("__delta_key_n__") >= 1).select(*on)
     # ONE PROBE JOB (r9, measured — the r8 profile showed lifecycle
     # time is job-count × fixed job latency): the duplicate-source
     # check and the affected-file identify are UNIONED into a single
@@ -4175,7 +4182,7 @@ def merge_into_delta_native(
                      a.get("defaultRowCommitVersion"))
                 )
             base_df = F.broadcast(
-                spark.createDataFrame(
+                local_df(spark, 
                     base_rows,
                     f"`{_FP_COL}` string, `__rt_base` bigint, "
                     "`__rt_dcv` bigint",
@@ -5317,7 +5324,7 @@ def optimize_delta_native(
             )
     in_paths = sorted(in_paths_set)
     bin_map = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             file_rows,
             f"{fp_col} string, {bin_col} string, {n_col} int"
             + (", `__rt_base` bigint, `__rt_dcv` bigint" if rt else ""),
@@ -5968,7 +5975,7 @@ def write_checkpoint_native(
             (None, None, None, None, None, (nm, sz, mt, None))
             for nm, sz, mt in sidecar_rows
         ]
-        top_df = spark.createDataFrame(top_rows, _V2_TOP_SCHEMA)
+        top_df = local_df(spark, top_rows, _V2_TOP_SCHEMA)
         tmp2 = posixpath.join(log, f".ckpt-tmp-{uuid.uuid4().hex[:12]}")
         top_df.coalesce(1).write.mode("overwrite").parquet(tmp2)
         try:
