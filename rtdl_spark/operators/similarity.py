@@ -50,10 +50,18 @@ def cosine_topk(
     )
     # Spread the corpus before the quadratic scoring stage: a corpus packed
     # into few dense files would otherwise score on as few tasks as there
-    # are input splits (at real scale the scan parallelism suffices; the
-    # repartition guards the small-file case and AQE coalesces any excess).
+    # are input splits. r10 (guide §2.4 — a repartition added "for
+    # parallelism" is an accidental shuffle): the spread now happens ONLY
+    # when the scan is actually under-parallel; at real scale the scan's
+    # natural split count clears the bar and the full-corpus shuffle
+    # disappears from the plan. (minhash_lsh_pairs/rp_lsh_topk keep their
+    # unconditional repartition deliberately: there the exchange is
+    # REUSED by two consumers, replacing a second source scan.)
     n_parts = max(corpus.sparkSession.sparkContext.defaultParallelism, 8)
-    c = corpus.repartition(n_parts, F.col(id_col)).select(
+    base = corpus
+    if base.rdd.getNumPartitions() < n_parts:
+        base = base.repartition(n_parts, F.col(id_col))
+    c = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         l2_norm(F.col(vec_col)).alias("_cnorm"),

@@ -2616,9 +2616,11 @@ def _active_scan(
             + [StructField(c, LongType(), True) for c in extra_long_cols]
         )
     by_type = {f.name: f.dataType for f in schema.fields}
-    groups: dict[tuple, list[str]] = {}
     path_to_add: dict[str, dict] = {}
     subset_set = None if subset is None else set(subset)
+    clean: list[str] = []
+    dv_paths: list[str] = []
+    pv_rows: list[tuple] = []  # (plain path, *partition values as strings)
     for a in active.values():
         pvals = a.get("partitionValues") or {}
         abs_path = posixpath.join(root, urllib.parse.unquote(a["path"]))
@@ -2626,69 +2628,85 @@ def _active_scan(
         path_to_add[plain] = a
         if subset_set is not None and plain not in subset_set:
             continue
-        groups.setdefault(
+        if dv_by_plain and plain in dv_by_plain:
+            dv_paths.append(abs_path)
+        else:
+            clean.append(abs_path)
+        if part_cols:
             # partitionValues keys are PHYSICAL under CM
-            tuple(pvals.get(phys_of[c]) for c in part_cols), []
-        ).append(abs_path)
-    parts = []
-    for key, paths in sorted(groups.items()):
-        proj = [
-            F.col(f"`{read_col_of[f.name]}`")
-            # relaxed cast target: Catalyst refuses casts that would
-            # CLAIM nested non-nullability (delta_reader._nullable_dt)
-            .cast(_nullable_dt(f.dataType))
-            .alias(f.name)
-            for f in data_fields
-        ] + [_fp_decoded(F.col("_metadata.file_path")).alias(_FP_COL)]
-        if extra_long_cols:
-            proj += [F.col(f"`{c}`") for c in extra_long_cols]
-        if with_row_index:
-            proj.append(F.col("_metadata.row_index").alias(_RI_COL))
-        dv_paths = [
-            p for p in paths if dv_by_plain and _plain(p) in dv_by_plain
-        ]
-        clean = [p for p in paths if p not in set(dv_paths)]
-        subsets = []
-        if clean:
-            subsets.append(
-                spark.read.schema(data_schema)
-                .parquet(*clean)
-                .select(*proj)
+            pv_rows.append(
+                (plain,) + tuple(pvals.get(phys_of[c]) for c in part_cols)
             )
-        if dv_paths:
-            from rtdl_spark.sources.delta_reader import _dv_keep_udf
-
-            keep = _dv_keep_udf(
-                root,
-                {_plain(p): dv_by_plain[_plain(p)] for p in dv_paths},
-            )
-            subsets.append(
-                spark.read.schema(data_schema)
-                .parquet(*dv_paths)
-                .filter(
-                    keep(
-                        F.col("_metadata.file_path"),
-                        F.col("_metadata.row_index"),
-                    )
-                )
-                .select(*proj)
-            )
-        df = subsets[0]
-        for sub in subsets[1:]:
-            df = df.unionByName(sub)
-        for c, raw in zip(part_cols, key):
-            df = df.withColumn(
-                c,
-                F.lit(raw).cast(by_type[c])
-                if raw is not None
-                else F.lit(None).cast(by_type[c]),
-            )
-        parts.append(df)
-    if not parts:
+    if not clean and not dv_paths:
         return None, path_to_add
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # ONE scan (plus one for DV carriers) over the whole selection —
+    # r10 (guide §5/§7.3: plan size is driver work): the r9 shape built
+    # one read + union + per-column withColumns PER PARTITION GROUP, so
+    # plan construction and Catalyst analysis grew with the partition
+    # count. Partition values now ride a broadcast join keyed on the
+    # SAME decoded path column the DML probes already compute per row,
+    # then cast from their log-string form — the identical runtime cast
+    # the per-group literals paid.
+    proj = [
+        F.col(f"`{read_col_of[f.name]}`")
+        # relaxed cast target: Catalyst refuses casts that would
+        # CLAIM nested non-nullability (delta_reader._nullable_dt)
+        .cast(_nullable_dt(f.dataType))
+        .alias(f.name)
+        for f in data_fields
+    ] + [_fp_decoded(F.col("_metadata.file_path")).alias(_FP_COL)]
+    if extra_long_cols:
+        proj += [F.col(f"`{c}`") for c in extra_long_cols]
+    if with_row_index:
+        proj.append(F.col("_metadata.row_index").alias(_RI_COL))
+    subsets = []
+    if clean:
+        subsets.append(
+            spark.read.schema(data_schema)
+            .parquet(*sorted(clean))
+            .select(*proj)
+        )
+    if dv_paths:
+        from rtdl_spark.sources.delta_reader import _dv_keep_udf
+
+        keep = _dv_keep_udf(
+            root,
+            {_plain(p): dv_by_plain[_plain(p)] for p in dv_paths},
+        )
+        subsets.append(
+            spark.read.schema(data_schema)
+            .parquet(*sorted(dv_paths))
+            .filter(
+                keep(
+                    F.col("_metadata.file_path"),
+                    F.col("_metadata.row_index"),
+                )
+            )
+            .select(*proj)
+        )
+    out = subsets[0]
+    for sub in subsets[1:]:
+        out = out.unionByName(sub)
+    if part_cols:
+        from rtdl_spark.functions.localdf import local_df
+
+        clash = {
+            f"__pv_{i}" for i in range(len(part_cols))
+        } & set(schema.fieldNames())
+        if clash:
+            raise ValueError(
+                f"table schema uses a reserved scan column: {sorted(clash)}"
+            )
+        pv_schema = ", ".join(
+            [f"`{_FP_COL}` string"]
+            + [f"`__pv_{i}` string" for i in range(len(part_cols))]
+        )
+        pv_df = F.broadcast(local_df(spark, pv_rows, pv_schema))
+        out = out.join(pv_df, _FP_COL)
+        for i, c in enumerate(part_cols):
+            out = out.withColumn(
+                c, F.col(f"`__pv_{i}`").cast(by_type[c])
+            ).drop(f"__pv_{i}")
     return out, path_to_add
 
 
