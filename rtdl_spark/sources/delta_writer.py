@@ -1212,6 +1212,16 @@ _SKIP_STATS_MAX_COLS = 32  # delta.dataSkippingNumIndexedCols default
 # the identify-scan I/O it can save (tests lower it to pin the path)
 _MERGE_PRUNE_MIN_BYTES = 32 * 2**20
 
+# _active_scan attaches partition values via a broadcast file→values
+# join (one scan, O(1) plan) only at or above this many partition-value
+# GROUPS; below it the r9 per-group-literal shape wins because the
+# broadcast materializes as an extra fixed-latency job per DML
+# execution (measured: MERGE 9→14 jobs, +1.3 s at bench scale) while
+# the per-group plan stays tiny. At high group counts the trade flips:
+# plan construction/analysis grows linearly with groups, the one
+# broadcast job does not (tests lower it to pin the join path).
+_PV_JOIN_MIN_GROUPS = 32
+
 # clause-resolution tag column for conditional MERGE (r10) — named to
 # never collide with user data columns
 _MERGE_CLAUSE_COL = "__delta_merge_clause__"
@@ -2618,9 +2628,8 @@ def _active_scan(
     by_type = {f.name: f.dataType for f in schema.fields}
     path_to_add: dict[str, dict] = {}
     subset_set = None if subset is None else set(subset)
-    clean: list[str] = []
-    dv_paths: list[str] = []
-    pv_rows: list[tuple] = []  # (plain path, *partition values as strings)
+    # (abs path, plain path, partition-value tuple) per selected file
+    files: list[tuple[str, str, tuple]] = []
     for a in active.values():
         pvals = a.get("partitionValues") or {}
         abs_path = posixpath.join(root, urllib.parse.unquote(a["path"]))
@@ -2628,25 +2637,16 @@ def _active_scan(
         path_to_add[plain] = a
         if subset_set is not None and plain not in subset_set:
             continue
-        if dv_by_plain and plain in dv_by_plain:
-            dv_paths.append(abs_path)
-        else:
-            clean.append(abs_path)
-        if part_cols:
-            # partitionValues keys are PHYSICAL under CM
-            pv_rows.append(
-                (plain,) + tuple(pvals.get(phys_of[c]) for c in part_cols)
+        files.append(
+            (
+                abs_path,
+                plain,
+                # partitionValues keys are PHYSICAL under CM
+                tuple(pvals.get(phys_of[c]) for c in part_cols),
             )
-    if not clean and not dv_paths:
+        )
+    if not files:
         return None, path_to_add
-    # ONE scan (plus one for DV carriers) over the whole selection —
-    # r10 (guide §5/§7.3: plan size is driver work): the r9 shape built
-    # one read + union + per-column withColumns PER PARTITION GROUP, so
-    # plan construction and Catalyst analysis grew with the partition
-    # count. Partition values now ride a broadcast join keyed on the
-    # SAME decoded path column the DML probes already compute per row,
-    # then cast from their log-string form — the identical runtime cast
-    # the per-group literals paid.
     proj = [
         F.col(f"`{read_col_of[f.name]}`")
         # relaxed cast target: Catalyst refuses casts that would
@@ -2659,54 +2659,103 @@ def _active_scan(
         proj += [F.col(f"`{c}`") for c in extra_long_cols]
     if with_row_index:
         proj.append(F.col("_metadata.row_index").alias(_RI_COL))
-    subsets = []
-    if clean:
-        subsets.append(
-            spark.read.schema(data_schema)
-            .parquet(*sorted(clean))
-            .select(*proj)
-        )
-    if dv_paths:
-        from rtdl_spark.sources.delta_reader import _dv_keep_udf
 
-        keep = _dv_keep_udf(
-            root,
-            {_plain(p): dv_by_plain[_plain(p)] for p in dv_paths},
-        )
-        subsets.append(
-            spark.read.schema(data_schema)
-            .parquet(*sorted(dv_paths))
-            .filter(
-                keep(
-                    F.col("_metadata.file_path"),
-                    F.col("_metadata.row_index"),
+    def _scan_of(paths: list[str]):
+        """One read for the clean files + one filtered read for DV
+        carriers, unioned; None when ``paths`` is empty."""
+        dv_paths = [
+            p for p in paths if dv_by_plain and _plain(p) in dv_by_plain
+        ]
+        clean = sorted(set(paths) - set(dv_paths))
+        subsets = []
+        if clean:
+            subsets.append(
+                spark.read.schema(data_schema)
+                .parquet(*clean)
+                .select(*proj)
+            )
+        if dv_paths:
+            from rtdl_spark.sources.delta_reader import _dv_keep_udf
+
+            keep = _dv_keep_udf(
+                root,
+                {_plain(p): dv_by_plain[_plain(p)] for p in dv_paths},
+            )
+            subsets.append(
+                spark.read.schema(data_schema)
+                .parquet(*sorted(dv_paths))
+                .filter(
+                    keep(
+                        F.col("_metadata.file_path"),
+                        F.col("_metadata.row_index"),
+                    )
                 )
+                .select(*proj)
             )
-            .select(*proj)
-        )
-    out = subsets[0]
-    for sub in subsets[1:]:
-        out = out.unionByName(sub)
-    if part_cols:
-        from rtdl_spark.functions.localdf import local_df
+        out = subsets[0]
+        for sub in subsets[1:]:
+            out = out.unionByName(sub)
+        return out
 
-        clash = {
-            f"__pv_{i}" for i in range(len(part_cols))
-        } & set(schema.fieldNames())
-        if clash:
-            raise ValueError(
-                f"table schema uses a reserved scan column: {sorted(clash)}"
-            )
-        pv_schema = ", ".join(
-            [f"`{_FP_COL}` string"]
-            + [f"`__pv_{i}` string" for i in range(len(part_cols))]
+    if not part_cols:
+        return _scan_of([f[0] for f in files]), path_to_add
+
+    groups: dict[tuple, list[str]] = {}
+    for abs_path, _plain_p, key in files:
+        groups.setdefault(key, []).append(abs_path)
+    if len(groups) < _PV_JOIN_MIN_GROUPS:
+        # Few partition-value groups: one read per group with the
+        # values attached as LITERALS — zero extra jobs, tiny plan.
+        parts = []
+        # None-safe group order (null partition values sort first;
+        # plain sorted() would compare None against str and raise)
+        for key in sorted(
+            groups, key=lambda k: tuple((v is not None, v) for v in k)
+        ):
+            df = _scan_of(groups[key])
+            for c, raw in zip(part_cols, key):
+                df = df.withColumn(
+                    c,
+                    F.lit(raw).cast(by_type[c])
+                    if raw is not None
+                    else F.lit(None).cast(by_type[c]),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out, path_to_add
+
+    # Many groups (guide §5/§7.3: plan size is driver work): the
+    # per-group shape's plan construction and Catalyst analysis grow
+    # linearly with the group count, so above _PV_JOIN_MIN_GROUPS ONE
+    # scan covers the whole selection and partition values ride a
+    # broadcast join keyed on the SAME decoded path column the DML
+    # probes already compute per row, then cast from their log-string
+    # form — the identical runtime cast the per-group literals paid.
+    # (The broadcast materializes as an extra fixed-latency job per
+    # execution, which is why the small case above avoids it.)
+    from rtdl_spark.functions.localdf import local_df
+
+    clash = {
+        f"__pv_{i}" for i in range(len(part_cols))
+    } & set(schema.fieldNames())
+    if clash:
+        raise ValueError(
+            f"table schema uses a reserved scan column: {sorted(clash)}"
         )
-        pv_df = F.broadcast(local_df(spark, pv_rows, pv_schema))
-        out = out.join(pv_df, _FP_COL)
-        for i, c in enumerate(part_cols):
-            out = out.withColumn(
-                c, F.col(f"`__pv_{i}`").cast(by_type[c])
-            ).drop(f"__pv_{i}")
+    out = _scan_of([f[0] for f in files])
+    pv_schema = ", ".join(
+        [f"`{_FP_COL}` string"]
+        + [f"`__pv_{i}` string" for i in range(len(part_cols))]
+    )
+    pv_rows = [(plain,) + key for _abs, plain, key in files]
+    pv_df = F.broadcast(local_df(spark, pv_rows, pv_schema))
+    out = out.join(pv_df, _FP_COL)
+    for i, c in enumerate(part_cols):
+        out = out.withColumn(
+            c, F.col(f"`__pv_{i}`").cast(by_type[c])
+        ).drop(f"__pv_{i}")
     return out, path_to_add
 
 

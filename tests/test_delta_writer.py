@@ -3246,3 +3246,102 @@ def test_convert_to_delta_unpartitioned_and_escapes(spark, tmp_path):
         for r in read_delta_native(spark, root2).collect()
     )
     assert got == [(1, "a b"), (2, "p%q"), (3, "x=y")]
+
+
+def test_active_scan_pv_join_path(spark, tmp_path, monkeypatch):
+    """At or above _PV_JOIN_MIN_GROUPS partition-value groups,
+    _active_scan attaches partition values via the single-scan
+    broadcast pv-join instead of per-group literals (r10); the results
+    must be identical. Threshold lowered to 1 so the small fixture
+    exercises the join path end-to-end through DELETE, UPDATE and
+    MERGE; the literal-path twin is every other partitioned DML test."""
+    import rtdl_spark.sources.delta_writer as dw
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+        merge_into_delta_native,
+        update_where_delta_native,
+    )
+
+    monkeypatch.setattr(dw, "_PV_JOIN_MIN_GROUPS", 1)
+    root = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        "id",
+        (F.col("id") % 10).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta_native(
+        spark, df, root, partition_by=["p"], checkpoint_interval=0
+    )
+    delete_where_delta_native(spark, root, "id % 7 = 0")
+    update_where_delta_native(spark, root, "id % 5 = 0", {"v": "v + 1"})
+    upd = spark.range(0, 320).filter("id % 3 = 0").select(
+        "id",
+        (F.col("id") % 10).cast("string").alias("p"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    merge_into_delta_native(spark, root, upd, on=["id"])
+
+    # expected state replayed in plain Spark
+    exp = (
+        spark.range(0, 300)
+        .select(
+            "id",
+            (F.col("id") % 10).cast("string").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        )
+        .filter("NOT (id % 7 = 0)")
+        .withColumn(
+            "v", F.when(F.col("id") % 5 == 0, F.col("v") + 1).otherwise(F.col("v"))
+        )
+        .withColumn(
+            "v", F.when(F.col("id") % 3 == 0, F.lit(-1)).otherwise(F.col("v"))
+        )
+    )
+    ins = (
+        spark.range(0, 320)
+        .filter("id % 3 = 0")
+        .filter("id >= 300 OR id % 7 = 0")
+        .select(
+            "id",
+            (F.col("id") % 10).cast("string").alias("p"),
+            F.lit(-1).cast("long").alias("v"),
+        )
+    )
+    expected = sorted(
+        (r["id"], r["p"], r["v"]) for r in exp.unionByName(ins).collect()
+    )
+    got = sorted(
+        (r["id"], r["p"], r["v"])
+        for r in read_delta_native(spark, root).collect()
+    )
+    assert got == expected
+
+
+def test_active_scan_null_partition_group_order(spark, tmp_path):
+    """DML over a table whose partition column mixes NULL and non-NULL
+    values: the per-group-literal path must order its groups None-safely
+    (a plain sorted() over the value tuples would compare None < str and
+    raise) and both groups' rows must survive with their values."""
+    from rtdl_spark.sources.delta_writer import (
+        delete_where_delta_native,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        "id",
+        F.when(F.col("id") % 2 == 0, "even").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta_native(
+        spark, df, root, partition_by=["p"], checkpoint_interval=0
+    )
+    delete_where_delta_native(spark, root, "id % 5 = 0")
+    got = sorted(
+        (r["id"], r["p"]) for r in read_delta_native(spark, root).collect()
+    )
+    expected = sorted(
+        (i, "even" if i % 2 == 0 else None)
+        for i in range(40)
+        if i % 5 != 0
+    )
+    assert got == expected
