@@ -402,11 +402,17 @@ class IngestJob:
                     *lineage,
                 )
                 chained = self.apply_chain(cfg, flat)
-                # only a chain TRANSFORM can empty a routed stream; the
-                # probe already proved routed rows exist, so the plain
-                # 'ingester' chain skips the emptiness job entirely
+                # only a ROW-DROPPING chain transform can empty a routed
+                # stream; the probe already proved routed rows exist,
+                # and the built-in stages are row-preserving by
+                # construction ('ingester' is the write itself,
+                # 'pii-detection' masks in place, 'deltawriter' appends
+                # and passes through) — so the emptiness job survives
+                # only for EXTERNAL extra_functions, whose chains can
+                # filter (r11; guide §1.2)
                 may_empty = routed_n is None or any(
-                    fn != "ingester" for fn in cfg.function_chain()
+                    fn in self.extra_functions
+                    for fn in cfg.function_chain()
                 )
                 if may_empty and chained.limit(1).count() == 0:
                     continue
