@@ -342,8 +342,19 @@ class IngestJob:
         envelope frame."""
         from pyspark.sql import Observation
 
+        from rtdl_spark.functions.smallplan import (
+            _plan_size_estimate,
+            _small_plan_scope,
+        )
+
         raw, cached_raw = self._quarantine_corrupt(raw)
         env = self.envelope(raw).persist()
+        # r11: batch-internal actions (the fused probe, each stream's
+        # write) run under the bytes-gated small-plan scope — at bench
+        # scale the probe collapsed from 3 AQE stage-jobs to 1 and the
+        # write from 2 to 1; at real batch sizes the gate stays off and
+        # AQE keeps handling the shuffles (see smallplan.py)
+        batch_small_bytes = _plan_size_estimate(env)
         self.last_metrics: dict | None = None
         try:
             # ONE probe job (r10; guide §1.2/§2.4 — the r9 shape spent a
@@ -359,14 +370,15 @@ class IngestJob:
             is_ctrl = F.col("message_type") == CONTROL_MESSAGE_TYPE
             not_ctrl = ~is_ctrl | is_ctrl.isNull()
             conds = self._route_conds()
-            probe = env.agg(
-                F.count(F.lit(1)).alias("__n"),
-                F.sum(is_ctrl.cast("long")).alias("__ctrl"),
-                *[
-                    F.sum((not_ctrl & c).cast("long")).alias(f"__s{i}")
-                    for i, (_cfg, c) in enumerate(conds)
-                ],
-            ).collect()[0]
+            with _small_plan_scope(self.spark, batch_small_bytes):
+                probe = env.agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.sum(is_ctrl.cast("long")).alias("__ctrl"),
+                    *[
+                        F.sum((not_ctrl & c).cast("long")).alias(f"__s{i}")
+                        for i, (_cfg, c) in enumerate(conds)
+                    ],
+                ).collect()[0]
             n_input = int(probe["__n"])
             n_control = int(probe["__ctrl"] or 0)
             data, ctrl = self.split_control(env)
@@ -414,15 +426,18 @@ class IngestJob:
                     fn in self.extra_functions
                     for fn in cfg.function_chain()
                 )
-                if may_empty and chained.limit(1).count() == 0:
-                    continue
-                obs = None
-                if collect_metrics:
-                    obs = Observation()
-                    chained = chained.observe(
-                        obs, F.count(F.lit(1)).alias("n_rows")
+                with _small_plan_scope(self.spark, batch_small_bytes):
+                    if may_empty and chained.limit(1).count() == 0:
+                        continue
+                    obs = None
+                    if collect_metrics:
+                        obs = Observation()
+                        chained = chained.observe(
+                            obs, F.count(F.lit(1)).alias("n_rows")
+                        )
+                    written[cfg.stream_id] = self.write_stream_batch(
+                        cfg, chained
                     )
-                written[cfg.stream_id] = self.write_stream_batch(cfg, chained)
                 if obs is not None:
                     stream_counts[cfg.stream_id] = obs.get["n_rows"]
             if collect_metrics:

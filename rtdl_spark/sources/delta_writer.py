@@ -47,7 +47,6 @@ the retention window must replay the JSON commits (which we never delete).
 
 from __future__ import annotations
 
-import contextlib
 import json
 import posixpath
 import re
@@ -1175,92 +1174,35 @@ _SKIP_STATS_MAX_COLS = 32  # delta.dataSkippingNumIndexedCols default
 _MERGE_PRUNE_MIN_BYTES = 32 * 2**20
 
 # _active_scan attaches partition values via a broadcast file→values
-# join (one scan, O(1) plan) only at or above this many partition-value
-# GROUPS; below it the r9 per-group-literal shape wins because the
-# broadcast materializes as an extra fixed-latency job per DML
-# execution (measured: MERGE 9→14 jobs, +1.3 s at bench scale) while
-# the per-group plan stays tiny. At high group counts the trade flips:
-# plan construction/analysis grows linearly with groups, the one
-# broadcast job does not (tests lower it to pin the join path).
-_PV_JOIN_MIN_GROUPS = 32
+# join (one scan, O(1) plan) at or above this many partition-value
+# GROUPS; below it the per-group-literal shape remains (a single-group
+# scan needs no join at all). r10 set this to 32 because the broadcast
+# then materialized as an extra fixed-latency job per DML (measured:
+# MERGE 9→14 jobs, +1.3 s); r11's LocalRelation local_df made that
+# build ZERO jobs and the trade flipped — re-measured on the lifecycle
+# (3 warm interleaved reps): the join branch is now faster at bench
+# scale too (5.09–5.31 s vs 5.62–5.90 s total; DELETE 1.37→0.99 s),
+# because one scan replaces per-group plan construction. The READ path
+# keeps its higher threshold — there the extra broadcast join stage
+# measured ~0.1–0.2 s per user query (see delta_reader).
+_PV_JOIN_MIN_GROUPS = 2
 
 # clause-resolution tag column for conditional MERGE (r10) — named to
 # never collide with user data columns
 _MERGE_CLAUSE_COL = "__delta_merge_clause__"
 
-# DML-internal actions (identify probes, staging rewrites) run WITHOUT
-# adaptive execution when the bytes involved sit below this bound (r11;
-# guide §1.2 — the cheapest job is the one not run). Rationale: AQE
-# materializes every shuffle stage as its OWN Spark job with a driver
-# re-planning gap between jobs (measured: a bench-scale MERGE spent
-# ~60% of its wall in those gaps — 9 jobs summing 1.2 s inside a 3.0 s
-# call); that buys runtime re-planning (partition coalescing, skew
-# splits, join demotion) which CANNOT pay off when the whole input is a
-# few shuffle partitions' worth of data. The gate is DATA-VOLUME
-# derived, not core-count derived: at 100 TB every DML far exceeds it
-# and AQE stays on exactly where it is load-bearing. Override per
-# session with spark.rtdl.dml.smallPlanMaxBytes (tests raise/lower it
-# to pin both paths).
-_SMALL_PLAN_MAX_BYTES = 256 << 20
-_SMALL_PLAN_CONF = "spark.rtdl.dml.smallPlanMaxBytes"
-
-
-def _plan_size_estimate(df: DataFrame) -> int:
-    """Catalyst's sizeInBytes estimate of a frame (driver-side, no job).
-    Opaque sources estimate conservatively LARGE, which fails the
-    small-plan gate — the safe direction (AQE stays on)."""
-    try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return 1 << 62
-
-
-def _is_small_plan(spark: SparkSession, involved_bytes: int) -> bool:
-    try:
-        gate = int(spark.conf.get(_SMALL_PLAN_CONF, ""))
-    except (TypeError, ValueError):
-        gate = _SMALL_PLAN_MAX_BYTES
-    return 0 <= involved_bytes < gate
-
-
-@contextlib.contextmanager
-def _small_plan_scope(spark: SparkSession, involved_bytes: int):
-    """Scoped AQE-off for a DML-internal action over ``involved_bytes``
-    of input (see _SMALL_PLAN_MAX_BYTES), with shuffle parallelism
-    re-derived from the DATA VOLUME (guide §2.2/§6: partitions sized to
-    ~64 MiB of input, exactly what AQE coalescing would have produced at
-    runtime — without it, the session's static partition count fans each
-    tiny exchange into that many near-empty tasks). Restores both
-    settings even on error; a no-op above the gate or when the session
-    already runs without AQE."""
-    if not _is_small_plan(spark, involved_bytes):
-        yield False
-        return
-    try:
-        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        prev = "true"
-    if prev != "true":
-        yield False
-        return
-    try:
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    except Exception:
-        prev_sp = "200"
-    n_parts = max(1, -(-involved_bytes // (64 << 20)))
-    try:
-        n_parts = min(n_parts, int(prev_sp))
-    except (TypeError, ValueError):
-        pass
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    try:
-        yield True
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+# small-plan scope shared with the ingest batch path (r11; measured
+# here: a bench-scale MERGE spent ~60% of its wall in inter-job driver
+# gaps — 9 jobs summing 1.2 s inside a 3.0 s call) — see
+# rtdl_spark/functions/smallplan.py for the full rationale; DML keeps
+# its 256 MiB default gate via the same conf
+from rtdl_spark.functions.smallplan import (  # noqa: E402
+    _SMALL_PLAN_CONF,
+    _SMALL_PLAN_MAX_BYTES,
+    _is_small_plan,
+    _plan_size_estimate,
+    _small_plan_scope,
+)
 
 
 def _stat_json_value(v):
