@@ -31,6 +31,18 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parquet footer-schema cache for the immutable fixture tables (r11).
+# Schema INFERENCE costs ~90 ms of JVM work per read.parquet() call
+# (measured: 112 ms inferred vs 24 ms with an explicit schema) and the
+# bench re-builds each query plan on every rep, so every table reference
+# re-paid it. The cache holds ONLY the inferred StructType — never rows,
+# never plans: every action still lists and scans the parquet files, and
+# the first read of any path still infers from the real footer (same
+# session confs, so the cached schema is byte-identical to what
+# inference would return). Keyed by absolute path; fixture inputs are
+# read-only by contract.
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
@@ -41,8 +53,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
     """
     ensure_runtime_confs(spark)
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Integer DIV, not `/`: ns epoch values exceed double's 53-bit
         # mantissa, and float division would round where DuckDB truncates.

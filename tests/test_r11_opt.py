@@ -453,3 +453,47 @@ def test_delete_null_condition_rows_kept(spark, tmp_path):
         (r["k"], r["v"]) for r in read_delta_native(spark, root).collect()
     )
     assert rows == [(1, 11), (2, None)]
+
+
+def test_catalog_schema_cache_equivalence(spark):
+    """The fixture schema cache (catalog._SCHEMA_CACHE) must hand back a
+    frame indistinguishable from a fresh-inference read: same schema
+    object graph (names, types, nullability) and same rows. The cache
+    holds only the inferred StructType — the scan itself re-lists and
+    re-reads the files on every action."""
+    import rtdl_spark.catalog as cat
+
+    sf_dir = "/root/testdata/sf0.001"
+    cat._SCHEMA_CACHE.clear()
+    fresh = cat.table(spark, sf_dir, "nation")  # infers, populates cache
+    path = os.path.abspath(os.path.join(sf_dir, "nation.parquet"))
+    assert path in cat._SCHEMA_CACHE
+    cached = cat.table(spark, sf_dir, "nation")  # cache hit
+    assert cached.schema == fresh.schema
+    assert sorted(map(tuple, cached.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    # events keeps its ts conversion through the cached branch
+    cat.table(spark, sf_dir, "events")
+    ev = cat.table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"].startswith("timestamp")
+
+
+def test_ensure_runtime_confs_once_per_session(spark):
+    """ensure_runtime_confs applies the engine confs on first sight of a
+    session and then becomes a no-op for that session object — re-applying
+    mid-operation could stomp a scoped conf override (smallplan), and the
+    repeated conf.set round trips were measurable py4j overhead."""
+    from rtdl_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ensure_runtime_confs(spark)  # no-op: flag already set
+        assert (
+            spark.conf.get("spark.sql.session.timeZone")
+            == "America/New_York"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
