@@ -28,6 +28,22 @@ from rtdl_spark.functions.localdf import local_df
 from rtdl_spark.functions.vectors import cosine, dot, l2_norm, to_double
 
 
+def _spread_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition ``df`` by ``key_col`` ONLY when its scan is
+    under-parallel (guide §2.4: a repartition added "for parallelism" is
+    an accidental shuffle — unless the alternative is a serial stage).
+    A bench-scale corpus packed into one dense file otherwise runs every
+    downstream Arrow kernel / scoring stage on ONE task (r11 measured:
+    pq_encode serialized 0.74 s of a 1.38 s query); at real scale the
+    scan's natural split count clears the bar and no shuffle appears in
+    the plan. Row-local consumers only — results are partition-layout
+    independent."""
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() < n_parts:
+        return df.repartition(n_parts, F.col(key_col))
+    return df
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,10 +73,7 @@ def cosine_topk(
     # disappears from the plan. (minhash_lsh_pairs/rp_lsh_topk keep their
     # unconditional repartition deliberately: there the exchange is
     # REUSED by two consumers, replacing a second source scan.)
-    n_parts = max(corpus.sparkSession.sparkContext.defaultParallelism, 8)
-    base = corpus
-    if base.rdd.getNumPartitions() < n_parts:
-        base = base.repartition(n_parts, F.col(id_col))
+    base = _spread_if_narrow(corpus, id_col)
     c = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -726,7 +739,12 @@ def ivf_pq_topk(
         )
         cent_rows = centroids.collect()
         sample_rows = corpus.orderBy(id_col).limit(n_sample).collect()
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    # spread ONLY the assign/encode branch: the sample TakeOrdered above
+    # stays on the raw scan (r11 — the single-split bench corpus ran the
+    # whole scan→pq_encode→join→window stage on one task)
+    assigned = ivf_assign(
+        _spread_if_narrow(corpus, id_col), centroids, id_col, vec_col
+    )
     sample = np.asarray(
         [list(r[vec_col]) for r in sample_rows], dtype=np.float64
     )
@@ -1237,6 +1255,12 @@ def knn_graph_ivf(
                 }
             )
 
+    # NOT spread when narrow (r11, measured): `assigned` is consumed by
+    # BOTH cogroup sides, so a guard repartition here runs TWICE (two
+    # 32-task Arrow stages whose per-task overhead tripled the bench
+    # wall, 0.67→1.60 s); the serial assign is 0.175 s/branch and the
+    # real work lives in the cogrouped GEMM below, which parallelizes by
+    # cell regardless of scan splits.
     assigned = df.select(
         F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
     ).mapInPandas(

@@ -126,7 +126,14 @@ def _replay(spark: SparkSession, sf_dir: str, pinned_schema: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .collect()
         )
-        return spark.createDataFrame(rows)
+        # LocalRelation, not createDataFrame(rows): the stock path fans
+        # the handful of summary rows into a defaultParallelism-task job
+        # that the bench's count() then pays (~0.24 s measured r11)
+        from rtdl_spark.functions.localdf import local_df
+
+        return local_df(
+            spark, rows, "resolved_table string, n_rows bigint"
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
