@@ -1627,6 +1627,8 @@ def _promote_staged(
     # and partitioned promotes would lose their partition directories)
     stage_prefix = _plain(staging).rstrip("/") + "/"
     fs_prefix = _fs_prefix(root)
+    moves: list[tuple[str, str]] = []  # (src abs, dest abs)
+    dest_dirs: set[str] = set()
     adds = []
     for path, size in staged:
         name = posixpath.basename(path)
@@ -1647,9 +1649,8 @@ def _promote_staged(
             segs = rel.split("/")
         dest = posixpath.join(root, rel)
         if len(segs) > 1:
-            fsutil.mkdirs(spark, posixpath.dirname(dest))
-        if not fsutil.rename(spark, fs_prefix + path, dest):
-            raise IOError(f"failed to move staged file {path} -> {dest}")
+            dest_dirs.add(posixpath.dirname(dest))
+        moves.append((fs_prefix + path, dest))
         add = {
             "path": urllib.parse.quote(rel, safe="/="),
             "partitionValues": {c: pvals[c] for c in part_cols},
@@ -1668,6 +1669,34 @@ def _promote_staged(
                 counts.get(path, {"numRecords": 0})
             )
         adds.append(add)
+    # mkdirs once per DISTINCT partition directory (was once per file),
+    # then the moves — threaded on remote stores (r11): each fsutil
+    # rename there is a py4j+RPC round trip, so thousands of staged
+    # files promoted sequentially serialize on the driver; local-
+    # defaultFS paths keep the sequential os.rename fast path (µs each,
+    # a pool would only add overhead).
+    for d in sorted(dest_dirs):
+        fsutil.mkdirs(spark, d)
+    threaded = len(moves) >= 16 and not fsutil._is_local(spark, root)
+    if threaded:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _mv(pair):
+            src, dest = pair
+            if not fsutil.rename(spark, src, dest):
+                raise IOError(
+                    f"failed to move staged file {src} -> {dest}"
+                )
+
+        with ThreadPoolExecutor(max_workers=min(16, len(moves))) as ex:
+            # list() propagates the first worker exception
+            list(ex.map(_mv, moves))
+    else:
+        for src, dest in moves:
+            if not fsutil.rename(spark, src, dest):
+                raise IOError(
+                    f"failed to move staged file {src} -> {dest}"
+                )
     return sorted(adds, key=lambda a: a["path"])
 
 

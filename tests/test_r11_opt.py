@@ -497,3 +497,24 @@ def test_ensure_runtime_confs_once_per_session(spark):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_promote_staged_threaded_branch(spark, tmp_path, monkeypatch):
+    """Force the threaded rename pool in _promote_staged (engaged on
+    remote stores with >=16 staged files) and verify the promoted table
+    is byte-identical to the sequential path's result."""
+    from rtdl_spark.sources import fsutil
+    from rtdl_spark.sources.delta_reader import read_delta_native
+    from rtdl_spark.sources.delta_writer import write_delta_native
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).cast("string").alias("p"),
+    )
+    monkeypatch.setattr(fsutil, "_is_local", lambda _s, _p: False)
+    root = str(tmp_path / "threaded")
+    write_delta_native(spark, df, root, partition_by=["p"])
+    rows = sorted(
+        (r["k"], r["p"]) for r in read_delta_native(spark, root).collect()
+    )
+    assert rows == sorted((k, str(k % 20)) for k in range(200))
