@@ -94,6 +94,20 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         F.explode(bucket_arr).alias("_bucket"),
     )
+    # ONE banding pass (r11, guide §2.4/§5): the self-join's two sides
+    # otherwise each re-scan, re-shuffle and re-run the signature kernel
+    # — exchange reuse never fires across PythonUDF subtrees (their
+    # canonicalized forms differ), so the duplicate evaluation survives
+    # both the static planner and AQE's stage cache. A lazy
+    # localCheckpoint on the bucket-partitioned banded frame (narrow:
+    # id + band key) materializes the kernel output once; both join
+    # sides read the cached blocks, the preserved _bucket partitioning
+    # still satisfies the join's required distribution (no extra
+    # exchange), and the checkpoint is rebuilt on every execution — no
+    # state outlives the query.
+    banded = banded.repartition(F.col("_bucket")).localCheckpoint(
+        eager=False
+    )
     if bucket_cap is not None:
         # Window count, not groupBy+join: one shuffle by _bucket which the
         # self-join below then reuses (same partitioning key).
@@ -108,17 +122,44 @@ def minhash_lsh_pairs(
         )
     left = banded.select(F.col("_id").alias("id1"), "_bucket")
     right = banded.select(F.col("_id").alias("id2"), "_bucket")
+    # merge-join hint: the planner would otherwise BROADCAST one side,
+    # whose build is a separate subtree that cannot reuse the left
+    # side's exchange — re-running the whole banding kernel. With SMJ
+    # both sides' required distribution is the _bucket exchange above,
+    # so the right side collapses to a ReusedExchange.
     candidates = (
-        left.join(right, "_bucket")
+        left.join(right.hint("merge"), "_bucket")
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
     )
-    sh1 = sh.select(F.col("_id").alias("id1"), F.col("_sh").alias("sh1"))
-    sh2 = sh.select(F.col("_id").alias("id2"), F.col("_sh").alias("sh2"))
+    # Exact verification with ONE pass over the shingle frame (r11):
+    # attaching sh1 then sh2 as two joins evaluated the shingle
+    # computation TWICE (two broadcast builds of the full corpus's
+    # shingle arrays — at 100 TB a whole extra corpus pass). Each
+    # candidate id is tagged with its pair instead; one join streams
+    # the shingles once, and only the MATCHED arrays (2 rows per
+    # candidate pair) shuffle into the regroup.
+    tagged = candidates.select(
+        "id1",
+        "id2",
+        F.explode(F.array(F.col("id1"), F.col("id2"))).alias("_mid"),
+    )
+    matched = sh.join(
+        F.broadcast(tagged), F.col("_id") == F.col("_mid")
+    )
+    pairs = matched.groupBy("id1", "id2").agg(
+        F.first(
+            F.when(F.col("_mid") == F.col("id1"), F.col("_sh")),
+            ignorenulls=True,
+        ).alias("sh1"),
+        F.first(
+            F.when(F.col("_mid") == F.col("id2"), F.col("_sh")),
+            ignorenulls=True,
+        ).alias("sh2"),
+    )
     return (
-        candidates.join(sh1, "id1")
-        .join(sh2, "id2")
+        pairs
         .withColumn("jaccard_sim", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id1", "id2", "jaccard_sim")
