@@ -38,3 +38,18 @@ def revenue_expr() -> Column:
 REVENUE_SQL = (
     f"{DEC('l_extendedprice')} * (CAST(1 AS DECIMAL(18,2)) - {DEC('l_discount')})"
 )
+
+
+def local_result(spark, rows, schema):
+    """Materialized tiny-summary result frame (r11): the x_/lake twins
+    collect their answer before their scratch dir dies and hand it back
+    as a frame. ``spark.createDataFrame(rows, schema)`` fans the handful
+    of rows into a defaultParallelism-task job that the caller's count/
+    collect then pays (~0.2 s on local[32]); routing through
+    functions.localdf.local_df yields a LocalRelation (zero jobs) when
+    the rows/schema are encodable, and otherwise falls back to a ONE-
+    partition parallelize — behavior is a strict superset either way
+    (exact-schema-match-or-fallback is enforced inside local_df)."""
+    from rtdl_spark.functions.localdf import local_df
+
+    return local_df(spark, rows, schema)

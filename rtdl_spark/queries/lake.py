@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from rtdl_spark.catalog import register_views, table
 from rtdl_spark.queries import query
-from rtdl_spark.queries._util import REVENUE_SQL
+from rtdl_spark.queries._util import local_result, REVENUE_SQL
 
 _BENCH_STREAM = "99999999-aaaa-bbbb-cccc-000000000001"
 
@@ -98,6 +98,10 @@ def _replay(spark: SparkSession, sf_dir: str, pinned_schema: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="rtdl_ingest_replay_", dir=shm)
     try:
         src = os.path.join(workdir, "src")
+        # NOT spread (r11, measured): rendering the envelopes across 32
+        # tasks fans the downstream lake write into 32 writers per
+        # (table, bucket) partition — the parquet job went 0.24 -> 1.39 s
+        # and the file count exploded. The single-task render is 0.2 s.
         envelopes.write.mode("overwrite").text(src)
         registry = StreamRegistry(os.path.join(workdir, "configs"))
         registry.create(
@@ -697,7 +701,7 @@ def lake_versioned_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -834,7 +838,7 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("length").alias("n_bytes"),
             F.md5(F.hex(F.col("content"))).alias("content_md5"),
         ).collect()
-        return spark.createDataFrame(rows, "fname string, n_bytes long, content_md5 string")
+        return local_result(spark, rows, "fname string, n_bytes long, content_md5 string")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -984,7 +988,7 @@ def lake_delete_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1122,7 +1126,7 @@ def lake_delta_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = snap(0).unionByName(snap(1))
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1217,7 +1221,7 @@ def lake_delta_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             snap(2, False)
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1290,7 +1294,8 @@ def lake_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for a in active.values():
             k = a["partitionValues"]["src"]
             per_part[k] = per_part.get(k, 0) + 1
-        files = spark.createDataFrame(
+        files = local_result(
+            spark,
             [(k, v) for k, v in per_part.items()], "src string, n_files long"
         )
         out = (
@@ -1305,7 +1310,7 @@ def lake_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "n", "total", "n_files", "version")
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1388,7 +1393,7 @@ def lake_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1467,7 +1472,7 @@ def lake_delta_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1569,7 +1574,7 @@ def x_delta_lifecycle_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1645,7 +1650,7 @@ def lake_delta_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, from_version=0, keys=["o_orderkey"]
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1713,7 +1718,7 @@ def lake_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1846,7 +1851,7 @@ def lake_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = snap(0).unionByName(snap(1))
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1989,7 +1994,7 @@ def lake_delta_cm_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -2094,8 +2099,8 @@ def lake_delta_ict_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for v in (0, 1, 2)
         ]
-        return spark.createDataFrame(
-            rows, "`version` int, `ict_offset` int, `n_rows` bigint"
+        return local_result(
+            spark, rows, "`version` int, `ict_offset` int, `n_rows` bigint"
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -2188,7 +2193,7 @@ def lake_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg(read_delta_native(spark, root, version=v_before), "before")
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -2285,7 +2290,7 @@ def lake_delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -2395,7 +2400,7 @@ def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -2480,7 +2485,7 @@ def lake_delta_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -2569,7 +2574,7 @@ def lake_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rid"),
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -2688,7 +2693,7 @@ def lake_delta_identity_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rid"),
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -2783,7 +2788,7 @@ def lake_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -2891,7 +2896,7 @@ def lake_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if rid is None:
                     rid = int(a["baseRowId"]) + i
                 rows.append((int(r["k"]), int(rid)))
-        got = spark.createDataFrame(rows, "k bigint, rid bigint")
+        got = local_result(spark, rows, "k bigint, rid bigint")
         out = (
             got.groupBy((F.col("rid") % 7).alias("bucket"))
             .agg(
@@ -2902,7 +2907,7 @@ def lake_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows2 = out.collect()
-        return spark.createDataFrame(rows2, out.schema)
+        return local_result(spark, rows2, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -2996,7 +3001,7 @@ def lake_delta_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("violation_raised", F.lit(violated))
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3082,7 +3087,7 @@ def lake_delta_cdf_dv_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3162,7 +3167,7 @@ def lake_delta_clustered_optimize(
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3251,7 +3256,7 @@ def lake_delta_cm_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3356,7 +3361,7 @@ def lake_delta_alter_properties(
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3453,7 +3458,7 @@ def lake_delta_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3544,7 +3549,7 @@ def lake_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = summary(dst, "clone").unionByName(summary(src, "source"))
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3640,7 +3645,7 @@ def lake_delta_create_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3717,7 +3722,7 @@ def lake_delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3805,7 +3810,7 @@ def lake_delta_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3949,7 +3954,7 @@ def lake_delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -4029,6 +4034,6 @@ def lake_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

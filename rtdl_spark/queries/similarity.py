@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rtdl_spark.catalog import table
+from rtdl_spark.queries._util import local_result
 from rtdl_spark.functions.vectors import cosine, l2_norm
 from rtdl_spark.operators.similarity import cosine_topk, ivf_topk
 from rtdl_spark.queries import query
@@ -825,7 +826,7 @@ def sim_index_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = query_ivf_pq_index(
             spark, idx, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_result(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -914,8 +915,8 @@ def sim_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(abs(pm) <= 1e-8),
             )
         )
-    return spark.createDataFrame(
-        rows,
+    return local_result(
+        spark, rows,
         "component int, n_vectors bigint, total_var double, "
         "ratio_in_unit boolean, nonincreasing boolean, "
         "var_matches_eigen boolean, mean_zero boolean",

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from rtdl_spark.catalog import table
 from rtdl_spark.queries import query
-from rtdl_spark.queries._util import DEC
+from rtdl_spark.queries._util import local_result, DEC
 
 
 def _run_events_stream(
@@ -73,7 +73,7 @@ def _run_events_stream(
         q.awaitTermination(600)
         result = spark.table(name)
         rows = result.collect()  # materialize before scratch dies
-        return spark.createDataFrame(rows, result.schema)
+        return local_result(spark, rows, result.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -354,7 +354,7 @@ def stream_exec_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_commits", F.lit(n_commits).cast("int"))
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -445,7 +445,7 @@ def stream_exec_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_commits", F.lit(n_commits).cast("int"))
         )
         rows = out.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, out.schema)
+        return local_result(spark, rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -526,7 +526,7 @@ def stream_exec_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = agg.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, agg.schema)
+        return local_result(spark, rows, agg.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -605,7 +605,7 @@ def stream_exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(600)
         result = spark.table(name)
         rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return local_result(spark, rows, result.schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(workdir, ignore_errors=True)
@@ -726,6 +726,6 @@ def stream_exec_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("version", "change_type")
         )
         rows = agg.collect()  # materialize before the scratch dir dies
-        return spark.createDataFrame(rows, agg.schema)
+        return local_result(spark, rows, agg.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rtdl_spark.catalog import table
+from rtdl_spark.queries._util import local_result
 from rtdl_spark.functions.text import (
     HASH_P,
     avg_token_len,
@@ -970,7 +971,8 @@ def ml_logreg_exact_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w, b, _ = train_logreg(d, "y", n_buckets=1024, n_iter=1, lr=2.0)
     spark_w = F.broadcast(
-        spark.createDataFrame(
+        local_result(
+            spark,
             [(i, float(w[i])) for i in range(1024) if w[i] != 0.0],
             "_b int, _w double",
         )
@@ -2017,7 +2019,7 @@ def text_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = os.path.join(workdir, "idx")
         build_inverted_index(d, idx, n_buckets=8)
         out = query_inverted_index(spark, idx, list(_BM25_TERMS), n_buckets=8)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_result(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
