@@ -99,15 +99,14 @@ def minhash_lsh_pairs(
     # — exchange reuse never fires across PythonUDF subtrees (their
     # canonicalized forms differ), so the duplicate evaluation survives
     # both the static planner and AQE's stage cache. A lazy
-    # localCheckpoint on the bucket-partitioned banded frame (narrow:
-    # id + band key) materializes the kernel output once; both join
-    # sides read the cached blocks, the preserved _bucket partitioning
-    # still satisfies the join's required distribution (no extra
-    # exchange), and the checkpoint is rebuilt on every execution — no
-    # state outlives the query.
-    banded = banded.repartition(F.col("_bucket")).localCheckpoint(
-        eager=False
-    )
+    # localCheckpoint on the banded frame (narrow: id + band key)
+    # materializes the kernel output once; both join sides read the
+    # cached blocks and shuffle only those narrow rows into the join
+    # (the checkpoint's partitioning is not visible to the planner, so
+    # pre-partitioning by _bucket here would just be a wasted extra
+    # shuffle — measured in the plan). The checkpoint is rebuilt on
+    # every execution — no state outlives the query.
+    banded = banded.localCheckpoint(eager=False)
     if bucket_cap is not None:
         # Window count, not groupBy+join: one shuffle by _bucket which the
         # self-join below then reuses (same partitioning key).
